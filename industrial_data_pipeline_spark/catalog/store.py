@@ -1,0 +1,200 @@
+"""Parquet-backed multi-database store.
+
+Layout (one directory per "database", mirroring the reference's
+one-PostgreSQL-database-per-plant layout, SURVEY.md §1.1):
+
+    {root}/{database}/element/    — tiny dim, plain parquet
+    {root}/{database}/attribute/  — tiny dim, plain parquet
+    {root}/{database}/archive/    — fact table, partitioned by ts_date
+
+Scale notes (the design target is ~100 TB of archive):
+
+- ``archive`` is hive-partitioned by ``ts_date = date(timestamp)``:
+  time-range queries prune partitions at plan time; within files,
+  parquet min/max row-group stats prune on ``attribute_id``.
+- Upserts (the reference's ON CONFLICT paths,
+  /root/reference/database/database.py:594 and :712) are implemented
+  as *partition-scoped merges*: only the date partitions present in
+  the incoming batch are read, deduped and rewritten via dynamic
+  partition overwrite. Steady-state 1-minute ingest therefore touches
+  one partition per day regardless of history size.
+- Deletes (catalog cascades, /root/reference/database/database.py:915-958)
+  are anti-join rewrites. They are rare management-plane operations in
+  the reference; we rewrite the full table for dims and all partitions
+  for archive (a Delta/Iceberg MERGE slots in behind the same method
+  signatures when those jars are available — import-gated, not assumed).
+- Dims are small (thousands of rows); every fact⋈dim join should
+  broadcast them — readers get them via :meth:`element` /
+  :meth:`attribute` and join with ``F.broadcast``.
+
+Single-writer assumption matches the reference (one Flask app, one
+ingest daemon per database).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from industrial_data_pipeline_spark.catalog.schemas import (
+    ARCHIVE_PARTITION_COL,
+    ARCHIVE_SCHEMA,
+    ATTRIBUTE_SCHEMA,
+    ELEMENT_SCHEMA,
+)
+
+_TABLES = ("element", "attribute", "archive")
+
+
+class ParquetStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------------------------------------------------------- databases
+    def list_databases(self) -> list[str]:
+        """Reference: enumerate config sections (database.py:54-60)."""
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def create_database(self, database: str) -> None:
+        """Reference DDL create_tables (populate.py:69-160): creates the
+        three tables; existing archive data is preserved."""
+        for table, schema in (
+            ("element", ELEMENT_SCHEMA),
+            ("attribute", ATTRIBUTE_SCHEMA),
+        ):
+            path = self._path(database, table)
+            if not os.path.exists(path):
+                self.spark.createDataFrame([], schema).write.parquet(path)
+        arch = self._path(database, "archive")
+        if not os.path.exists(arch):
+            empty = self.spark.createDataFrame([], ARCHIVE_SCHEMA)
+            self._with_partition(empty).write.partitionBy(
+                ARCHIVE_PARTITION_COL
+            ).parquet(arch)
+
+    def drop_database(self, database: str) -> None:
+        shutil.rmtree(os.path.join(self.root, database), ignore_errors=True)
+
+    # -------------------------------------------------------------- reads
+    def _path(self, database: str, table: str) -> str:
+        assert table in _TABLES, table
+        return os.path.join(self.root, database, table)
+
+    def element(self, database: str) -> DataFrame:
+        return self.spark.read.schema(ELEMENT_SCHEMA).parquet(
+            self._path(database, "element"))
+
+    def attribute(self, database: str) -> DataFrame:
+        return self.spark.read.schema(ATTRIBUTE_SCHEMA).parquet(
+            self._path(database, "attribute"))
+
+    def archive(self, database: str) -> DataFrame:
+        """Fact table scan; ts_date partition column retained so callers'
+        date filters prune partitions (drop it with .select if unwanted)."""
+        return self.spark.read.parquet(self._path(database, "archive"))
+
+    def archive_values(self, database: str) -> DataFrame:
+        """Archive projected to its logical schema (no partition col)."""
+        return self.archive(database).select("attribute_id", "timestamp", "value")
+
+    # ------------------------------------------------------------- writes
+    @staticmethod
+    def _with_partition(df: DataFrame) -> DataFrame:
+        return df.withColumn(ARCHIVE_PARTITION_COL, F.to_date("timestamp"))
+
+    def overwrite_dim(self, database: str, table: str, df: DataFrame) -> None:
+        assert table in ("element", "attribute")
+        path = self._path(database, table)
+        tmp = path + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # atomic-ish swap: dims are tiny; single-writer assumption
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    def append_archive(self, database: str, df: DataFrame) -> None:
+        """Blind bulk append (reference COPY path, ingest.py:166-176).
+        Caller is responsible for (attribute_id, timestamp) uniqueness
+        against existing data; use :meth:`upsert_archive` otherwise."""
+        self._with_partition(df).write.mode("append").partitionBy(
+            ARCHIVE_PARTITION_COL
+        ).parquet(self._path(database, "archive"))
+
+    def upsert_archive(self, database: str, df: DataFrame,
+                       mode: str = "first_wins") -> None:
+        """Partition-scoped merge on (attribute_id, timestamp).
+
+        mode="first_wins"  — existing rows win (reference backfill
+            ON CONFLICT DO NOTHING, database.py:594)
+        mode="last_wins"   — incoming rows win (reference trigger
+            ON CONFLICT DO UPDATE, database.py:710-713)
+
+        Only the date partitions present in ``df`` are read and
+        rewritten (dynamic partition overwrite), so cost scales with
+        the batch's date span, not with history size.
+        """
+        assert mode in ("first_wins", "last_wins")
+        path = self._path(database, "archive")
+        incoming = self._with_partition(
+            df.select("attribute_id", "timestamp", "value")
+        )
+        # affected partitions: tiny driver-side list (dates in the batch)
+        dates = [r[0] for r in
+                 incoming.select(ARCHIVE_PARTITION_COL).distinct().collect()]
+        if not dates:
+            return
+        existing = (
+            self.spark.read.parquet(path)
+            .where(F.col(ARCHIVE_PARTITION_COL).isin(dates))
+        )
+        # precedence via a source rank instead of a window sort over
+        # everything: groupBy + min_by/max_by is a single partial-aggable
+        # shuffle on the merge key.
+        old = existing.withColumn("_src", F.lit(0))
+        new = incoming.withColumn("_src", F.lit(1))
+        unioned = old.unionByName(new)
+        pick = F.min_by if mode == "first_wins" else F.max_by
+        merged = (
+            unioned.groupBy("attribute_id", "timestamp")
+            .agg(
+                pick(F.struct("value", ARCHIVE_PARTITION_COL), F.col("_src"))
+                .alias("_row"))
+            .select("attribute_id", "timestamp",
+                    F.col("_row.value").alias("value"),
+                    F.col(f"_row.{ARCHIVE_PARTITION_COL}")
+                    .alias(ARCHIVE_PARTITION_COL))
+        )
+        with self._dynamic_overwrite():
+            merged.write.mode("overwrite").partitionBy(
+                ARCHIVE_PARTITION_COL
+            ).parquet(path)
+
+    def rewrite_archive(self, database: str, df: DataFrame) -> None:
+        """Full rewrite with the logical schema (delete/remap paths)."""
+        path = self._path(database, "archive")
+        tmp = path + ".tmp"
+        self._with_partition(
+            df.select("attribute_id", "timestamp", "value")
+        ).write.partitionBy(ARCHIVE_PARTITION_COL).parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    def _dynamic_overwrite(self):
+        spark, key = self.spark, "spark.sql.sources.partitionOverwriteMode"
+
+        class _Ctx:
+            def __enter__(self_inner):
+                self_inner.prev = spark.conf.get(key, "static")
+                spark.conf.set(key, "dynamic")
+
+            def __exit__(self_inner, *exc):
+                spark.conf.set(key, self_inner.prev)
+
+        return _Ctx()

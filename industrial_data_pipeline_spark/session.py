@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` (single JVM); the configs are chosen
+so the same code deploys unchanged to a multi-executor cluster:
+
+- AQE on: runtime coalescing, skew-join splitting, dynamic join
+  strategy switch — the knobs that matter at 100 TB.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalescePartitions makes the initial number mostly
+  irrelevant as long as it is high enough.
+- Session timezone pinned to UTC so timestamps compare bit-exactly
+  against the DuckDB oracle (DuckDB TIMESTAMP is tz-naive).
+- Arrow enabled for the few Pandas-UDF code paths (similarity,
+  multimodal) — vectorized transfer instead of per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "industrial_data_pipeline_spark",
+              cores: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``cores`` only affects a freshly created local session; an existing
+    session is returned as-is (Spark is one-session-per-JVM).
+    """
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Files: 128 MB splits keep scan partitions executor-memory sized
+        # at any total volume (the 100 TB knob — more files, same split).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The driver testdata writes TIMESTAMP(NANOS) parquet (events.ts),
+        # which Spark refuses by default; read as long and convert at the
+        # loader (suite.load) — truncation to µs matches DuckDB's CAST.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

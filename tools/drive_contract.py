@@ -1,0 +1,45 @@
+"""Driver simulation: plain session, import contract, run at sf0.01."""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+# deliberately NOT our session factory — the driver builds its own
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+df = e.entry(spark)
+rows = df.collect()
+print("entry(): rows =", len(rows), "cols =", len(df.columns))
+print("schema:", [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields][:4], "...")
+
+import duckdb, pandas as pd
+import os
+sf = os.environ.get("SF", "/root/testdata/sf0.01")
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+qs, osql = e.queries(), e.oracle_sql()
+for name, fn in qs.items():
+    sdf = fn(spark, sf).toPandas()
+    if name not in osql:
+        print(f"{name}: rows-only, {len(sdf)} rows"); continue
+    odf = con.execute(osql[name]).fetchdf()
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            if pd.api.types.is_datetime64_any_dtype(d[c]): d[c] = d[c].astype("datetime64[us]")
+        return d.sort_values(by=list(d.columns), kind="mergesort").reset_index(drop=True)
+    g, w = canon(sdf), canon(odf)
+    ok_cols = list(g.columns) == list(w.columns)
+    ok_rows = len(g) == len(w)
+    ok_vals = ok_cols and ok_rows and all(
+        ((g[c] == w[c]) | (g[c].isna() & w[c].isna())).all() if not pd.api.types.is_float_dtype(g[c])
+        else ((g[c] - w[c]).abs().fillna(0) < 1e-9).all()
+        for c in g.columns)
+    print(f"{name}: cols={ok_cols} rowcount={ok_rows} ({len(g)}) values={'MATCH' if ok_vals else 'MISMATCH'}")
