@@ -132,7 +132,376 @@ GROUP BY timestamp
 """
 
 
+# ------------------------------------------------------- hierarchy analog
+# region → nation → customer as a 3-level element tree (FIXTURES.md §F7);
+# id offsets keep element_id unique across levels.
+
+def hierarchy_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select(
+        F.lit(0).alias("level"),
+        F.col("r_regionkey").cast("long").alias("element_id"),
+        F.col("r_name").alias("name"),
+        F.lit(None).cast("long").alias("parent_id"))
+    nation = load(spark, sf_dir, "nation").select(
+        F.lit(1).alias("level"),
+        (F.col("n_nationkey") + 100).cast("long").alias("element_id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("parent_id"))
+    customer = load(spark, sf_dir, "customer").select(
+        F.lit(2).alias("level"),
+        (F.col("c_custkey") + 1000).cast("long").alias("element_id"),
+        F.col("c_name").alias("name"),
+        (F.col("c_nationkey") + 100).cast("long").alias("parent_id"))
+    return region.unionByName(nation).unionByName(customer)
+
+
+ORACLE_HIER = """
+SELECT 0 AS level, CAST(r_regionkey AS BIGINT) AS element_id,
+       r_name AS name, CAST(NULL AS BIGINT) AS parent_id FROM region
+UNION ALL
+SELECT 1, CAST(n_nationkey + 100 AS BIGINT), n_name,
+       CAST(n_regionkey AS BIGINT) FROM nation
+UNION ALL
+SELECT 2, CAST(c_custkey + 1000 AS BIGINT), c_name,
+       CAST(c_nationkey + 100 AS BIGINT) FROM customer
+"""
+
+
+# --------------------------------------------------- lookups (P5, P6, W2)
+
+def q_lookup_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.operators.lookup import lookup_dispatch
+    attrs = attribute_analog(spark, sf_dir)
+    return lookup_dispatch(attrs, "customer#00000000%", "attribute_id")
+
+
+ORACLE_LOOKUP_LIKE = """
+SELECT CAST(c_nationkey AS BIGINT) AS element_id, c_custkey AS attribute_id,
+       c_name AS name
+FROM customer WHERE lower(c_name) LIKE lower('customer#00000000%')
+"""
+
+
+def q_lookup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.operators.lookup import lookup_dispatch
+    attrs = attribute_analog(spark, sf_dir)
+    return lookup_dispatch(attrs, "Customer#000000042", "attribute_id")
+
+
+ORACLE_LOOKUP_EXACT = """
+SELECT CAST(c_nationkey AS BIGINT) AS element_id, c_custkey AS attribute_id,
+       c_name AS name
+FROM customer WHERE c_name = 'Customer#000000042'
+ORDER BY c_custkey LIMIT 1
+"""
+
+
+# ------------------------------------------------- leaf listings (P7, A3)
+
+def q_leaf_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.operators.lookup import (
+        leaf_elements_heuristic)
+    return leaf_elements_heuristic(hierarchy_analog(spark, sf_dir))
+
+
+ORACLE_LEAF_HEURISTIC = f"""
+WITH h AS ({ORACLE_HIER})
+SELECT * FROM h
+WHERE parent_id IS NULL OR level = (SELECT MAX(level) FROM h)
+"""
+
+
+def q_leaf_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.operators.lookup import (
+        leaf_elements_true)
+    return leaf_elements_true(hierarchy_analog(spark, sf_dir))
+
+
+ORACLE_LEAF_TRUE = f"""
+WITH h AS ({ORACLE_HIER})
+SELECT * FROM h
+WHERE element_id NOT IN (
+    SELECT parent_id FROM h WHERE parent_id IS NOT NULL)
+"""
+
+
+# ------------------------------------------------ hierarchy closure (J4)
+
+def q_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.operators.closure import (
+        hierarchy_paths)
+    return hierarchy_paths(hierarchy_analog(spark, sf_dir)) \
+        .select("element_id", "path")
+
+
+ORACLE_HIERARCHY_PATHS = f"""
+WITH RECURSIVE h AS ({ORACLE_HIER}),
+p AS (
+  SELECT element_id, name, CAST(name AS VARCHAR) AS path
+  FROM h WHERE parent_id IS NULL
+  UNION ALL
+  SELECT c.element_id, c.name, p.path || '|' || c.name
+  FROM h c JOIN p ON c.parent_id = p.element_id
+)
+SELECT element_id, path FROM p
+"""
+
+
+def q_attribute_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapping-file key computation (D9): elem|...|elem|attr."""
+    from industrial_data_pipeline_spark.operators.closure import (
+        attribute_paths)
+    elements = hierarchy_analog(spark, sf_dir).where(F.col("level") <= 1)
+    attrs = load(spark, sf_dir, "customer").select(
+        (F.col("c_nationkey") + 100).cast("long").alias("element_id"),
+        F.col("c_custkey").alias("attribute_id"),
+        F.col("c_name").alias("name"))
+    return attribute_paths(elements, attrs)
+
+
+ORACLE_ATTRIBUTE_PATHS = """
+SELECT c.c_custkey AS attribute_id,
+       r.r_name || '|' || n.n_name || '|' || c.c_name AS attribute_path
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# ------------------------------------------- aggregates (A1, A2, A4, A5)
+
+def q_timestamp_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-attribute available range (A1; database.py:435-450)."""
+    return (archive_analog(spark, sf_dir)
+            .where(F.col("attribute_id").isin(EXPORT_IDS))
+            .agg(F.min("timestamp").alias("min_ts"),
+                 F.max("timestamp").alias("max_ts")))
+
+
+ORACLE_TIMESTAMP_RANGE = f"""
+SELECT min(CAST(ts AS TIMESTAMP)) AS min_ts,
+       max(CAST(ts AS TIMESTAMP)) AS max_ts
+FROM events WHERE user_id IN ({",".join(map(str, EXPORT_IDS))})
+"""
+
+
+def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion resume point: max(ts) + 1 minute (A2+F7;
+    ingest.py:217-220)."""
+    return (archive_analog(spark, sf_dir)
+            .agg(F.max("timestamp").alias("high_water"))
+            .select(
+                "high_water",
+                (F.col("high_water") + F.expr("INTERVAL 1 MINUTE"))
+                .alias("next_start")))
+
+
+ORACLE_WATERMARK = """
+SELECT max(CAST(ts AS TIMESTAMP)) AS high_water,
+       max(CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS next_start
+FROM events
+"""
+
+
+def q_distinct_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill driver rows (A5; database.py:589-591)."""
+    return (archive_analog(spark, sf_dir)
+            .where(F.col("attribute_id").isin([0, 1, 2]))
+            .select("timestamp").distinct())
+
+
+ORACLE_DISTINCT_TS = """
+SELECT DISTINCT CAST(ts AS TIMESTAMP) AS timestamp
+FROM events WHERE user_id IN (0, 1, 2)
+"""
+
+
+def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregates (A4/A6): per-attribute row count + value
+    stats. Float aggregates rounded to 6dp on both sides — summation
+    order differs between engines."""
+    return (archive_analog(spark, sf_dir)
+            .groupBy("attribute_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("value"), 6).alias("min_v"),
+                 F.round(F.max("value"), 6).alias("max_v"),
+                 F.round(F.avg("value"), 6).alias("avg_v")))
+
+
+ORACLE_GROUPED_STATS = """
+SELECT user_id AS attribute_id, count(*) AS n,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v
+FROM events GROUP BY user_id
+"""
+
+
+def q_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter (A3 shape): rows above the global mean."""
+    ev = archive_analog(spark, sf_dir)
+    g = ev.agg(F.avg("value").alias("_gavg"))
+    return (ev.crossJoin(F.broadcast(g))
+            .where(F.col("value") > F.col("_gavg"))
+            .select("attribute_id", "timestamp", "value"))
+
+
+ORACLE_ABOVE_GLOBAL_AVG = """
+SELECT user_id AS attribute_id, CAST(ts AS TIMESTAMP) AS timestamp, value
+FROM events WHERE value > (SELECT avg(value) FROM events)
+"""
+
+
+# ------------------------------------ cascades & purge (D7, J5, J6, A4)
+
+def q_cascade_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element cascade-delete report (D7; database.py:915-958): delete
+    nation-element 110 → its customer-attributes → their events."""
+    from industrial_data_pipeline_spark.operators.maintenance import (
+        cascade_delete_element)
+    element = hierarchy_analog(spark, sf_dir).where(F.col("level") == 1)
+    attribute = load(spark, sf_dir, "customer").select(
+        (F.col("c_nationkey") + 100).cast("long").alias("element_id"),
+        F.col("c_custkey").alias("attribute_id"),
+        F.col("c_name").alias("name"))
+    archive = archive_analog(spark, sf_dir)
+    _, _, _, counts = cascade_delete_element(element, attribute, archive, 110)
+    return counts
+
+
+ORACLE_CASCADE_COUNTS = """
+SELECT CAST(1 AS BIGINT) AS elements_deleted,
+       (SELECT count(*) FROM customer WHERE c_nationkey = 10)
+           AS attributes_deleted,
+       (SELECT count(*) FROM events
+        WHERE user_id IN (SELECT c_custkey FROM customer
+                          WHERE c_nationkey = 10))
+           AS archive_records_deleted
+"""
+
+
+def q_orphan_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan purge (J6; populate.py:409-417): keep events whose
+    attribute (custkey < 10) still exists."""
+    from industrial_data_pipeline_spark.operators.maintenance import (
+        purge_orphans)
+    archive = archive_analog(spark, sf_dir)
+    attrs = load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 10).select(
+        F.col("c_custkey").alias("attribute_id"))
+    return purge_orphans(archive, attrs)
+
+
+ORACLE_ORPHAN_PURGE = """
+SELECT user_id AS attribute_id, CAST(ts AS TIMESTAMP) AS timestamp, value
+FROM events WHERE user_id IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey < 10)
+"""
+
+
+# ------------------------------------------ upsert semantics (W3, P9, T6)
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins (W3; trigger ON CONFLICT DO UPDATE, database.py:710-713):
+    latest event per (attribute, type)."""
+    from industrial_data_pipeline_spark.operators.maintenance import (
+        latest_per_key)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value")
+    return latest_per_key(ev, ["user_id", "event_type"], "ts")
+
+
+ORACLE_LATEST_PER_KEY = """
+SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+FROM (SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins dedup (P9/T6; ingest.py:156): earliest event per
+    (attribute, type)."""
+    from industrial_data_pipeline_spark.operators.maintenance import (
+        dedup_first_wins)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value")
+    return dedup_first_wins(ev, ["user_id", "event_type"], "ts")
+
+
+ORACLE_DEDUP_FIRST_WINS = """
+SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+FROM (SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+# -------------------------------------- formula backfill (J3, F6, P10, A5)
+
+BACKFILL_FORMULA = "($1 + $2) / 2"
+
+
+def q_formula_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-attribute backfill (J3 via pivot + F6 + P10;
+    database.py:539-605): sources = hourly click/view averages, derived
+    = their mean where both present."""
+    from industrial_data_pipeline_spark.operators.derived import (
+        backfill_derived)
+    # archive analog keyed by event_type: attr 1 = click, 2 = view,
+    # timestamps aligned to the hour so sources can coincide.
+    ev = load(spark, sf_dir, "events")
+    archive = (
+        ev.where(F.col("event_type").isin(["click", "view"]))
+        .groupBy(
+            F.when(F.col("event_type") == "click", F.lit(1)).otherwise(2)
+            .cast("long").alias("attribute_id"),
+            F.date_trunc("hour", F.col("ts")).alias("timestamp"))
+        .agg(F.avg("value").alias("value"))
+    )
+    out = backfill_derived(archive, derived_id=99, formula=BACKFILL_FORMULA)
+    return out.select("attribute_id", "timestamp",
+                      F.round("value", 6).alias("value"))
+
+
+ORACLE_FORMULA_BACKFILL = """
+WITH src AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS attribute_id,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS timestamp,
+         avg(value) AS value
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT timestamp,
+         any_value(value) FILTER (WHERE attribute_id = 1) AS c1,
+         any_value(value) FILTER (WHERE attribute_id = 2) AS c2
+  FROM src GROUP BY timestamp
+)
+SELECT CAST(99 AS BIGINT) AS attribute_id, timestamp,
+       round((c1 + c2) / NULLIF(CAST(2 AS DOUBLE), 0.0), 6) AS value
+FROM wide WHERE (c1 + c2) / NULLIF(CAST(2 AS DOUBLE), 0.0) IS NOT NULL
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_export_long": (q_export_long, ORACLE_EXPORT_LONG),
     "q02_export_pivot": (q_export_pivot, _oracle_pivot()),
+    "q03_lookup_like": (q_lookup_like, ORACLE_LOOKUP_LIKE),
+    "q04_lookup_exact": (q_lookup_exact, ORACLE_LOOKUP_EXACT),
+    "q05_leaf_heuristic": (q_leaf_heuristic, ORACLE_LEAF_HEURISTIC),
+    "q06_leaf_true": (q_leaf_true, ORACLE_LEAF_TRUE),
+    "q07_hierarchy_paths": (q_hierarchy_paths, ORACLE_HIERARCHY_PATHS),
+    "q08_attribute_paths": (q_attribute_paths, ORACLE_ATTRIBUTE_PATHS),
+    "q09_timestamp_range": (q_timestamp_range, ORACLE_TIMESTAMP_RANGE),
+    "q10_watermark": (q_watermark, ORACLE_WATERMARK),
+    "q11_distinct_ts": (q_distinct_ts, ORACLE_DISTINCT_TS),
+    "q12_grouped_stats": (q_grouped_stats, ORACLE_GROUPED_STATS),
+    "q13_above_global_avg": (q_above_global_avg, ORACLE_ABOVE_GLOBAL_AVG),
+    "q14_cascade_counts": (q_cascade_counts, ORACLE_CASCADE_COUNTS),
+    "q15_orphan_purge": (q_orphan_purge, ORACLE_ORPHAN_PURGE),
+    "q16_latest_per_key": (q_latest_per_key, ORACLE_LATEST_PER_KEY),
+    "q17_dedup_first_wins": (q_dedup_first_wins, ORACLE_DEDUP_FIRST_WINS),
+    "q18_formula_backfill": (q_formula_backfill, ORACLE_FORMULA_BACKFILL),
 }
