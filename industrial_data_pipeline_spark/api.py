@@ -1,0 +1,372 @@
+"""Engine facade: the reference's full query + management-plane surface.
+
+One class, ``Pipeline``, exposing every operation the reference's Flask
+app offers (SURVEY.md §2.10–§2.11; /root/reference/database/web_app.py's
+16 routes backed by /root/reference/database/database.py), re-expressed
+over the ParquetStore. A reference user switches by pointing this at a
+storage root instead of a PostgreSQL DSN.
+
+Deliberate fixes over the reference, documented per SURVEY.md §2.12:
+- update_mapping_cache returns BOTH element_count and attribute_count
+  (the reference's handler reads a key that is never returned and 500s,
+  §2.12.3).
+- derived-ness is ``formula IS NOT NULL`` in the catalog instead of
+  probing generated trigger functions (§2.9).
+- exact-match lookups order by id before LIMIT 1 (deterministic; the
+  reference inherits arbitrary PostgreSQL ordering).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from industrial_data_pipeline_spark.catalog.store import ParquetStore
+from industrial_data_pipeline_spark.functions.formula import validate
+from industrial_data_pipeline_spark.operators.closure import hierarchy_paths
+from industrial_data_pipeline_spark.operators.derived import backfill_derived
+from industrial_data_pipeline_spark.operators.export import (
+    export_csv,
+    export_parquet,
+    pivot_wide,
+    timeseries_long,
+)
+from industrial_data_pipeline_spark.operators.lookup import (
+    leaf_elements_heuristic,
+    leaf_elements_true,
+    lookup_dispatch,
+)
+from industrial_data_pipeline_spark.operators.maintenance import (
+    purge_orphans,
+)
+from industrial_data_pipeline_spark.sources.mapping import (
+    build_mapping,
+    write_mapping,
+)
+from industrial_data_pipeline_spark.sources.tree import load_tree_cache
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.store = ParquetStore(spark, root)
+
+    # ------------------------------------------------------ read surface
+
+    def list_databases(self) -> list[str]:
+        """GET /api/databases (web_app.py:57)."""
+        return self.store.list_databases()
+
+    def leaf_elements(self, database: str,
+                      true_leaves: bool = False) -> DataFrame:
+        """GET /api/elements/<db> (web_app.py:70). Default keeps the
+        reference's root-or-deepest-level heuristic; ``true_leaves``
+        switches to correct childless semantics (§2.12.4)."""
+        elem = self.store.element(database)
+        fn = leaf_elements_true if true_leaves else leaf_elements_heuristic
+        return fn(elem).orderBy("name")
+
+    def all_elements(self, database: str) -> DataFrame:
+        """GET /api/elements/all/<db> (web_app.py:225); ORDER BY level,
+        element_id (database.py:805)."""
+        return self.store.element(database).orderBy("level", "element_id")
+
+    def element_attributes(self, database: str,
+                           element_id: int) -> DataFrame:
+        """GET /api/attributes/<db>/<element_id> (web_app.py:87-112)."""
+        return (self.store.attribute(database)
+                .where(F.col("element_id") == element_id)
+                .orderBy("name"))
+
+    def all_attributes(self, database: str,
+                       element_id: int | None = None) -> DataFrame:
+        """GET /api/attributes/all/<db>?element_id= (web_app.py:242);
+        attr⋈elem decoration (J1; database.py:886-905)."""
+        attr = self.store.attribute(database)
+        if element_id is not None:
+            attr = attr.where(F.col("element_id") == element_id)
+        elem = self.store.element(database).select(
+            "element_id", F.col("name").alias("element_name"))
+        return (attr.join(F.broadcast(elem), "element_id")
+                .orderBy("element_name", "name"))
+
+    def lookup(self, database: str, text: str,
+               kind: str = "element") -> DataFrame:
+        """POST /api/lookup (web_app.py:423-488): '%' → LIKE else exact."""
+        df = (self.store.element(database) if kind == "element"
+              else self.store.attribute(database))
+        return lookup_dispatch(df, text, f"{kind}_id")
+
+    def timestamp_range(self, database: str,
+                        attribute_id: int) -> tuple:
+        """A1 (database.py:435-450)."""
+        row = (self.store.archive_values(database)
+               .where(F.col("attribute_id") == attribute_id)
+               .agg(F.min("timestamp"), F.max("timestamp")).first())
+        return (row[0], row[1]) if row else (None, None)
+
+    def get_timeseries(self, database: str, attribute_ids: list[int],
+                       start=None, end=None, wide: bool = True,
+                       qualify_element: bool | None = None) -> DataFrame:
+        """The export query (§3.1; database.py:357-432)."""
+        attr = self.store.attribute(database)
+        elem = self.store.element(database)
+        long_df = timeseries_long(
+            self.store.archive_values(database), attr, elem,
+            attribute_ids, start, end)
+        if not wide:
+            return long_df
+        sel = attr.where(F.col("attribute_id").isin(list(attribute_ids)))
+        if qualify_element is None:
+            n_elem = sel.select("element_id").distinct().count()
+            qualify_element = n_elem > 1
+        if qualify_element:
+            named = (sel.join(elem.select(
+                "element_id", F.col("name").alias("element_name")),
+                "element_id")
+                .select(F.concat_ws("|", "element_name", "name")
+                        .alias("c")))
+        else:
+            named = sel.select(F.col("name").alias("c"))
+        cols = [r["c"] for r in named.distinct().collect()]
+        return pivot_wide(long_df, cols, qualify_element=qualify_element)
+
+    def export(self, database: str, attribute_ids: list[int], path: str,
+               fmt: str = "csv", start=None, end=None) -> dict:
+        """POST /api/download (web_app.py:115-186)."""
+        df = self.get_timeseries(database, attribute_ids, start, end)
+        if fmt == "csv":
+            export_csv(df, path)
+        elif fmt == "parquet":
+            export_parquet(df, path)
+        else:
+            raise ValueError(f"unsupported format: {fmt}")
+        return {"filename": path, "rows": df.count(),
+                "columns": len(df.columns)}
+
+    # ------------------------------------------------ management plane
+
+    def create_database(self, database: str) -> None:
+        """D1 (populate.py:69-160)."""
+        self.store.create_database(database)
+
+    def _next_id(self, df: DataFrame, col: str) -> int:
+        row = df.agg(F.max(col)).first()
+        return (row[0] or 0) + 1
+
+    def insert_element(self, database: str, name: str,
+                       parent_id: int | None = None,
+                       level: int = 0) -> int:
+        """D4 (database.py:465-491): id = max+1 (single-writer, like
+        the reference's effectively single-user app)."""
+        elem = self.store.element(database)
+        new_id = self._next_id(elem, "element_id")
+        row = self.spark.createDataFrame(
+            [(level, new_id, name, parent_id)], elem.schema)
+        self.store.overwrite_dim(database, "element", elem.unionByName(row))
+        return new_id
+
+    def insert_attribute(self, database: str, element_id: int, name: str,
+                         kks: str | None = None,
+                         formula: str | None = None,
+                         backfill: bool = True) -> int:
+        """D5 (database.py:494-536): insert; if derived, validate the
+        formula against existing ids and backfill history (first-wins).
+        Real-time maintenance = streaming/derived.py (T5)."""
+        attr = self.store.attribute(database)
+        if formula is not None:
+            known = {r[0] for r in attr.select("attribute_id").collect()}
+            validate(formula, known)
+        new_id = self._next_id(attr, "attribute_id")
+        row = self.spark.createDataFrame(
+            [(element_id, new_id, name, kks, formula)], attr.schema)
+        self.store.overwrite_dim(database, "attribute",
+                                 attr.unionByName(row))
+        if formula is not None and backfill:
+            rows = backfill_derived(
+                self.store.archive_values(database), new_id, formula)
+            self.store.upsert_archive(database, rows, mode="first_wins")
+        return new_id
+
+    def update_attribute(self, database: str, attribute_id: int,
+                         name: str | None = None, kks: str | None = None,
+                         formula: str | None = None,
+                         recompute_archive: bool = True) -> dict:
+        """D6 (database.py:961-1072): derived-only guard; on formula
+        change optionally delete + recompute the derived history."""
+        attr = self.store.attribute(database)
+        current = attr.where(F.col("attribute_id") == attribute_id).first()
+        if current is None:
+            raise ValueError(f"attribute {attribute_id} does not exist")
+        if current["formula"] is None:
+            # reference guard: only derived attributes are updatable
+            # (database.py:991-1005)
+            raise ValueError(
+                f"attribute {attribute_id} is not a derived attribute")
+        if formula is not None:
+            known = {r[0] for r in attr.select("attribute_id").collect()
+                     if r[0] != attribute_id}
+            validate(formula, known)
+        updated = attr.select(
+            "element_id", "attribute_id",
+            F.when(F.col("attribute_id") == attribute_id,
+                   F.lit(name if name is not None else current["name"]))
+            .otherwise(F.col("name")).alias("name"),
+            F.when(F.col("attribute_id") == attribute_id,
+                   F.lit(kks if kks is not None else current["kks"]))
+            .otherwise(F.col("kks")).alias("kks"),
+            F.when(F.col("attribute_id") == attribute_id,
+                   F.lit(formula if formula is not None
+                         else current["formula"]))
+            .otherwise(F.col("formula")).alias("formula"),
+        )
+        self.store.overwrite_dim(database, "attribute", updated)
+        recomputed = 0
+        if formula is not None and recompute_archive:
+            arch = self.store.archive_values(database)
+            kept = arch.where(F.col("attribute_id") != attribute_id)
+            # materialize: `rows` reads the archive dir the rewrite is
+            # about to swap out (bounded: one attribute's history)
+            rows = backfill_derived(kept, attribute_id, formula) \
+                .localCheckpoint(eager=True)
+            self.store.rewrite_archive(database, kept.unionByName(rows))
+            recomputed = rows.count()
+        return {"attribute_id": attribute_id, "recomputed": recomputed}
+
+    def delete_element(self, database: str, element_id: int) -> dict:
+        """D7 (database.py:915-958): cascade element → attributes →
+        archive; returns the reference's count dict."""
+        elem = self.store.element(database)
+        attr = self.store.attribute(database)
+        arch = self.store.archive_values(database)
+        doomed = attr.where(F.col("element_id") == element_id) \
+            .select("attribute_id")
+        n_elem = elem.where(F.col("element_id") == element_id).count()
+        n_attr = doomed.count()
+        n_arch = arch.join(F.broadcast(doomed), "attribute_id",
+                           "left_semi").count()
+        self.store.rewrite_archive(
+            database,
+            arch.join(F.broadcast(doomed), "attribute_id", "left_anti"))
+        self.store.overwrite_dim(
+            database, "attribute",
+            attr.where(F.col("element_id") != element_id))
+        self.store.overwrite_dim(
+            database, "element",
+            elem.where(F.col("element_id") != element_id))
+        return {"elements_deleted": n_elem, "attributes_deleted": n_attr,
+                "archive_records_deleted": n_arch}
+
+    def delete_attribute(self, database: str, attribute_id: int) -> dict:
+        """D8 (database.py:1075-1111)."""
+        attr = self.store.attribute(database)
+        arch = self.store.archive_values(database)
+        n_attr = attr.where(F.col("attribute_id") == attribute_id).count()
+        n_arch = arch.where(F.col("attribute_id") == attribute_id).count()
+        self.store.rewrite_archive(
+            database, arch.where(F.col("attribute_id") != attribute_id))
+        self.store.overwrite_dim(
+            database, "attribute",
+            attr.where(F.col("attribute_id") != attribute_id))
+        return {"attributes_deleted": n_attr,
+                "archive_records_deleted": n_arch}
+
+    # ------------------------------------------------------- tree reload
+
+    def load_tree(self, database: str, json_path: str) -> dict:
+        """D2/D3 (populate.py:369-597): (re)load the hierarchy from a
+        tree-cache file, preserving derived attributes by path and
+        remapping archive ids old→new.
+
+        The reference does this with four recursive CTEs and a
+        Python remap loop; here old/new catalogs join on path and the
+        archive gets one broadcast-join rewrite.
+        """
+        self.store.create_database(database)
+        old_elem = self.store.element(database)
+        old_attr = self.store.attribute(database)
+        new_elem, new_attr = load_tree_cache(self.spark, json_path)
+
+        # snapshot derived attrs by full path (backup, populate.py:163-296)
+        old_paths = self._attr_path_df(old_elem, old_attr)
+        derived = (old_attr.where(F.col("formula").isNotNull())
+                   .join(old_paths, "attribute_id")
+                   .select(F.col("attribute_id").alias("old_id"),
+                           "name", "kks", "formula", "attribute_path"))
+
+        # id remap for source attrs: old_id → new_id on equal path
+        new_paths = self._attr_path_df(new_elem, new_attr)
+        old_non_derived = (old_attr.where(F.col("formula").isNull())
+                           .join(old_paths, "attribute_id")
+                           .select(F.col("attribute_id").alias("old_id"),
+                                   "attribute_path"))
+        idmap = old_non_derived.join(new_paths, "attribute_path") \
+            .select("old_id", F.col("attribute_id").alias("new_id"))
+
+        # restore deriveds under matching parent-element paths
+        elem_paths = hierarchy_paths(new_elem).select(
+            "element_id", "path")
+        derived_rows = derived.withColumn(
+            "_parent_path",
+            F.expr("substring(attribute_path, 1, length(attribute_path) "
+                   "- length(name) - 1)")) \
+            .join(elem_paths,
+                  F.col("_parent_path") == F.col("path")) \
+            .select("element_id", "name", "kks", "formula", "old_id")
+        base = self._next_id(new_attr, "attribute_id")
+        # dimension-sized: a global row_number is fine here
+        restored = derived_rows.withColumn(
+            "attribute_id",
+            (F.row_number().over(Window.orderBy("old_id"))
+             + F.lit(base - 1)).cast("long"))
+        final_attr = new_attr.unionByName(
+            restored.select("element_id", "attribute_id", "name", "kks",
+                            "formula"))
+        derived_idmap = restored.select(
+            "old_id", F.col("attribute_id").alias("new_id"))
+        full_idmap = idmap.unionByName(derived_idmap)
+
+        # remap archive attribute ids (populate.py:530-597) and purge
+        # rows whose attribute no longer exists (J6, populate.py:409-417)
+        arch = self.store.archive_values(database)
+        remapped = (arch.join(
+            F.broadcast(full_idmap),
+            arch.attribute_id == F.col("old_id"), "left")
+            .select(F.coalesce("new_id", "attribute_id")
+                    .alias("attribute_id"), "timestamp", "value"))
+        cleaned = purge_orphans(
+            remapped, final_attr.select("attribute_id"))
+
+        # final_attr still reads the OLD dims; materialize it (it is
+        # dimension-sized) before any directory swap, and rewrite the
+        # archive (which also reads the old dims) before the dims.
+        final_attr = final_attr.localCheckpoint(eager=True)
+        self.store.rewrite_archive(database, cleaned)
+        self.store.overwrite_dim(database, "element", new_elem)
+        self.store.overwrite_dim(database, "attribute", final_attr)
+        return {"element_count": new_elem.count(),
+                "attribute_count": final_attr.count()}
+
+    @staticmethod
+    def _attr_path_df(element: DataFrame, attribute: DataFrame):
+        from industrial_data_pipeline_spark.operators.closure import (
+            attribute_paths)
+        return attribute_paths(element, attribute).select(
+            "attribute_id", "attribute_path")
+
+    def update_mapping_cache(self, database: str, db_map_path: str,
+                             pi_map_path: str | None = None,
+                             server: str | None = None) -> dict:
+        """POST /api/update-cache (web_app.py:316) / D9. Returns both
+        counts (fixes reference bug §2.12.3)."""
+        elem = self.store.element(database)
+        attr = self.store.attribute(database)
+        mapping = build_mapping(elem, attr)
+        write_mapping(mapping, db_map_path)
+        if pi_map_path is not None and server is not None:
+            write_mapping(build_mapping(elem, attr, server=server),
+                          pi_map_path)
+        return {"element_count": elem.count(),
+                "attribute_count": len(mapping)}

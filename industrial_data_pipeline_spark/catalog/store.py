@@ -36,7 +36,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from industrial_data_pipeline_spark.catalog.schemas import (
     ARCHIVE_PARTITION_COL,
@@ -97,8 +97,14 @@ class ParquetStore:
 
     def archive(self, database: str) -> DataFrame:
         """Fact table scan; ts_date partition column retained so callers'
-        date filters prune partitions (drop it with .select if unwanted)."""
-        return self.spark.read.parquet(self._path(database, "archive"))
+        date filters prune partitions (drop it with .select if unwanted).
+        Explicit schema: a freshly created archive has no files yet, and
+        schema inference would fail (UNABLE_TO_INFER_SCHEMA)."""
+        schema = T.StructType(
+            list(ARCHIVE_SCHEMA.fields)
+            + [T.StructField(ARCHIVE_PARTITION_COL, T.DateType(), True)])
+        return self.spark.read.schema(schema).parquet(
+            self._path(database, "archive"))
 
     def archive_values(self, database: str) -> DataFrame:
         """Archive projected to its logical schema (no partition col)."""
@@ -151,7 +157,7 @@ class ParquetStore:
         if not dates:
             return
         existing = (
-            self.spark.read.parquet(path)
+            self.archive(database)
             .where(F.col(ARCHIVE_PARTITION_COL).isin(dates))
         )
         # precedence via a source rank instead of a window sort over
@@ -171,6 +177,10 @@ class ParquetStore:
                     F.col(f"_row.{ARCHIVE_PARTITION_COL}")
                     .alias(ARCHIVE_PARTITION_COL))
         )
+        # materialize before the overwrite: the merged plan reads the
+        # same partitions it is about to replace. Bounded by the
+        # batch's affected partitions, not history size.
+        merged = merged.localCheckpoint(eager=True)
         with self._dynamic_overwrite():
             merged.write.mode("overwrite").partitionBy(
                 ARCHIVE_PARTITION_COL

@@ -50,16 +50,22 @@ def hierarchy_paths(element: DataFrame, sep: str = "|",
 
 
 def attribute_paths(element: DataFrame, attribute: DataFrame,
-                    sep: str = "|", prefix: str = "") -> DataFrame:
-    """Full attribute path ``{prefix}elem|...|elem|attr`` — the mapping-
-    file key format (D9; /root/reference/database/database.py:819-838,
-    PI form ``\\\\SERVER\\Root\\...|Attr`` populate.py:683-699)."""
+                    sep: str = "|", attr_sep: str = "|",
+                    prefix: str = "") -> DataFrame:
+    """Full attribute path ``{prefix}elem⟨sep⟩...⟨sep⟩elem⟨attr_sep⟩attr``.
+
+    Two reference key formats (D9):
+    - DB form ``Root|Child|Leaf|Attr`` (database.py:819-838):
+      sep="|", attr_sep="|"
+    - PI form ``\\\\SERVER\\Root\\Child|Attr`` (populate.py:683-699):
+      sep="\\\\", attr_sep="|", prefix="\\\\\\\\SERVER\\\\"
+    """
     paths = hierarchy_paths(element, sep=sep).select("element_id", "path")
     return (
         attribute.join(F.broadcast(paths), "element_id")
         .select(
             "attribute_id",
-            F.concat(F.lit(prefix), F.col("path"), F.lit(sep),
+            F.concat(F.lit(prefix), F.col("path"), F.lit(attr_sep),
                      F.col("name")).alias("attribute_path"),
         )
     )
