@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for the 100 TB documents table:
+
+- **exact**: hash-groupBy on a 64-bit content hash — one shuffle on
+  the hash, map-side combinable.
+- **MinHash+LSH**: per-doc signature (no shuffle), banding, then a
+  self-join only within (band, bucket) groups — candidate pairs scale
+  with collision count, never O(n²). Exact Jaccard verification runs
+  only on candidates.
+- **SimHash**: explode tokens once (one md5 per token), 64 conditional
+  sums, near-dup = Hamming distance on 64-bit ints via xor+bit_count —
+  pairs again found via bucket join on rotated prefixes.
+
+Hashing uses the portable ``hash64`` (operators/text.py) so every step
+is reproducible bit-for-bit in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from industrial_data_pipeline_spark.operators.text import hash64, tokens
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text",
+                normalize: bool = True) -> DataFrame:
+    """Keep one row (lowest id) per distinct text; adds dup_count.
+    Normalization: lowercase + whitespace collapse."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    keyed = df.withColumn("_fp", hash64(t))
+    groups = (keyed.groupBy("_fp")
+              .agg(F.min(id_col).alias("_keep"),
+                   F.count("*").alias("dup_count")))
+    return (keyed.join(groups, "_fp")
+            .where(F.col(id_col) == F.col("_keep"))
+            .drop("_fp", "_keep"))
+
+
+# -------------------------------------------------------------- shingles
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams ('shingles') of a text column."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+# --------------------------------------------------------------- MinHash
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
+    """MinHash signature as a pure column expression: permutation p's
+    hash of shingle s is hash64(p || ':' || s); signature[p] = min over
+    shingles. NOTE: higher-order-function lambdas are interpreted (no
+    whole-stage codegen) — prefer :func:`minhash_signatures` (explode +
+    codegen projection + partial agg) on anything big."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingle_col,
+            lambda s, p=p: hash64(F.concat(F.lit(f"{p}:"), s))))
+        for p in range(num_perm)
+    ])
+
+
+def minhash_signatures(base: DataFrame, id_col: str = "_id",
+                       shingle_col: str = "_sh",
+                       num_perm: int = 32) -> DataFrame:
+    """(id, shingles[]) → (id, sig array<long>) the scalable way:
+    explode shingles, project num_perm hash columns (whole-stage
+    codegen — ~20× faster than the interpreted lambda form), partial-
+    aggregable groupBy(id) min per permutation. One shuffle on id."""
+    ex = base.select(F.col(id_col), F.explode(shingle_col).alias("_s"))
+    hashed = ex.select(
+        id_col,
+        *[hash64(F.concat(F.lit(f"{p}:"), F.col("_s"))).alias(f"_h{p}")
+          for p in range(num_perm)])
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{p}").alias(f"_m{p}") for p in range(num_perm)])
+    return agg.select(
+        id_col,
+        F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("_sig"))
+
+
+def lsh_bands(sig_col: Column, num_perm: int, bands: int) -> Column:
+    """Band the signature: bands × (num_perm/bands) rows; bucket key =
+    hash of the concatenated band slice. Array of (band, bucket)
+    structs."""
+    rows_per_band = num_perm // bands
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            hash64(F.concat_ws(
+                ",", *[F.element_at(sig_col, b * rows_per_band + r + 1)
+                       .cast("string")
+                       for r in range(rows_per_band)])).alias("bucket"))
+        for b in range(bands)
+    ])
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                      k: int = 3, num_perm: int = 32, bands: int = 8,
+                      threshold: float = 0.5,
+                      round_dp: int = 6) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard
+    verification. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+
+    Plan shape: signature+bands per row (narrow) → explode bands →
+    shuffle on (band, bucket) only → pairs within buckets → distinct →
+    exact verify. The only shuffle keys are LSH buckets, so skew is
+    bounded by collision rate, not corpus size."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), k).alias("_sh"))
+    # band/bucket table WITHOUT the shingle arrays: the bucket
+    # self-join and pair-dedup shuffle only (id, band, bucket) — the
+    # wide arrays rejoin after dedup, touching each surviving pair once
+    sigs = minhash_signatures(base, "_id", "_sh", num_perm)
+    exploded = (sigs.select(
+        "_id",
+        F.explode(lsh_bands(F.col("_sig"), num_perm, bands)).alias("_b"))
+        .select("_id", F.col("_b.band").alias("_band"),
+                F.col("_b.bucket").alias("_bucket")))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    cand = (
+        left.join(right,
+                  (F.col("l._band") == F.col("r._band"))
+                  & (F.col("l._bucket") == F.col("r._bucket"))
+                  & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard_sim",
+                        F.round(jaccard(F.col("_sha"), F.col("_shb")),
+                                round_dp))
+            .where(F.col("jaccard_sim") >= threshold)
+            .select("id_a", "id_b", "jaccard_sim"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        k: int = 3, threshold: float = 0.5,
+                        round_dp: int = 6) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (no LSH prefilter) — the
+    small-corpus baseline and the oracle for minhash_lsh_pairs recall.
+    O(n²): do not run on large tables; use minhash_lsh_pairs."""
+    base = df.select(F.col(id_col).alias("_id"),
+                     word_shingles(F.col(text_col), k).alias("_sh"))
+    a, b = base.alias("a"), base.alias("b")
+    return (a.join(b, F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.round(jaccard(F.col("a._sh"), F.col("b._sh")),
+                            round_dp).alias("jaccard_sim"))
+            .where(F.col("jaccard_sim") >= threshold))
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash64(df: DataFrame, id_col: str,
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: one md5 per token (explode), then
+    64 conditional sums; bit j of the result = sign of the sum of
+    (±1) contributions of token-hash bit j, weighted by token count."""
+    tok = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                     .alias("_t"))
+           .withColumn("_h", hash64(F.col("_t"))))
+    bit_sums = [
+        F.sum(F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_b{j}")
+        for j in range(60)  # hash64 is 60 bits
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(60):
+        bit = F.when(F.col(f"_b{j}") > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sim = term if sim is None else (sim + term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                  max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    Candidates via 4-way prefix blocking (pigeonhole: two signatures
+    within Hamming 8 of 60 bits agree on at least one of 4 15-bit
+    blocks) — shuffle on block values, not O(n²)."""
+    sh = simhash64(df, id_col, text_col)
+    blocks = sh.select(
+        id_col, "simhash",
+        *[(F.shiftright("simhash", 15 * i).bitwiseAND(F.lit((1 << 15) - 1)))
+          .alias(f"_blk{i}") for i in range(4)])
+    # 4 union branches below would each recompute the explode+agg
+    # simhash plan; materialize once (id + 5 longs per row — tiny)
+    blocks = blocks.localCheckpoint(eager=True)
+    pairs = None
+    for i in range(4):
+        l, r = blocks.alias("l"), blocks.alias("r")
+        p = (l.join(r, (F.col(f"l._blk{i}") == F.col(f"r._blk{i}"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col("l.simhash").alias("_sa"),
+                     F.col("r.simhash").alias("_sb")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming",
+                        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

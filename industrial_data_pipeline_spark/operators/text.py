@@ -1,0 +1,141 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions — JVM-side, whole-stage
+codegen, no Python in the row path — so they hold up on a 100 TB
+documents table. Every operator has an exact ANSI-SQL twin runnable in
+DuckDB (used by the correctness oracle), built on one portable
+primitive:
+
+    hash64(s) = int64(first 15 hex digits of md5(s))
+
+which evaluates identically in Spark (`conv(substr(md5(x),1,15),16,10)`),
+DuckDB (`('0x' || substr(md5(x),1,15))::BIGINT`), and Python
+(`int(hashlib.md5(x).hexdigest()[:15], 16)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ------------------------------------------------------------ primitives
+
+
+def hash64(col: Column | str) -> Column:
+    """Portable 60-bit hash (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny stopword lexicons for the lang-id heuristic (public common words)
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "los", "y", "un", "una", "es", "en", "que", "para", "con"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den",
+           "von"],
+}
+#: deterministic tie-break priority (first wins on equal score)
+LANG_PRIORITY = ["en", "fr", "es", "de"]
+
+
+# ------------------------------------------------------------- operators
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text",
+                    round_dp: int = 6) -> DataFrame:
+    """Quality-scoring columns: length, word count, mean word length,
+    punctuation ratio, stopword ratio, digit ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_words = F.size(toks)
+    en = F.array([F.lit(w) for w in LANG_LEXICONS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_computed"),
+        n_words.alias("n_words"),
+        F.round(F.length(F.regexp_replace(t, r"\s", ""))
+                / F.nullif(n_words.cast("double"), F.lit(0.0)), round_dp)
+        .alias("avg_word_len"),
+        F.round(F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]"))
+                / F.nullif(n_chars.cast("double"), F.lit(0.0)), round_dp)
+        .alias("punct_ratio"),
+        F.round(F.regexp_count(t, F.lit(r"[0-9]"))
+                / F.nullif(n_chars.cast("double"), F.lit(0.0)), round_dp)
+        .alias("digit_ratio"),
+        F.round(stop_hits / F.nullif(n_words.cast("double"), F.lit(0.0)),
+                round_dp).alias("stopword_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace words and BPE-ish pieces."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.size(tokens(t)).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: stopword-lexicon hit counts, deterministic
+    priority-ordered argmax (en > fr > es > de; 'und' = undetermined
+    when every score is 0)."""
+    toks = tokens(F.col(text_col))
+
+    def _score(lex: list[str]) -> Column:
+        arr = F.array([F.lit(w) for w in lex])
+        # NB: the lambda must take exactly one arg — F.filter inspects
+        # arity and would pass the element index as a second parameter
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _score(lex) for lang, lex in LANG_LEXICONS.items()}
+    out = df
+    for lang in LANG_PRIORITY:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    all_zero = None
+    for lang in LANG_PRIORITY:
+        c = F.col(f"score_{lang}") == 0
+        all_zero = c if all_zero is None else (all_zero & c)
+    # priority-ordered argmax: first language whose score >= the rest
+    expr = F.when(all_zero, F.lit("und"))
+    for i, lang in enumerate(LANG_PRIORITY):
+        rest = [F.col(f"score_{o}") for o in LANG_PRIORITY[i + 1:]]
+        cond = None
+        for r in rest:
+            ge = F.col(f"score_{lang}") >= r
+            cond = ge if cond is None else (cond & ge)
+        expr = expr.when(F.lit(True) if cond is None else cond, F.lit(lang))
+    return out.withColumn("lang_pred", expr)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 ngram: int = 3) -> DataFrame:
+    """Document fingerprinting: full-text md5, 64-bit content hash, and
+    a rolling content fingerprint = min over word-``ngram`` window
+    hashes (winnowing-style: stable under small edits far from the
+    minimum)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)))
+    return df.select(
+        "*",
+        F.md5(t).alias("md5"),
+        hash64(t).alias("content_hash"),
+        F.array_min(F.transform(grams, lambda g: hash64(g)))
+        .alias("rolling_min_hash"),
+    )

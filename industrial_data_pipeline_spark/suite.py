@@ -485,6 +485,8 @@ FROM wide WHERE (c1 + c2) / NULLIF(CAST(2 AS DOUBLE), 0.0) IS NOT NULL
 """
 
 
+from industrial_data_pipeline_spark.suite_llm import REGISTRY_LLM  # noqa: E402
+
 REGISTRY: dict[str, tuple] = {
     "q01_export_long": (q_export_long, ORACLE_EXPORT_LONG),
     "q02_export_pivot": (q_export_pivot, _oracle_pivot()),
@@ -505,3 +507,4 @@ REGISTRY: dict[str, tuple] = {
     "q17_dedup_first_wins": (q_dedup_first_wins, ORACLE_DEDUP_FIRST_WINS),
     "q18_formula_backfill": (q_formula_backfill, ORACLE_FORMULA_BACKFILL),
 }
+REGISTRY.update(REGISTRY_LLM)

@@ -1,0 +1,381 @@
+"""Driver-facing suite, part 2: large-scale training-data operators
+(dedup, similarity search, text analysis, multimodal) on the
+``documents`` and ``embeddings`` tables.
+
+Every SQL-expressible operator ships a DuckDB oracle built on the same
+portable hash64 primitive (operators/text.py), so MinHash signatures,
+LSH buckets, SimHash bits and fingerprints are reproduced bit-for-bit
+by the oracle. ANN (hyperplane-LSH / IVF) queries are approximate by
+design → rows-only driver checks, with recall-vs-brute-force asserted
+in tests/test_similarity.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from industrial_data_pipeline_spark.operators import dedup as D
+from industrial_data_pipeline_spark.operators import multimodal as MM
+from industrial_data_pipeline_spark.operators import similarity as SIM
+from industrial_data_pipeline_spark.operators import text as TX
+
+# ---------------------------------------------------- portable SQL bits
+
+
+def _h64(expr: str) -> str:
+    """DuckDB twin of operators.text.hash64."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_EN = "['" + "','".join(TX.LANG_LEXICONS["en"]) + "']"
+
+
+def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------- text analysis
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = TX.quality_metrics(_load_docs(spark, sf_dir))
+    return df.select("doc_id", "n_chars_computed", "n_words",
+                     "avg_word_len", "punct_ratio", "digit_ratio",
+                     "stopword_ratio")
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       len(toks) AS n_words,
+       round(length(regexp_replace(text, '\\s', '', 'g'))
+             / nullif(len(toks)::DOUBLE, 0.0), 6) AS avg_word_len,
+       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+             / nullif(length(text)::DOUBLE, 0.0), 6) AS punct_ratio,
+       round(len(regexp_extract_all(text, '[0-9]'))
+             / nullif(length(text)::DOUBLE, 0.0), 6) AS digit_ratio,
+       round(len(list_filter(toks, x -> list_contains({_EN}, x)))
+             / nullif(len(toks)::DOUBLE, 0.0), 6) AS stopword_ratio
+FROM t
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts(_load_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}'))
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(_load_docs(spark, sf_dir)).select(
+        "doc_id", "score_en", "score_fr", "score_es", "score_de",
+        "lang_pred")
+
+
+def _oracle_lang_id() -> str:
+    score = {
+        lang: ("len(list_filter(toks, x -> list_contains(['"
+               + "','".join(lex) + "'], x)))")
+        for lang, lex in TX.LANG_LEXICONS.items()
+    }
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+             {score['en']} AS score_en, {score['fr']} AS score_fr,
+             {score['es']} AS score_es, {score['de']} AS score_de
+      FROM t)
+SELECT doc_id, score_en, score_fr, score_es, score_de,
+       CASE WHEN score_en = 0 AND score_fr = 0 AND score_es = 0
+                 AND score_de = 0 THEN 'und'
+            WHEN score_en >= score_fr AND score_en >= score_es
+                 AND score_en >= score_de THEN 'en'
+            WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+            WHEN score_es >= score_de THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprints(_load_docs(spark, sf_dir)).select(
+        "doc_id", "md5", "content_hash", "rolling_min_hash")
+
+
+_GRAMS = ("list_transform(generate_series(0, greatest(len(toks) - 3, 0)), "
+          "i -> array_to_string(toks[i+1:i+3], ' '))")
+
+ORACLE_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, md5(text) AS md5,
+       {_h64('text')} AS content_hash,
+       list_min(list_transform({_GRAMS}, g -> {_h64('g')}))
+           AS rolling_min_hash
+FROM t
+"""
+
+
+# ------------------------------------------------------------- dedup
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_load_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "dup_count")
+
+
+_NORM_TEXT = _h64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+
+ORACLE_EXACT_DEDUP = f"""
+WITH keyed AS (
+  SELECT doc_id, {_NORM_TEXT} AS fp
+  FROM documents),
+g AS (SELECT fp, min(doc_id) AS keep, count(*) AS dup_count
+      FROM keyed GROUP BY fp)
+SELECT k.doc_id, g.dup_count
+FROM keyed k JOIN g ON k.fp = g.fp
+WHERE k.doc_id = g.keep
+"""
+
+# near-dup corpus: originals ∪ 20 mutated copies (guaranteed high-
+# Jaccard pairs with deterministic ground truth)
+_MUT_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id < 20
+"""
+
+_NUM_PERM, _BANDS, _ROWS_PER_BAND, _THRESH = 32, 8, 4, 0.35
+
+
+def _mut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    mut = (docs.where(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 100000).alias("doc_id"),
+                   F.concat("text", F.lit(" zzz")).alias("text")))
+    return docs.unionByName(mut)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _mut_corpus(spark, sf_dir), "doc_id",
+        num_perm=_NUM_PERM, bands=_BANDS, threshold=_THRESH)
+
+
+_SIG_ENTRIES = ", ".join(
+    "list_min(list_transform(shingles, s -> "
+    + _h64(f"'{p}:' || s") + "))"
+    for p in range(_NUM_PERM))
+
+ORACLE_MINHASH_LSH = f"""
+WITH corpus AS ({_MUT_SQL}),
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (SELECT doc_id, list_distinct({_GRAMS}) AS shingles FROM tk),
+sig AS (SELECT doc_id, shingles, [{_SIG_ENTRIES}] AS sig FROM sh),
+bands AS (
+  SELECT doc_id, shingles, i AS band,
+         {_h64(f"array_to_string(sig[(i*{_ROWS_PER_BAND}+1):(i*{_ROWS_PER_BAND}+{_ROWS_PER_BAND})], ',')")}
+             AS bucket
+  FROM sig, UNNEST(generate_series(0, {_BANDS - 1})) AS t(i)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6)
+             AS jaccard_sim
+  FROM cand c
+  JOIN sh a ON c.id_a = a.doc_id
+  JOIN sh b ON c.id_b = b.doc_id)
+SELECT id_a, id_b, jaccard_sim FROM verified
+WHERE jaccard_sim >= {_THRESH}
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline on the mutated corpus (restricted to
+    ids < 40 ∪ mutated so the O(n²) stays bounded at sf 0.1)."""
+    corpus = _mut_corpus(spark, sf_dir).where(
+        (F.col("doc_id") < 40) | (F.col("doc_id") >= 100000))
+    return D.ngram_jaccard_pairs(corpus, "doc_id", threshold=_THRESH)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH corpus AS (
+  SELECT * FROM ({_MUT_SQL}) WHERE doc_id < 40 OR doc_id >= 100000),
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (SELECT doc_id, list_distinct({_GRAMS}) AS shingles FROM tk)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6)
+           AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= {_THRESH}
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash64(_load_docs(spark, sf_dir), "doc_id")
+
+
+def _oracle_simhash() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60))
+    combine = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(60))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+h AS (SELECT doc_id, {_h64('t')} AS h FROM tok),
+b AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {combine} AS simhash FROM b
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_mut_corpus(spark, sf_dir), "doc_id",
+                           max_hamming=8)
+
+
+def _oracle_simhash_pairs() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60))
+    combine = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(60))
+    return f"""
+WITH corpus AS ({_MUT_SQL}),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM corpus),
+h AS (SELECT doc_id, {_h64('t')} AS h FROM tok),
+b AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, {combine} AS simhash FROM b),
+blk AS (SELECT doc_id, simhash,
+               (simhash >> 0) & 32767 AS blk0,
+               (simhash >> 15) & 32767 AS blk1,
+               (simhash >> 30) & 32767 AS blk2,
+               (simhash >> 45) & 32767 AS blk3
+        FROM s),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM blk l JOIN blk r ON l.doc_id < r.doc_id
+   AND (l.blk0 = r.blk0 OR l.blk1 = r.blk1
+        OR l.blk2 = r.blk2 OR l.blk3 = r.blk3))
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+"""
+
+
+# --------------------------------------------------------- similarity
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.cosine_topk(emb, qv, k=10)
+
+
+ORACLE_ANN_COSINE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6)
+                 AS cosine_sim
+      FROM embeddings, q)
+SELECT vec_id, cosine_sim FROM s
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (bucketed) ANN — rows-only driver check; recall vs
+    brute force asserted in tests/test_similarity.py."""
+    emb = _load_emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.hyperplane_lsh_topk(emb, qv, k=10, n_tables=8, n_planes=6)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — rows-only driver check (approximate by design)."""
+    emb = _load_emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = SIM.ivf_build(emb, n_cells=16)
+    return SIM.ivf_topk(assigned, centroids, qv, k=10, nprobe=4)
+
+
+# --------------------------------------------------------- multimodal
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as opaque binary media → stubbed feature extraction
+    through the real mapInPandas plumbing; features exploded to scalar
+    columns for the oracle."""
+    docs = _load_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}")
+          for i in range(MM.FEATURE_DIM)])
+
+
+_FEAT_COLS = ", ".join(
+    f"round((('0x' || substr(md5(text), {2 * i + 1}, 2))::INTEGER)"
+    f" / 255.0, 6) AS f{i}"
+    for i in range(MM.FEATURE_DIM))
+
+ORACLE_MULTIMODAL = f"""
+SELECT doc_id AS media_id, {_FEAT_COLS} FROM documents
+"""
+
+
+REGISTRY_LLM: dict[str, tuple] = {
+    "q19_text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "q20_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "q21_lang_id": (q_lang_id, _oracle_lang_id()),
+    "q22_fingerprints": (q_fingerprints, ORACLE_FINGERPRINTS),
+    "q23_exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
+    "q24_minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
+    "q25_ngram_jaccard_pairs": (q_ngram_jaccard_pairs,
+                                ORACLE_NGRAM_JACCARD),
+    "q26_simhash": (q_simhash, _oracle_simhash()),
+    "q27_simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
+    "q28_ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE),
+    "q29_ann_lsh_topk": (q_ann_lsh_topk, None),
+    "q30_ann_ivf_topk": (q_ann_ivf_topk, None),
+    "q31_multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+}

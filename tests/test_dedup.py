@@ -1,0 +1,70 @@
+"""Dedup operators: exact, MinHash+LSH recall vs exact Jaccard, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from industrial_data_pipeline_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    mut = (docs.where(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 100000).alias("doc_id"),
+                   F.concat("text", F.lit(" zzz")).alias("text")))
+    return docs.unionByName(mut).cache()
+
+
+def test_exact_dedup_collapses_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string")
+    kept = D.exact_dedup(df, "doc_id").collect()
+    got = {(r.doc_id, r.dup_count) for r in kept}
+    # normalization: case + whitespace collapse → 1 and 2 merge
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_minhash_lsh_finds_planted_pairs(corpus):
+    pairs = D.minhash_lsh_pairs(corpus, "doc_id", threshold=0.35).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    planted = {(i, i + 100000) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall} on planted near-dups"
+    for p in pairs:
+        assert p.jaccard_sim >= 0.35
+
+
+def test_minhash_matches_exact_jaccard(corpus):
+    """Every LSH-verified pair must carry the same Jaccard value the
+    exact all-pairs operator computes."""
+    small = corpus.where((F.col("doc_id") < 10)
+                         | (F.col("doc_id").between(100000, 100009)))
+    lsh = {(p.id_a, p.id_b): p.jaccard_sim
+           for p in D.minhash_lsh_pairs(small, "doc_id",
+                                        threshold=0.35).collect()}
+    exact = {(p.id_a, p.id_b): p.jaccard_sim
+             for p in D.ngram_jaccard_pairs(small, "doc_id",
+                                            threshold=0.35).collect()}
+    for k, v in lsh.items():
+        assert exact[k] == v
+    # LSH finds a subset of exact pairs (approximation), never extras
+    assert set(lsh) <= set(exact)
+
+
+def test_simhash_hamming_small_for_near_dups(corpus):
+    pairs = D.simhash_pairs(corpus, "doc_id", max_hamming=8).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    planted = {(i, i + 100000) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"SimHash recall {recall}"
+
+
+def test_simhash_is_deterministic(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    a = D.simhash64(df, "doc_id").first().simhash
+    b = D.simhash64(df, "doc_id").first().simhash
+    assert a == b and a > 0

@@ -1,0 +1,73 @@
+"""Similarity search: brute-force exactness, LSH/IVF recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from industrial_data_pipeline_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    return [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_bruteforce_self_is_top1(emb, qv):
+    top = S.cosine_topk(emb, qv, k=5).collect()
+    assert top[0].vec_id == 0
+    assert top[0].cosine_sim == pytest.approx(1.0, abs=1e-6)
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_on_planted_neighbors(spark, emb, qv):
+    """The testdata embeddings are near-uniform w.r.t. any query (top-10
+    cosine ≈ 0.3), where LSH provably cannot filter — so recall is
+    asserted on PLANTED high-similarity neighbors (cos ≳ 0.95), the
+    regime hyperplane LSH is built for: per-table collision
+    (1-θ/π)^6 ≈ 0.5, 8 tables → ≈ 0.997 expected recall."""
+    import math
+
+    n = math.sqrt(sum(x * x for x in qv))
+    planted = []
+    for i in range(10):
+        v = [x / n + (0.02 if d % 10 == i else 0.0)
+             for d, x in enumerate(qv)]
+        planted.append((10000 + i, v, 99))
+    extra = spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label int")
+    corpus = emb.unionByName(extra)
+    approx_rows = S.hyperplane_lsh_topk(corpus, qv, k=11, n_tables=8,
+                                        n_planes=6).collect()
+    got = {r.vec_id for r in approx_rows}
+    planted_ids = {10000 + i for i in range(10)}
+    recall = len(got & planted_ids) / 10
+    assert recall >= 0.8, f"LSH recall on planted neighbors: {recall}"
+    # approximate results are still exactly-scored: agree with brute force
+    exact_rows = {r.vec_id: r.cosine_sim
+                  for r in S.cosine_topk(corpus, qv, k=600).collect()}
+    for r in approx_rows:
+        assert exact_rows[r.vec_id] == r.cosine_sim
+
+
+def test_ivf_recall_vs_bruteforce(emb, qv):
+    exact = {r.vec_id for r in S.cosine_topk(emb, qv, k=10).collect()}
+    assigned, centroids = S.ivf_build(emb, n_cells=8)
+    approx = {r.vec_id for r in
+              S.ivf_topk(assigned, centroids, qv, k=10, nprobe=4).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_ivf_assignment_covers_all(emb):
+    assigned, centroids = S.ivf_build(emb, n_cells=8)
+    assert assigned.where(F.col("_cell").isNull()).count() == 0
+    n_cells = assigned.select("_cell").distinct().count()
+    assert 2 <= n_cells <= 8
