@@ -64,32 +64,59 @@ def jaccard(a: Column, b: Column) -> Column:
 # --------------------------------------------------------------- MinHash
 
 
+#: Mersenne prime 2^31-1 — modulus of the affine MinHash permutations.
+#: 31-bit operands keep a·h < 2^62, inside signed int64 (ANSI-safe).
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coeffs(p: int) -> tuple[int, int]:
+    """Deterministic affine-permutation coefficients (a, b) for
+    permutation p, derived from md5 so any engine can reproduce them.
+    a ∈ [1, P-1], b ∈ [0, P-1]."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh:a:{p}".encode()).hexdigest()[:15], 16) \
+        % (MINHASH_PRIME - 1) + 1
+    b = int(hashlib.md5(f"mh:b:{p}".encode()).hexdigest()[:15], 16) \
+        % MINHASH_PRIME
+    return a, b
+
+
 def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
-    """MinHash signature as a pure column expression: permutation p's
-    hash of shingle s is hash64(p || ':' || s); signature[p] = min over
-    shingles. NOTE: higher-order-function lambdas are interpreted (no
-    whole-stage codegen) — prefer :func:`minhash_signatures` (explode +
-    codegen projection + partial agg) on anything big."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingle_col,
-            lambda s, p=p: hash64(F.concat(F.lit(f"{p}:"), s))))
-        for p in range(num_perm)
-    ])
+    """MinHash signature as a pure column expression. One base hash per
+    shingle (h31 = hash64 & 0x7FFFFFFF), then ``num_perm`` affine
+    permutations (a_p·h + b_p) mod P — 32-bit operands so the product
+    fits int64 exactly (portable to any engine's integer math).
+    NOTE: higher-order-function lambdas are interpreted (no whole-stage
+    codegen) — prefer :func:`minhash_signatures` on anything big."""
+    h32 = F.transform(shingle_col,
+                      lambda s: hash64(s).bitwiseAND(F.lit(2147483647)))
+    sigs = []
+    for p in range(num_perm):
+        a, b = minhash_coeffs(p)
+        sigs.append(F.array_min(F.transform(
+            h32, lambda h, a=a, b=b:
+            (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME))))
+    return F.array(*sigs)
 
 
 def minhash_signatures(base: DataFrame, id_col: str = "_id",
                        shingle_col: str = "_sh",
                        num_perm: int = 32) -> DataFrame:
     """(id, shingles[]) → (id, sig array<long>) the scalable way:
-    explode shingles, project num_perm hash columns (whole-stage
-    codegen — ~20× faster than the interpreted lambda form), partial-
-    aggregable groupBy(id) min per permutation. One shuffle on id."""
+    explode shingles, ONE md5 per shingle, ``num_perm`` affine
+    permutations as codegen'd integer columns, partial-aggregable
+    groupBy(id) min per permutation. One shuffle on id."""
     ex = base.select(F.col(id_col), F.explode(shingle_col).alias("_s"))
-    hashed = ex.select(
-        id_col,
-        *[hash64(F.concat(F.lit(f"{p}:"), F.col("_s"))).alias(f"_h{p}")
-          for p in range(num_perm)])
+    based = ex.select(
+        id_col, hash64(F.col("_s")).bitwiseAND(F.lit(2147483647))
+        .alias("_h32"))
+    perms = []
+    for p in range(num_perm):
+        a, b = minhash_coeffs(p)
+        perms.append(((F.col("_h32") * F.lit(a) + F.lit(b))
+                      % F.lit(MINHASH_PRIME)).alias(f"_h{p}"))
+    hashed = based.select(id_col, *perms)
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"_h{p}").alias(f"_m{p}") for p in range(num_perm)])
     return agg.select(
@@ -203,9 +230,11 @@ def simhash64(df: DataFrame, id_col: str,
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                   max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-    Candidates via 4-way prefix blocking (pigeonhole: two signatures
-    within Hamming 8 of 60 bits agree on at least one of 4 15-bit
-    blocks) — shuffle on block values, not O(n²)."""
+    Candidates via 4-way block join — shuffle on 15-bit block values,
+    not O(n²). Pigeonhole guarantee: complete for Hamming ≤ 3 (4 blocks
+    can't all contain an error); for 4..max_hamming it is a recall-
+    heavy heuristic (a pair is missed only when every block carries at
+    least one differing bit), the standard SimHash blocking trade-off."""
     sh = simhash64(df, id_col, text_col)
     blocks = sh.select(
         id_col, "simhash",

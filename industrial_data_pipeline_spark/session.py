@@ -44,7 +44,11 @@ def get_spark(app_name: str = "industrial_data_pipeline_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # pre-size the heap: hash-heavy stages allocate hard, and a
+        # growing heap means young-GC thrash on their first run
+        .config("spark.driver.extraJavaOptions", "-Xms8g")
         .config("spark.ui.enabled", "false")
         # Files: 128 MB splits keep scan partitions executor-memory sized
         # at any total volume (the 100 TB knob — more files, same split).

@@ -32,11 +32,19 @@ _EN = "['" + "','".join(TX.LANG_LEXICONS["en"]) + "']"
 
 
 def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents, spread across all cores: the testdata is one small
+    parquet file → a 1-2 partition scan that would serialize the
+    hash/shingle-heavy operators; one cheap row-shuffle up front buys
+    full parallelism for everything downstream. (On a real multi-file
+    100 TB table the scan is already parallel and this is a no-op
+    cost-wise relative to the compute.)"""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ------------------------------------------------------- text analysis
@@ -174,16 +182,28 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=_NUM_PERM, bands=_BANDS, threshold=_THRESH)
 
 
-_SIG_ENTRIES = ", ".join(
-    "list_min(list_transform(shingles, s -> "
-    + _h64(f"'{p}:' || s") + "))"
-    for p in range(_NUM_PERM))
+def _minhash_min_cols() -> str:
+    from industrial_data_pipeline_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+    return ", ".join(
+        f"min((h32 * {a} + {b}) % {MINHASH_PRIME}) AS m{p}"
+        for p, (a, b) in ((p, minhash_coeffs(p))
+                          for p in range(_NUM_PERM)))
+
+
+_SIG_ARRAY = "[" + ", ".join(f"m{p}" for p in range(_NUM_PERM)) + "]"
 
 ORACLE_MINHASH_LSH = f"""
 WITH corpus AS ({_MUT_SQL}),
 tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 sh AS (SELECT doc_id, list_distinct({_GRAMS}) AS shingles FROM tk),
-sig AS (SELECT doc_id, shingles, [{_SIG_ENTRIES}] AS sig FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hb AS (SELECT doc_id, ({_h64('s')} & 2147483647) AS h32 FROM ex),
+m AS (SELECT doc_id, {_minhash_min_cols()} FROM hb GROUP BY doc_id),
+sig AS (SELECT m.doc_id, sh.shingles, {_SIG_ARRAY} AS sig
+        FROM m JOIN sh ON m.doc_id = sh.doc_id),
 bands AS (
   SELECT doc_id, shingles, i AS band,
          {_h64(f"array_to_string(sig[(i*{_ROWS_PER_BAND}+1):(i*{_ROWS_PER_BAND}+{_ROWS_PER_BAND})], ',')")}
