@@ -53,6 +53,66 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def cosine_pairs_bruteforce(df: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            round_dp: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact O(n²) self-join —
+    the small-corpus baseline / oracle. Returns (id_a, id_b,
+    cosine_sim), id_a < id_b. Use :func:`cosine_pairs_lsh` at scale."""
+    withn = df.select(F.col(id_col).alias("_id"),
+                      _as_double(F.col(vec_col)).alias("_v")) \
+        .withColumn("_n", _norm(F.col("_v")))
+    a, b = withn.alias("a"), withn.alias("b")
+    cos = _dot(F.col("a._v"), F.col("b._v")) \
+        / (F.col("a._n") * F.col("b._n"))
+    return (a.join(b, F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.round(cos, round_dp).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold))
+
+
+def cosine_pairs_lsh(df: DataFrame, dim: int, threshold: float = 0.9,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_tables: int = 8, n_planes: int = 8,
+                     round_dp: int = 6) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: candidates share a
+    hyperplane-LSH bucket in ANY of ``n_tables`` tables (shuffle on
+    (table, bucket) — never O(n²)); exact cosine verifies survivors.
+    High-cosine pairs collide with prob. 1-(1-(1-θ/π)^planes)^tables
+    (≈0.99 for cos ≥ 0.9 at 8×8)."""
+    base = df.select(F.col(id_col).alias("_id"),
+                     _as_double(F.col(vec_col)).alias("_v"))
+    sigs = base.select(
+        "_id",
+        *[hyperplane_signature(F.col("_v"), dim, t, n_planes)
+          .alias(f"_s{t}") for t in range(n_tables)])
+    buckets = sigs.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("b"))
+            for t in range(n_tables)])).alias("_tb")
+    ).select("_id", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (l.join(r, (F.col("l._t") == F.col("r._t"))
+                   & (F.col("l._b") == F.col("r._b"))
+                   & (F.col("l._id") < F.col("r._id")))
+            .select(F.col("l._id").alias("id_a"),
+                    F.col("r._id").alias("id_b"))
+            .distinct())
+    withn = base.withColumn("_n", _norm(F.col("_v")))
+    a = withn.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                     F.col("_n").alias("_na"))
+    b = withn.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.round(cos, round_dp).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold))
+
+
 # ------------------------------------------------------ hyperplane LSH
 
 

@@ -485,6 +485,115 @@ FROM wide WHERE (c1 + c2) / NULLIF(CAST(2 AS DOUBLE), 0.0) IS NOT NULL
 """
 
 
+# ---------------------------------------- legacy export / set ops / OLAP
+
+
+def q_legacy_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy generic-export BETWEEN filter (P4; routes.py:53-67)."""
+    from industrial_data_pipeline_spark.operators.table_export import (
+        export_table)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    return export_table(li, "time_range", "l_shipdate",
+                        "1996-01-01 00:00:00", "1996-12-31 00:00:00")
+
+
+ORACLE_LEGACY_BETWEEN = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1996-12-31 00:00:00'
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (U1): overlapping event slices unioned + distinct."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    a = ev.where(F.col("user_id") < 8)
+    b = ev.where(F.col("user_id").between(4, 12))
+    return a.unionByName(b).distinct()
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT DISTINCT event_id, user_id FROM (
+  SELECT event_id, user_id FROM events WHERE user_id < 8
+  UNION ALL
+  SELECT event_id, user_id FROM events WHERE user_id BETWEEN 4 AND 12)
+"""
+
+
+def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary on lineitem. Money sums run in
+    DECIMAL (exact, order-independent — a parallel double sum would
+    differ from the oracle in the last ulps) and convert to DOUBLE once
+    at the end."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double")
+            .alias("sum_base_price"),
+            F.sum(dec("l_extendedprice")
+                  * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_OLAP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ two broadcast dims with pushed-down filters —
+    the shape every 100 TB fact query takes."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_size") <= 20) \
+        .select("p_partkey", "p_brand")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(F.sum(dec("l_extendedprice") *
+                   (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+             .cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+ORACLE_STAR_JOIN = """
+SELECT p_brand, s_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size <= 20
+GROUP BY p_brand, s_name
+"""
+
+
 from industrial_data_pipeline_spark.suite_llm import REGISTRY_LLM  # noqa: E402
 
 REGISTRY: dict[str, tuple] = {
@@ -508,3 +617,10 @@ REGISTRY: dict[str, tuple] = {
     "q18_formula_backfill": (q_formula_backfill, ORACLE_FORMULA_BACKFILL),
 }
 REGISTRY.update(REGISTRY_LLM)
+REGISTRY.update({
+    "q32_legacy_between": (q_legacy_between, ORACLE_LEGACY_BETWEEN),
+    "q33_union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),
+    "q34_olap_pricing_summary": (q_olap_pricing_summary,
+                                 ORACLE_OLAP_PRICING),
+    "q35_star_join": (q_star_join, ORACLE_STAR_JOIN),
+})

@@ -349,6 +349,63 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(assigned, centroids, qv, k=10, nprobe=4)
 
 
+# embedding-cosine near-dup: bounded corpus (vec_id < 300) ∪ planted
+# near-copies (last coordinate +0.25 on ~unit vectors → cosine ≈ 0.97,
+# solidly above the 0.9 threshold) so the threshold has deterministic
+# ground truth on otherwise near-orthogonal data.
+
+def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_emb(spark, sf_dir).where(F.col("vec_id") < 300)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    orig = emb.select("vec_id", v.alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.slice(v, 1, 63),
+                 F.array(F.element_at(v, 64) + F.lit(0.25)))
+        .alias("embedding"))
+    return orig.unionByName(pert)
+
+
+_EMB_DUP_SQL = """
+SELECT vec_id, embedding::DOUBLE[] AS embedding
+FROM embeddings WHERE vec_id < 300
+UNION ALL
+SELECT vec_id + 100000,
+       list_concat((embedding::DOUBLE[])[1:63],
+                   [(embedding::DOUBLE[])[64] + 0.25])
+FROM embeddings WHERE vec_id < 300
+"""
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline (bounded corpus
+    — the O(n²) form is the oracle; the LSH form is the scale path)."""
+    return SIM.cosine_pairs_bruteforce(
+        _emb_dup_corpus(spark, sf_dir), threshold=0.9)
+
+
+ORACLE_COSINE_NEAR_DUP = f"""
+WITH corpus AS ({_EMB_DUP_SQL}),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding, b.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+             AS cosine_sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.9
+"""
+
+
+def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (scale path) — rows-only driver
+    check (bucket membership depends on float sign at plane boundaries,
+    not bit-reproducible across engines); recall asserted in
+    tests/test_similarity.py."""
+    return SIM.cosine_pairs_lsh(_emb_dup_corpus(spark, sf_dir), dim=64,
+                                threshold=0.9)
+
+
 # --------------------------------------------------------- multimodal
 
 
@@ -398,4 +455,6 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q29_ann_lsh_topk": (q_ann_lsh_topk, None),
     "q30_ann_ivf_topk": (q_ann_ivf_topk, None),
     "q31_multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "q36_cosine_near_dup": (q_cosine_near_dup, ORACLE_COSINE_NEAR_DUP),
+    "q37_cosine_near_dup_lsh": (q_cosine_near_dup_lsh, None),
 }

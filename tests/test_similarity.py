@@ -66,6 +66,24 @@ def test_ivf_recall_vs_bruteforce(emb, qv):
     assert recall >= 0.5, f"IVF recall {recall}"
 
 
+def test_cosine_pairs_lsh_recall_vs_bruteforce(spark):
+    from industrial_data_pipeline_spark.suite_llm import _emb_dup_corpus
+
+    corpus = _emb_dup_corpus(spark, SF).cache()
+    exact = {(r.id_a, r.id_b): r.cosine_sim
+             for r in S.cosine_pairs_bruteforce(
+                 corpus, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine_sim
+           for r in S.cosine_pairs_lsh(corpus, dim=64,
+                                       threshold=0.9).collect()}
+    assert len(exact) >= 250  # the planted pairs exist
+    assert set(lsh) <= set(exact)  # verified: no false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"cosine LSH recall {recall}"
+    for k, v in lsh.items():
+        assert exact[k] == v  # same exact scoring
+
+
 def test_ivf_assignment_covers_all(emb):
     assigned, centroids = S.ivf_build(emb, n_cells=8)
     assert assigned.where(F.col("_cell").isNull()).count() == 0
