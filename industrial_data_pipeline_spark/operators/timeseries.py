@@ -1,0 +1,214 @@
+"""Time-series operators the reference delegates to its data source.
+
+The reference never computes these itself — it asks the PI Web API for
+``/interpolated`` data at a fixed interval (/root/reference/src/pi/
+extraction/ingest.py:102) and stores the result, so downsampling,
+alignment, and gap-filling all happen upstream. A standalone engine
+has to own them: given only the raw ``archive`` long table, these
+operators reproduce (and extend) what the PI layer provided —
+fixed-interval rollups, as-of alignment, LOCF/linear interpolation
+onto a regular grid, and rolling early-warning statistics.
+
+All are compositions of built-in DataFrame ops (one shuffle on the
+partition key each, window functions inside the key partition); no
+UDFs, fully codegen-able, and the shapes hold at 100 TB because every
+window/group is keyed by ``attribute_id`` (bounded state per key,
+parallel across keys).
+
+Timezone discipline: bucketing is pure epoch-µs arithmetic
+(``unix_micros``/``timestamp_micros``), never ``date_trunc`` — the
+result is identical under any session timezone, which keeps the
+DuckDB oracle comparison (and a real cluster with mixed TZ configs)
+honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def time_bucket(ts: Column | str, interval_seconds: int) -> Column:
+    """Floor a timestamp to a fixed interval via epoch-µs arithmetic
+    (timezone-independent, unlike ``date_trunc``)."""
+    us = int(interval_seconds) * 1_000_000
+    c = F.col(ts) if isinstance(ts, str) else ts
+    cus = F.unix_micros(c)
+    # exact long arithmetic (x - x % us), not double division — a
+    # double quotient can land a hair under an exact bucket boundary
+    # and truncate into the wrong bucket
+    return F.timestamp_micros(cus - F.pmod(cus, F.lit(us)))
+
+
+def rollup(archive: DataFrame, interval_seconds: int,
+           key_col: str = "attribute_id", ts_col: str = "timestamp",
+           value_col: str = "value", round_dp: int = 6) -> DataFrame:
+    """Fixed-interval downsample: per (key, bucket) avg/min/max/count
+    plus first/last by time (``min_by``/``max_by`` — no sort, map-side
+    partial agg). The 1-min archive → hourly rollup is the hypertable
+    continuous-aggregate shape; at scale this is one shuffle on
+    (key, bucket) with partial aggregation upstream of it."""
+    return (archive
+            .groupBy(F.col(key_col).alias(key_col),
+                     time_bucket(ts_col, interval_seconds)
+                     .alias("bucket_ts"))
+            .agg(F.round(F.avg(value_col), round_dp).alias("avg_value"),
+                 F.min(value_col).alias("min_value"),
+                 F.max(value_col).alias("max_value"),
+                 F.count(value_col).alias("n_values"),
+                 F.min_by(value_col, ts_col).alias("first_value"),
+                 F.max_by(value_col, ts_col).alias("last_value")))
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: str,
+              left_ts: str = "timestamp", right_ts: str = "timestamp",
+              value_cols: tuple[str, ...] = ("value",),
+              tolerance_seconds: int | None = None) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` in the same ``by`` group (DuckDB/kdb ASOF
+    semantics).
+
+    Implemented with the union-sort trick, not a range join: tag both
+    sides, union, and carry the last-seen right values forward with a
+    running ``last(ignorenulls)`` window inside each key — one shuffle
+    on ``by``, O(n log n) per key, no O(n·m) candidate pairs. This is
+    the form that survives 100 TB; an inequality join would
+    cross-product within keys.
+
+    Equal timestamps match (right sorts before left at the same
+    instant). ``tolerance_seconds`` nulls out matches older than the
+    tolerance, like pandas ``merge_asof(tolerance=...)``.
+    """
+    lcols = [c for c in left.columns if c != by and c != left_ts]
+    tagged_l = left.select(
+        F.col(by).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
+          for c in value_cols],
+        F.lit(None).cast("timestamp").alias("_rts"))
+    tagged_r = right.select(
+        F.col(by).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rts"))
+    w = (Window.partitionBy("_k").orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+          for c in value_cols],
+        F.last("_rts", ignorenulls=True).over(w).alias("_f_rts"))
+    out = filled.where(F.col("_side") == 1)
+    keep = F.lit(True) if tolerance_seconds is None else (
+        F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_f_rts"))
+        <= int(tolerance_seconds) * 1_000_000)
+    return out.select(
+        F.col("_k").alias(by), F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        *[F.when(keep, F.col(f"_f_{c}")).alias(f"asof_{c}")
+          for c in value_cols])
+
+
+def _grid(archive: DataFrame, interval_seconds: int, key_col: str,
+          ts_col: str) -> DataFrame:
+    """Regular per-key timestamp grid spanning each key's observed
+    range. ``sequence`` + ``explode`` — rows are generated inside the
+    executors, grid size is (range/interval) per key."""
+    us = int(interval_seconds) * 1_000_000
+    span = archive.groupBy(key_col).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
+    lo = F.unix_micros("_lo") - F.pmod(F.unix_micros("_lo"), F.lit(us))
+    hi = F.unix_micros("_hi") - F.pmod(F.unix_micros("_hi"), F.lit(us))
+    return span.select(
+        key_col,
+        F.explode(F.sequence(lo, hi, F.lit(us))).alias("_gus")
+    ).select(key_col, F.timestamp_micros("_gus").alias("grid_ts"))
+
+
+def fill_grid(archive: DataFrame, interval_seconds: int,
+              method: str = "locf", key_col: str = "attribute_id",
+              ts_col: str = "timestamp",
+              value_col: str = "value") -> DataFrame:
+    """Resample each key onto a regular grid and fill gaps — the
+    engine-side equivalent of the PI ``/interpolated`` endpoint the
+    reference's ingest consumes (1-minute interpolated pulls,
+    /root/reference/src/pi/extraction/ingest.py:102,236).
+
+    ``method='locf'``: last observation carried forward.
+    ``method='linear'``: linear interpolation between the nearest
+    observations before/after the grid point; endpoints fall back to
+    the one-sided neighbor (LOCF/NOCB).
+
+    Observations landing between grid points are snapped to their
+    bucket's first value (matching 1-min-aligned source data exactly).
+    One shuffle on the key; two windows per key partition.
+    """
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown fill method: {method}")
+    obs = (archive
+           .groupBy(F.col(key_col).alias(key_col),
+                    time_bucket(ts_col, interval_seconds).alias("grid_ts"))
+           .agg(F.min_by(value_col, ts_col).alias("_obs")))
+    grid = _grid(archive, interval_seconds, key_col, ts_col)
+    joined = grid.join(obs, [key_col, "grid_ts"], "left")
+    wb = (Window.partitionBy(key_col).orderBy("grid_ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev_v = F.last("_obs", ignorenulls=True).over(wb)
+    if method == "locf":
+        return joined.select(
+            key_col, "grid_ts", prev_v.alias("filled_value"))
+    wf = (Window.partitionBy(key_col).orderBy("grid_ts")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    prev_t = F.last(F.when(F.col("_obs").isNotNull(),
+                           F.unix_micros("grid_ts")),
+                    ignorenulls=True).over(wb)
+    next_v = F.first("_obs", ignorenulls=True).over(wf)
+    next_t = F.first(F.when(F.col("_obs").isNotNull(),
+                            F.unix_micros("grid_ts")),
+                     ignorenulls=True).over(wf)
+    t = F.unix_micros("grid_ts")
+    interp = F.when(
+        prev_v.isNull(), next_v
+    ).when(
+        next_v.isNull() | (next_t == prev_t), prev_v
+    ).otherwise(
+        prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t))
+    # no rounding: the fill is a deterministic per-row IEEE expression
+    # (no aggregation-order variance), so raw doubles are reproducible
+    # bit-for-bit — rounding would only introduce half-way-tie skew
+    # between engines' rounding rules
+    return joined.select(
+        key_col, "grid_ts", interp.alias("filled_value"))
+
+
+def rolling_anomaly(archive: DataFrame, window_rows: int = 10,
+                    z_threshold: float = 3.0,
+                    key_col: str = "attribute_id",
+                    ts_col: str = "timestamp", value_col: str = "value",
+                    round_dp: int = 6) -> DataFrame:
+    """Early-warning rolling statistics: per key, trailing-window mean
+    and population stddev over the previous ``window_rows`` rows
+    (current row excluded — the forecast baseline), plus the z-score
+    and an anomaly flag at ``|z| > z_threshold``.
+
+    This is the "early warning" in the reference's Early Warning
+    System name (/root/reference/README.md:21) made concrete: the
+    reference stores the data and leaves alerting to operators; the
+    engine computes it. Bounded window per key → constant state,
+    single shuffle on the key."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col)
+         .rowsBetween(-window_rows, -1))
+    mean = F.avg(value_col).over(w)
+    # population stddev via E[x²]−E[x]² in one pass over the frame
+    var = F.avg(F.col(value_col) * F.col(value_col)).over(w) - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    n = F.count(value_col).over(w)
+    z = F.when(sd > 0, (F.col(value_col) - mean) / sd)
+    return archive.select(
+        key_col, ts_col, value_col,
+        F.round(mean, round_dp).alias("roll_mean"),
+        F.round(sd, round_dp).alias("roll_sd"),
+        F.round(z, round_dp).alias("zscore"),
+        ((n >= F.lit(window_rows)) & (F.abs(z) > F.lit(z_threshold)))
+        .cast("boolean").alias("is_anomaly"))

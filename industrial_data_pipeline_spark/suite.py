@@ -23,50 +23,13 @@ from industrial_data_pipeline_spark.operators.export import (
 
 # ---------------------------------------------------------------- loaders
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
-
-
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # runtime-settable SQL conf; the caller's session (e.g. the
-        # driver's) won't have it — without it the TIMESTAMP(NANOS)
-        # parquet column fails the scan with PARQUET_TYPE_ILLEGAL.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) parquet → read as long ns (see
-    # session.py nanosAsLong) and truncate to Spark's µs precision.
-    # Matches the oracle-side CAST(ts AS TIMESTAMP) (DuckDB truncates).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
-
-
-def archive_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events recast to the archive shape (attribute_id, timestamp, value)."""
-    return load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("attribute_id"),
-        F.col("ts").alias("timestamp"),
-        "value",
-    )
-
-
-def attribute_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer recast to the attribute-dim shape."""
-    return load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").cast("long").alias("element_id"),
-        F.col("c_custkey").alias("attribute_id"),
-        F.col("c_name").alias("name"),
-    )
-
-
-def element_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nation recast to the element-dim shape."""
-    return load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").cast("long").alias("element_id"),
-        F.col("n_name").alias("name"),
-    )
-
+from industrial_data_pipeline_spark.suite_common import (  # noqa: F401
+    TABLES,
+    archive_analog,
+    attribute_analog,
+    element_analog,
+    load,
+)
 
 # Fixed export parameters shared by the Spark plan and the oracle SQL.
 EXPORT_IDS = list(range(8))  # user_ids 0..7 → customers 0..7
@@ -617,6 +580,9 @@ REGISTRY: dict[str, tuple] = {
     "q18_formula_backfill": (q_formula_backfill, ORACLE_FORMULA_BACKFILL),
 }
 REGISTRY.update(REGISTRY_LLM)
+from industrial_data_pipeline_spark.suite_ts import REGISTRY_TS  # noqa: E402
+
+REGISTRY.update(REGISTRY_TS)
 REGISTRY.update({
     "q32_legacy_between": (q_legacy_between, ORACLE_LEGACY_BETWEEN),
     "q33_union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),

@@ -1,0 +1,178 @@
+"""Time-series suite entries (q38–q42): rollup, as-of join, gap-fill,
+rolling early-warning stats — the operators the reference outsources
+to the PI ``/interpolated`` endpoint (SURVEY.md §1.2, ingest.py:102),
+owned engine-side. Oracles mirror the exact epoch-µs bucket arithmetic
+so the comparison is timezone-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from industrial_data_pipeline_spark.operators import timeseries as TS
+from industrial_data_pipeline_spark.suite_common import archive_analog
+
+HOUR_US = 3_600_000_000
+
+# shared oracle prelude: events recast to the archive shape
+_ARCH_SQL = """
+arch AS (SELECT user_id AS attribute_id, CAST(ts AS TIMESTAMP) AS "timestamp",
+                value
+         FROM events)
+"""
+
+_OBS_GRID_SQL = f"""
+obs AS (SELECT attribute_id,
+               epoch_us("timestamp") - epoch_us("timestamp") % {HOUR_US}
+                   AS gus,
+               arg_min(value, "timestamp") AS _obs
+        FROM arch GROUP BY 1, 2),
+span AS (SELECT attribute_id, min(gus) AS lo, max(gus) AS hi
+         FROM obs GROUP BY 1),
+grid AS (SELECT attribute_id,
+                unnest(generate_series(lo, hi, {HOUR_US})) AS gus
+         FROM span),
+j AS (SELECT g.attribute_id, g.gus, o._obs
+      FROM grid g LEFT JOIN obs o USING (attribute_id, gus))
+"""
+
+
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly downsample of the 1-min-ish archive: per (attribute,
+    bucket) avg/min/max/count + first/last by time — the hypertable
+    continuous-aggregate shape."""
+    return TS.rollup(archive_analog(spark, sf_dir), 3600)
+
+
+ORACLE_ROLLUP_HOURLY = f"""
+WITH {_ARCH_SQL}
+SELECT attribute_id,
+       make_timestamp(epoch_us("timestamp")
+                      - epoch_us("timestamp") % {HOUR_US}) AS bucket_ts,
+       round(avg(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(value) AS n_values,
+       arg_min(value, "timestamp") AS first_value,
+       arg_max(value, "timestamp") AS last_value
+FROM arch
+GROUP BY 1, 2
+"""
+
+
+def q_asof_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each raw event aligned to the latest hourly rollup
+    average at-or-before it. Union-sort implementation — one shuffle
+    on the key, no range-join candidate explosion."""
+    arch = archive_analog(spark, sf_dir)
+    right = TS.rollup(arch, 3600).select(
+        "attribute_id", F.col("bucket_ts").alias("timestamp"),
+        F.col("avg_value").alias("value"))
+    return TS.asof_join(arch, right, by="attribute_id")
+
+
+ORACLE_ASOF_ROLLUP = f"""
+WITH {_ARCH_SQL},
+r AS (SELECT attribute_id,
+             make_timestamp(epoch_us("timestamp")
+                            - epoch_us("timestamp") % {HOUR_US})
+                 AS bucket_ts,
+             round(avg(value), 6) AS avg_value
+      FROM arch GROUP BY 1, 2)
+SELECT a.attribute_id, a."timestamp", a.value,
+       r.avg_value AS asof_value
+FROM arch a
+ASOF LEFT JOIN r
+  ON a.attribute_id = r.attribute_id AND a."timestamp" >= r.bucket_ts
+"""
+
+
+def q_locf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample onto a regular hourly grid, last observation carried
+    forward — engine-side stand-in for the PI interpolated pull."""
+    return TS.fill_grid(archive_analog(spark, sf_dir), 3600, "locf")
+
+
+ORACLE_LOCF_GRID = f"""
+WITH {_ARCH_SQL},
+{_OBS_GRID_SQL}
+SELECT attribute_id, make_timestamp(gus) AS grid_ts,
+       last_value(_obs IGNORE NULLS) OVER (
+           PARTITION BY attribute_id ORDER BY gus
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_value
+FROM j
+"""
+
+
+def q_interp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid with linear interpolation between the nearest
+    observations (endpoints fall back one-sided)."""
+    return TS.fill_grid(archive_analog(spark, sf_dir), 3600, "linear")
+
+
+ORACLE_INTERP_GRID = f"""
+WITH {_ARCH_SQL},
+{_OBS_GRID_SQL},
+f AS (SELECT attribute_id, gus, _obs,
+             last_value(_obs IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN _obs IS NOT NULL THEN gus END
+                        IGNORE NULLS) OVER wb AS prev_t,
+             first_value(_obs IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN _obs IS NOT NULL THEN gus END
+                         IGNORE NULLS) OVER wf AS next_t
+      FROM j
+      WINDOW wb AS (PARTITION BY attribute_id ORDER BY gus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY attribute_id ORDER BY gus
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT attribute_id, make_timestamp(gus) AS grid_ts,
+       CASE WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL OR next_t = prev_t THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (gus - prev_t) / (next_t - prev_t)
+       END AS filled_value
+FROM f
+"""
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling early-warning stats: trailing-10-row mean/σ per
+    attribute, z-score, |z|>3 anomaly flag — the alerting computation
+    the reference's "Early Warning System" leaves to operators."""
+    return TS.rolling_anomaly(archive_analog(spark, sf_dir),
+                              window_rows=10, z_threshold=3.0)
+
+
+ORACLE_ROLLING_ANOMALY = f"""
+WITH {_ARCH_SQL},
+s AS (SELECT attribute_id, "timestamp", value,
+             avg(value) OVER w AS mean_,
+             avg(value * value) OVER w AS meansq_,
+             count(value) OVER w AS n_
+      FROM arch
+      WINDOW w AS (PARTITION BY attribute_id ORDER BY "timestamp"
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+z AS (SELECT *,
+             sqrt(greatest(meansq_ - mean_ * mean_, 0.0)) AS sd_,
+             CASE WHEN sqrt(greatest(meansq_ - mean_ * mean_, 0.0)) > 0
+                  THEN (value - mean_)
+                       / sqrt(greatest(meansq_ - mean_ * mean_, 0.0))
+             END AS z_
+      FROM s)
+SELECT attribute_id, "timestamp", value,
+       round(mean_, 6) AS roll_mean,
+       round(sd_, 6) AS roll_sd,
+       round(z_, 6) AS zscore,
+       (n_ >= 10 AND abs(z_) > 3.0) AS is_anomaly
+FROM z
+"""
+
+
+REGISTRY_TS: dict[str, tuple] = {
+    "q38_rollup_hourly": (q_rollup_hourly, ORACLE_ROLLUP_HOURLY),
+    "q39_asof_rollup": (q_asof_rollup, ORACLE_ASOF_ROLLUP),
+    "q40_locf_grid": (q_locf_grid, ORACLE_LOCF_GRID),
+    "q41_interp_grid": (q_interp_grid, ORACLE_INTERP_GRID),
+    "q42_rolling_anomaly": (q_rolling_anomaly, ORACLE_ROLLING_ANOMALY),
+}

@@ -1,0 +1,139 @@
+"""Unit semantics for the time-series operators (rollup / as-of /
+gap-fill / rolling anomaly) on hand-built rows, plus the plan property
+that the as-of join never degenerates into a cartesian/range join."""
+
+import io
+import contextlib
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from industrial_data_pipeline_spark.operators import timeseries as TS
+
+T = datetime
+
+
+def _arch(spark, rows):
+    return spark.createDataFrame(
+        rows, "attribute_id long, timestamp timestamp, value double")
+
+
+@pytest.fixture()
+def arch(spark):
+    # key 1: 00:10, 00:50, 01:10 (bucket boundary exercised), key 2: one row
+    return _arch(spark, [
+        (1, T(2025, 1, 1, 0, 10), 10.0),
+        (1, T(2025, 1, 1, 0, 50), 20.0),
+        (1, T(2025, 1, 1, 1, 10), 40.0),
+        (2, T(2025, 1, 1, 0, 30), 5.0),
+    ])
+
+
+def test_time_bucket_boundary(spark):
+    df = spark.range(1).select(
+        TS.time_bucket(F.lit("2025-01-01 01:00:00").cast("timestamp"),
+                       3600).alias("exact"),
+        TS.time_bucket(F.lit("2025-01-01 01:59:59.999999")
+                       .cast("timestamp"), 3600).alias("within"))
+    r = df.first()
+    assert r.exact == T(2025, 1, 1, 1, 0) == r.within
+
+
+def test_rollup_hourly(arch):
+    out = {(r.attribute_id, r.bucket_ts): r
+           for r in TS.rollup(arch, 3600).collect()}
+    assert len(out) == 3
+    b0 = out[(1, T(2025, 1, 1, 0, 0))]
+    assert (b0.avg_value, b0.min_value, b0.max_value, b0.n_values,
+            b0.first_value, b0.last_value) == (15.0, 10.0, 20.0, 2,
+                                               10.0, 20.0)
+    assert out[(1, T(2025, 1, 1, 1, 0))].n_values == 1
+    assert out[(2, T(2025, 1, 1, 0, 0))].avg_value == 5.0
+
+
+def test_asof_join_basic(spark, arch):
+    left = _arch(spark, [
+        (1, T(2025, 1, 1, 0, 50), 99.0),   # equal ts → matches 20.0
+        (1, T(2025, 1, 1, 0, 55), 99.0),   # between → still 20.0
+        (1, T(2025, 1, 1, 0, 5), 99.0),    # before first right row → null
+        (2, T(2025, 1, 1, 2, 0), 99.0),    # long gap → 5.0
+        (3, T(2025, 1, 1, 0, 30), 99.0),   # key absent on right → null
+    ])
+    got = {(r.attribute_id, r.timestamp): r.asof_value
+           for r in TS.asof_join(left, arch, by="attribute_id").collect()}
+    assert got[(1, T(2025, 1, 1, 0, 50))] == 20.0
+    assert got[(1, T(2025, 1, 1, 0, 55))] == 20.0
+    assert got[(1, T(2025, 1, 1, 0, 5))] is None
+    assert got[(2, T(2025, 1, 1, 2, 0))] == 5.0
+    assert got[(3, T(2025, 1, 1, 0, 30))] is None
+
+
+def test_asof_join_tolerance(spark, arch):
+    left = _arch(spark, [
+        (2, T(2025, 1, 1, 0, 40), 99.0),   # 10 min stale → within
+        (2, T(2025, 1, 1, 2, 0), 99.0),    # 90 min stale → nulled
+    ])
+    got = {r.timestamp: r.asof_value
+           for r in TS.asof_join(left, arch, by="attribute_id",
+                                 tolerance_seconds=3600).collect()}
+    assert got[T(2025, 1, 1, 0, 40)] == 5.0
+    assert got[T(2025, 1, 1, 2, 0)] is None
+
+
+def test_asof_join_plan_no_cartesian(spark, arch):
+    df = TS.asof_join(arch, arch, by="attribute_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fill_locf(spark):
+    a = _arch(spark, [(1, T(2025, 1, 1, 0, 30), 10.0),
+                      (1, T(2025, 1, 1, 3, 30), 40.0)])
+    got = {r.grid_ts: r.filled_value
+           for r in TS.fill_grid(a, 3600, "locf").collect()}
+    assert got == {T(2025, 1, 1, 0, 0): 10.0, T(2025, 1, 1, 1, 0): 10.0,
+                   T(2025, 1, 1, 2, 0): 10.0, T(2025, 1, 1, 3, 0): 40.0}
+
+
+def test_fill_linear(spark):
+    a = _arch(spark, [(1, T(2025, 1, 1, 0, 0), 10.0),
+                      (1, T(2025, 1, 1, 3, 0), 40.0)])
+    got = {r.grid_ts: r.filled_value
+           for r in TS.fill_grid(a, 3600, "linear").collect()}
+    assert got == {T(2025, 1, 1, 0, 0): 10.0, T(2025, 1, 1, 1, 0): 20.0,
+                   T(2025, 1, 1, 2, 0): 30.0, T(2025, 1, 1, 3, 0): 40.0}
+
+
+def test_fill_linear_endpoints_one_sided(spark):
+    # gap before the first obs bucket can't happen (grid starts at it),
+    # but a null tail after the last obs must LOCF, and a single-obs
+    # key must emit its value
+    a = _arch(spark, [(1, T(2025, 1, 1, 0, 30), 7.0)])
+    got = TS.fill_grid(a, 3600, "linear").collect()
+    assert [(r.grid_ts, r.filled_value) for r in got] == [
+        (T(2025, 1, 1, 0, 0), 7.0)]
+
+
+def test_fill_rejects_unknown_method(spark, arch):
+    with pytest.raises(ValueError):
+        TS.fill_grid(arch, 3600, "cubic")
+
+
+def test_rolling_anomaly_flags_spike(spark):
+    rows = [(1, T(2025, 1, 1, 0, m), 10.0) for m in range(12)]
+    rows[11] = (1, T(2025, 1, 1, 0, 11), 10.5)  # σ=0 window → z null
+    rows.append((1, T(2025, 1, 1, 0, 12), 50.0))  # spike vs tiny σ
+    out = sorted(TS.rolling_anomaly(_arch(spark, rows), 10, 3.0).collect(),
+                 key=lambda r: r.timestamp)
+    assert out[0].roll_mean is None          # empty trailing window
+    assert out[5].roll_sd == 0.0 and out[5].zscore is None
+    assert out[5].is_anomaly is False        # n < window_rows
+    spike = out[-1]
+    assert spike.is_anomaly is True and spike.zscore > 3.0
+    flagged = [r for r in out if r.is_anomaly]
+    assert flagged == [spike]
