@@ -1,0 +1,119 @@
+"""Event-stream analytics operators: sessionization, per-group top-k,
+funnel conversion, exact grouped percentiles, and deterministic
+stratified sampling.
+
+The reference stores raw event streams (its `archive` table) and
+leaves analysis to downstream tools; these are the engine-side
+operators a user of that data actually runs, expressed as pure
+DataFrame compositions (no UDFs, codegen-able end to end).
+
+Scale notes: every operator shuffles at most once on its natural key
+(user/grouping column); windows are keyed so state is bounded per key
+and parallel across keys. The sampler is a stateless filter on a
+deterministic hash — no shuffle at all, fully pushable ahead of any
+join, and reproducible across engines/runs (same property the dedup
+layer relies on, operators/text.py hash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from industrial_data_pipeline_spark.operators.text import hash64
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800,
+               key_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value", tiebreak_col: str = "event_id",
+               round_dp: int = 6) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_seconds``.
+    Session ids are per-key ordinals (1-based, by time). One shuffle
+    on the key; the cumulative-sum window is order-insensitive under
+    timestamp ties (tied rows contribute gap 0 regardless of order),
+    with ``tiebreak_col`` pinning a total order anyway."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(ts_col).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    new_s = F.when(prev.isNull()
+                   | (gap_us > int(gap_seconds) * 1_000_000), 1) \
+        .otherwise(0)
+    cum = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = events.withColumn("session_id", F.sum(new_s).over(cum))
+    return (with_sess
+            .groupBy(key_col, "session_id")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(value_col), round_dp).alias("sum_value")))
+
+
+def top_k_per_group(df: DataFrame, group_col: str, order_col: str,
+                    k: int, tiebreak_col: str) -> DataFrame:
+    """Per-group top-k by ``order_col`` descending, ties broken by
+    ``tiebreak_col`` ascending (deterministic total order). The
+    row_number window does a single shuffle on the group key; at scale
+    AQE handles skewed groups, and k is tiny so the per-key state is
+    one heap page."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(tiebreak_col))
+    return (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= int(k)))
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...],
+           key_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel conversion: per key, the earliest timestamp of
+    each step, plus ``converted`` = strictly increasing first-times
+    through every step. One conditional aggregation — no self-joins,
+    one shuffle on the key (the classic N-way funnel as a single
+    groupBy, which is the form that survives 100 TB)."""
+    firsts = [F.min(F.when(F.col(type_col) == s, F.col(ts_col)))
+              .alias(f"first_{s}") for s in steps]
+    conv: Column = F.lit(True)
+    for a, b in zip(steps, steps[1:]):
+        conv = conv & (F.col(f"first_{a}") < F.col(f"first_{b}"))
+    return (events.groupBy(key_col).agg(*firsts)
+            .withColumn("converted", F.coalesce(conv, F.lit(False))))
+
+
+def grouped_percentiles(df: DataFrame, group_col: str, value_col: str,
+                        percentiles: tuple[float, ...] = (0.5, 0.95),
+                        round_dp: int = 6) -> DataFrame:
+    """Exact interpolated percentiles per group (SQL
+    ``percentile_cont`` semantics — Spark's exact ``percentile``
+    aggregate, not the t-digest approximation), plus count/avg.
+
+    At 100 TB exact percentiles are the wrong default (full sort of
+    each group's values); swap ``F.percentile`` for
+    ``F.percentile_approx`` at a caller-chosen accuracy for the
+    sketch path — same plan shape, bounded memory. The exact form is
+    kept here because the correctness oracle demands bit-stable
+    output."""
+    pcts = [F.round(F.percentile(value_col, F.lit(p)), round_dp)
+            .alias(f"p{int(p * 100)}") for p in percentiles]
+    return (df.groupBy(group_col)
+            .agg(F.count(value_col).alias("n"),
+                 F.round(F.avg(value_col), round_dp).alias("avg_value"),
+                 *pcts))
+
+
+def stratified_hash_sample(df: DataFrame, id_col: str, stratum_col: str,
+                           rates: dict[str, int],
+                           default_rate: int = 100) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``hash64(id) mod 100 < rate(stratum)`` — the training-data
+    rebalancing primitive (e.g. downsample the dominant language).
+
+    Rates are integer percentages per stratum value. Because the
+    hash is the portable md5-derived hash64, the same ids are kept
+    by any engine and any run — reproducible dataset curation, no
+    RNG state, no shuffle, and the filter pushes below joins."""
+    bucket = F.pmod(hash64(F.col(id_col).cast("string")), F.lit(100))
+    rate: Column = F.lit(int(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == s, F.lit(int(r))) \
+            .otherwise(rate)
+    return df.where(bucket < rate)

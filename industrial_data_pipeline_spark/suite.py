@@ -583,6 +583,9 @@ REGISTRY.update(REGISTRY_LLM)
 from industrial_data_pipeline_spark.suite_ts import REGISTRY_TS  # noqa: E402
 
 REGISTRY.update(REGISTRY_TS)
+from industrial_data_pipeline_spark.suite_events import REGISTRY_EVENTS  # noqa: E402
+
+REGISTRY.update(REGISTRY_EVENTS)
 REGISTRY.update({
     "q32_legacy_between": (q_legacy_between, ORACLE_LEGACY_BETWEEN),
     "q33_union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),

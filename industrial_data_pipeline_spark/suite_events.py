@@ -1,0 +1,174 @@
+"""Event-analytics suite entries (q43–q48): sessionization, top-k per
+group, funnel conversion, exact grouped percentiles, JSON property
+extraction, and deterministic stratified sampling — the downstream
+analyses a user runs on the reference's stored event archive
+(SURVEY.md §2.8 stores the stream; analysis is left to operators).
+
+Oracle discipline: identical expression shapes on both sides (same
+gap arithmetic in epoch-µs, same md5-derived hash64, same linear
+interpolation for percentile_cont), floats rounded to 6 dp on both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from industrial_data_pipeline_spark.operators import events_analytics as EA
+from industrial_data_pipeline_spark.suite_common import load
+
+# shared oracle prelude: events with ns→µs timestamp truncation
+_EV_SQL = """
+ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+              event_type, value, props
+       FROM events)
+"""
+
+SESSION_GAP_S = 1800
+FUNNEL_STEPS = ("view", "click", "purchase")
+SAMPLE_RATES = {"en": 15}  # downsample dominant language
+SAMPLE_DEFAULT = 40
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions per user: ordinal session id, span, size,
+    value sum. Single shuffle on user_id."""
+    return EA.sessionize(load(spark, sf_dir, "events"),
+                         gap_seconds=SESSION_GAP_S)
+
+
+ORACLE_SESSIONIZE = f"""
+WITH {_EV_SQL},
+s AS (SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > {SESSION_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_id
+      FROM s)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value within each event_type (row_number
+    window, deterministic event_id tiebreak)."""
+    return EA.top_k_per_group(
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value"),
+        group_col="event_type", order_col="value", k=3,
+        tiebreak_col="event_id")
+
+
+ORACLE_TOPK = f"""
+WITH {_EV_SQL},
+r AS (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM ev)
+SELECT * FROM r WHERE rn <= 3
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel: per-user first times and strict
+    ordered-conversion flag — one conditional aggregation, no
+    self-joins."""
+    return EA.funnel(load(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+ORACLE_FUNNEL = f"""
+WITH {_EV_SQL}
+SELECT user_id,
+       min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+       min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+       min(CASE WHEN event_type = 'purchase' THEN ts END)
+           AS first_purchase,
+       coalesce(
+           min(CASE WHEN event_type = 'view' THEN ts END)
+             < min(CASE WHEN event_type = 'click' THEN ts END)
+           AND min(CASE WHEN event_type = 'click' THEN ts END)
+             < min(CASE WHEN event_type = 'purchase' THEN ts END),
+           FALSE) AS converted
+FROM ev GROUP BY 1
+"""
+
+
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 of value per event_type (percentile_cont linear
+    interpolation) plus count and mean."""
+    return EA.grouped_percentiles(load(spark, sf_dir, "events"),
+                                  "event_type", "value")
+
+
+ORACLE_PERCENTILES = f"""
+WITH {_EV_SQL}
+SELECT event_type, count(value) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM ev GROUP BY 1
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.$.k out of the JSON
+    string column and aggregate per event_type — JSON path evaluation
+    stays JVM-side (get_json_object, codegen)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.avg(k), 6).alias("avg_k"),
+                 F.max(k).alias("max_k"),
+                 F.count(F.when(k >= 50, 1)).alias("n_hi")))
+
+
+ORACLE_JSON_PROPS = f"""
+WITH {_EV_SQL},
+x AS (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM ev)
+SELECT event_type, round(avg(k), 6) AS avg_k, max(k) AS max_k,
+       count(CASE WHEN k >= 50 THEN 1 END) AS n_hi
+FROM x GROUP BY 1
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of documents: keep
+    hash64(doc_id) mod 100 < rate(lang), en downsampled to 15%,
+    others 40% — reproducible across engines, no RNG, no shuffle."""
+    return EA.stratified_hash_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                "source"),
+        id_col="doc_id", stratum_col="lang",
+        rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT)
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 100
+      < CASE WHEN lang = 'en' THEN {SAMPLE_RATES['en']}
+             ELSE {SAMPLE_DEFAULT} END
+"""
+
+
+REGISTRY_EVENTS: dict[str, tuple] = {
+    "q43_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "q44_topk_per_group": (q_topk_per_group, ORACLE_TOPK),
+    "q45_funnel": (q_funnel, ORACLE_FUNNEL),
+    "q46_grouped_percentiles": (q_grouped_percentiles,
+                                ORACLE_PERCENTILES),
+    "q47_json_props": (q_json_props, ORACLE_JSON_PROPS),
+    "q48_stratified_sample": (q_stratified_sample,
+                              ORACLE_STRATIFIED_SAMPLE),
+}

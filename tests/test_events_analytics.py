@@ -1,0 +1,114 @@
+"""Unit semantics for the event-analytics operators on hand-built
+rows: session boundaries (gap exactly at / over the threshold,
+timestamp ties), top-k tiebreaks, funnel strictness, percentile
+interpolation, and sampler determinism/stratification."""
+
+import hashlib
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from industrial_data_pipeline_spark.operators import events_analytics as EA
+
+T = datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap == threshold stays in-session; gap > threshold splits
+    ev = _events(spark, [
+        (1, T(2025, 1, 1, 0, 0), 1, "view", 1.0),
+        (2, T(2025, 1, 1, 0, 30), 1, "view", 2.0),     # exactly 30 min
+        (3, T(2025, 1, 1, 1, 0, 1), 1, "view", 4.0),   # 30m01s → new
+        (4, T(2025, 1, 1, 0, 0), 2, "view", 8.0),
+    ])
+    out = {(r.user_id, r.session_id): r
+           for r in EA.sessionize(ev, 1800).collect()}
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert (s1.n_events, s1.sum_value) == (2, 3.0)
+    assert s1.session_start == T(2025, 1, 1, 0, 0)
+    assert s1.session_end == T(2025, 1, 1, 0, 30)
+    assert out[(1, 2)].n_events == 1
+    assert out[(2, 1)].sum_value == 8.0
+
+
+def test_sessionize_ties_stable(spark):
+    ev = _events(spark, [
+        (2, T(2025, 1, 1, 0, 0), 1, "view", 1.0),
+        (1, T(2025, 1, 1, 0, 0), 1, "view", 1.0),  # tied ts
+        (3, T(2025, 1, 1, 2, 0), 1, "view", 1.0),
+    ])
+    out = sorted(EA.sessionize(ev, 1800).collect(),
+                 key=lambda r: r.session_id)
+    assert [(r.session_id, r.n_events) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_top_k_tiebreak(spark):
+    ev = _events(spark, [
+        (10, T(2025, 1, 1), 1, "a", 5.0),
+        (11, T(2025, 1, 1), 1, "a", 5.0),   # tie → lower id first
+        (12, T(2025, 1, 1), 1, "a", 9.0),
+        (13, T(2025, 1, 1), 1, "a", 1.0),
+        (14, T(2025, 1, 1), 1, "b", 2.0),
+    ]).select("event_type", "event_id", "value")
+    got = [(r.event_type, r.event_id, r.rn)
+           for r in EA.top_k_per_group(ev, "event_type", "value", 2,
+                                       "event_id")
+           .orderBy("event_type", "rn").collect()]
+    assert got == [("a", 12, 1), ("a", 10, 2), ("b", 14, 1)]
+
+
+def test_funnel_strict_order(spark):
+    ev = _events(spark, [
+        # u1 converts; u2 clicked before viewing; u3 never purchased;
+        # u4 view==click timestamp (not strictly after) → not converted
+        (1, T(2025, 1, 1, 0), 1, "view", 0.0),
+        (2, T(2025, 1, 1, 1), 1, "click", 0.0),
+        (3, T(2025, 1, 1, 2), 1, "purchase", 0.0),
+        (4, T(2025, 1, 1, 1), 2, "click", 0.0),
+        (5, T(2025, 1, 1, 2), 2, "view", 0.0),
+        (6, T(2025, 1, 1, 3), 2, "purchase", 0.0),
+        (7, T(2025, 1, 1, 0), 3, "view", 0.0),
+        (8, T(2025, 1, 1, 1), 3, "click", 0.0),
+        (9, T(2025, 1, 1, 0), 4, "view", 0.0),
+        (10, T(2025, 1, 1, 0), 4, "click", 0.0),
+        (11, T(2025, 1, 1, 1), 4, "purchase", 0.0),
+    ])
+    got = {r.user_id: r.converted
+           for r in EA.funnel(ev, ("view", "click", "purchase"))
+           .collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_grouped_percentiles_interpolation(spark):
+    ev = _events(spark, [
+        (i, T(2025, 1, 1), 1, "a", v)
+        for i, v in enumerate([1.0, 2.0, 3.0, 10.0])
+    ])
+    r = EA.grouped_percentiles(ev, "event_type", "value",
+                               (0.5, 0.75)).first()
+    assert (r.n, r.avg_value) == (4, 4.0)
+    assert r.p50 == 2.5            # midpoint of 2,3
+    assert r.p75 == 4.75           # 3 + 0.25*(10-3)
+
+
+def test_stratified_sample_matches_python_hash(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        .alias("lang"))
+    got = sorted(r.doc_id for r in EA.stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 15}, 40).collect())
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    want = sorted(i for i in range(500)
+                  if h(i) % 100 < (15 if i % 2 == 0 else 40))
+    assert got == want and 0 < len(got) < 500
