@@ -586,6 +586,9 @@ REGISTRY.update(REGISTRY_TS)
 from industrial_data_pipeline_spark.suite_events import REGISTRY_EVENTS  # noqa: E402
 
 REGISTRY.update(REGISTRY_EVENTS)
+from industrial_data_pipeline_spark.suite_olap import REGISTRY_OLAP  # noqa: E402
+
+REGISTRY.update(REGISTRY_OLAP)
 REGISTRY.update({
     "q32_legacy_between": (q_legacy_between, ORACLE_LEGACY_BETWEEN),
     "q33_union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),

@@ -10,21 +10,26 @@ spark = (SparkSession.builder.master("local[8]")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-import __spark_entry__ as e
-
-df = e.entry(spark)
-rows = df.collect()
-print("entry(): rows =", len(rows), "cols =", len(df.columns))
-print("schema:", [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields][:4], "...")
-
 import duckdb, pandas as pd
 import os
+
+import __spark_entry__ as e
+
+qfilter = os.environ.get("QF")  # comma-separated name substrings
+if not qfilter:
+    df = e.entry(spark)
+    rows = df.collect()
+    print("entry(): rows =", len(rows), "cols =", len(df.columns))
+    print("schema:", [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields][:4], "...")
 sf = os.environ.get("SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 qs, osql = e.queries(), e.oracle_sql()
+if qfilter:
+    keys = [k.strip() for k in qfilter.split(",")]
+    qs = {n: f for n, f in qs.items() if any(k in n for k in keys)}
 for name, fn in qs.items():
     sdf = fn(spark, sf).toPandas()
     if name not in osql:
