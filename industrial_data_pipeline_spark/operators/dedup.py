@@ -258,3 +258,46 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------- connected components
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Group near-dup pairs into clusters: each node in the pair graph
+    gets ``cluster_id`` = min node id reachable from it (the canonical
+    document of its duplicate cluster).
+
+    Min-label propagation: every iteration each node takes the min of
+    its own label and its neighbors' labels, so labels converge in
+    O(component diameter) rounds — dup clusters are shallow (a dozen
+    rounds covers pathological chains). Each round is one shuffle join
+    + one groupBy on (node), both partitioned by the node id, and the
+    frontier is localCheckpoint-ed so lineage doesn't grow linearly
+    with iterations (the classic iterative-algorithm OOM at scale).
+    """
+    edges = pairs.select(F.col(src).cast("long").alias("u"),
+                         F.col(dst).cast("long").alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select("u").distinct()
+              .withColumn("label", F.col("u"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        e, lb = edges.alias("e"), labels.alias("lb")
+        neigh = (e.join(lb, F.col("e.v") == F.col("lb.u"))
+                 .select(F.col("e.u").alias("u"),
+                         F.col("lb.label").alias("label")))
+        new = (labels.unionByName(neigh)
+               .groupBy("u").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("label", "_old"), "u")
+                   .where(F.col("label") != F.col("_old")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -1,0 +1,152 @@
+"""Driver-facing suite, part 5: corpus-level analytics for a training-
+data pipeline — TF-IDF term weighting, n-gram frequency tables,
+near-dup cluster formation (connected components over the MinHash-LSH
+pair graph), and a Structured-Streaming batch-parity aggregation.
+
+Tokenization matches operators/text.py::tokens (whitespace split of the
+trimmed text) so the DuckDB oracles reproduce token streams exactly;
+TF-IDF ranks on the UNROUNDED score (identical double math on both
+engines) and rounds only the reported value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from industrial_data_pipeline_spark.operators import text as TX
+from industrial_data_pipeline_spark.suite_llm import (
+    ORACLE_MINHASH_LSH,
+    _load_docs,
+    _mut_corpus,
+    q_minhash_lsh_pairs,
+)
+
+_LTOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+# ------------------------------------------------- q59 TF-IDF top terms
+# Classic sparse term weighting at corpus scale: explode to a long
+# (doc, term) table — one narrow shuffle for tf, a tiny term-keyed agg
+# for df (broadcast back), ranking window per doc. No collect anywhere;
+# the doc count is the only scalar and comes from a count() action at
+# plan-build time (a metadata-cheap scan).
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "_tfidf",
+            F.col("tf") * F.log((F.lit(n_docs) + F.lit(1.0))
+                                / (F.col("df") + F.lit(1.0))))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("doc_id", "term",
+                    F.round("_tfidf", 6).alias("tfidf"), "rk"))
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH tok AS (SELECT doc_id, unnest({_LTOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, term,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf,
+             row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC,
+                          term ASC) AS rk
+      FROM tf JOIN dfreq USING (term), n)
+SELECT doc_id, term, tfidf, rk FROM s WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------- q60 bigram counts
+# Global n-gram frequency table (the language-model-ish statistic):
+# overlapping bigrams (NOT distinct — frequencies), one explode + one
+# count shuffle, top-50 with a lexicographic tiebreak.
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    return (docs.select(F.explode(grams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("bigram"))
+            .limit(50))
+
+
+ORACLE_BIGRAM_COUNTS = f"""
+WITH t AS (SELECT {_LTOKS} AS toks FROM documents),
+g AS (SELECT unnest(list_transform(
+                generate_series(0, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+      FROM t)
+SELECT bigram, count(*) AS n FROM g
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
+"""
+
+
+# --------------------------------------------- q61 near-dup clustering
+# The step after pair finding in every dedup pipeline: fold the
+# MinHash-LSH pair graph into clusters (connected components, min-id
+# canonical label) so one representative per cluster survives. Oracle =
+# recursive CTE reachability over the SAME pair SQL the q24 oracle uses.
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.operators.dedup import (
+        connected_components)
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs, "id_a", "id_b")
+
+
+ORACLE_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u
+)
+SELECT node AS doc_id, min(reach) AS cluster_id
+FROM walk GROUP BY node
+"""
+
+
+# ------------------------------------------ q62 streaming batch parity
+# An actual Structured Streaming execution (readStream → watermark →
+# windowed agg → memory sink, Trigger.AvailableNow) whose result must
+# equal the plain batch aggregation — the suite's streaming/batch
+# equivalence proof.
+
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.streaming.queries import (
+        hourly_event_counts_stream)
+    return hourly_event_counts_stream(spark, sf_dir)
+
+
+ORACLE_STREAM_HOURLY_COUNTS = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+REGISTRY_CORPUS: dict[str, tuple] = {
+    "q59_tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
+    "q60_bigram_counts": (q_bigram_counts, ORACLE_BIGRAM_COUNTS),
+    "q61_dup_clusters": (q_dup_clusters, ORACLE_DUP_CLUSTERS),
+    "q62_stream_hourly_counts": (q_stream_hourly_counts,
+                                 ORACLE_STREAM_HOURLY_COUNTS),
+}

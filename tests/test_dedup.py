@@ -68,3 +68,14 @@ def test_simhash_is_deterministic(spark):
     a = D.simhash64(df, "doc_id").first().simhash
     b = D.simhash64(df, "doc_id").first().simhash
     assert a == b and a > 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (via pairs), island 7-8, singleton pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (10, 11)],
+        "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in D.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (7, 7), (8, 7), (10, 10), (11, 10)}
