@@ -158,15 +158,20 @@ def fill_grid(archive: DataFrame, interval_seconds: int,
     if method == "locf":
         return joined.select(
             key_col, "grid_ts", prev_v.alias("filled_value"))
-    wf = (Window.partitionBy(key_col).orderBy("grid_ts")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    # "first non-null at-or-after" as a RUNNING frame over descending
+    # order: Spark executes [current, unbounded following) frames by
+    # rescanning to the partition end for every row — O(rows²) per key
+    # (64 s vs 2.6 s for the LOCF path at sf0.1). The reversed running
+    # frame is the same value computed in O(rows).
+    wf = (Window.partitionBy(key_col).orderBy(F.desc("grid_ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     prev_t = F.last(F.when(F.col("_obs").isNotNull(),
                            F.unix_micros("grid_ts")),
                     ignorenulls=True).over(wb)
-    next_v = F.first("_obs", ignorenulls=True).over(wf)
-    next_t = F.first(F.when(F.col("_obs").isNotNull(),
-                            F.unix_micros("grid_ts")),
-                     ignorenulls=True).over(wf)
+    next_v = F.last("_obs", ignorenulls=True).over(wf)
+    next_t = F.last(F.when(F.col("_obs").isNotNull(),
+                           F.unix_micros("grid_ts")),
+                    ignorenulls=True).over(wf)
     t = F.unix_micros("grid_ts")
     interp = F.when(
         prev_v.isNull(), next_v

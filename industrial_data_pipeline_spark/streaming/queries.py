@@ -53,3 +53,90 @@ def hourly_event_counts_stream(
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str,
+                      gap_seconds: int = 1800,
+                      table_name: str = "idp_stream_sessions") -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``
+    keyed by user: per group the handler merges the state-resident open
+    session with the batch's rows, splits on the inactivity gap, emits
+    every session whose extent is known so far, and stores the trailing
+    open session (+ closed-session count for ordinal continuity) back
+    into state.
+
+    Emission semantics: closed sessions are exact; the trailing open
+    session is emitted optimistically and would be re-emitted extended
+    by a later batch (at-least-once; downstream dedupes last-wins on
+    (user_id, session_start)). On a bounded availableNow run over a
+    single-file source there is one batch, so the output equals batch
+    sessionization exactly — the oracle for q43 applies verbatim.
+
+    State per user is one fixed-size row (5 scalars) — state store
+    size tracks |users|, never |events|.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ts_col = dict(src.dtypes).get("ts")
+    ts = (F.timestamp_micros(F.expr("ts div 1000")) if ts_col == "bigint"
+          else F.col("ts"))
+    ev = src.select(ts.alias("ts"), "user_id", "event_id", "value")
+
+    out_schema = ("user_id long, session_id long, "
+                  "session_start timestamp, session_end timestamp, "
+                  "n_events long, sum_value double")
+    state_schema = ("closed long, start_us long, end_us long, "
+                    "n long, sum double")
+    gap_us = gap_seconds * 1_000_000
+
+    def handler(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        us = (rows["ts"].astype("int64") // 1000).tolist()
+        vals = rows["value"].astype(float).tolist()
+        closed, cur = 0, None
+        if state.exists:
+            closed, s_us, e_us, n0, sum0 = state.get
+            cur = [s_us, e_us, n0, sum0]
+        done = []  # sessions closed by evidence: a later event past gap
+        for t, v in zip(us, vals):
+            if cur is None:
+                cur = [t, t, 1, v]
+            elif t - cur[1] > gap_us:
+                done.append(cur)
+                cur = [t, t, 1, v]
+            else:
+                cur[1] = t
+                cur[2] += 1
+                cur[3] += v
+        state.update((closed + len(done),
+                      cur[0], cur[1], cur[2], cur[3]))
+        done.append(cur)  # trailing open session, emitted optimistically
+        uid = key[0]
+        out = pd.DataFrame(
+            [(uid, closed + i + 1, s[0], s[1], s[2], round(s[3], 6))
+             for i, s in enumerate(done)],
+            columns=["user_id", "session_id", "session_start",
+                     "session_end", "n_events", "sum_value"])
+        out["session_start"] = pd.to_datetime(out["session_start"],
+                                              unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        handler, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+    spark.catalog.dropTempView(table_name) if any(
+        t.name == table_name for t in spark.catalog.listTables()) else None
+    q = (sessions.writeStream.format("memory").queryName(table_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(table_name)

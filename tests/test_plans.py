@@ -70,3 +70,50 @@ def test_orphan_purge_is_broadcast_semi_join(pipe):
                        pipe.store.attribute("plant"))
     p = plan(df)
     assert "LeftSemi" in p and "Broadcast" in p
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The binned range join must execute as a hash/sort-merge equi-join
+    on the bin key — NOT the BroadcastNestedLoopJoin Spark picks for a
+    raw theta join (O(n·m) at scale)."""
+    from industrial_data_pipeline_spark.operators.scale import (
+        interval_join_binned)
+    ev = spark.range(1000).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(cast(id * 60000000 as long)) AS ts",
+        "cast(id as double) AS value")
+    iv = spark.range(5).selectExpr(
+        "id AS window_id",
+        "timestamp_micros(cast(id * 7200000000 as long)) AS start",
+        "timestamp_micros(cast(id * 7200000000 + 1800000000 as long)) AS end")
+    df = interval_join_binned(ev, iv, ts_col="ts")
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+    # correctness spot check: window k covers minutes [120k, 120k+30]
+    got = sorted((r.window_id, r.event_id) for r in df.collect())
+    want = sorted((w, e) for w in range(5)
+                  for e in range(1000) if w * 120 <= e <= w * 120 + 30)
+    assert got == want
+
+
+def test_salted_agg_two_stage(spark):
+    """Salted aggregation: result identical to plain groupBy."""
+    from industrial_data_pipeline_spark.operators.scale import (
+        salted_grouped_sum)
+    from pyspark.sql import functions as F
+    df = spark.range(10000).selectExpr(
+        "case when id % 100 < 97 then 'hot' else concat('k', id % 100) end"
+        " AS k",
+        "cast(id % 7 as double) + 0.25 AS value").repartition(8)
+    got = {(r.k, r.n, r.sum_value, r.avg_value)
+           for r in salted_grouped_sum(df, ["k"], "value").collect()}
+    plain = {(r.k, r.n, r.sum_value, r.avg_value) for r in
+             df.groupBy("k").agg(
+                 F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)"))
+                         .cast("double"), 6).alias("sum_value"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_value")).collect()}
+    assert got == plain
