@@ -290,14 +290,46 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         e, lb = edges.alias("e"), labels.alias("lb")
         neigh = (e.join(lb, F.col("e.v") == F.col("lb.u"))
                  .select(F.col("e.u").alias("u"),
-                         F.col("lb.label").alias("label")))
-        new = (labels.unionByName(neigh)
-               .groupBy("u").agg(F.min("label").alias("label"))
+                         F.col("lb.label").alias("label"),
+                         F.lit(0).alias("_is_old")))
+        # carry the node's old label THROUGH the aggregation (every
+        # node appears exactly once in `labels`, so max-of-tagged
+        # recovers it); the convergence check is then a filter over the
+        # checkpointed result — no second join/shuffle per round
+        new = (labels.withColumn("_is_old", F.lit(1))
+               .unionByName(neigh)
+               .groupBy("u")
+               .agg(F.min("label").alias("label"),
+                    F.max(F.when(F.col("_is_old") == 1, F.col("label")))
+                    .alias("_old"))
                .localCheckpoint(eager=True))
-        changed = (new.join(labels.withColumnRenamed("label", "_old"), "u")
-                   .where(F.col("label") != F.col("_old")).limit(1).count())
-        labels = new
+        changed = (new.where(F.col("label") != F.col("_old"))
+                   .limit(1).count())
+        labels = new.drop("_old")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def incremental_exact_dedup(corpus: DataFrame, batch: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus plus within
+    itself — the steady-state ingestion shape of a training-data
+    pipeline (the corpus is never rescanned per pair, only its hash
+    set).
+
+    Plan: project both sides to (hash64(text)) — a few bytes/row, so
+    the shuffle moves hashes, not documents — in-batch first-wins by
+    min(id) per hash, then LEFT ANTI against corpus hashes. Both
+    shuffles are on the same hash key, so AQE coalesces them; at 100
+    TB the corpus side is a pre-computed hash index you'd persist
+    bucketed by hash and the anti-join becomes shuffle-free.
+    """
+    from industrial_data_pipeline_spark.operators.text import hash64
+    b = batch.select(F.col(id_col), hash64(F.col(text_col)).alias("_h"))
+    first = (b.groupBy("_h").agg(F.min(id_col).alias(id_col)))
+    seen = corpus.select(hash64(F.col(text_col)).alias("_h")).distinct()
+    return (first.join(seen, "_h", "left_anti")
+            .select(id_col, F.col("_h").alias("content_hash")))

@@ -139,3 +139,54 @@ def fingerprints(df: DataFrame, text_col: str = "text",
         F.array_min(F.transform(grams, lambda g: hash64(g)))
         .alias("rolling_min_hash"),
     )
+
+
+#: ordered (name, default-threshold) quality rules — Gopher/C4-style
+#: repetition-free subset expressible over quality_metrics columns.
+QUALITY_RULES: list[tuple[str, str]] = [
+    ("too_few_words", "n_words < {min_words}"),
+    ("too_many_words", "n_words > {max_words}"),
+    ("word_len_out_of_range",
+     "avg_word_len < {min_awl} OR avg_word_len > {max_awl}"),
+    ("high_punct", "punct_ratio > {max_punct}"),
+    ("high_digit", "digit_ratio > {max_digit}"),
+    ("low_stopword", "stopword_ratio < {min_stop}"),
+]
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_words: int = 20, max_words: int = 5000,
+                   min_awl: float = 3.0, max_awl: float = 5.0,
+                   max_punct: float = 0.2, max_digit: float = 0.3,
+                   min_stop: float = 0.04) -> DataFrame:
+    """Gopher-style document quality gate: evaluate the ordered
+    QUALITY_RULES over quality_metrics columns; ``keep`` = no rule
+    fires, ``reject_reason`` = FIRST firing rule (deterministic).
+
+    One codegen'd projection over the metrics — no shuffle, no UDF;
+    at 100 TB this runs at scan speed and the filter pushes into
+    downstream plans. Rule expressions are SQL on both engines so the
+    oracle shares this exact thresholds dict.
+    """
+    params = dict(min_words=min_words, max_words=max_words,
+                  min_awl=min_awl, max_awl=max_awl, max_punct=max_punct,
+                  max_digit=max_digit, min_stop=min_stop)
+    m = quality_metrics(df, text_col)
+    reason = F.lit(None).cast("string")
+    fired = F.lit(False)
+    for name, tmpl in QUALITY_RULES:
+        cond = F.expr(tmpl.format(**params))
+        reason = F.when(~fired & cond, F.lit(name)).otherwise(reason)
+        fired = fired | F.coalesce(cond, F.lit(False))
+    return m.withColumn("keep", ~fired) \
+            .withColumn("reject_reason", reason)
+
+
+def quality_rules_sql(**overrides) -> list[tuple[str, str]]:
+    """The same ordered rules rendered as ANSI SQL predicates (for the
+    DuckDB oracle) with quality_filter's default thresholds."""
+    params = dict(min_words=20, max_words=5000, min_awl=3.0,
+                  max_awl=5.0, max_punct=0.2, max_digit=0.3,
+                  min_stop=0.04)
+    params.update(overrides)
+    return [(name, tmpl.format(**params)) for name, tmpl in QUALITY_RULES]

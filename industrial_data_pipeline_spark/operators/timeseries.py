@@ -217,3 +217,49 @@ def rolling_anomaly(archive: DataFrame, window_rows: int = 10,
         F.round(z, round_dp).alias("zscore"),
         ((n >= F.lit(window_rows)) & (F.abs(z) > F.lit(z_threshold)))
         .cast("boolean").alias("is_anomaly"))
+
+
+def trend_slopes(archive: DataFrame, key_col: str = "attribute_id",
+                 ts_col: str = "timestamp", value_col: str = "value",
+                 round_dp: int = 6) -> DataFrame:
+    """Per-key OLS linear trend (slope per second + intercept) of value
+    over time — drift detection for the Early Warning use case.
+
+    Numerics: x = exact integer MICROSECONDS since the key's first
+    observation (no division, no rounding), y in DECIMAL — all five
+    OLS sums (n, Σx, Σy, Σxy, Σx²) are then EXACT and order-
+    independent, so the distributed aggregation matches a serial
+    oracle bit-for-bit; only the final slope/intercept division runs
+    in IEEE double (slope rescaled ×1e6 to per-second). One small
+    self-agg join (min ts per key) + one grouped aggregation — two
+    key-shuffles total, no window.
+    """
+    x0 = (archive.groupBy(key_col)
+          .agg(F.min(F.unix_micros(F.col(ts_col))).alias("_t0")))
+    d = (archive.join(x0, key_col)
+         .select(
+             key_col,
+             (F.unix_micros(F.col(ts_col)) - F.col("_t0"))
+             .cast("decimal(16,0)").alias("_x"),
+             F.col(value_col).cast("decimal(18,6)").alias("_y")))
+    agg = (d.groupBy(key_col)
+           .agg(F.count("*").cast("decimal(12,0)").alias("_n"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx")))
+    # exact decimal sums → double ONCE each, then combine in IEEE
+    # double (same op sequence as the oracle ⇒ bit-identical); a
+    # decimal n·Σxy product would hit the precision-38 cap and round
+    # differently per engine
+    nD, sxD, syD, sxyD, sxxD = (F.col(c).cast("double") for c in
+                                ("_n", "_sx", "_sy", "_sxy", "_sxx"))
+    num = nD * sxyD - sxD * syD
+    den = nD * sxxD - sxD * sxD
+    slope_us = num / den                      # per-microsecond
+    intercept = (syD - slope_us * sxD) / nD
+    return agg.select(
+        key_col,
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope_us * F.lit(1_000_000.0), round_dp)
+        .alias("slope_per_sec"),
+        F.round(intercept, round_dp).alias("intercept"))

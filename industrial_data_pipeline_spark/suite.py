@@ -595,6 +595,9 @@ REGISTRY.update(REGISTRY_CORPUS)
 from industrial_data_pipeline_spark.suite_scale import REGISTRY_SCALE  # noqa: E402
 
 REGISTRY.update(REGISTRY_SCALE)
+from industrial_data_pipeline_spark.suite_pipeline import REGISTRY_PIPELINE  # noqa: E402
+
+REGISTRY.update(REGISTRY_PIPELINE)
 REGISTRY.update({
     "q32_legacy_between": (q_legacy_between, ORACLE_LEGACY_BETWEEN),
     "q33_union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),

@@ -169,10 +169,44 @@ FROM z
 """
 
 
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-attribute OLS drift line (slope/sec + intercept) — the
+    Early Warning trend fit. Exact decimal OLS sums over integer-µs
+    x; the slope division is the only floating step, mirrored
+    op-for-op in the oracle so doubles match bit-for-bit."""
+    return TS.trend_slopes(archive_analog(spark, sf_dir))
+
+
+ORACLE_TREND_SLOPES = f"""
+WITH {_ARCH_SQL},
+t0 AS (SELECT attribute_id, min(epoch_us("timestamp")) AS t0
+       FROM arch GROUP BY 1),
+d AS (SELECT a.attribute_id,
+             epoch_us(a."timestamp") - t0.t0 AS x,
+             CAST(a.value AS DECIMAL(18,6)) AS y
+      FROM arch a JOIN t0 USING (attribute_id)),
+agg AS (SELECT attribute_id,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(20,0))) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(20,0)) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(19,0))
+                        * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+        FROM d GROUP BY 1)
+SELECT attribute_id, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0, 6)
+           AS slope_per_sec,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept
+FROM agg
+"""
+
+
 REGISTRY_TS: dict[str, tuple] = {
     "q38_rollup_hourly": (q_rollup_hourly, ORACLE_ROLLUP_HOURLY),
     "q39_asof_rollup": (q_asof_rollup, ORACLE_ASOF_ROLLUP),
     "q40_locf_grid": (q_locf_grid, ORACLE_LOCF_GRID),
     "q41_interp_grid": (q_interp_grid, ORACLE_INTERP_GRID),
     "q42_rolling_anomaly": (q_rolling_anomaly, ORACLE_ROLLING_ANOMALY),
+    "q67_trend_slopes": (q_trend_slopes, ORACLE_TREND_SLOPES),
 }

@@ -79,3 +79,18 @@ def test_connected_components_chain_and_islands(spark):
            for r in D.connected_components(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (7, 7), (8, 7), (10, 10), (11, 10)}
+
+
+def test_incremental_exact_dedup(spark):
+    from industrial_data_pipeline_spark.operators.dedup import (
+        incremental_exact_dedup)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"),      # already in corpus → dropped
+         (11, "epsilon zeta"),    # new → kept
+         (12, "epsilon zeta"),    # in-batch dup, higher id → dropped
+         (13, "eta theta")],      # new → kept
+        "doc_id long, text string")
+    out = incremental_exact_dedup(corpus, batch)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]

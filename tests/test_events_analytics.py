@@ -112,3 +112,34 @@ def test_stratified_sample_matches_python_hash(spark):
     want = sorted(i for i in range(500)
                   if h(i) % 100 < (15 if i % 2 == 0 else 40))
     assert got == want and 0 < len(got) < 500
+
+
+def test_approx_profile_error_bounds(spark):
+    """q70's sketches vs exact answers at sf0.001: HLL distinct within
+    5% relative error, GK percentiles within the value span's 2%."""
+    from industrial_data_pipeline_spark.suite_pipeline import (
+        q_approx_profile)
+    from industrial_data_pipeline_spark.suite_common import load
+    sf = "/root/testdata/sf0.001"
+    approx = {r.event_type: r for r in
+              q_approx_profile(spark, sf).collect()}
+    ev = load(spark, sf, "events")
+    exact = {r.event_type: r for r in
+             (ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("users"),
+                   F.expr("percentile(value, 0.5)").alias("p50"),
+                   F.expr("percentile(value, 0.95)").alias("p95"),
+                   F.min("value").alias("lo"),
+                   F.max("value").alias("hi"),
+                   F.count("*").alias("n")).collect())}
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a.n_events == e.n
+        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
+        span = e.hi - e.lo
+        assert abs(a.p50 - e.p50) <= 0.02 * span
+        # GK returns an observed value; exact percentile interpolates —
+        # in the sparse tail of a ~200-row group that alone is ~2% of
+        # span, so the p95 sanity bound is looser
+        assert abs(a.p95 - e.p95) <= 0.05 * span

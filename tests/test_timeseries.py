@@ -137,3 +137,34 @@ def test_rolling_anomaly_flags_spike(spark):
     assert spike.is_anomaly is True and spike.zscore > 3.0
     flagged = [r for r in out if r.is_anomaly]
     assert flagged == [spike]
+
+
+def test_trend_slopes_exact_line(spark):
+    # key 1: y = 2x + 3 over x = 0,60,120 s → slope 2/s, intercept 3;
+    # key 2: constant → slope 0, intercept = the value
+    df = _arch(spark, [
+        (1, T(2025, 1, 1, 0, 0, 0), 3.0),
+        (1, T(2025, 1, 1, 0, 1, 0), 123.0),
+        (1, T(2025, 1, 1, 0, 2, 0), 243.0),
+        (2, T(2025, 1, 1, 0, 0, 0), 7.5),
+        (2, T(2025, 1, 1, 0, 5, 0), 7.5),
+    ])
+    out = {r.attribute_id: r for r in TS.trend_slopes(df).collect()}
+    assert out[1].n == 3
+    assert out[1].slope_per_sec == pytest.approx(2.0)
+    assert out[1].intercept == pytest.approx(3.0)
+    assert out[2].slope_per_sec == 0.0
+    assert out[2].intercept == pytest.approx(7.5)
+
+
+def test_trend_slopes_noisy_matches_numpy(spark):
+    import numpy as np
+    from datetime import timedelta
+    ts = [T(2025, 1, 1) + timedelta(seconds=i * 7) for i in range(20)]
+    ys = [((i * 37) % 11) * 0.25 + 0.1 * i for i in range(20)]
+    df = _arch(spark, [(1, t, y) for t, y in zip(ts, ys)])
+    r = TS.trend_slopes(df).first()
+    x = np.array([(t - ts[0]).total_seconds() for t in ts])
+    slope, intercept = np.polyfit(x, np.array(ys), 1)
+    assert r.slope_per_sec == pytest.approx(round(slope, 6), abs=1e-6)
+    assert r.intercept == pytest.approx(round(intercept, 6), abs=1e-6)
