@@ -190,3 +190,79 @@ def quality_rules_sql(**overrides) -> list[tuple[str, str]]:
                   min_stop=0.04)
     params.update(overrides)
     return [(name, tmpl.format(**params)) for name, tmpl in QUALITY_RULES]
+
+
+def token_rarity(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", round_dp: int = 6) -> DataFrame:
+    """Corpus-relative rarity profile per document: mean corpus
+    frequency of the doc's tokens and the fraction of tokens rarer
+    than the vocabulary's mean frequency.
+
+    "Rare" is the integer-exact predicate freq * |V| < total_tokens
+    (⟺ freq < mean vocab frequency, with no division) so the result
+    is bit-deterministic under any partitioning. Plan: one explode →
+    token-count aggregation (the vocabulary, tiny vs the corpus —
+    broadcast), then one per-doc aggregation; the final two divisions
+    are single exact-int-to-double ops, deterministic across engines.
+    """
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("_t"))
+    freq = tok.groupBy("_t").agg(F.count("*").alias("_f"))
+    totals = freq.agg(F.sum("_f").alias("_total"),
+                      F.count("*").alias("_vocab"))
+    fr = (F.broadcast(freq.crossJoin(F.broadcast(totals)))
+          .withColumn("_rare",
+                      (F.col("_f") * F.col("_vocab")
+                       < F.col("_total")).cast("long")))
+    return (tok.join(fr, "_t")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("_f").alias("_sum_f"),
+                 F.sum("_rare").alias("_n_rare"))
+            .select(
+                id_col, "n_tokens",
+                F.round(F.col("_sum_f")
+                        / F.col("n_tokens").cast("double"), round_dp)
+                .alias("avg_token_freq"),
+                F.round(F.col("_n_rare")
+                        / F.col("n_tokens").cast("double"), round_dp)
+                .alias("rare_token_ratio")))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       round_dp: int = 6) -> DataFrame:
+    """Gopher-style within-document repetition: duplicate-token
+    fraction, most-common-token fraction, most-common-bigram fraction.
+    All ratios are exact integer counts divided once in double —
+    bit-deterministic. Two explode→groupBy aggregations (tokens,
+    bigrams), each map-side-combinable; nothing is O(n²)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    tok = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    per_tok = (tok.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
+               .groupBy(id_col)
+               .agg(F.sum("_c").alias("n_tokens"),
+                    F.count("*").alias("_distinct"),
+                    F.max("_c").alias("_top")))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    big = (df.where(F.size(toks) >= 2)
+           .select(F.col(id_col), F.explode(grams).alias("_g")))
+    per_big = (big.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+               .groupBy(id_col)
+               .agg(F.sum("_c").alias("_n_big"),
+                    F.max("_c").alias("_top_big")))
+    return (per_tok.join(per_big, id_col, "left")
+            .select(
+                id_col, "n_tokens",
+                F.round((F.col("n_tokens") - F.col("_distinct"))
+                        / F.col("n_tokens").cast("double"), round_dp)
+                .alias("dup_token_ratio"),
+                F.round(F.col("_top")
+                        / F.col("n_tokens").cast("double"), round_dp)
+                .alias("top_token_ratio"),
+                F.round(F.col("_top_big")
+                        / F.col("_n_big").cast("double"), round_dp)
+                .alias("top_bigram_ratio")))

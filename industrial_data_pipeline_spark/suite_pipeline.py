@@ -117,9 +117,71 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events"))
 
 
+# ----------------------------------------------- q71 token rarity score
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity per doc: mean corpus token frequency +
+    fraction of tokens below the vocabulary's mean frequency (integer-
+    exact predicate freq·|V| < total — no float compare)."""
+    return TX.token_rarity(_load_docs(spark, sf_dir))
+
+
+ORACLE_TOKEN_RARITY = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS total,
+               count(*) AS vocab FROM freq)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       round(CAST(sum(f) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_token_freq,
+       round(CAST(sum(CASE WHEN f * vocab < total THEN 1 ELSE 0 END)
+                  AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS rare_token_ratio
+FROM tok JOIN freq USING (t) CROSS JOIN tot
+GROUP BY tok.doc_id
+"""
+
+
+# -------------------------------------------- q72 repetition (Gopher)
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition: duplicate-token, top-token and top-bigram
+    fractions — exact integer ratios, two combinable aggregations."""
+    return TX.repetition_metrics(_load_docs(spark, sf_dir))
+
+
+ORACLE_REPETITION_METRICS = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+pt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              count(*) AS dist, max(c) AS top
+       FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+       GROUP BY 1),
+big AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1]))
+                   AS g
+        FROM d WHERE len(toks) >= 2),
+pb AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS topb
+       FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT pt.doc_id, pt.n_tokens,
+       round((pt.n_tokens - pt.dist) / CAST(pt.n_tokens AS DOUBLE), 6)
+           AS dup_token_ratio,
+       round(pt.top / CAST(pt.n_tokens AS DOUBLE), 6)
+           AS top_token_ratio,
+       round(pb.topb / CAST(pb.nb AS DOUBLE), 6) AS top_bigram_ratio
+FROM pt LEFT JOIN pb USING (doc_id)
+"""
+
+
 REGISTRY_PIPELINE: dict[str, tuple] = {
     "q68_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "q69_incremental_dedup": (q_incremental_dedup,
                               ORACLE_INCREMENTAL_DEDUP),
     "q70_approx_profile": (q_approx_profile, None),
+    "q71_token_rarity": (q_token_rarity, ORACLE_TOKEN_RARITY),
+    "q72_repetition_metrics": (q_repetition_metrics,
+                               ORACLE_REPETITION_METRICS),
 }

@@ -38,3 +38,32 @@ def test_quality_filter_reasons_split(spark):
     reasons = {r.reject_reason for r in rows if not r.keep}
     assert kept and reasons and len(reasons) >= 2
     assert all(r.reject_reason is None for r in kept)
+
+
+def test_token_rarity_hand_computed(spark):
+    from industrial_data_pipeline_spark.operators.text import token_rarity
+    # corpus: a a a b b c  → freqs a=3 b=2 c=1, total=6, |V|=3, mean=2
+    # rare ⟺ f*3 < 6 ⟺ f < 2 → only c
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string")
+    out = {r.doc_id: r for r in token_rarity(df).collect()}
+    assert out[1].n_tokens == 4
+    assert out[1].avg_token_freq == round((3 + 3 + 3 + 2) / 4, 6)
+    assert out[1].rare_token_ratio == 0.0
+    assert out[2].avg_token_freq == round((2 + 1) / 2, 6)
+    assert out[2].rare_token_ratio == 0.5
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from industrial_data_pipeline_spark.operators.text import (
+        repetition_metrics)
+    # "x x x y": tokens 4, distinct 2, top 3; bigrams [x x, x x, x y]
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "solo")], "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert out[1].n_tokens == 4
+    assert out[1].dup_token_ratio == 0.5
+    assert out[1].top_token_ratio == 0.75
+    assert out[1].top_bigram_ratio == round(2 / 3, 6)
+    assert out[2].n_tokens == 1 and out[2].dup_token_ratio == 0.0
+    assert out[2].top_bigram_ratio is None
