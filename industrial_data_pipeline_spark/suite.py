@@ -605,3 +605,6 @@ REGISTRY.update({
                                  ORACLE_OLAP_PRICING),
     "q35_star_join": (q_star_join, ORACLE_STAR_JOIN),
 })
+from industrial_data_pipeline_spark.suite_olap2 import REGISTRY_OLAP2  # noqa: E402
+
+REGISTRY.update(REGISTRY_OLAP2)

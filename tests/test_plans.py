@@ -117,3 +117,22 @@ def test_salted_agg_two_stage(spark):
                          .cast("double") / F.count("*"), 6)
                  .alias("avg_value")).collect()}
     assert got == plain
+
+
+def test_olap2_nation_trade_broadcasts_dims(spark):
+    """q73: the nation-filtered supplier/customer dims must broadcast;
+    the only shuffle join is fact⋈orders on the orderkey."""
+    from industrial_data_pipeline_spark.suite_olap2 import (
+        q_nation_trade_volume)
+    p = plan(q_nation_trade_volume(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_olap2_sole_late_supplier_no_nested_loop(spark):
+    """q79: the semi/anti self-joins carry a non-equi suppkey clause —
+    it must ride the orderkey equi-join, never a nested loop."""
+    from industrial_data_pipeline_spark.suite_olap2 import (
+        q_sole_late_supplier)
+    p = plan(q_sole_late_supplier(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in p
