@@ -1,0 +1,192 @@
+"""Vector / embedding analytics: distributed Lloyd k-means, int8
+scalar quantization, per-label cohesion, top-1 neighbor confusion.
+
+All of it runs on the DataFrame API — the embedding column stays an
+array, per-vector math is a sequential higher-order-function fold
+(deterministic left-to-right double summation, bitwise-reproducible
+across engines), and the only shuffles are the per-cluster/per-label
+aggregations.
+
+Cross-engine determinism rules (same as the money/decimal discipline
+in suite_olap.py):
+- k-means ASSIGNMENT distances run in scaled integers
+  (floor(x·1e6 + 0.5) per dim, int64 squared-diff sums) — exact under
+  any summation order, so the argmin never flips on a last-ulp.
+- centroid means: exact DECIMAL sums divided ONCE in double. A binary
+  double never sits exactly on a decimal rounding boundary (k/2^n is
+  never m·5/10^p), so the decimal cast is deterministic too.
+- cosine similarities follow the q28 pattern: sequential double fold
+  on both engines, rounded at the very end.
+
+At 100 TB: k·d centroids are a broadcast (bytes); assignment is a
+map-only stage over the fact; the update is one map-side-combinable
+groupBy(cluster, dim). Iterations localCheckpoint the (tiny) centroid
+frame so lineage doesn't stack across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCALE = 1_000_000  # 1e-6 assignment grid (see module docstring)
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _quantize(c: Column) -> Column:
+    """floor(x·1e6 + 0.5) per dim — deterministic round-half-up that
+    both Spark and DuckDB express identically (no banker's rounding)."""
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * _SCALE + F.lit(0.5))
+        .cast("long"))
+
+
+def _d2_scaled(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance between two quantized vectors.
+    64 dims × (2·10^7)² ≈ 2.6e16 ≪ int64 max — no overflow."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means, deterministically initialized from the k lowest
+    ids. Returns (cluster, n_points, inertia) — inertia is the exact
+    scaled-int squared-distance sum, descaled once in double.
+
+    Each iteration: broadcast the k·d centroid frame, assign by exact
+    integer argmin (ties → lowest cluster id), recompute means with
+    exact DECIMAL sums. No data-sized collect — the only driver-side
+    state is the iteration counter.
+    """
+    emb = df.select(F.col(id_col).alias("_id"),
+                    _as_double(F.col(vec_col)).alias("_v")) \
+        .withColumn("_q", _quantize(F.col("_v")))
+    cents = emb.where(F.col("_id") < k) \
+        .select(F.col("_id").cast("long").alias("cluster"),
+                F.col("_q").alias("_cq")).localCheckpoint()
+
+    assign = None
+    for _ in range(iters):
+        assign = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", _d2_scaled(F.col("_q"), F.col("_cq")))
+            .groupBy("_id")
+            .agg(F.min(F.struct("_d2", "cluster")).alias("_m"))
+            .select("_id", F.col("_m.cluster").alias("cluster"),
+                    F.col("_m._d2").alias("_d2")))
+        means = (
+            assign.join(emb, "_id")
+            .select("cluster", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("cluster", "_pos")
+            .agg((F.sum(F.col("_x").cast("decimal(28,12)"))
+                  .cast("double")
+                  / F.count("*")).alias("_mean")))
+        cents = (means.groupBy("cluster")
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("_pos", "_mean"))),
+                     lambda s: s["_mean"]).alias("_c"))
+                 .select("cluster", _quantize(F.col("_c")).alias("_cq"))
+                 .localCheckpoint())
+
+    return (assign.groupBy("cluster")
+            .agg(F.count("*").alias("n_points"),
+                 F.round((F.sum("_d2").cast("double")
+                          / F.lit(float(_SCALE) * _SCALE)), 6)
+                 .alias("inertia")))
+
+
+def quantization_error(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Int8 scalar quantization (symmetric, per-vector scale
+    127/max|x|) and its reconstruction error, aggregated per label.
+    Map-only per vector, one combinable groupBy."""
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    q = F.transform(
+        v, lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x * scale + 0.5).cast("double"))))
+    err = F.aggregate(
+        F.zip_with(v, q, lambda x, qq: F.abs(x - qq / scale)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    per_vec = df.select(F.col(label_col).alias("label"),
+                        err.alias("_err"))
+    return (per_vec.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.round((F.sum(F.col("_err").cast("decimal(28,12)"))
+                          .cast("double") / F.count("*")), 6)
+                 .alias("avg_quant_err"),
+                 F.round(F.max("_err"), 6).alias("max_quant_err")))
+
+
+def label_cohesion(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Intra-label cohesion: exact-decimal per-dim centroid per label,
+    then each member's cosine to its centroid (sequential double
+    fold), averaged per label. Two combinable shuffles on the label
+    key; the centroid set is broadcast back."""
+    emb = df.select(F.col(label_col).alias("label"),
+                    F.col(id_col).alias("_id"),
+                    _as_double(F.col(vec_col)).alias("_v"))
+    cents = (emb.select("label", F.posexplode("_v").alias("_pos", "_x"))
+             .groupBy("label", "_pos")
+             .agg((F.sum(F.col("_x").cast("decimal(28,12)"))
+                   .cast("double") / F.count("*")).alias("_mean"))
+             .groupBy("label")
+             .agg(F.transform(
+                 F.sort_array(F.collect_list(F.struct("_pos", "_mean"))),
+                 lambda s: s["_mean"]).alias("_c")))
+    return (emb.join(F.broadcast(cents), "label")
+            .withColumn("_cos", _cos(F.col("_v"), F.col("_c")))
+            .groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.round((F.sum(F.col("_cos").cast("decimal(28,12)"))
+                          .cast("double") / F.count("*")), 6)
+                 .alias("avg_cos"),
+                 F.round(F.min("_cos"), 6).alias("min_cos")))
+
+
+def neighbor_confusion(df: DataFrame, every: int = 20,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Label confusion via exact top-1 cosine neighbor for a
+    deterministic 1/`every` query sample (id % every == 0): counts of
+    (query label, neighbor label). The query side is the SMALL side —
+    broadcast it and stream the corpus once; argmax is
+    max_by(struct(cos, -id)) so equal-cosine ties take the lowest
+    neighbor id on both engines."""
+    corpus = df.select(F.col(id_col).alias("n_id"),
+                       F.col(label_col).alias("n_label"),
+                       _as_double(F.col(vec_col)).alias("_nv"))
+    queries = df.where(F.col(id_col) % every == 0) \
+        .select(F.col(id_col).alias("q_id"),
+                F.col(label_col).alias("q_label"),
+                _as_double(F.col(vec_col)).alias("_qv"))
+    top1 = (corpus.crossJoin(F.broadcast(queries))
+            .where(F.col("n_id") != F.col("q_id"))
+            .withColumn("_cos", _cos(F.col("_nv"), F.col("_qv")))
+            .groupBy("q_id", "q_label")
+            .agg(F.max_by(
+                "n_label", F.struct(F.col("_cos"), -F.col("n_id")))
+                .alias("n_label")))
+    return (top1.groupBy("q_label", "n_label")
+            .agg(F.count("*").alias("n_queries")))

@@ -608,3 +608,6 @@ REGISTRY.update({
 from industrial_data_pipeline_spark.suite_olap2 import REGISTRY_OLAP2  # noqa: E402
 
 REGISTRY.update(REGISTRY_OLAP2)
+from industrial_data_pipeline_spark.suite_vectors import REGISTRY_VECTORS  # noqa: E402
+
+REGISTRY.update(REGISTRY_VECTORS)

@@ -1,0 +1,159 @@
+"""Vector-analytics suite (q81–q84): distributed k-means, int8
+quantization error, per-label cohesion, top-1 neighbor confusion —
+the embedding-column operations a training-data pipeline runs beside
+dedup/ANN (suite_llm q23–q31).
+
+Every query here is oracle-checked: the k-means assignment runs in
+scaled integers so the DuckDB replay is bit-identical, centroid/err
+averages use the exact-DECIMAL-sum-then-one-double-division
+discipline, and cosines follow the q28 sequential-double-fold
+pattern. See operators/vectors.py for the determinism argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from industrial_data_pipeline_spark.operators import vectors as V
+from industrial_data_pipeline_spark.suite_common import load
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------- q81 Lloyd k-means
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=4, 2 Lloyd iterations, init = 4 lowest vec_ids. Output:
+    (cluster, n_points, inertia)."""
+    return V.kmeans_lloyd(_emb(spark, sf_dir), k=4, iters=2)
+
+
+_QV = "list_transform({c}, x -> CAST(floor(x*1000000 + 0.5) AS BIGINT))"
+_D2 = ("list_aggregate(list_transform(list_zip(qv, cq), "
+       "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')")
+
+ORACLE_KMEANS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v, {_QV.format(c='v')} AS qv FROM e),
+c1 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, qv AS cq
+       FROM q WHERE vec_id < 4),
+a1 AS (SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) AS rn
+       FROM (SELECT q.vec_id, c1.cluster, {_D2} AS d2
+             FROM q CROSS JOIN c1)),
+m1 AS (SELECT cluster, ord,
+              CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+              / count(*) AS mean
+       FROM (SELECT a1.cluster, unnest(q.v) AS val,
+                    generate_subscripts(q.v, 1) AS ord
+             FROM a1 JOIN q USING (vec_id) WHERE rn = 1)
+       GROUP BY cluster, ord),
+c2 AS (SELECT cluster, {_QV.format(c='list(mean ORDER BY ord)')} AS cq
+       FROM m1 GROUP BY cluster),
+a2 AS (SELECT vec_id, cluster, d2,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) AS rn
+       FROM (SELECT q.vec_id, c2.cluster, {_D2} AS d2
+             FROM q CROSS JOIN c2))
+SELECT cluster, count(*) AS n_points,
+       round(CAST(sum(d2) AS DOUBLE) / 1000000000000.0, 6) AS inertia
+FROM a2 WHERE rn = 1 GROUP BY cluster
+"""
+
+
+# ------------------------------------------- q82 quantization error
+
+def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.quantization_error(_emb(spark, sf_dir))
+
+
+ORACLE_QUANTIZATION_ERROR = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT label, v,
+             CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+      FROM (SELECT label, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                       AS amax
+            FROM e)),
+err AS (SELECT label,
+               list_aggregate(list_transform(v,
+                   x -> abs(x - greatest(-127.0,
+                            least(127.0, floor(x*scale + 0.5))) / scale)),
+                   'sum') AS e_sum
+        FROM p)
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(e_sum AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS avg_quant_err,
+       round(max(e_sum), 6) AS max_quant_err
+FROM err GROUP BY label
+"""
+
+
+# ----------------------------------------------- q83 label cohesion
+
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.label_cohesion(_emb(spark, sf_dir))
+
+
+ORACLE_LABEL_COHESION = """
+WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+m AS (SELECT label, ord,
+             CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*) AS mean
+      FROM (SELECT label, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS ord FROM e)
+      GROUP BY label, ord),
+c AS (SELECT label, list(mean ORDER BY ord) AS cvec FROM m
+      GROUP BY label),
+s AS (SELECT e.label,
+             list_dot_product(v, cvec)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(cvec, cvec))) AS cs
+      FROM e JOIN c USING (label))
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(cs AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS avg_cos,
+       round(min(cs), 6) AS min_cos
+FROM s GROUP BY label
+"""
+
+
+# ------------------------------------------ q84 neighbor confusion
+
+def q_neighbor_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-1 cosine neighbor for the deterministic 5% query
+    sample → (query label, neighbor label) counts."""
+    return V.neighbor_confusion(_emb(spark, sf_dir), every=20)
+
+
+ORACLE_NEIGHBOR_CONFUSION = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+qs AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+       FROM e WHERE vec_id % 20 = 0),
+sc AS (SELECT q_id, q_label, e.label AS n_label, e.vec_id AS n_id,
+              list_dot_product(e.v, qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(qv, qv))) AS cs
+       FROM e CROSS JOIN qs WHERE e.vec_id <> q_id),
+top AS (SELECT q_id, q_label, n_label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cs DESC, n_id) AS rn
+        FROM sc)
+SELECT q_label, n_label, count(*) AS n_queries
+FROM top WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+REGISTRY_VECTORS: dict[str, tuple] = {
+    "q81_kmeans": (q_kmeans, ORACLE_KMEANS),
+    "q82_quantization_error": (q_quantization_error,
+                               ORACLE_QUANTIZATION_ERROR),
+    "q83_label_cohesion": (q_label_cohesion, ORACLE_LABEL_COHESION),
+    "q84_neighbor_confusion": (q_neighbor_confusion,
+                               ORACLE_NEIGHBOR_CONFUSION),
+}

@@ -1,0 +1,59 @@
+"""Hand-computed semantics for operators/vectors.py (the suite-level
+DuckDB parity is covered by test_suite_oracle q81–q84)."""
+
+import math
+
+from industrial_data_pipeline_spark.operators.vectors import (
+    kmeans_lloyd, label_cohesion, neighbor_confusion, quantization_error)
+
+
+def test_kmeans_two_obvious_clusters(spark):
+    # ids 0,1 near the origin; 2,3 near (10,10) — k=2 must split them
+    # and converge in one iteration (init = ids 0 and 1).
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]),
+            (2, [10.0, 10.0]), (3, [11.0, 11.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.cluster: r for r in
+           kmeans_lloyd(df, k=2, iters=2).collect()}
+    assert set(out) == {0, 1}
+    # iter 1 pulls cluster 1's centroid toward (10,10); iter 2 then
+    # assigns {0,1} to cluster 0 and {2,3} to cluster 1.
+    assert out[0].n_points == 2 and out[1].n_points == 2
+    # cluster 0: d2 = 0 + 2 = 2 exactly (vs centroid (0,0))
+    assert abs(out[0].inertia - 2.0) < 1e-6
+
+
+def test_quantization_error_zero_for_representable(spark):
+    # components are exact multiples of max/127 → zero reconstruction
+    # error; a second label with a non-representable value is > 0.
+    rows = [(0, [127.0, -127.0, 0.0], 1), (1, [0.3, 0.1, 0.2], 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in quantization_error(df).collect()}
+    assert out[1].avg_quant_err == 0.0
+    assert out[2].avg_quant_err > 0.0
+    assert out[2].max_quant_err >= out[2].avg_quant_err
+
+
+def test_label_cohesion_identical_vectors(spark):
+    # identical members → centroid == member → cosine exactly 1
+    rows = [(0, [1.0, 2.0], 7), (1, [1.0, 2.0], 7),
+            (2, [1.0, 0.0], 8), (3, [0.0, 1.0], 8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in label_cohesion(df).collect()}
+    assert out[7].avg_cos == 1.0 and out[7].n_vecs == 2
+    # orthogonal pair: centroid (.5,.5), cos(v, c) = cos 45° each
+    assert abs(out[8].avg_cos - round(1 / math.sqrt(2), 6)) < 1e-6
+
+
+def test_neighbor_confusion_matches_geometry(spark):
+    # query id 0 (label A) sits next to id 1 (label A); id 20
+    # (label B) sits next to id 21 (label B) — diagonal confusion.
+    rows = [(0, [1.0, 0.0], 1), (1, [0.9, 0.1], 1),
+            (20, [0.0, 1.0], 2), (21, [0.1, 0.9], 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.q_label, r.n_label): r.n_queries
+           for r in neighbor_confusion(df, every=20).collect()}
+    assert got == {(1, 1): 1, (2, 2): 1}
