@@ -611,3 +611,6 @@ REGISTRY.update(REGISTRY_OLAP2)
 from industrial_data_pipeline_spark.suite_vectors import REGISTRY_VECTORS  # noqa: E402
 
 REGISTRY.update(REGISTRY_VECTORS)
+from industrial_data_pipeline_spark.suite_behavior import REGISTRY_BEHAVIOR  # noqa: E402
+
+REGISTRY.update(REGISTRY_BEHAVIOR)

@@ -1,0 +1,64 @@
+"""Hand-computed semantics for operators/behavior.py (DuckDB parity
+is pinned by test_suite_oracle q85–q90)."""
+
+from datetime import datetime
+
+from industrial_data_pipeline_spark.operators.behavior import (
+    basket_pairs, equi_width_histogram, interarrival_stats,
+    retention_cohorts, weighted_sample)
+
+
+def test_retention_cohorts_tiny(spark):
+    # user 1 active weeks 0 and 1; user 2 only week 0
+    rows = [(1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 9)),
+            (2, datetime(2024, 1, 2))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.week_offset): r.n_users
+           for r in retention_cohorts(df).collect()}
+    assert got == {0: 2, 1: 1}
+
+
+def test_basket_pairs_counts_and_lift(spark):
+    # items (1,2) co-occur in 2 of 3 baskets; item 1 in 3, item 2 in 2
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3),
+            (10, 1)]  # duplicate line must not double-count
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.item_a, r.item_b): r
+           for r in basket_pairs(df, min_count=2).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.pair_count == 2
+    assert r.lift == round(2 * 3 / (3 * 2), 6) == 1.0
+
+
+def test_histogram_bins_exact(spark):
+    # values 0..9, 5 bins of width 2; top edge lands in the last bin
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    out = {r.bin: r for r in
+           equi_width_histogram(df, "x", n_bins=5).collect()}
+    assert {b: r.n for b, r in out.items()} == {0: 2, 1: 2, 2: 2, 3: 2,
+                                                4: 2}
+    assert out[0].bin_lo == 0.0 and out[4].bin_hi == 9.0
+
+
+def test_interarrival_exact_gaps(spark):
+    rows = [(1, datetime(2024, 1, 1, 0, 0, 0), "a"),
+            (2, datetime(2024, 1, 1, 0, 0, 10), "a"),
+            (3, datetime(2024, 1, 1, 0, 1, 0), "a")]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "event_type string")
+    r = interarrival_stats(df).collect()[0]
+    assert r.n_gaps == 2 and r.avg_gap_s == 30.0 and r.max_gap_s == 50.0
+
+
+def test_weighted_sample_deterministic_and_bounded(spark):
+    rows = [(i, "g", float(1 + i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, "
+                               "value double")
+    a = sorted(r.event_id for r in
+               weighted_sample(df, "event_type", "event_id", "value",
+                               k=5).collect())
+    b = sorted(r.event_id for r in
+               weighted_sample(df, "event_type", "event_id", "value",
+                               k=5).collect())
+    assert a == b and len(a) == 5
