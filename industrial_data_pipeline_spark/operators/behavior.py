@@ -164,7 +164,8 @@ def weighted_sample(df: DataFrame, group_col: str, id_col: str,
     key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     w = Window.partitionBy(group_col) \
         .orderBy(F.desc("_key"), F.col(id_col))
-    return (df.withColumn("_key", key)
+    return (df.where(F.col(weight_col) > 0)  # A-Res needs w > 0
+            .withColumn("_key", key)
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .select(F.col(group_col), F.col(id_col),

@@ -1,0 +1,61 @@
+"""Graph analytics: PageRank over an edge list (fixed-iteration,
+deterministic). Complements the iterative connected components in
+operators/dedup.py:266.
+
+Determinism: per-edge contributions r(u)/deg(u) are doubles computed
+identically on any engine; the per-node SUM casts each contribution
+to DECIMAL first (a binary double never lands on a decimal rounding
+boundary, so the cast is engine- and order-independent) and divides/
+damps once in double after. With that, a fixed iteration count gives
+bit-stable ranks under any partitioning — replayable in plain SQL.
+
+At scale: ranks live in a node-keyed frame, edges shuffle once per
+iteration on src then dst (the classic Pregel-on-DataFrames shape);
+the node frame is localCheckpoint'ed per round so lineage stays flat.
+Teleport handles nodes with no in-edges via a left join, not a union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping: float = DAMPING,
+             undirected: bool = True) -> DataFrame:
+    """Fixed-`iters` PageRank. Returns (node, rank) for every node.
+
+    `undirected=True` mirrors each edge. Parallel edges should be
+    deduped by the caller if they shouldn't weight the walk.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.union(edges.select(F.col(dst).alias("s"),
+                                 F.col(src).alias("d")))
+    # materialize the edge list once — it is re-read every iteration
+    # (and for deg/nodes); without this the upstream plan (often an
+    # expensive self-join) re-executes per round.
+    e = e.distinct().localCheckpoint()
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    n = nodes.count()  # scalar cardinality only — O(1) driver state
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (e.join(ranks, e.s == ranks.node)
+                   .join(deg, "s")
+                   .select("d", (F.col("rank") / F.col("deg"))
+                           .alias("c")))
+        summed = (contrib.groupBy("d")
+                  .agg(F.sum(F.col("c").cast("decimal(28,15)"))
+                       .cast("double").alias("in_sum")))
+        ranks = (nodes.join(summed, nodes.node == summed.d, "left")
+                 .select("node",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * F.coalesce(F.col("in_sum"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint())
+    return ranks

@@ -614,3 +614,6 @@ REGISTRY.update(REGISTRY_VECTORS)
 from industrial_data_pipeline_spark.suite_behavior import REGISTRY_BEHAVIOR  # noqa: E402
 
 REGISTRY.update(REGISTRY_BEHAVIOR)
+from industrial_data_pipeline_spark.suite_graph import REGISTRY_GRAPH  # noqa: E402
+
+REGISTRY.update(REGISTRY_GRAPH)

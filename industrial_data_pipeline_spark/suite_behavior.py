@@ -176,7 +176,7 @@ WITH k AS (SELECT event_type, event_id, value,
                                        1, 15))::BIGINT % 1048576 + 1)
                       / 1048577.0,
                       1.0 / value) AS key
-           FROM events),
+           FROM events WHERE value > 0),
 r AS (SELECT event_type, event_id, value, key,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY key DESC, event_id) AS rn

@@ -62,3 +62,16 @@ def test_weighted_sample_deterministic_and_bounded(spark):
                weighted_sample(df, "event_type", "event_id", "value",
                                k=5).collect())
     assert a == b and len(a) == 5
+
+
+def test_pagerank_star_graph(spark):
+    from industrial_data_pipeline_spark.operators.graph import pagerank
+    # star: 0 is the hub of 1..4 — hub must outrank leaves; total
+    # probability mass stays ~1 (undirected graph has no dangling loss)
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                                  "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert len(ranks) == 5
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert len({round(ranks[i], 12) for i in range(1, 5)}) == 1

@@ -136,3 +136,14 @@ def test_olap2_sole_late_supplier_no_nested_loop(spark):
         q_sole_late_supplier)
     p = plan(q_sole_late_supplier(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sql_revenue_pushdown(spark):
+    """q92 (raw spark.sql text): all three predicates must reach the
+    parquet scan as PushedFilters — the SQL door gets the same
+    Catalyst treatment as the DataFrame door."""
+    from industrial_data_pipeline_spark.suite_graph import q_sql_revenue
+    p = plan(q_sql_revenue(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
