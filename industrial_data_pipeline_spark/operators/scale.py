@@ -72,3 +72,26 @@ def interval_join_binned(events: DataFrame, intervals: DataFrame,
             .where((F.col(ts_col) >= F.col(start_col))
                    & (F.col(ts_col) <= F.col(end_col)))
             .drop("_bin"))
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt: int = 8) -> DataFrame:
+    """Skew-tolerant inner equi-join, exact-equivalent to
+    ``left.join(right, key)``.
+
+    The (potentially skewed) left side scatters each row to one of
+    `salt` sub-keys via a deterministic hash of the whole row's
+    position-independent content — here simply a cheap xxhash of all
+    columns — so one hot key's rows spread over `salt` reducers. The
+    (smaller) right side replicates each row `salt` times via a
+    posexploded literal range. The shuffle key becomes (key, salt):
+    the hot key's partition shrinks by ~`salt`×, at the cost of
+    |right|·salt replicated rows — the classic trade when AQE's
+    skew-join split can't kick in (e.g. pre-shuffled inputs).
+    """
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                   F.lit(salt))
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return l.join(r, [key, "_salt"]).drop("_salt")

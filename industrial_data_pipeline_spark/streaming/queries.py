@@ -140,3 +140,38 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def enriched_counts_stream(
+        spark: SparkSession, sf_dir: str,
+        table_name: str = "idp_stream_enriched") -> DataFrame:
+    """Stream-static join: the streaming events source enriched with
+    the STATIC customer dimension (user_id → mktsegment), then a
+    watermarked hourly count per (hour, segment). The static side of
+    a stream-static join is re-read per micro-batch and broadcast —
+    no state beyond the windowed counts, so this is the scale-correct
+    shape for dimension enrichment on an unbounded stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ts_col = dict(src.dtypes).get("ts")
+    ts = (F.timestamp_micros(F.expr("ts div 1000")) if ts_col == "bigint"
+          else F.col("ts"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select(F.col("c_custkey").alias("user_id"),
+                    F.col("c_mktsegment").alias("segment")))
+    agg = (
+        src.select(ts.alias("ts"), "user_id")
+        .join(cust, "user_id")  # stream-static broadcast join
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "segment", "n")
+    )
+    if any(t.name == table_name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(table_name)
+    q = (agg.writeStream.format("memory").queryName(table_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(table_name)

@@ -617,3 +617,6 @@ REGISTRY.update(REGISTRY_BEHAVIOR)
 from industrial_data_pipeline_spark.suite_graph import REGISTRY_GRAPH  # noqa: E402
 
 REGISTRY.update(REGISTRY_GRAPH)
+from industrial_data_pipeline_spark.suite_olap3 import REGISTRY_OLAP3  # noqa: E402
+
+REGISTRY.update(REGISTRY_OLAP3)

@@ -147,3 +147,17 @@ def test_sql_revenue_pushdown(spark):
     assert "PushedFilters" in p
     assert "GreaterThanOrEqual(l_shipdate" in p
     assert "LessThan(l_quantity" in p
+
+
+def test_salted_join_exact_parity(spark):
+    """salted_join must return exactly the rows of the plain join."""
+    from industrial_data_pipeline_spark.operators.scale import salted_join
+    from pyspark.sql import functions as F
+    left = spark.range(2000).selectExpr(
+        "case when id % 10 < 9 then 42 else id end AS k", "id AS lv")
+    right = spark.range(100).selectExpr("id AS k", "id * 2 AS rv")
+    got = sorted((r.k, r.lv, r.rv) for r in
+                 salted_join(left, right, "k", salt=4).collect())
+    want = sorted((r.k, r.lv, r.rv) for r in
+                  left.join(right, "k").collect())
+    assert got == want and len(got) > 0
