@@ -620,3 +620,6 @@ REGISTRY.update(REGISTRY_GRAPH)
 from industrial_data_pipeline_spark.suite_olap3 import REGISTRY_OLAP3  # noqa: E402
 
 REGISTRY.update(REGISTRY_OLAP3)
+from industrial_data_pipeline_spark.suite_dataeng import REGISTRY_DATAENG  # noqa: E402
+
+REGISTRY.update(REGISTRY_DATAENG)

@@ -1,0 +1,199 @@
+"""Data-engineering suite (q101–q104): the warehouse-maintenance
+shapes every pipeline team runs beside analytics — SCD Type 2
+interval building, whole-table profiling via unpivot, referential-
+integrity auditing, and NTILE decile summaries.
+
+Scale shapes: SCD2 is one window over the natural (entity, ts) sort;
+the profile unpivots COLUMNS (constant factor) not rows; the FK audit
+is four anti-join counts that each aggregate the fact side to its key
+set first; deciles are one window + one combinable groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from industrial_data_pipeline_spark.suite_common import load
+
+_EV = """
+ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+              event_type, value FROM events)
+"""
+
+
+# --------------------------------------------- q101 SCD Type 2 build
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 from an event log: one validity interval per
+    (user, consecutive run of equal event_type) — the classic
+    change-capture reshape. Runs are found with the two-window
+    gaps-and-islands trick (lag → change flag → running sum), then one
+    aggregation per island; valid_to is NULL on the open interval."""
+    ev = load(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (ev.withColumn(
+        "_chg", F.when(F.lag("event_type").over(w).isNull()
+                       | (F.lag("event_type").over(w)
+                          != F.col("event_type")), 1).otherwise(0))
+        .withColumn("_run", F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    isl = (run.groupBy("user_id", "_run")
+           .agg(F.first("event_type").alias("state"),
+                F.min("ts").alias("valid_from"),
+                F.count("*").alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (isl.withColumn("valid_to", F.lead("valid_from").over(w2))
+            .select("user_id", "state", "valid_from", "valid_to",
+                    "n_events"))
+
+
+ORACLE_SCD2 = f"""
+WITH {_EV},
+r AS (SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (SELECT user_id, event_type AS state,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run,
+             ts
+      FROM r),
+g AS (SELECT user_id, run, min(state) AS state,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM i GROUP BY 1, 2)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to,
+       n_events
+FROM g
+"""
+
+
+# ------------------------------------------------ q102 table profile
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of the orders table via UNPIVOT (stack): per
+    numeric column — row/null/distinct counts, min/max. One pass,
+    column count is the only fan-out factor."""
+    orders = load(spark, sf_dir, "orders")
+    stack_expr = "stack({n}, {args}) as (col_name, v)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(f"'{c}', cast({c} as double)"
+                       for c in _PROFILE_COLS))
+    return (orders.selectExpr(stack_expr)
+            .groupBy("col_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+                 F.countDistinct("v").alias("n_distinct"),
+                 F.round(F.min("v"), 6).alias("min_v"),
+                 F.round(F.max("v"), 6).alias("max_v")))
+
+
+ORACLE_TABLE_PROFILE = """
+SELECT col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       count(DISTINCT v) AS n_distinct,
+       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+FROM (SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS DOUBLE) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders)
+GROUP BY 1
+"""
+
+
+# -------------------------------------------------- q103 FK audit
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for four FK edges.
+    Each check aggregates the child side to its distinct key set
+    first (combinable, key-cardinality bounded), then one anti-join
+    against the parent keys; the four tiny results union."""
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame,
+                pkey: str, name: str) -> DataFrame:
+        ck = child.select(F.col(ckey).alias("k")).distinct()
+        pk = parent.select(F.col(pkey).alias("k"))
+        return (ck.join(pk, "k", "left_anti")
+                .agg(F.lit(name).alias("fk_edge"),
+                     F.count("*").alias("orphan_keys")))
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orphans(li, "l_orderkey", load(spark, sf_dir, "orders"),
+                "o_orderkey", "lineitem.orderkey->orders")
+        .unionAll(orphans(li, "l_partkey", load(spark, sf_dir, "part"),
+                          "p_partkey", "lineitem.partkey->part"))
+        .unionAll(orphans(li, "l_suppkey",
+                          load(spark, sf_dir, "supplier"),
+                          "s_suppkey", "lineitem.suppkey->supplier"))
+        .unionAll(orphans(load(spark, sf_dir, "orders"), "o_custkey",
+                          load(spark, sf_dir, "customer"),
+                          "c_custkey", "orders.custkey->customer")))
+
+
+ORACLE_FK_AUDIT = """
+SELECT 'lineitem.orderkey->orders' AS fk_edge,
+       count(*) AS orphan_keys
+FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = k)
+UNION ALL
+SELECT 'lineitem.partkey->part', count(*)
+FROM (SELECT DISTINCT l_partkey AS k FROM lineitem)
+WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = k)
+UNION ALL
+SELECT 'lineitem.suppkey->supplier', count(*)
+FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem)
+WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = k)
+UNION ALL
+SELECT 'orders.custkey->customer', count(*)
+FROM (SELECT DISTINCT o_custkey AS k FROM orders)
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = k)
+"""
+
+
+# ---------------------------------------------- q104 price deciles
+
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) deciles of order price per priority class: decile
+    bounds and counts — the distribution summary behind quantile
+    reports. ntile + one combinable groupBy; ties broken by orderkey
+    so both engines bucket identically."""
+    orders = load(spark, sf_dir, "orders") \
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy("o_totalprice", "o_orderkey")
+    return (orders.withColumn("decile", F.ntile(10).over(w))
+            .groupBy("o_orderpriority", "decile")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("o_totalprice"), 6).alias("lo"),
+                 F.round(F.max("o_totalprice"), 6).alias("hi")))
+
+
+ORACLE_PRICE_DECILES = """
+SELECT o_orderpriority, decile, count(*) AS n,
+       round(min(o_totalprice), 6) AS lo,
+       round(max(o_totalprice), 6) AS hi
+FROM (SELECT o_orderpriority, o_totalprice,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey)
+                 AS decile
+      FROM orders)
+GROUP BY 1, 2
+"""
+
+
+REGISTRY_DATAENG: dict[str, tuple] = {
+    "q101_scd2_user_state": (q_scd2_user_state, ORACLE_SCD2),
+    "q102_table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
+    "q103_fk_audit": (q_fk_audit, ORACLE_FK_AUDIT),
+    "q104_price_deciles": (q_price_deciles, ORACLE_PRICE_DECILES),
+}

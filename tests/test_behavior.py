@@ -75,3 +75,31 @@ def test_pagerank_star_graph(spark):
     assert all(ranks[0] > ranks[i] for i in range(1, 5))
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert len({round(ranks[i], 12) for i in range(1, 5)}) == 1
+
+
+def test_scd2_islands(spark):
+    from datetime import datetime
+    from industrial_data_pipeline_spark.suite_dataeng import (
+        q_scd2_user_state)  # noqa: F401  (suite fn needs sf_dir)
+    from industrial_data_pipeline_spark.suite_common import load  # noqa
+    from pyspark.sql import functions as F, Window
+    # inline tiny log: A A B A → three islands with correct extents
+    rows = [(1, 1, datetime(2024, 1, 1, 0), "A"),
+            (2, 1, datetime(2024, 1, 1, 1), "A"),
+            (3, 1, datetime(2024, 1, 1, 2), "B"),
+            (4, 1, datetime(2024, 1, 1, 3), "A")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (ev.withColumn(
+        "_chg", F.when(F.lag("event_type").over(w).isNull()
+                       | (F.lag("event_type").over(w)
+                          != F.col("event_type")), 1).otherwise(0))
+        .withColumn("_run", F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    isl = (run.groupBy("user_id", "_run")
+           .agg(F.first("event_type").alias("state"),
+                F.count("*").alias("n")))
+    got = sorted((r._run, r.state, r.n) for r in isl.collect())
+    assert got == [(1, "A", 2), (2, "B", 1), (3, "A", 1)]
