@@ -15,11 +15,11 @@ from industrial_data_pipeline_spark.api import Pipeline
 from tests.fixtures import archive_rows, write_tree
 
 
-def plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from industrial_data_pipeline_spark.plans import (  # noqa: E402
+    formatted_plan as plan,
+    pushed_filters,
+    whole_stage_codegen_spans,
+)
 
 
 @pytest.fixture()
@@ -161,3 +161,20 @@ def test_salted_join_exact_parity(spark):
     want = sorted((r.k, r.lv, r.rv) for r in
                   left.join(right, "k").collect())
     assert got == want and len(got) > 0
+
+
+def test_plan_inspect_helpers(spark):
+    """plans/ package: pushed_filters parses scan predicates; codegen
+    counting works on a non-adaptive plan (under AQE it reports 0 —
+    stages compile at run time)."""
+    from industrial_data_pipeline_spark.suite_graph import q_sql_revenue
+    df = q_sql_revenue(spark, "/root/testdata/sf0.001")
+    pf = pushed_filters(df)
+    assert any("l_quantity" in p for p in pf)
+    assert any("l_shipdate" in p for p in pf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = q_sql_revenue(spark, "/root/testdata/sf0.001")
+        assert whole_stage_codegen_spans(df2) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
