@@ -62,10 +62,13 @@ def rollup(archive: DataFrame, interval_seconds: int,
 def asof_join(left: DataFrame, right: DataFrame, by: str,
               left_ts: str = "timestamp", right_ts: str = "timestamp",
               value_cols: tuple[str, ...] = ("value",),
-              tolerance_seconds: int | None = None) -> DataFrame:
+              tolerance_seconds: int | None = None,
+              direction: str = "backward") -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` in the same ``by`` group (DuckDB/kdb ASOF
-    semantics).
+    semantics). ``direction="forward"`` flips it — the EARLIEST right
+    row with ``right_ts >= left_ts`` (same one-shuffle scan, run over
+    the descending order).
 
     Implemented with the union-sort trick, not a range join: tag both
     sides, union, and carry the last-seen right values forward with a
@@ -92,7 +95,11 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.col(right_ts).alias("_rts"))
-    w = (Window.partitionBy("_k").orderBy("_ts", "_side")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    order = [F.asc("_ts"), F.asc("_side")] if direction == "backward" \
+        else [F.desc("_ts"), F.asc("_side")]
+    w = (Window.partitionBy("_k").orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = tagged_l.unionByName(tagged_r).select(
         "*",
@@ -100,9 +107,11 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
           for c in value_cols],
         F.last("_rts", ignorenulls=True).over(w).alias("_f_rts"))
     out = filled.where(F.col("_side") == 1)
+    gap = (F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_f_rts"))
+           if direction == "backward"
+           else F.unix_micros(F.col("_f_rts")) - F.unix_micros(F.col("_ts")))
     keep = F.lit(True) if tolerance_seconds is None else (
-        F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_f_rts"))
-        <= int(tolerance_seconds) * 1_000_000)
+        gap <= int(tolerance_seconds) * 1_000_000)
     return out.select(
         F.col("_k").alias(by), F.col("_ts").alias(left_ts),
         *[F.col(c) for c in lcols],

@@ -623,3 +623,6 @@ REGISTRY.update(REGISTRY_OLAP3)
 from industrial_data_pipeline_spark.suite_dataeng import REGISTRY_DATAENG  # noqa: E402
 
 REGISTRY.update(REGISTRY_DATAENG)
+from industrial_data_pipeline_spark.suite_advanced import REGISTRY_ADVANCED  # noqa: E402
+
+REGISTRY.update(REGISTRY_ADVANCED)

@@ -168,3 +168,22 @@ def test_trend_slopes_noisy_matches_numpy(spark):
     slope, intercept = np.polyfit(x, np.array(ys), 1)
     assert r.slope_per_sec == pytest.approx(round(slope, 6), abs=1e-6)
     assert r.intercept == pytest.approx(round(intercept, 6), abs=1e-6)
+
+
+def test_asof_forward_direction(spark):
+    from datetime import datetime
+    from industrial_data_pipeline_spark.operators.timeseries import (
+        asof_join)
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 30), 1.0)],
+        "attribute_id long, timestamp timestamp, value double")
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0), 10.0),
+         (1, datetime(2024, 1, 1, 1, 0), 20.0),
+         (1, datetime(2024, 1, 1, 2, 0), 30.0)],
+        "attribute_id long, timestamp timestamp, value double")
+    back = asof_join(left, right, by="attribute_id").collect()[0]
+    fwd = asof_join(left, right, by="attribute_id",
+                    direction="forward").collect()[0]
+    assert back.asof_value == 10.0  # latest at-or-before 00:30
+    assert fwd.asof_value == 20.0   # earliest at-or-after 00:30
