@@ -626,3 +626,6 @@ REGISTRY.update(REGISTRY_DATAENG)
 from industrial_data_pipeline_spark.suite_advanced import REGISTRY_ADVANCED  # noqa: E402
 
 REGISTRY.update(REGISTRY_ADVANCED)
+from industrial_data_pipeline_spark.suite_sketches import REGISTRY_SKETCHES  # noqa: E402
+
+REGISTRY.update(REGISTRY_SKETCHES)
