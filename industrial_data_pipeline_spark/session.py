@@ -57,6 +57,12 @@ def get_spark(app_name: str = "industrial_data_pipeline_spark",
         # which Spark refuses by default; read as long and convert at the
         # loader (suite.load) — truncation to µs matches DuckDB's CAST.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us] parquet (no isAdjustedToUTC) would otherwise infer
+        # as TIMESTAMP_NTZ, which breaks unix_micros/withWatermark and
+        # blocks parquet filter pushdown through the normalizing cast.
+        # With the session TZ pinned UTC, reading it as LTZ TIMESTAMP is
+        # value-identical to the oracle's CAST(ts AS TIMESTAMP).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

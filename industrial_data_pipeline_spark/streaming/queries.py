@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from industrial_data_pipeline_spark.suite_common import events_stream
+
 
 def hourly_event_counts_stream(
         spark: SparkSession, sf_dir: str,
@@ -25,21 +27,9 @@ def hourly_event_counts_stream(
     """Hourly (window-start, event_type) counts over the events table,
     computed by an actual streaming query (availableNow) into a memory
     sink; returns the sink table as a batch DataFrame."""
-    # the driver's vanilla session needs the nanos conf at runtime —
-    # events.parquet is TIMESTAMP(NANOS) (read as long ns, see
-    # suite_common.load).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # stream sources need one
-    # the file stream source requires a DIRECTORY path; select just the
-    # events file out of the shared sf_dir with a glob filter
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    ts_col = dict(src.dtypes).get("ts")
-    ts = (F.timestamp_micros(F.expr("ts div 1000")) if ts_col == "bigint"
-          else F.col("ts"))
+    src = events_stream(spark, sf_dir)
     agg = (
-        src.select(ts.alias("ts"), "event_type")
+        src.select("ts", "event_type")
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -79,15 +69,8 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    ts_col = dict(src.dtypes).get("ts")
-    ts = (F.timestamp_micros(F.expr("ts div 1000")) if ts_col == "bigint"
-          else F.col("ts"))
-    ev = src.select(ts.alias("ts"), "user_id", "event_id", "value")
+    src = events_stream(spark, sf_dir)
+    ev = src.select("ts", "user_id", "event_id", "value")
 
     out_schema = ("user_id long, session_id long, "
                   "session_start timestamp, session_end timestamp, "
@@ -151,18 +134,12 @@ def enriched_counts_stream(
     a stream-static join is re-read per micro-batch and broadcast —
     no state beyond the windowed counts, so this is the scale-correct
     shape for dimension enrichment on an unbounded stream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    ts_col = dict(src.dtypes).get("ts")
-    ts = (F.timestamp_micros(F.expr("ts div 1000")) if ts_col == "bigint"
-          else F.col("ts"))
+    src = events_stream(spark, sf_dir)
     cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
             .select(F.col("c_custkey").alias("user_id"),
                     F.col("c_mktsegment").alias("segment")))
     agg = (
-        src.select(ts.alias("ts"), "user_id")
+        src.select("ts", "user_id")
         .join(cust, "user_id")  # stream-static broadcast join
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "segment")

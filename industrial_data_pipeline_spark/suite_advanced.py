@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from industrial_data_pipeline_spark.operators import timeseries as TS
-from industrial_data_pipeline_spark.suite_common import archive_analog, load
+from industrial_data_pipeline_spark.suite_common import (
+    archive_analog, events_stream, load)
 from industrial_data_pipeline_spark.suite_ts import _ARCH_SQL, HOUR_US
 
 
@@ -25,14 +26,8 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and expires with the watermark, so state size tracks the active
     key set, not the stream length."""
     table = "idp_stream_dedup"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    ts_col = dict(src.dtypes).get("ts")
-    ts = (F.timestamp_micros(F.expr("ts div 1000")) if ts_col == "bigint"
-          else F.col("ts"))
-    deduped = (src.select(ts.alias("ts"), "user_id", "event_type")
+    src = events_stream(spark, sf_dir)
+    deduped = (src.select("ts", "user_id", "event_type")
                .withWatermark("ts", "1 hour")
                .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
     if any(t.name == table for t in spark.catalog.listTables()):

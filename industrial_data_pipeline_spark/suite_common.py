@@ -10,19 +10,64 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def configure_events_reading(spark: SparkSession) -> None:
+    """Runtime SQL confs so ``events.ts`` parquet reads as a plain LTZ
+    TIMESTAMP whatever physical type the driver generated it with.
+    The caller's session (e.g. the driver's vanilla one) won't have
+    them — both are runtime-settable:
+
+    - ``nanosAsLong``: TIMESTAMP(NANOS) parquet otherwise fails the
+      scan with PARQUET_TYPE_ILLEGAL; read as long ns and convert in
+      :func:`ts_as_timestamp`.
+    - ``inferTimestampNTZ=false``: plain ``timestamp[us]`` parquet
+      (isAdjustedToUTC absent) otherwise infers TIMESTAMP_NTZ, which
+      breaks ``unix_micros``/``withWatermark`` and blocks filter
+      pushdown through a normalizing cast. Session TZ is pinned UTC
+      (session.py), so LTZ values are bit-identical to the oracle's
+      ``CAST(ts AS TIMESTAMP)``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def ts_as_timestamp(dtype: str, col: str = "ts"):
+    """Normalizing expression: whatever ``col`` read as → TIMESTAMP.
+
+    bigint = legacy nanos-as-long (truncate to µs, matching DuckDB's
+    CAST truncation); timestamp_ntz = defensive cast (value-preserving
+    under the UTC session TZ); timestamp = passthrough.
+    """
+    if dtype == "bigint":
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    if dtype == "timestamp_ntz":
+        return F.col(col).cast("timestamp")
+    return F.col(col)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # runtime-settable SQL conf; the caller's session (e.g. the
-        # driver's) won't have it — without it the TIMESTAMP(NANOS)
-        # parquet column fails the scan with PARQUET_TYPE_ILLEGAL.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        configure_events_reading(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) parquet → read as long ns (see
-    # session.py nanosAsLong) and truncate to Spark's µs precision.
-    # Matches the oracle-side CAST(ts AS TIMESTAMP) (DuckDB truncates).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype != "timestamp":
+            df = df.withColumn("ts", ts_as_timestamp(dtype))
     return df
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events table with ``ts`` normalized to
+    TIMESTAMP — shared by every Structured Streaming suite query. The
+    file stream source requires a DIRECTORY path; the glob filter
+    selects just the events file out of the shared sf_dir."""
+    configure_events_reading(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    dtype = dict(src.dtypes).get("ts")
+    if dtype != "timestamp":
+        src = src.withColumn("ts", ts_as_timestamp(dtype))
+    return src
 
 
 def archive_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
