@@ -5,9 +5,13 @@
 Every SQL-expressible operator ships a DuckDB oracle built on the same
 portable hash64 primitive (operators/text.py), so MinHash signatures,
 LSH buckets, SimHash bits and fingerprints are reproduced bit-for-bit
-by the oracle. ANN (hyperplane-LSH / IVF) queries are approximate by
-design → rows-only driver checks, with recall-vs-brute-force asserted
-in tests/test_similarity.py instead.
+by the oracle. The ANN queries (hyperplane-LSH / IVF) are approximate
+w.r.t. BRUTE FORCE but deterministic w.r.t. their own parameters: the
+hyperplanes are md5-derived literal constants and the IVF suite entry
+uses unrefined seed centroids, so the oracle SQL replays the exact
+bucketing/probing (the hyperplane literals are generated into the SQL
+text). Recall-vs-brute-force is additionally asserted in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -331,22 +335,96 @@ ORDER BY cosine_sim DESC, vec_id LIMIT 10
 """
 
 
+_EMB_DIM = 64
+# raw cosine for RANKING (argmax/probe order — Spark compares unrounded
+# doubles there); round only the emitted column
+_COS = ("(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))))")
+_COS6 = f"round({_COS}, 6)"
+
+
+def _plane_arr_sql(table: int, p: int) -> str:
+    """The hyperplane as a DuckDB DOUBLE[] literal — the SAME
+    md5-derived constants the Spark plan folds in
+    (operators/similarity._plane_component), so the oracle's bucket
+    assignment is the engine's, not a re-derivation."""
+    return "[" + ", ".join(repr(SIM._plane_component(table, p, d))
+                           for d in range(_EMB_DIM)) + "]"
+
+
+def _sig_sql(vec: str, table: int, n_planes: int) -> str:
+    """DuckDB twin of operators.similarity.hyperplane_signature."""
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_plane_arr_sql(table, p)})"
+        f" > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return f"({bits})"
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (bucketed) ANN — rows-only driver check; recall vs
-    brute force asserted in tests/test_similarity.py."""
+    """Bucketed ANN: approximate w.r.t. brute force, deterministic
+    w.r.t. the fixed hyperplanes — the oracle replays the bucketing
+    with the same plane literals. Recall vs brute force asserted in
+    tests/test_similarity.py."""
     emb = _load_emb(spark, sf_dir)
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.hyperplane_lsh_topk(emb, qv, k=10, n_tables=8, n_planes=6)
 
 
+def _oracle_ann_lsh() -> str:
+    any_bucket = " OR ".join(
+        f"{_sig_sql('c.v', t, 6)} = {_sig_sql('q.qv', t, 6)}"
+        for t in range(8))
+    cos = _COS6.format(a="f.v", b="q.qv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+f AS (SELECT c.vec_id, c.v FROM c, q WHERE {any_bucket})
+SELECT f.vec_id, {cos} AS cosine_sim
+FROM f, q
+ORDER BY cosine_sim DESC, f.vec_id LIMIT 10
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN — rows-only driver check (approximate by design)."""
+    """IVF ANN with UNREFINED seed centroids (refine_iters=0): the 16
+    lowest-id vectors ARE the centroids, so cell assignment and probe
+    order are pure dot-product facts the oracle replays in SQL. (The
+    Lloyd-refined variant stays available and tested —
+    tests/test_similarity.py — but refined centroids are float-sum-
+    order-dependent and can't be hash-compared across engines.)"""
     emb = _load_emb(spark, sf_dir)
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    assigned, centroids = SIM.ivf_build(emb, n_cells=16)
+    assigned, centroids = SIM.ivf_build(emb, n_cells=16, refine_iters=0)
     return SIM.ivf_topk(assigned, centroids, qv, k=10, nprobe=4)
+
+
+def _oracle_ann_ivf() -> str:
+    asg_cos = _COS.format(a="c.v", b="seed.cv")
+    probe_cos = _COS.format(a="seed.cv", b="q.qv")
+    cos = _COS6.format(a="a.v", b="q.qv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                v AS cv
+         FROM c ORDER BY vec_id LIMIT 16),
+asg AS (SELECT vec_id, v, cell FROM
+          (SELECT c.vec_id, c.v, seed.cell,
+                  row_number() OVER (PARTITION BY c.vec_id
+                                     ORDER BY {asg_cos} DESC, seed.cell)
+                      AS rn
+           FROM c CROSS JOIN seed)
+        WHERE rn = 1),
+probe AS (SELECT cell FROM seed, q
+          ORDER BY {probe_cos} DESC, cell LIMIT 4)
+SELECT a.vec_id, {cos} AS cosine_sim
+FROM asg a JOIN probe USING (cell), q
+ORDER BY cosine_sim DESC, a.vec_id LIMIT 10
+"""
 
 
 # embedding-cosine near-dup: bounded corpus (vec_id < 300) ∪ planted
@@ -398,12 +476,32 @@ SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.9
 
 
 def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (scale path) — rows-only driver
-    check (bucket membership depends on float sign at plane boundaries,
-    not bit-reproducible across engines); recall asserted in
+    """LSH-bucketed embedding near-dup (scale path). The candidate set
+    is a deterministic function of the md5-derived hyperplanes, so the
+    oracle replays the bucketed join with the same plane literals;
+    recall vs brute force additionally asserted in
     tests/test_similarity.py."""
-    return SIM.cosine_pairs_lsh(_emb_dup_corpus(spark, sf_dir), dim=64,
-                                threshold=0.9)
+    return SIM.cosine_pairs_lsh(_emb_dup_corpus(spark, sf_dir),
+                                dim=_EMB_DIM, threshold=0.9)
+
+
+def _oracle_cosine_near_dup_lsh() -> str:
+    # cosine_pairs_lsh defaults: 8 tables × 8 planes; candidates share
+    # a bucket in ANY table (the explode+self-join dedups to the same
+    # pair set this OR-join produces)
+    sig_cols = ", ".join(f"{_sig_sql('embedding', t, 8)} AS s{t}"
+                         for t in range(8))
+    any_bucket = " OR ".join(f"l.s{t} = r.s{t}" for t in range(8))
+    cos = _COS6.format(a="l.embedding", b="r.embedding")
+    return f"""
+WITH corpus AS ({_EMB_DUP_SQL}),
+sg AS (SELECT vec_id, embedding, {sig_cols} FROM corpus),
+p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             {cos} AS cosine_sim
+      FROM sg l JOIN sg r
+        ON l.vec_id < r.vec_id AND ({any_bucket}))
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.9
+"""
 
 
 # --------------------------------------------------------- multimodal
@@ -452,9 +550,10 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q26_simhash": (q_simhash, _oracle_simhash()),
     "q27_simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
     "q28_ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE),
-    "q29_ann_lsh_topk": (q_ann_lsh_topk, None),
-    "q30_ann_ivf_topk": (q_ann_ivf_topk, None),
+    "q29_ann_lsh_topk": (q_ann_lsh_topk, _oracle_ann_lsh()),
+    "q30_ann_ivf_topk": (q_ann_ivf_topk, _oracle_ann_ivf()),
     "q31_multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "q36_cosine_near_dup": (q_cosine_near_dup, ORACLE_COSINE_NEAR_DUP),
-    "q37_cosine_near_dup_lsh": (q_cosine_near_dup_lsh, None),
+    "q37_cosine_near_dup_lsh": (q_cosine_near_dup_lsh,
+                                _oracle_cosine_near_dup_lsh()),
 }
