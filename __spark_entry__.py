@@ -31,9 +31,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, SF0001)
 
 
+# Queries that already hold a green (hash_match) verdict from the
+# round-1 driver run (CORRECTNESS_r01.json). The round-1 run truncated
+# after its first 50 registry entries, so order the dict so the
+# never-checked and previously-failing queries come FIRST — if a
+# future run truncates again, it spends its budget on the queries with
+# no prior verdict instead of re-confirming known-green ones.
+_R01_GREEN = (
+    {f"q{i:02d}" for i in range(1, 29)} | {"q31", "q36", "q42"}
+    | {f"q{i}" for i in range(44, 54)}
+)
+
+
+def _priority(name: str) -> int:
+    return 1 if name.split("_")[0] in _R01_GREEN else 0
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    ordered = sorted(REGISTRY, key=_priority)  # stable: keeps reg order
+    return {name: REGISTRY[name][0] for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

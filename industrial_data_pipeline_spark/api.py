@@ -118,32 +118,38 @@ class Pipeline:
             attribute_ids, start, end)
         if not wide:
             return long_df
+        # ONE dimension-sized driver round-trip yields both the
+        # element-count decision and the pivot column list
         sel = attr.where(F.col("attribute_id").isin(list(attribute_ids)))
+        pairs = (sel.join(
+            F.broadcast(elem.select(
+                "element_id", F.col("name").alias("element_name"))),
+            "element_id")
+            .select("element_id", "name", "element_name").collect())
         if qualify_element is None:
-            n_elem = sel.select("element_id").distinct().count()
-            qualify_element = n_elem > 1
-        if qualify_element:
-            named = (sel.join(elem.select(
-                "element_id", F.col("name").alias("element_name")),
-                "element_id")
-                .select(F.concat_ws("|", "element_name", "name")
-                        .alias("c")))
-        else:
-            named = sel.select(F.col("name").alias("c"))
-        cols = [r["c"] for r in named.distinct().collect()]
+            qualify_element = len({r["element_id"] for r in pairs}) > 1
+        names = ([f"{r['element_name']}|{r['name']}" for r in pairs]
+                 if qualify_element else [r["name"] for r in pairs])
+        cols = list(dict.fromkeys(names))
         return pivot_wide(long_df, cols, qualify_element=qualify_element)
 
     def export(self, database: str, attribute_ids: list[int], path: str,
                fmt: str = "csv", start=None, end=None) -> dict:
         """POST /api/download (web_app.py:115-186)."""
         df = self.get_timeseries(database, attribute_ids, start, end)
+        # row count via an Observation on the write job itself — a
+        # plain df.count() afterwards would re-run the whole
+        # filter+join+pivot plan a second time
+        from pyspark.sql import Observation
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if fmt == "csv":
             export_csv(df, path)
         elif fmt == "parquet":
             export_parquet(df, path)
         else:
             raise ValueError(f"unsupported format: {fmt}")
-        return {"filename": path, "rows": df.count(),
+        return {"filename": path, "rows": obs.get["rows"],
                 "columns": len(df.columns)}
 
     # ------------------------------------------------ management plane

@@ -186,10 +186,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
-                        round_dp: int = 6) -> DataFrame:
+                        round_dp: int = 6,
+                        guard_limit: int | None = 10_000) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (no LSH prefilter) — the
     small-corpus baseline and the oracle for minhash_lsh_pairs recall.
-    O(n²): do not run on large tables; use minhash_lsh_pairs."""
+    O(n²) by design: ``guard_limit`` hard-refuses inputs where the
+    self-join would explode (pass None only in tests that know
+    better); use minhash_lsh_pairs at scale."""
+    _guard_quadratic(df, guard_limit, "ngram_jaccard_pairs",
+                     "minhash_lsh_pairs")
     base = df.select(F.col(id_col).alias("_id"),
                      word_shingles(F.col(text_col), k).alias("_sh"))
     a, b = base.alias("a"), base.alias("b")
@@ -199,6 +204,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                     F.round(jaccard(F.col("a._sh"), F.col("b._sh")),
                             round_dp).alias("jaccard_sim"))
             .where(F.col("jaccard_sim") >= threshold))
+
+
+def _guard_quadratic(df: DataFrame, guard_limit: int | None,
+                     op: str, scale_alt: str) -> None:
+    """Refuse to build an all-pairs plan over a large input. One cheap
+    count against a small (already filtered/bounded) input — the
+    alternative is an O(n²) shuffle that looks fine at sf0.1 and melts
+    a cluster at 100×."""
+    if guard_limit is None:
+        return
+    n = df.count()
+    if n > guard_limit:
+        raise ValueError(
+            f"{op} is O(n²) and got {n} rows (guard_limit="
+            f"{guard_limit}); use {scale_alt} at this size")
 
 
 # --------------------------------------------------------------- SimHash

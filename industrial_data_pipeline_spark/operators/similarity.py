@@ -56,10 +56,17 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def cosine_pairs_bruteforce(df: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            round_dp: int = 6) -> DataFrame:
+                            round_dp: int = 6,
+                            guard_limit: int | None = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact O(n²) self-join —
     the small-corpus baseline / oracle. Returns (id_a, id_b,
-    cosine_sim), id_a < id_b. Use :func:`cosine_pairs_lsh` at scale."""
+    cosine_sim), id_a < id_b. ``guard_limit`` hard-refuses inputs
+    where the self-join would explode; use :func:`cosine_pairs_lsh`
+    at scale."""
+    from industrial_data_pipeline_spark.operators.dedup import \
+        _guard_quadratic
+    _guard_quadratic(df, guard_limit, "cosine_pairs_bruteforce",
+                     "cosine_pairs_lsh")
     withn = df.select(F.col(id_col).alias("_id"),
                       _as_double(F.col(vec_col)).alias("_v")) \
         .withColumn("_n", _norm(F.col("_v")))

@@ -53,10 +53,17 @@ def test_lookup_dispatch(pipe):
     assert len(exact) == 1 and exact[0].name == "FanA"
 
 
-def test_export_pipeline(pipe, tmp_path):
+def test_export_pipeline(pipe, tmp_path, monkeypatch):
     out = str(tmp_path / "export.csv")
+    # the row count must come from an Observation on the write job —
+    # a count() here would re-execute the filter+join+pivot plan
+    from pyspark.sql import DataFrame
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: pytest.fail("export re-executed the plan via count()"))
     res = pipe.export("plant", [2, 3], out, fmt="csv",
                       start=T0, end=datetime(2025, 1, 1, 0, 9))
+    monkeypatch.undo()
     assert res["rows"] == 10  # minutes 0..9
     # >1 element → element|attribute qualified columns (§2.12.1 fix)
     df = pipe.get_timeseries("plant", [2, 3], start=T0,
