@@ -629,3 +629,6 @@ REGISTRY.update(REGISTRY_ADVANCED)
 from industrial_data_pipeline_spark.suite_sketches import REGISTRY_SKETCHES  # noqa: E402
 
 REGISTRY.update(REGISTRY_SKETCHES)
+from industrial_data_pipeline_spark.suite_mgmt import REGISTRY_MGMT  # noqa: E402
+
+REGISTRY.update(REGISTRY_MGMT)

@@ -1,0 +1,450 @@
+"""Driver-facing suite, part 12 (q112–q121): the MANAGEMENT PLANE as
+oracle-checkable queries. Round-1 left D1–D6, D8, D9, T1–T3, T5,
+F7–F10, S5, S8–S10 verified only by pytest; each query here runs a
+real ``Pipeline``/``ParquetStore``/ingest/streaming flow against a
+throwaway store seeded deterministically from the sf tables, reads the
+result BACK from storage (so the parquet round-trip is part of what is
+checked), and emits a table DuckDB can recompute from the raw inputs.
+
+Fixture mapping (deterministic across SFs):
+- element dim  ← region (level 0, id = r_regionkey+1)
+               ∪ nation (level 1, id = n_nationkey+10, parent = region)
+- attribute    ← customer c_custkey < N (element = nation analog)
+- archive      ← hourly avg of events per user (values rounded to 6dp
+  at seed time so derived-formula arithmetic is bit-identical between
+  the engine and the oracle)
+
+Every store is a ``tempfile.mkdtemp`` cleaned up after the result is
+materialized with ``localCheckpoint`` — the returned DataFrame must
+outlive the store it was read from.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from industrial_data_pipeline_spark.api import Pipeline
+from industrial_data_pipeline_spark.suite_common import load
+
+DB = "plant"
+
+
+def _pipe(spark: SparkSession) -> tuple[Pipeline, str]:
+    root = tempfile.mkdtemp(prefix="idp_mgmt_")
+    return Pipeline(spark, root), root
+
+
+def _finish(df: DataFrame, root: str) -> DataFrame:
+    """Materialize before the store under it disappears."""
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _element_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select(
+        F.lit(0).cast("int").alias("level"),
+        (F.col("r_regionkey") + 1).cast("long").alias("element_id"),
+        F.col("r_name").alias("name"),
+        F.lit(None).cast("long").alias("parent_id"))
+    nation = load(spark, sf_dir, "nation").select(
+        F.lit(1).cast("int").alias("level"),
+        (F.col("n_nationkey") + 10).cast("long").alias("element_id"),
+        F.col("n_name").alias("name"),
+        (F.col("n_regionkey") + 1).cast("long").alias("parent_id"))
+    return region.unionByName(nation)
+
+
+def _attribute_dim(spark: SparkSession, sf_dir: str,
+                   n_cust: int) -> DataFrame:
+    return load(spark, sf_dir, "customer") \
+        .where(F.col("c_custkey") < n_cust).select(
+            (F.col("c_nationkey") + 10).cast("long").alias("element_id"),
+            F.col("c_custkey").cast("long").alias("attribute_id"),
+            F.col("c_name").alias("name"),
+            F.lit(None).cast("string").alias("kks"),
+            F.lit(None).cast("string").alias("formula"))
+
+
+def _hourly_archive(spark: SparkSession, sf_dir: str,
+                    user_ids: list[int]) -> DataFrame:
+    """events → per-(user, hour) avg, rounded at seed time (see module
+    docstring)."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isin(user_ids))
+    return (ev.groupBy(
+        F.col("user_id").alias("attribute_id"),
+        F.date_trunc("hour", "ts").alias("timestamp"))
+        .agg(F.round(F.avg("value"), 6).alias("value")))
+
+
+_HOURLY_SQL = """
+SELECT user_id AS attribute_id,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS "timestamp",
+       round(avg(value), 6) AS value
+FROM events WHERE user_id IN ({ids}) GROUP BY 1, 2
+"""
+
+
+def _seed(spark: SparkSession, sf_dir: str, n_cust: int = 50,
+          archive_users: list[int] | None = None) -> tuple[Pipeline, str]:
+    pipe, root = _pipe(spark)
+    pipe.create_database(DB)
+    pipe.store.overwrite_dim(DB, "element", _element_dim(spark, sf_dir))
+    pipe.store.overwrite_dim(DB, "attribute",
+                             _attribute_dim(spark, sf_dir, n_cust))
+    if archive_users:
+        pipe.store.append_archive(
+            DB, _hourly_archive(spark, sf_dir, archive_users))
+    return pipe, root
+
+
+# ------------------------------------------- q112 store round-trip (D1/S8)
+
+def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 create + S8 bulk load + S7 parquet round-trip: write the three
+    tables, read them back from disk, emit per-table row counts."""
+    pipe, root = _seed(spark, sf_dir, n_cust=50, archive_users=[1, 2, 3])
+    counts = [("archive", pipe.store.archive_values(DB).count()),
+              ("attribute", pipe.store.attribute(DB).count()),
+              ("element", pipe.store.element(DB).count())]
+    out = spark.createDataFrame(counts, "table_name string, n_rows long")
+    return _finish(out, root)
+
+
+ORACLE_STORE_ROUNDTRIP = """
+SELECT 'archive' AS table_name,
+       (SELECT count(*) FROM
+         (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+          FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2))
+           AS n_rows
+UNION ALL
+SELECT 'attribute', (SELECT count(*) FROM customer WHERE c_custkey < 50)
+UNION ALL
+SELECT 'element', (SELECT count(*) + 5 FROM nation)
+"""
+
+
+# ---------------------------------------------- q113 insert element (D4)
+
+def q_insert_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: id = max+1 allocation + dim overwrite, read back from disk."""
+    pipe, root = _seed(spark, sf_dir, n_cust=10)
+    new_id = pipe.insert_element(DB, "NEW_UNIT", parent_id=1, level=1)
+    elem = pipe.store.element(DB)
+    out = (elem.where(F.col("element_id") == new_id)
+           .select("element_id", "name", "parent_id", "level")
+           .crossJoin(elem.agg(F.count("*").alias("n_elements"))))
+    return _finish(out, root)
+
+
+ORACLE_INSERT_ELEMENT = """
+SELECT (SELECT max(n_nationkey) + 11 FROM nation)::BIGINT AS element_id,
+       'NEW_UNIT' AS name, 1::BIGINT AS parent_id, 1 AS level,
+       (SELECT count(*) + 6 FROM nation) AS n_elements
+"""
+
+
+# ----------------------------- q114 insert derived + backfill (D5/P10/J3)
+
+_FORMULA = "($1 + $2) / 2"
+
+_DERIVED_SQL = """
+wide AS (
+  SELECT "timestamp",
+         any_value(value) FILTER (WHERE attribute_id = 1) AS v1,
+         any_value(value) FILTER (WHERE attribute_id = 2) AS v2
+  FROM hourly GROUP BY 1)
+"""
+
+
+def q_insert_attribute_backfill(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """D5: derived-attribute insert with formula validation and
+    first-wins history backfill ($1+$2)/2 over the seeded hourly
+    archive; emits the derived history read back from the store."""
+    pipe, root = _seed(spark, sf_dir, n_cust=50, archive_users=[1, 2])
+    did = pipe.insert_attribute(DB, element_id=10, name="Calc",
+                                formula=_FORMULA)
+    out = (pipe.store.archive_values(DB)
+           .where(F.col("attribute_id") == did)
+           .select("attribute_id", "timestamp",
+                   F.round("value", 6).alias("value")))
+    return _finish(out, root)
+
+
+ORACLE_INSERT_ATTRIBUTE = f"""
+WITH hourly AS ({_HOURLY_SQL.format(ids="1, 2")}),
+{_DERIVED_SQL}
+SELECT 50::BIGINT AS attribute_id, "timestamp",
+       round((v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0), 6) AS value
+FROM wide
+WHERE (v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0) IS NOT NULL
+"""
+
+
+# -------------------------------------- q115 update derived formula (D6)
+
+def q_update_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: formula change on a derived attribute → old history deleted,
+    new formula recomputed ($1*2); emits the full post-update history
+    of the derived id (proves the old rows are gone too)."""
+    pipe, root = _seed(spark, sf_dir, n_cust=50, archive_users=[1, 2])
+    did = pipe.insert_attribute(DB, element_id=10, name="Calc",
+                                formula=_FORMULA)
+    pipe.update_attribute(DB, did, formula="$1 * 2")
+    out = (pipe.store.archive_values(DB)
+           .where(F.col("attribute_id") == did)
+           .select("attribute_id", "timestamp",
+                   F.round("value", 6).alias("value")))
+    return _finish(out, root)
+
+
+ORACLE_UPDATE_ATTRIBUTE = f"""
+WITH hourly AS ({_HOURLY_SQL.format(ids="1, 2")})
+SELECT 50::BIGINT AS attribute_id, "timestamp",
+       round(value * 2, 6) AS value
+FROM hourly WHERE attribute_id = 1 AND value * 2 IS NOT NULL
+"""
+
+
+# ------------------------------------------ q116 delete attribute (D8)
+
+def q_delete_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: attribute + archive cascade; emits the reference's count
+    dict plus post-state counts read back from the store."""
+    pipe, root = _seed(spark, sf_dir, n_cust=50,
+                       archive_users=[1, 2, 3, 4, 5])
+    res = pipe.delete_attribute(DB, 3)
+    out = spark.createDataFrame(
+        [(res["attributes_deleted"], res["archive_records_deleted"],
+          pipe.store.attribute(DB).count(),
+          pipe.store.archive_values(DB).count())],
+        "attributes_deleted long, archive_records_deleted long, "
+        "attrs_remaining long, archive_remaining long")
+    return _finish(out, root)
+
+
+ORACLE_DELETE_ATTRIBUTE = """
+WITH h AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t
+           FROM events WHERE user_id IN (1, 2, 3, 4, 5) GROUP BY 1, 2)
+SELECT 1::BIGINT AS attributes_deleted,
+       (SELECT count(*) FROM h WHERE user_id = 3)
+           AS archive_records_deleted,
+       (SELECT count(*) - 1 FROM customer WHERE c_custkey < 50)
+           AS attrs_remaining,
+       (SELECT count(*) FROM h WHERE user_id <> 3) AS archive_remaining
+"""
+
+
+# ------------------------------------- q117 mapping regen + reload (D9/S5)
+
+def q_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 regenerate {path: id} from the catalog → F10 JSON write →
+    S5 reload → J7 broadcastable mapping table. Emits the mapping rows
+    after the full file round-trip."""
+    from industrial_data_pipeline_spark.sources.mapping import (
+        load_mapping, mapping_df)
+    pipe, root = _seed(spark, sf_dir, n_cust=30)
+    path = os.path.join(root, "db_map.json")
+    pipe.update_mapping_cache(DB, path)
+    out = mapping_df(spark, load_mapping(path))
+    return _finish(out, root)
+
+
+ORACLE_MAPPING_ROUNDTRIP = """
+SELECT r.r_name || '|' || n.n_name || '|' || c.c_name AS lookup_key,
+       c.c_custkey AS attribute_id
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_custkey < 30
+"""
+
+
+# ------------------------------------ q118 ingest cleanse (F7/F8/P8/J7/P9)
+
+def q_ingest_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleanse pipeline on a raw batch derived from events:
+    ISO strings shifted -7h (so the reference's +7h ICT shift, F7,
+    lands back on the original ts), booleans mixed in (F8), unmapped
+    tags dropped (P8/J7), first-wins dedup (P9)."""
+    from industrial_data_pipeline_spark.sources.ingest import cleanse
+    from industrial_data_pipeline_spark.sources.mapping import mapping_df
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    raw = ev.select(
+        F.concat(F.lit("tag_"), F.col("user_id")).alias("lookup_key"),
+        F.date_format(F.col("ts") - F.expr("INTERVAL 7 HOURS"),
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("timestamp"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("true"))
+        .when(F.col("user_id") % 3 == 1, F.lit("false"))
+        .otherwise(F.col("value").cast("string")).alias("value"))
+    mapping = mapping_df(
+        spark, {f"tag_{i}": i for i in range(30)})  # 30..39 unmapped
+    return cleanse(raw, mapping, tz_shift_hours=7)
+
+
+ORACLE_INGEST_CLEANSE = """
+WITH raw AS (
+  SELECT user_id AS attribute_id, CAST(ts AS TIMESTAMP) AS "timestamp",
+         CASE WHEN user_id % 3 = 0 THEN 1.0
+              WHEN user_id % 3 = 1 THEN 0.0
+              ELSE value END AS value
+  FROM events WHERE user_id < 30)
+SELECT attribute_id, "timestamp", min(value) AS value
+FROM raw GROUP BY 1, 2
+"""
+
+
+# --------------------------- q119 watermark + density + recovery (T1-T3)
+
+_T0 = "2024-03-01 08:00:00"
+_WM = "2024-03-01 08:01:00"
+_NOW = "2024-03-01 10:05:00"
+
+
+def q_ingest_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 watermark resume + T2 density circuit breaker + T3 59-minute
+    block recovery, end to end: a 3-tag minute-grid fetcher against an
+    expected density of 10 rows/min trips the breaker; recovery
+    re-pulls in blocks without enforcement. Emits the run's ledger."""
+    from industrial_data_pipeline_spark.sources.ingest import (
+        IncrementalIngestor)
+    from industrial_data_pipeline_spark.sources.mapping import mapping_df
+    pipe, root = _pipe(spark)
+    pipe.create_database(DB)
+    pipe.store.append_archive(DB, spark.createDataFrame(
+        [(1, datetime.fromisoformat(_T0), 0.0)],
+        "attribute_id long, timestamp timestamp, value double"))
+    fetches = []
+
+    def fetch(start: datetime, end: datetime) -> DataFrame:
+        fetches.append((start, end))
+        minutes = spark.sql(
+            f"SELECT explode(sequence(timestamp'{start}', "
+            f"timestamp'{end}', interval 1 minute)) AS m")
+        tags = spark.createDataFrame(
+            [(f"tag_{i}",) for i in (1, 2, 3)], "lookup_key string")
+        return minutes.crossJoin(tags).select(
+            "lookup_key",
+            F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+            F.expr("cast(cast(unix_timestamp(m) / 60 AS BIGINT) % 997 "
+                   "AS string)").alias("value"))
+
+    ing = IncrementalIngestor(
+        spark, pipe.store, DB,
+        mapping_df(spark, {f"tag_{i}": i for i in (1, 2, 3)}),
+        fetch, expected_rows_per_min=10, tz_shift_hours=0)
+    wm = ing.watermark()
+    appended = ing.run(datetime.fromisoformat(_NOW))
+    arch = pipe.store.archive_values(DB)
+    out = spark.createDataFrame(
+        [(wm, appended, len(fetches), arch.count(),
+          arch.agg(F.max("timestamp")).first()[0])],
+        "watermark timestamp, rows_appended long, n_fetches long, "
+        "archive_rows long, max_ts timestamp")
+    return _finish(out, root)
+
+
+ORACLE_INGEST_RECOVERY = f"""
+WITH m AS (SELECT count(*) AS mins FROM generate_series(
+    TIMESTAMP '{_WM}', TIMESTAMP '{_NOW}', INTERVAL 1 MINUTE))
+SELECT TIMESTAMP '{_WM}' AS watermark,
+       (mins * 3)::BIGINT AS rows_appended,
+       4::BIGINT AS n_fetches,
+       (mins * 3 + 1)::BIGINT AS archive_rows,
+       TIMESTAMP '{_NOW}' AS max_ts
+FROM m
+"""
+
+
+# ----------------------------------- q120 streaming CSV round-trip (S9)
+
+def q_stream_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: constant-driver-memory CSV streaming (toLocalIterator) —
+    the emitted text is parsed back into rows, so header, escaping and
+    completeness are all under the hash check."""
+    from industrial_data_pipeline_spark.operators.table_export import (
+        export_table, stream_csv)
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 97 == 0)
+    df = export_table(orders, "none").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    text = "".join(stream_csv(df, chunk_rows=500))
+    lines = text.splitlines()
+    assert lines[0] == "o_orderkey,o_custkey,o_orderpriority"
+    rows = [(int(k), int(c), p)
+            for k, c, p in (ln.split(",") for ln in lines[1:])]
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderpriority string")
+
+
+ORACLE_STREAM_CSV = """
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+# ------------------------------- q121 streaming derived maintenance (T5)
+
+def q_derived_maintenance_stream(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """T5: the trigger-parity maintenance job as an actual Structured
+    Streaming run — source rows land as parquet files in a staging dir,
+    foreachBatch appends them (last-wins) and recomputes affected
+    derived timestamps. Attribute 1's rows arrive in a separate file
+    from attribute 2's, so the derived values depend on the archive
+    sibling lookup, not on intra-batch luck. Emits the derived history
+    read back from the store."""
+    from industrial_data_pipeline_spark.streaming.derived import (
+        DerivedMaintenance)
+    pipe, root = _seed(spark, sf_dir, n_cust=3)
+    did = pipe.insert_attribute(DB, element_id=10, name="Calc",
+                                formula=_FORMULA, backfill=False)
+    staging = os.path.join(root, "staging")
+    checkpoint = os.path.join(root, "ckpt")
+    hourly = _hourly_archive(spark, sf_dir, [1, 2])
+    for attr in (1, 2):  # one file per source attribute
+        (hourly.where(F.col("attribute_id") == attr).coalesce(1)
+         .write.mode("append").parquet(staging))
+    q = DerivedMaintenance(spark, pipe.store, DB).attach_staging_dir(
+        staging, checkpoint)
+    q.processAllAvailable()
+    q.stop()
+    out = (pipe.store.archive_values(DB)
+           .where(F.col("attribute_id") == did)
+           .select("attribute_id", "timestamp",
+                   F.round("value", 6).alias("value")))
+    return _finish(out, root)
+
+
+ORACLE_DERIVED_MAINTENANCE = f"""
+WITH hourly AS ({_HOURLY_SQL.format(ids="1, 2")}),
+{_DERIVED_SQL}
+SELECT 3::BIGINT AS attribute_id, "timestamp",
+       round((v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0), 6) AS value
+FROM wide
+WHERE (v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0) IS NOT NULL
+"""
+
+
+REGISTRY_MGMT: dict[str, tuple] = {
+    "q112_store_roundtrip": (q_store_roundtrip, ORACLE_STORE_ROUNDTRIP),
+    "q113_insert_element": (q_insert_element, ORACLE_INSERT_ELEMENT),
+    "q114_insert_attribute_backfill": (q_insert_attribute_backfill,
+                                       ORACLE_INSERT_ATTRIBUTE),
+    "q115_update_attribute": (q_update_attribute, ORACLE_UPDATE_ATTRIBUTE),
+    "q116_delete_attribute": (q_delete_attribute, ORACLE_DELETE_ATTRIBUTE),
+    "q117_mapping_roundtrip": (q_mapping_roundtrip,
+                               ORACLE_MAPPING_ROUNDTRIP),
+    "q118_ingest_cleanse": (q_ingest_cleanse, ORACLE_INGEST_CLEANSE),
+    "q119_ingest_recovery": (q_ingest_recovery, ORACLE_INGEST_RECOVERY),
+    "q120_stream_csv_roundtrip": (q_stream_csv_roundtrip,
+                                  ORACLE_STREAM_CSV),
+    "q121_derived_maintenance_stream": (q_derived_maintenance_stream,
+                                        ORACLE_DERIVED_MAINTENANCE),
+}
