@@ -1,0 +1,193 @@
+"""PI Web API source with an injectable transport (S2/S3).
+
+The reference talks to a real PI Web API server in two places:
+
+- batch extraction (/root/reference/src/pi/extraction/ingest.py:91-133):
+  one POST ``{base}/batch`` whose body fans out one interpolated GET
+  per WebId, then flattens ``Content.Items[].Items[]`` into
+  (lookup_key=Path, timestamp, value) rows, substituting ``None`` for
+  dict-valued errors;
+- hierarchy crawl (/root/reference/src/pi/tree_generator.py:38-116):
+  ``/assetservers`` → ``/assetdatabases`` → recursive
+  ``/elements/{id}/elements``, collecting leaf attributes (with the
+  Point link's name as the kks) into the tree-cache JSON that
+  ``sources/tree.py`` loads.
+
+Here the HTTP layer is a *seam*: ``transport(method, url, body) →
+parsed JSON``. Production wires ``requests_transport()`` (import-gated
+— the sandbox has no network); tests and the sandboxed suite inject a
+fake serving the same wire shapes. Everything downstream of the
+transport — request building, response flattening, cleansing, the
+crawler — is identical either way, so S2/S3 are real code paths, not
+stubs.
+
+The batch *response* is row-oriented JSON assembled driver-side; the
+result immediately becomes a RAW_SCHEMA DataFrame and every subsequent
+step (cleanse → mapping join → dedup → append) is columnar Spark. One
+pull is minutes of data for one site (reference density ~5k rows/min)
+— driver-side JSON parsing of that is the same cost the reference
+pays; the 100 TB archive never transits this path in bulk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from industrial_data_pipeline_spark.sources.ingest import RAW_SCHEMA
+
+Transport = Callable[[str, str, "dict | None"], Any]
+
+SELECTED_FIELDS = "Items.Path;Items.Items.Timestamp;Items.Items.Value"
+
+
+def requests_transport(username: str, password: str,
+                       verify: bool = False) -> Transport:
+    """The production transport (NTLM session, like the reference's
+    ``get_api``/``session.post``). Import-gated: the libraries are
+    absent in the sandbox, and nothing else in the engine needs them."""
+    import requests  # noqa: F401  (gated import)
+    from requests_ntlm import HttpNtlmAuth
+
+    session = requests.Session()
+    session.verify = verify
+    session.auth = HttpNtlmAuth(username, password)
+
+    def transport(method: str, url: str, body: dict | None = None):
+        r = (session.post(url, json=body, timeout=3000)
+             if method == "POST" else session.get(url, timeout=3000))
+        r.raise_for_status()
+        return r.json()
+
+    return transport
+
+
+# ------------------------------------------------------- batch extraction
+
+
+def build_batch_request(base_url: str, webids: dict[str, str],
+                        start: str, end: str,
+                        interval: str = "1m") -> dict[str, dict]:
+    """The reference's bulk request body (ingest.py:95-103): one
+    ``request_{i}`` interpolated GET per non-empty WebId."""
+    body: dict[str, dict] = {}
+    for idx, (_tag, webid) in enumerate(webids.items(), start=1):
+        if webid is None or webid in ("", "null"):
+            continue
+        body[f"request_{idx}"] = {
+            "method": "GET",
+            "resource": (
+                f"{base_url}/streamsets/{webid}/interpolated"
+                f"?startTime={start}&endTime={end}&interval={interval}"
+                f"&selectedFields={SELECTED_FIELDS}"),
+        }
+    return body
+
+
+def flatten_batch_response(batch_data: dict) -> list[tuple]:
+    """``Content.Items[].Items[]`` → (lookup_key, timestamp, value)
+    rows; dict values (PI error objects) → None (ingest.py:110-124)."""
+    rows: list[tuple] = []
+    for _name, request_data in batch_data.items():
+        for item in request_data.get("Content", {}).get("Items", []):
+            path_key = item["Path"]
+            for val_entry in item.get("Items", []):
+                val = val_entry["Value"]
+                if isinstance(val, dict):
+                    val = None
+                rows.append((path_key, val_entry["Timestamp"],
+                             None if val is None else str(val)))
+    return rows
+
+
+def fetch_interpolated(spark: SparkSession, transport: Transport,
+                       base_url: str, webids: dict[str, str],
+                       start: str, end: str,
+                       interval: str = "1m") -> DataFrame:
+    """One batched pull → RAW_SCHEMA DataFrame (S2). Plug the result
+    into :func:`~..sources.ingest.cleanse` or wrap with
+    :func:`make_fetch_fn` for :class:`IncrementalIngestor`."""
+    body = build_batch_request(base_url, webids, start, end, interval)
+    resp = transport("POST", f"{base_url}/batch", body)
+    return spark.createDataFrame(flatten_batch_response(resp), RAW_SCHEMA)
+
+
+def make_fetch_fn(spark: SparkSession, transport: Transport,
+                  base_url: str, webids: dict[str, str],
+                  interval: str = "1m"):
+    """Adapter: the ingestor's ``fetch_fn(start, end)`` seam backed by
+    the PI batch endpoint. Timestamps go out in the ISO form the PI
+    API accepts (and the reference sends)."""
+
+    def fetch(start: datetime, end: datetime) -> DataFrame:
+        return fetch_interpolated(
+            spark, transport, base_url, webids,
+            start.isoformat(), end.isoformat(), interval)
+
+    return fetch
+
+
+# -------------------------------------------------------- hierarchy crawl
+
+
+def _attributes_of(transport: Transport, base_url: str,
+                   webid: str) -> list[dict]:
+    """Leaf attributes incl. the Point link's name as kks
+    (tree_generator.py:38-57); a failing Point lookup → kks None."""
+    data = transport("GET", f"{base_url}/elements/{webid}/attributes",
+                     None)
+    out = []
+    for attr in data.get("Items", []):
+        kks = None
+        point_url = (attr.get("Links") or {}).get("Point")
+        if point_url:
+            try:
+                kks = transport("GET", point_url, None)["Name"]
+            except Exception:
+                kks = None
+        out.append({"name": attr["Name"], "webid": attr["WebId"],
+                    "type": attr.get("Type", "Unknown"),
+                    "path": attr.get("Path", ""), "kks": kks})
+    return out
+
+
+def crawl_node(transport: Transport, base_url: str, name: str,
+               webid: str, is_db: bool = False) -> dict:
+    """Recursive walk (tree_generator.py:62-101): child elements via
+    ``/elements/{id}/elements`` (or ``/assetdatabases/{id}/elements``
+    for the root), attributes only at leaves. Output is exactly the
+    tree-cache node shape ``sources/tree.py`` flattens."""
+    kind = "assetdatabases" if is_db else "elements"
+    try:
+        data = transport("GET", f"{base_url}/{kind}/{webid}/elements",
+                         None)
+        items = data.get("Items", [])
+        attributes = ([] if items or is_db
+                      else _attributes_of(transport, base_url, webid))
+        children = [crawl_node(transport, base_url, it["Name"],
+                               it["WebId"]) for it in items]
+        return {"name": name, "webid": webid, "children": children,
+                "attributes": attributes,
+                "is_leaf": not children and not is_db}
+    except Exception:
+        # reference degrades the subtree to an empty leaf on error
+        return {"name": name, "webid": webid, "children": [],
+                "attributes": [], "is_leaf": True}
+
+
+def crawl_server(transport: Transport, base_url: str,
+                 database_filter: Callable[[str], bool] = lambda _n: True
+                 ) -> list[dict]:
+    """S3: full crawl — first asset server, each of its databases that
+    passes ``database_filter`` (the reference prompts per database)."""
+    servers = transport("GET", f"{base_url}/assetservers", None)
+    server_webid = servers["Items"][0]["WebId"]
+    dbs = transport(
+        "GET", f"{base_url}/assetservers/{server_webid}/assetdatabases",
+        None)
+    return [crawl_node(transport, base_url, db["Name"], db["WebId"],
+                       is_db=True)
+            for db in dbs.get("Items", []) if database_filter(db["Name"])]

@@ -432,6 +432,57 @@ WHERE (v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0) IS NOT NULL
 """
 
 
+# ------------------------------------ q122 PI batch source seam (S2/J7)
+
+def q_pi_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end to end through the REAL request/flatten code path
+    (sources/pi_client.py): a deterministic fake transport answers the
+    PI batch wire shape with events-derived payloads; the engine
+    builds the bulk request, flattens Content.Items[].Items[], and
+    cleanses (+7h shift, coercion, mapping join, dedup). Only the
+    socket is faked — same seam production injects requests into."""
+    from industrial_data_pipeline_spark.sources import pi_client as PI
+    from industrial_data_pipeline_spark.sources.ingest import cleanse
+    from industrial_data_pipeline_spark.sources.mapping import mapping_df
+    ev = (load(spark, sf_dir, "events").where(F.col("user_id") < 10)
+          .select("user_id",
+                  F.date_format(F.col("ts") - F.expr("INTERVAL 7 HOURS"),
+                                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                  .alias("iso"),
+                  F.col("value").cast("string").alias("v"))
+          .collect())  # wire payloads are driver-side JSON by nature
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            {"Timestamp": r["iso"], "Value": r["v"]})
+
+    def transport(method: str, url: str, body: dict | None = None):
+        assert method == "POST" and url.endswith("/batch")
+        out = {}
+        for rname, req in (body or {}).items():
+            webid = req["resource"].split("/streamsets/")[1].split("/")[0]
+            uid = int(webid.removeprefix("W"))
+            out[rname] = {"Content": {"Items": [
+                {"Path": f"\\\\SRV\\Plant|tag_{uid}",
+                 "Items": by_user.get(uid, [])}]}}
+        return out
+
+    raw = PI.fetch_interpolated(
+        spark, transport, "https://pi.example/piwebapi",
+        {f"tag_{i}": f"W{i}" for i in range(10)},
+        "2024-01-01T00:00:00Z", "2024-12-31T00:00:00Z")
+    mapping = mapping_df(
+        spark, {f"\\\\SRV\\Plant|tag_{i}": i for i in range(10)})
+    return cleanse(raw, mapping, tz_shift_hours=7)
+
+
+ORACLE_PI_BATCH_SOURCE = """
+SELECT user_id AS attribute_id, CAST(ts AS TIMESTAMP) AS "timestamp",
+       min(value) AS value
+FROM events WHERE user_id < 10 GROUP BY 1, 2
+"""
+
+
 REGISTRY_MGMT: dict[str, tuple] = {
     "q112_store_roundtrip": (q_store_roundtrip, ORACLE_STORE_ROUNDTRIP),
     "q113_insert_element": (q_insert_element, ORACLE_INSERT_ELEMENT),
@@ -447,4 +498,5 @@ REGISTRY_MGMT: dict[str, tuple] = {
                                   ORACLE_STREAM_CSV),
     "q121_derived_maintenance_stream": (q_derived_maintenance_stream,
                                         ORACLE_DERIVED_MAINTENANCE),
+    "q122_pi_batch_source": (q_pi_batch_source, ORACLE_PI_BATCH_SOURCE),
 }
