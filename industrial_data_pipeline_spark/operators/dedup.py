@@ -174,8 +174,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                 F.col("r._id").alias("id_b"))
         .distinct()
     )
-    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # re-shingle ONLY the candidate survivors for the exact verify:
+    # shingling the full corpus three times (sigs + both join sides)
+    # is the dominant cost when the candidate set is small — which is
+    # exactly the regime LSH is for
+    surv = (cand.select(F.col("id_a").alias("_id"))
+            .union(cand.select("id_b")).distinct())
+    shingled = (df.select(F.col(id_col).alias("_id"), F.col(text_col))
+                .join(surv, "_id")
+                .select("_id", word_shingles(F.col(text_col), k)
+                        .alias("_sh")))
+    a = shingled.select(F.col("_id").alias("id_a"),
+                        F.col("_sh").alias("_sha"))
+    b = shingled.select(F.col("_id").alias("id_b"),
+                        F.col("_sh").alias("_shb"))
     return (cand.join(a, "id_a").join(b, "id_b")
             .withColumn("jaccard_sim",
                         F.round(jaccard(F.col("_sha"), F.col("_shb")),

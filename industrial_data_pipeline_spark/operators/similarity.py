@@ -93,14 +93,10 @@ def cosine_pairs_lsh(df: DataFrame, dim: int, threshold: float = 0.9,
                      _as_double(F.col(vec_col)).alias("_v"))
     sigs = base.select(
         "_id",
-        *[hyperplane_signature(F.col("_v"), dim, t, n_planes)
-          .alias(f"_s{t}") for t in range(n_tables)])
-    buckets = sigs.select(
-        "_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("b"))
-            for t in range(n_tables)])).alias("_tb")
-    ).select("_id", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+        hyperplane_signatures(F.col("_v"), dim, n_tables, n_planes)
+        .alias("_sigs"))
+    buckets = (sigs.select("_id", F.posexplode("_sigs"))
+               .withColumnsRenamed({"pos": "_t", "col": "_b"}))
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (l.join(r, (F.col("l._t") == F.col("r._t"))
                    & (F.col("l._b") == F.col("r._b"))
@@ -150,6 +146,40 @@ def hyperplane_signature(vec_col: Column, dim: int, table: int = 0,
     return sig
 
 
+def hyperplane_signatures(vec_col: Column, dim: int, n_tables: int,
+                          n_planes: int) -> Column:
+    """ALL tables' signatures at once as ``array<long>`` — one
+    Arrow-vectorized matmul against the (tables·planes × dim) plane
+    matrix instead of tables·planes literal-array fold expressions.
+
+    Why a pandas UDF here, against the repo's JVM-first rule: the
+    expression form is ~n_tables·n_planes·dim literal nodes (4096 at
+    8×8×64), which costs seconds of Catalyst analysis + codegen
+    compile per query and evaluates element-at-a-time with a per-plane
+    array allocation; the matmul is one BLAS call per Arrow batch.
+    Same md5-derived plane constants (:func:`_plane_component`), so
+    bucket assignment stays reproducible in SQL oracles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [[_plane_component(t, p, d) for d in range(dim)]
+         for t in range(n_tables) for p in range(n_planes)])  # (T·P, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def _sigs(v):
+        mat = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (mat @ planes.T > 0).astype(np.int64)
+        sigs = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(list(sigs))
+
+    # real annotation objects: `from __future__ import annotations`
+    # would stringify inline hints beyond pyspark's resolver
+    _sigs.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_sigs, "array<long>")(vec_col)
+
+
 def hyperplane_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         n_tables: int = 8, n_planes: int = 6,
@@ -161,9 +191,7 @@ def hyperplane_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
     At scale the table signatures are precomputed, stored as columns
     and the filter becomes a partition-/row-group-prunable predicate;
-    here they are computed inline in one narrow scan."""
-    import math
-
+    here they are computed in one vectorized pass over the scan."""
     dim = len(query_vec)
 
     def qsig(t: int) -> int:
@@ -175,13 +203,14 @@ def hyperplane_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 s |= 1 << p
         return s
 
+    sigs = hyperplane_signatures(F.col(vec_col), dim, n_tables, n_planes)
+    with_sigs = df.withColumn("_sigs", sigs)
     cond = None
     for t in range(n_tables):
-        c = hyperplane_signature(F.col(vec_col), dim, t, n_planes) \
-            == F.lit(qsig(t))
+        c = F.col("_sigs")[t] == F.lit(qsig(t))
         cond = c if cond is None else (cond | c)
-    return cosine_topk(df.where(cond), query_vec, k, id_col, vec_col,
-                       round_dp)
+    return cosine_topk(with_sigs.where(cond).drop("_sigs"), query_vec, k,
+                       id_col, vec_col, round_dp)
 
 
 # ---------------------------------------------------------------- IVF
@@ -217,33 +246,29 @@ def ivf_build(df: DataFrame, n_cells: int = 16,
 
 def _assign_cells(df: DataFrame, centroids: list[list[float]],
                   vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment with LINEAR-size expressions: one
-    similarity column per centroid, then argmax via greatest + a flat
-    CASE chain. (A fold of nested `when(sim > best, ...)` expressions
-    triples in size per centroid — 16 cells ≈ 3^16 nodes — and stalls
-    codegen; been there.) Centroid norms are plain Python floats."""
-    import math
+    """Nearest-centroid assignment, Arrow-vectorized: one matmul
+    against the broadcast (cells × dim) centroid matrix per batch;
+    ``argmax`` ties resolve to the lowest cell index (matching the
+    SQL-oracle's ``ORDER BY sim DESC, cell`` replay). An expression
+    formulation needs one fold expression per centroid (and a nested
+    `when` argmax grows 3^k nodes — been there); the matmul is one
+    BLAS call and seconds less Catalyst/codegen time per query."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    v = _as_double(F.col(vec_col))
-    with_norm = df.withColumn("_vnorm", _norm(v))
-    sim_cols = []
-    for c, cen in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in cen])
-        cnorm = math.sqrt(sum(x * x for x in cen)) or 1.0
-        sim_cols.append(
-            (_dot(_as_double(F.col(vec_col)), carr)
-             / (F.col("_vnorm") * F.lit(cnorm))).alias(f"_s{c}"))
-    scored = with_norm.select("*", *sim_cols)
-    smax = F.greatest(*[F.col(f"_s{c}") for c in range(len(centroids))])
-    cell = None
-    for c in range(len(centroids)):
-        cond = F.col(f"_s{c}") == F.col("_smax")
-        cell = (F.when(cond, F.lit(c)) if cell is None
-                else cell.when(cond, F.lit(c)))
-    return (scored.withColumn("_smax", smax)
-            .withColumn("_cell", cell)
-            .drop("_vnorm", "_smax",
-                  *[f"_s{c}" for c in range(len(centroids))]))
+    cmat = np.array(centroids, dtype=np.float64)  # (cells, dim)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+
+    def _cell(v):
+        mat = np.array(v.tolist(), dtype=np.float64)
+        vnorm = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return df.withColumn("_cell", pandas_udf(_cell, "int")(F.col(vec_col)))
 
 
 def ivf_topk(assigned: DataFrame, centroids: list[list[float]],

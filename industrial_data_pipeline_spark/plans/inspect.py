@@ -27,7 +27,11 @@ def pushed_filters(df: DataFrame) -> list[str]:
     """Every ``PushedFilters: [...]`` list in the plan, flattened —
     the predicates that actually reached a parquet scan."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]",
+    # greedy to the line's LAST bracket: an In(col, [v1,v2,...]) filter
+    # contains a `]` of its own, and a non-greedy/negated-class match
+    # would truncate the list there, silently dropping every filter
+    # after the IN-list
+    for m in re.finditer(r"PushedFilters: \[(.*)\]",
                          formatted_plan(df)):
         body = m.group(1).strip()
         if body:

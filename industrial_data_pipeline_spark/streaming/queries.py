@@ -135,7 +135,8 @@ def enriched_counts_stream(
     no state beyond the windowed counts, so this is the scale-correct
     shape for dimension enrichment on an unbounded stream."""
     src = events_stream(spark, sf_dir)
-    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+    from industrial_data_pipeline_spark.suite_common import load
+    cust = (load(spark, sf_dir, "customer")
             .select(F.col("c_custkey").alias("user_id"),
                     F.col("c_mktsegment").alias("segment")))
     agg = (

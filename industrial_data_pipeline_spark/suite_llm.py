@@ -42,13 +42,15 @@ def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full parallelism for everything downstream. (On a real multi-file
     100 TB table the scan is already parallel and this is a no-op
     cost-wise relative to the compute.)"""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    from industrial_data_pipeline_spark.suite_common import load
+    return load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    from industrial_data_pipeline_spark.suite_common import load
+    return load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 # ------------------------------------------------------- text analysis

@@ -71,22 +71,32 @@ def _attribute_dim(spark: SparkSession, sf_dir: str,
             F.lit(None).cast("string").alias("formula"))
 
 
+# one week only: every archive write costs one commit per ts_date
+# partition, so the seed's date span is a direct multiplier on every
+# mgmt query's wall clock (events span a month; a week is plenty)
+_CUTOFF = "2024-01-08"
+
+
 def _hourly_archive(spark: SparkSession, sf_dir: str,
                     user_ids: list[int]) -> DataFrame:
     """events → per-(user, hour) avg, rounded at seed time (see module
     docstring)."""
-    ev = load(spark, sf_dir, "events").where(F.col("user_id").isin(user_ids))
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("user_id").isin(user_ids))
+          .where(F.col("ts") < F.lit(_CUTOFF)))
     return (ev.groupBy(
         F.col("user_id").alias("attribute_id"),
         F.date_trunc("hour", "ts").alias("timestamp"))
         .agg(F.round(F.avg("value"), 6).alias("value")))
 
 
-_HOURLY_SQL = """
+_HOURLY_SQL = f"""
 SELECT user_id AS attribute_id,
        date_trunc('hour', CAST(ts AS TIMESTAMP)) AS "timestamp",
        round(avg(value), 6) AS value
-FROM events WHERE user_id IN ({ids}) GROUP BY 1, 2
+FROM events
+WHERE user_id IN ({{ids}}) AND CAST(ts AS TIMESTAMP) < '{_CUTOFF}'
+GROUP BY 1, 2
 """
 
 
@@ -116,11 +126,12 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(out, root)
 
 
-ORACLE_STORE_ROUNDTRIP = """
+ORACLE_STORE_ROUNDTRIP = f"""
 SELECT 'archive' AS table_name,
        (SELECT count(*) FROM
          (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
-          FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2))
+          FROM events WHERE user_id IN (1, 2, 3)
+            AND CAST(ts AS TIMESTAMP) < '{_CUTOFF}' GROUP BY 1, 2))
            AS n_rows
 UNION ALL
 SELECT 'attribute', (SELECT count(*) FROM customer WHERE c_custkey < 50)
@@ -229,9 +240,10 @@ def q_delete_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(out, root)
 
 
-ORACLE_DELETE_ATTRIBUTE = """
+ORACLE_DELETE_ATTRIBUTE = f"""
 WITH h AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t
-           FROM events WHERE user_id IN (1, 2, 3, 4, 5) GROUP BY 1, 2)
+           FROM events WHERE user_id IN (1, 2, 3, 4, 5)
+             AND CAST(ts AS TIMESTAMP) < '{_CUTOFF}' GROUP BY 1, 2)
 SELECT 1::BIGINT AS attributes_deleted,
        (SELECT count(*) FROM h WHERE user_id = 3)
            AS archive_records_deleted,

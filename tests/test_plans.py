@@ -46,6 +46,20 @@ def test_export_pushdown_and_broadcast(pipe):
     assert "SortMergeJoin" not in p
 
 
+def test_suite_export_range_reaches_scan(spark):
+    """Round-1 regression: q01's time-range must reach the EVENTS
+    parquet scan. With events.ts read as TIMESTAMP_NTZ the normalizing
+    cast blocked pushdown and the range stayed in a post-scan Filter —
+    at 100 TB that is a full-table read of the selected attributes."""
+    from industrial_data_pipeline_spark.suite import q_export_long
+    filters = pushed_filters(q_export_long(spark,
+                                           "/root/testdata/sf0.001"))
+    assert any(f.startswith("GreaterThanOrEqual(ts") for f in filters), \
+        filters
+    assert any(f.startswith("LessThanOrEqual(ts") for f in filters)
+    assert any(f.startswith("In(user_id") for f in filters)
+
+
 def test_archive_partition_pruning(pipe):
     arch = pipe.store.archive("plant")
     df = arch.where("ts_date = DATE'2025-01-01'")
