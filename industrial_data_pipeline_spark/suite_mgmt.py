@@ -444,6 +444,95 @@ WHERE (v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0) IS NOT NULL
 """
 
 
+# ------------------------------------------ q123 tree reload (D2/D3/S4)
+
+def q_tree_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scariest flow (populate.py:369-597): reload the
+    hierarchy from a tree-cache file while PRESERVING derived
+    attributes (backed up by path, restored under the matching parent)
+    and REMAPPING archive history from old attribute ids to the new
+    depth-first preorder ids. Seeds a catalog + derived backfill, then
+    reloads from a JSON tree built out of region/nation/customer, and
+    emits the post-reload catalog joined with per-attribute archive
+    extents — id remap, derived restore and orphan purge all land in
+    the hash. Oracle replays the preorder ids with one window."""
+    import json
+
+    pipe, root = _seed(spark, sf_dir, n_cust=20, archive_users=[1, 2])
+    pipe.insert_attribute(DB, element_id=10, name="Calc",
+                          formula=_FORMULA)  # derived id 20, backfilled
+
+    # new tree: same logical hierarchy, fresh preorder id space
+    regions = sorted(load(spark, sf_dir, "region").collect(),
+                     key=lambda r: r["r_regionkey"])
+    nations = sorted(load(spark, sf_dir, "nation").collect(),
+                     key=lambda r: r["n_nationkey"])
+    custs = sorted(load(spark, sf_dir, "customer")
+                   .where(F.col("c_custkey") < 20).collect(),
+                   key=lambda r: r["c_custkey"])
+    doc = [{
+        "name": r["r_name"],
+        "children": [{
+            "name": n["n_name"], "children": [],
+            "attributes": [{"name": c["c_name"]} for c in custs
+                           if c["c_nationkey"] == n["n_nationkey"]],
+        } for n in nations if n["n_regionkey"] == r["r_regionkey"]],
+        "attributes": [],
+    } for r in regions]
+    tree_path = os.path.join(root, "tree_cache.json")
+    with open(tree_path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, ensure_ascii=False)
+
+    pipe.load_tree(DB, tree_path)
+    attrs = pipe.store.attribute(DB).select(
+        "attribute_id", "name",
+        F.col("formula").isNotNull().alias("is_derived"))
+    extents = (pipe.store.archive_values(DB).groupBy("attribute_id")
+               .agg(F.count("*").alias("n_rows"),
+                    F.min("timestamp").alias("min_ts"),
+                    F.max("timestamp").alias("max_ts")))
+    out = (attrs.join(extents, "attribute_id", "left")
+           .select("attribute_id", "name", "is_derived",
+                   F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                   "min_ts", "max_ts"))
+    return _finish(out, root)
+
+
+ORACLE_TREE_RELOAD = f"""
+WITH pre AS (
+  SELECT c.c_custkey, c.c_name,
+         row_number() OVER (ORDER BY r.r_regionkey, n.n_nationkey,
+                            c.c_custkey) AS new_id
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE c.c_custkey < 20),
+h AS (SELECT user_id AS aid,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t,
+             round(avg(value), 6) AS v
+      FROM events WHERE user_id IN (1, 2)
+        AND CAST(ts AS TIMESTAMP) < '{_CUTOFF}' GROUP BY 1, 2),
+arch AS (SELECT p.new_id AS attribute_id, h.t
+         FROM h JOIN pre p ON h.aid = p.c_custkey),
+dts AS (SELECT t FROM
+          (SELECT t, any_value(CASE WHEN aid = 1 THEN v END) AS v1,
+                  any_value(CASE WHEN aid = 2 THEN v END) AS v2
+           FROM h GROUP BY t)
+        WHERE (v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0) IS NOT NULL),
+allrows AS (SELECT attribute_id, t FROM arch
+            UNION ALL SELECT 21, t FROM dts),
+agg AS (SELECT attribute_id, count(*) AS n_rows, min(t) AS min_ts,
+               max(t) AS max_ts
+        FROM allrows GROUP BY 1),
+cat AS (SELECT new_id AS attribute_id, c_name AS name,
+               FALSE AS is_derived FROM pre
+        UNION ALL SELECT 21, 'Calc', TRUE)
+SELECT cat.attribute_id, cat.name, cat.is_derived,
+       coalesce(agg.n_rows, 0) AS n_rows, agg.min_ts, agg.max_ts
+FROM cat LEFT JOIN agg USING (attribute_id)
+"""
+
+
 # ------------------------------------ q122 PI batch source seam (S2/J7)
 
 def q_pi_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +584,77 @@ FROM events WHERE user_id < 10 GROUP BY 1, 2
 """
 
 
+# -------------------------------------- q124 hierarchy crawler (S3/S4)
+
+def q_pi_crawler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end to end: the recursive PI Web API walk (assetserver →
+    database → elements → leaf attributes with Point-link kks) against
+    a fake transport serving region/nation/customer as the asset
+    model, then S4's depth-first preorder flatten into catalog rows.
+    Emits the crawled attributes with their element names."""
+    from industrial_data_pipeline_spark.sources import pi_client as PI
+    from industrial_data_pipeline_spark.sources.tree import flatten_tree
+    regions = sorted(load(spark, sf_dir, "region").collect(),
+                     key=lambda r: r["r_regionkey"])
+    nations = sorted(load(spark, sf_dir, "nation").collect(),
+                     key=lambda r: r["n_nationkey"])
+    custs = sorted(load(spark, sf_dir, "customer")
+                   .where(F.col("c_custkey") < 20).collect(),
+                   key=lambda r: r["c_custkey"])
+    base = "https://pi.example/piwebapi"
+
+    def transport(method: str, url: str, body: dict | None = None):
+        if url.endswith("/assetservers"):
+            return {"Items": [{"WebId": "SRV1", "Name": "SRV"}]}
+        if url.endswith("/assetservers/SRV1/assetdatabases"):
+            return {"Items": [{"WebId": "DB", "Name": "Plant"}]}
+        if url.endswith("/assetdatabases/DB/elements"):
+            return {"Items": [{"WebId": f"R{r['r_regionkey']}",
+                               "Name": r["r_name"]} for r in regions]}
+        if "/elements/R" in url and url.endswith("/elements"):
+            rk = int(url.split("/elements/R")[1].split("/")[0])
+            return {"Items": [{"WebId": f"N{n['n_nationkey']}",
+                               "Name": n["n_name"]}
+                              for n in nations
+                              if n["n_regionkey"] == rk]}
+        if "/elements/N" in url and url.endswith("/elements"):
+            return {"Items": []}
+        if "/elements/N" in url and url.endswith("/attributes"):
+            nk = int(url.split("/elements/N")[1].split("/")[0])
+            return {"Items": [
+                {"Name": c["c_name"], "WebId": f"A{c['c_custkey']}",
+                 "Links": {"Point": f"{base}/points/P{c['c_custkey']}"}}
+                for c in custs if c["c_nationkey"] == nk]}
+        if "/points/P" in url:
+            return {"Name": "KKS-" + url.split("/points/P")[1]}
+        raise AssertionError(f"unexpected call: {method} {url}")
+
+    roots = PI.crawl_server(transport, base)
+    elements, attributes = flatten_tree(roots)
+    elem = spark.createDataFrame(
+        elements, "level int, element_id long, name string, "
+                  "parent_id long")
+    attr = spark.createDataFrame(
+        attributes, "element_id long, attribute_id long, name string, "
+                    "kks string, formula string")
+    return (attr.join(F.broadcast(elem.select(
+        "element_id", F.col("name").alias("element_name"))),
+        "element_id")
+        .select("attribute_id", "name", "kks", "element_name"))
+
+
+ORACLE_PI_CRAWLER = """
+SELECT row_number() OVER (ORDER BY r.r_regionkey, n.n_nationkey,
+                          c.c_custkey) AS attribute_id,
+       c.c_name AS name, 'KKS-' || c.c_custkey AS kks,
+       n.n_name AS element_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_custkey < 20
+"""
+
+
 REGISTRY_MGMT: dict[str, tuple] = {
     "q112_store_roundtrip": (q_store_roundtrip, ORACLE_STORE_ROUNDTRIP),
     "q113_insert_element": (q_insert_element, ORACLE_INSERT_ELEMENT),
@@ -511,4 +671,6 @@ REGISTRY_MGMT: dict[str, tuple] = {
     "q121_derived_maintenance_stream": (q_derived_maintenance_stream,
                                         ORACLE_DERIVED_MAINTENANCE),
     "q122_pi_batch_source": (q_pi_batch_source, ORACLE_PI_BATCH_SOURCE),
+    "q123_tree_reload": (q_tree_reload, ORACLE_TREE_RELOAD),
+    "q124_pi_crawler": (q_pi_crawler, ORACLE_PI_CRAWLER),
 }

@@ -105,9 +105,88 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
 
 
+# ------------------------------------------ q125 bucketed co-located join
+# The 100-TB answer to repeated fact⋈fact joins: both sides written
+# bucketed (and sorted) by the join key, so the join needs NO exchange
+# and NO sort — each task zips matching buckets. At scale this turns
+# the nightly orders⋈lineitem reconciliation from the cluster's
+# biggest shuffle into a scan. tests/test_plans.py asserts the
+# exchange-free plan; the oracle proves bucketing changed the physical
+# plan only, never the result.
+
+_BUCKETS = 8
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders+lineitem as bucketed, bucket-sorted tables (once
+    per session+sf; the in-memory catalog dies with the session, like
+    any staging table)."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    lt, ot = f"idp_li_bkt_{tag}", f"idp_ord_bkt_{tag}"
+    # the in-memory catalog forgets tables between sessions but their
+    # warehouse directories persist; clear orphaned locations so
+    # saveAsTable doesn't fail with LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse") \
+        .removeprefix("file:")
+    for t in (lt, ot):
+        loc = os.path.join(wh, t)
+        if not spark.catalog.tableExists(t) and os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    # coalesce(1): one writer task ⇒ exactly one file per bucket, so
+    # the files' bucket-sort satisfies the SMJ's ordering requirement
+    # outright. (A distributed bucketed write leaves several sorted
+    # files per bucket; the join then pays a cheap within-bucket merge
+    # sort but still no exchange.)
+    if not spark.catalog.tableExists(lt):
+        (load(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_extendedprice", "l_discount")
+         .coalesce(1)
+         .write.bucketBy(_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable(lt))
+    if not spark.catalog.tableExists(ot):
+        (load(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority")
+         .coalesce(1)
+         .write.bucketBy(_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable(ot))
+    return lt, ot
+
+
+def q_bucketed_join_revenue(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    li_t, ord_t = bucketed_tables(spark, sf_dir)
+    li = spark.table(li_t)
+    orders = spark.table(ord_t)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)")
+                 * (F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")))
+            ).cast("double"), 2).alias("revenue"),
+                F.count("*").alias("n_items")))
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 REGISTRY_SCALE: dict[str, tuple] = {
     "q63_salted_skew_agg": (q_salted_skew_agg, ORACLE_SALTED_SKEW_AGG),
     "q64_interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
     "q65_distinct_users": (q_distinct_users, ORACLE_DISTINCT_USERS),
     "q66_stream_sessionize": (q_stream_sessionize, ORACLE_SESSIONIZE),
+    "q125_bucketed_join_revenue": (q_bucketed_join_revenue,
+                                   ORACLE_BUCKETED_JOIN),
 }

@@ -60,6 +60,32 @@ def test_suite_export_range_reaches_scan(spark):
     assert any(f.startswith("In(user_id") for f in filters)
 
 
+def test_bucketed_join_no_exchange(spark):
+    """q125: both sides bucketed+sorted by the join key → the join
+    itself needs no Exchange and no Sort. At sf0.001 the planner
+    would (correctly) broadcast the tiny side instead, so force the
+    at-scale path — the whole point is what happens when NEITHER side
+    fits in memory."""
+    from industrial_data_pipeline_spark.suite_scale import (
+        bucketed_tables)
+    li_t, ord_t = bucketed_tables(spark, "/root/testdata/sf0.001")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, orders = spark.table(li_t), spark.table(ord_t)
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        p = plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    # THE property: no network. (Spark still inserts per-bucket local
+    # sorts — it only trusts bucket-file sort order under a legacy
+    # conf — but those are linear, memory-bounded and shuffle-free.)
+    assert "Exchange" not in p, p
+    assert "Bucketed: true" in p
+    assert "SelectedBucketsCount: 8 out of 8" in p
+
+
 def test_archive_partition_pruning(pipe):
     arch = pipe.store.archive("plant")
     df = arch.where("ts_date = DATE'2025-01-01'")
