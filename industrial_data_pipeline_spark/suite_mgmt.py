@@ -71,10 +71,11 @@ def _attribute_dim(spark: SparkSession, sf_dir: str,
             F.lit(None).cast("string").alias("formula"))
 
 
-# one week only: every archive write costs one commit per ts_date
+# three days only: every archive write costs one commit per ts_date
 # partition, so the seed's date span is a direct multiplier on every
-# mgmt query's wall clock (events span a month; a week is plenty)
-_CUTOFF = "2024-01-08"
+# mgmt query's wall clock (events span a month; 3 partitions exercise
+# the partition-scoped paths just as well as 30)
+_CUTOFF = "2024-01-04"
 
 
 def _hourly_archive(spark: SparkSession, sf_dir: str,
@@ -316,7 +317,7 @@ FROM raw GROUP BY 1, 2
 
 _T0 = "2024-03-01 08:00:00"
 _WM = "2024-03-01 08:01:00"
-_NOW = "2024-03-01 10:05:00"
+_NOW = "2024-03-01 09:05:00"  # 2 recovery blocks: 59-min + remainder
 
 
 def q_ingest_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +368,7 @@ WITH m AS (SELECT count(*) AS mins FROM generate_series(
     TIMESTAMP '{_WM}', TIMESTAMP '{_NOW}', INTERVAL 1 MINUTE))
 SELECT TIMESTAMP '{_WM}' AS watermark,
        (mins * 3)::BIGINT AS rows_appended,
-       4::BIGINT AS n_fetches,
+       3::BIGINT AS n_fetches,
        (mins * 3 + 1)::BIGINT AS archive_rows,
        TIMESTAMP '{_NOW}' AS max_ts
 FROM m
