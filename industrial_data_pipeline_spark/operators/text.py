@@ -266,3 +266,71 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                 F.round(F.col("_top_big")
                         / F.col("_n_big").cast("double"), round_dp)
                 .alias("top_bigram_ratio")))
+
+
+# --------------------------------------------- benchmark contamination
+
+
+def ngram_contamination(train: DataFrame, benchmark: DataFrame,
+                        k: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        round_dp: int = 6) -> DataFrame:
+    """Train/test overlap detection — the decontamination pass every
+    training-data pipeline runs before a benchmark ships: for each
+    training doc, how many of its word ``k``-grams appear anywhere in
+    the benchmark corpus.
+
+    Scale shape: the benchmark side collapses to a DISTINCT gram-hash
+    set (benchmarks are tiny next to the corpus → broadcast); the
+    train side explodes to (doc, gram-hash) — 8-byte hashes, not
+    strings — and one partial-aggregable groupBy(doc) counts hits. No
+    self-join, no string shuffle. Returns
+    (id, n_grams, n_shared, contamination_ratio).
+    """
+    from industrial_data_pipeline_spark.operators.dedup import \
+        word_shingles
+    bench_grams = (benchmark
+                   .select(F.explode(word_shingles(F.col(text_col), k))
+                           .alias("_g"))
+                   .select(hash64(F.col("_g")).alias("_h")).distinct())
+    tr = (train.select(F.col(id_col),
+                       F.explode(word_shingles(F.col(text_col), k))
+                       .alias("_g"))
+          .select(id_col, hash64(F.col("_g")).alias("_h")))
+    hits = tr.join(F.broadcast(bench_grams).withColumn("_hit", F.lit(1)),
+                   "_h", "left")
+    return (hits.groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).alias("n_shared"))
+            .select(id_col, "n_grams", "n_shared",
+                    F.round(F.col("n_shared")
+                            / F.col("n_grams").cast("double"), round_dp)
+                    .alias("contamination_ratio")))
+
+
+# ------------------------------------------------------ PII redaction
+
+
+#: pattern → replacement, applied in order. Kept inside the regex
+#: subset Java and RE2 share so the DuckDB oracle replays them exactly.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 literals, counting each
+    kind — pure codegen (`regexp_replace`/`regexp_count`), no Python.
+    Order matters: emails first so their host part is never half-eaten
+    by the IP rule. Returns (id, n_email, n_phone, n_ip, redacted)."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(F.col(id_col), *counts, out.alias("redacted"))

@@ -176,6 +176,91 @@ FROM pt LEFT JOIN pb USING (doc_id)
 """
 
 
+# ------------------------------------- q126 benchmark contamination
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: 5-gram overlap of every training doc
+    (doc_id ≥ 20) against the 'benchmark' slice (doc_id < 20) —
+    benchmark grams collapse to a broadcast hash set, the corpus side
+    never self-joins."""
+    docs = _load_docs(spark, sf_dir)
+    return TX.ngram_contamination(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20), k=5)
+
+
+_GRAMS5 = ("list_distinct(list_transform("
+           "generate_series(0, greatest(len(toks) - 5, 0)), "
+           "i -> array_to_string(toks[i+1:i+5], ' ')))")
+
+ORACLE_CONTAMINATION = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_GRAMS5}) AS gram FROM tk),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+tr AS (SELECT doc_id, gram,
+              CASE WHEN gram IN (SELECT gram FROM bench)
+                   THEN 1 ELSE 0 END AS hit
+       FROM g WHERE doc_id >= 20)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(hit) AS BIGINT) AS n_shared,
+       round(sum(hit) / CAST(count(*) AS DOUBLE), 6)
+           AS contamination_ratio
+FROM tr GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------ q127 PII redaction
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus with deterministically injected
+    emails / phone numbers / IPv4s (the synthetic docs carry none);
+    emits per-kind counts plus an md5 fingerprint of the redacted
+    text so the replacement itself is under the hash check."""
+    docs = _load_docs(spark, sf_dir)
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit(" call 555-010-"),
+                       F.lpad((F.col("doc_id") % 10000).cast("string"),
+                              4, "0")))
+        .otherwise(F.concat(F.lit(" from 10.0.0."),
+                            (F.col("doc_id") % 256).cast("string"))))
+    seeded = docs.select("doc_id",
+                         F.concat("text", suffix).alias("text"))
+    out = TX.redact_pii(seeded)
+    return out.select("doc_id", "n_email", "n_phone", "n_ip",
+                      F.md5("redacted").alias("redacted_md5"))
+
+
+def _oracle_pii() -> str:
+    stages = []
+    cur = "seeded.text"
+    for name, pat, repl in TX.PII_PATTERNS:
+        stages.append(
+            (f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}", cur))
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    counts = ",\n       ".join(s for s, _ in stages)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0
+             THEN ' contact user' || doc_id || '@example.com now'
+           WHEN doc_id % 3 = 1
+             THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+         END AS text
+  FROM documents)
+SELECT doc_id,
+       {counts},
+       md5({cur}) AS redacted_md5
+FROM seeded
+"""
+
+
 REGISTRY_PIPELINE: dict[str, tuple] = {
     "q68_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "q69_incremental_dedup": (q_incremental_dedup,
@@ -184,4 +269,6 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q71_token_rarity": (q_token_rarity, ORACLE_TOKEN_RARITY),
     "q72_repetition_metrics": (q_repetition_metrics,
                                ORACLE_REPETITION_METRICS),
+    "q126_contamination": (q_contamination, ORACLE_CONTAMINATION),
+    "q127_pii_redaction": (q_pii_redaction, _oracle_pii()),
 }

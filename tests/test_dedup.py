@@ -94,3 +94,32 @@ def test_incremental_exact_dedup(spark):
         "doc_id long, text string")
     out = incremental_exact_dedup(corpus, batch)
     assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+
+def test_contamination_hand_computed(spark):
+    from industrial_data_pipeline_spark.operators.text import (
+        ngram_contamination)
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "a b c d e x"),   # grams: abcde? k=3: abc bcd cde dex -> 2 shared of 4
+         (11, "z z z z")],      # no overlap
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ngram_contamination(train, bench, k=3).collect()}
+    # doc 10 3-grams: {a b c, b c d, c d e, d e x}; bench has first 3
+    assert out[10].n_grams == 4 and out[10].n_shared == 3
+    assert out[10].contamination_ratio == 0.75
+    assert out[11].n_shared == 0 and out[11].contamination_ratio == 0.0
+
+
+def test_redact_pii_order_and_counts(spark):
+    from industrial_data_pipeline_spark.operators.text import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail bob@x10.0.0.9.com or 10.0.0.9 call 555-123-4567")],
+        "doc_id long, text string")
+    r = redact_pii(df).collect()[0]
+    # the email (with an IP-looking host) is consumed by the email rule
+    # FIRST, so the ip count sees only the bare literal
+    assert r.n_email == 1 and r.n_phone == 1 and r.n_ip == 1
+    assert r.redacted == "mail <EMAIL> or <IP> call <PHONE>"
