@@ -334,3 +334,46 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
         counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{name}"))
         out = F.regexp_replace(out, pat, repl)
     return df.select(F.col(id_col), *counts, out.alias("redacted"))
+
+
+# --------------------------------------------------- sequence packing
+
+
+def sequence_packing(df: DataFrame, budget: int = 1024,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     part_col: str = "source") -> DataFrame:
+    """Pretraining sequence packing, planning pass: documents are
+    concatenated per ``part_col`` stream (ordered by id) and chunked
+    into fixed ``budget``-token context windows; a document may
+    straddle windows. Emits each doc's placement:
+    (id, part, n_tokens, start_pack, end_pack, start_offset).
+
+    One running-sum window per stream partition — the partition key
+    keeps the window distributed (no global sort); at 100 TB the
+    streams are shards and each fits a task."""
+    from pyspark.sql import Window
+
+    n = F.size(tokens(F.col(text_col)))
+    w = (Window.partitionBy(part_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(n).over(w)
+    before = (cum - n).cast("long")
+    return df.select(
+        F.col(id_col), F.col(part_col).alias("part"),
+        n.cast("long").alias("n_tokens"),
+        F.floor(before / budget).alias("start_pack"),
+        F.floor((before + n - 1) / budget).alias("end_pack"),
+        (before % budget).alias("start_offset"))
+
+
+def hash_split(df: DataFrame, salt: str = "v1", id_col: str = "doc_id",
+               train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash — stable across runs, engines and shard layouts (the
+    property random() splits lack). Adds a ``split`` column."""
+    bucket = F.pmod(hash64(F.concat(F.col(id_col).cast("string"),
+                                    F.lit(":" + salt))), F.lit(100))
+    split = (F.when(bucket < train_pct, F.lit("train"))
+             .when(bucket < train_pct + val_pct, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return df.withColumn("split", split)

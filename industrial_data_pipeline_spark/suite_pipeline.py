@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from industrial_data_pipeline_spark.operators import dedup as D
 from industrial_data_pipeline_spark.operators import text as TX
 from industrial_data_pipeline_spark.suite_common import load
-from industrial_data_pipeline_spark.suite_llm import _load_docs
+from industrial_data_pipeline_spark.suite_llm import _h64, _load_docs
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 _EN = "['" + "','".join(TX.LANG_LEXICONS["en"]) + "']"
@@ -261,6 +261,53 @@ FROM seeded
 """
 
 
+# ---------------------------------------- q128 sequence packing plan
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan: per-source token streams chunked
+    into 1024-token windows; emits each doc's (start/end pack,
+    offset). Window runs per source shard — no global sort."""
+    return TX.sequence_packing(_load_docs(spark, sf_dir), budget=1024)
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH t AS (SELECT doc_id, source AS part, len({_TOKS}) AS n
+           FROM documents),
+c AS (SELECT doc_id, part, n,
+             CAST(sum(n) OVER (PARTITION BY part ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+                 AS before
+      FROM t)
+SELECT doc_id, part, CAST(n AS BIGINT) AS n_tokens,
+       before // 1024 AS start_pack,
+       (before + n - 1) // 1024 AS end_pack,
+       before % 1024 AS start_offset
+FROM c
+"""
+
+
+# ----------------------------------------- q129 deterministic splits
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test by salted id hash (stable across runs
+    and engines); emits per-(source, split) doc counts."""
+    out = TX.hash_split(_load_docs(spark, sf_dir), salt="v1")
+    return (out.groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs")))
+
+
+ORACLE_HASH_SPLIT = f"""
+WITH b AS (SELECT source,
+                  {{h}} % 100 AS bucket
+           FROM documents)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1, 2
+""".format(h=_h64("doc_id || ':v1'"))
+
+
 REGISTRY_PIPELINE: dict[str, tuple] = {
     "q68_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "q69_incremental_dedup": (q_incremental_dedup,
@@ -271,4 +318,7 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
                                ORACLE_REPETITION_METRICS),
     "q126_contamination": (q_contamination, ORACLE_CONTAMINATION),
     "q127_pii_redaction": (q_pii_redaction, _oracle_pii()),
+    "q128_sequence_packing": (q_sequence_packing,
+                              ORACLE_SEQUENCE_PACKING),
+    "q129_hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
 }
