@@ -295,15 +295,25 @@ class Pipeline:
         old_attr = self.store.attribute(database)
         new_elem, new_attr = load_tree_cache(self.spark, json_path)
 
+        # ONE hierarchy closure per catalog generation, materialized
+        # (dimension-sized): old paths feed both the derived snapshot
+        # and the id remap; new paths feed the remap AND the derived
+        # restore — recomputing the iterative closure for each use
+        # tripled this method's job count
+        old_elem_paths = hierarchy_paths(old_elem).select(
+            "element_id", "path").localCheckpoint(eager=True)
+        elem_paths = hierarchy_paths(new_elem).select(
+            "element_id", "path").localCheckpoint(eager=True)
+        old_paths = self._attr_paths_from(old_elem_paths, old_attr)
+        new_paths = self._attr_paths_from(elem_paths, new_attr)
+
         # snapshot derived attrs by full path (backup, populate.py:163-296)
-        old_paths = self._attr_path_df(old_elem, old_attr)
         derived = (old_attr.where(F.col("formula").isNotNull())
                    .join(old_paths, "attribute_id")
                    .select(F.col("attribute_id").alias("old_id"),
                            "name", "kks", "formula", "attribute_path"))
 
         # id remap for source attrs: old_id → new_id on equal path
-        new_paths = self._attr_path_df(new_elem, new_attr)
         old_non_derived = (old_attr.where(F.col("formula").isNull())
                            .join(old_paths, "attribute_id")
                            .select(F.col("attribute_id").alias("old_id"),
@@ -312,8 +322,6 @@ class Pipeline:
             .select("old_id", F.col("attribute_id").alias("new_id"))
 
         # restore deriveds under matching parent-element paths
-        elem_paths = hierarchy_paths(new_elem).select(
-            "element_id", "path")
         derived_rows = derived.withColumn(
             "_parent_path",
             F.expr("substring(attribute_path, 1, length(attribute_path) "
@@ -361,6 +369,15 @@ class Pipeline:
             attribute_paths)
         return attribute_paths(element, attribute).select(
             "attribute_id", "attribute_path")
+
+    @staticmethod
+    def _attr_paths_from(elem_paths: DataFrame, attribute: DataFrame):
+        """Attribute paths from PRE-COMPUTED element paths (same
+        format as operators.closure.attribute_paths: path|name)."""
+        return (attribute.join(F.broadcast(elem_paths), "element_id")
+                .select("attribute_id",
+                        F.concat(F.col("path"), F.lit("|"),
+                                 F.col("name")).alias("attribute_path")))
 
     def update_mapping_cache(self, database: str, db_map_path: str,
                              pi_map_path: str | None = None,
