@@ -34,19 +34,31 @@ def main() -> None:
         .mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            # one broken query must not void the whole suite's
+            # numbers — record it and keep the JSON line parseable
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] {name} FAILED: {errors[name]}",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    result = {
         "metric": "suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
