@@ -272,3 +272,56 @@ def trend_slopes(archive: DataFrame, key_col: str = "attribute_id",
         F.round(slope_us * F.lit(1_000_000.0), round_dp)
         .alias("slope_per_sec"),
         F.round(intercept, round_dp).alias("intercept"))
+
+
+def seasonal_baseline(archive: DataFrame, interval_seconds: int = 3600,
+                      period_buckets: int = 24,
+                      key_col: str = "attribute_id",
+                      ts_col: str = "timestamp",
+                      value_col: str = "value",
+                      round_dp: int = 6) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each rollup bucket
+    from the bucket one period (default 24 h) earlier and score MAE /
+    bias per key. The baseline every fancier forecaster must beat —
+    and the standing data-quality monitor an industrial historian
+    runs over every tag.
+
+    An equality self-join on (key, bucket − period) rather than a
+    dense-series ``lag``: gaps in the series honestly produce no
+    forecast instead of silently comparing against the wrong bucket.
+    Both sides share the (key, bucket) shuffle; the scorer is one
+    partial-aggable groupBy(key)."""
+    r = rollup(archive, interval_seconds, key_col, ts_col, value_col,
+               round_dp).select(key_col, "bucket_ts", "avg_value")
+    us = period_buckets * interval_seconds * 1_000_000
+    base = r.select(
+        F.col(key_col),
+        F.timestamp_micros(F.unix_micros("bucket_ts") + F.lit(us))
+        .alias("bucket_ts"),
+        F.col("avg_value").alias("forecast"))
+    scored = r.join(base, [key_col, "bucket_ts"])
+    err = F.col("avg_value") - F.col("forecast")
+    return (scored.groupBy(key_col)
+            .agg(F.count("*").alias("n_scored"),
+                 F.round(F.avg(F.abs(err)), round_dp).alias("mae"),
+                 F.round(F.avg(err), round_dp).alias("bias")))
+
+
+def roc_alarms(archive: DataFrame, threshold: float,
+               key_col: str = "attribute_id", ts_col: str = "timestamp",
+               value_col: str = "value",
+               round_dp: int = 6) -> DataFrame:
+    """Rate-of-change alarm sweep: flag consecutive-reading jumps with
+    |Δvalue| > threshold per key — the classic historian alarm rule,
+    run retrospectively over raw archive history. One window per key
+    (bounded state, parallel across keys), one groupBy."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    alarms = (archive
+              .withColumn("_ad", F.abs(delta))
+              .where(F.col("_ad") > threshold))
+    return (alarms.groupBy(key_col)
+            .agg(F.count("*").alias("n_alarms"),
+                 F.min(ts_col).alias("first_alarm_ts"),
+                 F.max(ts_col).alias("last_alarm_ts"),
+                 F.round(F.max("_ad"), round_dp).alias("max_abs_delta")))

@@ -210,3 +210,68 @@ REGISTRY_TS: dict[str, tuple] = {
     "q42_rolling_anomaly": (q_rolling_anomaly, ORACLE_ROLLING_ANOMALY),
     "q67_trend_slopes": (q_trend_slopes, ORACLE_TREND_SLOPES),
 }
+
+
+# ------------------------------------------ q130 seasonal-naive backtest
+
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day seasonal-naive forecast scored per attribute
+    (MAE + bias over the hourly rollup) — the baseline any real
+    forecaster must beat, and a standing data-quality monitor."""
+    return TS.seasonal_baseline(archive_analog(spark, sf_dir),
+                                interval_seconds=3600,
+                                period_buckets=24)
+
+
+DAY_US = 24 * HOUR_US
+
+ORACLE_SEASONAL_BASELINE = f"""
+WITH {_ARCH_SQL},
+r AS (SELECT attribute_id,
+             epoch_us("timestamp") - epoch_us("timestamp") % {HOUR_US}
+                 AS gus,
+             round(avg(value), 6) AS avg_value
+      FROM arch GROUP BY 1, 2),
+s AS (SELECT cur.attribute_id,
+             cur.avg_value - prev.avg_value AS err
+      FROM r cur JOIN r prev
+        ON cur.attribute_id = prev.attribute_id
+       AND cur.gus = prev.gus + {DAY_US})
+SELECT attribute_id, count(*) AS n_scored,
+       round(avg(abs(err)), 6) AS mae,
+       round(avg(err), 6) AS bias
+FROM s GROUP BY 1
+"""
+
+
+# ---------------------------------------------- q131 rate-of-change alarms
+
+ROC_THRESHOLD = 150.0
+
+
+def q_roc_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historian alarm rule run retrospectively: consecutive-reading
+    jumps with |Δ| > 150 per attribute, summarized per tag."""
+    return TS.roc_alarms(archive_analog(spark, sf_dir),
+                         threshold=ROC_THRESHOLD)
+
+
+ORACLE_ROC_ALARMS = f"""
+WITH {_ARCH_SQL},
+d AS (SELECT attribute_id, "timestamp",
+             abs(value - lag(value) OVER
+                 (PARTITION BY attribute_id ORDER BY "timestamp"))
+                 AS ad
+      FROM arch)
+SELECT attribute_id, count(*) AS n_alarms,
+       min("timestamp") AS first_alarm_ts,
+       max("timestamp") AS last_alarm_ts,
+       round(max(ad), 6) AS max_abs_delta
+FROM d WHERE ad > {ROC_THRESHOLD} GROUP BY 1
+"""
+
+REGISTRY_TS.update({
+    "q130_seasonal_baseline": (q_seasonal_baseline,
+                               ORACLE_SEASONAL_BASELINE),
+    "q131_roc_alarms": (q_roc_alarms, ORACLE_ROC_ALARMS),
+})
