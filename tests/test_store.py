@@ -64,3 +64,73 @@ def test_upsert_leaves_other_partitions_untouched(spark, tmp_path):
     got = {(r.attribute_id, r.timestamp, r.value)
            for r in store.archive_values("db1").collect()}
     assert got == {(1, T1, 7.0), (1, T2, 2.0)}
+
+
+# ------------------------- upsert algebra (the ingest-path invariants)
+
+
+def _state(store):
+    return sorted(tuple(r) for r in
+                  store.archive_values("db1").collect())
+
+
+def test_upsert_idempotent_both_modes(spark, tmp_path):
+    """Replaying the same batch must be a no-op in BOTH modes — the
+    property that makes crash-retry ingest safe without a write-ahead
+    log."""
+    for mode in ("first_wins", "last_wins"):
+        store = ParquetStore(spark, str(tmp_path / f"wh_{mode}"))
+        store.create_database("db1")
+        batch = _arch(spark, [(1, T1, 1.0), (2, T2, 2.0)])
+        store.upsert_archive("db1", batch, mode=mode)
+        once = sorted(tuple(r) for r in
+                      store.archive_values("db1").collect())
+        store.upsert_archive("db1", batch, mode=mode)
+        assert sorted(tuple(r) for r in
+                      store.archive_values("db1").collect()) == once
+
+
+def test_upsert_duality(spark, tmp_path):
+    """first_wins keeps the incumbent, last_wins replaces it — and the
+    union of keys is identical either way."""
+    s1 = _mk(spark, tmp_path / "a")
+    s2 = _mk(spark, tmp_path / "b")
+    base = _arch(spark, [(1, T1, 10.0)])
+    incoming = _arch(spark, [(1, T1, 99.0), (2, T2, 2.0)])
+    for s in (s1, s2):
+        s.append_archive("db1", base)
+    s1.upsert_archive("db1", incoming, mode="first_wins")
+    s2.upsert_archive("db1", incoming, mode="last_wins")
+    a, b = _state(s1), _state(s2)
+    assert [r[:2] for r in a] == [r[:2] for r in b]  # same key set
+    assert a[0][2] == 10.0  # incumbent survived
+    assert b[0][2] == 99.0  # incoming replaced
+    assert a[1][2] == b[1][2] == 2.0  # fresh key inserted either way
+
+
+def _mk2(spark, p):
+    store = ParquetStore(spark, str(p))
+    store.create_database("db1")
+    return store
+
+
+def test_derived_maintenance_replay_converges(spark, tmp_path):
+    """T5 exactly-once-by-convergence: re-processing the same source
+    micro-batch (crash between append and derived upsert, then retry)
+    leaves the archive in the same final state."""
+    from industrial_data_pipeline_spark.streaming.derived import (
+        DerivedMaintenance)
+    store = _mk2(spark, tmp_path / "wh")
+    attr = spark.createDataFrame(
+        [(1, 1, "a", None, None), (1, 2, "b", None, None),
+         (1, 9, "calc", None, "($1 + $2) / 2")],
+        "element_id long, attribute_id long, name string, kks string, "
+        "formula string")
+    store.overwrite_dim("db1", "attribute", attr)
+    dm = DerivedMaintenance(spark, store, "db1")
+    batch = _arch(spark, [(1, T1, 4.0), (2, T1, 6.0)])
+    dm.process_batch(batch)
+    once = _state(store)
+    assert (9, T1, 5.0) in once  # derived landed
+    dm.process_batch(batch)  # replay
+    assert _state(store) == once

@@ -1,0 +1,141 @@
+"""Scaling probe: measure representative operators across the three
+testdata SFs AND a 16×-exploded events table, and write SCALE_NOTES.md.
+
+The point is to separate fixed overhead (plan build, job scheduling,
+python workers) from data-bound cost: an operator whose wall clock is
+flat across 100× of input is overhead-dominated at these sizes; the
+16× explosion of the largest table shows where the data-bound regime
+begins and what the marginal throughput (rows/s) is there — the number
+that extrapolates to a cluster.
+
+Run: python tools/scale_probe.py   (writes /root/repo/SCALE_NOTES.md)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["0.001", "0.01", "0.1"]
+XL_FACTOR = 16
+
+#: (label, registry query) — chosen to cover scan+join+pivot, agg,
+#: window, LSH, vectorized UDF and skew paths.
+PICKS = [
+    ("export (filter+join+pivot)", "q02_export_pivot"),
+    ("hourly rollup", "q38_rollup_hourly"),
+    ("sessionize (gap windows)", "q43_sessionize"),
+    ("MinHash LSH pairs", "q24_minhash_lsh_pairs"),
+    ("ANN cosine top-k", "q28_ann_cosine_topk"),
+    ("salted skew agg", "q63_salted_skew_agg"),
+]
+
+#: events-shaped operators re-run against the exploded table.
+XL_OPS = ["hourly rollup", "sessionize (gap windows)",
+          "salted skew agg"]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.session import get_spark
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    from industrial_data_pipeline_spark.suite_common import (
+        configure_events_reading, load)
+
+    spark = get_spark("idp-scale-probe")
+    configure_events_reading(spark)
+
+    def run(fn, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warm the session so sf0.001 doesn't absorb startup
+    REGISTRY["q01_export_long"][0](
+        spark, "/root/testdata/sf0.001").write.format("noop") \
+        .mode("overwrite").save()
+
+    rows = {}
+    times: dict[str, dict[str, float]] = {}
+    for sf in SFS:
+        d = f"/root/testdata/sf{sf}"
+        rows[sf] = load(spark, d, "events").count()
+        for label, q in PICKS:
+            times.setdefault(label, {})[sf] = run(REGISTRY[q][0], d)
+
+    # ---- exploded events: XL_FACTOR copies, shifted users + jittered ts
+    xl_dir = tempfile.mkdtemp(prefix="idp_scale_xl_")
+    ev = load(spark, "/root/testdata/sf0.1", "events")
+    (ev.select("*", F.explode(F.sequence(
+        F.lit(0), F.lit(XL_FACTOR - 1))).alias("i"))
+     .select((F.col("event_id") + F.col("i") * 10_000_000)
+             .alias("event_id"),
+             F.timestamp_micros(F.unix_micros("ts")
+                                + F.col("i") * 1_000_000).alias("ts"),
+             (F.col("user_id") + F.col("i") * 10_000).alias("user_id"),
+             "event_type", "value", "props")
+     .write.mode("overwrite").parquet(os.path.join(xl_dir,
+                                                   "events.parquet")))
+    # the XL dir only holds events; point event-only queries at it
+    xl_rows = spark.read.parquet(
+        os.path.join(xl_dir, "events.parquet")).count()
+    xl_times = {}
+    by_label = dict(PICKS)
+    for label in XL_OPS:
+        xl_times[label] = run(REGISTRY[by_label[label]][0], xl_dir)
+
+    out = [
+        "# SCALE_NOTES — measured scaling, not vibes",
+        "",
+        f"`python tools/scale_probe.py` on local[32]; events rows: "
+        + ", ".join(f"sf{sf}={rows[sf]:,}" for sf in SFS)
+        + f"; XL = sf0.1 events × {XL_FACTOR} = {xl_rows:,} rows "
+        "(shifted user ids, jittered timestamps — same key "
+        "cardinality ratio).",
+        "",
+        "An operator flat across sf0.001→sf0.1 (100× data) is "
+        "overhead-dominated at these sizes: wall clock is plan build "
+        "+ job scheduling, and the marginal cost of data is near "
+        "zero. The XL column is where data-bound behavior starts; "
+        "`t(XL)/t(sf0.1)` against the 16× data ratio gives the "
+        "scaling exponent that extrapolates to a cluster.",
+        "",
+        "| operator | sf0.001 | sf0.01 | sf0.1 | XL (16×) | "
+        "t(XL)/t(0.1) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for label, _q in PICKS:
+        t = times[label]
+        xl = xl_times.get(label)
+        xl_s = f"{xl:.2f} s" if xl is not None else "—"
+        ratio = f"{xl / t['0.1']:.1f}×" if xl is not None else "—"
+        out.append(
+            f"| {label} | {t['0.001']:.2f} s | {t['0.01']:.2f} s | "
+            f"{t['0.1']:.2f} s | {xl_s} | {ratio} |")
+    out += [
+        "",
+        "Reading the XL column: a ratio well under 16× means the "
+        "operator is still amortizing fixed costs at 1.6M rows; near "
+        "or above 16× means it is data-bound and the rows/s there is "
+        "the honest per-core throughput to extrapolate from. "
+        "Partition counts, shuffle sizes and state stores all scale "
+        "with the keys×buckets of each operator (see README design "
+        "notes), so the per-key cost is what a 1000-executor cluster "
+        "multiplies out.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE_NOTES.md"), "w") as f:
+        f.write("\n".join(out))
+    shutil.rmtree(xl_dir, ignore_errors=True)
+    print("wrote SCALE_NOTES.md")
+
+
+if __name__ == "__main__":
+    main()
