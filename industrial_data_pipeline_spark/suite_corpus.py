@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from industrial_data_pipeline_spark.operators import text as TX
 from industrial_data_pipeline_spark.suite_llm import (
     ORACLE_MINHASH_LSH,
+    _MUT_SQL,
     _load_docs,
     _mut_corpus,
     q_minhash_lsh_pairs,
@@ -143,10 +144,68 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ------------------------------- q132 cluster representative selection
+# The step AFTER clustering in a real dedup pipeline: per duplicate
+# cluster keep exactly one survivor — the longest member (quality
+# heuristic), ties to the lowest id. Docs in no pair are their own
+# singleton cluster and survive by definition.
+
+def q_cluster_representatives(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.operators.dedup import (
+        connected_components)
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    clusters = connected_components(pairs, "id_a", "id_b")
+    corpus = _mut_corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("_len"))
+    labeled = (corpus.join(clusters, "doc_id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", F.col("doc_id"))))
+    # argmax by (length, -id): one partial-aggable max_by per cluster,
+    # no window sort
+    rep = (labeled.groupBy("cluster_id")
+           .agg(F.max_by("doc_id",
+                         F.struct(F.col("_len"), -F.col("doc_id")))
+                .alias("_rep")))
+    return (labeled.join(rep, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("_rep")).alias("keep")))
+
+
+ORACLE_CLUSTER_REPRESENTATIVES = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u
+),
+cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+       FROM walk GROUP BY node),
+corpus AS (SELECT doc_id, length(text) AS len
+           FROM ({_MUT_SQL}) _m),
+lab AS (SELECT c.doc_id,
+               coalesce(cl.cluster_id, c.doc_id) AS cluster_id, c.len
+        FROM corpus c LEFT JOIN cl USING (doc_id)),
+rep AS (SELECT cluster_id, doc_id AS rep_id FROM
+          (SELECT cluster_id, doc_id,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY len DESC, doc_id) AS rn
+           FROM lab)
+        WHERE rn = 1)
+SELECT lab.doc_id, lab.cluster_id,
+       lab.doc_id = rep.rep_id AS keep
+FROM lab JOIN rep USING (cluster_id)
+"""
+
+
 REGISTRY_CORPUS: dict[str, tuple] = {
     "q59_tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "q60_bigram_counts": (q_bigram_counts, ORACLE_BIGRAM_COUNTS),
     "q61_dup_clusters": (q_dup_clusters, ORACLE_DUP_CLUSTERS),
+    "q132_cluster_representatives": (q_cluster_representatives,
+                                     ORACLE_CLUSTER_REPRESENTATIVES),
     "q62_stream_hourly_counts": (q_stream_hourly_counts,
                                  ORACLE_STREAM_HOURLY_COUNTS),
 }
