@@ -106,8 +106,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(i)
                     out["frame_ms"].append(i * every_ms)
+                    # payload:index — deterministic fake fingerprint a
+                    # SQL oracle can replay (md5 over text)
                     out["frame_hash"].append(hashlib.md5(
-                        payload + i.to_bytes(4, "little")).hexdigest())
+                        payload + b":" + str(i).encode()).hexdigest())
             yield pd.DataFrame(out)
 
     return df.where("kind = 'video'").mapInPandas(op, FRAMES_SCHEMA)

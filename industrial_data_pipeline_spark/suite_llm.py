@@ -540,6 +540,39 @@ SELECT doc_id AS media_id, {_FEAT_COLS} FROM documents
 """
 
 
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real mapInPandas streaming
+    expansion (one input row → N frame rows, batch-bounded): docs as
+    fake video payloads with duration ∝ length; the stub fingerprint
+    (md5 of payload:index) is SQL-replayable so the expansion itself
+    is under the hash check."""
+    docs = _load_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return MM.sample_frames(media, every_ms=1000, max_frames=16)
+
+
+ORACLE_FRAME_SAMPLING = """
+WITH m AS (SELECT doc_id AS media_id, text,
+                  least(n_chars * 10 // 1000 + 1, 16) AS n_frames
+           FROM documents),
+f AS (SELECT media_id, text,
+             unnest(generate_series(0, n_frames - 1)) AS frame_idx
+      FROM m)
+SELECT media_id, frame_idx::INTEGER AS frame_idx,
+       (frame_idx * 1000)::BIGINT AS frame_ms,
+       md5(text || ':' || frame_idx) AS frame_hash
+FROM f
+"""
+
+
 REGISTRY_LLM: dict[str, tuple] = {
     "q19_text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "q20_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
@@ -558,4 +591,5 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q36_cosine_near_dup": (q_cosine_near_dup, ORACLE_COSINE_NEAR_DUP),
     "q37_cosine_near_dup_lsh": (q_cosine_near_dup_lsh,
                                 _oracle_cosine_near_dup_lsh()),
+    "q133_frame_sampling": (q_frame_sampling, ORACLE_FRAME_SAMPLING),
 }
