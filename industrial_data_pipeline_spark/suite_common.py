@@ -47,12 +47,27 @@ def ts_as_timestamp(dtype: str, col: str = "ts"):
 # Plan-object cache: repeated suite queries re-load the same tables;
 # reusing the analyzed DataFrame skips a parquet footer/schema read per
 # call. No data is persisted — every query still scans the files.
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed WEAKLY by session: a dead session's entries vanish with it
+# (an id()-based key could be reused by a new session at the same
+# address and serve DataFrames bound to the stopped one).
+import weakref
+
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    cache = _LOAD_CACHE.get(spark)
+    if cache is None:
+        cache = {}
+        _LOAD_CACHE[spark] = cache
+    return cache
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    cached = _LOAD_CACHE.get(key)
+    cache = _session_cache(spark)
+    key = (sf_dir, name)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -62,7 +77,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dtype = dict(df.dtypes).get("ts")
         if dtype != "timestamp":
             df = df.withColumn("ts", ts_as_timestamp(dtype))
-    _LOAD_CACHE[key] = df
+    cache[key] = df
     return df
 
 
@@ -72,11 +87,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file stream source requires a DIRECTORY path; the glob filter
     selects just the events file out of the shared sf_dir."""
     configure_events_reading(spark)
-    key = (id(spark), sf_dir, "__events_raw")
-    raw = _LOAD_CACHE.get(key)
+    cache = _session_cache(spark)
+    key = (sf_dir, "__events_raw")
+    raw = cache.get(key)
     if raw is None:
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        _LOAD_CACHE[key] = raw
+        cache[key] = raw
     src = (spark.readStream.schema(raw.schema)
            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     dtype = dict(src.dtypes).get("ts")
