@@ -364,13 +364,6 @@ class Pipeline:
                 "attribute_count": final_attr.count()}
 
     @staticmethod
-    def _attr_path_df(element: DataFrame, attribute: DataFrame):
-        from industrial_data_pipeline_spark.operators.closure import (
-            attribute_paths)
-        return attribute_paths(element, attribute).select(
-            "attribute_id", "attribute_path")
-
-    @staticmethod
     def _attr_paths_from(elem_paths: DataFrame, attribute: DataFrame):
         """Attribute paths from PRE-COMPUTED element paths (same
         format as operators.closure.attribute_paths: path|name)."""

@@ -226,11 +226,13 @@ def _guard_quadratic(df: DataFrame, guard_limit: int | None,
     a cluster at 100×."""
     if guard_limit is None:
         return
-    n = df.count()
+    # limit+1 short-circuits (CollectLimit) — the guard must not pay a
+    # full scan of the input it is refusing to self-join
+    n = df.limit(guard_limit + 1).count()
     if n > guard_limit:
         raise ValueError(
-            f"{op} is O(n²) and got {n} rows (guard_limit="
-            f"{guard_limit}); use {scale_alt} at this size")
+            f"{op} is O(n²) and got more than {guard_limit} rows "
+            f"(guard_limit); use {scale_alt} at this size")
 
 
 # --------------------------------------------------------------- SimHash

@@ -131,21 +131,6 @@ def _plane_component(table: int, p: int, d: int) -> float:
     return (h % 2000 - 1000) / 1000.0
 
 
-def hyperplane_signature(vec_col: Column, dim: int, table: int = 0,
-                         n_planes: int = 6) -> Column:
-    """One LSH table's bucket id: bit p = sign(v · plane_{table,p})."""
-    v = _as_double(vec_col)
-    sig = None
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(table, p, d))
-                          for d in range(dim)])
-        bit = F.when(_dot(v, plane) > 0, F.lit(1).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << p).cast("long")
-        sig = term if sig is None else (sig + term)
-    return sig
-
-
 def hyperplane_signatures(vec_col: Column, dim: int, n_tables: int,
                           n_planes: int) -> Column:
     """ALL tables' signatures at once as ``array<long>`` — one
@@ -158,7 +143,13 @@ def hyperplane_signatures(vec_col: Column, dim: int, n_tables: int,
     compile per query and evaluates element-at-a-time with a per-plane
     array allocation; the matmul is one BLAS call per Arrow batch.
     Same md5-derived plane constants (:func:`_plane_component`), so
-    bucket assignment stays reproducible in SQL oracles."""
+    bucket assignment is reproducible in SQL oracles — up to float
+    summation order: BLAS sums pairwise, SQL sums sequentially, so a
+    dot product within ~1 ulp of 0 could flip a bit between engines.
+    Pseudo-random planes vs real embeddings make that measure-zero in
+    practice (verified green at sf0.001/0.01/0.1); an exactly-boundary
+    vector would surface as a one-query hash mismatch, not silent
+    corruption."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -96,11 +96,21 @@ class IncrementalIngestor:
 
     def watermark(self) -> datetime | None:
         """T1/A2: resume point = max(timestamp) + 1 minute
-        (ingest.py:217-220)."""
-        row = self.store.archive_values(self.database) \
-            .agg(F.max("timestamp")).first()
-        if row and row[0] is not None:
-            return row[0] + timedelta(minutes=1)
+        (ingest.py:217-220).
+
+        Rendered to a naive datetime VIA a session-TZ string
+        (date_format), not via first()'s raw timestamp: PySpark
+        converts collected timestamps in the PYTHON PROCESS timezone
+        while every JVM-side parse/format uses the session timezone —
+        a raw round trip silently shifts the resume point whenever the
+        two differ."""
+        row = (self.store.archive_values(self.database)
+               .agg(F.date_format(F.max("timestamp"),
+                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("m")).first())
+        if row and row["m"] is not None:
+            return datetime.fromisoformat(row["m"]) \
+                + timedelta(minutes=1)
         return self.default_start
 
     def pull(self, start: datetime, end: datetime,

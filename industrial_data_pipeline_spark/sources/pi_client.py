@@ -182,9 +182,14 @@ def crawl_server(transport: Transport, base_url: str,
                  database_filter: Callable[[str], bool] = lambda _n: True
                  ) -> list[dict]:
     """S3: full crawl — first asset server, each of its databases that
-    passes ``database_filter`` (the reference prompts per database)."""
+    passes ``database_filter`` (the reference prompts per database).
+    An empty/odd server listing degrades to [] like the per-subtree
+    error handling, rather than aborting the crawl."""
     servers = transport("GET", f"{base_url}/assetservers", None)
-    server_webid = servers["Items"][0]["WebId"]
+    items = servers.get("Items") or []
+    if not items:
+        return []
+    server_webid = items[0]["WebId"]
     dbs = transport(
         "GET", f"{base_url}/assetservers/{server_webid}/assetdatabases",
         None)

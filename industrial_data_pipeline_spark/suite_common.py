@@ -22,12 +22,17 @@ def configure_events_reading(spark: SparkSession) -> None:
     - ``inferTimestampNTZ=false``: plain ``timestamp[us]`` parquet
       (isAdjustedToUTC absent) otherwise infers TIMESTAMP_NTZ, which
       breaks ``unix_micros``/``withWatermark`` and blocks filter
-      pushdown through a normalizing cast. Session TZ is pinned UTC
-      (session.py), so LTZ values are bit-identical to the oracle's
-      ``CAST(ts AS TIMESTAMP)``.
+      pushdown through a normalizing cast.
+    - ``session.timeZone=UTC``: reading the naive file values as LTZ
+      is only bit-identical to the oracle's naive
+      ``CAST(ts AS TIMESTAMP)`` under a UTC session — date_trunc,
+      windows and string-literal comparisons all evaluate in the
+      session TZ. get_spark pins this at build time, but the caller's
+      vanilla session inherits the host TZ; pin it here too.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def ts_as_timestamp(dtype: str, col: str = "ts"):
@@ -47,6 +52,9 @@ def ts_as_timestamp(dtype: str, col: str = "ts"):
 # Plan-object cache: repeated suite queries re-load the same tables;
 # reusing the analyzed DataFrame skips a parquet footer/schema read per
 # call. No data is persisted — every query still scans the files.
+# ASSUMES the table files are immutable for the session's lifetime
+# (true for the driver-generated testdata; a table regenerated
+# in-session must be read with spark.read directly, not load()).
 # Keyed WEAKLY by session: a dead session's entries vanish with it
 # (an id()-based key could be reused by a new session at the same
 # address and serve DataFrames bound to the stopped one).

@@ -356,7 +356,7 @@ def _plane_arr_sql(table: int, p: int) -> str:
 
 
 def _sig_sql(vec: str, table: int, n_planes: int) -> str:
-    """DuckDB twin of operators.similarity.hyperplane_signature."""
+    """DuckDB twin of operators.similarity.hyperplane_signatures."""
     bits = " + ".join(
         f"(CASE WHEN list_dot_product({vec}, {_plane_arr_sql(table, p)})"
         f" > 0 THEN {1 << p} ELSE 0 END)"

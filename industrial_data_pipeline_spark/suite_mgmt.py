@@ -330,9 +330,12 @@ def q_ingest_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from industrial_data_pipeline_spark.sources.mapping import mapping_df
     pipe, root = _pipe(spark)
     pipe.create_database(DB)
-    pipe.store.append_archive(DB, spark.createDataFrame(
-        [(1, datetime.fromisoformat(_T0), 0.0)],
-        "attribute_id long, timestamp timestamp, value double"))
+    # timestamps enter Spark as STRINGS parsed JVM-side (session TZ) —
+    # a Python datetime would be interpreted in the PROCESS timezone
+    # and shift the seed whenever the two differ
+    pipe.store.append_archive(DB, spark.sql(
+        f"SELECT 1L AS attribute_id, timestamp'{_T0}' AS timestamp, "
+        f"cast(0.0 AS double) AS value"))
     fetches = []
 
     def fetch(start: datetime, end: datetime) -> DataFrame:
@@ -355,11 +358,16 @@ def q_ingest_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = ing.watermark()
     appended = ing.run(datetime.fromisoformat(_NOW))
     arch = pipe.store.archive_values(DB)
-    out = spark.createDataFrame(
-        [(wm, appended, len(fetches), arch.count(),
-          arch.agg(F.max("timestamp")).first()[0])],
-        "watermark timestamp, rows_appended long, n_fetches long, "
-        "archive_rows long, max_ts timestamp")
+    # ledger built JVM-side: wm re-enters as a string literal and
+    # max_ts never leaves the JVM, so the emitted timestamps are
+    # session-TZ-consistent under any process timezone
+    out = (arch.agg(F.count("*").alias("archive_rows"),
+                    F.max("timestamp").alias("max_ts"))
+           .select(F.to_timestamp(F.lit(wm.isoformat(sep=" ")))
+                   .alias("watermark"),
+                   F.lit(appended).cast("long").alias("rows_appended"),
+                   F.lit(len(fetches)).cast("long").alias("n_fetches"),
+                   "archive_rows", "max_ts"))
     return _finish(out, root)
 
 
