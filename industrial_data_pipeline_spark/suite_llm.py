@@ -573,6 +573,35 @@ FROM f
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (the 1→1 mapInPandas media kernel): docs
+    as fake image payloads with metadata; the stub keeps bytes and
+    rewrites the size metadata (a real kernel would re-encode). Emits
+    metadata + payload fingerprint so both the passthrough and the
+    metadata rewrite are under the hash check."""
+    docs = _load_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("n_chars") % 1000 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 800 + 1).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    out = MM.resize_images(media, width=224, height=224)
+    return out.select("media_id", "width", "height",
+                      F.length("data").alias("n_bytes"),
+                      F.md5("data").alias("payload_md5"))
+
+
+ORACLE_IMAGE_RESIZE = """
+SELECT doc_id AS media_id, 224 AS width, 224 AS height,
+       strlen(text)::INTEGER AS n_bytes, md5(text) AS payload_md5
+FROM documents
+"""
+
+
 REGISTRY_LLM: dict[str, tuple] = {
     "q19_text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "q20_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
@@ -592,4 +621,5 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q37_cosine_near_dup_lsh": (q_cosine_near_dup_lsh,
                                 _oracle_cosine_near_dup_lsh()),
     "q133_frame_sampling": (q_frame_sampling, ORACLE_FRAME_SAMPLING),
+    "q134_image_resize": (q_image_resize, ORACLE_IMAGE_RESIZE),
 }
