@@ -4,6 +4,12 @@ line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is timed end-to-end (plan + execute) with a noop sink so
 every output column is computed but nothing is shipped to the driver.
+
+The final line stays compact (<1.5 KB): "queries" holds per-SUITE
+rollups, not the 134-entry per-query map — the driver keeps only the
+last 2,000 chars of output, and round 2's full map came back
+`parsed: null`. The per-query timings go to BENCH_DETAIL.json next to
+this file.
 """
 
 from __future__ import annotations
@@ -24,7 +30,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from industrial_data_pipeline_spark.session import get_spark
-    from industrial_data_pipeline_spark.suite import REGISTRY
+    from industrial_data_pipeline_spark.suite import REGISTRY, SUITE_OF
 
     spark = get_spark("idp-bench", cores=cpus)
 
@@ -49,15 +55,34 @@ def main() -> None:
                   file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    rollup: dict[str, float] = {}
+    for name, secs in timings.items():
+        label = SUITE_OF.get(name, "core")
+        rollup[label] = round(rollup.get(label, 0.0) + secs, 4)
+
+    detail = {
+        "metric": "suite_total", "value": total, "unit": "sec",
+        "sf": sf, "queries": timings,
+    }
+    if errors:
+        detail["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # n_errors travels with the headline number so a partially failed
+    # run (smaller total over fewer queries) can't read as a speedup
     result = {
         "metric": "suite_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": rollup,
         "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
     }
-    if errors:
-        result["errors"] = errors
     print(json.dumps(result))
 
 

@@ -31,7 +31,12 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
     Session ids are per-key ordinals (1-based, by time). One shuffle
     on the key; the cumulative-sum window is order-insensitive under
     timestamp ties (tied rows contribute gap 0 regardless of order),
-    with ``tiebreak_col`` pinning a total order anyway."""
+    with ``tiebreak_col`` pinning a total order anyway.
+
+    ``sum_value`` sums in DECIMAL(18,6) (exact, partition-merge-order
+    independent) and casts to double once at the end — a double sum
+    rounded to 6 dp can still flip an ulp across merge orders (the
+    trend_slopes decimal pattern, operators/timeseries.py)."""
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(ts_col).over(w)
     gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
@@ -46,7 +51,8 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
             .agg(F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
                  F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum(value_col), round_dp).alias("sum_value")))
+                 F.sum(F.col(value_col).cast(f"decimal(18,{round_dp})"))
+                 .cast("double").alias("sum_value")))
 
 
 def top_k_per_group(df: DataFrame, group_col: str, order_col: str,

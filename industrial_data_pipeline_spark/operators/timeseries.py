@@ -266,12 +266,15 @@ def trend_slopes(archive: DataFrame, key_col: str = "attribute_id",
     den = nD * sxxD - sxD * sxD
     slope_us = num / den                      # per-microsecond
     intercept = (syD - slope_us * sxD) / nD
+    # + 0.0 normalizes IEEE negative zero: a slope that rounds to
+    # -0.0 here may round to +0.0 in another engine (or vice versa)
+    # and equality-passes but byte-hash-fails; -0.0 + 0.0 == +0.0
     return agg.select(
         key_col,
         F.col("_n").cast("long").alias("n"),
-        F.round(slope_us * F.lit(1_000_000.0), round_dp)
+        (F.round(slope_us * F.lit(1_000_000.0), round_dp) + F.lit(0.0))
         .alias("slope_per_sec"),
-        F.round(intercept, round_dp).alias("intercept"))
+        (F.round(intercept, round_dp) + F.lit(0.0)).alias("intercept"))
 
 
 def seasonal_baseline(archive: DataFrame, interval_seconds: int = 3600,

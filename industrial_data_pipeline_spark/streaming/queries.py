@@ -75,9 +75,22 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     out_schema = ("user_id long, session_id long, "
                   "session_start timestamp, session_end timestamp, "
                   "n_events long, sum_value double")
+    # value sum carried as exact integer micro-units (value quantized
+    # to 6 dp, same as Spark's double→DECIMAL(18,6) cast), so the
+    # accumulated sum is order-independent and bit-matches the batch
+    # operator / oracle regardless of batch boundaries
     state_schema = ("closed long, start_us long, end_us long, "
-                    "n long, sum double")
+                    "n long, sum_micro long")
     gap_us = gap_seconds * 1_000_000
+
+    from decimal import ROUND_HALF_UP, Decimal
+    _Q = Decimal("0.000001")
+
+    def _micro(v: float) -> int:
+        # mirrors Spark's Decimal(double) cast: shortest string repr,
+        # then HALF_UP quantize at scale 6
+        return int(Decimal(repr(float(v))).quantize(_Q, ROUND_HALF_UP)
+                   .scaleb(6))
 
     def handler(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs), ignore_index=True)
@@ -90,21 +103,23 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
             cur = [s_us, e_us, n0, sum0]
         done = []  # sessions closed by evidence: a later event past gap
         for t, v in zip(us, vals):
+            m = _micro(v)
             if cur is None:
-                cur = [t, t, 1, v]
+                cur = [t, t, 1, m]
             elif t - cur[1] > gap_us:
                 done.append(cur)
-                cur = [t, t, 1, v]
+                cur = [t, t, 1, m]
             else:
                 cur[1] = t
                 cur[2] += 1
-                cur[3] += v
+                cur[3] += m
         state.update((closed + len(done),
                       cur[0], cur[1], cur[2], cur[3]))
         done.append(cur)  # trailing open session, emitted optimistically
         uid = key[0]
         out = pd.DataFrame(
-            [(uid, closed + i + 1, s[0], s[1], s[2], round(s[3], 6))
+            [(uid, closed + i + 1, s[0], s[1], s[2],
+              float(Decimal(s[3]).scaleb(-6)))
              for i, s in enumerate(done)],
             columns=["user_id", "session_id", "session_start",
                      "session_end", "n_events", "sum_value"])

@@ -632,3 +632,22 @@ REGISTRY.update(REGISTRY_SKETCHES)
 from industrial_data_pipeline_spark.suite_mgmt import REGISTRY_MGMT  # noqa: E402
 
 REGISTRY.update(REGISTRY_MGMT)
+
+# query name → suite label, for bench rollups (bench.py prints one
+# compact per-suite line; the full per-query map goes to
+# BENCH_DETAIL.json because the driver keeps only the output tail)
+SUITE_OF: dict[str, str] = {}
+for _label, _reg in [
+    ("llm", REGISTRY_LLM), ("ts", REGISTRY_TS),
+    ("events", REGISTRY_EVENTS), ("olap", REGISTRY_OLAP),
+    ("corpus", REGISTRY_CORPUS), ("scale", REGISTRY_SCALE),
+    ("pipeline", REGISTRY_PIPELINE), ("olap2", REGISTRY_OLAP2),
+    ("vectors", REGISTRY_VECTORS), ("behavior", REGISTRY_BEHAVIOR),
+    ("graph", REGISTRY_GRAPH), ("olap3", REGISTRY_OLAP3),
+    ("dataeng", REGISTRY_DATAENG), ("advanced", REGISTRY_ADVANCED),
+    ("sketches", REGISTRY_SKETCHES), ("mgmt", REGISTRY_MGMT),
+]:
+    for _n in _reg:
+        SUITE_OF.setdefault(_n, _label)
+for _n in REGISTRY:  # everything defined in this module directly
+    SUITE_OF.setdefault(_n, "core")

@@ -100,21 +100,41 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     users (order-independent register-max merge ⇒ deterministic) and
     Greenwald-Khanna p50/p95 of value. The 100 TB answer to q46/q65's
     exact versions: fixed-size sketch state per group instead of a
-    distinct expansion or full sort. Approximate by design → rows-only
-    driver check; error bounds vs the exact answers are asserted in
-    tests/test_events_analytics.py.
+    distinct expansion or full sort.
+
+    Sketch outputs can't be replayed by another engine, but the
+    accuracy CLAIM can: each group emits booleans asserting the sketch
+    answer lies within its documented error band of the exact answer
+    computed in the same plan (HLL rsd=2% checked at ±10%; GK rank
+    error 1e-4 checked against the exact 49/51 and 94/96 percentile
+    envelope). The oracle computes the exact side and emits `true`
+    constants — so a hash match proves the bounds held.
     """
     ev = load(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", rsd=0.02)
-                 .alias("approx_users"),
-                 F.percentile_approx("value", [0.5, 0.95], 10_000)
-                 .alias("approx_p50_p95"),
-                 F.count("*").alias("n_events"))
-            .select("event_type", "approx_users",
-                    F.round(F.col("approx_p50_p95")[0], 6).alias("p50"),
-                    F.round(F.col("approx_p50_p95")[1], 6).alias("p95"),
-                    "n_events"))
+    agg = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                .alias("_au"),
+                F.count_distinct("user_id").alias("_eu"),
+                F.percentile_approx("value", [0.5, 0.95], 10_000)
+                .alias("_ap"),
+                F.percentile("value", [0.49, 0.51, 0.94, 0.96])
+                .alias("_ep"),
+                F.count("*").alias("n_events")))
+    return agg.select(
+        "event_type", "n_events",
+        (F.abs(F.col("_au") - F.col("_eu"))
+         <= 0.10 * F.col("_eu")).alias("approx_users_ok"),
+        F.col("_ap")[0].between(F.col("_ep")[0], F.col("_ep")[1])
+        .alias("p50_ok"),
+        F.col("_ap")[1].between(F.col("_ep")[2], F.col("_ep")[3])
+        .alias("p95_ok"))
+
+
+ORACLE_APPROX_PROFILE = """
+SELECT event_type, count(*) AS n_events,
+       true AS approx_users_ok, true AS p50_ok, true AS p95_ok
+FROM events GROUP BY 1
+"""
 
 
 # ----------------------------------------------- q71 token rarity score
@@ -312,7 +332,7 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q68_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "q69_incremental_dedup": (q_incremental_dedup,
                               ORACLE_INCREMENTAL_DEDUP),
-    "q70_approx_profile": (q_approx_profile, None),
+    "q70_approx_profile": (q_approx_profile, ORACLE_APPROX_PROFILE),
     "q71_token_rarity": (q_token_rarity, ORACLE_TOKEN_RARITY),
     "q72_repetition_metrics": (q_repetition_metrics,
                                ORACLE_REPETITION_METRICS),

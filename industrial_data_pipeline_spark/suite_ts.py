@@ -195,9 +195,9 @@ agg AS (SELECT attribute_id,
         FROM d GROUP BY 1)
 SELECT attribute_id, CAST(n AS BIGINT) AS n,
        round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0, 6)
-           AS slope_per_sec,
+           + 0.0 AS slope_per_sec,
        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-             6) AS intercept
+             6) + 0.0 AS intercept
 FROM agg
 """
 

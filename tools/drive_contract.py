@@ -1,16 +1,21 @@
 """Driver simulation: plain session, import contract, run at sf0.01."""
+import os
 import sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
-# deliberately NOT our session factory — the driver builds its own
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
+# deliberately NOT our session factory — the driver builds its own.
+# local[32] to match the driver's parallelism: partition-merge-order
+# float effects (the q43 class) only reproduce at the same width.
+_CPUS = os.environ.get("DC_CPUS", "32")
+spark = (SparkSession.builder.master(f"local[{_CPUS}]")
+         .config("spark.sql.shuffle.partitions", _CPUS)
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
 import duckdb, pandas as pd
+import numpy as np
 import os
 
 import __spark_entry__ as e
@@ -43,8 +48,17 @@ for name, fn in qs.items():
     g, w = canon(sdf), canon(odf)
     ok_cols = list(g.columns) == list(w.columns)
     ok_rows = len(g) == len(w)
-    ok_vals = ok_cols and ok_rows and all(
-        ((g[c] == w[c]) | (g[c].isna() & w[c].isna())).all() if not pd.api.types.is_float_dtype(g[c])
-        else ((g[c] - w[c]).abs().fillna(0) < 1e-9).all()
-        for c in g.columns)
+
+    def col_exact(a, b):
+        # byte-exact float compare, mirroring the driver's value hash:
+        # NaN==NaN, but -0.0 != 0.0 and 1 ulp is a mismatch
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            av = a.astype("float64").to_numpy().view("uint64")
+            bv = b.astype("float64").to_numpy().view("uint64")
+            nan = np.isnan(a.astype("float64").to_numpy()) \
+                & np.isnan(b.astype("float64").to_numpy())
+            return bool(((av == bv) | nan).all())
+        return bool(((a == b) | (a.isna() & b.isna())).all())
+
+    ok_vals = ok_cols and ok_rows and all(col_exact(g[c], w[c]) for c in g.columns)
     print(f"{name}: cols={ok_cols} rowcount={ok_rows} ({len(g)}) values={'MATCH' if ok_vals else 'MISMATCH'}")
