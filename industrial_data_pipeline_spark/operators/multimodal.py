@@ -2,12 +2,18 @@
 
 The Spark-side plumbing is real and tested — schema, partition-friendly
 layout, Arrow-batched mapInPandas UDF signatures, deterministic batch
-shapes. The actual codec work (JPEG decode, resampling, frame
-extraction) requires libraries not present in this container, so the
-decode kernel is STUBBED: ``decode_stub=True`` (default) produces
-deterministic fake features derived from the bytes' md5 — stable for
-tests — while ``decode_stub=False`` raises NotImplementedError at the
-point where Pillow/ffmpeg/torchcodec would be called.
+shapes. Two decode paths:
+
+- ``decode_stub=True`` (default): deterministic fake features derived
+  from the bytes' md5 — SQL-replayable, so the plumbing itself sits
+  under the driver's hash check.
+- ``decode_stub=False``: REAL kernels with zero non-baked deps.
+  Header probing (``probe_image``) struct-reads PNG / JPEG / GIF
+  dimensions; PNG payloads are actually decoded (stdlib zlib inflate +
+  scanline unfilter), resized (numpy nearest-neighbor), and re-encoded
+  (filter-0 + zlib). JPEG pixel work and video frame extraction still
+  raise NotImplementedError — a JPEG entropy decoder / ffmpeg is a
+  genuine dependency gap, stated rather than faked.
 
 Design for 100 TB of media:
 - binary payloads live in their own parquet column; metadata columns
@@ -25,8 +31,11 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, types as T
@@ -57,6 +66,144 @@ FRAMES_SCHEMA = T.StructType([
 ])
 
 
+# --------------------------------------------------- real image kernels
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (8-bit, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def probe_image(payload: bytes | None) -> tuple[str, int, int] | None:
+    """Struct-read the container header → (format, width, height), or
+    None if the payload is not a recognizable PNG / JPEG / GIF. Pure
+    byte inspection — never decompresses pixel data, so probing a
+    100 MB payload costs the same as a 1 KB one."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b.startswith(_PNG_SIG) and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a SOFn
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) carry dims
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                         0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+    return None
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
+    RGBA) → (width, height, channels, uint8 array [h, w, c]). Pure
+    stdlib: chunk walk + zlib inflate + per-scanline unfilter."""
+    b = bytes(payload)
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(b):
+        length, ctype = struct.unpack(">I4s", b[pos:pos + 8])
+        data = b[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} "
+                    f"interlace={interlace} unsupported (8-bit "
+                    f"non-interlaced gray/GA/RGB/RGBA only)")
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, c = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        cur = line.copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            cur += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            cur32 = cur.astype(np.int32)
+            pr32 = prev.astype(np.int32)
+            res = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = res[x - c] if x >= c else 0
+                up = pr32[x]
+                ul = pr32[x - c] if x >= c else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc \
+                        else up if pb <= pc else ul
+                res[x] = (cur32[x] + pred) & 0xFF
+            cur = res.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return w, h, c, out.reshape(h, w, c)
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode a uint8 [h, w, c] array (c ∈ 1,2,3,4) as a filter-0
+    non-interlaced 8-bit PNG. Deterministic: fixed zlib level 6."""
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def resize_nearest(pixels: np.ndarray, new_w: int,
+                   new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample via integer index maps (pure numpy
+    fancy indexing — no interpolation ambiguity, engine-portable:
+    src = floor(dst * src_dim / dst_dim))."""
+    h, w, _c = pixels.shape
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return pixels[ys][:, xs]
+
+
 def _fake_feature(payload: bytes | None) -> list[float] | None:
     """Deterministic stand-in for a real encoder: FEATURE_DIM doubles
     in [0,1) from the payload's md5."""
@@ -66,20 +213,48 @@ def _fake_feature(payload: bytes | None) -> list[float] | None:
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+def _real_feature(payload: bytes | None) -> list[float] | None:
+    """Real header+pixel features, FEATURE_DIM doubles:
+    [width, height, channels, mean/255, std/255, min/255, max/255,
+    aspect]. Decodable PNG → pixel statistics; other recognizable
+    formats → header dims + byte-level statistics (still a real
+    computation over the payload); unrecognized → all byte-level."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    probed = probe_image(b)
+    if probed and probed[0] == "png":
+        try:
+            w, h, c, px = png_decode(b)
+            flat = px.astype(np.float64)
+            return [float(w), float(h), float(c),
+                    float(flat.mean() / 255.0), float(flat.std() / 255.0),
+                    float(flat.min() / 255.0), float(flat.max() / 255.0),
+                    float(w) / float(h)]
+        except (NotImplementedError, ValueError):
+            pass  # unsupported PNG flavor → byte statistics below
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64) \
+        if b else np.zeros(1)
+    w, h = (float(probed[1]), float(probed[2])) if probed else (0.0, 0.0)
+    return [w, h, 0.0,
+            float(arr.mean() / 255.0), float(arr.std() / 255.0),
+            float(arr.min() / 255.0), float(arr.max() / 255.0),
+            w / h if h else 0.0]
+
+
 def extract_features(df: DataFrame,
                      decode_stub: bool = True) -> DataFrame:
-    """media → feature vectors, Arrow-batched."""
+    """media → feature vectors, Arrow-batched. ``decode_stub=False``
+    computes real header/pixel features (``_real_feature``); the stub
+    path stays SQL-replayable for the correctness oracle."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _fake_feature if decode_stub else _real_feature
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode needs Pillow/ffmpeg — not in this "
-                    "container; run with decode_stub=True")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "feature": pdf["data"].map(_fake_feature),
+                "feature": pdf["data"].map(fn),
             })
 
     return df.mapInPandas(op, FEATURES_SCHEMA)
@@ -117,16 +292,39 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
 def resize_images(df: DataFrame, width: int, height: int,
                   decode_stub: bool = True) -> DataFrame:
-    """image rows → resized payloads. Stub keeps bytes, updates the
-    metadata columns (the real kernel would re-encode)."""
+    """image rows → resized payloads.
+
+    ``decode_stub=False`` runs the REAL kernel on PNG payloads:
+    decode (zlib inflate + unfilter) → nearest-neighbor resample →
+    re-encode; width/height metadata come from the actual output
+    header. JPEG payloads raise NotImplementedError (no entropy
+    decoder in this container — an honest gap, not a fake). The stub
+    path keeps bytes and rewrites metadata only, which is what the
+    SQL oracle replays."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize needs Pillow — not in this container; "
-                    "run with decode_stub=True")
             pdf = pdf.copy()
+            if decode_stub:
+                pdf["width"] = width
+                pdf["height"] = height
+                yield pdf
+                continue
+
+            def kernel(payload):
+                if payload is None:
+                    return None
+                b = bytes(payload)
+                probed = probe_image(b)
+                if probed is None or probed[0] != "png":
+                    raise NotImplementedError(
+                        f"real resize supports PNG only (got "
+                        f"{probed[0] if probed else 'unrecognized'}): "
+                        f"JPEG needs libjpeg, absent here")
+                _w, _h, _c, px = png_decode(b)
+                return png_encode(resize_nearest(px, width, height))
+
+            pdf["data"] = pdf["data"].map(kernel)
             pdf["width"] = width
             pdf["height"] = height
             yield pdf

@@ -129,6 +129,33 @@ class IncrementalIngestor:
         self.store.append_archive(self.database, batch)
         return n
 
+    def now_bound(self, wallclock: datetime | None = None) -> datetime:
+        """F9: the ingest upper bound is the wall clock truncated to
+        the whole minute (reference ``now().replace(second=0,
+        microsecond=0)``, src/pi/extraction/ingest.py:221) — a pull
+        never covers a partial trailing minute, so the next watermark
+        lands exactly on the minute grid.
+
+        Truncation runs JVM-side (``date_trunc('minute', …)``) and
+        returns via a session-TZ string for the same reason as
+        :meth:`watermark`: a collected raw timestamp would re-enter
+        Python in the PROCESS timezone. ``wallclock`` is injectable
+        for deterministic replay; None means the cluster clock
+        (``current_timestamp``)."""
+        col = (F.to_timestamp(F.lit(wallclock.isoformat(sep=" ")))
+               if wallclock is not None else F.current_timestamp())
+        row = self.spark.range(1).select(
+            F.date_format(F.date_trunc("minute", col),
+                          "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("b")) \
+            .first()
+        return datetime.fromisoformat(row["b"])
+
+    def run_now(self, wallclock: datetime | None = None) -> int:
+        """One scheduled cycle exactly as the reference's cron entry
+        point runs it: upper bound = minute-truncated now (F9), then
+        the normal watermark-resume pull with recovery."""
+        return self.run(self.now_bound(wallclock))
+
     def run(self, now: datetime) -> int:
         """Normal incremental cycle with hourly-block recovery on
         density failure (T3; ingest.py:256-270)."""

@@ -602,6 +602,70 @@ FROM documents
 """
 
 
+def q_real_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image kernel end to end, self-verified in-plan (q70
+    pattern): procedural RGB pixels → png_encode (stdlib zlib) →
+    resize_images(decode_stub=False) (decode + unfilter +
+    nearest-neighbor + re-encode) → re-decode and compare against an
+    independently computed nearest-neighbor resample of the source.
+    The oracle replays the exact side (ids + target dims) and emits
+    `true` constants, so a hash match proves every payload decoded,
+    resized, and re-encoded pixel-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id")
+            .where(F.col("doc_id") < 300))
+
+    def pixels_for(doc_id: int) -> "np.ndarray":
+        w, h = int(doc_id) % 37 + 8, int(doc_id) % 29 + 8
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        ch = np.arange(3)[None, None, :]
+        return ((x + 2 * y + ch + int(doc_id)) % 256).astype(np.uint8)
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "kind": "image",
+                "data": pdf["doc_id"].map(
+                    lambda i: MM.png_encode(pixels_for(i))),
+                "width": pdf["doc_id"].map(lambda i: int(i) % 37 + 8),
+                "height": pdf["doc_id"].map(lambda i: int(i) % 29 + 8),
+                "duration_ms": None,
+                "sample_rate": None,
+            })
+
+    media = docs.mapInPandas(encode, MM.MEDIA_SCHEMA)
+    out = MM.resize_images(media, 16, 12, decode_stub=False)
+
+    verify_schema = ("media_id long, width int, height int, "
+                     "dims_ok boolean, px_ok boolean")
+
+    def verify(batches):
+        for pdf in batches:
+            dims_ok, px_ok = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["data"]):
+                w, h, _c, got = MM.png_decode(bytes(payload))
+                dims_ok.append((w, h) == (16, 12))
+                exp = MM.resize_nearest(pixels_for(mid), 16, 12)
+                px_ok.append(bool(np.array_equal(got, exp)))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "width": pdf["width"],
+                "height": pdf["height"], "dims_ok": dims_ok,
+                "px_ok": px_ok})
+
+    return out.mapInPandas(verify, verify_schema)
+
+
+ORACLE_REAL_IMAGE_RESIZE = """
+SELECT doc_id AS media_id, 16 AS width, 12 AS height,
+       true AS dims_ok, true AS px_ok
+FROM documents WHERE doc_id < 300
+"""
+
+
 REGISTRY_LLM: dict[str, tuple] = {
     "q19_text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "q20_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
@@ -622,4 +686,6 @@ REGISTRY_LLM: dict[str, tuple] = {
                                 _oracle_cosine_near_dup_lsh()),
     "q133_frame_sampling": (q_frame_sampling, ORACLE_FRAME_SAMPLING),
     "q134_image_resize": (q_image_resize, ORACLE_IMAGE_RESIZE),
+    "q136_real_image_resize": (q_real_image_resize,
+                               ORACLE_REAL_IMAGE_RESIZE),
 }

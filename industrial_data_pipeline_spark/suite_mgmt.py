@@ -383,6 +383,69 @@ FROM m
 """
 
 
+# ------------------------ q135 F9 minute-truncated now() ingest bound
+
+_F9_T0 = "2024-03-01 08:00:00"
+_F9_WM = "2024-03-01 08:01:00"
+_F9_WALL = "2024-03-01 08:31:17.654321"  # → bound 08:31:00
+_F9_BOUND = "2024-03-01 08:31:00"
+
+
+def q_ingest_now_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 + T1: a scheduled ingest cycle whose upper bound is the
+    wall clock truncated to the minute (``run_now``) — the fetch must
+    stop at hh:mm:00, never a partial trailing minute, so the next
+    watermark stays on the minute grid. The wall clock is injected
+    with stray seconds+µs; the emitted ledger pins the truncated
+    bound, the rows pulled, and the archive max."""
+    from industrial_data_pipeline_spark.sources.ingest import (
+        IncrementalIngestor)
+    from industrial_data_pipeline_spark.sources.mapping import mapping_df
+    pipe, root = _pipe(spark)
+    pipe.create_database(DB)
+    pipe.store.append_archive(DB, spark.sql(
+        f"SELECT 1L AS attribute_id, timestamp'{_F9_T0}' AS timestamp, "
+        f"cast(0.0 AS double) AS value"))
+
+    def fetch(start: datetime, end: datetime) -> DataFrame:
+        minutes = spark.sql(
+            f"SELECT explode(sequence(timestamp'{start}', "
+            f"timestamp'{end}', interval 1 minute)) AS m")
+        tags = spark.createDataFrame(
+            [(f"tag_{i}",) for i in (1, 2, 3)], "lookup_key string")
+        return minutes.crossJoin(tags).select(
+            "lookup_key",
+            F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+            F.expr("cast(cast(unix_timestamp(m) / 60 AS BIGINT) % 997 "
+                   "AS string)").alias("value"))
+
+    ing = IncrementalIngestor(
+        spark, pipe.store, DB,
+        mapping_df(spark, {f"tag_{i}": i for i in (1, 2, 3)}),
+        fetch, expected_rows_per_min=3, tz_shift_hours=0)
+    bound = ing.now_bound(datetime.fromisoformat(_F9_WALL))
+    appended = ing.run_now(datetime.fromisoformat(_F9_WALL))
+    arch = pipe.store.archive_values(DB)
+    out = (arch.agg(F.count("*").alias("archive_rows"),
+                    F.max("timestamp").alias("max_ts"))
+           .select(F.to_timestamp(F.lit(bound.isoformat(sep=" ")))
+                   .alias("now_bound"),
+                   F.lit(appended).cast("long").alias("rows_appended"),
+                   "archive_rows", "max_ts"))
+    return _finish(out, root)
+
+
+ORACLE_INGEST_NOW_BOUND = f"""
+WITH m AS (SELECT count(*) AS mins FROM generate_series(
+    TIMESTAMP '{_F9_WM}', TIMESTAMP '{_F9_BOUND}', INTERVAL 1 MINUTE))
+SELECT TIMESTAMP '{_F9_BOUND}' AS now_bound,
+       (mins * 3)::BIGINT AS rows_appended,
+       (mins * 3 + 1)::BIGINT AS archive_rows,
+       TIMESTAMP '{_F9_BOUND}' AS max_ts
+FROM m
+"""
+
+
 # ----------------------------------- q120 streaming CSV round-trip (S9)
 
 def q_stream_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,4 +745,6 @@ REGISTRY_MGMT: dict[str, tuple] = {
     "q122_pi_batch_source": (q_pi_batch_source, ORACLE_PI_BATCH_SOURCE),
     "q123_tree_reload": (q_tree_reload, ORACLE_TREE_RELOAD),
     "q124_pi_crawler": (q_pi_crawler, ORACLE_PI_CRAWLER),
+    "q135_ingest_now_bound": (q_ingest_now_bound,
+                              ORACLE_INGEST_NOW_BOUND),
 }

@@ -1,5 +1,9 @@
-"""Multimodal plumbing: schema, Arrow batching, stub kernels."""
+"""Multimodal plumbing: schema, Arrow batching, stub + real kernels."""
 
+import struct
+import zlib
+
+import numpy as np
 import pytest
 
 from industrial_data_pipeline_spark.operators import multimodal as MM
@@ -43,6 +47,120 @@ def test_resize_updates_metadata_only(media):
     assert all(r.width == 128 and r.height == 128 for r in out)
 
 
-def test_real_decode_raises_not_implemented(media):
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        MM.extract_features(media, decode_stub=False).collect()
+def test_real_frame_sampling_raises_not_implemented(media):
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        MM.sample_frames(media, decode_stub=False).collect()
+
+
+# --------------------------------------------------- real image kernels
+
+
+def _checker(w, h, c):
+    """Deterministic test image: (x + 2y + chan) % 256."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    ch = np.arange(c)[None, None, :]
+    return ((x + 2 * y + ch) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_roundtrip_all_channel_counts(c):
+    px = _checker(23, 11, c)
+    payload = MM.png_encode(px)
+    assert MM.probe_image(payload) == ("png", 23, 11)
+    w, h, cc, out = MM.png_decode(payload)
+    assert (w, h, cc) == (23, 11, c)
+    assert np.array_equal(out, px)
+
+
+def test_png_decode_all_filter_types():
+    """Hand-filter scanlines with filters 0..4 and check the decoder
+    inverts each (our encoder only emits filter 0, so this is the
+    only coverage of Sub/Up/Average/Paeth)."""
+    px = _checker(7, 5, 3)
+    stride = 7 * 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(5):
+        line = list(px[y].reshape(-1))
+        f = y % 5
+        raw.append(f)
+        filt = []
+        for x in range(stride):
+            left = line[x - 3] if x >= 3 else 0
+            up = prev[x]
+            ul = prev[x - 3] if x >= 3 else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                    4: paeth(left, up, ul)}[f]
+            filt.append((line[x] - pred) & 0xFF)
+        raw.extend(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d \
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    w, h, c, out = MM.png_decode(payload)
+    assert (w, h, c) == (7, 5, 3)
+    assert np.array_equal(out, px)
+
+
+def test_probe_jpeg_and_gif_headers():
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 2)
+    assert MM.probe_image(jpeg) == ("jpeg", 640, 480)
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert MM.probe_image(gif) == ("gif", 320, 200)
+    assert MM.probe_image(b"plain text") is None
+    assert MM.probe_image(None) is None
+
+
+def test_real_resize_actual_pixels(spark):
+    px = _checker(20, 10, 3)
+    rows = [(1, "image", bytearray(MM.png_encode(px)),
+             20, 10, None, None)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.resize_images(df, 5, 4, decode_stub=False).collect()
+    assert len(out) == 1
+    w, h, c, got = MM.png_decode(bytes(out[0].data))
+    assert (w, h, c) == (5, 4, 3)
+    assert (out[0].width, out[0].height) == (5, 4)
+    assert np.array_equal(got, MM.resize_nearest(px, 5, 4))
+
+
+def test_real_resize_rejects_non_png(spark):
+    rows = [(1, "image", b"\xff\xd8not-really", 2, 2, None, None)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|PNG only|libjpeg|unrecognized"):
+        MM.resize_images(df, 5, 4, decode_stub=False).collect()
+
+
+def test_real_features_png_and_fallback(spark):
+    px = _checker(8, 8, 1)
+    rows = [
+        (1, "image", bytearray(MM.png_encode(px)), 8, 8, None, None),
+        (2, "audio", b"RIFFfake", None, None, 2000, 44100),
+        (3, "image", None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    by_id = {r.media_id: r.feature for r in
+             MM.extract_features(df, decode_stub=False).collect()}
+    assert by_id[1][:3] == [8.0, 8.0, 1.0]      # real decoded dims
+    assert by_id[1][7] == 1.0                   # aspect
+    exp = px.astype(np.float64)
+    assert by_id[1][3] == pytest.approx(exp.mean() / 255.0)
+    assert by_id[2][0] == 0.0                   # not an image: byte stats
+    assert 0.0 <= by_id[2][3] <= 1.0
+    assert by_id[3] is None                     # NULL propagates
