@@ -119,16 +119,21 @@ class Pipeline:
         if not wide:
             return long_df
         # ONE dimension-sized driver round-trip yields both the
-        # element-count decision and the pivot column list
+        # element-count decision and the pivot column list. LEFT join:
+        # an attribute whose element_id is dangling (no element row)
+        # must still get a pivot column — bare name, un-qualified —
+        # rather than silently disappearing from the output schema.
         sel = attr.where(F.col("attribute_id").isin(list(attribute_ids)))
         pairs = (sel.join(
             F.broadcast(elem.select(
                 "element_id", F.col("name").alias("element_name"))),
-            "element_id")
+            "element_id", "left")
             .select("element_id", "name", "element_name").collect())
         if qualify_element is None:
             qualify_element = len({r["element_id"] for r in pairs}) > 1
-        names = ([f"{r['element_name']}|{r['name']}" for r in pairs]
+        names = ([f"{r['element_name']}|{r['name']}"
+                  if r["element_name"] is not None else r["name"]
+                  for r in pairs]
                  if qualify_element else [r["name"] for r in pairs])
         cols = list(dict.fromkeys(names))
         return pivot_wide(long_df, cols, qualify_element=qualify_element)

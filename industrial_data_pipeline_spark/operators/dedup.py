@@ -346,6 +346,82 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                          F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(pairs: DataFrame, src: str = "id_a",
+                              dst: str = "id_b", max_iter: int = 50,
+                              stats: dict | None = None) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): each round rewires every node's strictly-larger
+    (large-star) or smaller-or-equal (small-star) neighbors directly
+    to the minimum of its neighborhood, collapsing long paths
+    super-linearly — O(log² n) rounds on ANY graph, where the
+    min-label propagation in :func:`connected_components` needs
+    O(component diameter) rounds (pathological on chains/rings).
+
+    Same output contract as :func:`connected_components`:
+    (doc_id, cluster_id = min reachable node id), verified equal in
+    tests/test_dedup.py on random graphs and an adversarial chain
+    (where this converges in ~⅕ the rounds). Keep the min-label
+    version as the readable oracle; use this one at scale.
+
+    Each round: one groupBy(node) for neighborhood minima + one
+    key-partitioned join, both on the node id; the edge frontier is
+    localCheckpoint-ed so lineage stays flat. ``stats["rounds"]``
+    reports the executed round count when a dict is passed.
+    """
+    und = pairs.select(F.col(src).cast("long").alias("u"),
+                       F.col(dst).cast("long").alias("v")) \
+        .where(F.col("u") != F.col("v"))
+    nodes = (und.select("u").unionByName(und.select(F.col("v")
+                                                    .alias("u")))
+             .distinct().localCheckpoint(eager=True))
+    # symmetric edge list; each round's output replaces it
+    edges = (und.unionByName(und.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v")))
+             .distinct().localCheckpoint(eager=True))
+    rounds = 0
+    prev_unchanged = False
+    for i in range(max_iter):
+        large = i % 2 == 0
+        m = (edges.groupBy("u").agg(F.min("v").alias("_mn"))
+             .select("u", F.least("_mn", F.col("u")).alias("m")))
+        joined = edges.join(m, "u")
+        if large:
+            # neighbors STRICTLY ABOVE the center attach to its min
+            new = joined.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b"))
+        else:
+            # neighbors at-or-below + the center itself attach to min
+            new = joined.where(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")) \
+                .unionByName(m.select(F.col("u").alias("a"),
+                                      F.col("m").alias("b")))
+        new = (new.where(F.col("a") != F.col("b")).distinct()
+               .select(F.col("a").alias("u"), F.col("b").alias("v")))
+        new = new.unionByName(
+            new.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+            .distinct().localCheckpoint(eager=True)
+        rounds = i + 1
+        # true fixed point = BOTH ops leave the set unchanged: a
+        # small-star-invariant set can still move under large-star
+        # (and vice versa), so one quiet round is not convergence
+        unchanged = (new.exceptAll(edges).limit(1).count() == 0
+                     and edges.exceptAll(new).limit(1).count() == 0)
+        edges = new
+        if unchanged and prev_unchanged:
+            break
+        prev_unchanged = unchanged
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at the fixed point every node's smallest neighbor IS its
+    # component min; isolated originals keep their own id
+    star = edges.groupBy("u").agg(F.min("v").alias("_mn"))
+    return (nodes.join(star, "u", "left")
+            .select(F.col("u").alias("doc_id"),
+                    F.least(F.coalesce("_mn", F.col("u")), F.col("u"))
+                    .alias("cluster_id")))
+
+
 def incremental_exact_dedup(corpus: DataFrame, batch: DataFrame,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:

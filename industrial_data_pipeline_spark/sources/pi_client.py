@@ -45,10 +45,14 @@ SELECTED_FIELDS = "Items.Path;Items.Items.Timestamp;Items.Items.Value"
 
 
 def requests_transport(username: str, password: str,
-                       verify: bool = False) -> Transport:
+                       verify: bool = True) -> Transport:
     """The production transport (NTLM session, like the reference's
     ``get_api``/``session.post``). Import-gated: the libraries are
-    absent in the sandbox, and nothing else in the engine needs them."""
+    absent in the sandbox, and nothing else in the engine needs them.
+
+    TLS verification defaults ON (unlike the reference, which pins
+    ``verify=False``): pass ``verify=False`` explicitly — or a CA
+    bundle path — only for self-signed PI servers."""
     import requests  # noqa: F401  (gated import)
     from requests_ntlm import HttpNtlmAuth
 

@@ -125,6 +125,17 @@ FROM walk GROUP BY node
 """
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as q61 through the O(log² n)-round alternating
+    large-star/small-star operator (the scale path for deep/chained
+    components); identical output contract, same recursive-SQL
+    oracle."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        connected_components_star)
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components_star(pairs, "id_a", "id_b")
+
+
 # ------------------------------------------ q62 streaming batch parity
 # An actual Structured Streaming execution (readStream → watermark →
 # windowed agg → memory sink, Trigger.AvailableNow) whose result must
@@ -204,6 +215,7 @@ REGISTRY_CORPUS: dict[str, tuple] = {
     "q59_tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "q60_bigram_counts": (q_bigram_counts, ORACLE_BIGRAM_COUNTS),
     "q61_dup_clusters": (q_dup_clusters, ORACLE_DUP_CLUSTERS),
+    "q137_dup_clusters_star": (q_dup_clusters_star, ORACLE_DUP_CLUSTERS),
     "q132_cluster_representatives": (q_cluster_representatives,
                                      ORACLE_CLUSTER_REPRESENTATIVES),
     "q62_stream_hourly_counts": (q_stream_hourly_counts,

@@ -75,6 +75,22 @@ def test_export_pipeline(pipe, tmp_path, monkeypatch):
     assert set(df1.columns) == {"timestamp", "Pressure"}
 
 
+def test_pivot_keeps_attribute_with_dangling_element(pipe, spark):
+    # an attribute pointing at a non-existent element must still get
+    # a pivot column (bare name), not silently vanish from the schema
+    attr = pipe.store.attribute("plant")
+    extra = spark.createDataFrame(
+        [(99, "Orphaned", 12345, None)],
+        "attribute_id long, name string, element_id long, "
+        "formula string")
+    pipe.store.overwrite_dim(
+        "plant", "attribute", attr.unionByName(extra, allowMissingColumns=True))
+    df = pipe.get_timeseries("plant", [2, 99], start=T0,
+                             end=datetime(2025, 1, 1, 0, 9))
+    assert "Orphaned" in df.columns
+    assert any(c.endswith("Pressure") for c in df.columns)
+
+
 def test_derived_attribute_lifecycle(pipe):
     # insert derived: avg of attrs 2 and 3, backfilled first-wins
     did = pipe.insert_attribute("plant", element_id=3, name="AvgTP",

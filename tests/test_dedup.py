@@ -81,6 +81,34 @@ def test_connected_components_chain_and_islands(spark):
                    (7, 7), (8, 7), (10, 10), (11, 10)}
 
 
+def test_star_cc_matches_min_label_on_random_graph(spark):
+    import random
+    rng = random.Random(42)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(70)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {(r.doc_id, r.cluster_id)
+            for r in D.connected_components(pairs).collect()}
+    got = {(r.doc_id, r.cluster_id)
+           for r in D.connected_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_star_cc_beats_min_label_rounds_on_chain(spark):
+    # adversarial 40-node chain: min-label needs ~diameter rounds,
+    # alternating stars collapse it in O(log^2 n)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long")
+    stats: dict = {}
+    got = {(r.doc_id, r.cluster_id)
+           for r in D.connected_components_star(
+               pairs, stats=stats).collect()}
+    assert got == {(i, 0) for i in range(40)}
+    # 13 = 11 productive rounds + 2 confirming the fixed point;
+    # min-label propagation would need ~39 (one hop per round)
+    assert stats["rounds"] <= 16
+
+
 def test_incremental_exact_dedup(spark):
     from industrial_data_pipeline_spark.operators.dedup import (
         incremental_exact_dedup)
