@@ -298,8 +298,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
-                         dst: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """Group near-dup pairs into clusters: each node in the pair graph
     gets ``cluster_id`` = min node id reachable from it (the canonical
     document of its duplicate cluster).
@@ -320,7 +320,9 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     labels = (edges.select("u").distinct()
               .withColumn("label", F.col("u"))
               .localCheckpoint(eager=True))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         e, lb = edges.alias("e"), labels.alias("lb")
         neigh = (e.join(lb, F.col("e.v") == F.col("lb.u"))
                  .select(F.col("e.u").alias("u"),
@@ -342,6 +344,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         labels = new.drop("_old")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -381,6 +385,7 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
              .distinct().localCheckpoint(eager=True))
     rounds = 0
     prev_unchanged = False
+    n_prev = edges.count()
     for i in range(max_iter):
         large = i % 2 == 0
         m = (edges.groupBy("u").agg(F.min("v").alias("_mn"))
@@ -404,9 +409,14 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
         rounds = i + 1
         # true fixed point = BOTH ops leave the set unchanged: a
         # small-star-invariant set can still move under large-star
-        # (and vice versa), so one quiet round is not convergence
-        unchanged = (new.exceptAll(edges).limit(1).count() == 0
-                     and edges.exceptAll(new).limit(1).count() == 0)
+        # (and vice versa), so one quiet round is not convergence.
+        # Check cost: both sets are distinct, so equal counts + empty
+        # one-sided difference ⇒ equality (one exceptAll, not two);
+        # unequal counts short-circuit on the cached counts alone.
+        n_new = new.count()
+        unchanged = (n_new == n_prev
+                     and new.exceptAll(edges).limit(1).count() == 0)
+        n_prev = n_new
         edges = new
         if unchanged and prev_unchanged:
             break

@@ -614,8 +614,12 @@ def q_real_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # 300 rows through three chained Python stages: collapse to a few
+    # partitions so per-stage worker startup doesn't dominate (the
+    # kernels are per-row; at real scale the repartition is simply
+    # sized to the payload volume instead)
     docs = (_load_docs(spark, sf_dir).select("doc_id")
-            .where(F.col("doc_id") < 300))
+            .where(F.col("doc_id") < 300).repartition(4))
 
     def pixels_for(doc_id: int) -> "np.ndarray":
         w, h = int(doc_id) % 37 + 8, int(doc_id) % 29 + 8

@@ -3,15 +3,17 @@
 For each suite entry: run the Spark plan and the oracle SQL on the
 same parquet files, then compare row count, column names, and values
 order-insensitively (columns sorted by name, rows sorted by all
-columns). Floats compare to 1e-9 relative tolerance — close enough to
-flag any real semantic drift while tolerating summation-order ulps.
+columns). Floats compare BYTE-exactly (uint64 view: NaN==NaN but
+-0.0 != 0.0 and one ulp is a mismatch) — the driver's verdict is a
+value hash, so anything weaker here lets order-sensitive summation
+slip through to a red CORRECTNESS row (the round-2 q43/q66/q67
+lesson).
 """
 
 from __future__ import annotations
 
-import math
-
 import duckdb
+import numpy as np
 import pandas as pd
 
 from industrial_data_pipeline_spark.suite import TABLES
@@ -44,23 +46,15 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g):
-            both_nan = g.isna() & w.isna()
-            close = pd.Series(
-                [True if bn else _isclose(a, b)
-                 for a, b, bn in zip(g, w, both_nan)])
-            bad = (~close).sum()
+            gv = g.astype("float64").to_numpy()
+            wv = w.astype("float64").to_numpy()
+            eq = pd.Series((gv.view("uint64") == wv.view("uint64"))
+                           | (np.isnan(gv) & np.isnan(wv)))
+            bad = int((~eq).sum())
             assert bad == 0, (
-                f"{name}.{c}: {bad} value mismatches, e.g. "
-                f"{list(zip(g[~close][:3], w[~close][:3]))}")
+                f"{name}.{c}: {bad} byte-exact mismatches, e.g. "
+                f"{list(zip(g[~eq][:3], w[~eq][:3]))}")
         else:
             eq = (g == w) | (g.isna() & w.isna())
             assert eq.all(), (
                 f"{name}.{c}: mismatch e.g. {list(zip(g[~eq][:3], w[~eq][:3]))}")
-
-
-def _isclose(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if pd.isna(a) or pd.isna(b):
-        return False
-    return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-12)

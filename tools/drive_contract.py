@@ -35,10 +35,13 @@ qs, osql = e.queries(), e.oracle_sql()
 if qfilter:
     keys = [k.strip() for k in qfilter.split(",")]
     qs = {n: f for n, f in qs.items() if any(k in n for k in keys)}
+results = {}  # name → verdict dict (written to $OUT if set)
 for name, fn in qs.items():
     sdf = fn(spark, sf).toPandas()
     if name not in osql:
-        print(f"{name}: rows-only, {len(sdf)} rows"); continue
+        print(f"{name}: rows-only, {len(sdf)} rows")
+        results[name] = {"rows_only": True, "spark_rows": len(sdf)}
+        continue
     odf = con.execute(osql[name]).fetchdf()
     def canon(d):
         d = d[sorted(d.columns)].copy()
@@ -62,3 +65,14 @@ for name, fn in qs.items():
 
     ok_vals = ok_cols and ok_rows and all(col_exact(g[c], w[c]) for c in g.columns)
     print(f"{name}: cols={ok_cols} rowcount={ok_rows} ({len(g)}) values={'MATCH' if ok_vals else 'MISMATCH'}")
+    results[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                     "hash_match": bool(ok_vals),
+                     "spark_rows": len(g), "oracle_rows": len(w)}
+
+out_path = os.environ.get("OUT")
+if out_path:
+    import json
+    with open(out_path, "w") as fh:
+        json.dump({"sf_dir": sf, "byte_exact": True,
+                   "results": results}, fh, indent=1, sort_keys=True)
+    print(f"wrote {out_path} ({len(results)} queries)")

@@ -127,6 +127,26 @@ def main() -> None:
     t_rewrite = time.perf_counter() - t0
     shutil.rmtree(ing_dir, ignore_errors=True)
 
+    # ---- CC convergence on an adversarial chain: rounds, not rows,
+    # are what kill iterative graph algorithms at scale
+    from industrial_data_pipeline_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    chain_n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(chain_n - 1)], "id_a long, id_b long")
+    cc_stats: dict = {}
+    t0 = time.perf_counter()
+    n_lbl = connected_components(chain, max_iter=200,
+                                 stats=cc_stats).count()
+    t_label = time.perf_counter() - t0
+    star_stats: dict = {}
+    t0 = time.perf_counter()
+    n_star = connected_components_star(chain, max_iter=200,
+                                       stats=star_stats).count()
+    t_star = time.perf_counter() - t0
+    assert n_lbl == n_star == chain_n
+
     out = [
         "# SCALE_NOTES — measured scaling, not vibes",
         "",
@@ -173,6 +193,20 @@ def main() -> None:
         "reads and rewrites only the touched date partition, so "
         "steady-state ingest cost is independent of history size; at "
         "100 TB / years of history that gap is the whole design).",
+        "",
+        "## Iterative-operator convergence, measured",
+        "",
+        f"- **Connected components on a {chain_n}-node chain** (the "
+        "adversarial depth case — every real-world near-dup cluster "
+        "is shallower): min-label propagation converged in "
+        f"{cc_stats['rounds']} rounds / {t_label:.1f} s; alternating "
+        f"large/small-star in {star_stats['rounds']} rounds / "
+        f"{t_star:.1f} s. Rounds are the scale currency — each is a "
+        "full shuffle barrier — and the star variant's O(log²n) "
+        "bound is what keeps clustering feasible if a pathological "
+        "duplicate chain ever shows up in a 100 TB corpus "
+        "(q61 keeps the min-label form, q137 runs the star form, "
+        "both against the same recursive-SQL oracle).",
         "",
         "Reading the XL column: a ratio well under 16× means the "
         "operator is still amortizing fixed costs at 1.6M rows; near "
