@@ -128,8 +128,18 @@ class ParquetStore:
     def append_archive(self, database: str, df: DataFrame) -> None:
         """Blind bulk append (reference COPY path, ingest.py:166-176).
         Caller is responsible for (attribute_id, timestamp) uniqueness
-        against existing data; use :meth:`upsert_archive` otherwise."""
-        self._with_partition(df).write.mode("append").partitionBy(
+        against existing data; use :meth:`upsert_archive` otherwise.
+
+        Writes cluster by the partition column first: without it every
+        task holding rows of a date emits its own file into that
+        date's directory — up to |tasks|×|dates| small files per
+        append, the classic small-files failure that murders the scan
+        path after a year of ingest. One shuffle on the date keys the
+        file count to the date count (AQE splits a genuinely hot date
+        across tasks when its volume warrants more files)."""
+        self._with_partition(df).repartition(
+            F.col(ARCHIVE_PARTITION_COL)
+        ).write.mode("append").partitionBy(
             ARCHIVE_PARTITION_COL
         ).parquet(self._path(database, "archive"))
 
@@ -182,9 +192,10 @@ class ParquetStore:
         # batch's affected partitions, not history size.
         merged = merged.localCheckpoint(eager=True)
         with self._dynamic_overwrite():
-            merged.write.mode("overwrite").partitionBy(
-                ARCHIVE_PARTITION_COL
-            ).parquet(path)
+            merged.repartition(F.col(ARCHIVE_PARTITION_COL)) \
+                .write.mode("overwrite").partitionBy(
+                    ARCHIVE_PARTITION_COL
+                ).parquet(path)
 
     def rewrite_archive(self, database: str, df: DataFrame) -> None:
         """Full rewrite with the logical schema (delete/remap paths)."""
@@ -192,7 +203,8 @@ class ParquetStore:
         tmp = path + ".tmp"
         self._with_partition(
             df.select("attribute_id", "timestamp", "value")
-        ).write.partitionBy(ARCHIVE_PARTITION_COL).parquet(tmp)
+        ).repartition(F.col(ARCHIVE_PARTITION_COL)) \
+            .write.partitionBy(ARCHIVE_PARTITION_COL).parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
 
