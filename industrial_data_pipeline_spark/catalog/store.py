@@ -115,6 +115,22 @@ class ParquetStore:
     def _with_partition(df: DataFrame) -> DataFrame:
         return df.withColumn(ARCHIVE_PARTITION_COL, F.to_date("timestamp"))
 
+    @staticmethod
+    def _clustered(df: DataFrame) -> DataFrame:
+        """Archive write layout: one shuffle clusters rows by date
+        (file count tracks date count — the small-files guard), then
+        an in-task sort by (attribute_id, timestamp) so every parquet
+        row group covers a narrow attribute range and min/max stats
+        prune attribute filters at scan time. This is the columnar
+        analog of the reference's only physical read-path tuning —
+        its archive(attribute_id) / archive(timestamp) B-tree indexes
+        (populate.py:113-118): partition pruning plays the timestamp
+        index, row-group clustering plays the attribute index.
+        Measured effect in SCALE_NOTES.md."""
+        return df.repartition(F.col(ARCHIVE_PARTITION_COL)) \
+            .sortWithinPartitions(ARCHIVE_PARTITION_COL,
+                                  "attribute_id", "timestamp")
+
     def overwrite_dim(self, database: str, table: str, df: DataFrame) -> None:
         assert table in ("element", "attribute")
         path = self._path(database, table)
@@ -130,18 +146,15 @@ class ParquetStore:
         Caller is responsible for (attribute_id, timestamp) uniqueness
         against existing data; use :meth:`upsert_archive` otherwise.
 
-        Writes cluster by the partition column first: without it every
-        task holding rows of a date emits its own file into that
-        date's directory — up to |tasks|×|dates| small files per
-        append, the classic small-files failure that murders the scan
-        path after a year of ingest. One shuffle on the date keys the
-        file count to the date count (AQE splits a genuinely hot date
-        across tasks when its volume warrants more files)."""
-        self._with_partition(df).repartition(
-            F.col(ARCHIVE_PARTITION_COL)
-        ).write.mode("append").partitionBy(
-            ARCHIVE_PARTITION_COL
-        ).parquet(self._path(database, "archive"))
+        Writes go through :meth:`_clustered`: one shuffle on the date
+        (file count tracks date count — the small-files guard; without
+        it every task emits its own file per date, |tasks|×|dates|
+        files per append) + in-task (attribute_id, timestamp) sort for
+        row-group pruning."""
+        self._clustered(self._with_partition(df)) \
+            .write.mode("append").partitionBy(
+                ARCHIVE_PARTITION_COL
+            ).parquet(self._path(database, "archive"))
 
     def upsert_archive(self, database: str, df: DataFrame,
                        mode: str = "first_wins") -> None:
@@ -192,7 +205,7 @@ class ParquetStore:
         # batch's affected partitions, not history size.
         merged = merged.localCheckpoint(eager=True)
         with self._dynamic_overwrite():
-            merged.repartition(F.col(ARCHIVE_PARTITION_COL)) \
+            self._clustered(merged) \
                 .write.mode("overwrite").partitionBy(
                     ARCHIVE_PARTITION_COL
                 ).parquet(path)
@@ -201,10 +214,9 @@ class ParquetStore:
         """Full rewrite with the logical schema (delete/remap paths)."""
         path = self._path(database, "archive")
         tmp = path + ".tmp"
-        self._with_partition(
+        self._clustered(self._with_partition(
             df.select("attribute_id", "timestamp", "value")
-        ).repartition(F.col(ARCHIVE_PARTITION_COL)) \
-            .write.partitionBy(ARCHIVE_PARTITION_COL).parquet(tmp)
+        )).write.partitionBy(ARCHIVE_PARTITION_COL).parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
 

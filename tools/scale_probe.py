@@ -127,6 +127,48 @@ def main() -> None:
     t_rewrite = time.perf_counter() - t0
     shutil.rmtree(ing_dir, ignore_errors=True)
 
+    # ---- row-group clustering: pruning ELIGIBILITY, not wall time
+    # (at local sizes scans are overhead-bound; the honest metric is
+    # the fraction of row groups whose attribute_id min/max excludes
+    # a given tag — what a 100 TB scan would skip). Small block size
+    # simulates production files, which hold dozens of row groups.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    clu_dir = tempfile.mkdtemp(prefix="idp_scale_clu_")
+    arch16 = xl_ev.select(
+        F.col("user_id").alias("attribute_id"),
+        F.col("ts").alias("timestamp"), "value") \
+        .withColumn("ts_date", F.to_date("timestamp"))
+    c_dir, u_dir = os.path.join(clu_dir, "c"), os.path.join(clu_dir, "u")
+    (arch16.repartition(F.col("ts_date"))
+     .sortWithinPartitions("ts_date", "attribute_id", "timestamp")
+     .write.option("parquet.block.size", 131072)
+     .partitionBy("ts_date").parquet(c_dir))
+    # control: natural ingest arrival — time-sorted, tags interleaved
+    (arch16.repartition(F.col("ts_date"))
+     .sortWithinPartitions("ts_date", "timestamp")
+     .write.option("parquet.block.size", 131072)
+     .partitionBy("ts_date").parquet(u_dir))
+
+    def rg_skippable(path: str, attr: int = 321) -> tuple[int, int]:
+        tot = skip = 0
+        for fp in glob.glob(path + "/*/*.parquet"):
+            md = pq.ParquetFile(fp).metadata
+            ci = {md.schema.column(i).name: i
+                  for i in range(md.num_columns)}["attribute_id"]
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                tot += 1
+                if s and (s.min > attr or s.max < attr):
+                    skip += 1
+        return tot, skip
+
+    c_tot, c_skip = rg_skippable(c_dir)
+    u_tot, u_skip = rg_skippable(u_dir)
+    shutil.rmtree(clu_dir, ignore_errors=True)
+
     # ---- CC convergence on an adversarial chain: rounds, not rows,
     # are what kill iterative graph algorithms at scale
     from industrial_data_pipeline_spark.operators.dedup import (
@@ -193,6 +235,33 @@ def main() -> None:
         "reads and rewrites only the touched date partition, so "
         "steady-state ingest cost is independent of history size; at "
         "100 TB / years of history that gap is the whole design).",
+        "",
+        "## Row-group clustering (the reference's index parity), measured",
+        "",
+        "The reference's only physical read-path tuning is its five "
+        "B-tree indexes, two of them on archive(attribute_id) and "
+        "archive(timestamp) (BASELINE.md). The columnar analog: date "
+        "partitioning plays the timestamp index (partition pruning), "
+        "and the store's (attribute_id, timestamp) sort-within-"
+        "partitions plays the attribute index (row-group min/max "
+        "pruning). Measured on the XL archive written both ways at "
+        "production-like row-group granularity "
+        "(`parquet.block.size=128KB` so files hold many row groups, "
+        "as 100 TB files would):",
+        "",
+        f"- clustered (attribute_id, timestamp): {c_skip}/{c_tot} row "
+        f"groups skippable for a single-tag filter "
+        f"({100 * c_skip / max(c_tot, 1):.1f}%)",
+        f"- natural ingest order (time-sorted, tags interleaved): "
+        f"{u_skip}/{u_tot} skippable "
+        f"({100 * u_skip / max(u_tot, 1):.1f}%) — every row group "
+        "spans every tag, nothing prunes",
+        "",
+        "Wall time is NOT the metric at local sizes (scans are "
+        "overhead-bound; both layouts measure ~0.2 s). Skippability "
+        "is what multiplies out at 100 TB: a single-tag export reads "
+        f"~{100 - 100 * c_skip / max(c_tot, 1):.0f}% of the touched "
+        "partitions' bytes instead of 100%.",
         "",
         "## Iterative-operator convergence, measured",
         "",
