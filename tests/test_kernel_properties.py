@@ -1,0 +1,122 @@
+"""Property-based checks for the pure-Python kernels (no Spark
+session needed — these run on driver-side numpy, which is exactly how
+the Arrow workers execute them).
+
+- PNG encode→decode round-trips any 8-bit image (1/2/3/4 channels).
+- resize_nearest agrees with an index-arithmetic reference and is
+  idempotent at the same size.
+- Alternating-star connected components equals union-find ground
+  truth on arbitrary random graphs (pure-Python replica of the same
+  star rounds the Spark operator runs — the operator itself is
+  differential-tested against min-label in test_dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from industrial_data_pipeline_spark.operators import multimodal as MM
+
+
+@st.composite
+def images(draw):
+    w = draw(st.integers(min_value=1, max_value=24))
+    h = draw(st.integers(min_value=1, max_value=24))
+    c = draw(st.sampled_from([1, 2, 3, 4]))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+@given(images())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(px):
+    payload = MM.png_encode(px)
+    h, w, c = px.shape
+    assert MM.probe_image(payload) == ("png", w, h)
+    dw, dh, dc, out = MM.png_decode(payload)
+    assert (dw, dh, dc) == (w, h, c)
+    assert np.array_equal(out, px)
+
+
+@given(images(), st.integers(min_value=1, max_value=31),
+       st.integers(min_value=1, max_value=31))
+@settings(max_examples=40, deadline=None)
+def test_resize_nearest_property(px, nw, nh):
+    out = MM.resize_nearest(px, nw, nh)
+    h, w, c = px.shape
+    assert out.shape == (nh, nw, c)
+    # spot-check the index map: dst (x,y) takes src (x*w//nw, y*h//nh)
+    for y in (0, nh - 1):
+        for x in (0, nw - 1):
+            assert np.array_equal(out[y, x], px[(y * h) // nh,
+                                                (x * w) // nw])
+    # idempotent at identical size
+    same = MM.resize_nearest(px, w, h)
+    assert np.array_equal(same, px)
+
+
+def _star_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Pure-Python replica of connected_components_star's rounds."""
+    from collections import defaultdict
+
+    def sym(pairs):
+        out = set()
+        for a, b in pairs:
+            out.add((a, b))
+            out.add((b, a))
+        return out
+
+    nodes = {n for e in edges for n in e}
+    cur = sym([(a, b) for a, b in edges if a != b])
+    prev_quiet = False
+    for i in range(200):
+        nb = defaultdict(set)
+        for u, v in cur:
+            nb[u].add(v)
+        new = set()
+        for u in nb:
+            m = min(min(nb[u]), u)
+            if i % 2 == 0:
+                for v in nb[u]:
+                    if v > u:
+                        new.add((v, m))
+            else:
+                for v in nb[u]:
+                    if v <= u:
+                        new.add((v, m))
+                new.add((u, m))
+        new = sym({(a, b) for a, b in new if a != b})
+        quiet = new == cur
+        cur = new
+        if quiet and prev_quiet:
+            break
+        prev_quiet = quiet
+    nb = defaultdict(set)
+    for u, v in cur:
+        nb[u].add(v)
+    return {n: (min(min(nb[n]), n) if n in nb else n) for n in nodes}
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=40),
+                          st.integers(min_value=0, max_value=40)),
+                min_size=0, max_size=80))
+@settings(max_examples=150, deadline=None)
+def test_star_cc_equals_union_find(edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in nodes}
+    assert _star_labels(edges) == truth
