@@ -40,8 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # instead of re-confirming known-green ones.
 #
 # Round-3 maintenance: q43/q66/q67 (fixed this round — were red, so
-# they sort first regardless) and q70 (oracle added) are NOT listed;
-# everything below is byte-for-byte the code the driver judged green.
+# they sort first regardless) and q70 (oracle added) are NOT listed.
+# Three listed greens carry behavior-identical refactors since their
+# verdicts (q31/q134: the stub kernel path moved behind a fn pointer
+# when the real-decode path landed; q61: an optional stats param) —
+# all 137 queries, including these, are byte-exact green in the
+# committed full-suite local artifact CORRECTNESS_LOCAL_r03.json.
 _VERIFIED_GREEN = {
     "q01_export_long", "q02_export_pivot", "q03_lookup_like",
     "q04_lookup_exact", "q05_leaf_heuristic", "q06_leaf_true",
