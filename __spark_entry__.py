@@ -43,9 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # they sort first regardless) and q70 (oracle added) are NOT listed.
 # Three listed greens carry behavior-identical refactors since their
 # verdicts (q31/q134: the stub kernel path moved behind a fn pointer
-# when the real-decode path landed; q61: an optional stats param) —
-# all 137 queries, including these, are byte-exact green in the
-# committed full-suite local artifact CORRECTNESS_LOCAL_r03.json.
+# when the real-decode path landed; q61: an optional stats param +
+# it now consumes the session-materialized LSH pair set shared with
+# q132/q137 instead of re-deriving it) — all 137 queries, including
+# these, are byte-exact green in the committed full-suite local
+# artifact CORRECTNESS_LOCAL_r03.json (and the refactored ones were
+# re-verified MATCH individually after each change).
 _VERIFIED_GREEN = {
     "q01_export_long", "q02_export_pivot", "q03_lookup_like",
     "q04_lookup_exact", "q05_leaf_heuristic", "q06_leaf_true",

@@ -35,6 +35,28 @@ def test_append_partitions_by_date(spark, tmp_path):
     assert parts == {"ts_date=2025-01-01", "ts_date=2025-01-02"}
 
 
+def test_append_clusters_files_by_attribute(spark, tmp_path):
+    """Layout contract: one file per date (small-files guard) and rows
+    inside each file sorted by (attribute_id, timestamp) so row-group
+    min/max stats can prune single-tag scans (SCALE_NOTES.md)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    store = _mk(spark, tmp_path)
+    # interleaved arrival order across 3 attributes, one date
+    rows = [(a, datetime(2025, 1, 1, 12, m), float(m))
+            for m in range(20) for a in (3, 1, 2)]
+    store.append_archive("db1", _arch(spark, rows))
+    files = glob.glob(
+        str(tmp_path / "warehouse" / "db1" / "archive" / "*" / "*.parquet"))
+    assert len(files) == 1  # one date -> one file
+    t = pq.read_table(files[0], columns=["attribute_id", "timestamp"])
+    pairs = list(zip(t.column("attribute_id").to_pylist(),
+                     t.column("timestamp").to_pylist()))
+    assert pairs == sorted(pairs)
+
+
 def test_upsert_first_wins(spark, tmp_path):
     store = _mk(spark, tmp_path)
     store.append_archive("db1", _arch(spark, [(1, T1, 1.0)]))
