@@ -123,6 +123,10 @@ class Pipeline:
         # an attribute whose element_id is dangling (no element row)
         # must still get a pivot column — bare name, un-qualified —
         # rather than silently disappearing from the output schema.
+        # (Its DATA rows still drop at timeseries_long's inner element
+        # join — reference parity, database.py:381-408 — so the column
+        # surfaces the referential break as all-NULL instead of hiding
+        # the attribute; orphan purge is the maintenance fix.)
         sel = attr.where(F.col("attribute_id").isin(list(attribute_ids)))
         pairs = (sel.join(
             F.broadcast(elem.select(
@@ -130,7 +134,10 @@ class Pipeline:
             "element_id", "left")
             .select("element_id", "name", "element_name").collect())
         if qualify_element is None:
-            qualify_element = len({r["element_id"] for r in pairs}) > 1
+            # count only RESOLVED elements: a dangling element_id must
+            # not flip a single-element export into qualified names
+            qualify_element = len({r["element_id"] for r in pairs
+                                   if r["element_name"] is not None}) > 1
         names = ([f"{r['element_name']}|{r['name']}"
                   if r["element_name"] is not None else r["name"]
                   for r in pairs]

@@ -373,12 +373,15 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
     localCheckpoint-ed so lineage stays flat. ``stats["rounds"]``
     reports the executed round count when a dict is passed.
     """
-    und = pairs.select(F.col(src).cast("long").alias("u"),
-                       F.col(dst).cast("long").alias("v")) \
-        .where(F.col("u") != F.col("v"))
-    nodes = (und.select("u").unionByName(und.select(F.col("v")
+    raw = pairs.select(F.col(src).cast("long").alias("u"),
+                       F.col(dst).cast("long").alias("v"))
+    # node set from the UNFILTERED pairs: a node whose only pair is a
+    # self-loop must still appear in the output (as its own cluster),
+    # matching connected_components' contract
+    nodes = (raw.select("u").unionByName(raw.select(F.col("v")
                                                     .alias("u")))
              .distinct().localCheckpoint(eager=True))
+    und = raw.where(F.col("u") != F.col("v"))
     # symmetric edge list; each round's output replaces it
     edges = (und.unionByName(und.select(F.col("v").alias("u"),
                                         F.col("u").alias("v")))

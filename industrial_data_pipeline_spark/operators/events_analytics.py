@@ -33,9 +33,11 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
     timestamp ties (tied rows contribute gap 0 regardless of order),
     with ``tiebreak_col`` pinning a total order anyway.
 
-    ``sum_value`` sums in DECIMAL(18,6) (exact, partition-merge-order
-    independent) and casts to double once at the end — a double sum
-    rounded to 6 dp can still flip an ulp across merge orders (the
+    ``sum_value`` quantizes each value to ``round_dp`` decimals
+    (DECIMAL(28,dp) — 22 integer digits, so no realistic event value
+    overflows the cast to NULL) and sums exactly: partition-merge-
+    order independent, cast to double once at the end. A double sum
+    rounded to 6 dp can flip an ulp across merge orders (the
     trend_slopes decimal pattern, operators/timeseries.py)."""
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(ts_col).over(w)
@@ -51,7 +53,7 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
             .agg(F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
                  F.count(F.lit(1)).alias("n_events"),
-                 F.sum(F.col(value_col).cast(f"decimal(18,{round_dp})"))
+                 F.sum(F.col(value_col).cast(f"decimal(28,{round_dp})"))
                  .cast("double").alias("sum_value")))
 
 

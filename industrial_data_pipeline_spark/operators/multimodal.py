@@ -93,10 +93,18 @@ def probe_image(payload: bytes | None) -> tuple[str, int, int] | None:
             if b[i] != 0xFF:
                 i += 1
                 continue
+            if b[i + 1] == 0xFF:  # ITU T.81 fill byte: FF may repeat
+                i += 1
+                continue
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # length-less standalone markers
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI, or SOS (entropy-coded data follows — walking
+                # further would read garbage lengths); every valid
+                # JPEG places its SOF before SOS, so dims are gone
+                break
             seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
             # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) carry dims
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
@@ -231,8 +239,12 @@ def _real_feature(payload: bytes | None) -> list[float] | None:
                     float(flat.mean() / 255.0), float(flat.std() / 255.0),
                     float(flat.min() / 255.0), float(flat.max() / 255.0),
                     float(w) / float(h)]
-        except (NotImplementedError, ValueError):
-            pass  # unsupported PNG flavor → byte statistics below
+        except (NotImplementedError, ValueError, struct.error,
+                zlib.error):
+            # unsupported flavor OR corrupt payload (truncated chunk →
+            # struct.error, bad IDAT → zlib.error): fall back to byte
+            # statistics rather than failing the whole Spark task
+            pass
     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64) \
         if b else np.zeros(1)
     w, h = (float(probed[1]), float(probed[2])) if probed else (0.0, 0.0)

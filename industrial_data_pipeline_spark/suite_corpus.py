@@ -33,6 +33,9 @@ _LTOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 # honest derivation cost — only downstream consumers reuse. The
 # checkpointed frame is tiny (id pairs + similarity).
 _PAIRS_CACHE: dict = {}
+_PAIRS_CACHE_MAX = 4  # a handful of (session, sf_dir) combos; FIFO
+# eviction keeps stopped sessions / stale sf_dirs from pinning their
+# checkpoint blocks for the process lifetime
 
 
 def _pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,6 +44,8 @@ def _pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is None:
         hit = q_minhash_lsh_pairs(spark, sf_dir) \
             .localCheckpoint(eager=True)
+        while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
+            _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
         _PAIRS_CACHE[key] = hit
     return hit
 

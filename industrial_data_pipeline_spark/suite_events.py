@@ -53,7 +53,7 @@ t AS (SELECT user_id, ts, value,
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM t GROUP BY 1, 2
 """
 

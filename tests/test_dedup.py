@@ -94,6 +94,17 @@ def test_star_cc_matches_min_label_on_random_graph(spark):
     assert got == want
 
 
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    # contract parity: a node whose only pair is a self-loop is its
+    # own singleton cluster in BOTH variants
+    pairs = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    want = {(r.doc_id, r.cluster_id)
+            for r in D.connected_components(pairs).collect()}
+    got = {(r.doc_id, r.cluster_id)
+           for r in D.connected_components_star(pairs).collect()}
+    assert got == want == {(7, 7), (1, 1), (2, 1)}
+
+
 def test_star_cc_beats_min_label_rounds_on_chain(spark):
     # adversarial 40-node chain: min-label needs ~diameter rounds,
     # alternating stars collapse it in O(log^2 n)

@@ -127,6 +127,34 @@ def test_probe_jpeg_and_gif_headers():
     assert MM.probe_image(None) is None
 
 
+def test_probe_jpeg_fill_bytes_and_sos_stop():
+    # ITU T.81 allows repeated 0xFF fill bytes before a marker; the
+    # walker must skip them, find the SOF, and never walk past SOS
+    sof = (b"\xff\xff\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+           + struct.pack(">HH", 33, 44) + b"\x03" + b"\x00" * 2)
+    sos_garbage = b"\xff\xda" + struct.pack(">H", 4) + b"\x99" * 40
+    assert MM.probe_image(b"\xff\xd8" + sof + sos_garbage) \
+        == ("jpeg", 44, 33)
+    # dims AFTER SOS are unreachable by construction → unrecognized
+    assert MM.probe_image(b"\xff\xd8" + sos_garbage + sof) is None
+
+
+def test_real_features_survive_corrupt_png(spark):
+    # valid signature + IHDR tag but truncated/corrupt payload must
+    # fall back to byte statistics, not kill the Spark task
+    truncated = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + b"\x01"
+    good = MM.png_encode(_checker(4, 4, 3))
+    bad_idat = good[:-30] + b"\x00" * 30  # corrupt IDAT + CRC area
+    rows = [(1, "image", truncated, None, None, None, None),
+            (2, "image", bad_idat, None, None, None, None)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    by_id = {r.media_id: r.feature for r in
+             MM.extract_features(df, decode_stub=False).collect()}
+    assert len(by_id) == 2
+    assert all(f is not None and len(f) == MM.FEATURE_DIM
+               for f in by_id.values())
+
+
 def test_real_resize_actual_pixels(spark):
     px = _checker(20, 10, 3)
     rows = [(1, "image", bytearray(MM.png_encode(px)),
