@@ -29,6 +29,8 @@ XL_FACTOR = 16
 PICKS = [
     ("export (filter+join+pivot)", "q02_export_pivot"),
     ("hourly rollup", "q38_rollup_hourly"),
+    ("as-of join (union-sort)", "q39_asof_rollup"),
+    ("linear-interp grid fill", "q41_interp_grid"),
     ("sessionize (gap windows)", "q43_sessionize"),
     ("MinHash LSH pairs", "q24_minhash_lsh_pairs"),
     ("ANN cosine top-k", "q28_ann_cosine_topk"),
@@ -36,7 +38,8 @@ PICKS = [
 ]
 
 #: events-shaped operators re-run against the exploded table.
-XL_OPS = ["hourly rollup", "sessionize (gap windows)",
+XL_OPS = ["hourly rollup", "as-of join (union-sort)",
+          "linear-interp grid fill", "sessionize (gap windows)",
           "salted skew agg"]
 
 
