@@ -446,6 +446,52 @@ FROM m
 """
 
 
+# ----------------- q138 PI batch source as a custom Spark DataSource
+
+_DS_START = "2024-02-01T00:00:00"
+_DS_END = "2024-02-01T01:59:00"
+
+
+def q_pi_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as an idiomatic PySpark custom DataSource (+T4): the tag set
+    is partitioned across Spark tasks, each issuing its own batched
+    pull — the scheduler replaces the reference's thread pool. The
+    deterministic grid transport makes the wire content SQL-
+    replayable, so request fan-out, per-partition fetch, flattening
+    AND cleansing all land under the hash check."""
+    import json as _json
+
+    from industrial_data_pipeline_spark.sources.ingest import cleanse
+    from industrial_data_pipeline_spark.sources.mapping import mapping_df
+    from industrial_data_pipeline_spark.sources.pi_datasource import (
+        PIBatchDataSource)
+    spark.dataSource.register(PIBatchDataSource)
+    raw = (spark.read.format("pi_batch")
+           .option("base_url", "https://pi.example/piwebapi")
+           .option("webids",
+                   _json.dumps({f"tag_{i}": f"W{i}" for i in range(6)}))
+           .option("start", _DS_START).option("end", _DS_END)
+           .option("num_partitions", "3")
+           .option("transport_factory",
+                   "industrial_data_pipeline_spark.sources."
+                   "pi_datasource:fake_grid_transport_factory")
+           .load())
+    mapping = mapping_df(
+        spark, {f"\\\\SRV\\Plant|tag_{i}": i for i in range(6)})
+    return cleanse(raw, mapping, tz_shift_hours=0)
+
+
+ORACLE_PI_DATASOURCE = f"""
+WITH g AS (SELECT ts FROM generate_series(
+    TIMESTAMP '{_DS_START.replace("T", " ")}',
+    TIMESTAMP '{_DS_END.replace("T", " ")}', INTERVAL 1 MINUTE) t(ts)),
+u AS (SELECT unnest(range(6)) AS uid)
+SELECT uid::BIGINT AS attribute_id, ts AS "timestamp",
+       ((uid * 1000003 + epoch(ts)::BIGINT // 60) % 997)::DOUBLE AS value
+FROM g CROSS JOIN u
+"""
+
+
 # ----------------------------------- q120 streaming CSV round-trip (S9)
 
 def q_stream_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,4 +793,5 @@ REGISTRY_MGMT: dict[str, tuple] = {
     "q124_pi_crawler": (q_pi_crawler, ORACLE_PI_CRAWLER),
     "q135_ingest_now_bound": (q_ingest_now_bound,
                               ORACLE_INGEST_NOW_BOUND),
+    "q138_pi_datasource": (q_pi_datasource, ORACLE_PI_DATASOURCE),
 }
