@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from industrial_data_pipeline_spark.sources.ingest import RAW_SCHEMA
@@ -141,8 +142,81 @@ class PIBatchReader(DataSourceReader):
         yield from flatten_batch_response(resp)
 
 
+class PIBatchStreamReader(SimpleDataSourceStreamReader):
+    """The reference's cron ingest daemon (T1 watermark resume) as a
+    real Structured Streaming SOURCE: the offset IS the watermark —
+    ``{"next": iso_minute}`` — and each micro-batch pulls
+    ``[next, min(next + max_minutes, end_bound))`` through the same
+    batch endpoint, so resume-after-crash is Spark's offset log
+    instead of a hand-rolled max(timestamp) query. Exactly-once
+    delivery into a transactional sink comes from offset replay:
+    ``readBetweenOffsets`` re-issues the identical pull (the PI
+    interpolated endpoint is deterministic for a fixed range).
+
+    ``end_bound`` (ISO minute, exclusive) keeps sandbox runs bounded;
+    production omits it and the source follows the wall clock,
+    F9-truncated to whole minutes per pull.
+    """
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.base_url = options["base_url"]
+        self.webids: dict[str, str] = json.loads(options["webids"])
+        self.interval = options.get("interval", "1m")
+        self.start = options["start"]
+        self.end_bound = options.get("end_bound")
+        self.max_minutes = int(options.get("max_minutes_per_batch", "59"))
+        self.factory_spec = options["transport_factory"]
+        self._transport = None
+
+    def initialOffset(self) -> dict:
+        return {"next": self.start}
+
+    def _now_minute(self) -> "datetime":
+        from datetime import datetime
+        if self.end_bound is not None:
+            return datetime.fromisoformat(self.end_bound)
+        return datetime.now().replace(second=0, microsecond=0)  # F9
+
+    def _pull(self, start_iso: str, end_iso: str) -> list[tuple]:
+        if self._transport is None:
+            self._transport = resolve_factory(self.factory_spec)(
+                self.options)
+        body = build_batch_request(self.base_url, self.webids,
+                                   start_iso, end_iso, self.interval)
+        if not body:
+            return []
+        resp = self._transport("POST", f"{self.base_url}/batch", body)
+        return flatten_batch_response(resp)
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        from datetime import datetime, timedelta
+        lo = datetime.fromisoformat(start["next"])
+        now = self._now_minute()
+        if lo >= now:
+            return [], start  # caught up: empty batch, same offset
+        hi = min(lo + timedelta(minutes=self.max_minutes),
+                 now - timedelta(minutes=1))
+        rows = self._pull(lo.isoformat(sep="T"), hi.isoformat(sep="T"))
+        nxt = (hi + timedelta(minutes=1)).isoformat(sep="T")
+        return rows, {"next": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        from datetime import datetime, timedelta
+        lo = datetime.fromisoformat(start["next"])
+        hi = datetime.fromisoformat(end["next"]) - timedelta(minutes=1)
+        if hi < lo:
+            return []
+        return self._pull(lo.isoformat(sep="T"), hi.isoformat(sep="T"))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the PI server holds no cursor
+
+
 class PIBatchDataSource(DataSource):
-    """``format("pi_batch")`` — see module docstring."""
+    """``format("pi_batch")`` — see module docstring. Batch reads
+    partition the tag set (:class:`PIBatchReader`); streaming reads
+    follow the minute watermark (:class:`PIBatchStreamReader`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -153,3 +227,6 @@ class PIBatchDataSource(DataSource):
 
     def reader(self, schema) -> PIBatchReader:
         return PIBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> PIBatchStreamReader:
+        return PIBatchStreamReader(self.options)

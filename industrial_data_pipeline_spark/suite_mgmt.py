@@ -492,6 +492,41 @@ FROM g CROSS JOIN u
 """
 
 
+def q_pi_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 as a Structured Streaming SOURCE: the `pi_batch` stream
+    reader's offset IS the ingest watermark ({"next": iso-minute});
+    a bounded availableNow run pulls [start, end_bound) through the
+    same wire path and cleanses into archive rows. Crash-resume is
+    Spark's offset log instead of a max(timestamp) query."""
+    import json as _json
+
+    from industrial_data_pipeline_spark.sources.ingest import cleanse
+    from industrial_data_pipeline_spark.sources.mapping import mapping_df
+    from industrial_data_pipeline_spark.sources.pi_datasource import (
+        PIBatchDataSource)
+    spark.dataSource.register(PIBatchDataSource)
+    end_excl = "2024-02-01T02:00:00"  # == _DS_END + 1 min (exclusive)
+    raw = (spark.readStream.format("pi_batch")
+           .option("base_url", "https://pi.example/piwebapi")
+           .option("webids",
+                   _json.dumps({f"tag_{i}": f"W{i}" for i in range(6)}))
+           .option("start", _DS_START).option("end_bound", end_excl)
+           .option("max_minutes_per_batch", "200")
+           .option("transport_factory",
+                   "industrial_data_pipeline_spark.sources."
+                   "pi_datasource:fake_grid_transport_factory")
+           .load())
+    name = "idp_pi_stream_source"
+    spark.catalog.dropTempView(name) if any(
+        t.name == name for t in spark.catalog.listTables()) else None
+    q = (raw.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    mapping = mapping_df(
+        spark, {f"\\\\SRV\\Plant|tag_{i}": i for i in range(6)})
+    return cleanse(spark.table(name), mapping, tz_shift_hours=0)
+
+
 # ----------------------------------- q120 streaming CSV round-trip (S9)
 
 def q_stream_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,4 +829,6 @@ REGISTRY_MGMT: dict[str, tuple] = {
     "q135_ingest_now_bound": (q_ingest_now_bound,
                               ORACLE_INGEST_NOW_BOUND),
     "q138_pi_datasource": (q_pi_datasource, ORACLE_PI_DATASOURCE),
+    # same deterministic wire content → same oracle as the batch read
+    "q139_pi_stream_source": (q_pi_stream_source, ORACLE_PI_DATASOURCE),
 }

@@ -61,6 +61,54 @@ def test_datasource_reads_parallel_grid(spark):
     assert got[key] == str((3 * 1000003 + minute) % 997)
 
 
+def test_stream_reader_offsets_and_bounded_run(spark):
+    """Streaming PI source: minute-watermark offsets advance in
+    max_minutes chunks; a bounded availableNow run lands every minute
+    in [start, end_bound) exactly once."""
+    from industrial_data_pipeline_spark.sources.pi_datasource import (
+        PIBatchStreamReader)
+    opts = {
+        "base_url": "https://pi.example/piwebapi",
+        "webids": json.dumps({f"tag_{i}": f"W{i}" for i in range(2)}),
+        "start": "2024-03-01T00:00:00",
+        "end_bound": "2024-03-01T02:00:00",
+        "max_minutes_per_batch": "45",
+        "transport_factory": _FACTORY,
+    }
+    # unit level: offsets advance by 46-minute strides then clamp
+    r = PIBatchStreamReader(opts)
+    assert r.initialOffset() == {"next": "2024-03-01T00:00:00"}
+    rows1, o1 = r.read({"next": "2024-03-01T00:00:00"})
+    assert o1 == {"next": "2024-03-01T00:46:00"}
+    assert len(rows1) == 46 * 2
+    rows2, o2 = r.read(o1)
+    assert o2 == {"next": "2024-03-01T01:32:00"}
+    rows3, o3 = r.read(o2)
+    assert o3 == {"next": "2024-03-01T02:00:00"}
+    rowsX, oX = r.read(o3)
+    assert rowsX == [] and oX == o3  # caught up
+    assert len(rows1) + len(rows2) + len(rows3) == 120 * 2
+    # replay determinism: re-reading a committed range is identical
+    assert r.readBetweenOffsets({"next": "2024-03-01T00:00:00"}, o1) \
+        == rows1
+
+    # end to end through Structured Streaming (availableNow consumes
+    # ONE prefetched batch from a simple stream reader, so cover the
+    # bounded range in a single stride; multi-batch offset
+    # progression is pinned by the unit assertions above)
+    spark.dataSource.register(PIBatchDataSource)
+    stream = (spark.readStream.format("pi_batch")
+              .options(**{**opts, "max_minutes_per_batch": "200"})
+              .load())
+    name = "pi_stream_sink"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table(name).collect()
+    assert len(got) == 120 * 2
+    assert len({(r.lookup_key, r.timestamp) for r in got}) == 240
+
+
 def test_datasource_feeds_cleanse(spark):
     from industrial_data_pipeline_spark.sources.ingest import cleanse
     from industrial_data_pipeline_spark.sources.mapping import mapping_df
