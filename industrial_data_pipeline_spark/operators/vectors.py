@@ -60,18 +60,11 @@ def _cos(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
-                 id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """Lloyd's k-means, deterministically initialized from the k lowest
-    ids. Returns (cluster, n_points, inertia) — inertia is the exact
-    scaled-int squared-distance sum, descaled once in double.
-
-    Each iteration: broadcast the k·d centroid frame, assign by exact
-    integer argmin (ties → lowest cluster id), recompute means with
-    exact DECIMAL sums. No data-sized collect — the only driver-side
-    state is the iteration counter.
-    """
+def _lloyd_assign(df: DataFrame, k: int, iters: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Shared Lloyd loop → final assignment (_id, cluster, _d2).
+    Deterministic init from the k lowest ids; exact integer argmin
+    (ties → lowest cluster id); means via exact DECIMAL sums."""
     emb = df.select(F.col(id_col).alias("_id"),
                     _as_double(F.col(vec_col)).alias("_v")) \
         .withColumn("_q", _quantize(F.col("_v")))
@@ -103,11 +96,71 @@ def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
                  .select("cluster", _quantize(F.col("_c")).alias("_cq"))
                  .localCheckpoint())
 
+    return assign
+
+
+def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means, deterministically initialized from the k lowest
+    ids. Returns (cluster, n_points, inertia) — inertia is the exact
+    scaled-int squared-distance sum, descaled once in double.
+
+    Each iteration: broadcast the k·d centroid frame, assign by exact
+    integer argmin (ties → lowest cluster id), recompute means with
+    exact DECIMAL sums. No data-sized collect — the only driver-side
+    state is the iteration counter.
+    """
+    assign = _lloyd_assign(df, k, iters, id_col, vec_col)
     return (assign.groupBy("cluster")
             .agg(F.count("*").alias("n_points"),
                  F.round((F.sum("_d2").cast("double")
                           / F.lit(float(_SCALE) * _SCALE)), 6)
                  .alias("inertia")))
+
+
+def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Final cluster per vector — (id_col, cluster)."""
+    return (_lloyd_assign(df, k, iters, id_col, vec_col)
+            .select(F.col("_id").alias(id_col), "cluster"))
+
+
+def semantic_dedup_pairs(df: DataFrame, k: int = 4, iters: int = 2,
+                         threshold: float = 0.9,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         round_dp: int = 6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs via cluster-scoped cosine — embed → k-means →
+    compare pairs only WITHIN each cell. The pair join shuffles on the
+    cluster id and costs Σ|cell|² instead of the corpus n² that
+    cosine_pairs_bruteforce pays, which is the whole trick that made
+    semantic dedup feasible on LAION-scale corpora: k grows with the
+    corpus so cells stay bounded.
+
+    Returns (id_a, id_b, cluster, cosine_sim ≥ threshold), id_a <
+    id_b. Norms precomputed per vector (same expression shapes as
+    cosine_pairs_bruteforce, so the SQL oracle replays bit-for-bit);
+    misses only cross-cell pairs — the documented SemDeDup recall
+    trade, bounded in tests against the brute-force pair set.
+    """
+    assign = kmeans_assign(df, k, iters, id_col, vec_col)
+    withn = df.select(F.col(id_col).alias("_id"),
+                      _as_double(F.col(vec_col)).alias("_v")) \
+        .withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    j = withn.join(assign.withColumnRenamed(id_col, "_id"), "_id")
+    a, b = j.alias("a"), j.alias("b")
+    cos = _dot(F.col("a._v"), F.col("b._v")) \
+        / (F.col("a._n") * F.col("b._n"))
+    return (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a.cluster").alias("cluster"),
+                    F.round(cos, round_dp).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold))
 
 
 def quantization_error(df: DataFrame, id_col: str = "vec_id",

@@ -149,6 +149,60 @@ FROM top WHERE rn = 1 GROUP BY 1, 2
 """
 
 
+# -------------------------------------- q140 SemDeDup semantic dedup
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-near-dup embedding corpus (q36's):
+    k-means cells → within-cell cosine pairs ≥ 0.9. The cell-scoped
+    join is the scale path (Σ|cell|² work, shuffled on the cluster
+    id); the oracle replays the full 2-iteration Lloyd assignment in
+    scaled integers and the same cosine fold."""
+    from industrial_data_pipeline_spark.suite_llm import _emb_dup_corpus
+    return V.semantic_dedup_pairs(_emb_dup_corpus(spark, sf_dir),
+                                  k=4, iters=2, threshold=0.9)
+
+
+def _oracle_semantic_dedup() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _EMB_DUP_SQL
+    cos = ("round(list_dot_product(a.v, b.v)"
+           " / (sqrt(list_dot_product(a.v, a.v))"
+           " * sqrt(list_dot_product(b.v, b.v))), 6)")
+    return f"""
+WITH corpus AS ({_EMB_DUP_SQL}),
+q AS (SELECT vec_id, embedding AS v,
+             {_QV.format(c='embedding')} AS qv FROM corpus),
+c1 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, qv AS cq
+       FROM q WHERE vec_id < 4),
+a1 AS (SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) AS rn
+       FROM (SELECT q.vec_id, c1.cluster, {_D2} AS d2
+             FROM q CROSS JOIN c1)),
+m1 AS (SELECT cluster, ord,
+              CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+              / count(*) AS mean
+       FROM (SELECT a1.cluster, unnest(q.v) AS val,
+                    generate_subscripts(q.v, 1) AS ord
+             FROM a1 JOIN q USING (vec_id) WHERE rn = 1)
+       GROUP BY cluster, ord),
+c2 AS (SELECT cluster, {_QV.format(c='list(mean ORDER BY ord)')} AS cq
+       FROM m1 GROUP BY cluster),
+a2 AS (SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) AS rn
+       FROM (SELECT q.vec_id, c2.cluster, {_D2} AS d2
+             FROM q CROSS JOIN c2)),
+asg AS (SELECT vec_id, cluster FROM a2 WHERE rn = 1),
+j AS (SELECT q.vec_id, q.v, asg.cluster
+      FROM q JOIN asg USING (vec_id)),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+             {cos} AS cosine_sim
+      FROM j a JOIN j b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cluster, cosine_sim FROM p WHERE cosine_sim >= 0.9
+"""
+
+
 REGISTRY_VECTORS: dict[str, tuple] = {
     "q81_kmeans": (q_kmeans, ORACLE_KMEANS),
     "q82_quantization_error": (q_quantization_error,
@@ -156,4 +210,5 @@ REGISTRY_VECTORS: dict[str, tuple] = {
     "q83_label_cohesion": (q_label_cohesion, ORACLE_LABEL_COHESION),
     "q84_neighbor_confusion": (q_neighbor_confusion,
                                ORACLE_NEIGHBOR_CONFUSION),
+    "q140_semantic_dedup": (q_semantic_dedup, _oracle_semantic_dedup()),
 }
