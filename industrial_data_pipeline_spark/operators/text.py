@@ -377,3 +377,64 @@ def hash_split(df: DataFrame, salt: str = "v1", id_col: str = "doc_id",
              .when(bucket < train_pct + val_pct, F.lit("val"))
              .otherwise(F.lit("test")))
     return df.withColumn("split", split)
+
+
+def lm_cross_entropy(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", salt: str = "lm1",
+                     train_pct: int = 80, round_dp: int = 6) -> DataFrame:
+    """CCNet-style quality scoring: per-document cross-entropy under a
+    Laplace-smoothed bigram LM trained on a deterministic hash split
+    of the corpus itself (the perplexity-bucket filter of modern
+    curation stacks, minus the external KenLM dependency — the LM IS
+    the corpus statistics).
+
+    Train side (hash64(id:salt) % 100 < train_pct): bigram counts c2,
+    unigram counts c1, vocab size V. Every doc (train AND held-out)
+    then scores avg −ln p(w2|w1) with p = (c2+1)/(c1+V); unseen
+    history ⇒ 1/V. Two narrow count shuffles + one broadcast scalar;
+    the score join is on the bigram key.
+
+    Determinism: each −ln term is quantized to DECIMAL(28,12) before
+    the per-doc sum, so the aggregation is partition-merge-order
+    independent (the q43 lesson) — natural log parity Spark↔DuckDB is
+    the same pairing the TF-IDF oracle (q59) already pins green.
+    Docs with <2 tokens carry n_bigrams=0 and a NULL score.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("_t"),
+                     F.pmod(hash64(F.concat(F.col(id_col).cast("string"),
+                                            F.lit(":" + salt))),
+                            F.lit(100)).alias("_b"))
+    n = F.size("_t")
+    bi = base.select(
+        id_col, "_b",
+        F.explode_outer(F.arrays_zip(
+            F.slice("_t", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice("_t", 2, F.greatest(n - 1, F.lit(0))).alias("w2")))
+        .alias("_p")) \
+        .select(id_col, "_b", F.col("_p.w1").alias("w1"),
+                F.col("_p.w2").alias("w2"))
+    train_bi = bi.where(F.col("_b") < train_pct).where(
+        F.col("w1").isNotNull())
+    c2 = train_bi.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    c1 = train_bi.groupBy("w1").agg(F.count("*").alias("_c1"))
+    vocab = (base.where(F.col("_b") < train_pct)
+             .select(F.explode("_t").alias("w")).distinct()
+             .agg(F.count("*").alias("_v")))
+    scored = (bi.where(F.col("w1").isNotNull())
+              .join(c2, ["w1", "w2"], "left")
+              .join(c1, "w1", "left")
+              .crossJoin(F.broadcast(vocab)))
+    p = ((F.coalesce("_c2", F.lit(0)) + F.lit(1)).cast("double")
+         / (F.coalesce("_c1", F.lit(0)) + F.col("_v")).cast("double"))
+    term = (-F.log(p)).cast("decimal(28,12)")
+    agg = (scored.groupBy(id_col)
+           .agg(F.count("*").alias("n_bigrams"),
+                F.sum(term).alias("_s")))
+    out = base.select(id_col, (F.col("_b") < train_pct).alias("is_train")) \
+        .join(agg, id_col, "left")
+    return out.select(
+        id_col, "is_train",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        (F.round(F.col("_s").cast("double") / F.col("n_bigrams"),
+                 round_dp) + F.lit(0.0)).alias("cross_entropy_nats"))

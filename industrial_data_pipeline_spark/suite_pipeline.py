@@ -335,6 +335,45 @@ FROM b GROUP BY 1, 2
 """.format(h=_h64("doc_id || ':v1'"))
 
 
+# --------------------------- q141 bigram-LM cross-entropy (CCNet-ish)
+
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucket quality scoring: a Laplace-smoothed bigram LM
+    trained on the 80% hash split scores every doc's cross-entropy —
+    the CCNet filter shape with the corpus itself as the LM."""
+    return TX.lm_cross_entropy(_load_docs(spark, sf_dir))
+
+
+_LTOKS_P = "string_split_regex(trim(lower(text)), '\\s+')"
+
+ORACLE_LM_CROSS_ENTROPY = f"""
+WITH d AS (SELECT doc_id, {_LTOKS_P} AS t,
+                  {_h64("doc_id || ':lm1'")} % 100 AS b
+           FROM documents),
+bi AS (SELECT doc_id, b,
+              unnest(t[1:len(t)-1]) AS w1,
+              unnest(t[2:len(t)]) AS w2
+       FROM d WHERE len(t) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE b < 80 GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi WHERE b < 80 GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM d WHERE b < 80)),
+terms AS (SELECT bi.doc_id,
+                 CAST(-ln((coalesce(c2.c2, 0) + 1)::DOUBLE
+                          / (coalesce(c1.c1, 0) + v.v)::DOUBLE)
+                      AS DECIMAL(28,12)) AS term
+          FROM bi LEFT JOIN c2 USING (w1, w2)
+          LEFT JOIN c1 USING (w1) CROSS JOIN v),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(term) AS s
+        FROM terms GROUP BY 1)
+SELECT d.doc_id, (d.b < 80) AS is_train,
+       coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       round(CAST(agg.s AS DOUBLE) / agg.n_bigrams, 6) + 0.0
+           AS cross_entropy_nats
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
 REGISTRY_PIPELINE: dict[str, tuple] = {
     "q68_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "q69_incremental_dedup": (q_incremental_dedup,
@@ -348,4 +387,6 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q128_sequence_packing": (q_sequence_packing,
                               ORACLE_SEQUENCE_PACKING),
     "q129_hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
+    "q141_lm_cross_entropy": (q_lm_cross_entropy,
+                              ORACLE_LM_CROSS_ENTROPY),
 }

@@ -162,3 +162,31 @@ def test_redact_pii_order_and_counts(spark):
     # FIRST, so the ip count sees only the bare literal
     assert r.n_email == 1 and r.n_phone == 1 and r.n_ip == 1
     assert r.redacted == "mail <EMAIL> or <IP> call <PHONE>"
+
+
+def test_lm_cross_entropy_hand_computed(spark):
+    """All-train corpus (forced split): Laplace bigram LM checked
+    against hand math. Corpus 'a b' x2 + 'x': c2(a,b)=2, c1(a)=2,
+    V=3 (a,b,x) -> p(b|a) = (2+1)/(2+3) = 0.6; scored docs get
+    -ln(0.6)."""
+    import math
+    from industrial_data_pipeline_spark.operators.text import (
+        lm_cross_entropy)
+    docs = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "x")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           lm_cross_entropy(docs, train_pct=100).collect()}
+    assert all(r.is_train for r in out.values())
+    expected = round(-math.log(3 / 5), 6)
+    assert out[1].n_bigrams == 1
+    assert out[1].cross_entropy_nats == expected
+    assert out[2].cross_entropy_nats == expected
+    assert out[3].n_bigrams == 0 and out[3].cross_entropy_nats is None
+    # unseen-history doc under a 0% train LM: p = 1/V with V=0 ->
+    # degenerate; use train_pct=100 LM scoring an unseen bigram doc
+    docs2 = spark.createDataFrame([(1, "a b"), (2, "q z")],
+                                  "doc_id long, text string")
+    out2 = {r.doc_id: r for r in
+            lm_cross_entropy(docs2, train_pct=100).collect()}
+    # V=4 (a,b,q,z both docs train): doc2 bigram (q,z): c2=1,c1=1
+    assert out2[2].cross_entropy_nats == round(-math.log(2 / 5), 6)
