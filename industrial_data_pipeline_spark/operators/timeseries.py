@@ -328,3 +328,59 @@ def roc_alarms(archive: DataFrame, threshold: float,
                  F.min(ts_col).alias("first_alarm_ts"),
                  F.max(ts_col).alias("last_alarm_ts"),
                  F.round(F.max("_ad"), round_dp).alias("max_abs_delta")))
+
+
+def cusum_alarms(archive: DataFrame, slack: float = 0.5,
+                 h_sigmas: float = 4.0, key_col: str = "attribute_id",
+                 ts_col: str = "timestamp", value_col: str = "value",
+                 round_dp: int = 6) -> DataFrame:
+    """Two-sided CUSUM control chart per key — the classic
+    process-drift detector an Early Warning historian runs on every
+    tag (Page 1954). Emits rows where either side's statistic crosses
+    ``h = h_sigmas·σ``: (key, ts, value, s_hi, s_lo, side).
+
+    The textbook recurrence S⁺_t = max(0, S⁺_{t-1} + y_t) is NOT a
+    window aggregate, but its closed form is: with C_t = Σ_{j≤t} y_j,
+    S⁺_t = C_t − min_{j≤t} C_j. So both sides become running-sum −
+    running-extremum — two ordinary window functions over one sort,
+    one shuffle on the key, no recursion/UDF. Window frames evaluate
+    sequentially over the sorted partition, so the double arithmetic
+    is order-deterministic (unlike a commutative groupBy sum).
+
+    μ and σ are the key's own full-series mean / population stddev
+    (exact decimal sum → one double division; E[x²]−E[x]² with exact
+    decimal sums), the standard self-calibrated chart; y_t =
+    x_t − μ ∓ slack·σ.
+    """
+    dec = F.col(value_col).cast("decimal(28,6)")
+    stats = (archive.groupBy(key_col)
+             .agg((F.sum(dec).cast("double") / F.count("*"))
+                  .alias("_mu"),
+                  (F.sum((dec * dec).cast("decimal(38,12)"))
+                   .cast("double") / F.count("*")).alias("_ex2")))
+    stats = stats.select(
+        key_col, "_mu",
+        F.sqrt(F.greatest(F.col("_ex2") - F.col("_mu") * F.col("_mu"),
+                          F.lit(0.0))).alias("_sd"))
+    # value as tiebreak: rows tied on ts get a deterministic total
+    # order in both engines (exact (ts,value) dups are interchangeable
+    # — swapping them permutes identical output rows)
+    w = (Window.partitionBy(key_col).orderBy(ts_col, value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = archive.join(stats, key_col)
+    y_hi = F.col(value_col) - F.col("_mu") - F.lit(slack) * F.col("_sd")
+    y_lo = F.col(value_col) - F.col("_mu") + F.lit(slack) * F.col("_sd")
+    c_hi = F.sum(y_hi).over(w)
+    c_lo = F.sum(y_lo).over(w)
+    s_hi = c_hi - F.min(c_hi).over(w)
+    s_lo = F.max(c_lo).over(w) - c_lo
+    out = d.select(
+        key_col, ts_col, value_col,
+        (F.round(s_hi, round_dp) + F.lit(0.0)).alias("s_hi"),
+        (F.round(s_lo, round_dp) + F.lit(0.0)).alias("s_lo"),
+        (F.lit(h_sigmas) * F.col("_sd")).alias("_h"))
+    return (out.where((F.col("s_hi") > F.col("_h"))
+                      | (F.col("s_lo") > F.col("_h")))
+            .select(key_col, ts_col, value_col, "s_hi", "s_lo",
+                    F.when(F.col("s_hi") >= F.col("s_lo"), "high")
+                    .otherwise("low").alias("side")))

@@ -202,6 +202,48 @@ FROM agg
 """
 
 
+# -------------------------------------------- q142 CUSUM drift alarms
+
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided self-calibrated CUSUM control chart per attribute —
+    the classic process-drift detector of the Early Warning use case,
+    via the closed form S⁺ = runsum − runmin (window functions, no
+    recursion)."""
+    return TS.cusum_alarms(archive_analog(spark, sf_dir))
+
+
+ORACLE_CUSUM_ALARMS = f"""
+WITH {_ARCH_SQL},
+st AS (SELECT attribute_id,
+              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+              / count(*) AS mu,
+              CAST(sum(CAST(CAST(value AS DECIMAL(28,6))
+                            * CAST(value AS DECIMAL(28,6))
+                            AS DECIMAL(38,12))) AS DOUBLE)
+              / count(*) AS ex2
+       FROM arch GROUP BY 1),
+s2 AS (SELECT attribute_id, mu,
+              sqrt(greatest(ex2 - mu * mu, 0.0)) AS sd FROM st),
+d AS (SELECT a.attribute_id, a."timestamp", a.value, s2.mu, s2.sd
+      FROM arch a JOIN s2 USING (attribute_id)),
+c AS (SELECT attribute_id, "timestamp", value, sd,
+             sum(value - mu - 0.5 * sd) OVER w AS c_hi,
+             sum(value - mu + 0.5 * sd) OVER w AS c_lo
+      FROM d WINDOW w AS (PARTITION BY attribute_id
+                          ORDER BY "timestamp", value
+                          ROWS UNBOUNDED PRECEDING)),
+s AS (SELECT attribute_id, "timestamp", value, sd,
+             round(c_hi - min(c_hi) OVER w, 6) + 0.0 AS s_hi,
+             round(max(c_lo) OVER w - c_lo, 6) + 0.0 AS s_lo
+      FROM c WINDOW w AS (PARTITION BY attribute_id
+                          ORDER BY "timestamp", value
+                          ROWS UNBOUNDED PRECEDING))
+SELECT attribute_id, "timestamp", value, s_hi, s_lo,
+       CASE WHEN s_hi >= s_lo THEN 'high' ELSE 'low' END AS side
+FROM s WHERE s_hi > 4.0 * sd OR s_lo > 4.0 * sd
+"""
+
+
 REGISTRY_TS: dict[str, tuple] = {
     "q38_rollup_hourly": (q_rollup_hourly, ORACLE_ROLLUP_HOURLY),
     "q39_asof_rollup": (q_asof_rollup, ORACLE_ASOF_ROLLUP),
@@ -209,6 +251,7 @@ REGISTRY_TS: dict[str, tuple] = {
     "q41_interp_grid": (q_interp_grid, ORACLE_INTERP_GRID),
     "q42_rolling_anomaly": (q_rolling_anomaly, ORACLE_ROLLING_ANOMALY),
     "q67_trend_slopes": (q_trend_slopes, ORACLE_TREND_SLOPES),
+    "q142_cusum_alarms": (q_cusum_alarms, ORACLE_CUSUM_ALARMS),
 }
 
 

@@ -187,3 +187,33 @@ def test_asof_forward_direction(spark):
                     direction="forward").collect()[0]
     assert back.asof_value == 10.0  # latest at-or-before 00:30
     assert fwd.asof_value == 20.0   # earliest at-or-after 00:30
+
+
+def test_cusum_detects_level_shift(spark):
+    """Flat series then a +10 step: the high-side CUSUM must alarm
+    after the shift and name the 'high' side; closed form
+    S+ = runsum - runmin checked against the textbook recurrence."""
+    from datetime import datetime, timedelta
+    from industrial_data_pipeline_spark.operators.timeseries import (
+        cusum_alarms)
+    t0 = datetime(2025, 1, 1)
+    vals = [0.0, 0.1, -0.1, 0.0, 0.1, -0.1] * 5 + [10.0] * 6
+    rows = [(1, t0 + timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "attribute_id long, timestamp timestamp, value double")
+    out = cusum_alarms(df, slack=0.5, h_sigmas=2.0).collect()
+    assert out, "step shift must raise alarms"
+    assert all(r.side == "high" for r in out)
+    # alarms only after the step lands
+    assert min(r.timestamp for r in out) >= t0 + timedelta(minutes=30)
+    # replay the textbook recurrence for the flagged rows
+    import statistics
+    mu = statistics.fmean(vals)
+    sd = statistics.pstdev(vals)
+    s, expect = 0.0, {}
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - mu - 0.5 * sd))
+        expect[t0 + timedelta(minutes=i)] = s
+    for r in out:
+        assert abs(expect[r.timestamp] - r.s_hi) < 1e-6
