@@ -384,3 +384,60 @@ def cusum_alarms(archive: DataFrame, slack: float = 0.5,
             .select(key_col, ts_col, value_col, "s_hi", "s_lo",
                     F.when(F.col("s_hi") >= F.col("s_lo"), "high")
                     .otherwise("low").alias("side")))
+
+
+def spc_rule_alarms(archive: DataFrame, key_col: str = "attribute_id",
+                    ts_col: str = "timestamp", value_col: str = "value",
+                    round_dp: int = 6) -> DataFrame:
+    """Western Electric run rules over a Shewhart chart — the
+    classical SPC alarm set an Early Warning system evaluates on
+    every tag, as pure window arithmetic:
+
+      r1: the point is beyond 3σ;
+      r2: ≥2 of the last 3 points beyond 2σ on the SAME side;
+      r3: ≥4 of the last 5 points beyond 1σ on the same side;
+      r4: 8 consecutive points on the same side of the mean.
+
+    z-scores come from the tag's own exact-decimal μ/σ (the
+    :func:`cusum_alarms` discipline). Every rule is a rolling COUNT
+    of integer side indicators — no floats accumulate, so the rule
+    verdicts are bit-stable on any engine; only the reported z is
+    floating, rounded and −0.0-normalized. One shuffle on the key.
+    Emits only rows that fire at least one rule.
+    """
+    dec = F.col(value_col).cast("decimal(28,6)")
+    stats = (archive.groupBy(key_col)
+             .agg((F.sum(dec).cast("double") / F.count("*"))
+                  .alias("_mu"),
+                  (F.sum((dec * dec).cast("decimal(38,12)"))
+                   .cast("double") / F.count("*")).alias("_ex2")))
+    stats = stats.select(
+        key_col, "_mu",
+        F.sqrt(F.greatest(F.col("_ex2") - F.col("_mu") * F.col("_mu"),
+                          F.lit(0.0))).alias("_sd"))
+    d = archive.join(stats, key_col)
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sd")
+    d = d.withColumn("_z", z)
+    # integer side indicators — the rolling counts never touch floats
+    up1, dn1 = (F.col("_z") > 1).cast("int"), (F.col("_z") < -1).cast("int")
+    up2, dn2 = (F.col("_z") > 2).cast("int"), (F.col("_z") < -2).cast("int")
+    up0, dn0 = (F.col("_z") > 0).cast("int"), (F.col("_z") < 0).cast("int")
+    w3 = (Window.partitionBy(key_col).orderBy(ts_col, value_col)
+          .rowsBetween(-2, 0))
+    w5 = (Window.partitionBy(key_col).orderBy(ts_col, value_col)
+          .rowsBetween(-4, 0))
+    w8 = (Window.partitionBy(key_col).orderBy(ts_col, value_col)
+          .rowsBetween(-7, 0))
+    out = d.select(
+        key_col, ts_col, value_col,
+        (F.round(F.col("_z"), round_dp) + F.lit(0.0)).alias("zscore"),
+        (F.abs(F.col("_z")) > 3).alias("r1_beyond_3s"),
+        ((F.sum(up2).over(w3) >= 2) | (F.sum(dn2).over(w3) >= 2))
+        .alias("r2_two_of_three_2s"),
+        ((F.sum(up1).over(w5) >= 4) | (F.sum(dn1).over(w5) >= 4))
+        .alias("r3_four_of_five_1s"),
+        ((F.sum(up0).over(w8) >= 8) | (F.sum(dn0).over(w8) >= 8))
+        .alias("r4_eight_one_side"))
+    return out.where(F.col("r1_beyond_3s") | F.col("r2_two_of_three_2s")
+                     | F.col("r3_four_of_five_1s")
+                     | F.col("r4_eight_one_side"))

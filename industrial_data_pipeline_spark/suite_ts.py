@@ -244,6 +244,59 @@ FROM s WHERE s_hi > 4.0 * sd OR s_lo > 4.0 * sd
 """
 
 
+# --------------------------------- q143 Western Electric SPC rules
+
+def q_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four Western Electric run rules per tag as rolling
+    integer-indicator counts — the classical Shewhart-chart alarm set
+    beside q42's rolling z and q142's CUSUM."""
+    return TS.spc_rule_alarms(archive_analog(spark, sf_dir))
+
+
+ORACLE_SPC_RULES = f"""
+WITH {_ARCH_SQL},
+st AS (SELECT attribute_id,
+              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+              / count(*) AS mu,
+              CAST(sum(CAST(CAST(value AS DECIMAL(28,6))
+                            * CAST(value AS DECIMAL(28,6))
+                            AS DECIMAL(38,12))) AS DOUBLE)
+              / count(*) AS ex2
+       FROM arch GROUP BY 1),
+s2 AS (SELECT attribute_id, mu,
+              sqrt(greatest(ex2 - mu * mu, 0.0)) AS sd FROM st),
+z AS (SELECT a.attribute_id, a."timestamp", a.value,
+             (a.value - s2.mu) / s2.sd AS z
+      FROM arch a JOIN s2 USING (attribute_id)),
+r AS (SELECT attribute_id, "timestamp", value, z,
+             sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 AS u2,
+             sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 AS d2,
+             sum(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 AS u1,
+             sum(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 AS d1,
+             sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 AS u0,
+             sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 AS d0
+      FROM z
+      WINDOW w3 AS (PARTITION BY attribute_id
+                    ORDER BY "timestamp", value
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w5 AS (PARTITION BY attribute_id
+                    ORDER BY "timestamp", value
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w8 AS (PARTITION BY attribute_id
+                    ORDER BY "timestamp", value
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+SELECT attribute_id, "timestamp", value,
+       round(z, 6) + 0.0 AS zscore,
+       abs(z) > 3 AS r1_beyond_3s,
+       (u2 >= 2 OR d2 >= 2) AS r2_two_of_three_2s,
+       (u1 >= 4 OR d1 >= 4) AS r3_four_of_five_1s,
+       (u0 >= 8 OR d0 >= 8) AS r4_eight_one_side
+FROM r
+WHERE abs(z) > 3 OR u2 >= 2 OR d2 >= 2 OR u1 >= 4 OR d1 >= 4
+      OR u0 >= 8 OR d0 >= 8
+"""
+
+
 REGISTRY_TS: dict[str, tuple] = {
     "q38_rollup_hourly": (q_rollup_hourly, ORACLE_ROLLUP_HOURLY),
     "q39_asof_rollup": (q_asof_rollup, ORACLE_ASOF_ROLLUP),
@@ -252,6 +305,7 @@ REGISTRY_TS: dict[str, tuple] = {
     "q42_rolling_anomaly": (q_rolling_anomaly, ORACLE_ROLLING_ANOMALY),
     "q67_trend_slopes": (q_trend_slopes, ORACLE_TREND_SLOPES),
     "q142_cusum_alarms": (q_cusum_alarms, ORACLE_CUSUM_ALARMS),
+    "q143_spc_rules": (q_spc_rules, ORACLE_SPC_RULES),
 }
 
 

@@ -217,3 +217,32 @@ def test_cusum_detects_level_shift(spark):
         expect[t0 + timedelta(minutes=i)] = s
     for r in out:
         assert abs(expect[r.timestamp] - r.s_hi) < 1e-6
+
+
+def test_spc_rules_hand_built_patterns(spark):
+    """Synthetic series with one planted pattern per rule; each rule
+    must fire exactly where constructed."""
+    from datetime import datetime, timedelta
+    from industrial_data_pipeline_spark.operators.timeseries import (
+        spc_rule_alarms)
+    t0 = datetime(2025, 1, 1)
+    # base: alternating mild noise keeps mu~0, sd modest; then:
+    #  - a single huge spike (r1)
+    #  - two of three beyond 2 sigma (r2)
+    #  - eight consecutive slightly-positive points (r4)
+    vals = [1.0, -1.0] * 20
+    vals += [30.0]                 # r1 spike (also r2 contributor)
+    vals += [-1.0, 14.0, 14.0]     # r2: 2 of 3 beyond 2s (high side)
+    vals += [0.5] * 8              # r4: 8 on one side of mean
+    rows = [(1, t0 + timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "attribute_id long, timestamp timestamp, value double")
+    out = {r.timestamp: r for r in spc_rule_alarms(df).collect()}
+    i_spike = len([1.0, -1.0] * 20)
+    t_spike = t0 + timedelta(minutes=i_spike)
+    assert out[t_spike].r1_beyond_3s
+    t_r2 = t0 + timedelta(minutes=i_spike + 3)   # second 14.0
+    assert out[t_r2].r2_two_of_three_2s
+    t_r4 = t0 + timedelta(minutes=len(vals) - 1)  # 8th 0.5
+    assert out[t_r4].r4_eight_one_side
