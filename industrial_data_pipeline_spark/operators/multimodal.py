@@ -38,7 +38,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -342,3 +342,83 @@ def resize_images(df: DataFrame, width: int, height: int,
             yield pdf
 
     return df.where("kind = 'image'").mapInPandas(op, MEDIA_SCHEMA)
+
+
+def phash64_array(px: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash of an image array [h,w,c] — the
+    classic pHash: gray → 32×32 nearest resample → 2-D DCT-II →
+    8×8 low-frequency block (minus DC) thresholded at its median.
+    Pure numpy (no scipy): the DCT is two cosine-basis matmuls.
+    Robust to small pixel noise / re-encodes, which exact byte or
+    content hashes are not — the image analog of SimHash."""
+    if px.ndim != 3:
+        raise ValueError("expected [h, w, c] image array")
+    gray = px.astype(np.float64).mean(axis=2)
+    small = resize_nearest(gray[:, :, None], 32, 32)[:, :, 0]
+    n = 32
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    basis = np.cos(np.pi * (x + 0.5) * k / n)
+    coef = basis @ small @ basis.T
+    block = coef[:8, :8].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def phash64(df: DataFrame, id_col: str = "media_id",
+            data_col: str = "data") -> DataFrame:
+    """(id, phash) for PNG payloads via the real decode path — Arrow
+    batches through mapInPandas, one pass, no shuffle."""
+    schema = f"{id_col} long, phash long"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_h = [], []
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                _w, _h, _c, px = png_decode(bytes(payload))
+                out_ids.append(mid)
+                out_h.append(phash64_array(px))
+            yield pd.DataFrame({id_col: out_ids, "phash": out_h})
+
+    return df.mapInPandas(op, schema)
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 6,
+                id_col: str = "media_id",
+                n_blocks: int = 8) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance — the
+    SimHash pigeonhole candidate join pointed at pixels: split the
+    64-bit hash into ``n_blocks`` equal blocks and join on block
+    equality. Complete for Hamming ≤ n_blocks − 1 (a pair below that
+    cannot differ in every block), so pick n_blocks > max_hamming
+    for guaranteed recall; the shuffle carries small block keys,
+    never O(n²) pairs."""
+    if 64 % n_blocks:
+        raise ValueError(f"n_blocks must divide 64: {n_blocks}")
+    width = 64 // n_blocks
+    blocks = hashes.select(
+        id_col, "phash",
+        *[(F.shiftright("phash", width * i)
+           .bitwiseAND(F.lit((1 << width) - 1))).alias(f"_blk{i}")
+          for i in range(n_blocks)]).localCheckpoint(eager=True)
+    pairs = None
+    for i in range(n_blocks):
+        left, right = blocks.alias("l"), blocks.alias("r")
+        p = (left.join(right,
+                       (F.col(f"l._blk{i}") == F.col(f"r._blk{i}"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col("l.phash").alias("_ha"),
+                     F.col("r.phash").alias("_hb")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming",
+                        F.bit_count(F.col("_ha")
+                                    .bitwiseXOR(F.col("_hb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

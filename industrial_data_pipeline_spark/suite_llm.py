@@ -670,6 +670,76 @@ FROM documents WHERE doc_id < 300
 """
 
 
+def q_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection through the REAL kernel stack:
+    procedural PNGs + deterministically perturbed twins → decode →
+    32×32 DCT perceptual hash → 4-block pigeonhole Hamming join
+    (the SimHash machinery pointed at pixels). Self-verified in-plan
+    (q70/q136 pattern): each planted (i, i+100000) twin pair must
+    survive pHash + blocking; the oracle emits the id range + `true`
+    constants, so a hash match proves end-to-end recall 100% on the
+    planted set."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id")
+            .where(F.col("doc_id") < 100).repartition(4))
+
+    def pixels_for(doc_id: int) -> "np.ndarray":
+        # textured hash-noise, NOT a smooth gradient: a regular ramp
+        # has a degenerate DCT spectrum (all 63 block coefficients
+        # hug the median), so the threshold bits flip under any
+        # perturbation — the synthetic analog of why pHash is
+        # specified over natural images
+        w, h = int(doc_id) % 23 + 24, int(doc_id) % 17 + 24
+        x = np.arange(w, dtype=np.uint64)[None, :, None]
+        y = np.arange(h, dtype=np.uint64)[:, None, None]
+        ch = np.arange(3, dtype=np.uint64)[None, None, :]
+        mix = (x * np.uint64(1103515245) + y * np.uint64(976369)
+               + ch * np.uint64(40503)
+               + np.uint64(int(doc_id) * 97 + 13))
+        mix = (mix * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return (mix >> np.uint64(24)).astype(np.uint8)
+
+    def encode(batches):
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for i in pdf["doc_id"]:
+                base = pixels_for(i)
+                noisy = base.astype(np.int16)
+                noisy[::7, ::9] += 2  # deterministic mild perturbation
+                noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+                for mid, px in ((int(i), base),
+                                (int(i) + 100000, noisy)):
+                    ids.append(mid)
+                    kinds.append("image")
+                    payloads.append(MM.png_encode(px))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": kinds, "data": payloads,
+                "width": None, "height": None,
+                "duration_ms": None, "sample_rate": None})
+
+    media = docs.mapInPandas(encode, MM.MEDIA_SCHEMA)
+    hashes = MM.phash64(media)
+    pairs = MM.phash_pairs(hashes, max_hamming=6)
+    expected = docs.select(F.col("doc_id").alias("id_a"),
+                           (F.col("doc_id") + 100000).alias("id_b"))
+    found = (expected.join(pairs, ["id_a", "id_b"], "left_semi")
+             .select(F.col("id_a").alias("doc_id"),
+                     F.lit(True).alias("pair_found")))
+    # anti-joined remainder would surface a recall miss as a missing
+    # row (row-count mismatch) rather than silently dropping it
+    missed = (expected.join(pairs, ["id_a", "id_b"], "left_anti")
+              .select(F.col("id_a").alias("doc_id"),
+                      F.lit(False).alias("pair_found")))
+    return found.unionByName(missed)
+
+
+ORACLE_PHASH_IMAGE_DEDUP = """
+SELECT doc_id, true AS pair_found FROM documents WHERE doc_id < 100
+"""
+
+
 REGISTRY_LLM: dict[str, tuple] = {
     "q19_text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "q20_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
@@ -692,4 +762,6 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q134_image_resize": (q_image_resize, ORACLE_IMAGE_RESIZE),
     "q136_real_image_resize": (q_real_image_resize,
                                ORACLE_REAL_IMAGE_RESIZE),
+    "q144_phash_image_dedup": (q_phash_image_dedup,
+                               ORACLE_PHASH_IMAGE_DEDUP),
 }

@@ -192,3 +192,30 @@ def test_real_features_png_and_fallback(spark):
     assert by_id[2][0] == 0.0                   # not an image: byte stats
     assert 0.0 <= by_id[2][3] <= 1.0
     assert by_id[3] is None                     # NULL propagates
+
+
+def test_phash_robust_to_noise_and_blocking_complete(spark):
+    """pHash must be invariant-ish under mild pixel noise and far
+    from unrelated images; the n_blocks pigeonhole join must find
+    every pair within its guarantee band."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    noisy = np.clip(base.astype(np.int16) + rng.integers(
+        -2, 3, base.shape), 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    h_base = MM.phash64_array(base)
+    h_noisy = MM.phash64_array(noisy)
+    h_other = MM.phash64_array(other)
+    assert bin(h_base ^ h_noisy).count("1") <= 6
+    assert bin(h_base ^ h_other).count("1") > 12
+    # blocking completeness: a planted hash pair at EXACTLY Hamming 7
+    # must be found with n_blocks=8 (guarantee <= 7)
+    a = 0x0123456789ABCDEF
+    b = a ^ 0b1111111  # 7 low bits differ
+    rows = [(1, a), (2, b), (3, h_other)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in MM.phash_pairs(df, max_hamming=7,
+                                     n_blocks=8).collect()}
+    assert pairs.get((1, 2)) == 7
