@@ -10,10 +10,13 @@ shapes. Two decode paths:
 - ``decode_stub=False``: REAL kernels with zero non-baked deps.
   Header probing (``probe_image``) struct-reads PNG / JPEG / GIF
   dimensions; PNG payloads are actually decoded (stdlib zlib inflate +
-  scanline unfilter), resized (numpy nearest-neighbor), and re-encoded
-  (filter-0 + zlib). JPEG pixel work and video frame extraction still
-  raise NotImplementedError — a JPEG entropy decoder / ffmpeg is a
-  genuine dependency gap, stated rather than faked.
+  scanline unfilter), resized (numpy nearest-neighbor), re-encoded
+  (filter-0 + zlib), and perceptually hashed (32×32 DCT pHash);
+  audio payloads go through a stdlib RIFF/PCM16 WAV codec into rfft
+  signal features (RMS / zero-crossing rate / dominant frequency).
+  JPEG pixel work and video frame extraction still raise
+  NotImplementedError — a JPEG entropy decoder / ffmpeg is a genuine
+  dependency gap, stated rather than faked.
 
 Design for 100 TB of media:
 - binary payloads live in their own parquet column; metadata columns
@@ -422,3 +425,88 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 6,
                                     .bitwiseXOR(F.col("_hb"))))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# --------------------------------------------------- real audio kernels
+
+def wav_encode(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM mono/stereo [n] or [n, ch] as a RIFF/WAVE
+    payload — pure struct, deterministic."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate,
+                      ch * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """RIFF/WAVE PCM16 → (sample_rate, channels, int16 array [n, ch]).
+    Chunk walk like png_decode; rejects compressed formats."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, ch, data = 12, None, None, None
+    while pos + 8 <= len(b):
+        ctype, length = b[pos:pos + 4], struct.unpack(
+            "<I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8:pos + 8 + length]
+        if ctype == b"fmt ":
+            audio_fmt, ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 supported (fmt={audio_fmt}, "
+                    f"bits={bits})")
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return rate, ch, arr.reshape(-1, ch)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long,"
+    " rms double, zero_crossing_rate double, dominant_freq_hz double")
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "media_id",
+                           data_col: str = "data") -> DataFrame:
+    """audio rows → real signal features through Arrow batches:
+    RMS level, zero-crossing rate, and the dominant frequency from
+    an rfft power spectrum (numpy). The audio sibling of the real
+    PNG path — same mapInPandas shape, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate",
+                                   "n_samples", "duration_ms", "rms",
+                                   "zero_crossing_rate",
+                                   "dominant_freq_hz")}
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                rate, _ch, arr = wav_decode(bytes(payload))
+                mono = arr.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
+                zc = float(np.mean(np.signbit(mono[1:])
+                                   != np.signbit(mono[:-1]))) \
+                    if n > 1 else 0.0
+                spec = np.abs(np.fft.rfft(mono)) if n else np.zeros(1)
+                spec[0] = 0.0  # ignore DC
+                dom = float(np.argmax(spec) * rate / n) if n else 0.0
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(int(n * 1000 // rate))
+                out["rms"].append(rms)
+                out["zero_crossing_rate"].append(zc)
+                out["dominant_freq_hz"].append(dom)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, AUDIO_FEATURES_SCHEMA)

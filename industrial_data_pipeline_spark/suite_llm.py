@@ -740,6 +740,56 @@ SELECT doc_id, true AS pair_found FROM documents WHERE doc_id < 100
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio kernels end to end, self-verified in-plan: 1-second
+    PCM16 sine tones (integer cycle counts, so the rfft bin and the
+    A/√2 RMS are exact in theory) → wav_encode → extract_audio_features
+    (stdlib RIFF walk + numpy rfft) → booleans asserting the measured
+    dominant frequency and RMS hit the synthesized ground truth."""
+    import numpy as np
+    import pandas as pd
+
+    RATE, AMP = 8000, 8000.0
+    docs = (_load_docs(spark, sf_dir).select("doc_id")
+            .where(F.col("doc_id") < 60).repartition(4))
+
+    def freq_of(doc_id: int) -> int:
+        return 100 + (int(doc_id) % 40) * 50  # 100..2050 Hz < Nyquist
+
+    def encode(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            t = np.arange(RATE)
+            for i in pdf["doc_id"]:
+                tone = (AMP * np.sin(2 * np.pi * freq_of(i) * t / RATE)
+                        ).astype(np.int16)
+                ids.append(int(i))
+                payloads.append(MM.wav_encode(tone, RATE))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": "audio", "data": payloads,
+                "width": None, "height": None, "duration_ms": None,
+                "sample_rate": None})
+
+    media = docs.mapInPandas(encode, MM.MEDIA_SCHEMA)
+    feats = MM.extract_audio_features(media)
+    exp_freq = F.lit(100) + (F.col("media_id") % 40) * F.lit(50)
+    exp_rms = F.lit(AMP) / F.sqrt(F.lit(2.0))
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate", "duration_ms",
+        (F.abs(F.col("dominant_freq_hz") - exp_freq) < 0.5)
+        .alias("freq_ok"),
+        (F.abs(F.col("rms") - exp_rms) < 2.0).alias("rms_ok"),
+        F.col("zero_crossing_rate").between(0.0, 1.0).alias("zcr_ok"))
+
+
+ORACLE_AUDIO_FEATURES = """
+SELECT doc_id, 8000 AS sample_rate, 1000::BIGINT AS duration_ms,
+       true AS freq_ok, true AS rms_ok, true AS zcr_ok
+FROM documents WHERE doc_id < 60
+"""
+
+
 REGISTRY_LLM: dict[str, tuple] = {
     "q19_text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "q20_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
@@ -764,4 +814,5 @@ REGISTRY_LLM: dict[str, tuple] = {
                                ORACLE_REAL_IMAGE_RESIZE),
     "q144_phash_image_dedup": (q_phash_image_dedup,
                                ORACLE_PHASH_IMAGE_DEDUP),
+    "q145_audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
 }

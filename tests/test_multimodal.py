@@ -219,3 +219,41 @@ def test_phash_robust_to_noise_and_blocking_complete(spark):
              for r in MM.phash_pairs(df, max_hamming=7,
                                      n_blocks=8).collect()}
     assert pairs.get((1, 2)) == 7
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    """PCM16 WAV round-trip (mono + stereo, odd data length padding)
+    and real feature math on a known sine."""
+    rate = 8000
+    t = np.arange(rate)
+    tone = (8000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    payload = MM.wav_encode(tone, rate)
+    r, ch, arr = MM.wav_decode(payload)
+    assert (r, ch) == (rate, 1)
+    assert np.array_equal(arr[:, 0], tone)
+    stereo = np.stack([tone, -tone], axis=1)
+    r2, ch2, arr2 = MM.wav_decode(MM.wav_encode(stereo, rate))
+    assert (r2, ch2) == (rate, 2)
+    assert np.array_equal(arr2, stereo)
+
+    rows = [(1, "audio", payload, None, None, None, rate)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feat = MM.extract_audio_features(df).collect()[0]
+    assert feat.sample_rate == rate
+    assert feat.duration_ms == 1000
+    assert abs(feat.dominant_freq_hz - 440.0) < 0.5
+    assert abs(feat.rms - 8000 / 2 ** 0.5) < 2.0
+    # a 440 Hz sine crosses zero ~880 times/s -> zcr ~ 880/8000
+    assert abs(feat.zero_crossing_rate - 880 / rate) < 0.01
+
+
+def test_wav_decode_rejects_non_pcm16():
+    import struct as st
+    fmt = st.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # mu-law, 8-bit
+    body = (b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 0))
+    bad = b"RIFF" + st.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        MM.wav_decode(bad)
+    with pytest.raises(ValueError, match="RIFF"):
+        MM.wav_decode(b"nonsense")
