@@ -77,6 +77,18 @@ PICKS = [
      "node list against the in-memory star edges — lineage stays "
      "flat at any iteration count, the property that keeps "
      "iterative graph algorithms alive at 100 TB."),
+    ("q141_lm_cross_entropy",
+     "Bigram-LM scoring: the two count tables shuffle on narrow "
+     "(w1[,w2]) keys with partial aggregation below the Exchange; "
+     "the vocab scalar enters as a 1-row BroadcastExchange; the "
+     "score join is a SortMergeJoin on the bigram key — no "
+     "data-sized collect anywhere in the train→score pipeline."),
+    ("q142_cusum_alarms",
+     "CUSUM closed form: ONE Exchange + ONE Sort on the tag key feed "
+     "two stacked Window passes (running sums, then running extrema "
+     "of those sums) with no re-shuffle or re-sort between them — "
+     "the whole drift recurrence costs one shuffle + one per-key "
+     "sort, no recursion, no UDF."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
