@@ -438,3 +438,41 @@ def lm_cross_entropy(df: DataFrame, id_col: str = "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         (F.round(F.col("_s").cast("double") / F.col("n_bigrams"),
                  round_dp) + F.lit(0.0)).alias("cross_entropy_nats"))
+
+
+def chunk_documents(df: DataFrame, window: int = 128, stride: int = 96,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking — the RAG / pretraining
+    shard-prep primitive: token windows of ``window`` advancing by
+    ``stride`` (overlap = window − stride), each with a stable
+    (doc_id, chunk_idx) identity, token offsets, and a portable
+    content hash for chunk-level dedup downstream.
+
+    Pure codegen: tokens once per doc, chunk count by integer
+    arithmetic, one ``explode(sequence(...))`` — rows are generated
+    executor-side, so a 10 kB doc and a 10 MB doc cost their own
+    token counts and nothing shuffles until a downstream groupBy.
+    Empty docs produce no chunks; the final chunk is the short tail.
+    """
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got "
+                         f"{stride}/{window}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (F.ceil((F.greatest(n - window, F.lit(0)))
+                       / F.lit(stride)).cast("int") + 1)
+    base = df.select(F.col(id_col), toks.alias("_t"), n.alias("_n"),
+                     n_chunks.alias("_k")).where(F.col("_n") > 0)
+    ch = base.select(
+        id_col, "_t", "_n",
+        F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+        .alias("chunk_idx"))
+    start = F.col("chunk_idx") * stride
+    piece = F.slice("_t", start + 1,
+                    F.least(F.lit(window), F.col("_n") - start))
+    return ch.select(
+        id_col, "chunk_idx",
+        start.cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        hash64(F.concat_ws(" ", piece)).alias("chunk_hash"))

@@ -374,6 +374,36 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+# ----------------------------- q146 sliding-window document chunking
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunk prep: 64-token windows, stride 48, with
+    stable (doc, idx) identity, offsets and a portable chunk hash."""
+    return TX.chunk_documents(_load_docs(spark, sf_dir),
+                              window=64, stride=48)
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+b AS (SELECT doc_id, t, len(t) AS n,
+             (CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS INTEGER)
+              + 1) AS k
+      FROM d WHERE len(t) > 0),
+c AS (SELECT doc_id, t, n,
+             unnest(generate_series(0, k - 1)) AS chunk_idx
+      FROM b),
+p AS (SELECT doc_id, chunk_idx,
+             (chunk_idx * 48)::BIGINT AS start_token,
+             t[chunk_idx * 48 + 1 :
+               chunk_idx * 48 + least(64, n - chunk_idx * 48)] AS piece
+      FROM c)
+SELECT doc_id, chunk_idx::INTEGER AS chunk_idx, start_token,
+       len(piece)::BIGINT AS n_tokens,
+       {_h64("array_to_string(piece, ' ')")} AS chunk_hash
+FROM p
+"""
+
+
 REGISTRY_PIPELINE: dict[str, tuple] = {
     "q68_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "q69_incremental_dedup": (q_incremental_dedup,
@@ -389,4 +419,5 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q129_hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "q141_lm_cross_entropy": (q_lm_cross_entropy,
                               ORACLE_LM_CROSS_ENTROPY),
+    "q146_chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
 }

@@ -190,3 +190,25 @@ def test_lm_cross_entropy_hand_computed(spark):
             lm_cross_entropy(docs2, train_pct=100).collect()}
     # V=4 (a,b,q,z both docs train): doc2 bigram (q,z): c2=1,c1=1
     assert out2[2].cross_entropy_nats == round(-math.log(2 / 5), 6)
+
+
+def test_chunk_documents_hand_computed(spark):
+    from industrial_data_pipeline_spark.operators.text import (
+        chunk_documents, hash64)
+    import pytest as _pt
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y")], "doc_id long, text string")
+    rows = chunk_documents(docs, window=3, stride=2).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.start_token, r.n_tokens)
+           for r in rows}
+    # doc 1: 7 tokens -> starts 0,2,4; the tail chunk is full here
+    assert got == {(1, 0): (0, 3), (1, 1): (2, 3), (1, 2): (4, 3),
+                   (2, 0): (0, 2)}
+    # stable identity: same text -> same chunk hash on a second run
+    again = {(r.doc_id, r.chunk_idx): r.chunk_hash
+             for r in chunk_documents(docs, window=3,
+                                      stride=2).collect()}
+    first = {(r.doc_id, r.chunk_idx): r.chunk_hash for r in rows}
+    assert again == first
+    with _pt.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=3, stride=4)
