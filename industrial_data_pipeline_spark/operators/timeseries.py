@@ -441,3 +441,52 @@ def spc_rule_alarms(archive: DataFrame, key_col: str = "attribute_id",
     return out.where(F.col("r1_beyond_3s") | F.col("r2_two_of_three_2s")
                      | F.col("r3_four_of_five_1s")
                      | F.col("r4_eight_one_side"))
+
+
+def tag_correlation(archive: DataFrame, ref_key: int,
+                    interval_seconds: int = 3600,
+                    key_col: str = "attribute_id",
+                    ts_col: str = "timestamp", value_col: str = "value",
+                    min_buckets: int = 24,
+                    round_dp: int = 6) -> DataFrame:
+    """Which sensors track sensor ``ref_key``: Pearson r between each
+    tag and the reference over ALIGNED fixed-interval buckets (bucket
+    averages, inner-joined on the bucket so only co-observed hours
+    count). The plant-analytics staple for redundancy discovery and
+    virtual-sensor candidates.
+
+    Linear in tags — each tag joins the broadcast reference series,
+    never tag×tag pairs. All five correlation sums run in exact
+    DECIMAL over the 6-dp bucket means, so the per-tag aggregation is
+    merge-order independent; only the final r is IEEE (single
+    deterministic expression), rounded and −0.0-normalized. Tags
+    sharing fewer than ``min_buckets`` aligned buckets are dropped
+    (spurious r on tiny overlap).
+    """
+    mean_dec = (F.sum(F.col(value_col).cast("decimal(28,6)"))
+                .cast("double") / F.count("*"))
+    buckets = (archive.groupBy(
+        F.col(key_col).alias(key_col),
+        time_bucket(ts_col, interval_seconds).alias("_b"))
+        .agg(F.round(mean_dec, 6).cast("decimal(18,6)").alias("_v")))
+    ref = (buckets.where(F.col(key_col) == ref_key)
+           .select("_b", F.col("_v").alias("_r")))
+    j = buckets.where(F.col(key_col) != ref_key) \
+        .join(F.broadcast(ref), "_b")
+    agg = (j.groupBy(key_col)
+           .agg(F.count("*").alias("n_buckets"),
+                F.sum("_v").alias("_sx"), F.sum("_r").alias("_sy"),
+                F.sum(F.col("_v") * F.col("_r")).alias("_sxy"),
+                F.sum(F.col("_v") * F.col("_v")).alias("_sxx"),
+                F.sum(F.col("_r") * F.col("_r")).alias("_syy")))
+    nD, sx, sy, sxy, sxx, syy = (F.col(c).cast("double") for c in
+                                 ("n_buckets", "_sx", "_sy", "_sxy",
+                                  "_sxx", "_syy"))
+    num = nD * sxy - sx * sy
+    den = F.sqrt(nD * sxx - sx * sx) * F.sqrt(nD * syy - sy * sy)
+    r = F.when(den > 0, num / den)
+    return (agg.where(F.col("n_buckets") >= min_buckets)
+            .select(key_col, F.col("n_buckets").cast("long")
+                    .alias("n_buckets"),
+                    (F.round(r, round_dp) + F.lit(0.0))
+                    .alias("pearson_r")))

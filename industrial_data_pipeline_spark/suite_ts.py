@@ -297,6 +297,51 @@ WHERE abs(z) > 3 OR u2 >= 2 OR d2 >= 2 OR u1 >= 4 OR d1 >= 4
 """
 
 
+# ----------------------------- q147 tag correlation vs reference
+
+DAY_S = 86400
+
+
+def q_tag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r of every tag against reference tag 0 over aligned
+    daily bucket means — redundancy discovery / virtual-sensor
+    candidates, linear in tags (each joins the broadcast reference
+    series, never tag×tag)."""
+    return TS.tag_correlation(archive_analog(spark, sf_dir), ref_key=0,
+                              interval_seconds=DAY_S, min_buckets=10)
+
+
+ORACLE_TAG_CORRELATION = f"""
+WITH {_ARCH_SQL},
+b AS (SELECT attribute_id,
+             epoch_us("timestamp")
+                 - epoch_us("timestamp") % {DAY_S * 1_000_000} AS gus,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(28,6)))
+                             AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(18,6)) AS v
+      FROM arch GROUP BY 1, 2),
+r AS (SELECT gus, v AS rv FROM b WHERE attribute_id = 0),
+j AS (SELECT b.attribute_id, b.v, r.rv FROM b JOIN r USING (gus)
+      WHERE b.attribute_id <> 0),
+agg AS (SELECT attribute_id, count(*) AS n_buckets,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(v) AS DOUBLE) AS sx,
+               CAST(sum(rv) AS DOUBLE) AS sy,
+               CAST(sum(v * rv) AS DOUBLE) AS sxy,
+               CAST(sum(v * v) AS DOUBLE) AS sxx,
+               CAST(sum(rv * rv) AS DOUBLE) AS syy
+        FROM j GROUP BY 1)
+SELECT attribute_id, n_buckets::BIGINT AS n_buckets,
+       round(CASE WHEN sqrt(n * sxx - sx * sx)
+                       * sqrt(n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy)) END, 6) + 0.0
+           AS pearson_r
+FROM agg WHERE n_buckets >= 10
+"""
+
+
 REGISTRY_TS: dict[str, tuple] = {
     "q38_rollup_hourly": (q_rollup_hourly, ORACLE_ROLLUP_HOURLY),
     "q39_asof_rollup": (q_asof_rollup, ORACLE_ASOF_ROLLUP),
@@ -306,6 +351,7 @@ REGISTRY_TS: dict[str, tuple] = {
     "q67_trend_slopes": (q_trend_slopes, ORACLE_TREND_SLOPES),
     "q142_cusum_alarms": (q_cusum_alarms, ORACLE_CUSUM_ALARMS),
     "q143_spc_rules": (q_spc_rules, ORACLE_SPC_RULES),
+    "q147_tag_correlation": (q_tag_correlation, ORACLE_TAG_CORRELATION),
 }
 
 

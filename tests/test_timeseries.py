@@ -246,3 +246,28 @@ def test_spc_rules_hand_built_patterns(spark):
     assert out[t_r2].r2_two_of_three_2s
     t_r4 = t0 + timedelta(minutes=len(vals) - 1)  # 8th 0.5
     assert out[t_r4].r4_eight_one_side
+
+
+def test_tag_correlation_hand_computed(spark):
+    """Perfectly correlated, anti-correlated, and constant tags vs
+    the reference: r = 1, -1, NULL (zero variance)."""
+    from datetime import datetime, timedelta
+    from industrial_data_pipeline_spark.operators.timeseries import (
+        tag_correlation)
+    t0 = datetime(2025, 1, 1)
+    rows = []
+    for d in range(12):
+        ts = t0 + timedelta(days=d)
+        rows += [(0, ts, float(d)),          # reference ramp
+                 (1, ts, 2.0 * d + 5.0),     # affine -> r = 1
+                 (2, ts, -3.0 * d),          # negative -> r = -1
+                 (3, ts, 7.0)]               # constant -> undefined
+    df = spark.createDataFrame(
+        rows, "attribute_id long, timestamp timestamp, value double")
+    out = {r.attribute_id: r for r in
+           tag_correlation(df, ref_key=0, interval_seconds=86400,
+                           min_buckets=10).collect()}
+    assert out[1].pearson_r == 1.0
+    assert out[2].pearson_r == -1.0
+    assert out[3].pearson_r is None
+    assert all(r.n_buckets == 12 for r in out.values())
