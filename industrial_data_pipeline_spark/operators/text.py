@@ -476,3 +476,48 @@ def chunk_documents(df: DataFrame, window: int = 128, stride: int = 96,
         start.cast("long").alias("start_token"),
         F.size(piece).cast("long").alias("n_tokens"),
         hash64(F.concat_ws(" ", piece)).alias("chunk_hash"))
+
+
+def mixture_weights(df: DataFrame, targets: dict[str, int],
+                    source_col: str = "source",
+                    text_col: str = "text",
+                    round_dp: int = 6) -> DataFrame:
+    """Source-mixture reweighting — the data-mixing step of a
+    training pipeline: given integer target weights per source,
+    compute the downsample-only rates that hit the target token
+    proportions at the largest achievable corpus size
+    (T = min_s tokens_s · W / w_s; rate_s = w_s · T / (W · tokens_s),
+    so the binding source keeps rate 1.0 and everything else thins).
+
+    Exact integer token counts; each rate is a single deterministic
+    double expression off broadcast scalars — no data-sized collect,
+    and the rates feed the deterministic hash sampler
+    (:func:`stratified-hash sample <industrial_data_pipeline_spark.
+    operators.events_analytics.stratified_hash_sample>`) unchanged.
+    Sources absent from ``targets`` get weight 0 (rate 0).
+    """
+    w_col: Column = F.lit(0)
+    for s, w in sorted(targets.items()):
+        w_col = F.when(F.col(source_col) == s, F.lit(int(w))) \
+            .otherwise(w_col)
+    W = sum(int(w) for w in targets.values())
+    per = (df.groupBy(source_col)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(tokens(F.col(text_col))))
+                .alias("n_tokens"),
+                F.first(w_col).alias("_w")))
+    # largest feasible total under downsample-only: binding source
+    feasible = per.where(F.col("_w") > 0).agg(
+        F.min(F.col("n_tokens").cast("double") * F.lit(float(W))
+              / F.col("_w")).alias("_T"))
+    out = per.crossJoin(F.broadcast(feasible))
+    rate = F.when(
+        F.col("_w") > 0,
+        F.col("_w") * F.col("_T")
+        / (F.lit(float(W)) * F.col("n_tokens"))).otherwise(F.lit(0.0))
+    return out.select(
+        source_col, "n_docs", F.col("n_tokens").cast("long")
+        .alias("n_tokens"),
+        (F.round(F.col("_w") / F.lit(float(W)), round_dp) + F.lit(0.0))
+        .alias("target_share"),
+        (F.round(rate, round_dp) + F.lit(0.0)).alias("sample_rate"))

@@ -374,6 +374,38 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+# ------------------------------------ q148 source-mixture reweighting
+
+_MIX_TARGETS = {f"src{i}": i % 4 + 1 for i in range(20)}
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: downsample-only rates per source that hit skewed
+    integer target weights at the largest achievable corpus size —
+    the rates feed the deterministic hash sampler unchanged."""
+    return TX.mixture_weights(_load_docs(spark, sf_dir), _MIX_TARGETS)
+
+
+def _oracle_mixture_weights() -> str:
+    w_case = " ".join(
+        f"WHEN source = 'src{i}' THEN {i % 4 + 1}" for i in range(20))
+    W = sum(i % 4 + 1 for i in range(20))
+    return f"""
+WITH per AS (SELECT source, count(*) AS n_docs,
+                    CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                    (CASE {w_case} ELSE 0 END) AS w
+             FROM documents GROUP BY source),
+t AS (SELECT min(n_tokens::DOUBLE * {W}.0 / w) AS T
+      FROM per WHERE w > 0)
+SELECT source, n_docs, n_tokens,
+       round(w / {W}.0, 6) + 0.0 AS target_share,
+       round(CASE WHEN w > 0
+                  THEN w * t.T / ({W}.0 * n_tokens) ELSE 0.0 END, 6)
+           + 0.0 AS sample_rate
+FROM per, t
+"""
+
+
 # ----------------------------- q146 sliding-window document chunking
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,4 +452,6 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q141_lm_cross_entropy": (q_lm_cross_entropy,
                               ORACLE_LM_CROSS_ENTROPY),
     "q146_chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
+    "q148_mixture_weights": (q_mixture_weights,
+                             _oracle_mixture_weights()),
 }

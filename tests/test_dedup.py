@@ -212,3 +212,26 @@ def test_chunk_documents_hand_computed(spark):
     assert again == first
     with _pt.raises(ValueError, match="stride"):
         chunk_documents(docs, window=3, stride=4)
+
+
+def test_mixture_weights_hand_computed(spark):
+    """Two sources, weights 3:1, tokens 300 vs 300: binding source is
+    the weight-3 one (T = 300*4/3 = 400), so it keeps rate 1.0 and
+    the other thins to 100/300."""
+    from industrial_data_pipeline_spark.operators.text import (
+        mixture_weights)
+    docs = spark.createDataFrame(
+        [(i, "a " * 99 + "a", "big" if i < 3 else "small")
+         for i in range(6)], "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           mixture_weights(docs, {"big": 3, "small": 1}).collect()}
+    assert out["big"].n_tokens == 300 and out["small"].n_tokens == 300
+    assert out["big"].sample_rate == 1.0
+    assert out["small"].sample_rate == round(100 / 300, 6)
+    assert out["big"].target_share == 0.75
+    # absent-from-targets source gets rate 0
+    extra = docs.union(spark.createDataFrame(
+        [(9, "x y z", "other")], "doc_id long, text string, source string"))
+    out2 = {r.source: r.sample_rate for r in
+            mixture_weights(extra, {"big": 3, "small": 1}).collect()}
+    assert out2["other"] == 0.0
