@@ -297,6 +297,43 @@ WHERE abs(z) > 3 OR u2 >= 2 OR d2 >= 2 OR u1 >= 4 OR d1 >= 4
 """
 
 
+# ---------------------- q149 as-of join with staleness tolerance
+
+TOL_S = 7200  # 2 h: a stale rollup must not be carried further
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of alignment with a staleness bound: matches older than
+    ``TOL_S`` null out — the industrial rule that a sensor reading
+    must not be carried forward indefinitely. Same union-sort scan
+    as q39; the tolerance is a post-window predicate, not a second
+    join."""
+    arch = archive_analog(spark, sf_dir)
+    right = TS.rollup(arch, 3600).select(
+        "attribute_id", F.col("bucket_ts").alias("timestamp"),
+        F.col("avg_value").alias("value"))
+    return TS.asof_join(arch, right, by="attribute_id",
+                        tolerance_seconds=TOL_S)
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH {_ARCH_SQL},
+r AS (SELECT attribute_id,
+             make_timestamp(epoch_us("timestamp")
+                            - epoch_us("timestamp") % {HOUR_US})
+                 AS bucket_ts,
+             round(avg(value), 6) AS avg_value
+      FROM arch GROUP BY 1, 2)
+SELECT a.attribute_id, a."timestamp", a.value,
+       CASE WHEN epoch_us(a."timestamp") - epoch_us(r.bucket_ts)
+                 <= {TOL_S * 1_000_000}
+            THEN r.avg_value END AS asof_value
+FROM arch a
+ASOF LEFT JOIN r
+  ON a.attribute_id = r.attribute_id AND a."timestamp" >= r.bucket_ts
+"""
+
+
 # ----------------------------- q147 tag correlation vs reference
 
 DAY_S = 86400
@@ -352,6 +389,7 @@ REGISTRY_TS: dict[str, tuple] = {
     "q142_cusum_alarms": (q_cusum_alarms, ORACLE_CUSUM_ALARMS),
     "q143_spc_rules": (q_spc_rules, ORACLE_SPC_RULES),
     "q147_tag_correlation": (q_tag_correlation, ORACLE_TAG_CORRELATION),
+    "q149_asof_tolerance": (q_asof_tolerance, ORACLE_ASOF_TOLERANCE),
 }
 
 
