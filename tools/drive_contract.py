@@ -72,7 +72,15 @@ for name, fn in qs.items():
 out_path = os.environ.get("OUT")
 if out_path:
     import json
+    merged = results
+    if qfilter and os.path.exists(out_path):
+        # filtered run: update just the re-verified entries in the
+        # existing full-suite artifact instead of truncating it
+        with open(out_path) as fh:
+            prior = json.load(fh).get("results", {})
+        merged = {**prior, **results}
     with open(out_path, "w") as fh:
         json.dump({"sf_dir": sf, "byte_exact": True,
-                   "results": results}, fh, indent=1, sort_keys=True)
-    print(f"wrote {out_path} ({len(results)} queries)")
+                   "results": merged}, fh, indent=1, sort_keys=True)
+    print(f"wrote {out_path} ({len(merged)} queries, "
+          f"{len(results)} this run)")
