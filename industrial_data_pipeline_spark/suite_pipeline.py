@@ -374,6 +374,53 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+# ------------------------------------------ q150 chunk-level dedup
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup at CHUNK granularity — the pass that catches boilerplate
+    repeated across documents that doc-level dedup misses: chunk the
+    corpus (q146 shape), group by content hash, keep the first
+    (doc, idx) owner, count the copies. One shuffle on the 8-byte
+    chunk hash; emits only duplicated chunks."""
+    chunks = TX.chunk_documents(_load_docs(spark, sf_dir),
+                                window=16, stride=16)
+    return (chunks.groupBy("chunk_hash")
+            .agg(F.count("*").alias("n_copies"),
+                 F.min(F.struct("doc_id", "chunk_idx")).alias("_first"))
+            .where(F.col("n_copies") > 1)
+            .select("chunk_hash", "n_copies",
+                    F.col("_first.doc_id").alias("owner_doc"),
+                    F.col("_first.chunk_idx").alias("owner_chunk")))
+
+
+def _oracle_chunk_dedup() -> str:
+    # the q146 chunk CTE at window=stride=16 (disjoint chunks), then
+    # hash-grouped ownership
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+b AS (SELECT doc_id, t, len(t) AS n,
+             (CAST(ceil(greatest(len(t) - 16, 0) / 16.0) AS INTEGER)
+              + 1) AS k
+      FROM d WHERE len(t) > 0),
+c AS (SELECT doc_id, t, n,
+             unnest(generate_series(0, k - 1)) AS chunk_idx
+      FROM b),
+p AS (SELECT doc_id, chunk_idx,
+             t[chunk_idx * 16 + 1 :
+               chunk_idx * 16 + least(16, n - chunk_idx * 16)] AS piece
+      FROM c),
+h AS (SELECT doc_id, chunk_idx,
+             {_h64("array_to_string(piece, ' ')")} AS chunk_hash
+      FROM p)
+SELECT chunk_hash, count(*) AS n_copies,
+       min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx))
+           .doc_id AS owner_doc,
+       min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx))
+           .chunk_idx AS owner_chunk
+FROM h GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 # ------------------------------------ q148 source-mixture reweighting
 
 _MIX_TARGETS = {f"src{i}": i % 4 + 1 for i in range(20)}
@@ -454,4 +501,5 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q146_chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "q148_mixture_weights": (q_mixture_weights,
                              _oracle_mixture_weights()),
+    "q150_chunk_dedup": (q_chunk_dedup, _oracle_chunk_dedup()),
 }
