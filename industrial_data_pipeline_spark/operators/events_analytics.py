@@ -125,3 +125,48 @@ def stratified_hash_sample(df: DataFrame, id_col: str, stratum_col: str,
         rate = F.when(F.col(stratum_col) == s, F.lit(int(r))) \
             .otherwise(rate)
     return df.where(bucket < rate)
+
+
+def winsorized_stats(df: DataFrame, group_col: str = "event_type",
+                     value_col: str = "value", id_col: str = "event_id",
+                     lo: float = 0.05, hi: float = 0.95,
+                     round_dp: int = 6) -> DataFrame:
+    """Robust per-group stats via winsorization: clamp each group's
+    values to its nearest-rank [lo, hi] quantiles, then average — the
+    outlier-trimming that keeps one stuck sensor or bot user from
+    dragging a group mean. Nearest-rank (an actual data value picked
+    by ``ceil(p·n)`` rank, ties broken by id) rather than
+    interpolation, so the bounds are byte-reproducible selections.
+
+    Plan: one window sort per group for ranks (the honest cost of
+    exact quantiles — at 100 TB swap the bound computation for
+    ``percentile_approx``, same downstream shape), a group-keyed
+    bounds aggregate broadcast back, then one partial-aggable final
+    aggregation. The mean sums DECIMAL so partition merge order can't
+    wobble the low bits (the q43 lesson, VERDICT r2 §2)."""
+    wo = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    wn = Window.partitionBy(group_col)
+    d = (df.select(group_col, id_col, value_col)
+         .withColumn("_rn", F.row_number().over(wo))
+         .withColumn("_n", F.count("*").over(wn)))
+    lo_idx = F.greatest(F.ceil(F.lit(lo) * F.col("_n")), F.lit(1))
+    hi_idx = F.ceil(F.lit(hi) * F.col("_n"))
+    bounds = (d.groupBy(group_col)
+              .agg(F.max(F.when(F.col("_rn") == lo_idx,
+                                F.col(value_col))).alias("_plo"),
+                   F.max(F.when(F.col("_rn") == hi_idx,
+                                F.col(value_col))).alias("_phi")))
+    c = (d.join(F.broadcast(bounds), group_col)
+         .withColumn("_cv", F.least(F.greatest(F.col(value_col),
+                                               F.col("_plo")),
+                                    F.col("_phi"))))
+    return (c.groupBy(group_col)
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.round("_cv", round_dp)
+                               .cast("decimal(28,6)")).cast("double")
+                         / F.count("*"), round_dp).alias("robust_mean"),
+                 F.max("_plo").alias("p_lo"),
+                 F.max("_phi").alias("p_hi"),
+                 F.sum(F.when((F.col(value_col) < F.col("_plo"))
+                              | (F.col(value_col) > F.col("_phi")), 1)
+                       .otherwise(0)).alias("n_clipped")))

@@ -53,6 +53,47 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def filtered_cosine_topk(corpus: DataFrame, queries: DataFrame,
+                         k: int = 3, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         filter_col: str = "label",
+                         round_dp: int = 6) -> DataFrame:
+    """Metadata-filtered exact top-k (the RAG retrieval shape): each
+    query row searches ONLY the corpus rows sharing its ``filter_col``
+    value — a *pre-filter* strategy, so the predicate prunes the
+    corpus before any distance math instead of discarding neighbors
+    after the fact (post-filter top-k can return < k rows; pre-filter
+    cannot, short of the stratum being smaller than k).
+
+    Plan shape: the query set is small by nature (a user request
+    batch) → ``F.broadcast`` hash join on the filter key; distance is
+    JVM-side zip_with/aggregate; per-query ranking is one window
+    partitioned by query id. At 100 TB the corpus never shuffles —
+    the broadcast join and the window agg both run map-side (the
+    window's partition key count == |queries|, so AQE coalesces the
+    tiny rank shuffle). Self-matches (same id) are excluded.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("_qv"),
+                       F.col(filter_col).alias("_f"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("_cv"),
+                      F.col(filter_col).alias("_f"))
+    cos = _dot(F.col("_cv"), F.col("_qv")) \
+        / (_norm(F.col("_cv")) * _norm(F.col("_qv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
+                                               F.col("neighbor_id"))
+    return (c.join(F.broadcast(q), "_f")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_cos", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("_cos", round_dp).alias("cosine_sim"), "rk"))
+
+
 def cosine_pairs_bruteforce(df: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

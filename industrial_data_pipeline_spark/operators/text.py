@@ -379,6 +379,27 @@ def hash_split(df: DataFrame, salt: str = "v1", id_col: str = "doc_id",
     return df.withColumn("split", split)
 
 
+def shard_assignment(df: DataFrame, n_shards: int = 8,
+                     salt: str = "shard1", order_salt: str = "ord1",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle + sharding for a training-data
+    export: ``shard`` = portable id hash mod ``n_shards`` (stable
+    across runs, engines and input layouts), ``_okey`` = a second
+    independent hash giving the within-shard shuffle order (training
+    wants documents decorrelated from insertion order; a seeded hash
+    IS a reproducible shuffle). The physical write is
+    ``repartition(n_shards, "shard").sortWithinPartitions("_okey")``
+    — one shuffle, each output file a shard in final order; at 100 TB
+    the hash spreads uniformly so shard sizes stay balanced without
+    sampling."""
+    h = hash64(F.concat(F.col(id_col).cast("string"),
+                        F.lit(":" + salt)))
+    okey = hash64(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":" + order_salt)))
+    return (df.withColumn("shard", F.pmod(h, F.lit(n_shards)))
+            .withColumn("_okey", okey))
+
+
 def lm_cross_entropy(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", salt: str = "lm1",
                      train_pct: int = 80, round_dp: int = 6) -> DataFrame:

@@ -163,6 +163,40 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type stats: values clamped to nearest-rank
+    [p05, p95] before averaging (operators/events_analytics.py::
+    winsorized_stats) — outlier-trimmed means over the event archive."""
+    return EA.winsorized_stats(load(spark, sf_dir, "events"))
+
+
+ORACLE_WINSORIZED_STATS = f"""
+WITH {_EV_SQL},
+d AS (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ev),
+b AS (SELECT event_type,
+             max(CASE WHEN rn = greatest(
+                   CAST(ceil(0.05 * n) AS BIGINT), 1)
+                 THEN value END) AS p_lo,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                 THEN value END) AS p_hi
+      FROM d GROUP BY event_type),
+c AS (SELECT d.event_type, d.value, b.p_lo, b.p_hi,
+             least(greatest(d.value, b.p_lo), b.p_hi) AS cv
+      FROM d JOIN b USING (event_type))
+SELECT event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(round(cv, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS robust_mean,
+       max(p_lo) AS p_lo, max(p_hi) AS p_hi,
+       CAST(sum(CASE WHEN value < p_lo OR value > p_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM c GROUP BY event_type
+"""
+
+
 REGISTRY_EVENTS: dict[str, tuple] = {
     "q43_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "q44_topk_per_group": (q_topk_per_group, ORACLE_TOPK),
@@ -172,4 +206,6 @@ REGISTRY_EVENTS: dict[str, tuple] = {
     "q47_json_props": (q_json_props, ORACLE_JSON_PROPS),
     "q48_stratified_sample": (q_stratified_sample,
                               ORACLE_STRATIFIED_SAMPLE),
+    "q154_winsorized_stats": (q_winsorized_stats,
+                              ORACLE_WINSORIZED_STATS),
 }

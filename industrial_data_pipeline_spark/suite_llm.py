@@ -429,6 +429,36 @@ ORDER BY cosine_sim DESC, a.vec_id LIMIT 10
 """
 
 
+# ------------------------------------------- q151 filtered ANN (RAG)
+
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval shape: each of 5 query vectors retrieves its
+    exact top-3 cosine neighbors restricted to corpus rows sharing its
+    ``label`` (pre-filter ANN — the metadata predicate prunes the
+    corpus BEFORE any distance math, so top-k is exact within the
+    stratum; post-filtering an unfiltered top-k can come back short).
+    Broadcast query batch, zero corpus shuffle — see
+    operators/similarity.py::filtered_cosine_topk."""
+    emb = _load_emb(spark, sf_dir)
+    return SIM.filtered_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
+def _oracle_filtered_ann() -> str:
+    cos = _COS.format(a="c.v", b="q.qv")
+    return f"""
+WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label, v AS qv FROM c WHERE vec_id < 5),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS raw,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rk
+      FROM c JOIN q ON c.label = q.label AND c.vec_id != q.query_id)
+SELECT query_id, neighbor_id, round(raw, 6) AS cosine_sim, rk
+FROM s WHERE rk <= 3
+"""
+
+
 # embedding-cosine near-dup: bounded corpus (vec_id < 300) ∪ planted
 # near-copies (last coordinate +0.25 on ~unit vectors → cosine ≈ 0.97,
 # solidly above the 0.9 threshold) so the threshold has deterministic
@@ -815,4 +845,5 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q144_phash_image_dedup": (q_phash_image_dedup,
                                ORACLE_PHASH_IMAGE_DEDUP),
     "q145_audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
+    "q151_filtered_ann": (q_filtered_ann, _oracle_filtered_ann()),
 }

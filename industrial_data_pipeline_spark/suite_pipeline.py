@@ -483,6 +483,117 @@ FROM p
 """
 
 
+# ------------------------------------ q152 training-shard manifest
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle+shard of the corpus for a training export
+    (operators/text.py::shard_assignment): 8 shards by id hash, a
+    second hash as the within-shard shuffle order. Emits the shard
+    MANIFEST — per shard: doc count, byte volume, and the first/last
+    doc in shuffle order (the reproducibility contract a training job
+    checks before consuming). One groupBy shuffle; first/last via
+    partial-aggable min_by/max_by, no window sort."""
+    d = TX.shard_assignment(_load_docs(spark, sf_dir))
+    key = F.struct(F.col("_okey"), F.col("doc_id"))
+    return (d.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("n_bytes"),
+                 F.min_by("doc_id", key).alias("first_doc"),
+                 F.max_by("doc_id", key).alias("last_doc")))
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH b AS (SELECT doc_id, n_chars,
+                  {_h64("doc_id || ':shard1'")} % 8 AS shard,
+                  {_h64("doc_id || ':ord1'")} AS okey
+           FROM documents),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY okey, doc_id) AS rn_a,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY okey DESC, doc_id DESC) AS rn_d
+      FROM b)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       max(CASE WHEN rn_a = 1 THEN doc_id END) AS first_doc,
+       max(CASE WHEN rn_d = 1 THEN doc_id END) AS last_doc
+FROM r GROUP BY shard
+"""
+
+
+# ------------------------------------- q153 leakage-safe corpus split
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash-split on the near-dup
+    CLUSTER representative (q61's connected components over the
+    materialized MinHash-LSH pair graph) instead of the raw doc id, so
+    near-duplicates can never straddle splits — the train/test-leakage
+    failure mode of id-hash splits on undeduplicated corpora. Emits
+    per-split doc/cluster counts plus the straddling-pair count
+    (0 by construction — computed, not asserted, so the oracle hash
+    actually checks the property)."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        connected_components)
+    from industrial_data_pipeline_spark.suite_corpus import (
+        _pairs_materialized)
+    from industrial_data_pipeline_spark.suite_llm import _mut_corpus
+    pairs = _pairs_materialized(spark, sf_dir)
+    clusters = connected_components(pairs, "id_a", "id_b")
+    docs = _mut_corpus(spark, sf_dir).select("doc_id")
+    lab = (docs.join(clusters, "doc_id", "left")
+           .withColumn("cluster_id",
+                       F.coalesce("cluster_id", F.col("doc_id"))))
+    sp = TX.hash_split(lab, salt="cs1", id_col="cluster_id")
+    a = sp.select(F.col("doc_id").alias("id_a"),
+                  F.col("split").alias("_sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"),
+                  F.col("split").alias("_sb"))
+    leak = (pairs.join(a, "id_a").join(b, "id_b")
+            .where(F.col("_sa") != F.col("_sb"))
+            .agg(F.count("*").alias("n_leaky_pairs")))
+    out = (sp.groupBy("split")
+           .agg(F.count("*").alias("n_docs"),
+                F.countDistinct("cluster_id").alias("n_clusters")))
+    return out.crossJoin(F.broadcast(leak))
+
+
+def _oracle_leakage_safe_split() -> str:
+    from industrial_data_pipeline_spark.suite_llm import (
+        _MUT_SQL,
+        ORACLE_MINHASH_LSH,
+    )
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u
+),
+cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+       FROM walk GROUP BY node),
+corpus AS (SELECT doc_id FROM ({_MUT_SQL}) _m),
+lab AS (SELECT c.doc_id,
+               coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+        FROM corpus c LEFT JOIN cl USING (doc_id)),
+sp AS (SELECT doc_id, cluster_id,
+              CASE WHEN {_h64("cluster_id || ':cs1'")} % 100 < 80
+                     THEN 'train'
+                   WHEN {_h64("cluster_id || ':cs1'")} % 100 < 90
+                     THEN 'val' ELSE 'test' END AS split
+       FROM lab),
+leak AS (SELECT count(*) AS n_leaky_pairs
+         FROM pairs p JOIN sp a ON p.id_a = a.doc_id
+                      JOIN sp b ON p.id_b = b.doc_id
+         WHERE a.split != b.split)
+SELECT sp.split, count(*) AS n_docs,
+       CAST(count(DISTINCT sp.cluster_id) AS BIGINT) AS n_clusters,
+       leak.n_leaky_pairs
+FROM sp, leak GROUP BY sp.split, leak.n_leaky_pairs
+"""
+
+
 REGISTRY_PIPELINE: dict[str, tuple] = {
     "q68_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "q69_incremental_dedup": (q_incremental_dedup,
@@ -502,4 +613,7 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q148_mixture_weights": (q_mixture_weights,
                              _oracle_mixture_weights()),
     "q150_chunk_dedup": (q_chunk_dedup, _oracle_chunk_dedup()),
+    "q152_shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
+    "q153_leakage_safe_split": (q_leakage_safe_split,
+                                _oracle_leakage_safe_split()),
 }

@@ -133,3 +133,39 @@ def test_approx_profile_error_bounds(spark):
     for et, r in rows.items():
         assert r.n_events == exact_n[et]
         assert r.approx_users_ok and r.p50_ok and r.p95_ok, (et, r)
+
+
+def test_winsorized_stats_clamps_outliers(spark):
+    from industrial_data_pipeline_spark.operators.events_analytics import (
+        winsorized_stats)
+    # 20 values 1..19 plus one wild outlier 1000: p95 bound = rank
+    # ceil(.95*20)=19 → 19th smallest = 19; p05 = rank 1 → value 1
+    rows = [("a", i, float(v)) for i, v in enumerate(
+        list(range(1, 20)) + [1000])]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, value double")
+    out = winsorized_stats(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.p_lo == 1.0 and r.p_hi == 19.0
+    assert r.n_clipped == 1  # only the outlier clamps (1000 → 19)
+    expect = (sum(range(1, 20)) + 19) / 20.0
+    assert abs(r.robust_mean - expect) < 1e-6
+    assert r.n_events == 20
+
+
+def test_shard_assignment_deterministic_and_balanced(spark):
+    from industrial_data_pipeline_spark.operators.text import (
+        shard_assignment)
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"))
+    a = shard_assignment(docs).collect()
+    b = shard_assignment(docs).collect()
+    assert {(r.doc_id, r.shard) for r in a} == \
+        {(r.doc_id, r.shard) for r in b}
+    sizes = {}
+    for r in a:
+        assert 0 <= r.shard < 8
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2 * min(sizes.values())

@@ -89,3 +89,39 @@ def test_ivf_assignment_covers_all(emb):
     assert assigned.where(F.col("_cell").isNull()).count() == 0
     n_cells = assigned.select("_cell").distinct().count()
     assert 2 <= n_cells <= 8
+
+
+def test_filtered_topk_prefilter_semantics(emb):
+    """Every neighbor shares its query's label (pre-filter), no self
+    matches, exactly k per query when the stratum is big enough, and
+    ranks are dense from 1."""
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.filtered_cosine_topk(emb, queries, k=3).collect()
+    qlabel = {r.vec_id: r.label for r in queries.collect()}
+    strata = {lab: c for lab, c in
+              emb.groupBy("label").count().collect()}
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        want = min(3, strata[qlabel[qid]] - 1)
+        assert len(rows) == want
+        assert sorted(r.rk for r in rows) == list(range(1, want + 1))
+        sims = [r.cosine_sim for r in
+                sorted(rows, key=lambda r: r.rk)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_filtered_topk_matches_bruteforce_within_stratum(emb):
+    """rk-1 neighbor == brute-force top-1 over the label-filtered
+    corpus minus the query itself."""
+    q = emb.where(F.col("vec_id") == 0).first()
+    sub = emb.where((F.col("label") == q.label)
+                    & (F.col("vec_id") != 0))
+    brute = S.cosine_topk(sub, [float(x) for x in q.embedding],
+                          k=1).first()
+    got = (S.filtered_cosine_topk(emb, emb.where(F.col("vec_id") == 0),
+                                  k=1).first())
+    assert got.neighbor_id == brute.vec_id
+    assert got.cosine_sim == brute.cosine_sim
