@@ -275,6 +275,70 @@ def extract_features(df: DataFrame,
     return df.mapInPandas(op, FEATURES_SCHEMA)
 
 
+#: probe_media output schema
+PROBE_SCHEMA = ("media_id long, format string, width int, height int")
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """media → container metadata (format, width, height) via
+    :func:`probe_image`'s real byte-level header parse — PNG IHDR,
+    GIF logical-screen descriptor, and the JPEG marker-segment walk
+    (fill bytes, standalone markers, APPn skipping, SOF0–SOF15).
+    Pure header inspection, never decompresses pixel data, so the
+    per-row cost is independent of payload size; Arrow-batched
+    ``mapInPandas``, one pass, no shuffle. Unrecognized payloads
+    yield NULL format/dims (the quarantine-not-crash rule for dirty
+    media lakes)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for payload in pdf["data"]:
+                got = probe_image(payload if payload is None
+                                  else bytes(payload))
+                if got is None:
+                    fmts.append(None), ws.append(None), hs.append(None)
+                else:
+                    fmts.append(got[0]), ws.append(got[1]), \
+                        hs.append(got[2])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "format": fmts,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32")})
+
+    return df.mapInPandas(op, PROBE_SCHEMA)
+
+
+def jfif_encode_header(width: int, height: int,
+                       n_channels: int = 3) -> bytes:
+    """A structurally valid JFIF prelude: SOI → APP0(JFIF) → fill
+    bytes → COM → DQT stub → SOF0(dims) → EOI. There is no entropy
+    stream (a real encoder needs DCT+Huffman tables); every segment
+    a METADATA parser must walk is real and correctly framed, which
+    is exactly the surface :func:`probe_image` consumes. Used by the
+    probe suite/tests to exercise the JPEG walk on wire-shaped
+    bytes."""
+    app0 = b"JFIF\x00\x01\x02\x01\x00H\x00H\x00\x00"
+    com = b"synthetic"
+    dqt = bytes(65)  # Pq/Tq byte + 64 quant entries (zeros: stub)
+    sof = struct.pack(">BHHB", 8, height, width, n_channels) + b"".join(
+        struct.pack(">BBB", c + 1, 0x11, 0) for c in range(n_channels))
+    return (b"\xff\xd8"                                       # SOI
+            + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+            + b"\xff\xff"                  # fill bytes before marker
+            + b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+            + b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9")                                    # EOI
+
+
+def gif_encode_header(width: int, height: int) -> bytes:
+    """GIF89a logical-screen descriptor + trailer — the 13-byte
+    header :func:`probe_image` reads, correctly framed."""
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00" + b"\x3b")
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   max_frames: int = 16,
                   decode_stub: bool = True) -> DataFrame:

@@ -379,6 +379,26 @@ def hash_split(df: DataFrame, salt: str = "v1", id_col: str = "doc_id",
     return df.withColumn("split", split)
 
 
+def bpe_merge_pairs(df: DataFrame, text_col: str = "text",
+                    k: int = 20) -> DataFrame:
+    """The BPE-training primitive: corpus-wide counts of ADJACENT
+    character pairs inside words (lowercased whitespace tokens) — the
+    table whose argmax is the next merge in byte-pair-encoding
+    tokenizer training. One explode to tokens, one explode to pairs
+    (JVM higher-order fns, no Python), one count shuffle with
+    map-side partial aggregation — the same shape at 100 TB, where
+    each training round is exactly this job with the previous round's
+    merges applied. Top-``k`` by count, ties lexicographic."""
+    toks = tokens(F.lower(F.col(text_col)))
+    t = df.select(F.explode(toks).alias("t")) \
+        .where(F.length("t") >= 2)
+    pairs = F.transform(F.sequence(F.lit(1), F.length("t") - 1),
+                        lambda i: F.col("t").substr(i, F.lit(2)))
+    return (t.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(k))
+
+
 def shard_assignment(df: DataFrame, n_shards: int = 8,
                      salt: str = "shard1", order_salt: str = "ord1",
                      id_col: str = "doc_id") -> DataFrame:

@@ -236,6 +236,25 @@ FROM lab JOIN rep USING (cluster_id)
 """
 
 
+# ---------------------------------------- q156 BPE merge-pair counts
+# The tokenizer-training statistic: the corpus-wide adjacent
+# character-pair frequency table whose argmax is BPE's next merge.
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_merge_pairs(_load_docs(spark, sf_dir), k=20)
+
+
+ORACLE_BPE_MERGE_PAIRS = f"""
+WITH tok AS (SELECT unnest({_LTOKS}) AS t FROM documents),
+p AS (SELECT unnest(list_transform(
+               generate_series(1, length(t) - 1),
+               i -> substr(t, i, 2))) AS pair
+      FROM tok WHERE length(t) >= 2)
+SELECT pair, count(*) AS n FROM p
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+"""
+
+
 REGISTRY_CORPUS: dict[str, tuple] = {
     "q59_tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "q60_bigram_counts": (q_bigram_counts, ORACLE_BIGRAM_COUNTS),
@@ -245,4 +264,5 @@ REGISTRY_CORPUS: dict[str, tuple] = {
                                      ORACLE_CLUSTER_REPRESENTATIVES),
     "q62_stream_hourly_counts": (q_stream_hourly_counts,
                                  ORACLE_STREAM_HOURLY_COUNTS),
+    "q156_bpe_merge_pairs": (q_bpe_merge_pairs, ORACLE_BPE_MERGE_PAIRS),
 }

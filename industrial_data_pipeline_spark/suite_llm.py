@@ -459,6 +459,61 @@ FROM s WHERE rk <= 3
 """
 
 
+# ------------------------------ q155 media metadata probe (3 formats)
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata extraction over a mixed-format media lake:
+    one third real PNG encodes, one third structurally valid JFIF
+    preludes (APP0 + fill bytes + COM + DQT + SOF0), one third GIF89a
+    descriptors — probed by the REAL byte-level header walk
+    (operators/multimodal.py::probe_image via probe_media; never
+    decompresses pixels). Dims are deterministic functions of the id,
+    so the oracle replays them arithmetically: a hash match proves
+    the JPEG marker walk, the PNG IHDR read and the GIF descriptor
+    read each recovered exactly what was encoded."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id")
+            .where(F.col("doc_id") < 600).repartition(4))
+
+    def encode(batches):
+        for pdf in batches:
+            data, widths, heights = [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 37 + 8, i % 29 + 8
+                widths.append(w), heights.append(h)
+                k = i % 3
+                if k == 0:
+                    x = np.arange(w)[None, :, None]
+                    y = np.arange(h)[:, None, None]
+                    ch = np.arange(3)[None, None, :]
+                    data.append(MM.png_encode(
+                        ((x + 2 * y + ch + i) % 256).astype(np.uint8)))
+                elif k == 1:
+                    data.append(MM.jfif_encode_header(w, h))
+                else:
+                    data.append(MM.gif_encode_header(w, h))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "kind": "image",
+                "data": data, "width": widths, "height": heights,
+                "duration_ms": None, "sample_rate": None})
+
+    media = docs.mapInPandas(encode, MM.MEDIA_SCHEMA)
+    return MM.probe_media(media)
+
+
+ORACLE_MEDIA_METADATA = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png'
+                       WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(doc_id % 37 + 8 AS INT) AS width,
+       CAST(doc_id % 29 + 8 AS INT) AS height
+FROM documents WHERE doc_id < 600
+"""
+
+
 # embedding-cosine near-dup: bounded corpus (vec_id < 300) ∪ planted
 # near-copies (last coordinate +0.25 on ~unit vectors → cosine ≈ 0.97,
 # solidly above the 0.9 threshold) so the threshold has deterministic
@@ -846,4 +901,5 @@ REGISTRY_LLM: dict[str, tuple] = {
                                ORACLE_PHASH_IMAGE_DEDUP),
     "q145_audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
     "q151_filtered_ann": (q_filtered_ann, _oracle_filtered_ann()),
+    "q155_media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
 }

@@ -120,3 +120,31 @@ def test_star_cc_equals_union_find(edges):
             parent[max(ra, rb)] = min(ra, rb)
     truth = {n: find(n) for n in nodes}
     assert _star_labels(edges) == truth
+
+
+@given(st.integers(min_value=1, max_value=65535),
+       st.integers(min_value=1, max_value=65535))
+@settings(max_examples=40, deadline=None)
+def test_jfif_header_probe_property(w, h):
+    payload = MM.jfif_encode_header(w, h)
+    assert MM.probe_image(payload) == ("jpeg", w, h)
+    # truncation anywhere must return None or the right dims — never
+    # raise (the dirty-media-lake contract)
+    for cut in (2, 4, len(payload) // 2, len(payload) - 1):
+        got = MM.probe_image(payload[:cut])
+        assert got is None or got == ("jpeg", w, h)
+
+
+@given(st.integers(min_value=1, max_value=65535),
+       st.integers(min_value=1, max_value=65535))
+@settings(max_examples=40, deadline=None)
+def test_gif_header_probe_property(w, h):
+    assert MM.probe_image(MM.gif_encode_header(w, h)) == ("gif", w, h)
+
+
+def test_probe_rejects_garbage():
+    assert MM.probe_image(None) is None
+    assert MM.probe_image(b"") is None
+    assert MM.probe_image(b"not an image at all") is None
+    # JPEG SOI followed by garbage: walk must terminate, not loop
+    assert MM.probe_image(b"\xff\xd8" + b"\x00" * 50) is None

@@ -67,3 +67,13 @@ def test_repetition_metrics_hand_computed(spark):
     assert out[1].top_bigram_ratio == round(2 / 3, 6)
     assert out[2].n_tokens == 1 and out[2].dup_token_ratio == 0.0
     assert out[2].top_bigram_ratio is None
+
+
+def test_bpe_merge_pairs_hand_computed(spark):
+    from industrial_data_pipeline_spark.operators.text import (
+        bpe_merge_pairs)
+    # "aaab aab": pairs aa,aa,ab + aa,ab → aa:3 ab:2; "x" too short
+    df = spark.createDataFrame(
+        [(1, "aaab aab"), (2, "x")], "doc_id long, text string")
+    out = {r.pair: r.n for r in bpe_merge_pairs(df).collect()}
+    assert out == {"aa": 3, "ab": 2}
