@@ -168,3 +168,41 @@ def enriched_counts_stream(
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def session_window_stream(
+        spark: SparkSession, sf_dir: str, gap: str = "30 minutes",
+        table_name: str = "idp_stream_swindow") -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate
+    (vs q66's applyInPandasWithState): the engine merges overlapping
+    [event, event+gap) intervals per user in JVM state — no Python
+    handler, no custom state schema, and the state store compacts
+    windows as they merge. This is the built-in operator a pipeline
+    should reach for FIRST; the applyInPandasWithState variant exists
+    for semantics the built-in can't express (session ordinals,
+    custom emission) — having both, checked against the same batch
+    truth, documents exactly where the built-in's contract ends.
+
+    Boundary semantics differ from the gap-walk by design: windows
+    are half-open, so a gap of EXACTLY ``gap`` starts a new session
+    (the walk's ``>`` keeps it). The oracle replays ``>=``.
+
+    sum_value sums DECIMAL (order-independent, the q43 rule)."""
+    src = events_stream(spark, sf_dir)
+    agg = (
+        src.select("ts", "user_id", "value")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(28,6)"))
+             .cast("double").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "sum_value")
+    )
+    if any(t.name == table_name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(table_name)
+    q = (agg.writeStream.format("memory").queryName(table_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(table_name)

@@ -182,6 +182,46 @@ GROUP BY o_orderpriority
 """
 
 
+# ----------------------------- q157 native session_window streaming
+# The built-in session operator, same batch truth as q43/q66 modulo
+# the documented half-open boundary (exact-gap splits, so the oracle
+# replays >= where the gap-walk uses >).
+
+def q_session_window_stream(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.streaming.queries import (
+        session_window_stream)
+    return session_window_stream(spark, sf_dir)
+
+
+from industrial_data_pipeline_spark.suite_events import (  # noqa: E402
+    _EV_SQL,
+    SESSION_GAP_S,
+)
+
+ORACLE_SESSION_WINDOW = f"""
+WITH {_EV_SQL},
+s AS (SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= {SESSION_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (SELECT user_id, event_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sid
+      FROM s)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM t GROUP BY user_id, sid
+"""
+
+
 REGISTRY_SCALE: dict[str, tuple] = {
     "q63_salted_skew_agg": (q_salted_skew_agg, ORACLE_SALTED_SKEW_AGG),
     "q64_interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
@@ -189,4 +229,6 @@ REGISTRY_SCALE: dict[str, tuple] = {
     "q66_stream_sessionize": (q_stream_sessionize, ORACLE_SESSIONIZE),
     "q125_bucketed_join_revenue": (q_bucketed_join_revenue,
                                    ORACLE_BUCKETED_JOIN),
+    "q157_session_window_stream": (q_session_window_stream,
+                                   ORACLE_SESSION_WINDOW),
 }
