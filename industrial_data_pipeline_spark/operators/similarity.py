@@ -276,6 +276,16 @@ def ivf_build(df: DataFrame, n_cells: int = 16,
     return assigned, centroids
 
 
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign a NEW vector batch to an EXISTING index's (frozen)
+    centroids — the incremental index-maintenance path: ingest never
+    rebuilds, it routes. Same Arrow matmul as the build-time
+    assignment; at 100 TB this is one map stage over the new batch
+    only, the existing corpus is untouched."""
+    return _assign_cells(df, centroids, vec_col)
+
+
 def _assign_cells(df: DataFrame, centroids: list[list[float]],
                   vec_col: str) -> DataFrame:
     """Nearest-centroid assignment, Arrow-vectorized: one matmul

@@ -206,3 +206,43 @@ def session_window_stream(
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def stream_stream_attribution(
+        spark: SparkSession, sf_dir: str,
+        table_name: str = "idp_stream_attrib") -> DataFrame:
+    """STREAM-STREAM inner join (the last join class the suite lacked;
+    q94 is stream-static): purchase events attributed to every view by
+    the same user within the preceding hour. Both sides are unbounded
+    sources with watermarks; the time-range predicate bounds join
+    state — Spark retains each side only within the watermark+range
+    horizon, so state is O(events/hour), never O(stream). Lag is
+    emitted in exact integer microseconds (no float in the hash).
+
+    On the bounded availableNow run the append-mode output equals the
+    batch join, which is the oracle."""
+    v = (events_stream(spark, sf_dir)
+         .where(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 "user_id", F.col("ts").alias("view_ts"))
+         .withWatermark("view_ts", "1 hour"))
+    p = (events_stream(spark, sf_dir)
+         .where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts"))
+         .withWatermark("purchase_ts", "1 hour"))
+    j = v.join(p, (F.col("user_id") == F.col("p_user"))
+               & (F.col("purchase_ts") >= F.col("view_ts"))
+               & (F.col("purchase_ts")
+                  <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")))
+    out = j.select(
+        "user_id", "view_id", "purchase_id",
+        (F.unix_micros("purchase_ts")
+         - F.unix_micros("view_ts")).alias("lag_us"))
+    if any(t.name == table_name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(table_name)
+    q = (out.writeStream.format("memory").queryName(table_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(table_name)

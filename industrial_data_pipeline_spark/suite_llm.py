@@ -459,6 +459,66 @@ FROM s WHERE rk <= 3
 """
 
 
+# ----------------------------- q159 incremental IVF index maintenance
+
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE, not search: a new embedding batch
+    (vec_id 150–249) lands in an existing IVF index (built on
+    vec_id < 150, unrefined seed centroids so the oracle can replay
+    assignment exactly) without a rebuild — ivf_assign routes the new
+    vectors to the frozen centroids in one map stage over the batch
+    only. Emits the per-cell occupancy before/after delta, the number
+    an index operator actually watches (cell imbalance ⇒ time to
+    re-train centroids)."""
+    emb = _load_emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") < 150)
+    batch = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
+    assigned, centroids = SIM.ivf_build(base, n_cells=16,
+                                        refine_iters=0)
+    routed = SIM.ivf_assign(batch, centroids)
+    nb = (assigned.groupBy(F.col("_cell").alias("cell"))
+          .agg(F.count("*").alias("n_base")))
+    nn = (routed.groupBy(F.col("_cell").alias("cell"))
+          .agg(F.count("*").alias("n_new")))
+    return (nb.join(nn, "cell", "full")
+            .select("cell",
+                    F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                    F.coalesce("n_new", F.lit(0)).alias("n_new")))
+
+
+def _oracle_ivf_incremental() -> str:
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    cos_n = _COS.format(a="n.v", b="seed.cv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM c WHERE vec_id < 150),
+batch AS (SELECT * FROM c WHERE vec_id >= 150 AND vec_id < 250),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM base ORDER BY vec_id LIMIT 16),
+ab AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM base b CROSS JOIN seed)
+       WHERE rn = 1),
+an AS (SELECT vec_id, cell FROM
+         (SELECT n.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY n.vec_id
+                                    ORDER BY {cos_n} DESC, seed.cell)
+                     AS rn
+          FROM batch n CROSS JOIN seed)
+       WHERE rn = 1),
+nb AS (SELECT cell, count(*) AS n_base FROM ab GROUP BY cell),
+nn AS (SELECT cell, count(*) AS n_new FROM an GROUP BY cell)
+SELECT coalesce(nb.cell, nn.cell) AS cell,
+       coalesce(n_base, 0) AS n_base,
+       coalesce(n_new, 0) AS n_new
+FROM nb FULL JOIN nn ON nb.cell = nn.cell
+"""
+
+
 # ------------------------------ q155 media metadata probe (3 formats)
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,4 +962,5 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q145_audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
     "q151_filtered_ann": (q_filtered_ann, _oracle_filtered_ann()),
     "q155_media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
+    "q159_ivf_incremental": (q_ivf_incremental, _oracle_ivf_incremental()),
 }

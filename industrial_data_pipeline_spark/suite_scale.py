@@ -222,6 +222,31 @@ FROM t GROUP BY user_id, sid
 """
 
 
+# --------------------------------- q158 stream-stream attribution join
+# The remaining join class: both inputs unbounded, watermark+range
+# bounded state (see streaming/queries.py::stream_stream_attribution).
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.streaming.queries import (
+        stream_stream_attribution)
+    return stream_stream_attribution(spark, sf_dir)
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type FROM events),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM ev WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM ev WHERE event_type = 'purchase')
+SELECT v.user_id, v.view_id, p.purchase_id,
+       epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS lag_us
+FROM v JOIN p ON p.user_id = v.user_id
+             AND p.purchase_ts >= v.view_ts
+             AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+"""
+
+
 REGISTRY_SCALE: dict[str, tuple] = {
     "q63_salted_skew_agg": (q_salted_skew_agg, ORACLE_SALTED_SKEW_AGG),
     "q64_interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
@@ -231,4 +256,6 @@ REGISTRY_SCALE: dict[str, tuple] = {
                                    ORACLE_BUCKETED_JOIN),
     "q157_session_window_stream": (q_session_window_stream,
                                    ORACLE_SESSION_WINDOW),
+    "q158_stream_stream_join": (q_stream_stream_join,
+                                ORACLE_STREAM_STREAM_JOIN),
 }
