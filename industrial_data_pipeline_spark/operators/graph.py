@@ -59,3 +59,42 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                          .alias("rank"))
                  .localCheckpoint())
     return ranks
+
+
+def triangles(edges: DataFrame, src: str = "src",
+              dst: str = "dst") -> DataFrame:
+    """Exact triangle enumeration via DEGREE-ORDERED ORIENTATION — the
+    standard distributed-triangle trick: direct every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, so each
+    node's out-degree is bounded (a hub with degree d keeps at most
+    the edges to even-bigger hubs) and the wedge self-join is
+    Σ out-deg(u)² instead of Σ deg(u)² — on power-law graphs the
+    difference between feasible and not. Each triangle has exactly
+    one node with two out-edges under an acyclic total order, so
+    every triangle is produced exactly once, then closed by one
+    semi-ish join back to the oriented edge set. Three shuffles
+    total (degree, wedge join, closure join).
+
+    Input: one row per undirected edge. Output: (a, b, c) with
+    a < b < c — canonical, order-insensitively comparable.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    e = (sym
+         .join(deg.withColumnRenamed("deg", "du"), "u")
+         .join(deg.select(F.col("u").alias("v"),
+                          F.col("deg").alias("dv")), "v")
+         .where((F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv"))
+                   & (F.col("u") < F.col("v"))))
+         .select("u", "v"))
+    wedges = (e.join(e.select("u", F.col("v").alias("w")), "u")
+              .where(F.col("v") != F.col("w")))
+    closed = wedges.join(
+        e.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"])
+    tri = F.array_sort(F.array("u", "v", "w"))
+    return closed.select(tri[0].alias("a"), tri[1].alias("b"),
+                         tri[2].alias("c"))

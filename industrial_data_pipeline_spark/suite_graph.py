@@ -119,8 +119,49 @@ def q_sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_CUBE)
 
 
+# ----------------------------------------- q160 triangle enumeration
+
+TRI_MIN_COOC = 2  # >= 3 leaves a triangle-free graph at gate scale
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangles in the parts-co-bought-twice graph via
+    degree-ordered orientation (operators/graph.py::triangles) — the
+    clustering-structure statistic next to q91's centrality. The
+    oracle is the naive a<b<c three-way join: same set, quadratic
+    wedge cost the oriented plan avoids on skewed graphs. Threshold 2
+    (not q91's 3): the >=3 graph is triangle-free at the gate scale,
+    which would make the check vacuous."""
+    from industrial_data_pipeline_spark.operators.graph import triangles
+    bi = load(spark, sf_dir, "lineitem") \
+        .select(F.col("l_orderkey").alias("b"),
+                F.col("l_partkey").alias("i")).distinct()
+    l, r = bi.alias("l"), bi.alias("r")
+    edges = (l.join(r, (F.col("l.b") == F.col("r.b"))
+                    & (F.col("l.i") < F.col("r.i")))
+             .groupBy(F.col("l.i").alias("src"),
+                      F.col("r.i").alias("dst"))
+             .agg(F.count("*").alias("c"))
+             .where(F.col("c") >= TRI_MIN_COOC)
+             .select("src", "dst"))
+    return triangles(edges)
+
+
+ORACLE_TRIANGLES = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+p AS (SELECT l.i AS a, r.i AS z FROM bi l
+      JOIN bi r ON l.b = r.b AND l.i < r.i
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_COOC})
+SELECT p1.a AS a, p1.z AS b, p2.z AS c
+FROM p p1 JOIN p p2 ON p2.a = p1.z
+          JOIN p p3 ON p3.a = p1.a AND p3.z = p2.z
+"""
+
+
 REGISTRY_GRAPH: dict[str, tuple] = {
     "q91_pagerank": (q_pagerank, ORACLE_PAGERANK),
     "q92_sql_revenue": (q_sql_revenue, _SQL_REVENUE),
     "q93_sql_cube": (q_sql_cube, _SQL_CUBE),
+    "q160_triangles": (q_triangles, ORACLE_TRIANGLES),
 }

@@ -77,3 +77,14 @@ def test_bpe_merge_pairs_hand_computed(spark):
         [(1, "aaab aab"), (2, "x")], "doc_id long, text string")
     out = {r.pair: r.n for r in bpe_merge_pairs(df).collect()}
     assert out == {"aa": 3, "ab": 2}
+
+
+def test_triangles_hand_built(spark):
+    from industrial_data_pipeline_spark.operators.graph import triangles
+    # K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 (none) +
+    # disconnected path 6-7-8 (none)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r.a, r.b, r.c) for r in triangles(df).collect())
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
