@@ -490,3 +490,41 @@ def tag_correlation(archive: DataFrame, ref_key: int,
                     .alias("n_buckets"),
                     (F.round(r, round_dp) + F.lit(0.0))
                     .alias("pearson_r")))
+
+
+def ewma(archive: DataFrame, alpha: float = 0.25,
+         key_col: str = "attribute_id", ts_col: str = "timestamp",
+         val_col: str = "value") -> DataFrame:
+    """EWMA smoother per tag — the third classic control chart next to
+    CUSUM (q142) and the Western Electric rules (q143): s_t = α·x_t +
+    (1−α)·s_{t−1}, seeded with the first observation.
+
+    The recursion is inherently order-dependent, so this is the
+    legitimate applyInPandas case: one sequential float64 pass WITHIN
+    each tag (state = one float), full parallelism ACROSS tags — at
+    100 TB the cost profile is a keyed shuffle plus a linear scan per
+    tag, exactly like any stateful per-key pass. The Python loop
+    performs the same IEEE op sequence (α·x, (1−α)·s, add) a
+    recursive-CTE oracle replays, measured bit-identical; rows order
+    by (ts, value) so exact-duplicate timestamps cannot wobble the
+    order (equal values commute through the recursion).
+
+    Closed-form window alternatives ((1−α)^(t−i) sums) overflow
+    double for long series and truncation changes bits — rejected.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    a = float(alpha)
+    schema = (f"{key_col} long, {ts_col} timestamp, "
+              f"{val_col} double, ewma double")
+
+    def fn(pdf):
+        pdf = pdf.sort_values([ts_col, val_col])
+        s, out = None, []
+        for v in pdf[val_col].astype(float):
+            s = v if s is None else a * v + (1.0 - a) * s
+            out.append(s)
+        pdf = pdf.assign(ewma=out)
+        return pdf[[key_col, ts_col, val_col, "ewma"]]
+
+    return archive.groupBy(key_col).applyInPandas(fn, schema)

@@ -197,3 +197,64 @@ REGISTRY_DATAENG: dict[str, tuple] = {
     "q103_fk_audit": (q_fk_audit, ORACLE_FK_AUDIT),
     "q104_price_deciles": (q_price_deciles, ORACLE_PRICE_DECILES),
 }
+
+
+# ------------------------------------------------ q162 snapshot diff
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two deterministic customer-dim snapshots: v1 =
+    custkey < 900, v2 = custkey >= 100 with every 13th segment
+    relabeled and every 7th balance shifted — so the diff contains
+    all four verdicts (added / removed / changed / unchanged) and
+    per-row changed-column lists (operators/diff.py::table_diff, one
+    full outer join + null-safe compares)."""
+    from industrial_data_pipeline_spark.operators.diff import table_diff
+    cust = load(spark, sf_dir, "customer")
+    v1 = (cust.where(F.col("c_custkey") < 900)
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+    v2 = (cust.where(F.col("c_custkey") >= 100)
+          .select("c_custkey", "c_name",
+                  F.when(F.col("c_custkey") % 13 == 0, F.lit("SHIFTED"))
+                  .otherwise(F.col("c_mktsegment"))
+                  .alias("c_mktsegment"),
+                  F.when(F.col("c_custkey") % 7 == 0,
+                         F.col("c_acctbal") + F.lit(10.0))
+                  .otherwise(F.col("c_acctbal")).alias("c_acctbal")))
+    return table_diff(v1, v2, ["c_custkey"],
+                      ["c_name", "c_mktsegment", "c_acctbal"])
+
+
+ORACLE_TABLE_DIFF = """
+WITH o AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey < 900),
+n AS (SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 13 = 0 THEN 'SHIFTED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey >= 100),
+j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             o.c_custkey IS NOT NULL AS in_o,
+             n.c_custkey IS NOT NULL AS in_n,
+             o.c_name IS NOT DISTINCT FROM n.c_name AS eq_name,
+             o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+                 AS eq_seg,
+             o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal AS eq_bal
+      FROM o FULL JOIN n ON o.c_custkey = n.c_custkey)
+SELECT c_custkey,
+       CASE WHEN NOT in_o THEN 'added'
+            WHEN NOT in_n THEN 'removed'
+            WHEN eq_name AND eq_seg AND eq_bal THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN in_o AND in_n AND NOT (eq_name AND eq_seg AND eq_bal)
+            THEN concat_ws(',',
+                 CASE WHEN NOT eq_name THEN 'c_name' END,
+                 CASE WHEN NOT eq_seg THEN 'c_mktsegment' END,
+                 CASE WHEN NOT eq_bal THEN 'c_acctbal' END)
+            ELSE '' END AS changed_cols
+FROM j
+"""
+
+REGISTRY_DATAENG.update({
+    "q162_table_diff": (q_table_diff, ORACLE_TABLE_DIFF),
+})

@@ -456,3 +456,47 @@ REGISTRY_TS.update({
                                ORACLE_SEASONAL_BASELINE),
     "q131_roc_alarms": (q_roc_alarms, ORACLE_ROC_ALARMS),
 })
+
+
+# --------------------------------------------- q161 EWMA control chart
+
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoother per tag (operators/timeseries.py::ewma) over the
+    archive analog, tags < 200 to bound the oracle's recursive-CTE
+    replay. The Python-loop recursion and the SQL recursion perform
+    the same IEEE op sequence — byte-identical, so the smoothed
+    series is emitted RAW (no rounding: the recursion bits agree by
+    construction, while rounding the same double to 6 dp can differ
+    between engines when it lands exactly on a half — Spark rounds
+    the double's exact binary expansion, DuckDB its shortest repr;
+    observed on 3/10000 rows)."""
+    arch = archive_analog(spark, sf_dir).where(
+        F.col("attribute_id") < 200)
+    out = TS.ewma(arch, alpha=0.25)
+    return out.select(
+        "attribute_id", "timestamp", "value",
+        (F.col("ewma") + F.lit(0.0)).alias("ewma"))
+
+
+ORACLE_EWMA_CHART = f"""
+WITH RECURSIVE {_ARCH_SQL},
+ev AS (SELECT attribute_id, "timestamp", value,
+              row_number() OVER (PARTITION BY attribute_id
+                                 ORDER BY "timestamp", value) AS rn
+       FROM arch WHERE attribute_id < 200),
+r AS (
+  SELECT attribute_id, rn, "timestamp", value, value AS s
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.attribute_id, ev.rn, ev."timestamp", ev.value,
+         0.25 * ev.value + 0.75 * r.s
+  FROM ev JOIN r ON ev.attribute_id = r.attribute_id
+                AND ev.rn = r.rn + 1)
+SELECT attribute_id, "timestamp", value,
+       s + 0.0 AS ewma
+FROM r
+"""
+
+REGISTRY_TS.update({
+    "q161_ewma_chart": (q_ewma_chart, ORACLE_EWMA_CHART),
+})

@@ -88,3 +88,19 @@ def test_triangles_hand_built(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = sorted((r.a, r.b, r.c) for r in triangles(df).collect())
     assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_table_diff_classifications(spark):
+    from industrial_data_pipeline_spark.operators.diff import table_diff
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, x double")
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, "D", 40.0), (5, "e", 5.0)],
+        "k long, s string, x double")
+    got = {r.k: (r.change_type, r.changed_cols)
+           for r in table_diff(old, new, ["k"], ["s", "x"]).collect()}
+    assert got == {
+        1: ("removed", ""), 2: ("unchanged", ""),
+        3: ("changed", "x"),          # NULL -> value counts
+        4: ("changed", "s,x"), 5: ("added", "")}

@@ -271,3 +271,29 @@ def test_tag_correlation_hand_computed(spark):
     assert out[2].pearson_r == -1.0
     assert out[3].pearson_r is None
     assert all(r.n_buckets == 12 for r in out.values())
+
+
+def test_ewma_hand_computed(spark):
+    from industrial_data_pipeline_spark.operators.timeseries import ewma
+    from datetime import datetime as T
+    rows = [(1, T(2024, 1, 1, 0, m), float(v))
+            for m, v in enumerate([8.0, 4.0, 4.0, 12.0])]
+    df = spark.createDataFrame(
+        rows, "attribute_id long, timestamp timestamp, value double")
+    got = [r.ewma for r in ewma(df, alpha=0.25).orderBy("timestamp")
+           .collect()]
+    # s0=8; s1=.25*4+.75*8=7; s2=.25*4+.75*7=6.25; s3=.25*12+.75*6.25
+    assert got == [8.0, 7.0, 6.25, 0.25 * 12 + 0.75 * 6.25]
+
+
+def test_ewma_duplicate_ts_commutes(spark):
+    """Equal (ts, value) duplicates must not wobble the result: two
+    identical readings in either order give the same series."""
+    from industrial_data_pipeline_spark.operators.timeseries import ewma
+    from datetime import datetime as T
+    t = T(2024, 1, 1)
+    rows = [(1, t, 5.0), (1, t, 5.0), (1, T(2024, 1, 2), 9.0)]
+    df = spark.createDataFrame(
+        rows, "attribute_id long, timestamp timestamp, value double")
+    got = sorted(r.ewma for r in ewma(df, alpha=0.25).collect())
+    assert got == [5.0, 5.0, 0.25 * 9 + 0.75 * 5.0]
