@@ -309,6 +309,46 @@ def probe_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, PROBE_SCHEMA)
 
 
+#: keyframes output schema
+KEYFRAMES_SCHEMA = "media_id long, frame_idx int, is_keyframe boolean"
+
+
+def keyframes(frames: DataFrame, threshold: float = 0.5,
+              id_col: str = "media_id",
+              idx_col: str = "frame_idx",
+              data_col: str = "data") -> DataFrame:
+    """Shot-boundary detection over REAL frame payloads: per video,
+    decode every frame (PNG codec), compute the mean absolute pixel
+    difference to the previous frame, and mark a keyframe at the
+    first frame and wherever the diff exceeds ``threshold`` — the
+    standard cheap keyframe selector before expensive per-frame
+    feature extraction (run the big model on keyframes only).
+
+    Sequential WITHIN a video by nature (each frame compares to its
+    predecessor), parallel ACROSS videos — applyInPandas keyed by
+    video id, state = one decoded frame. Frames with mismatched
+    dimensions vs their predecessor count as scene changes."""
+    import numpy as np
+
+    def fn(pdf):
+        pdf = pdf.sort_values(idx_col)
+        prev = None
+        flags = []
+        for payload in pdf[data_col]:
+            _w, _h, _c, px = png_decode(bytes(payload))
+            if prev is None or prev.shape != px.shape:
+                flags.append(True)
+            else:
+                diff = np.abs(px.astype(np.int16)
+                              - prev.astype(np.int16)).mean()
+                flags.append(bool(diff > threshold))
+            prev = px
+        return pdf.assign(is_keyframe=flags)[
+            [id_col, idx_col, "is_keyframe"]]
+
+    return frames.groupBy(id_col).applyInPandas(fn, KEYFRAMES_SCHEMA)
+
+
 def jfif_encode_header(width: int, height: int,
                        n_channels: int = 3) -> bytes:
     """A structurally valid JFIF prelude: SOI → APP0(JFIF) → fill

@@ -574,6 +574,59 @@ FROM documents WHERE doc_id < 600
 """
 
 
+# ---------------------------- q164 keyframe selection (real decode)
+
+def q_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection end to end through the REAL pixel
+    path: synthetic videos (4–9 PNG frames each; frames within a
+    scene are pixel-identical, scenes shift the pattern) → decode →
+    consecutive-frame mean-abs-diff → keyframe flags
+    (operators/multimodal.py::keyframes). Scene boundaries are
+    planted arithmetically (frame 0, and wherever (id+i) % 3 == 0),
+    so the oracle replays them in SQL — a hash match proves the
+    decode+diff pipeline recovered every planted boundary and
+    flagged nothing else."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id")
+            .where(F.col("doc_id") < 200).repartition(4))
+    frame_schema = "media_id long, frame_idx int, data binary"
+
+    def gen(batches):
+        for pdf in batches:
+            mids, idxs, payloads = [], [], []
+            for m in pdf["doc_id"]:
+                m = int(m)
+                w, h = m % 13 + 6, m % 11 + 6
+                n = m % 6 + 4
+                scene = 0
+                for i in range(n):
+                    if i > 0 and (m + i) % 3 == 0:
+                        scene += 1
+                    x = np.arange(w)[None, :, None]
+                    y = np.arange(h)[:, None, None]
+                    ch = np.arange(3)[None, None, :]
+                    px = ((x + 2 * y + ch + m + 7 * scene) % 256
+                          ).astype(np.uint8)
+                    mids.append(m), idxs.append(i)
+                    payloads.append(MM.png_encode(px))
+            yield pd.DataFrame({"media_id": mids, "frame_idx": idxs,
+                                "data": payloads})
+
+    frames = docs.mapInPandas(gen, frame_schema)
+    return MM.keyframes(frames)
+
+
+ORACLE_KEYFRAMES = """
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       (i = 0 OR (doc_id + i) % 3 = 0) AS is_keyframe
+FROM (SELECT doc_id,
+             unnest(generate_series(0, doc_id % 6 + 3)) AS i
+      FROM documents WHERE doc_id < 200)
+"""
+
+
 # embedding-cosine near-dup: bounded corpus (vec_id < 300) ∪ planted
 # near-copies (last coordinate +0.25 on ~unit vectors → cosine ≈ 0.97,
 # solidly above the 0.9 threshold) so the threshold has deterministic
@@ -963,4 +1016,5 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q151_filtered_ann": (q_filtered_ann, _oracle_filtered_ann()),
     "q155_media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
     "q159_ivf_incremental": (q_ivf_incremental, _oracle_ivf_incremental()),
+    "q164_keyframes": (q_keyframes, ORACLE_KEYFRAMES),
 }

@@ -594,6 +594,58 @@ FROM sp, leak GROUP BY sp.split, leak.n_leaky_pairs
 """
 
 
+# ------------------------------- q163 end-to-end curation pipeline
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as ONE lazy DAG — quality gate →
+    exact dedup (first-wins) → deterministic hash split → packing
+    budget — the way a production run actually composes these
+    operators: Catalyst sees every stage at once, so column pruning
+    reaches the scan (only doc_id/text survive the gate) and the
+    dedup shuffle reuses the gate's narrow projection. Emits
+    per-split doc/token/pack totals — the numbers a training job
+    checks before consuming the export."""
+    docs = _load_docs(spark, sf_dir)
+    gated = (TX.quality_filter(docs).where(F.col("keep"))
+             .select("doc_id", "text"))
+    kept = D.exact_dedup(gated, "doc_id")
+    split = TX.hash_split(kept, salt="v1")
+    ntok = F.size(TX.tokens(F.col("text")))
+    return (split.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(ntok).alias("n_tokens"),
+                 (F.floor((F.sum(ntok) - 1) / 1024) + 1)
+                 .alias("n_packs")))
+
+
+def _oracle_curation_pipeline() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _NORM_TEXT
+    rules = TX.quality_rules_sql()
+    anyfired = " OR ".join(f"coalesce(({pred}), FALSE)"
+                           for _n, pred in rules)
+    return f"""
+WITH {_METRICS_SQL},
+gate AS (SELECT doc_id FROM m WHERE NOT ({anyfired})),
+keyed AS (SELECT d.doc_id, {_NORM_TEXT} AS fp,
+                 len({_TOKS}) AS ntok
+          FROM documents d JOIN gate USING (doc_id)),
+g AS (SELECT fp, min(doc_id) AS keep FROM keyed GROUP BY fp),
+kept AS (SELECT k.doc_id, k.ntok
+         FROM keyed k JOIN g ON k.fp = g.fp AND k.doc_id = g.keep),
+sp AS (SELECT ntok,
+              CASE WHEN {_h64("doc_id || ':v1'")} % 100 < 80
+                     THEN 'train'
+                   WHEN {_h64("doc_id || ':v1'")} % 100 < 90
+                     THEN 'val' ELSE 'test' END AS split
+       FROM kept)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(floor((CAST(sum(ntok) AS DOUBLE) - 1) / 1024) + 1
+            AS BIGINT) AS n_packs
+FROM sp GROUP BY split
+"""
+
+
 REGISTRY_PIPELINE: dict[str, tuple] = {
     "q68_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "q69_incremental_dedup": (q_incremental_dedup,
@@ -616,4 +668,6 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q152_shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
     "q153_leakage_safe_split": (q_leakage_safe_split,
                                 _oracle_leakage_safe_split()),
+    "q163_curation_pipeline": (q_curation_pipeline,
+                               _oracle_curation_pipeline()),
 }

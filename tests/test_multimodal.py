@@ -257,3 +257,23 @@ def test_wav_decode_rejects_non_pcm16():
         MM.wav_decode(bad)
     with pytest.raises(ValueError, match="RIFF"):
         MM.wav_decode(b"nonsense")
+
+
+def test_keyframes_detects_planted_cuts(spark):
+    import numpy as np
+    from industrial_data_pipeline_spark.operators import multimodal as MM
+    # one video: frames 0,1 identical; frame 2 a new scene; frame 3
+    # same as 2 but different dims (counts as a cut)
+    def px(shift, w=8, h=6):
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        return ((x + y + c + shift) % 256).astype(np.uint8)
+    rows = [(1, 0, MM.png_encode(px(0))), (1, 1, MM.png_encode(px(0))),
+            (1, 2, MM.png_encode(px(50))),
+            (1, 3, MM.png_encode(px(50, w=9)))]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, data binary")
+    got = {r.frame_idx: r.is_keyframe
+           for r in MM.keyframes(df).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True}
