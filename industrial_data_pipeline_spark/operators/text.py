@@ -562,3 +562,54 @@ def mixture_weights(df: DataFrame, targets: dict[str, int],
         (F.round(F.col("_w") / F.lit(float(W)), round_dp) + F.lit(0.0))
         .alias("target_share"),
         (F.round(rate, round_dp) + F.lit(0.0)).alias("sample_rate"))
+
+
+def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_df: int = 100,
+                       threshold: float = 0.5) -> DataFrame:
+    """Sparse document-similarity JOIN via inverted index — the
+    no-embeddings similarity path: TF-IDF-weighted posting lists per
+    term, pairwise partial products summed per doc pair, cosine from
+    exact norms. Terms with document frequency > ``max_df`` are
+    dropped BEFORE the pair join (stop-term pruning): the join cost
+    is Σ df² over surviving terms, so the cap is what turns the
+    worst-case-quadratic term join into a bounded one — the standard
+    trick in every production similarity join. Cosine is therefore
+    defined in the pruned term space on both engine and oracle.
+
+    Determinism: weights quantize to DECIMAL(18,6) (absorbing any
+    sub-ulp ln() difference between engines, the q141 pattern); the
+    pair dot and the squared norms are exact decimal sums; the final
+    sqrt/division are correctly-rounded IEEE double ops on identical
+    inputs — so the emitted cosine is bit-stable and needs no
+    rounding."""
+    docs = df.select(F.col(id_col).alias("_id"), text_col)
+    n_docs = docs.count()
+    toks = docs.select(
+        "_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    tf = toks.groupBy("_id", "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    w = (tf.join(F.broadcast(dfreq.where(F.col("df") <= max_df)), "t")
+         .select("_id", "t",
+                 (F.col("tf") * F.log(
+                     (F.lit(n_docs) + F.lit(1.0))
+                     / (F.col("df") + F.lit(1.0))))
+                 .cast("decimal(18,6)").alias("w")))
+    norm = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double"))
+        .alias("_n"))
+    a = w.select(F.col("_id").alias("id_a"), "t",
+                 F.col("w").alias("_wa"))
+    b = w.select(F.col("_id").alias("id_b"), "t",
+                 F.col("w").alias("_wb"))
+    dots = (a.join(b, "t").where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("_wa") * F.col("_wb")).cast("double")
+                 .alias("_dot")))
+    na = norm.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = norm.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    cos = F.col("_dot") / (F.col("_na") * F.col("_nb"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .withColumn("cosine_sim", cos + F.lit(0.0))
+            .where(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim"))

@@ -255,6 +255,44 @@ GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
 """
 
 
+# ------------------------------- q165 sparse TF-IDF similarity join
+# The no-embeddings similarity path: inverted-index pair join over
+# TF-IDF posting lists, stop-term-pruned (df <= 100) so the join is
+# Σ df² over rare terms. Runs on the mutated corpus so the 0.5–0.99
+# band contains the planted near-dups, not just exact copies.
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.suite_llm import _mut_corpus
+    return TX.tfidf_cosine_pairs(_mut_corpus(spark, sf_dir),
+                                 max_df=100, threshold=0.5)
+
+
+def _oracle_tfidf_pairs() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _MUT_SQL
+    return f"""
+WITH corpus AS ({_MUT_SQL}),
+toks AS (SELECT doc_id, unnest({_LTOKS}) AS t FROM corpus),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+n AS (SELECT count(*) AS n_docs FROM corpus),
+w AS (SELECT tf.doc_id, tf.t,
+             CAST(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                  AS DECIMAL(18,6)) AS w
+      FROM tf JOIN dfreq USING (t) CROSS JOIN n
+      WHERE dfreq.df <= 100),
+nrm AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nn
+        FROM w GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, dot / (na.nn * nb.nn) + 0.0 AS cosine_sim
+FROM p JOIN nrm na ON p.id_a = na.doc_id
+       JOIN nrm nb ON p.id_b = nb.doc_id
+WHERE dot / (na.nn * nb.nn) + 0.0 >= 0.5
+"""
+
+
 REGISTRY_CORPUS: dict[str, tuple] = {
     "q59_tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "q60_bigram_counts": (q_bigram_counts, ORACLE_BIGRAM_COUNTS),
@@ -265,4 +303,5 @@ REGISTRY_CORPUS: dict[str, tuple] = {
     "q62_stream_hourly_counts": (q_stream_hourly_counts,
                                  ORACLE_STREAM_HOURLY_COUNTS),
     "q156_bpe_merge_pairs": (q_bpe_merge_pairs, ORACLE_BPE_MERGE_PAIRS),
+    "q165_tfidf_pairs": (q_tfidf_pairs, _oracle_tfidf_pairs()),
 }

@@ -104,3 +104,23 @@ def test_table_diff_classifications(spark):
         1: ("removed", ""), 2: ("unchanged", ""),
         3: ("changed", "x"),          # NULL -> value counts
         4: ("changed", "s,x"), 5: ("added", "")}
+
+
+def test_tfidf_pairs_hand_built(spark):
+    from industrial_data_pipeline_spark.operators.text import (
+        tfidf_cosine_pairs)
+    # docs 1,2 share rare terms (high cosine); 3 is disjoint; the
+    # shared-by-all term 'common' is pruned by max_df=2
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma common"),
+         (2, "alpha beta delta common"),
+         (3, "zeta eta theta common")],
+        "doc_id long, text string")
+    out = tfidf_cosine_pairs(df, max_df=2, threshold=0.1).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    # shared terms (df=2) carry LESS idf weight than each doc's unique
+    # term (df=1): cos = 2·ln(4/3)² / (2·ln(4/3)² + ln(4/2)²) ≈ 0.256
+    import math
+    shared, uniq = math.log(4 / 3), math.log(4 / 2)
+    expect = 2 * shared**2 / (2 * shared**2 + uniq**2)
+    assert abs(out[0].cosine_sim - expect) < 1e-4
