@@ -95,3 +95,74 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return l.join(r, [key, "_salt"]).drop("_salt")
+
+
+def bloom_filter_join_stats(fact: DataFrame, dim_keys: DataFrame,
+                            fact_key: str, dim_key: str,
+                            m_bits: int = 4096,
+                            k_hashes: int = 3) -> DataFrame:
+    """Semi-join reduction with an EXACTLY REPLAYABLE Bloom filter —
+    the runtime-filter pattern (Spark's InjectRuntimeFilter, Parquet
+    bloom pushdown) made explicit: build a ``m_bits`` filter from the
+    dim keys (k portable-hash bit positions each), fold it into 64-bit
+    words, and ship the words as a broadcast LITERAL so the fact scan
+    filters with pure bit arithmetic — no join, no shuffle, scan
+    speed. The words are O(m/64) driver state (64 longs at the
+    default), the legitimate collect.
+
+    Because the bit positions come from the portable hash64, another
+    engine builds the SAME filter with the SAME false positives — so
+    the emitted funnel (total → bloom candidates → exact matches →
+    false positives) is hash-checkable, not just plausible.
+
+    Returns ONE row: n_fact, n_candidates, n_matches,
+    n_false_positives.
+    """
+    from industrial_data_pipeline_spark.operators.text import hash64
+
+    def positions(col):
+        return [F.pmod(hash64(F.concat(col.cast("string"),
+                                       F.lit(f":bloom{i}"))),
+                       F.lit(m_bits)) for i in range(k_hashes)]
+
+    pos_rows = (dim_keys.select(
+        F.explode(F.array(*positions(F.col(dim_key)))).alias("p"))
+        .distinct().collect())
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos_rows:
+        words[r["p"] // 64] |= 1 << (r["p"] % 64)
+    # two's-complement into signed int64 range (bit 63 set would
+    # otherwise overflow the long literal); arithmetic shiftright
+    # still extracts the right bit after & 1
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    # literal arrays — serialized into the plan, broadcast with the
+    # task binary (no shuffle, no join for the probe side). Bit test
+    # = word AND single-bit mask (shift builtins need literal counts)
+    warr = F.array(*[F.lit(w).cast("long") for w in words])
+    masks = [1 << i for i in range(64)]
+    masks[63] -= 1 << 64  # signed two's-complement for bit 63
+    marr = F.array(*[F.lit(m).cast("long") for m in masks])
+
+    def bit_set(pos):
+        word = F.element_at(warr, (pos / 64).cast("int") + 1)
+        mask = F.element_at(marr, F.pmod(pos, F.lit(64))
+                            .cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+    member = None
+    for pos in positions(F.col(fact_key)):
+        b = bit_set(pos)
+        member = b if member is None else (member & b)
+
+    cand = fact.select(F.col(fact_key).alias("_k"),
+                       member.alias("_m"))
+    dk = dim_keys.select(F.col(dim_key).alias("_k"),
+                         F.lit(True).alias("_hit"))
+    joined = cand.join(F.broadcast(dk), "_k", "left")
+    return joined.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.when(F.col("_m"), 1).otherwise(0))
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+        .alias("n_matches"),
+        F.sum(F.when(F.col("_m") & F.col("_hit").isNull(), 1)
+              .otherwise(0)).alias("n_false_positives"))

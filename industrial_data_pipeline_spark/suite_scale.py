@@ -247,6 +247,54 @@ FROM v JOIN p ON p.user_id = v.user_id
 """
 
 
+# --------------------------- q166 replayable Bloom semi-join funnel
+
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern made explicit and AUDITABLE: a 4096-bit
+    Bloom filter over BUILDING-segment customers, shipped as a
+    literal long-array, prunes the orders scan with pure bit
+    arithmetic before any join. Portable hashes ⇒ the oracle builds
+    the SAME filter with the SAME false positives, so the funnel
+    (rows → candidates → matches → false positives) hash-checks
+    exactly (operators/scale.py::bloom_filter_join_stats)."""
+    from industrial_data_pipeline_spark.operators.scale import (
+        bloom_filter_join_stats)
+    dim = (load(spark, sf_dir, "customer")
+           .where(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey").distinct())
+    fact = load(spark, sf_dir, "orders").select("o_custkey")
+    return bloom_filter_join_stats(fact, dim, "o_custkey", "c_custkey")
+
+
+def _oracle_bloom_filter_join() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _h64
+    hp = _h64("k || ':bloom' || i")
+    return f"""
+WITH dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+             WHERE c_mktsegment = 'BUILDING'),
+iii AS (SELECT unnest([0, 1, 2]) AS i),
+bits AS (SELECT DISTINCT {hp} % 4096 AS p FROM dim CROSS JOIN iii),
+f AS (SELECT o_custkey AS k FROM orders),
+keys AS (SELECT DISTINCT k FROM f),
+kp AS (SELECT k, i, {hp} % 4096 AS p FROM keys CROSS JOIN iii),
+km AS (SELECT kp.k, count(*) = 3 AS m
+       FROM kp JOIN bits USING (p) GROUP BY kp.k),
+km2 AS (SELECT keys.k, coalesce(km.m, FALSE) AS m
+        FROM keys LEFT JOIN km USING (k)),
+dimk AS (SELECT k, TRUE AS hit FROM dim),
+j AS (SELECT f.k, km2.m, dimk.hit
+      FROM f JOIN km2 USING (k) LEFT JOIN dimk USING (k))
+SELECT count(*) AS n_fact,
+       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matches,
+       CAST(sum(CASE WHEN m AND hit IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives
+FROM j
+"""
+
+
 REGISTRY_SCALE: dict[str, tuple] = {
     "q63_salted_skew_agg": (q_salted_skew_agg, ORACLE_SALTED_SKEW_AGG),
     "q64_interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
@@ -258,4 +306,6 @@ REGISTRY_SCALE: dict[str, tuple] = {
                                    ORACLE_SESSION_WINDOW),
     "q158_stream_stream_join": (q_stream_stream_join,
                                 ORACLE_STREAM_STREAM_JOIN),
+    "q166_bloom_filter_join": (q_bloom_filter_join,
+                               _oracle_bloom_filter_join()),
 }
