@@ -564,6 +564,33 @@ def mixture_weights(df: DataFrame, targets: dict[str, int],
         (F.round(rate, round_dp) + F.lit(0.0)).alias("sample_rate"))
 
 
+def tfidf_weights(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_df: int = 100) -> tuple[DataFrame, DataFrame]:
+    """Stop-term-pruned TF-IDF posting lists + per-doc norms — the
+    shared substrate of the sparse similarity join
+    (:func:`tfidf_cosine_pairs`) and hybrid retrieval. Weights
+    quantize to DECIMAL(18,6) (cross-engine ln() safety, the q141
+    pattern); norms are exact decimal sums under an IEEE sqrt.
+    Returns (weights(_id, t, w), norms(_id, _n))."""
+    docs = df.select(F.col(id_col).alias("_id"), text_col)
+    n_docs = docs.count()
+    toks = docs.select(
+        "_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    tf = toks.groupBy("_id", "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    w = (tf.join(F.broadcast(dfreq.where(F.col("df") <= max_df)), "t")
+         .select("_id", "t",
+                 (F.col("tf") * F.log(
+                     (F.lit(n_docs) + F.lit(1.0))
+                     / (F.col("df") + F.lit(1.0))))
+                 .cast("decimal(18,6)").alias("w")))
+    norm = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double"))
+        .alias("_n"))
+    return w, norm
+
+
 def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_df: int = 100,
                        threshold: float = 0.5) -> DataFrame:
@@ -583,21 +610,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
     sqrt/division are correctly-rounded IEEE double ops on identical
     inputs — so the emitted cosine is bit-stable and needs no
     rounding."""
-    docs = df.select(F.col(id_col).alias("_id"), text_col)
-    n_docs = docs.count()
-    toks = docs.select(
-        "_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
-    tf = toks.groupBy("_id", "t").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
-    w = (tf.join(F.broadcast(dfreq.where(F.col("df") <= max_df)), "t")
-         .select("_id", "t",
-                 (F.col("tf") * F.log(
-                     (F.lit(n_docs) + F.lit(1.0))
-                     / (F.col("df") + F.lit(1.0))))
-                 .cast("decimal(18,6)").alias("w")))
-    norm = w.groupBy("_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double"))
-        .alias("_n"))
+    w, norm = tfidf_weights(df, id_col, text_col, max_df)
     a = w.select(F.col("_id").alias("id_a"), "t",
                  F.col("w").alias("_wa"))
     b = w.select(F.col("_id").alias("id_b"), "t",

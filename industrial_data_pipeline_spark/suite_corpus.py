@@ -293,6 +293,144 @@ WHERE dot / (na.nn * nb.nn) + 0.0 >= 0.5
 """
 
 
+# --------------------------- q167 hybrid retrieval (RRF fusion)
+# The RAG hybrid-search shape: a lexical ranking (TF-IDF cosine) and
+# a fuzzy ranking (3-gram Jaccard) fused by Reciprocal Rank Fusion
+# score = Σ 1/(60 + rank). Ranks are integers and the fused score is
+# a fixed-order two-term double sum — deterministic end to end.
+
+_RRF_K = 60
+_RRF_QIDS = [1, 2, 3]
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from industrial_data_pipeline_spark.operators.dedup import (
+        jaccard,
+        word_shingles,
+    )
+    from industrial_data_pipeline_spark.suite_llm import _mut_corpus
+    corpus = _mut_corpus(spark, sf_dir)
+    qids = F.col("doc_id").isin(_RRF_QIDS)
+
+    # lexical: query-vs-corpus TF-IDF cosine over pruned postings
+    w, norm = TX.tfidf_weights(corpus)
+    a = (w.where(F.col("_id").isin(_RRF_QIDS))
+         .select(F.col("_id").alias("qid"), "t", F.col("w").alias("_wa")))
+    b = w.select(F.col("_id").alias("cid"), "t", F.col("w").alias("_wb"))
+    dots = (a.join(b, "t").where(F.col("cid") != F.col("qid"))
+            .groupBy("qid", "cid")
+            .agg(F.sum(F.col("_wa") * F.col("_wb")).cast("double")
+                 .alias("_dot")))
+    na = norm.select(F.col("_id").alias("qid"), F.col("_n").alias("_na"))
+    nb = norm.select(F.col("_id").alias("cid"), F.col("_n").alias("_nb"))
+    lex = (dots.join(F.broadcast(na), "qid").join(nb, "cid")
+           .select("qid", "cid",
+                   (F.col("_dot") / (F.col("_na") * F.col("_nb")))
+                   .alias("_s")))
+    wl = Window.partitionBy("qid").orderBy(F.desc("_s"), F.col("cid"))
+    lex20 = (lex.withColumn("r", F.row_number().over(wl))
+             .where(F.col("r") <= 20).select("qid", "cid", "r"))
+
+    # fuzzy: query-vs-corpus 3-gram Jaccard (3 query shingle sets
+    # broadcast against the corpus — never all-pairs)
+    sh = corpus.select("doc_id",
+                       word_shingles(F.col("text")).alias("sh"))
+    q = (sh.where(qids)
+         .select(F.col("doc_id").alias("qid"), F.col("sh").alias("qsh")))
+    c = sh.select(F.col("doc_id").alias("cid"), F.col("sh").alias("csh"))
+    fz = (c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+          .select("qid", "cid",
+                  jaccard(F.col("qsh"), F.col("csh")).alias("_s")))
+    fz20 = (fz.withColumn("r", F.row_number().over(wl))
+            .where(F.col("r") <= 20).select("qid", "cid", "r"))
+
+    # RRF fusion: fixed-order two-term sum, full outer on candidates
+    l = lex20.withColumnsRenamed({"r": "rl"})
+    f = fz20.withColumnsRenamed({"r": "rf"})
+    u = (l.join(f, ["qid", "cid"], "full")
+         .select("qid", "cid",
+                 (F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rl")),
+                             F.lit(0.0))
+                  + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rf")),
+                               F.lit(0.0))).alias("_score"),
+                 F.col("rl").isNotNull().alias("in_lexical"),
+                 F.col("rf").isNotNull().alias("in_fuzzy")))
+    wr = Window.partitionBy("qid").orderBy(F.desc("_score"),
+                                          F.col("cid"))
+    return (u.withColumn("rrf_rank", F.row_number().over(wr))
+            .where(F.col("rrf_rank") <= 10)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("cid").alias("cand_id"), "rrf_rank",
+                    (F.col("_score") + F.lit(0.0)).alias("rrf_score"),
+                    "in_lexical", "in_fuzzy"))
+
+
+def _oracle_hybrid_retrieval() -> str:
+    from industrial_data_pipeline_spark.suite_llm import (
+        _GRAMS,
+        _MUT_SQL,
+        _TOKS,
+    )
+    ids = ", ".join(map(str, _RRF_QIDS))
+    return f"""
+WITH corpus AS ({_MUT_SQL}),
+tok AS (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS t
+        FROM corpus),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+n AS (SELECT count(*) AS n_docs FROM corpus),
+w AS (SELECT tf.doc_id, tf.t,
+             CAST(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                  AS DECIMAL(18,6)) AS w
+      FROM tf JOIN dfreq USING (t) CROSS JOIN n
+      WHERE dfreq.df <= 100),
+nrm AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nn
+        FROM w GROUP BY doc_id),
+lx AS (SELECT a.doc_id AS qid, b.doc_id AS cid,
+              CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+       FROM w a JOIN w b ON a.t = b.t
+       WHERE a.doc_id IN ({ids}) AND b.doc_id != a.doc_id
+       GROUP BY 1, 2),
+lxs AS (SELECT qid, cid, dot / (na.nn * nb.nn) AS s
+        FROM lx JOIN nrm na ON lx.qid = na.doc_id
+                JOIN nrm nb ON lx.cid = nb.doc_id),
+lx20 AS (SELECT qid, cid, r FROM
+           (SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY s DESC, cid) AS r
+            FROM lxs) WHERE r <= 20),
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (SELECT doc_id, list_distinct({_GRAMS}) AS sh FROM tk),
+fz AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+              len(list_intersect(q.sh, c.sh))::DOUBLE
+              / (len(q.sh) + len(c.sh)
+                 - len(list_intersect(q.sh, c.sh))) AS s
+       FROM sh q JOIN sh c ON c.doc_id != q.doc_id
+       WHERE q.doc_id IN ({ids})),
+fz20 AS (SELECT qid, cid, r FROM
+           (SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY s DESC, cid) AS r
+            FROM fz) WHERE r <= 20),
+u AS (SELECT coalesce(l.qid, f.qid) AS qid,
+             coalesce(l.cid, f.cid) AS cid,
+             coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + l.r), 0.0)
+               + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + f.r), 0.0)
+                 AS score,
+             l.r IS NOT NULL AS in_lexical,
+             f.r IS NOT NULL AS in_fuzzy
+      FROM lx20 l FULL JOIN fz20 f
+        ON l.qid = f.qid AND l.cid = f.cid)
+SELECT qid AS query_id, cid AS cand_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, cid) AS rrf_rank,
+       score + 0.0 AS rrf_score, in_lexical, in_fuzzy
+FROM u QUALIFY rrf_rank <= 10
+"""
+
+
 REGISTRY_CORPUS: dict[str, tuple] = {
     "q59_tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "q60_bigram_counts": (q_bigram_counts, ORACLE_BIGRAM_COUNTS),
@@ -304,4 +442,6 @@ REGISTRY_CORPUS: dict[str, tuple] = {
                                  ORACLE_STREAM_HOURLY_COUNTS),
     "q156_bpe_merge_pairs": (q_bpe_merge_pairs, ORACLE_BPE_MERGE_PAIRS),
     "q165_tfidf_pairs": (q_tfidf_pairs, _oracle_tfidf_pairs()),
+    "q167_hybrid_retrieval": (q_hybrid_retrieval,
+                              _oracle_hybrid_retrieval()),
 }
