@@ -246,3 +246,61 @@ def stream_stream_attribution(
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def watermark_drop_accounting(
+        spark: SparkSession, sf_dir: str, cutoff: str = "2024-01-15",
+        table_name: str = "idp_stream_wmdrop") -> DataFrame:
+    """PROOF of watermark late-data semantics — the behavior
+    complete-mode runs (q62) never exercise: the events table is
+    staged as THREE files with forced modification-time order
+    (newest slice, a mid slice, then everything older as the late
+    batch) and streamed with ``maxFilesPerTrigger=1``, so
+    availableNow runs three micro-batches. The watermark computed
+    from batch 1's data (max recent ts − 1 h) becomes OPERATIVE one
+    batch later (measured: batch 2 still admits rows under the prior
+    watermark; batch 3 drops against the advanced one) — so every
+    batch-3 row, weeks older than the watermark, is excluded, and
+    append mode emits exactly the batch-1/2 windows whose end ≤ the
+    final watermark. The oracle replays that arithmetic (hourly
+    counts of rows ≥ cutoff, window end ≤ max ts − 1 h) — a hash
+    match pins the late drop AND the append-emission boundary.
+
+    State is hour-keyed — bounded by the watermark horizon; at scale
+    this is the exact shape of a production late-tolerant rollup."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.suite_common import load
+
+    staging = tempfile.mkdtemp(prefix="idp_wm_")
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    mid_lo = "2024-01-08"
+    recent = ev.where(F.col("ts") >= cutoff)
+    mid = ev.where((F.col("ts") >= mid_lo) & (F.col("ts") < cutoff))
+    late = ev.where(F.col("ts") < mid_lo)
+    for i, part in ((1, recent), (2, mid), (3, late)):
+        tmp = os.path.join(staging, f"_w{i}")
+        part.coalesce(1).write.parquet(tmp)
+        src_file = next(f for f in os.listdir(tmp)
+                        if f.endswith(".parquet"))
+        dst = os.path.join(staging, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, src_file), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)  # force order
+
+    src = (spark.readStream.schema(recent.schema)
+           .option("maxFilesPerTrigger", "1").parquet(staging))
+    agg = (src.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").alias("hour_start"), "n"))
+    if any(t.name == table_name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(table_name)
+    q = (agg.writeStream.format("memory").queryName(table_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(table_name).localCheckpoint(eager=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return out

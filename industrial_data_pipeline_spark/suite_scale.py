@@ -309,3 +309,26 @@ REGISTRY_SCALE: dict[str, tuple] = {
     "q166_bloom_filter_join": (q_bloom_filter_join,
                                _oracle_bloom_filter_join()),
 }
+
+
+# ----------------------- q168 watermark late-drop accounting (proof)
+
+def q_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from industrial_data_pipeline_spark.streaming.queries import (
+        watermark_drop_accounting)
+    return watermark_drop_accounting(spark, sf_dir)
+
+
+ORACLE_WATERMARK_DROPS = """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ev),
+h AS (SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n
+      FROM ev WHERE ts >= '2024-01-08' GROUP BY 1)
+SELECT hour_start, n FROM h, wm
+WHERE hour_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+REGISTRY_SCALE.update({
+    "q168_watermark_drops": (q_watermark_drops,
+                             ORACLE_WATERMARK_DROPS),
+})
