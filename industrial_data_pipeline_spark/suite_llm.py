@@ -519,6 +519,131 @@ FROM nb FULL JOIN nn ON nb.cell = nn.cell
 """
 
 
+# ------------------------- q169 ANN recall evaluation (index quality)
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality measurement as a query — the eval harness every
+    ANN deployment runs: for 10 query vectors, exact brute-force
+    top-10 (ground truth) vs the IVF index's top-10 (unrefined seed
+    centroids, nprobe=4), emitting hits and recall@10 per query.
+    Both retrievals are deterministic plans the oracle replays, so
+    the RECALL NUMBERS themselves are hash-checked — the index's
+    quality claim is auditable, not asserted. All set: broadcast
+    query batch, one rank window per retrieval, an intersection
+    count; no driver loop over queries."""
+    from pyspark.sql import Window
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("_v"))
+    qs = (base.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"), F.col("_v").alias("_qv")))
+
+    def topk(corpus, label):
+        cos = SIM._dot(F.col("_v"), F.col("_qv")) \
+            / (SIM._norm(F.col("_v")) * SIM._norm(F.col("_qv")))
+        w = Window.partitionBy("qid").orderBy(F.desc("_c"),
+                                              F.col("vec_id"))
+        return (corpus.join(F.broadcast(qs), F.col("vec_id")
+                            != F.col("qid"))
+                .withColumn("_c", cos)
+                .withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= 10)
+                .select("qid", F.col("vec_id").alias(label)))
+
+    exact = topk(base, "eid")
+    assigned, centroids = SIM.ivf_build(emb, n_cells=16,
+                                        refine_iters=0)
+    probed = assigned.select("vec_id", "_cell").join(
+        base, "vec_id")
+    # per-query probe cells: rank the 16 centroids by cosine to qid
+    import math
+    cent = spark.createDataFrame(
+        [(c, vec) for c, vec in enumerate(centroids)],
+        "cell int, cv array<double>")
+    ccos = SIM._dot(F.col("cv"), F.col("_qv")) \
+        / (SIM._norm(F.col("cv")) * SIM._norm(F.col("_qv")))
+    wp = Window.partitionBy("qid").orderBy(F.desc("_cc"), F.col("cell"))
+    probe = (cent.crossJoin(F.broadcast(qs))
+             .withColumn("_cc", ccos)
+             .withColumn("_pr", F.row_number().over(wp))
+             .where(F.col("_pr") <= 4).select("qid", "cell"))
+    cand = (probed.join(F.broadcast(probe),
+                        probed._cell == probe.cell)
+            .select("vec_id", "_v", "qid"))
+    cos2 = SIM._dot(F.col("_v"), F.col("_qv")) \
+        / (SIM._norm(F.col("_v")) * SIM._norm(F.col("_qv")))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("_c"), F.col("vec_id"))
+    approx = (cand.join(F.broadcast(qs.withColumnRenamed("qid", "q2")),
+                        (F.col("qid") == F.col("q2"))
+                        & (F.col("vec_id") != F.col("qid")))
+              .withColumn("_c", cos2)
+              .withColumn("_r", F.row_number().over(w2))
+              .where(F.col("_r") <= 10)
+              .select("qid", F.col("vec_id").alias("aid")))
+    hits = (exact.join(approx, (exact.qid == approx.qid)
+                       & (exact.eid == approx.aid))
+            .groupBy(exact.qid.alias("query_id"))
+            .agg(F.count("*").alias("n_hits")))
+    return (qs.select(F.col("qid").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) / F.lit(10.0))
+                    .alias("recall_at_10")))
+
+
+def _oracle_ann_recall() -> str:
+    cos = _COS.format(a="c.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+ex AS (SELECT qid, vec_id FROM
+         (SELECT q.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                                    ORDER BY {cos} DESC, c.vec_id)
+                     AS r
+          FROM c CROSS JOIN q WHERE c.vec_id != q.qid)
+       WHERE r <= 10),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM c ORDER BY vec_id LIMIT 16),
+asg AS (SELECT vec_id, cell FROM
+          (SELECT c.vec_id, seed.cell,
+                  row_number() OVER (PARTITION BY c.vec_id
+                                     ORDER BY
+                                       {_COS.format(a="c.v",
+                                                    b="seed.cv")}
+                                       DESC, seed.cell) AS rn
+           FROM c CROSS JOIN seed)
+        WHERE rn = 1),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= 4),
+ap AS (SELECT qid, vec_id FROM
+         (SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid
+                                    ORDER BY {cos} DESC, c.vec_id)
+                     AS r
+          FROM asg JOIN probe p USING (cell)
+                   JOIN c ON c.vec_id = asg.vec_id
+                   JOIN q ON q.qid = p.qid
+          WHERE c.vec_id != p.qid)
+       WHERE r <= 10),
+h AS (SELECT ex.qid, count(*) AS n_hits
+      FROM ex JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      GROUP BY ex.qid)
+SELECT q.qid AS query_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / CAST(10.0 AS DOUBLE) AS recall_at_10
+FROM q LEFT JOIN h ON q.qid = h.qid
+"""
+
+
 # ------------------------------ q155 media metadata probe (3 formats)
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,4 +1142,5 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q155_media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
     "q159_ivf_incremental": (q_ivf_incremental, _oracle_ivf_incremental()),
     "q164_keyframes": (q_keyframes, ORACLE_KEYFRAMES),
+    "q169_ann_recall": (q_ann_recall, _oracle_ann_recall()),
 }
