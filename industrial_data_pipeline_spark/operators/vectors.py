@@ -243,3 +243,37 @@ def neighbor_confusion(df: DataFrame, every: int = 20,
                 .alias("n_label")))
     return (top1.groupBy("q_label", "n_label")
             .agg(F.count("*").alias("n_queries")))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-class centroid statistics (the mean-pooling aggregate
+    behind classifier prototypes and SemDeDup init): explode vectors
+    to LONG FORM (label, dim, x) so the per-dimension mean is an
+    ordinary decimal-summed aggregation — the 100 TB shape, since the
+    wide form would need one agg expression per dimension and the
+    long form shuffles (label × dim) keys with map-side partials.
+
+    Determinism: the norm is algebraically ||Σx||/n, so it computes
+    ENTIRELY from the exact per-dim decimal sums — Σ_d S_d² in
+    decimal (order-free, no re-quantization of any computed double;
+    double→decimal casts of computed means — and even of raw doubles
+    at scale 12 — were measured to differ at rounding boundaries
+    between engines; scale 6 is the suite's proven-safe quantization,
+    so components quantize there), then one IEEE sqrt and division. Emits (label, n_vectors,
+    centroid_norm)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ex = df.select(F.col(label_col).alias("label"),
+                   F.posexplode(v).alias("dim", "x"))
+    sd = (ex.groupBy("label", "dim")
+          .agg(F.sum(F.col("x").cast("decimal(28,6)"))
+               .cast("decimal(18,6)").alias("s")))
+    sq = (sd.groupBy("label")
+          .agg(F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double"))
+               .alias("_sn")))
+    n = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_vectors"))
+    return n.join(sq, "label").select(
+        "label", "n_vectors",
+        (F.col("_sn") / F.col("n_vectors") + F.lit(0.0))
+        .alias("centroid_norm"))

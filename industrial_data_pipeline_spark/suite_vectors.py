@@ -212,3 +212,38 @@ REGISTRY_VECTORS: dict[str, tuple] = {
                                ORACLE_NEIGHBOR_CONFUSION),
     "q140_semantic_dedup": (q_semantic_dedup, _oracle_semantic_dedup()),
 }
+
+
+# ------------------------------------ q170 per-label centroid stats
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled class prototypes over the embedding table
+    (operators/vectors.py::label_centroids) — long-form decimal-exact
+    per-dimension means, centroid L2 norms hash-checked raw."""
+    from industrial_data_pipeline_spark.operators.vectors import (
+        label_centroids)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+    return label_centroids(_load_emb(spark, sf_dir))
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH ex AS (SELECT label, i.i AS dim,
+                   CAST(embedding[i.i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN
+                 (SELECT unnest(generate_series(1, 64)) AS i) i),
+sd AS (SELECT label, dim,
+              CAST(sum(CAST(x AS DECIMAL(28,6))) AS DECIMAL(18,6))
+                  AS s
+       FROM ex GROUP BY 1, 2),
+sq AS (SELECT label, sqrt(CAST(sum(s * s) AS DOUBLE)) AS sn
+       FROM sd GROUP BY label),
+n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+SELECT n.label, n.n_vectors,
+       sq.sn / n.n_vectors + 0.0 AS centroid_norm
+FROM n JOIN sq USING (label)
+"""
+
+REGISTRY_VECTORS.update({
+    "q170_label_centroids": (q_label_centroids,
+                             ORACLE_LABEL_CENTROIDS),
+})
