@@ -671,3 +671,44 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "q163_curation_pipeline": (q_curation_pipeline,
                                _oracle_curation_pipeline()),
 }
+
+
+# ------------------------ q171 trigram-index LIKE search (P6 at scale)
+
+_LIKE_PATTERN = "merge batch"
+
+
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's '%pattern%' lookup (P6/q03) at 100 TB: a
+    character-trigram inverted index intersects posting lists to a
+    candidate set, exact LIKE verifies survivors — identical results
+    to the scan at index-lookup cost (operators/text.py::
+    trigram_like_search). n_candidates rides along so the pruning
+    claim is itself hash-checked."""
+    return TX.trigram_like_search(_load_docs(spark, sf_dir),
+                                  _LIKE_PATTERN)
+
+
+def _oracle_trigram_search() -> str:
+    qgrams = sorted({_LIKE_PATTERN[i:i + 3]
+                     for i in range(len(_LIKE_PATTERN) - 2)})
+    glist = ", ".join("'" + g.replace("'", "''") + "'" for g in qgrams)
+    return f"""
+WITH tri AS (SELECT doc_id,
+                    unnest(list_distinct(list_transform(
+                        generate_series(1, length(text) - 2),
+                        i -> substr(text, i, 3)))) AS tg
+             FROM documents),
+q AS (SELECT unnest([{glist}]) AS tg),
+cand AS (SELECT doc_id FROM tri JOIN q USING (tg)
+         GROUP BY doc_id HAVING count(DISTINCT tg) = {len(qgrams)}),
+nc AS (SELECT count(*) AS n_candidates FROM cand)
+SELECT d.doc_id, nc.n_candidates
+FROM documents d JOIN cand USING (doc_id) CROSS JOIN nc
+WHERE d.text LIKE '%{_LIKE_PATTERN}%'
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q171_trigram_search": (q_trigram_search, _oracle_trigram_search()),
+})
