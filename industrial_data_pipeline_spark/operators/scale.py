@@ -166,3 +166,18 @@ def bloom_filter_join_stats(fact: DataFrame, dim_keys: DataFrame,
         .alias("n_matches"),
         F.sum(F.when(F.col("_m") & F.col("_hit").isNull(), 1)
               .otherwise(0)).alias("n_false_positives"))
+
+
+def zorder_key(x, y, bits: int = 8):
+    """Morton/Z-order interleave of two ``bits``-bit dimensions — the
+    lakehouse data-layout key (Delta OPTIMIZE ZORDER, Iceberg
+    sort-order): rows sorted by the interleaved key cluster BOTH
+    dimensions at once, so min/max file stats prune either predicate.
+    Pure bit arithmetic (2·bits codegen terms, literal shift counts)
+    — no UDF, and exactly replayable in any engine with shifts."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        xb = F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1))
+        yb = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(xb, 2 * i) + F.shiftleft(yb, 2 * i + 1)
+    return z

@@ -332,3 +332,73 @@ REGISTRY_SCALE.update({
     "q168_watermark_drops": (q_watermark_drops,
                              ORACLE_WATERMARK_DROPS),
 })
+
+
+# ------------------------------ q172 Z-order layout locality proof
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering over orders on (customer, order-day): rows
+    sort by the Morton key, split into 16 equal tiles (the stand-ins
+    for files), and each tile's min/max of BOTH raw dimensions is
+    emitted — the spans a reader's min/max-stats pruning would see.
+    A linear sort clusters one dimension; the Z-curve bounds both —
+    the emitted spans ARE the proof, and they hash-check because the
+    key is pure replayable bit arithmetic
+    (operators/scale.py::zorder_key)."""
+    from pyspark.sql import Window
+
+    from industrial_data_pipeline_spark.operators.scale import zorder_key
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey"), F.lit(256)).alias("x"),
+        F.pmod(F.datediff(F.col("o_orderdate"),
+                          F.lit("1995-01-01").cast("date")),
+               F.lit(256)).alias("y"))
+    z = o.withColumn("z", zorder_key(F.col("x"), F.col("y")))
+    w = Window.orderBy("z", "o_orderkey")
+    t = z.withColumn("tile", F.ntile(16).over(w))
+    return (t.groupBy("tile")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+                 F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+                 F.min("z").alias("z_min"), F.max("z").alias("z_max")))
+
+
+ORACLE_ZORDER_LAYOUT = """
+WITH o AS (SELECT o_orderkey,
+                  o_custkey % 256 AS x,
+                  CAST(date_diff('day', DATE '1995-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                    % 256 AS y
+           FROM orders),
+z AS (SELECT o_orderkey, x, y,
+             ( ((((x >> 0) & 1)) << 0)
+             + ((((y >> 0) & 1)) << 1)
+             + ((((x >> 1) & 1)) << 2)
+             + ((((y >> 1) & 1)) << 3)
+             + ((((x >> 2) & 1)) << 4)
+             + ((((y >> 2) & 1)) << 5)
+             + ((((x >> 3) & 1)) << 6)
+             + ((((y >> 3) & 1)) << 7)
+             + ((((x >> 4) & 1)) << 8)
+             + ((((y >> 4) & 1)) << 9)
+             + ((((x >> 5) & 1)) << 10)
+             + ((((y >> 5) & 1)) << 11)
+             + ((((x >> 6) & 1)) << 12)
+             + ((((y >> 6) & 1)) << 13)
+             + ((((x >> 7) & 1)) << 14)
+             + ((((y >> 7) & 1)) << 15) ) AS z
+      FROM o),
+t AS (SELECT x, y, z,
+             ntile(16) OVER (ORDER BY z, o_orderkey) AS tile
+      FROM z)
+SELECT tile, count(*) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max,
+       CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+FROM t GROUP BY tile
+"""
+
+REGISTRY_SCALE.update({
+    "q172_zorder_layout": (q_zorder_layout, ORACLE_ZORDER_LAYOUT),
+})

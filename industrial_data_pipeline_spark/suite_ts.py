@@ -500,3 +500,46 @@ FROM r
 REGISTRY_TS.update({
     "q161_ewma_chart": (q_ewma_chart, ORACLE_EWMA_CHART),
 })
+
+
+# ---------------------------------------- q173 data-gap report (T2 kin)
+
+def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor downtime detection — the report behind the reference's
+    density circuit breaker (T2): per tag, every gap between
+    consecutive readings exceeding 2 hours, as (gap_start, gap_end,
+    gap_seconds) intervals. One lag window per tag, exact integer
+    second durations."""
+    arch = archive_analog(spark, sf_dir).where(
+        F.col("attribute_id") < 100)
+    from pyspark.sql import Window
+    w = Window.partitionBy("attribute_id").orderBy("timestamp", "value")
+    prev = F.lag("timestamp").over(w)
+    gap_s = ((F.unix_micros("timestamp") - F.unix_micros(prev))
+             / F.lit(1_000_000)).cast("long")
+    return (arch.withColumn("_prev", prev).withColumn("_gap", gap_s)
+            .where(F.col("_gap") > 7200)
+            .select("attribute_id",
+                    F.col("_prev").alias("gap_start"),
+                    F.col("timestamp").alias("gap_end"),
+                    F.col("_gap").alias("gap_seconds")))
+
+
+ORACLE_GAP_REPORT = f"""
+WITH {_ARCH_SQL.strip().rstrip(')')}
+       WHERE user_id < 100),
+g AS (SELECT attribute_id, "timestamp",
+             lag("timestamp") OVER (PARTITION BY attribute_id
+                                    ORDER BY "timestamp", value)
+                 AS prev
+      FROM arch)
+SELECT attribute_id, prev AS gap_start, "timestamp" AS gap_end,
+       CAST((epoch_us("timestamp") - epoch_us(prev)) // 1000000
+            AS BIGINT) AS gap_seconds
+FROM g
+WHERE (epoch_us("timestamp") - epoch_us(prev)) // 1000000 > 7200
+"""
+
+REGISTRY_TS.update({
+    "q173_gap_report": (q_gap_report, ORACLE_GAP_REPORT),
+})
