@@ -309,10 +309,6 @@ def probe_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, PROBE_SCHEMA)
 
 
-#: keyframes output schema
-KEYFRAMES_SCHEMA = "media_id long, frame_idx int, is_keyframe boolean"
-
-
 def keyframes(frames: DataFrame, threshold: float = 0.5,
               id_col: str = "media_id",
               idx_col: str = "frame_idx",
@@ -330,6 +326,8 @@ def keyframes(frames: DataFrame, threshold: float = 0.5,
     dimensions vs their predecessor count as scene changes."""
     import numpy as np
 
+    schema = f"{id_col} long, {idx_col} int, is_keyframe boolean"
+
     def fn(pdf):
         pdf = pdf.sort_values(idx_col)
         prev = None
@@ -346,7 +344,7 @@ def keyframes(frames: DataFrame, threshold: float = 0.5,
         return pdf.assign(is_keyframe=flags)[
             [id_col, idx_col, "is_keyframe"]]
 
-    return frames.groupBy(id_col).applyInPandas(fn, KEYFRAMES_SCHEMA)
+    return frames.groupBy(id_col).applyInPandas(fn, schema)
 
 
 def jfif_encode_header(width: int, height: int,

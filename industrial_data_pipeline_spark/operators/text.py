@@ -642,7 +642,12 @@ def trigram_like_search(df: DataFrame, pattern: str,
 
     Emits (id, n_candidates): the candidate count rides along so the
     pruning claim itself is part of the checked result."""
-    assert len(pattern) >= 3 and "%" not in pattern
+    if len(pattern) < 3 or any(ch in pattern for ch in "%_"):
+        # '_' is a LIKE wildcard the trigram filter would treat
+        # literally — candidates would silently miss true matches
+        raise ValueError(
+            "pattern must be a plain substring of length >= 3 "
+            "(no %/_ wildcards)")
     qgrams = sorted({pattern[i:i + 3]
                      for i in range(len(pattern) - 2)})
     t = F.col(text_col)
@@ -652,12 +657,17 @@ def trigram_like_search(df: DataFrame, pattern: str,
     posting = (df.select(F.col(id_col).alias("_id"),
                          F.explode(grams).alias("tg"))
                .where(F.col("tg").isin(qgrams)))
+    from pyspark.sql import Window
+
+    # one evaluation of the candidate subtree: the global candidate
+    # count rides on each row via an empty-partition window instead
+    # of a second aggregate over a recomputed explode+groupBy
     cand = (posting.groupBy("_id")
             .agg(F.count_distinct("tg").alias("_n"))
             .where(F.col("_n") == len(qgrams))
-            .select("_id"))
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    hits = (df.join(cand, df[id_col] == cand._id)
+            .select("_id")
+            .withColumn("n_candidates",
+                        F.count("*").over(Window.partitionBy())))
+    return (df.join(cand, df[id_col] == cand._id)
             .where(t.like(f"%{pattern}%"))
-            .select(id_col))
-    return hits.crossJoin(F.broadcast(n_cand))
+            .select(id_col, "n_candidates"))

@@ -191,7 +191,10 @@ def q_session_window_stream(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     from industrial_data_pipeline_spark.streaming.queries import (
         session_window_stream)
-    return session_window_stream(spark, sf_dir)
+    # gap single-sourced from the oracle's constant so the two sides
+    # can't drift apart
+    return session_window_stream(spark, sf_dir,
+                                 gap=f"{SESSION_GAP_S} seconds")
 
 
 from industrial_data_pipeline_spark.suite_events import (  # noqa: E402
@@ -367,9 +370,9 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ZORDER_LAYOUT = """
 WITH o AS (SELECT o_orderkey,
                   o_custkey % 256 AS x,
-                  CAST(date_diff('day', DATE '1995-01-01',
-                                 CAST(o_orderdate AS DATE)) AS BIGINT)
-                    % 256 AS y
+                  ((CAST(date_diff('day', DATE '1995-01-01',
+                                   CAST(o_orderdate AS DATE)) AS BIGINT)
+                    % 256) + 256) % 256 AS y
            FROM orders),
 z AS (SELECT o_orderkey, x, y,
              ( ((((x >> 0) & 1)) << 0)

@@ -526,13 +526,12 @@ def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GAP_REPORT = f"""
-WITH {_ARCH_SQL.strip().rstrip(')')}
-       WHERE user_id < 100),
+WITH {_ARCH_SQL},
 g AS (SELECT attribute_id, "timestamp",
              lag("timestamp") OVER (PARTITION BY attribute_id
                                     ORDER BY "timestamp", value)
                  AS prev
-      FROM arch)
+      FROM arch WHERE attribute_id < 100)
 SELECT attribute_id, prev AS gap_start, "timestamp" AS gap_end,
        CAST((epoch_us("timestamp") - epoch_us(prev)) // 1000000
             AS BIGINT) AS gap_seconds

@@ -124,3 +124,25 @@ def test_tfidf_pairs_hand_built(spark):
     shared, uniq = math.log(4 / 3), math.log(4 / 2)
     expect = 2 * shared**2 / (2 * shared**2 + uniq**2)
     assert abs(out[0].cosine_sim - expect) < 1e-4
+
+
+def test_trigram_search_rejects_wildcards(spark):
+    import pytest as _pt
+    from industrial_data_pipeline_spark.operators.text import (
+        trigram_like_search)
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    for bad in ("a_c", "ab%", "ab"):
+        with _pt.raises(ValueError):
+            trigram_like_search(df, bad)
+
+
+def test_keyframes_custom_columns(spark):
+    import numpy as np
+    from industrial_data_pipeline_spark.operators import multimodal as MM
+    px = ((np.arange(8)[None, :, None] + np.arange(6)[:, None, None]
+           + np.arange(3)[None, None, :]) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(7, 0, MM.png_encode(px))],
+        "video_id long, seq int, data binary")
+    out = MM.keyframes(df, id_col="video_id", idx_col="seq").collect()
+    assert out[0].video_id == 7 and out[0].is_keyframe
