@@ -209,3 +209,44 @@ REGISTRY_EVENTS: dict[str, tuple] = {
     "q154_winsorized_stats": (q_winsorized_stats,
                               ORACLE_WINSORIZED_STATS),
 }
+
+
+# ----------------------------- q175 sequence motifs (3-step patterns)
+
+def q_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining, the counting core of
+    next-event-prediction features: the 20 most common CONSECUTIVE
+    3-step event-type sequences per user stream (two lead windows,
+    one count shuffle — n-gram counting on the event axis instead of
+    the token axis). Ties break lexicographically."""
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s2 = F.lead("event_type", 1).over(w)
+    s3 = F.lead("event_type", 2).over(w)
+    motif = F.concat_ws(">", F.col("event_type"), s2, s3)
+    return (ev.withColumn("_m", motif).withColumn("_s3", s3)
+            .where(F.col("_s3").isNotNull())
+            .groupBy(F.col("_m").alias("motif"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("motif")).limit(20))
+
+
+ORACLE_SEQUENCE_MOTIFS = f"""
+WITH {_EV_SQL},
+s AS (SELECT event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type || '>' || e2 || '>' || e3 AS motif,
+       count(*) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, motif ASC LIMIT 20
+"""
+
+REGISTRY_EVENTS.update({
+    "q175_sequence_motifs": (q_sequence_motifs,
+                             ORACLE_SEQUENCE_MOTIFS),
+})

@@ -542,3 +542,45 @@ WHERE (epoch_us("timestamp") - epoch_us(prev)) // 1000000 > 7200
 REGISTRY_TS.update({
     "q173_gap_report": (q_gap_report, ORACLE_GAP_REPORT),
 })
+
+
+# ------------------------------- q174 rollup cascade (hour→day→month)
+
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-view cascade every warehouse runs: the DAILY
+    rollup is computed FROM the hourly rollup, and the MONTHLY from
+    the daily — never from raw — so each level costs one narrow
+    re-aggregation of the level below (at 100 TB the hourly table is
+    ~1/3600 of raw; day and month are near-free). Decimal sums make
+    the cascade ALGEBRAICALLY exact: sum-of-sums equals the direct
+    sum, which is precisely what the oracle checks by aggregating
+    the raw table straight to months."""
+    arch = archive_analog(spark, sf_dir)
+    dec = F.col("value").cast("decimal(28,6)")
+    hourly = (arch.groupBy("attribute_id",
+                           F.date_trunc("hour", "timestamp")
+                           .alias("h"))
+              .agg(F.count("*").alias("n"), F.sum(dec).alias("s")))
+    daily = (hourly.groupBy("attribute_id",
+                            F.date_trunc("day", "h").alias("d"))
+             .agg(F.sum("n").alias("n"), F.sum("s").alias("s")))
+    monthly = (daily.groupBy("attribute_id",
+                             F.date_trunc("month", "d").alias("month"))
+               .agg(F.sum("n").alias("n_values"),
+                    F.round(F.sum("s").cast("double"), 6)
+                    .alias("sum_value")))
+    return monthly
+
+
+ORACLE_ROLLUP_CASCADE = f"""
+WITH {_ARCH_SQL}
+SELECT attribute_id, date_trunc('month', "timestamp") AS month,
+       count(*) AS n_values,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS sum_value
+FROM arch GROUP BY 1, 2
+"""
+
+REGISTRY_TS.update({
+    "q174_rollup_cascade": (q_rollup_cascade, ORACLE_ROLLUP_CASCADE),
+})
