@@ -156,6 +156,31 @@ class ParquetStore:
                 ARCHIVE_PARTITION_COL
             ).parquet(self._path(database, "archive"))
 
+    def drop_archive_partitions(self, database: str,
+                                before_date: str) -> int:
+        """Retention/TTL enforcement as a PARTITION DROP: remove every
+        ``ts_date=`` directory strictly older than ``before_date`` —
+        a metadata-cost operation (directory unlink per expired day),
+        the 100 TB answer to retention where the anti-join rewrite
+        (:meth:`rewrite_archive`) would re-shuffle years of history
+        to delete the oldest slice. The reference's only retention is
+        its 24 h export cleanup (web_app.py:207-222); archive TTL is
+        the engine-side analog. Returns the number of partitions
+        dropped."""
+        root = self._path(database, "archive")
+        dropped = 0
+        prefix = ARCHIVE_PARTITION_COL + "="
+        if not os.path.isdir(root):
+            return 0
+        for d in sorted(os.listdir(root)):
+            if not d.startswith(prefix):
+                continue
+            if d[len(prefix):] < before_date:
+                shutil.rmtree(os.path.join(root, d),
+                              ignore_errors=True)
+                dropped += 1
+        return dropped
+
     def upsert_archive(self, database: str, df: DataFrame,
                        mode: str = "first_wins") -> None:
         """Partition-scoped merge on (attribute_id, timestamp).

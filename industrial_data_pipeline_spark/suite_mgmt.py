@@ -832,3 +832,40 @@ REGISTRY_MGMT: dict[str, tuple] = {
     # same deterministic wire content → same oracle as the batch read
     "q139_pi_stream_source": (q_pi_stream_source, ORACLE_PI_DATASOURCE),
 }
+
+
+# --------------------------------- q176 retention TTL partition drop
+
+def q_retention_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention enforcement at partition granularity: seed a 3-day
+    archive, TTL-expire everything before day 2
+    (store.drop_archive_partitions — a directory unlink per expired
+    day, metadata cost, vs the anti-join rewrite that would shuffle
+    the whole history), and emit the post-TTL per-attribute extents
+    plus the dropped-partition count. The reference's only retention
+    is its 24 h export cleanup (web_app.py:207-222); this is the
+    archive-side analog at the layout level."""
+    pipe, root = _seed(spark, sf_dir, n_cust=10, archive_users=[1, 2])
+    n_dropped = pipe.store.drop_archive_partitions(DB, "2024-01-02")
+    out = (pipe.store.archive_values(DB)
+           .groupBy("attribute_id")
+           .agg(F.count("*").alias("n_rows"),
+                F.min("timestamp").alias("min_ts"),
+                F.max("timestamp").alias("max_ts"))
+           .withColumn("n_partitions_dropped", F.lit(n_dropped)))
+    return _finish(out, root)
+
+
+ORACLE_RETENTION_CLEANUP = f"""
+WITH h AS ({_HOURLY_SQL.format(ids="1, 2")})
+SELECT attribute_id, count(*) AS n_rows,
+       min("timestamp") AS min_ts, max("timestamp") AS max_ts,
+       1 AS n_partitions_dropped
+FROM h WHERE "timestamp" >= '2024-01-02'
+GROUP BY attribute_id
+"""
+
+REGISTRY_MGMT.update({
+    "q176_retention_cleanup": (q_retention_cleanup,
+                               ORACLE_RETENTION_CLEANUP),
+})

@@ -156,3 +156,20 @@ def test_derived_maintenance_replay_converges(spark, tmp_path):
     assert (9, T1, 5.0) in once  # derived landed
     dm.process_batch(batch)  # replay
     assert _state(store) == once
+
+
+def test_drop_archive_partitions(spark, tmp_path):
+    from datetime import datetime as T
+
+    from industrial_data_pipeline_spark.catalog.store import ParquetStore
+    st = ParquetStore(spark, str(tmp_path))
+    st.create_database("ttl")
+    rows = [(1, T(2024, 1, d, 6), float(d)) for d in (1, 2, 3)]
+    st.append_archive("ttl", spark.createDataFrame(
+        rows, "attribute_id long, timestamp timestamp, value double"))
+    assert st.drop_archive_partitions("ttl", "2024-01-03") == 2
+    left = sorted(r["timestamp"].day
+                  for r in st.archive_values("ttl").collect())
+    assert left == [3]
+    # idempotent: nothing older remains
+    assert st.drop_archive_partitions("ttl", "2024-01-03") == 0
