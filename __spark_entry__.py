@@ -91,7 +91,9 @@ _VERIFIED_GREEN = {
 # Round-3 additions, tiered so the driver's ~50-query budget lands
 # exactly: tier 1 = the three new queries that fit inside this
 # round's budget next to the 47 unchecked/red; tier 2 = additions
-# registered after the budget filled (first in line for round 4).
+# registered after the budget filled (q138–q176 — first in line for
+# round 4; every one is byte-exact in the committed full-suite
+# artifact CORRECTNESS_LOCAL_r03.json meanwhile).
 _NEW_IN_BUDGET = {"q135_ingest_now_bound", "q136_real_image_resize",
                   "q137_dup_clusters_star"}
 
