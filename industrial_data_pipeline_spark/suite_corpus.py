@@ -445,3 +445,51 @@ REGISTRY_CORPUS: dict[str, tuple] = {
     "q167_hybrid_retrieval": (q_hybrid_retrieval,
                               _oracle_hybrid_retrieval()),
 }
+
+
+# ----------------------------- q177 cross-source duplication matrix
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance analytics over the near-dup pair graph: which
+    SOURCES duplicate each other — the matrix behind "crawl X is 30%
+    mirrors of crawl Y" decisions. Reuses the session-materialized
+    LSH pair set; each endpoint maps to its origin document's source
+    (mutated ids inherit id % 100000's source); unordered source
+    pairs canonicalize via least/greatest. One broadcast dim join +
+    one count shuffle on ~25 keys."""
+    from industrial_data_pipeline_spark.suite_common import load
+    pairs = _pairs_materialized(spark, sf_dir)
+    src = (load(spark, sf_dir, "documents")
+           .select(F.col("doc_id").alias("_k"), "source"))
+    a = src.select(F.col("_k").alias("_ka"),
+                   F.col("source").alias("_sa"))
+    b = src.select(F.col("_k").alias("_kb"),
+                   F.col("source").alias("_sb"))
+    j = (pairs
+         .withColumn("_ka", F.col("id_a") % 100000)
+         .withColumn("_kb", F.col("id_b") % 100000)
+         .join(F.broadcast(a), "_ka").join(F.broadcast(b), "_kb"))
+    return (j.groupBy(F.least("_sa", "_sb").alias("source_a"),
+                      F.greatest("_sa", "_sb").alias("source_b"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
+def _oracle_source_dup_matrix() -> str:
+    from industrial_data_pipeline_spark.suite_llm import (
+        ORACLE_MINHASH_LSH)
+    return f"""
+WITH pairs AS ({ORACLE_MINHASH_LSH})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON p.id_a % 100000 = da.doc_id
+JOIN documents db ON p.id_b % 100000 = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+REGISTRY_CORPUS.update({
+    "q177_source_dup_matrix": (q_source_dup_matrix,
+                               _oracle_source_dup_matrix()),
+})
