@@ -250,3 +250,62 @@ REGISTRY_EVENTS.update({
     "q175_sequence_motifs": (q_sequence_motifs,
                              ORACLE_SEQUENCE_MOTIFS),
 })
+
+
+# --------------------------- q178 event-type association (PMI matrix)
+
+def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over the event stream: pointwise mutual
+    information of event-type pairs co-occurring in the same
+    (user, hour) bucket — the basket-lift statistic in information
+    units. Counts are exact integers; the PMI argument is assembled
+    with one fixed op order ((double(n_xy)·N)/(n_x·n_y)) so both
+    engines take ln of the identical double; rounded to 6 dp (the
+    q59 ln-parity precedent)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), "event_type")
+    b = ev.distinct()
+    n_buckets = b.select("user_id", "h").distinct().count()
+    tx = b.groupBy("event_type").agg(F.count("*").alias("n_x"))
+    l = b.select("user_id", "h", F.col("event_type").alias("ta"))
+    r = b.select("user_id", "h", F.col("event_type").alias("tb"))
+    pairs = (l.join(r, ["user_id", "h"])
+             .where(F.col("ta") < F.col("tb"))
+             .groupBy("ta", "tb").agg(F.count("*").alias("n_xy")))
+    ja = tx.select(F.col("event_type").alias("ta"),
+                   F.col("n_x").alias("_na"))
+    jb = tx.select(F.col("event_type").alias("tb"),
+                   F.col("n_x").alias("_nb"))
+    arg = (F.col("n_xy").cast("double") * F.lit(n_buckets)) \
+        / (F.col("_na") * F.col("_nb"))
+    return (pairs.join(F.broadcast(ja), "ta")
+            .join(F.broadcast(jb), "tb")
+            .select(F.col("ta").alias("type_a"),
+                    F.col("tb").alias("type_b"), "n_xy",
+                    (F.round(F.log(arg), 6) + F.lit(0.0))
+                    .alias("pmi")))
+
+
+ORACLE_EVENT_PMI = f"""
+WITH {_EV_SQL},
+b AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+             event_type FROM ev),
+n AS (SELECT count(*) AS nb FROM
+        (SELECT DISTINCT user_id, h FROM b)),
+tx AS (SELECT event_type, count(*) AS n_x FROM b GROUP BY 1),
+p AS (SELECT l.event_type AS ta, r.event_type AS tb,
+             count(*) AS n_xy
+      FROM b l JOIN b r ON l.user_id = r.user_id AND l.h = r.h
+                        AND l.event_type < r.event_type
+      GROUP BY 1, 2)
+SELECT p.ta AS type_a, p.tb AS type_b, p.n_xy,
+       round(ln((CAST(p.n_xy AS DOUBLE) * n.nb)
+                / (a.n_x * b2.n_x)), 6) + 0.0 AS pmi
+FROM p JOIN tx a ON p.ta = a.event_type
+       JOIN tx b2 ON p.tb = b2.event_type
+       CROSS JOIN n
+"""
+
+REGISTRY_EVENTS.update({
+    "q178_event_pmi": (q_event_pmi, ORACLE_EVENT_PMI),
+})
