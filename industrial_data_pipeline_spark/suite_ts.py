@@ -584,3 +584,125 @@ FROM arch GROUP BY 1, 2
 REGISTRY_TS.update({
     "q174_rollup_cascade": (q_rollup_cascade, ORACLE_ROLLUP_CASCADE),
 })
+
+
+# --------------------- q179 seasonal band anomalies (hour-of-day envelope)
+
+def q_seasonal_band_anomalies(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Profile-based anomaly detection, the industrial complement to
+    the rolling z-score (q42) and the seasonal-naive backtest (q130):
+    a TRAIN window (before 2024-01-22) builds a nearest-rank
+    [p10, p90] envelope per (tag, hour-of-day); the TEST window is
+    scored against its hour's own band. Nearest-rank bounds are
+    selected data values — byte-reproducible, no interpolation.
+    Emits per (tag, hour-of-day): band, test count, anomaly count."""
+    from pyspark.sql import Window
+    arch = archive_analog(spark, sf_dir).where(
+        F.col("attribute_id") < 50)
+    hod = F.hour("timestamp")
+    train = arch.where(F.col("timestamp") < "2024-01-22") \
+        .withColumn("hod", hod)
+    test = arch.where(F.col("timestamp") >= "2024-01-22") \
+        .withColumn("hod", hod)
+    wo = Window.partitionBy("attribute_id", "hod") \
+        .orderBy("value", "timestamp")
+    wn = Window.partitionBy("attribute_id", "hod")
+    d = (train.withColumn("_rn", F.row_number().over(wo))
+         .withColumn("_n", F.count("*").over(wn)))
+    lo_i = F.greatest(F.ceil(F.lit(0.10) * F.col("_n")), F.lit(1))
+    hi_i = F.ceil(F.lit(0.90) * F.col("_n"))
+    band = (d.groupBy("attribute_id", "hod")
+            .agg(F.max(F.when(F.col("_rn") == lo_i, F.col("value")))
+                 .alias("p10"),
+                 F.max(F.when(F.col("_rn") == hi_i, F.col("value")))
+                 .alias("p90")))
+    scored = test.join(band, ["attribute_id", "hod"])
+    return (scored.groupBy("attribute_id", "hod")
+            .agg(F.first("p10").alias("p10"),
+                 F.first("p90").alias("p90"),
+                 F.count("*").alias("n_test"),
+                 F.sum(F.when((F.col("value") < F.col("p10"))
+                              | (F.col("value") > F.col("p90")), 1)
+                       .otherwise(0)).alias("n_anomalous")))
+
+
+ORACLE_SEASONAL_BAND = f"""
+WITH {_ARCH_SQL},
+a AS (SELECT * FROM arch WHERE attribute_id < 50),
+tr AS (SELECT attribute_id, hour("timestamp") AS hod, value,
+              "timestamp"
+       FROM a WHERE "timestamp" < '2024-01-22'),
+d AS (SELECT attribute_id, hod, value,
+             row_number() OVER (PARTITION BY attribute_id, hod
+                                ORDER BY value, "timestamp") AS rn,
+             count(*) OVER (PARTITION BY attribute_id, hod) AS n
+      FROM tr),
+band AS (SELECT attribute_id, hod,
+                max(CASE WHEN rn = greatest(
+                      CAST(ceil(0.10 * n) AS BIGINT), 1)
+                    THEN value END) AS p10,
+                max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN value END) AS p90
+         FROM d GROUP BY 1, 2),
+te AS (SELECT attribute_id, hour("timestamp") AS hod, value
+       FROM a WHERE "timestamp" >= '2024-01-22')
+SELECT te.attribute_id, te.hod,
+       any_value(band.p10) AS p10, any_value(band.p90) AS p90,
+       count(*) AS n_test,
+       CAST(sum(CASE WHEN te.value < band.p10 OR te.value > band.p90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+FROM te JOIN band USING (attribute_id, hod)
+GROUP BY 1, 2
+"""
+
+REGISTRY_TS.update({
+    "q179_seasonal_band_anomalies": (q_seasonal_band_anomalies,
+                                     ORACLE_SEASONAL_BAND),
+})
+
+
+# ------------------- q180 incremental rollup maintenance (late data)
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance when data arrives LATE: the
+    late batch (every 7th event, scattered across past hours) names
+    its affected hourly buckets, and ONLY those buckets re-aggregate
+    from base ∪ late — at 100 TB the affected-bucket set is the
+    partition-pruning predicate that keeps maintenance cost
+    proportional to the late batch's time span, not to history. The
+    oracle aggregates the full table directly over the same buckets:
+    recompute-affected must equal direct — the correctness contract
+    of every incremental view."""
+    ev = archive_analog(spark, sf_dir)
+    base = ev.where(F.col("value").isNotNull()
+                    & (F.col("attribute_id") % 7 != 0))
+    late = ev.where(F.col("attribute_id") % 7 == 0)
+    hour = F.date_trunc("hour", "timestamp").alias("hour_start")
+    affected = late.select(hour).distinct()
+    return (base.unionByName(late)
+            .select("attribute_id", hour, "value")
+            .join(F.broadcast(affected), "hour_start")
+            .groupBy("hour_start")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)"))
+                         .cast("double"), 6).alias("sum_value")))
+
+
+ORACLE_INCREMENTAL_ROLLUP = f"""
+WITH {_ARCH_SQL},
+aff AS (SELECT DISTINCT date_trunc('hour', "timestamp") AS hour_start
+        FROM arch WHERE attribute_id % 7 = 0)
+SELECT a.hour_start, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS sum_value
+FROM (SELECT date_trunc('hour', "timestamp") AS hour_start, value
+      FROM arch) a
+JOIN aff USING (hour_start)
+GROUP BY a.hour_start
+"""
+
+REGISTRY_TS.update({
+    "q180_incremental_rollup": (q_incremental_rollup,
+                                ORACLE_INCREMENTAL_ROLLUP),
+})
