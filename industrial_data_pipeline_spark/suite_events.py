@@ -309,3 +309,95 @@ FROM p JOIN tx a ON p.ta = a.event_type
 REGISTRY_EVENTS.update({
     "q178_event_pmi": (q_event_pmi, ORACLE_EVENT_PMI),
 })
+
+
+# ----------------------- q182 distribution drift (PSI between weeks)
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production data-drift metric: Population Stability Index of
+    each event type's value distribution, week 1 (reference) vs the
+    final week (current), over 10 equal-width bins anchored on the
+    reference week's min/max. PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with Laplace
+    smoothing ((nᵢ+1)/(N+10)) so empty bins can't blow up the log.
+    Determinism: bin edges and proportions are identical doubles on
+    both engines; the 10 PSI terms sum as one explicit left-to-right
+    addition chain (fixed order — never a data-dependent float sum);
+    rounded at 6 dp."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts",
+                                              "value")
+    ref = ev.where(F.col("ts") < "2024-01-08")
+    cur = ev.where(F.col("ts") >= "2024-01-25")
+    edges = (ref.groupBy("event_type")
+             .agg(F.min("value").alias("_lo"),
+                  F.max("value").alias("_hi")))
+
+    def binned(df, label):
+        j = df.join(F.broadcast(edges), "event_type")
+        w = (F.col("_hi") - F.col("_lo")) / F.lit(10.0)
+        b = F.least(F.greatest(F.floor(
+            (F.col("value") - F.col("_lo")) / w), F.lit(0)),
+            F.lit(9)).cast("int")
+        return (j.withColumn("_b", b)
+                .groupBy("event_type")
+                .pivot("_b", list(range(10)))
+                .agg(F.count(F.lit(1)))
+                .na.fill(0)
+                .withColumnsRenamed({str(i): f"{label}{i}"
+                                     for i in range(10)}))
+
+    r = binned(ref, "r")
+    c = binned(cur, "c")
+    m = r.join(c, "event_type")
+    rn = sum(F.col(f"r{i}") for i in range(10))
+    cn = sum(F.col(f"c{i}") for i in range(10))
+
+    def term(i):
+        p = (F.col(f"r{i}") + F.lit(1)) / (rn + F.lit(10))
+        q = (F.col(f"c{i}") + F.lit(1)) / (cn + F.lit(10))
+        return (p - q) * F.log(p / q)
+
+    psi = term(0)
+    for i in range(1, 10):
+        psi = psi + term(i)
+    return m.select("event_type",
+                    rn.cast("long").alias("n_ref"),
+                    cn.cast("long").alias("n_cur"),
+                    (F.round(psi, 6) + F.lit(0.0)).alias("psi"))
+
+
+def _oracle_psi_drift() -> str:
+    def cnt(side, i):
+        return (f"sum(CASE WHEN {side} AND b = {i} "
+                f"THEN 1 ELSE 0 END)")
+    rterms = " + ".join(cnt("is_ref", i) for i in range(10))
+    cterms = " + ".join(cnt("NOT is_ref", i) for i in range(10))
+    terms = " + ".join(
+        f"((({cnt('is_ref', i)} + 1) / (CAST({rterms} AS DOUBLE) + 10)"
+        f" - ({cnt('NOT is_ref', i)} + 1)"
+        f" / (CAST({cterms} AS DOUBLE) + 10))"
+        f" * ln((({cnt('is_ref', i)} + 1)"
+        f" / (CAST({rterms} AS DOUBLE) + 10))"
+        f" / (({cnt('NOT is_ref', i)} + 1)"
+        f" / (CAST({cterms} AS DOUBLE) + 10))))"
+        for i in range(10))
+    return f"""
+WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events),
+edges AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+          FROM ev WHERE ts < '2024-01-08' GROUP BY 1),
+x AS (SELECT e.event_type, e.ts < TIMESTAMP '2024-01-08' AS is_ref,
+             CAST(least(greatest(floor((e.value - d.lo)
+                                       / ((d.hi - d.lo) / 10.0)), 0),
+                        9) AS INT) AS b
+      FROM ev e JOIN edges d USING (event_type)
+      WHERE e.ts < '2024-01-08' OR e.ts >= '2024-01-25')
+SELECT event_type,
+       CAST({rterms} AS BIGINT) AS n_ref,
+       CAST({cterms} AS BIGINT) AS n_cur,
+       round({terms}, 6) + 0.0 AS psi
+FROM x GROUP BY event_type
+"""
+
+REGISTRY_EVENTS.update({
+    "q182_psi_drift": (q_psi_drift, _oracle_psi_drift()),
+})

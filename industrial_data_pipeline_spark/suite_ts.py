@@ -706,3 +706,81 @@ REGISTRY_TS.update({
     "q180_incremental_rollup": (q_incremental_rollup,
                                 ORACLE_INCREMENTAL_ROLLUP),
 })
+
+
+# ------------------------- q181 Theil–Sen robust trend slopes per tag
+
+def q_theilsen_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend estimation: the Theil–Sen slope (median of all
+    pairwise slopes) per tag over each tag's first 40 hourly means —
+    the estimator that shrugs off the outliers that drag q67's OLS.
+    The within-tag pair join is O(k²) with k capped at 40 (6.5 k
+    pairs/tag — the documented window; at 100 TB you run it per
+    maintenance window, not per full history). The median is
+    nearest-rank — a SELECTED exact slope value, byte-reproducible;
+    slopes themselves are single IEEE divisions of decimal-exact
+    hourly means over integer hour gaps."""
+    from pyspark.sql import Window
+    arch = archive_analog(spark, sf_dir).where(
+        F.col("attribute_id") < 30)
+    hourly = (arch.groupBy("attribute_id",
+                           F.date_trunc("hour", "timestamp")
+                           .alias("h"))
+              .agg(F.sum(F.col("value").cast("decimal(28,6)"))
+                   .cast("double").alias("_s"),
+                   F.count("*").alias("_n")))
+    wk = Window.partitionBy("attribute_id").orderBy("h")
+    pts = (hourly.withColumn("_i", F.row_number().over(wk))
+           .where(F.col("_i") <= 40)
+           .select("attribute_id", "_i",
+                   (F.col("_s") / F.col("_n")).alias("_y")))
+    a = pts.select("attribute_id", F.col("_i").alias("_ia"),
+                   F.col("_y").alias("_ya"))
+    b = pts.select("attribute_id", F.col("_i").alias("_ib"),
+                   F.col("_y").alias("_yb"))
+    slopes = (a.join(b, "attribute_id")
+              .where(F.col("_ib") > F.col("_ia"))
+              .select("attribute_id",
+                      ((F.col("_yb") - F.col("_ya"))
+                       / (F.col("_ib") - F.col("_ia")))
+                      .alias("_m")))
+    ws = Window.partitionBy("attribute_id").orderBy("_m")
+    wn = Window.partitionBy("attribute_id")
+    ranked = (slopes.withColumn("_rn", F.row_number().over(ws))
+              .withColumn("_cnt", F.count("*").over(wn)))
+    med_i = F.ceil(F.col("_cnt") / F.lit(2.0))
+    return (ranked.where(F.col("_rn") == med_i)
+            .select("attribute_id",
+                    F.col("_m").alias("theilsen_slope"),
+                    F.col("_cnt").alias("n_pairs")))
+
+
+ORACLE_THEILSEN = f"""
+WITH {_ARCH_SQL},
+hourly AS (SELECT attribute_id, date_trunc('hour', "timestamp") AS h,
+                  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      AS s,
+                  count(*) AS n
+           FROM arch WHERE attribute_id < 30 GROUP BY 1, 2),
+pts AS (SELECT attribute_id, i, y FROM
+          (SELECT attribute_id,
+                  row_number() OVER (PARTITION BY attribute_id
+                                     ORDER BY h) AS i,
+                  s / n AS y
+           FROM hourly)
+        WHERE i <= 40),
+sl AS (SELECT a.attribute_id, (b.y - a.y) / (b.i - a.i) AS m
+       FROM pts a JOIN pts b ON a.attribute_id = b.attribute_id
+                            AND b.i > a.i),
+r AS (SELECT attribute_id, m,
+             row_number() OVER (PARTITION BY attribute_id
+                                ORDER BY m) AS rn,
+             count(*) OVER (PARTITION BY attribute_id) AS cnt
+      FROM sl)
+SELECT attribute_id, m AS theilsen_slope, cnt AS n_pairs
+FROM r WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)
+"""
+
+REGISTRY_TS.update({
+    "q181_theilsen_slopes": (q_theilsen_slopes, ORACLE_THEILSEN),
+})
