@@ -869,3 +869,107 @@ REGISTRY_MGMT.update({
     "q176_retention_cleanup": (q_retention_cleanup,
                                ORACLE_RETENTION_CLEANUP),
 })
+
+
+# -------------------------- q183 ingest quarantine (dead-letter path)
+
+def q_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter pattern the cleanse pipeline (F7/F8/P8) implies
+    but never surfaces: a deliberately dirtied wire batch (every 13th
+    timestamp mangled, every 17th value non-numeric, every 23rd tag
+    unmapped) is classified row by row — first-failing reason wins,
+    same ordered-rules discipline as the quality gate — and the query
+    emits per-reason counts plus the min/max quarantined row ids (the
+    audit handle an operator actually pages through). Good rows pass
+    untouched; nothing is silently dropped. All JVM-side try-casts
+    (try_to_timestamp / try_cast), no Python."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_id") < 5000)
+          .select("event_id",
+                  F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                  .alias("ts_raw"),
+                  F.col("value").cast("string").alias("value_raw"),
+                  F.col("user_id").alias("tag_id")))
+    dirty = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0,
+               F.concat(F.lit("BAD:"), F.col("ts_raw")))
+        .otherwise(F.col("ts_raw")).alias("ts_raw"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("n/a"))
+        .otherwise(F.col("value_raw")).alias("value_raw"),
+        F.when(F.col("event_id") % 23 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("tag_id")).alias("tag_id"))
+    ts_ok = F.try_to_timestamp(
+        F.col("ts_raw"),
+        F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")).isNotNull()
+    val_ok = F.col("value_raw").try_cast("double").isNotNull()
+    reason = (F.when(~ts_ok, F.lit("bad_timestamp"))
+              .when(~val_ok, F.lit("bad_value"))
+              .when(F.col("tag_id").isNull(), F.lit("unmapped_tag"))
+              .otherwise(F.lit("ok")))
+    return (dirty.withColumn("reason", reason)
+            .groupBy("reason")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("event_id").alias("first_id"),
+                 F.max("event_id").alias("last_id")))
+
+
+ORACLE_INGEST_QUARANTINE = """
+WITH d AS (SELECT event_id,
+                  CASE WHEN event_id % 13 = 0 THEN 'bad_timestamp'
+                       WHEN event_id % 17 = 0 THEN 'bad_value'
+                       WHEN event_id % 23 = 0 THEN 'unmapped_tag'
+                       ELSE 'ok' END AS reason
+           FROM events WHERE event_id < 5000)
+SELECT reason, count(*) AS n_rows,
+       min(event_id) AS first_id, max(event_id) AS last_id
+FROM d GROUP BY reason
+"""
+
+REGISTRY_MGMT.update({
+    "q183_ingest_quarantine": (q_ingest_quarantine,
+                               ORACLE_INGEST_QUARANTINE),
+})
+
+
+# -------------------- q184 referential pseudonymization (privacy op)
+
+def q_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving key rotation: user ids are replaced by
+    salted hash64 pseudonyms INDEPENDENTLY in the fact table and the
+    dimension, then the two sides join on the pseudonym — per-segment
+    event/user counts must equal the raw-key join, proving the
+    transformation preserved referential structure (the contract a
+    GDPR-safe analytics export needs; q127 redacts content, this
+    rotates identity). The oracle aggregates the raw-key join: a hash
+    match IS the referential-consistency proof. 60-bit pseudonyms on
+    a ~1.5k-key domain make collisions vanishingly unlikely — and a
+    collision would surface as a count mismatch, not silently."""
+    from industrial_data_pipeline_spark.operators.text import hash64
+    salt = ":rot1"
+
+    def pseud(col):
+        return hash64(F.concat(col.cast("string"), F.lit(salt)))
+
+    ev = (load(spark, sf_dir, "events")
+          .select(pseud(F.col("user_id")).alias("puid"), "event_id"))
+    cust = (load(spark, sf_dir, "customer")
+            .select(pseud(F.col("c_custkey")).alias("puid"),
+                    F.col("c_mktsegment").alias("segment")))
+    return (ev.join(F.broadcast(cust), "puid")
+            .groupBy("segment")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("puid").alias("n_users")))
+
+
+ORACLE_PSEUDONYMIZATION = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+REGISTRY_MGMT.update({
+    "q184_pseudonymization": (q_pseudonymization,
+                              ORACLE_PSEUDONYMIZATION),
+})
