@@ -973,3 +973,106 @@ REGISTRY_MGMT.update({
     "q184_pseudonymization": (q_pseudonymization,
                               ORACLE_PSEUDONYMIZATION),
 })
+
+
+# ----------------------- q185 JSON-lines export/ingest round-trip (S6 kin)
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format interop beyond the reference's CSV (S6/S9): an archive
+    slice exports as JSON-lines (the interchange format every
+    downstream ML stack ingests), reads back through an explicit
+    schema, and the round-tripped slice must aggregate identically —
+    timestamps via ISO-µs strings so the text round-trip is lossless
+    by construction, values as exact decimal sums."""
+    import tempfile
+
+    from industrial_data_pipeline_spark.suite_common import (
+        archive_analog)
+    arch = (archive_analog(spark, sf_dir)
+            .where(F.col("attribute_id") < 20))
+    out = (arch.select(
+        "attribute_id",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("ts_iso"), "value"))
+    root = tempfile.mkdtemp(prefix="idp_jsonl_")
+    path = os.path.join(root, "slice")
+    out.write.mode("overwrite").json(path)
+    back = (spark.read.schema(
+        "attribute_id long, ts_iso string, value double").json(path)
+        .select("attribute_id",
+                F.to_timestamp("ts_iso", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("timestamp"), "value"))
+    res = (back.groupBy("attribute_id")
+           .agg(F.count("*").alias("n_rows"),
+                F.min("timestamp").alias("min_ts"),
+                F.max("timestamp").alias("max_ts"),
+                F.round(F.sum(F.col("value").cast("decimal(28,6)"))
+                        .cast("double"), 6).alias("sum_value")))
+    return _finish(res, root)
+
+
+ORACLE_JSONL_ROUNDTRIP = """
+SELECT user_id AS attribute_id, count(*) AS n_rows,
+       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+       max(CAST(ts AS TIMESTAMP)) AS max_ts,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS sum_value
+FROM events WHERE user_id < 20 GROUP BY 1
+"""
+
+
+# -------------------- q186 order-independent table checksums (migration)
+
+def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-replacement validation op this whole repo implies:
+    an order-independent content checksum per table — bit_xor of a
+    portable per-row hash over canonical string renderings — so two
+    systems can certify "same rows" without shipping data. XOR makes
+    the fold commutative/associative (any partitioning, any order,
+    same checksum); the row hash is the same md5-derived hash64 both
+    engines compute, so the oracle doesn't just replay counts, it
+    replays the checksum itself."""
+    from industrial_data_pipeline_spark.operators.text import hash64
+
+    out = []
+    for name, cols in (("region", ["r_regionkey", "r_name"]),
+                       ("nation", ["n_nationkey", "n_name",
+                                   "n_regionkey"]),
+                       ("customer", ["c_custkey", "c_name",
+                                     "c_nationkey"])):
+        df = load(spark, sf_dir, name)
+        rendered = F.concat_ws("|", *[F.col(c).cast("string")
+                                      for c in cols])
+        h = df.select(hash64(rendered).alias("h"))
+        out.append(h.agg(F.count("*").alias("n_rows"),
+                         F.expr("bit_xor(h)").alias("checksum"))
+                   .withColumn("table_name", F.lit(name)))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _oracle_table_checksums() -> str:
+    def h(cols):
+        rendered = " || '|' || ".join(
+            f"CAST({c} AS VARCHAR)" for c in cols)
+        return ("(('0x' || substr(md5(" + rendered
+                + "), 1, 15))::BIGINT)")
+    parts = []
+    for name, cols in (("region", ["r_regionkey", "r_name"]),
+                       ("nation", ["n_nationkey", "n_name",
+                                   "n_regionkey"]),
+                       ("customer", ["c_custkey", "c_name",
+                                     "c_nationkey"])):
+        parts.append(
+            f"SELECT count(*) AS n_rows, bit_xor({h(cols)}) AS checksum,"
+            f" '{name}' AS table_name FROM {name}")
+    return " UNION ALL ".join(parts)
+
+
+REGISTRY_MGMT.update({
+    "q185_jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
+    "q186_table_checksums": (q_table_checksums,
+                             _oracle_table_checksums()),
+})
