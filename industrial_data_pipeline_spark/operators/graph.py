@@ -98,3 +98,44 @@ def triangles(edges: DataFrame, src: str = "src",
     tri = F.array_sort(F.array("u", "v", "w"))
     return closed.select(tri[0].alias("a"), tri[1].alias("b"),
                          tri[2].alias("c"))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: list[int],
+                          src: str = "src", dst: str = "dst",
+                          iters: int = 3,
+                          damping: float = DAMPING) -> DataFrame:
+    """Personalized PageRank: the teleport mass returns to the SEED
+    set instead of spreading uniformly — the similar-items /
+    recommendation primitive ("parts related to THESE parts"). Same
+    fixed-iteration shape as :func:`pagerank` (decimal-summed
+    contributions, one checkpointed edge list), differing only in
+    the restart vector: (1−d)·1/|seeds| on seed nodes, 0 elsewhere,
+    and rank seeds at 1/|seeds|. Rounds are the scale currency;
+    per-round cost is one edge join + one key shuffle."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.union(edges.select(F.col(dst).alias("s"),
+                             F.col(src).alias("d")))
+    e = e.distinct().localCheckpoint()
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    is_seed = F.col("node").isin([int(x) for x in seeds])
+    base = F.when(is_seed, F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+    ranks = nodes.withColumn("rank", base)
+    restart = F.when(is_seed,
+                     F.lit((1.0 - damping) / len(seeds))) \
+        .otherwise(F.lit(0.0))
+    for _ in range(iters):
+        contrib = (e.join(ranks, e.s == ranks.node)
+                   .join(deg, "s")
+                   .select("d", (F.col("rank") / F.col("deg"))
+                           .alias("c")))
+        summed = (contrib.groupBy("d")
+                  .agg(F.sum(F.col("c").cast("decimal(28,15)"))
+                       .cast("double").alias("in_sum")))
+        ranks = (nodes.join(summed, nodes.node == summed.d, "left")
+                 .select("node",
+                         (restart + F.lit(damping)
+                          * F.coalesce(F.col("in_sum"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint())
+    return ranks

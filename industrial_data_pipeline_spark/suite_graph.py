@@ -165,3 +165,86 @@ REGISTRY_GRAPH: dict[str, tuple] = {
     "q93_sql_cube": (q_sql_cube, _SQL_CUBE),
     "q160_triangles": (q_triangles, ORACLE_TRIANGLES),
 }
+
+
+# ------------------------------ q187 personalized PageRank (seeded)
+
+PPR_ITERS = 3
+
+
+def q_personalized_pagerank(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Seeded (personalized) PageRank on the parts-co-bought-twice
+    graph: teleport mass returns to the two lowest-id nodes instead
+    of spreading uniformly — 'parts related to THESE parts', the
+    recommendation primitive (operators/graph.py::
+    personalized_pagerank). Seeds derive deterministically from the
+    edge set; the oracle replays all three rounds as unrolled CTEs
+    with repr-rendered float constants so the restart vector is the
+    identical double on both engines."""
+    from industrial_data_pipeline_spark.operators.graph import (
+        personalized_pagerank)
+    bi = load(spark, sf_dir, "lineitem") \
+        .select(F.col("l_orderkey").alias("b"),
+                F.col("l_partkey").alias("i")).distinct()
+    l, r = bi.alias("l"), bi.alias("r")
+    edges = (l.join(r, (F.col("l.b") == F.col("r.b"))
+                    & (F.col("l.i") < F.col("r.i")))
+             .groupBy(F.col("l.i").alias("src"),
+                      F.col("r.i").alias("dst"))
+             .agg(F.count("*").alias("c"))
+             .where(F.col("c") >= TRI_MIN_COOC)
+             .select("src", "dst"))
+    seeds = [r[0] for r in
+             (edges.select(F.col("src").alias("n"))
+              .unionByName(edges.select(F.col("dst").alias("n")))
+              .distinct().orderBy("n").limit(2).collect())]
+    pr = personalized_pagerank(edges, seeds, iters=PPR_ITERS)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_iter_sql(prev: str, cur: str, restart: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.node IN (SELECT node FROM seedset)
+              THEN {restart} ELSE CAST(0 AS DOUBLE) END
+           + 0.85 * coalesce(t.insum, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes
+  LEFT JOIN (SELECT d,
+                    CAST(sum(CAST(c AS DECIMAL(28,15))) AS DOUBLE)
+                        AS insum
+             FROM (SELECT e.d, {prev}.rank / deg.deg AS c
+                   FROM e JOIN {prev} ON {prev}.node = e.s
+                          JOIN deg ON deg.s = e.s)
+             GROUP BY d) t ON t.d = nodes.node)"""
+
+
+def _oracle_personalized_pagerank() -> str:
+    restart = repr((1.0 - 0.85) / 2)
+    init = repr(1.0 / 2)
+    return f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+p AS (SELECT l.i AS a, r.i AS z FROM bi l
+      JOIN bi r ON l.b = r.b AND l.i < r.i
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_COOC}),
+e AS (SELECT a AS s, z AS d FROM p UNION SELECT z, a FROM p),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+seedset AS (SELECT node FROM nodes ORDER BY node LIMIT 2),
+deg AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT node,
+              CASE WHEN node IN (SELECT node FROM seedset)
+                   THEN {init} ELSE CAST(0 AS DOUBLE) END AS rank
+       FROM nodes),
+{_ppr_iter_sql('r0', 'r1', restart)},
+{_ppr_iter_sql('r1', 'r2', restart)},
+{_ppr_iter_sql('r2', 'r3', restart)}
+SELECT node, round(rank, 6) AS rank FROM r3
+"""
+
+
+REGISTRY_GRAPH.update({
+    "q187_personalized_pagerank": (q_personalized_pagerank,
+                                   _oracle_personalized_pagerank()),
+})

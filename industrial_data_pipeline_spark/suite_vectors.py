@@ -12,7 +12,7 @@ pattern. See operators/vectors.py for the determinism argument.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from industrial_data_pipeline_spark.operators import vectors as V
 from industrial_data_pipeline_spark.suite_common import load
@@ -246,4 +246,54 @@ FROM n JOIN sq USING (label)
 REGISTRY_VECTORS.update({
     "q170_label_centroids": (q_label_centroids,
                              ORACLE_LABEL_CENTROIDS),
+})
+
+
+# ------------------------- q188 per-dimension standardization stats
+
+def q_dim_standardization(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The feature-standardization preprocessing pass: per embedding
+    dimension, mean and population std over the whole corpus — the
+    (μ, σ) table a whitening/z-score transform broadcasts. Long-form
+    explode, decimal-exact S and SS at the proven-safe scale 6, then
+    mean = S/n and σ = sqrt((SS − S²/n)/n) as fixed-order IEEE ops on
+    identical inputs — emitted RAW (the q161 rule: same op sequence ⇒
+    same bits; rounding the same double can differ at a half)."""
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ex = emb.select(F.posexplode(v).alias("dim", "x"))
+    x6 = F.col("x").cast("decimal(18,6)")
+    agg = (ex.groupBy("dim")
+           .agg(F.count("*").alias("n"),
+                F.sum(x6).cast("double").alias("_s"),
+                F.sum(x6 * x6).cast("double").alias("_ss")))
+    mean = F.col("_s") / F.col("n")
+    var = (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("n")) \
+        / F.col("n")
+    return agg.select("dim", "n",
+                      (mean + F.lit(0.0)).alias("mean"),
+                      (F.sqrt(var) + F.lit(0.0)).alias("std"))
+
+
+ORACLE_DIM_STANDARDIZATION = """
+WITH ex AS (SELECT i.i - 1 AS dim,
+                   CAST(embedding[i.i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN
+                 (SELECT unnest(generate_series(1, 64)) AS i) i),
+a AS (SELECT dim, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(x AS DECIMAL(18,6))
+                      * CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      FROM ex GROUP BY dim)
+SELECT CAST(dim AS INT) AS dim, n,
+       s / n + 0.0 AS mean,
+       sqrt((ss - s * s / n) / n) + 0.0 AS std
+FROM a
+"""
+
+REGISTRY_VECTORS.update({
+    "q188_dim_standardization": (q_dim_standardization,
+                                 ORACLE_DIM_STANDARDIZATION),
 })
