@@ -651,3 +651,59 @@ for _label, _reg in [
         SUITE_OF.setdefault(_n, _label)
 for _n in REGISTRY:  # everything defined in this module directly
     SUITE_OF.setdefault(_n, "core")
+
+
+# ------------------- q190 hierarchy contribution (share of parent)
+
+def q_hierarchy_contribution(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Contribution analysis over the reference's own asset tree: each
+    element's archive total as a SHARE of its parent's total — the
+    "which unit drives the plant's consumption" rollup (hierarchy =
+    region→nation→customer analog, values = events). Decimal sums at
+    every level (child totals sum exactly into parent totals), shares
+    as single IEEE divisions of the exact totals, emitted raw."""
+    ev = (load(spark, sf_dir, "events")
+          .groupBy("user_id")
+          .agg(F.sum(F.col("value").cast("decimal(28,6)"))
+               .alias("_s"), F.count("*").alias("_n")))
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nation_id"))
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nation_id"),
+        F.col("n_regionkey").alias("region_id"))
+    per_nation = (ev.join(F.broadcast(cust), "user_id")
+                  .join(F.broadcast(nat), "nation_id")
+                  .groupBy("region_id", "nation_id")
+                  .agg(F.sum("_s").alias("_ns"),
+                       F.sum("_n").alias("n_events")))
+    per_region = (per_nation.groupBy("region_id")
+                  .agg(F.sum("_ns").alias("_rs")))
+    return (per_nation.join(F.broadcast(per_region), "region_id")
+            .select("region_id", "nation_id", "n_events",
+                    F.col("_ns").cast("double").alias("nation_sum"),
+                    ((F.col("_ns").cast("double")
+                      / F.col("_rs").cast("double")) + F.lit(0.0))
+                    .alias("share_of_region")))
+
+
+ORACLE_HIERARCHY_CONTRIBUTION = """
+WITH pn AS (SELECT n.n_regionkey AS region_id,
+                   c.c_nationkey AS nation_id,
+                   count(*) AS n_events,
+                   sum(CAST(e.value AS DECIMAL(28,6))) AS ns
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+pr AS (SELECT region_id, sum(ns) AS rs FROM pn GROUP BY 1)
+SELECT pn.region_id, pn.nation_id, pn.n_events,
+       CAST(pn.ns AS DOUBLE) AS nation_sum,
+       (CAST(pn.ns AS DOUBLE) / CAST(pr.rs AS DOUBLE)) + 0.0
+           AS share_of_region
+FROM pn JOIN pr USING (region_id)
+"""
+
+REGISTRY["q190_hierarchy_contribution"] = (
+    q_hierarchy_contribution, ORACLE_HIERARCHY_CONTRIBUTION)

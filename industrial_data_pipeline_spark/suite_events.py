@@ -401,3 +401,73 @@ FROM x GROUP BY event_type
 REGISTRY_EVENTS.update({
     "q182_psi_drift": (q_psi_drift, _oracle_psi_drift()),
 })
+
+
+# ---------------------- q189 interval coverage (union of overlapping)
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The union-of-intervals measure: total UNIQUE time covered per
+    user by possibly-overlapping activity windows (each error event
+    opens a 30-minute window) — the downtime/maintenance-coverage
+    statistic naive SUM(duration) double-counts. Classic
+    gaps-and-islands merge: order windows by start, an island starts
+    where start > running max(end) so far, sum each island's span.
+    Exact integer-microsecond arithmetic end to end."""
+    from pyspark.sql import Window
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type") == "error")
+          .select("user_id",
+                  F.unix_micros("ts").alias("s"),
+                  (F.unix_micros("ts") + F.lit(1_800_000_000))
+                  .alias("e")))
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "_new", F.when(prev_max.isNull()
+                       | (F.col("s") > prev_max), 1).otherwise(0))
+    wi = Window.partitionBy("user_id").orderBy("s", "e") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    islands = flagged.withColumn("_isl", F.sum("_new").over(wi))
+    per_island = (islands.groupBy("user_id", "_isl")
+                  .agg(((F.max("e") - F.min("s"))
+                        / F.lit(1_000_000)).cast("long")
+                       .alias("span_s")))
+    return (per_island.groupBy("user_id")
+            .agg(F.count("*").alias("n_islands"),
+                 F.sum("span_s").alias("covered_seconds")))
+
+
+ORACLE_INTERVAL_COVERAGE = f"""
+WITH {_EV_SQL},
+w AS (SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM ev WHERE event_type = 'error'),
+fl AS (SELECT user_id, s, e,
+              CASE WHEN max(e) OVER (PARTITION BY user_id
+                                     ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                        OR s > max(e) OVER (PARTITION BY user_id
+                                            ORDER BY s, e
+                                            ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS nw
+       FROM w),
+isl AS (SELECT user_id, s, e,
+               sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS i
+        FROM fl),
+per AS (SELECT user_id, i,
+               CAST((max(e) - min(s)) // 1000000 AS BIGINT) AS span_s
+        FROM isl GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(span_s) AS BIGINT) AS covered_seconds
+FROM per GROUP BY user_id
+"""
+
+REGISTRY_EVENTS.update({
+    "q189_interval_coverage": (q_interval_coverage,
+                               ORACLE_INTERVAL_COVERAGE),
+})
