@@ -712,3 +712,57 @@ WHERE d.text LIKE '%{_LIKE_PATTERN}%'
 REGISTRY_PIPELINE.update({
     "q171_trigram_search": (q_trigram_search, _oracle_trigram_search()),
 })
+
+
+# --------------------------- q191 golden-record survivorship (MDM)
+
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after dedup — the MDM step q132 stops short of:
+    for every exact-duplicate cluster (normalized-text fingerprint),
+    BUILD the merged golden record field by field: lowest id as the
+    stable key, the longest raw text's length, every contributing
+    source (sorted, deduped), and the member count. One fingerprint
+    shuffle + partial-aggable min/max_by/collect_set — no windows.
+    The corpus has no exact dups at gate scale, so 30 exact mirrors
+    (new ids, source='mirror') are planted — the merge then has real
+    multi-source clusters to survive."""
+    base = _load_docs(spark, sf_dir).select("doc_id", "text", "source")
+    mirror = (base.where(F.col("doc_id") < 30)
+              .select((F.col("doc_id") + 200000).alias("doc_id"),
+                      "text", F.lit("mirror").alias("source")))
+    docs = base.unionByName(mirror)
+    fp = TX.hash64(F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    keyed = docs.withColumn("_fp", fp)
+    return (keyed.groupBy("_fp")
+            .agg(F.min("doc_id").alias("golden_id"),
+                 F.count("*").alias("n_members"),
+                 F.max(F.length("text")).alias("best_text_len"),
+                 F.concat_ws(",", F.array_sort(
+                     F.collect_set("source"))).alias("sources"))
+            .where(F.col("n_members") > 1)
+            .drop("_fp"))
+
+
+ORACLE_GOLDEN_RECORDS = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text, 'mirror' FROM documents
+  WHERE doc_id < 30),
+keyed AS (
+  SELECT doc_id, source, length(text) AS tl,
+         ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                                            '\\s+', ' ', 'g')),
+                         1, 15))::BIGINT AS fp
+  FROM corpus)
+SELECT min(doc_id) AS golden_id, count(*) AS n_members,
+       max(tl) AS best_text_len,
+       array_to_string(list_sort(list_distinct(list(source))), ',')
+           AS sources
+FROM keyed GROUP BY fp HAVING count(*) > 1
+"""
+
+REGISTRY_PIPELINE.update({
+    "q191_golden_records": (q_golden_records, ORACLE_GOLDEN_RECORDS),
+})

@@ -784,3 +784,82 @@ FROM r WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)
 REGISTRY_TS.update({
     "q181_theilsen_slopes": (q_theilsen_slopes, ORACLE_THEILSEN),
 })
+
+
+# --------------------- q192 time-weighted average (the PI aggregate)
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PI-system aggregate the reference's plain averages stand in
+    for: the time-weighted mean — each reading weighted by how long
+    it REMAINED CURRENT (LOCF weighting, to the next reading or the
+    day boundary), so irregular sampling can't bias the daily figure
+    the way row-averages do. Per (tag < 50, day) over the observed
+    span: weights are exact integer microseconds, values quantize to
+    MILLI units (industrial 3-dp precision — and the choice is
+    load-bearing: the milli weighted sum fits int64, so every emitted
+    number is an exact integer or an int64→double HARDWARE conversion
+    plus one IEEE division. A micro-unit sum forces a wide
+    DECIMAL→DOUBLE cast whose software rounding was measured to
+    differ between engines by 1 ulp above 2^53)."""
+    from pyspark.sql import Window
+    arch = archive_analog(spark, sf_dir).where(
+        F.col("attribute_id") < 50)
+    day = F.date_trunc("day", "timestamp")
+    us = F.unix_micros("timestamp")
+    day_end = F.unix_micros(
+        F.date_trunc("day", "timestamp") + F.expr("INTERVAL 1 DAY"))
+    w = Window.partitionBy("attribute_id", day.alias("d")) \
+        .orderBy("timestamp", "value")
+    nxt = F.lead(us).over(
+        Window.partitionBy("attribute_id", day)
+        .orderBy("timestamp", "value"))
+    dt = F.coalesce(nxt, day_end) - us
+    v_milli = (F.col("value").cast("decimal(15,3)")
+               * F.lit(1000)).cast("long")
+    # product in DECIMAL(25,0) (exact; v_milli < 1e7, dt < 1e11),
+    # summed exactly, then cast long (< 8.7e16 — int64-safe)
+    d = (arch.withColumn("_dt", dt)
+         .withColumn("_wv", v_milli.cast("decimal(13,0)")
+                     * dt.cast("decimal(12,0)")))
+    return (d.groupBy("attribute_id", day.alias("day"))
+            .agg(F.count("*").alias("n_readings"),
+                 F.sum("_wv").cast("long").alias("twa_num_milli_us"),
+                 F.sum("_dt").alias("twa_den_us"))
+            .withColumn("twa",
+                        (F.col("twa_num_milli_us").cast("double")
+                         / (F.col("twa_den_us").cast("double")
+                            * F.lit(1000.0))) + F.lit(0.0)))
+
+
+ORACLE_TIME_WEIGHTED_AVG = f"""
+WITH {_ARCH_SQL},
+a AS (SELECT attribute_id, "timestamp", value,
+             date_trunc('day', "timestamp") AS day,
+             epoch_us("timestamp") AS us,
+             epoch_us(date_trunc('day', "timestamp")
+                      + INTERVAL 1 DAY) AS day_end
+      FROM arch WHERE attribute_id < 50),
+d AS (SELECT attribute_id, day, value,
+             coalesce(lead(us) OVER (PARTITION BY attribute_id, day
+                                     ORDER BY "timestamp", value),
+                      day_end) - us AS dt
+      FROM a)
+SELECT attribute_id, day, count(*) AS n_readings,
+       CAST(sum(CAST(CAST(CAST(value AS DECIMAL(15,3)) * 1000
+                          AS BIGINT) AS DECIMAL(19,0))
+                * CAST(dt AS DECIMAL(19,0))) AS BIGINT)
+           AS twa_num_milli_us,
+       CAST(sum(dt) AS BIGINT) AS twa_den_us,
+       (CAST(CAST(sum(CAST(CAST(CAST(value AS DECIMAL(15,3)) * 1000
+                               AS BIGINT) AS DECIMAL(19,0))
+                      * CAST(dt AS DECIMAL(19,0))) AS BIGINT)
+             AS DOUBLE)
+        / (CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) * 1000.0)) + 0.0
+           AS twa
+FROM d GROUP BY 1, 2
+"""
+
+REGISTRY_TS.update({
+    "q192_time_weighted_avg": (q_time_weighted_avg,
+                               ORACLE_TIME_WEIGHTED_AVG),
+})
