@@ -1076,3 +1076,91 @@ REGISTRY_MGMT.update({
     "q186_table_checksums": (q_table_checksums,
                              _oracle_table_checksums()),
 })
+
+
+# ------------------------- q193 schema evolution (add column + read)
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse schema evolution on the archive: day-one files have
+    the original (attribute_id, timestamp, value) schema; a later
+    batch lands WITH a new `quality` column — and one mergeSchema
+    read serves both vintages, old rows surfacing NULL→'good' via
+    coalesce (the default-backfill contract, no rewrite of history —
+    at 100 TB rewriting old files to add a column is exactly what
+    this avoids). Emits per-(attribute, quality) counts across both
+    vintages."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="idp_evo_")
+    path = os.path.join(root, "archive")
+    hourly = _hourly_archive(spark, sf_dir, [1, 2])
+    old_rows = hourly.where(F.col("timestamp") < "2024-01-02")
+    new_rows = (hourly.where(F.col("timestamp") >= "2024-01-02")
+                .withColumn("quality",
+                            F.when(F.col("value") > 50, "suspect")
+                            .otherwise("good")))
+    old_rows.write.mode("append").parquet(path)
+    new_rows.write.mode("append").parquet(path)
+    evolved = (spark.read.option("mergeSchema", "true").parquet(path)
+               .withColumn("quality",
+                           F.coalesce("quality", F.lit("good"))))
+    out = (evolved.groupBy("attribute_id", "quality")
+           .agg(F.count("*").alias("n_rows"),
+                F.min("timestamp").alias("min_ts"),
+                F.max("timestamp").alias("max_ts")))
+    return _finish(out, root)
+
+
+ORACLE_SCHEMA_EVOLUTION = f"""
+WITH h AS ({_HOURLY_SQL.format(ids="1, 2")}),
+q AS (SELECT attribute_id, "timestamp",
+             CASE WHEN "timestamp" >= '2024-01-02' AND value > 50
+                  THEN 'suspect' ELSE 'good' END AS quality
+      FROM h)
+SELECT attribute_id, quality, count(*) AS n_rows,
+       min("timestamp") AS min_ts, max("timestamp") AS max_ts
+FROM q GROUP BY 1, 2
+"""
+
+
+# -------------------- q194 upsert idempotence under redelivery (proof)
+
+def q_upsert_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once-sink invariant stated as a checked result:
+    applying the SAME batch to the store twice (at-least-once
+    redelivery) must leave the archive byte-identical — last-wins
+    upsert on (attribute_id, timestamp) makes the operation
+    idempotent. The query seeds, upserts a batch, upserts it AGAIN,
+    and emits per-attribute extents plus row counts: any duplicate or
+    drift would show in n_rows/hash. The oracle aggregates the batch
+    once — applied-twice must equal applied-once."""
+    pipe, root = _pipe(spark)
+    pipe.create_database(DB)
+    batch = _hourly_archive(spark, sf_dir, [1, 2])
+    pipe.store.upsert_archive(DB, batch, mode="last_wins")
+    pipe.store.upsert_archive(DB, batch, mode="last_wins")  # redeliver
+    out = (pipe.store.archive_values(DB)
+           .groupBy("attribute_id")
+           .agg(F.count("*").alias("n_rows"),
+                F.min("timestamp").alias("min_ts"),
+                F.max("timestamp").alias("max_ts"),
+                F.round(F.sum(F.col("value").cast("decimal(28,6)"))
+                        .cast("double"), 6).alias("sum_value")))
+    return _finish(out, root)
+
+
+ORACLE_UPSERT_IDEMPOTENCE = f"""
+WITH h AS ({_HOURLY_SQL.format(ids="1, 2")})
+SELECT attribute_id, count(*) AS n_rows,
+       min("timestamp") AS min_ts, max("timestamp") AS max_ts,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS sum_value
+FROM h GROUP BY 1
+"""
+
+REGISTRY_MGMT.update({
+    "q193_schema_evolution": (q_schema_evolution,
+                              ORACLE_SCHEMA_EVOLUTION),
+    "q194_upsert_idempotence": (q_upsert_idempotence,
+                                ORACLE_UPSERT_IDEMPOTENCE),
+})
