@@ -493,3 +493,53 @@ REGISTRY_CORPUS.update({
     "q177_source_dup_matrix": (q_source_dup_matrix,
                                _oracle_source_dup_matrix()),
 })
+
+
+# ----------------------- q195 retrieval MRR against planted truth
+
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the q167 hybrid retriever
+    against KNOWN ground truth: each query doc's planted mutated twin
+    (id + 100000) is the relevant item, so reciprocal rank and hit@k
+    are facts, not judgments — the eval-harness row every retriever
+    ships with (q169 does this for the ANN index; this closes the
+    loop for hybrid text retrieval). Exact integers and 1/rank
+    ratios."""
+    fused = q_hybrid_retrieval(spark, sf_dir)
+    truth = F.col("query_id") + F.lit(100000)
+    hit = fused.where(F.col("cand_id") == truth)
+    found = (hit.select("query_id",
+                        F.col("rrf_rank").alias("rank_of_truth")))
+    qs = fused.select("query_id").distinct()
+    out = (qs.join(found, "query_id", "left")
+           .select("query_id", "rank_of_truth",
+                   (F.when(F.col("rank_of_truth").isNotNull(),
+                           1.0 / F.col("rank_of_truth"))
+                    .otherwise(F.lit(0.0)) + F.lit(0.0))
+                   .alias("reciprocal_rank"),
+                   F.coalesce(F.col("rank_of_truth") <= 1,
+                              F.lit(False)).alias("hit_at_1"),
+                   F.coalesce(F.col("rank_of_truth") <= 5,
+                              F.lit(False)).alias("hit_at_5")))
+    return out
+
+
+def _oracle_retrieval_mrr() -> str:
+    inner = _oracle_hybrid_retrieval().strip()
+    return f"""
+WITH fused AS ({inner}),
+truthed AS (SELECT query_id, rrf_rank AS rank_of_truth
+            FROM fused WHERE cand_id = query_id + 100000),
+qs AS (SELECT DISTINCT query_id FROM fused)
+SELECT qs.query_id, t.rank_of_truth,
+       coalesce(CAST(1 AS DOUBLE) / t.rank_of_truth, 0.0) + 0.0
+           AS reciprocal_rank,
+       coalesce(t.rank_of_truth <= 1, FALSE) AS hit_at_1,
+       coalesce(t.rank_of_truth <= 5, FALSE) AS hit_at_5
+FROM qs LEFT JOIN truthed t USING (query_id)
+"""
+
+
+REGISTRY_CORPUS.update({
+    "q195_retrieval_mrr": (q_retrieval_mrr, _oracle_retrieval_mrr()),
+})

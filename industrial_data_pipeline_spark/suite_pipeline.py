@@ -766,3 +766,68 @@ FROM keyed GROUP BY fp HAVING count(*) > 1
 REGISTRY_PIPELINE.update({
     "q191_golden_records": (q_golden_records, ORACLE_GOLDEN_RECORDS),
 })
+
+
+# ------------------------------ q196 dataset card (corpus manifest)
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card as ONE query: the corpus-level numbers every
+    dataset release publishes — document and token volume, source and
+    language diversity, exact-duplicate rate, quality-gate pass rate
+    — composed from the suite's own exact machinery in a single row.
+    Counts are exact integers; the two ratios are single IEEE
+    divisions of exact integers, emitted raw."""
+    docs = _load_docs(spark, sf_dir)
+    fp = TX.hash64(F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    gated = TX.quality_filter(docs)
+    base = (docs.withColumn("_fp", fp)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(TX.tokens(F.col("text"))))
+                 .alias("n_tokens"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.countDistinct("_fp").alias("_nfp")))
+    keep = gated.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("_nkeep"))
+    return (base.crossJoin(F.broadcast(keep))
+            .select("n_docs", "n_tokens", "n_sources", "n_langs",
+                    (F.col("n_docs") - F.col("_nfp"))
+                    .alias("n_exact_dups"),
+                    ((F.col("n_docs") - F.col("_nfp")).cast("double")
+                     / F.col("n_docs") + F.lit(0.0))
+                    .alias("dup_rate"),
+                    F.col("_nkeep").alias("n_quality_keep"),
+                    (F.col("_nkeep").cast("double") / F.col("n_docs")
+                     + F.lit(0.0)).alias("quality_keep_rate")))
+
+
+def _oracle_dataset_card() -> str:
+    rules = TX.quality_rules_sql()
+    anyfired = " OR ".join(f"coalesce(({pred}), FALSE)"
+                           for _n, pred in rules)
+    return f"""
+WITH {_METRICS_SQL},
+g AS (SELECT count(*) AS nkeep FROM m WHERE NOT ({anyfired})),
+b AS (SELECT count(*) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT ('0x' || substr(md5(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS nfp
+      FROM documents)
+SELECT b.n_docs, b.n_tokens, b.n_sources, b.n_langs,
+       b.n_docs - b.nfp AS n_exact_dups,
+       (CAST(b.n_docs - b.nfp AS DOUBLE) / b.n_docs) + 0.0
+           AS dup_rate,
+       g.nkeep AS n_quality_keep,
+       (CAST(g.nkeep AS DOUBLE) / b.n_docs) + 0.0
+           AS quality_keep_rate
+FROM b CROSS JOIN g
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q196_dataset_card": (q_dataset_card, _oracle_dataset_card()),
+})
