@@ -1144,3 +1144,45 @@ REGISTRY_LLM: dict[str, tuple] = {
     "q164_keyframes": (q_keyframes, ORACLE_KEYFRAMES),
     "q169_ann_recall": (q_ann_recall, _oracle_ann_recall()),
 }
+
+
+# ----------------- q197 near-dup threshold sensitivity (ROC-ish sweep)
+
+def q_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning table behind every dedup threshold choice: exact
+    cosine near-dup pair counts on the bounded planted corpus at
+    0.80 / 0.85 / 0.90 / 0.95 — one pair computation, four
+    conditional counts (never four scans). Exact integers."""
+    pairs = SIM.cosine_pairs_bruteforce(
+        _emb_dup_corpus(spark, sf_dir), threshold=0.80)
+    return pairs.agg(
+        F.count("*").alias("n_080"),
+        F.sum(F.when(F.col("cosine_sim") >= 0.85, 1).otherwise(0))
+        .alias("n_085"),
+        F.sum(F.when(F.col("cosine_sim") >= 0.90, 1).otherwise(0))
+        .alias("n_090"),
+        F.sum(F.when(F.col("cosine_sim") >= 0.95, 1).otherwise(0))
+        .alias("n_095"))
+
+
+def _oracle_dup_threshold_sweep() -> str:
+    cos6 = _COS6.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH corpus AS ({_EMB_DUP_SQL}),
+p AS (SELECT {cos6} AS c
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+SELECT count(*) FILTER (c >= 0.80) AS n_080,
+       CAST(sum(CASE WHEN c >= 0.85 THEN 1 ELSE 0 END) FILTER
+            (c >= 0.80) AS BIGINT) AS n_085,
+       CAST(sum(CASE WHEN c >= 0.90 THEN 1 ELSE 0 END) FILTER
+            (c >= 0.80) AS BIGINT) AS n_090,
+       CAST(sum(CASE WHEN c >= 0.95 THEN 1 ELSE 0 END) FILTER
+            (c >= 0.80) AS BIGINT) AS n_095
+FROM p
+"""
+
+
+REGISTRY_LLM.update({
+    "q197_dup_threshold_sweep": (q_dup_threshold_sweep,
+                                 _oracle_dup_threshold_sweep()),
+})

@@ -831,3 +831,84 @@ FROM b CROSS JOIN g
 REGISTRY_PIPELINE.update({
     "q196_dataset_card": (q_dataset_card, _oracle_dataset_card()),
 })
+
+
+# ------------------------- q198 curation funnel (per-stage drop-off)
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-off report of the whole curation pipeline — the chart
+    every dataset paper prints: survivor counts per stage, raw →
+    quality gate → exact dedup → decontamination (>10% 5-gram
+    benchmark overlap drops) → train split. Each stage filters the
+    previous stage's survivors (q163 emits the end state; this emits
+    the funnel), all counts exact, one row per stage with the stage
+    ordinal so the driver's order-insensitive hash still pins the
+    sequence."""
+    docs = _load_docs(spark, sf_dir)
+    train_docs = docs.where(F.col("doc_id") >= 20)
+    s0 = train_docs.select("doc_id")
+    s1 = (TX.quality_filter(train_docs).where(F.col("keep"))
+          .select("doc_id", "text"))
+    s2 = D.exact_dedup(s1, "doc_id").select("doc_id", "text")
+    cont = TX.ngram_contamination(
+        s2, docs.where(F.col("doc_id") < 20), k=5)
+    s3 = (s2.join(cont.where(F.col("contamination_ratio") <= 0.10)
+                  .select("doc_id"), "doc_id"))
+    s4 = TX.hash_split(s3, salt="v1").where(F.col("split") == "train")
+    stages = [("0_raw", s0), ("1_quality", s1), ("2_dedup", s2),
+              ("3_decontaminated", s3), ("4_train", s4)]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count("*").alias("n_docs")) \
+            .withColumn("stage", F.lit(name))
+        out = row if out is None else out.unionByName(row)
+    return out.select("stage", "n_docs")
+
+
+def _oracle_curation_funnel() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _NORM_TEXT
+    rules = TX.quality_rules_sql()
+    anyfired = " OR ".join(f"coalesce(({pred}), FALSE)"
+                           for _n, pred in rules)
+    return f"""
+WITH {_METRICS_SQL},
+s1 AS (SELECT d.doc_id, d.text FROM documents d
+       JOIN m USING (doc_id)
+       WHERE d.doc_id >= 20 AND NOT ({anyfired})),
+keyed AS (SELECT doc_id, text, {_NORM_TEXT} AS fp FROM s1),
+g2 AS (SELECT fp, min(doc_id) AS keep FROM keyed GROUP BY fp),
+s2 AS (SELECT k.doc_id, k.text FROM keyed k
+       JOIN g2 ON k.fp = g2.fp AND k.doc_id = g2.keep),
+tkb AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE doc_id < 20),
+bench AS (SELECT DISTINCT {_h64('gram')} AS h FROM
+            (SELECT unnest({_GRAMS5_B}) AS gram FROM tkb)),
+tk2 AS (SELECT doc_id, {_TOKS} AS toks FROM s2),
+tr AS (SELECT doc_id, {_h64('gram')} AS h FROM
+         (SELECT doc_id, unnest({_GRAMS5_B}) AS gram FROM tk2)),
+cont AS (SELECT tr.doc_id,
+                count(*) AS ng,
+                sum(CASE WHEN tr.h IN (SELECT h FROM bench)
+                    THEN 1 ELSE 0 END) AS ns
+         FROM tr GROUP BY tr.doc_id),
+s3 AS (SELECT s2.doc_id FROM s2 JOIN cont USING (doc_id)
+       WHERE ns / CAST(ng AS DOUBLE) <= 0.10),
+s4 AS (SELECT doc_id FROM s3
+       WHERE {_h64("doc_id || ':v1'")} % 100 < 80)
+SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+  WHERE doc_id >= 20
+UNION ALL SELECT '1_quality', count(*) FROM s1
+UNION ALL SELECT '2_dedup', count(*) FROM s2
+UNION ALL SELECT '3_decontaminated', count(*) FROM s3
+UNION ALL SELECT '4_train', count(*) FROM s4
+"""
+
+
+_GRAMS5_B = ("list_distinct(list_transform("
+             "generate_series(0, greatest(len(toks) - 5, 0)), "
+             "i -> array_to_string(toks[i+1:i+5], ' ')))")
+
+REGISTRY_PIPELINE.update({
+    "q198_curation_funnel": (q_curation_funnel,
+                             _oracle_curation_funnel()),
+})
