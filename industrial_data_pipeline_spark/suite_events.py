@@ -471,3 +471,49 @@ REGISTRY_EVENTS.update({
     "q189_interval_coverage": (q_interval_coverage,
                                ORACLE_INTERVAL_COVERAGE),
 })
+
+
+# -------------------- q199 event-type Markov transition matrix
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix —
+    counts of consecutive (from → to) pairs per user stream and the
+    row-normalized transition probabilities (q175 counts 3-gram
+    motifs; this is the Markov matrix those motifs marginalize).
+    Counts exact; probabilities are single divisions of exact
+    integers, emitted raw."""
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (ev.withColumn("_to", F.lead("event_type").over(w))
+         .where(F.col("_to").isNotNull())
+         .groupBy(F.col("event_type").alias("from_type"),
+                  F.col("_to").alias("to_type"))
+         .agg(F.count("*").alias("n")))
+    wf = Window.partitionBy("from_type")
+    return t.withColumn(
+        "p", (F.col("n").cast("double")
+              / F.sum("n").over(wf).cast("double")) + F.lit(0.0))
+
+
+ORACLE_TRANSITION_MATRIX = f"""
+WITH {_EV_SQL},
+s AS (SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM ev),
+t AS (SELECT event_type AS from_type, nxt AS to_type,
+             count(*) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       (CAST(n AS DOUBLE)
+        / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)) + 0.0
+           AS p
+FROM t
+"""
+
+REGISTRY_EVENTS.update({
+    "q199_transition_matrix": (q_transition_matrix,
+                               ORACLE_TRANSITION_MATRIX),
+})

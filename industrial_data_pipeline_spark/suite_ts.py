@@ -863,3 +863,55 @@ REGISTRY_TS.update({
     "q192_time_weighted_avg": (q_time_weighted_avg,
                                ORACLE_TIME_WEIGHTED_AVG),
 })
+
+
+# ------------------------ q200 sensor fusion (chained as-of aligns)
+
+def q_sensor_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor fusion — the milestone query: three tags aligned onto
+    tag 1's clock by CHAINED as-of joins (each reading of the
+    reference tag picks up the latest value of tags 2 and 3 at or
+    before it), the way a model-input frame is assembled from
+    unsynchronized industrial sensors. Each tag is its hourly mean
+    (unique timestamps per tag); the as-of operator's union-sort scan
+    keys on a constant group — one shuffle per align, no range join.
+    Values are selections of decimal-rounded means: byte-exact."""
+    arch = archive_analog(spark, sf_dir)
+
+    def tag(i: int, name: str) -> DataFrame:
+        return (arch.where(F.col("attribute_id") == i)
+                .groupBy(F.date_trunc("hour", "timestamp")
+                         .alias("timestamp"))
+                .agg(F.round(F.sum(F.col("value").cast("decimal(28,6)"))
+                             .cast("double")
+                             / F.count("*"), 6).alias(name))
+                .withColumn("g", F.lit(1)))
+
+    base = tag(1, "v1")
+    f2 = TS.asof_join(base, tag(2, "v2"), by="g",
+                      value_cols=("v2",))
+    f3 = TS.asof_join(f2, tag(3, "v3"), by="g",
+                      value_cols=("v3",))
+    return f3.select("timestamp", "v1",
+                     F.col("asof_v2").alias("v2"),
+                     F.col("asof_v3").alias("v3"))
+
+
+ORACLE_SENSOR_FUSION = f"""
+WITH {_ARCH_SQL},
+h AS (SELECT attribute_id, date_trunc('hour', "timestamp") AS t,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*), 6) AS v
+      FROM arch WHERE attribute_id IN (1, 2, 3) GROUP BY 1, 2),
+t1 AS (SELECT t, v AS v1 FROM h WHERE attribute_id = 1),
+t2 AS (SELECT t, v AS v2 FROM h WHERE attribute_id = 2),
+t3 AS (SELECT t, v AS v3 FROM h WHERE attribute_id = 3),
+f2 AS (SELECT t1.t, t1.v1, t2.v2
+       FROM t1 ASOF LEFT JOIN t2 ON t1.t >= t2.t)
+SELECT f2.t AS "timestamp", f2.v1, f2.v2, t3.v3
+FROM f2 ASOF LEFT JOIN t3 ON f2.t >= t3.t
+"""
+
+REGISTRY_TS.update({
+    "q200_sensor_fusion": (q_sensor_fusion, ORACLE_SENSOR_FUSION),
+})
