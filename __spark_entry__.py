@@ -32,85 +32,108 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries holding a green (hash_match) verdict from a prior driver
-# run (union of CORRECTNESS_r01.json + CORRECTNESS_r02.json, latest
-# verdict wins), MINUS any query whose code or oracle changed since
-# that verdict. The driver truncates at ~50 queries/round, so order
-# the dict so never-checked / previously-failing / modified queries
-# come FIRST — the budget lands on queries with no current verdict
-# instead of re-confirming known-green ones.
-#
-# Round-3 maintenance: q43/q66/q67 (fixed this round — were red, so
-# they sort first regardless) and q70 (oracle added) are NOT listed.
-# Three listed greens carry behavior-identical refactors since their
-# verdicts (q31/q134: the stub kernel path moved behind a fn pointer
-# when the real-decode path landed; q61: an optional stats param +
-# it now consumes the session-materialized LSH pair set shared with
-# q132/q137 instead of re-deriving it; q81: the Lloyd loop moved into
-# a shared _lloyd_assign helper when SemDeDup landed) — the whole
-# suite, including these, is byte-exact green in the committed
-# full-suite local artifact CORRECTNESS_LOCAL_r03.json (and each
-# refactored query was re-verified MATCH individually after its
-# change).
+# run — the r01 ∪ r02 ∪ r03 union, latest verdict wins, computed from
+# the committed CORRECTNESS_r0*.json artifacts (134 greens; the only
+# ever-red queries q43/q66/q108 were repaired this round and sort
+# first). The driver truncates at ~50 queries/round, so the dict is
+# ordered: repaired reds + never-driver-checked SURVEY §2 evidence
+# rows first, then the 59 remaining never-checked round-3 additions
+# in registration order, greens last. Greens carrying this round's
+# behavior-identical plan fixes (q95 window→limit, q172 ntile→range
+# boundaries) stay listed green: both re-verified values=MATCH in the
+# committed full-suite local artifact CORRECTNESS_LOCAL_r04.json.
 _VERIFIED_GREEN = {
     "q01_export_long", "q02_export_pivot", "q03_lookup_like",
     "q04_lookup_exact", "q05_leaf_heuristic", "q06_leaf_true",
-    "q07_hierarchy_paths", "q08_attribute_paths", "q09_timestamp_range",
-    "q10_watermark", "q11_distinct_ts", "q12_grouped_stats",
+    "q07_hierarchy_paths", "q08_attribute_paths",
+    "q09_timestamp_range", "q100_variety_suppliers",
+    "q101_scd2_user_state", "q102_table_profile", "q103_fk_audit",
+    "q104_price_deciles", "q105_stream_dedup_counts",
+    "q106_asof_forward", "q107_top_prices_with_ties",
+    "q109_countmin_topk", "q10_watermark", "q110_conversion_latency",
+    "q111_order_size_distribution", "q112_store_roundtrip",
+    "q113_insert_element", "q114_insert_attribute_backfill",
+    "q115_update_attribute", "q116_delete_attribute",
+    "q117_mapping_roundtrip", "q118_ingest_cleanse",
+    "q119_ingest_recovery", "q11_distinct_ts",
+    "q120_stream_csv_roundtrip", "q121_derived_maintenance_stream",
+    "q122_pi_batch_source", "q123_tree_reload", "q124_pi_crawler",
+    "q125_bucketed_join_revenue", "q126_contamination",
+    "q127_pii_redaction", "q128_sequence_packing", "q129_hash_split",
+    "q12_grouped_stats", "q130_seasonal_baseline", "q131_roc_alarms",
+    "q132_cluster_representatives", "q133_frame_sampling",
+    "q134_image_resize", "q136_real_image_resize",
     "q13_above_global_avg", "q14_cascade_counts", "q15_orphan_purge",
-    "q16_latest_per_key", "q17_dedup_first_wins", "q18_formula_backfill",
-    "q19_text_quality", "q20_token_counts", "q21_lang_id",
-    "q22_fingerprints", "q23_exact_dedup", "q24_minhash_lsh_pairs",
-    "q25_ngram_jaccard_pairs", "q26_simhash", "q27_simhash_pairs",
-    "q28_ann_cosine_topk", "q29_ann_lsh_topk", "q30_ann_ivf_topk",
-    "q31_multimodal_features", "q32_legacy_between", "q33_union_distinct",
-    "q34_olap_pricing_summary", "q35_star_join", "q36_cosine_near_dup",
-    "q37_cosine_near_dup_lsh", "q38_rollup_hourly", "q39_asof_rollup",
-    "q40_locf_grid", "q41_interp_grid", "q42_rolling_anomaly",
-    "q44_topk_per_group", "q45_funnel", "q46_grouped_percentiles",
-    "q47_json_props", "q48_stratified_sample", "q49_shipping_priority",
+    "q16_latest_per_key", "q17_dedup_first_wins",
+    "q18_formula_backfill", "q199_transition_matrix",
+    "q19_text_quality", "q200_sensor_fusion", "q20_token_counts",
+    "q21_lang_id", "q22_fingerprints", "q23_exact_dedup",
+    "q24_minhash_lsh_pairs", "q25_ngram_jaccard_pairs", "q26_simhash",
+    "q27_simhash_pairs", "q28_ann_cosine_topk", "q29_ann_lsh_topk",
+    "q30_ann_ivf_topk", "q31_multimodal_features",
+    "q32_legacy_between", "q33_union_distinct",
+    "q34_olap_pricing_summary", "q35_star_join",
+    "q36_cosine_near_dup", "q37_cosine_near_dup_lsh",
+    "q38_rollup_hourly", "q39_asof_rollup", "q40_locf_grid",
+    "q41_interp_grid", "q42_rolling_anomaly", "q44_topk_per_group",
+    "q45_funnel", "q46_grouped_percentiles", "q47_json_props",
+    "q48_stratified_sample", "q49_shipping_priority",
     "q50_local_supplier_volume", "q51_order_priority_count",
     "q52_returned_items", "q53_customer_order_distribution",
     "q54_small_quantity_revenue", "q55_large_volume_customers",
-    "q56_pricing_rollup", "q57_order_rank", "q58_cumulative_user_value",
-    "q59_tfidf_top_terms", "q60_bigram_counts", "q61_dup_clusters",
+    "q56_pricing_rollup", "q57_order_rank",
+    "q58_cumulative_user_value", "q59_tfidf_top_terms",
+    "q60_bigram_counts", "q61_dup_clusters",
     "q62_stream_hourly_counts", "q63_salted_skew_agg",
-    "q64_interval_join", "q65_distinct_users", "q68_quality_filter",
-    "q69_incremental_dedup", "q71_token_rarity",
+    "q64_interval_join", "q65_distinct_users", "q67_trend_slopes",
+    "q68_quality_filter", "q69_incremental_dedup",
+    "q70_approx_profile", "q71_token_rarity",
     "q72_repetition_metrics", "q73_nation_trade_volume",
     "q74_market_share", "q75_product_profit", "q76_promo_revenue",
     "q77_supplier_part_variety", "q78_disjunctive_revenue",
     "q79_sole_late_supplier", "q80_dormant_customers", "q81_kmeans",
-    "q125_bucketed_join_revenue", "q126_contamination",
-    "q127_pii_redaction", "q128_sequence_packing", "q129_hash_split",
-    "q130_seasonal_baseline", "q131_roc_alarms",
-    "q132_cluster_representatives", "q133_frame_sampling",
-    "q134_image_resize",
+    "q82_quantization_error", "q83_label_cohesion",
+    "q84_neighbor_confusion", "q85_retention_cohorts",
+    "q86_level_shifts", "q87_basket_pairs", "q88_price_histogram",
+    "q89_interarrival_stats", "q90_weighted_sample", "q91_pagerank",
+    "q92_sql_revenue", "q93_sql_cube", "q94_stream_enriched_counts",
+    "q95_zipf_slope", "q96_salted_join_revenue",
+    "q97_min_cost_supplier", "q98_important_inventory",
+    "q99_top_supplier",
+}
+
+# Repaired / never-driver-checked SURVEY §2 evidence rows — the only
+# queries whose absence blocks a §2 coverage line (F9: q135, T4:
+# q138/q139) plus the three ex-red HUGEINT-oracle queries and q137
+# (star-variant clustering, §2's dup-cluster scale path).
+_VERIFY_FIRST = {
+    "q43_sessionize", "q66_stream_sessionize",
+    "q108_segment_priority_matrix", "q135_ingest_now_bound",
+    "q137_dup_clusters_star", "q138_pi_datasource",
+    "q139_pi_stream_source",
 }
 
 
-# Round-3 additions, tiered so the driver's ~50-query budget lands
-# exactly: tier 1 = the three new queries that fit inside this
-# round's budget next to the 47 unchecked/red; tier 2 = additions
-# registered after the budget filled (q138–q176 — first in line for
-# round 4; every one is byte-exact in the committed full-suite
-# artifact CORRECTNESS_LOCAL_r03.json meanwhile).
-_NEW_IN_BUDGET = {"q135_ingest_now_bound", "q136_real_image_resize",
-                  "q137_dup_clusters_star"}
+def _qnum(name: str) -> int:
+    return int(name.split("_")[0][1:])
 
 
-def _priority(name: str) -> int:
+def _priority(name: str) -> tuple[int, int]:
+    # Tier, then NUMERIC query id (registration order within a tier is
+    # module-dependent and round 3 showed it pushes low-numbered
+    # flagships like q140 past the ~50-query budget). Numeric order
+    # makes the budget cut predictable: tier 0 (7) + the first 43
+    # unchecked (q140–q186) land in round 4; the q187+ tail is round 5.
+    if name in _VERIFY_FIRST:
+        return (0, _qnum(name))
     if name in _VERIFIED_GREEN:
-        return 3
-    if name in _NEW_IN_BUDGET:
-        return 1
-    if name.split("_")[0] in {f"q{n}" for n in range(138, 199)}:
-        return 2  # post-budget additions, first in line next round
-    return 0  # never-checked / previously-failing: verify first
+        return (2, _qnum(name))  # re-confirm only after the rest
+    return (1, _qnum(name))  # never-driver-checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    ordered = sorted(REGISTRY, key=_priority)  # stable: keeps reg order
+    ordered = sorted(REGISTRY, key=_priority)
     return {name: REGISTRY[name][0] for name in ordered}
 
 

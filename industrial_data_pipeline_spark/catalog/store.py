@@ -176,9 +176,12 @@ class ParquetStore:
             if not d.startswith(prefix):
                 continue
             if d[len(prefix):] < before_date:
-                shutil.rmtree(os.path.join(root, d),
-                              ignore_errors=True)
-                dropped += 1
+                target = os.path.join(root, d)
+                shutil.rmtree(target, ignore_errors=True)
+                # only count partitions actually gone — a failed
+                # rmtree must not overstate retention enforcement
+                if not os.path.isdir(target):
+                    dropped += 1
         return dropped
 
     def upsert_archive(self, database: str, df: DataFrame,

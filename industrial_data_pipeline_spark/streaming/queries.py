@@ -275,32 +275,37 @@ def watermark_drop_accounting(
     from industrial_data_pipeline_spark.suite_common import load
 
     staging = tempfile.mkdtemp(prefix="idp_wm_")
-    ev = load(spark, sf_dir, "events").select("ts", "event_type")
-    mid_lo = "2024-01-08"
-    recent = ev.where(F.col("ts") >= cutoff)
-    mid = ev.where((F.col("ts") >= mid_lo) & (F.col("ts") < cutoff))
-    late = ev.where(F.col("ts") < mid_lo)
-    for i, part in ((1, recent), (2, mid), (3, late)):
-        tmp = os.path.join(staging, f"_w{i}")
-        part.coalesce(1).write.parquet(tmp)
-        src_file = next(f for f in os.listdir(tmp)
-                        if f.endswith(".parquet"))
-        dst = os.path.join(staging, f"batch{i}.parquet")
-        shutil.move(os.path.join(tmp, src_file), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)  # force order
+    try:
+        ev = load(spark, sf_dir, "events").select("ts", "event_type")
+        mid_lo = "2024-01-08"
+        recent = ev.where(F.col("ts") >= cutoff)
+        mid = ev.where((F.col("ts") >= mid_lo)
+                       & (F.col("ts") < cutoff))
+        late = ev.where(F.col("ts") < mid_lo)
+        for i, part in ((1, recent), (2, mid), (3, late)):
+            tmp = os.path.join(staging, f"_w{i}")
+            part.coalesce(1).write.parquet(tmp)
+            src_file = next(f for f in os.listdir(tmp)
+                            if f.endswith(".parquet"))
+            dst = os.path.join(staging, f"batch{i}.parquet")
+            shutil.move(os.path.join(tmp, src_file), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst,
+                     (1_700_000_000 + i * 1000,) * 2)  # force order
 
-    src = (spark.readStream.schema(recent.schema)
-           .option("maxFilesPerTrigger", "1").parquet(staging))
-    agg = (src.withWatermark("ts", "1 hour")
-           .groupBy(F.window("ts", "1 hour").alias("w"))
-           .agg(F.count("*").alias("n"))
-           .select(F.col("w.start").alias("hour_start"), "n"))
-    if any(t.name == table_name for t in spark.catalog.listTables()):
-        spark.catalog.dropTempView(table_name)
-    q = (agg.writeStream.format("memory").queryName(table_name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    out = spark.table(table_name).localCheckpoint(eager=True)
-    shutil.rmtree(staging, ignore_errors=True)
-    return out
+        src = (spark.readStream.schema(recent.schema)
+               .option("maxFilesPerTrigger", "1").parquet(staging))
+        agg = (src.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count("*").alias("n"))
+               .select(F.col("w.start").alias("hour_start"), "n"))
+        if any(t.name == table_name
+               for t in spark.catalog.listTables()):
+            spark.catalog.dropTempView(table_name)
+        q = (agg.writeStream.format("memory").queryName(table_name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        # eager checkpoint so the result survives the staging cleanup
+        return spark.table(table_name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -126,16 +126,16 @@ def q_segment_priority_matrix(spark: SparkSession,
 
 ORACLE_SEGMENT_PRIORITY_MATRIX = """
 SELECT c_mktsegment AS segment,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
-           AS "1-URGENT",
-       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
-           AS "2-HIGH",
-       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
-           AS "3-MEDIUM",
-       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
-           AS "4-NOT SPECIFIED",
-       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
-           AS "5-LOW"
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+            AS BIGINT) AS "1-URGENT",
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+            AS BIGINT) AS "2-HIGH",
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+            AS BIGINT) AS "3-MEDIUM",
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                     THEN 1 END) AS BIGINT) AS "4-NOT SPECIFIED",
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+            AS BIGINT) AS "5-LOW"
 FROM orders JOIN customer ON c_custkey = o_custkey
 GROUP BY 1
 """

@@ -46,9 +46,11 @@ s AS (SELECT user_id, event_id, ts, value,
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 t AS (SELECT user_id, ts, value,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS session_id
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts,
+                                event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+                 AS session_id
       FROM s)
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
@@ -334,9 +336,13 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def binned(df, label):
         j = df.join(F.broadcast(edges), "event_type")
         w = (F.col("_hi") - F.col("_lo")) / F.lit(10.0)
-        b = F.least(F.greatest(F.floor(
-            (F.col("value") - F.col("_lo")) / w), F.lit(0)),
-            F.lit(9)).cast("int")
+        # degenerate distribution (constant reference week): w == 0
+        # → everything lands in bin 0, instead of NaN-bin rows being
+        # silently dropped by the pivot
+        b = (F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+             .otherwise(F.least(F.greatest(F.floor(
+                 (F.col("value") - F.col("_lo")) / w), F.lit(0)),
+                 F.lit(9)))).cast("int")
         return (j.withColumn("_b", b)
                 .groupBy("event_type")
                 .pivot("_b", list(range(10)))
@@ -386,9 +392,10 @@ WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
 edges AS (SELECT event_type, min(value) AS lo, max(value) AS hi
           FROM ev WHERE ts < '2024-01-08' GROUP BY 1),
 x AS (SELECT e.event_type, e.ts < TIMESTAMP '2024-01-08' AS is_ref,
-             CAST(least(greatest(floor((e.value - d.lo)
+             CASE WHEN d.hi = d.lo THEN 0
+                  ELSE CAST(least(greatest(floor((e.value - d.lo)
                                        / ((d.hi - d.lo) / 10.0)), 0),
-                        9) AS INT) AS b
+                        9) AS INT) END AS b
       FROM ev e JOIN edges d USING (event_type)
       WHERE e.ts < '2024-01-08' OR e.ts >= '2024-01-25')
 SELECT event_type,

@@ -55,9 +55,17 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (load(spark, sf_dir, "documents")
            .select(F.explode(tokens(F.col("text"))).alias("t"))
            .groupBy("t").agg(F.count("*").alias("f")))
-    w = Window.orderBy(F.desc("f"), F.asc("t"))
-    top = tok.withColumn("r", F.row_number().over(w)) \
-        .where(F.col("r") <= ZIPF_TOP)
+    # Top-k FIRST via distributed TakeOrderedAndProject — a global
+    # row_number window over the full vocabulary would shuffle every
+    # distinct token to one partition (billions of rows at 100×
+    # corpus scale). Ranks for the surviving ≤ ZIPF_TOP rows come
+    # from a single-partition sort + sequential id (one bounded
+    # task; limit() alone doesn't guarantee order, the
+    # sortWithinPartitions does), so the plan has NO WindowExec.
+    top = (tok.orderBy(F.desc("f"), F.asc("t")).limit(ZIPF_TOP)
+           .coalesce(1).sortWithinPartitions(F.desc("f"), F.asc("t"))
+           .withColumn("r", (F.monotonically_increasing_id() + 1)
+                       .cast("int")))
     x = F.log(F.col("r").cast("double"))
     y = F.log(F.col("f").cast("double"))
     d = lambda c: c.cast("decimal(28,15)")  # noqa: E731

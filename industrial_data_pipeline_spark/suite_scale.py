@@ -358,8 +358,41 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit("1995-01-01").cast("date")),
                F.lit(256)).alias("y"))
     z = o.withColumn("z", zorder_key(F.col("x"), F.col("y")))
-    w = Window.orderBy("z", "o_orderkey")
-    t = z.withColumn("tile", F.ntile(16).over(w))
+    # Exact ntile(16) WITHOUT the global single-partition sort: z is
+    # 16-bit by construction, so bucketing on its high bits is a
+    # deterministic range partition (no sampling — lineage recompute
+    # between the two jobs is stable). Job 1 collects the ≤64-row
+    # bucket-count table (driver-bounded) and turns it into exact
+    # global offsets; job 2 ranks within buckets (distributed window,
+    # partitioned on bkt) and applies ntile's quota rule as pure
+    # integer arithmetic on offset + local rank. No unpartitioned
+    # WindowExec anywhere in the plan.
+    n_bkt = 64
+    b = z.withColumn("bkt", F.shiftright(F.col("z"),
+                                         16 - 6).cast("int"))
+    wloc = Window.partitionBy("bkt").orderBy("z", "o_orderkey")
+    r = b.withColumn("lrn", F.row_number().over(wloc))
+    counts = sorted((row["bkt"], row["c"]) for row in
+                    b.groupBy("bkt").agg(F.count("*").alias("c"))
+                    .collect())
+    offsets, running = [], 0
+    for bkt, c in counts:
+        offsets.append((bkt, running))
+        running += c
+    n_total, ntq, rem = running, running // 16, running % 16
+    off = spark.createDataFrame(offsets, "bkt int, off long")
+    # integer-exact quota arithmetic (doubles would round at 1e11
+    # rows): first `rem` tiles take ntq+1 rows, the rest ntq
+    cut = rem * (ntq + 1)
+    tile = F.expr(
+        f"CAST(CASE WHEN off + lrn - 1 < {cut}"
+        f"     THEN (off + lrn - 1) div {ntq + 1} + 1"
+        f"     ELSE {rem} + (off + lrn - 1 - {cut})"
+        f"                  div {max(ntq, 1)} + 1 END AS INT)"
+    ).alias("tile")
+    t = (r.join(F.broadcast(off), "bkt")
+         .select("x", "y", "z", tile))
+    assert n_bkt == 1 << 6 and n_total == sum(c for _, c in counts)
     return (t.groupBy("tile")
             .agg(F.count("*").alias("n_rows"),
                  F.min("x").alias("x_min"), F.max("x").alias("x_max"),

@@ -218,3 +218,49 @@ def test_plan_inspect_helpers(spark):
         assert whole_stage_codegen_spans(df2) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_zipf_slope_no_global_window(spark):
+    """q95: the vocabulary ranking must be TakeOrderedAndProject
+    (distributed top-k), never a row_number window over the full
+    token table — at 100× corpus scale an unpartitioned WindowExec
+    ships every distinct token to one partition (the round-3 bench
+    tail's 'Moving all data to a single partition' warnings)."""
+    from industrial_data_pipeline_spark.suite_olap3 import q_zipf_slope
+    p = plan(q_zipf_slope(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_zorder_layout_window_is_partitioned(spark):
+    """q172: exact-ntile tiling must never sort the full fact table
+    on one partition. The only Window allowed is the within-bucket
+    row_number, partitioned on bkt; tile quotas come from the
+    collected bucket counts (driver-bounded, ≤64 rows)."""
+    from industrial_data_pipeline_spark.suite_scale import q_zorder_layout
+    p = plan(q_zorder_layout(spark, "/root/testdata/sf0.001"))
+    wins = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert wins, "expected the within-bucket rank window"
+    for ln in wins:
+        spec = ln.split("windowspecdefinition(")[1]
+        # partition columns precede the ORDER BY spec; an empty
+        # partition list would start with the frame or an ASC/DESC key
+        assert spec.split(",")[0].strip().startswith("bkt"), ln
+
+
+def test_salted_join_no_single_key_hotspot(spark):
+    """q96: the salted join's shuffle key must be (k, salt), so one
+    hot key hashes to `salt` distinct partitions instead of one. The
+    plan must show the salt column inside the join key expression."""
+    from industrial_data_pipeline_spark.operators.scale import salted_join
+    left = spark.range(2000).selectExpr(
+        "case when id % 10 < 9 then 42 else id end AS k", "id AS lv")
+    right = spark.range(100).selectExpr("id AS k", "id * 2 AS rv")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(salted_join(left, right, "k", salt=4))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "salt" in p, "join must carry the salt in its key"

@@ -54,8 +54,17 @@ for name, fn in qs.items():
 
     def col_exact(a, b):
         # byte-exact float compare, mirroring the driver's value hash:
-        # NaN==NaN, but -0.0 != 0.0 and 1 ulp is a mismatch
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+        # NaN==NaN, but -0.0 != 0.0 and 1 ulp is a mismatch.
+        # The driver's hash is dtype-sensitive: an int64 Spark column
+        # vs a float64 oracle column (DuckDB HUGEINT via fetchdf —
+        # the q43/q66/q108 class) is a MISMATCH, never promoted.
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        a_flt = pd.api.types.is_float_dtype(a)
+        b_flt = pd.api.types.is_float_dtype(b)
+        if (a_int and b_flt) or (a_flt and b_int):
+            return False
+        if a_flt or b_flt:
             av = a.astype("float64").to_numpy().view("uint64")
             bv = b.astype("float64").to_numpy().view("uint64")
             nan = np.isnan(a.astype("float64").to_numpy()) \
