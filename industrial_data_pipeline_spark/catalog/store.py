@@ -184,6 +184,51 @@ class ParquetStore:
                     dropped += 1
         return dropped
 
+    def compact_archive(self, database: str,
+                        target_files: int = 1
+                        ) -> list[tuple[str, int, int]]:
+        """Small-file compaction, per date partition: every append
+        leaves one file per date (see :meth:`append_archive`), so a
+        day that receives K appends accumulates K files — at 100 TB
+        the classic small-files problem (each file is a scan task
+        and a namenode entry). Rewrite every partition holding more
+        than ``target_files`` parquet files into ``target_files``
+        (restoring the (attribute_id, timestamp) row-group sort), via
+        a tmp-dir swap so a crashed compaction never loses rows.
+        Returns (date, files_before, files_after) per partition.
+
+        The loop is driver-side metadata work bounded by the
+        retention horizon (|dates|), same cost class as
+        :meth:`drop_archive_partitions`; each rewrite is its own
+        bounded Spark job over one day of data."""
+        root = self._path(database, "archive")
+        prefix = ARCHIVE_PARTITION_COL + "="
+        stats: list[tuple[str, int, int]] = []
+        if not os.path.isdir(root):
+            return stats
+
+        def parquet_files(p: str) -> int:
+            return sum(f.endswith(".parquet") for f in os.listdir(p))
+
+        for d in sorted(os.listdir(root)):
+            if not d.startswith(prefix):
+                continue
+            part = os.path.join(root, d)
+            n_before = parquet_files(part)
+            if n_before <= target_files:
+                stats.append((d[len(prefix):], n_before, n_before))
+                continue
+            tmp = part + ".compact.tmp"
+            (self.spark.read.parquet(part)
+             .coalesce(target_files)
+             .sortWithinPartitions("attribute_id", "timestamp")
+             .write.mode("overwrite").parquet(tmp))
+            shutil.rmtree(part)
+            os.rename(tmp, part)
+            stats.append((d[len(prefix):], n_before,
+                          parquet_files(part)))
+        return stats
+
     def upsert_archive(self, database: str, df: DataFrame,
                        mode: str = "first_wins") -> None:
         """Partition-scoped merge on (attribute_id, timestamp).

@@ -543,3 +543,75 @@ FROM qs LEFT JOIN truthed t USING (query_id)
 REGISTRY_CORPUS.update({
     "q195_retrieval_mrr": (q_retrieval_mrr, _oracle_retrieval_mrr()),
 })
+
+
+# ----------------------------- q202 boilerplate n-gram suppression
+
+BOILER_N = 5          # shingle width
+BOILER_DF = 20        # doc-frequency threshold → boilerplate
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate suppression, phrase-level: a
+    5-gram that appears in ≥ BOILER_DF distinct documents is
+    boilerplate (nav bars, cookie banners, licence footers at web
+    scale); per document report total 5-gram positions, how many hit
+    a boilerplate phrase, and the distinct boilerplate phrases — the
+    cleaning report a corpus curation run emits before stripping.
+    Scale shape: shingles explode JVM-side (transform over the token
+    array, no Python), doc-frequency is one distinct+groupBy on the
+    gram hash, the hit-join shuffles on the gram string only for
+    grams that cleared the threshold (semi-join reduction)."""
+    from industrial_data_pipeline_spark.suite_common import load
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(size(split(trim(text),"
+            f" '\\\\s+')) - {BOILER_N - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
+            f" i, {BOILER_N})))")).alias("gram"))
+    boiler = (g.select("doc_id", "gram").distinct()
+              .groupBy("gram").agg(F.count("*").alias("df"))
+              .where(F.col("df") >= BOILER_DF)
+              .select("gram"))
+    hits = (g.join(boiler.hint("broadcast"), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("boiler_positions"),
+                 F.countDistinct("gram").alias("boiler_phrases")))
+    totals = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (totals.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("boiler_positions", F.lit(0))
+                    .alias("boiler_positions"),
+                    F.coalesce("boiler_phrases", F.lit(0))
+                    .alias("boiler_phrases")))
+
+
+_ORACLE_BOILER = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+                     AS tk
+              FROM documents),
+g AS (SELECT doc_id,
+             unnest([array_to_string(tk[i:i + {BOILER_N - 1}], ' ')
+                     FOR i IN range(1, greatest(len(tk)
+                                                - {BOILER_N - 2}, 1))])
+                 AS gram
+      FROM toks),
+b AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= {BOILER_DF}),
+h AS (SELECT doc_id, count(*) AS boiler_positions,
+             count(DISTINCT gram) AS boiler_phrases
+      FROM g JOIN b USING (gram) GROUP BY doc_id),
+t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(h.boiler_positions, 0) AS BIGINT)
+           AS boiler_positions,
+       CAST(coalesce(h.boiler_phrases, 0) AS BIGINT)
+           AS boiler_phrases
+FROM t LEFT JOIN h USING (doc_id)
+"""
+
+REGISTRY_CORPUS.update({
+    "q202_boilerplate_ngrams": (q_boilerplate_ngrams, _ORACLE_BOILER),
+})

@@ -258,3 +258,93 @@ FROM j
 REGISTRY_DATAENG.update({
     "q162_table_diff": (q_table_diff, ORACLE_TABLE_DIFF),
 })
+
+
+# --------------------------------------- q203 Benford digit audit
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford's law) audit of order totals — the
+    classic synthetic-/fabricated-data smoke test a warehouse runs on
+    every monetary column. Per leading digit: count, observed share,
+    and the Benford expectation log10(1+1/d). The digit comes from
+    floor→BIGINT→string so both engines take the same integer path
+    (double→string formatting differs between engines); shares are
+    one int/int double division, identical everywhere. Scale shape:
+    one combinable 9-group aggregation; the total rides along as
+    sum(n) over a broadcast 9-row join, never a second scan."""
+    d = (load(spark, sf_dir, "orders")
+         .select(F.substring(F.floor("o_totalprice").cast("bigint")
+                             .cast("string"), 1, 1).cast("int")
+                 .alias("digit"))
+         .groupBy("digit").agg(F.count("*").alias("n")))
+    tot = d.agg(F.sum("n").alias("_tot"))
+    return (d.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    (F.round(F.col("n") / F.col("_tot"), 6) + 0.0)
+                    .alias("observed"),
+                    (F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+                     + 0.0).alias("benford")))
+
+
+ORACLE_BENFORD = """
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+                  count(*) AS n
+           FROM orders GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM d)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / tot, 6) + 0.0 AS observed,
+       round(log10(1.0 + 1.0 / digit), 6) + 0.0 AS benford
+FROM d, t
+"""
+
+
+# ------------------------------------ q206 bitemporal point-in-time
+
+_BT_VALID = "2024-01-20 00:00:00"
+_BT_TX = "2024-01-21 12:00:00"
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point-in-time lookup: each user's latest state
+    along VALID time (when the reading happened) as KNOWN at a past
+    TRANSACTION time (when the warehouse learned it). Arrival lag is
+    derived deterministically (event_id % 3 hours), so some readings
+    valid before the cutoff were not yet known at the tx cutoff and
+    the answer must fall back to the previous version — the audit
+    semantics ('what did we believe on the 21st?') that a plain as-of
+    join cannot answer. One window over (user, valid ts); both
+    filters prune before the shuffle."""
+    ev = (load(spark, sf_dir, "events")
+          .select("user_id", "event_id", "ts", "event_type", "value",
+                  (F.col("ts") + F.make_interval(
+                      hours=F.col("event_id") % 3)).alias("tx_ts")))
+    vis = ev.where((F.col("ts") <= _BT_VALID)
+                   & (F.col("tx_ts") <= _BT_TX))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (vis.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("user_id", F.col("ts").alias("valid_ts"),
+                    "tx_ts", "event_type", "value"))
+
+
+ORACLE_BITEMPORAL = f"""
+WITH {_EV},
+b AS (SELECT user_id, event_id, ts, event_type, value,
+             ts + to_hours(event_id % 3) AS tx_ts
+      FROM ev),
+v AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC)
+             AS rn
+      FROM b
+      WHERE ts <= TIMESTAMP '{_BT_VALID}'
+        AND tx_ts <= TIMESTAMP '{_BT_TX}')
+SELECT user_id, ts AS valid_ts, tx_ts, event_type, value
+FROM v WHERE rn = 1
+"""
+
+REGISTRY_DATAENG.update({
+    "q203_benford_audit": (q_benford_audit, ORACLE_BENFORD),
+    "q206_bitemporal_asof": (q_bitemporal_asof, ORACLE_BITEMPORAL),
+})

@@ -524,3 +524,50 @@ REGISTRY_EVENTS.update({
     "q199_transition_matrix": (q_transition_matrix,
                                ORACLE_TRANSITION_MATRIX),
 })
+
+
+# ------------------------------- q204 hour-of-day entropy per type
+
+def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's hour-of-day activity
+    profile — THE monitoring statistic for 'did this signal's daily
+    rhythm change' (a flatlined sensor collapses toward 0 bits of
+    surprise... actually uniform → high entropy; a burst → low).
+    Per (type, hour) counts → p = n/N (one exact int/int double
+    division) → each p·ln(p) term routed through DECIMAL(28,15) so
+    the 24-term sum is order-independent across partitions and
+    engines (the q95/PSI discipline). Scale: two combinable groupBys
+    over at most |types|×24 rows of state."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h"))
+    c = ev.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("n_tot"))
+    p = (c.join(F.broadcast(tot), "event_type")
+         .withColumn("_p", F.col("n") / F.col("n_tot")))
+    term = (F.col("_p") * F.log(F.col("_p"))).cast("decimal(28,15)")
+    return (p.groupBy("event_type")
+            .agg(F.max("n_tot").alias("n_events"),
+                 F.count("*").alias("active_hours"),
+                 (F.round(-F.sum(term).cast("double"), 6) + 0.0)
+                 .alias("entropy_nats")))
+
+
+ORACLE_TYPE_ENTROPY = f"""
+WITH {_EV_SQL},
+c AS (SELECT event_type, extract(hour FROM ts) AS h, count(*) AS n
+      FROM ev GROUP BY 1, 2),
+t AS (SELECT event_type, sum(n) AS N FROM c GROUP BY 1),
+p AS (SELECT c.event_type, CAST(c.n AS DOUBLE) / t.N AS p
+      FROM c JOIN t ON c.event_type = t.event_type)
+SELECT t.event_type, CAST(t.N AS BIGINT) AS n_events,
+       (SELECT count(*) FROM c WHERE c.event_type = t.event_type)
+           AS active_hours,
+       round(-CAST(sum(CAST(p.p * ln(p.p) AS DECIMAL(28,15)))
+                   AS DOUBLE), 6) + 0.0 AS entropy_nats
+FROM p JOIN t ON p.event_type = t.event_type
+GROUP BY t.event_type, t.N
+"""
+
+REGISTRY_EVENTS.update({
+    "q204_type_entropy": (q_type_entropy, ORACLE_TYPE_ENTROPY),
+})

@@ -1186,3 +1186,51 @@ REGISTRY_LLM.update({
     "q197_dup_threshold_sweep": (q_dup_threshold_sweep,
                                  _oracle_dup_threshold_sweep()),
 })
+
+
+# ---------------------------------- q208 per-stratum eval-set quotas
+
+EVAL_QUOTA = 5
+
+
+def q_eval_set_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out eval-set construction with per-stratum quotas: from
+    every (lang, source) cell take exactly EVAL_QUOTA documents,
+    chosen by portable md5-hash order (operators/text.py::hash64) —
+    the balanced-eval counterpart to q48's rate-based sampler. Hash
+    order means the picks are reproducible on any engine and stable
+    under corpus growth *within* the hashed prefix. One window
+    partitioned by the stratum (distributed — |cells| partitions),
+    no global sort."""
+    from pyspark.sql import Window
+
+    from industrial_data_pipeline_spark.operators.text import hash64
+    from industrial_data_pipeline_spark.suite_common import load
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(hash64(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.withColumn("pick_rank",
+                            F.row_number().over(w).cast("int"))
+            .where(F.col("pick_rank") <= EVAL_QUOTA)
+            .select("doc_id", "lang", "source", "n_chars",
+                    "pick_rank"))
+
+
+_ORACLE_EVAL_QUOTA = f"""
+WITH h AS (SELECT doc_id, lang, source, n_chars,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                  15))::BIGINT AS hk
+           FROM documents),
+r AS (SELECT doc_id, lang, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang, source
+                                     ORDER BY hk, doc_id) AS INT)
+                 AS pick_rank
+      FROM h)
+SELECT doc_id, lang, source, n_chars, pick_rank
+FROM r WHERE pick_rank <= {EVAL_QUOTA}
+"""
+
+REGISTRY_LLM.update({
+    "q208_eval_set_quota": (q_eval_set_quota, _ORACLE_EVAL_QUOTA),
+})

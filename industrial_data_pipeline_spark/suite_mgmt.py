@@ -1164,3 +1164,52 @@ REGISTRY_MGMT.update({
     "q194_upsert_idempotence": (q_upsert_idempotence,
                                 ORACLE_UPSERT_IDEMPOTENCE),
 })
+
+
+# --------------------------------- q205 archive compaction (S7/S8)
+
+def q_compact_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction through the store: three separate
+    appends (users 1, 2, 3) leave one file per appending user in
+    every date partition it touches — the accumulation pattern of
+    any incremental loader —
+    then ``compact_archive`` rewrites each partition to one sorted
+    file. Emits per-partition files before/after plus the row count
+    read back AFTER compaction, so the hash match proves both the
+    file-count arithmetic and that no row was lost or duplicated."""
+    pipe, root = _seed(spark, sf_dir, n_cust=10)
+    for u in (1, 2, 3):
+        pipe.store.append_archive(
+            DB, _hourly_archive(spark, sf_dir, [u]))
+    stats = pipe.store.compact_archive(DB)
+    sdf = spark.createDataFrame(
+        stats, "ts_date string, files_before int, files_after int")
+    from industrial_data_pipeline_spark.catalog.schemas import (
+        ARCHIVE_PARTITION_COL)
+    rows = (pipe.store.archive(DB)
+            .groupBy(F.col(ARCHIVE_PARTITION_COL).cast("string")
+                     .alias("ts_date"))
+            .agg(F.count("*").alias("n_rows")))
+    out = sdf.join(rows, "ts_date").select(
+        "ts_date", "files_before", "files_after", "n_rows")
+    return _finish(out, root)
+
+
+ORACLE_COMPACT_ARCHIVE = f"""
+WITH h AS (SELECT user_id,
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t
+           FROM events
+           WHERE user_id IN (1, 2, 3)
+             AND CAST(ts AS TIMESTAMP) < '{_CUTOFF}'
+           GROUP BY 1, 2)
+SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS ts_date,
+       CAST(count(DISTINCT user_id) AS INT) AS files_before,
+       1 AS files_after,
+       count(*) AS n_rows
+FROM h GROUP BY 1
+"""
+
+REGISTRY_MGMT.update({
+    "q205_compact_archive": (q_compact_archive,
+                             ORACLE_COMPACT_ARCHIVE),
+})

@@ -295,6 +295,59 @@ WHERE n_promo_parts >= {MIN_PROMO_PARTS}
 """
 
 
+# ------------------------------------------ q201 shipmode priority
+# TPC-H Q12 shape — the last of the 22 classic shapes this engine
+# lacked. The synthetic lineitem ships no shipmode/commitdate
+# columns (see suite_olap2 module doc), so mode is derived
+# deterministically from l_partkey and "late" from a 45-day
+# ship-after-order threshold. Scale shape: the fact is date-filtered
+# BEFORE the orderkey shuffle join (predicate reaches the scan), the
+# late filter then prunes again before the 3-row aggregation.
+
+_SHIPMODES = ["AIR", "RAIL", "SHIP"]
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: for each derived ship mode, how many LATE lines belong to
+    high-priority orders vs the rest — the shipping-SLA question."""
+    li = (load(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1997-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_partkey", "l_shipdate"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in _SHIPMODES]),
+        (F.pmod(F.col("l_partkey"), F.lit(3)) + 1).cast("int"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+            .select(mode.alias("shipmode"), high.alias("_hi"))
+            .groupBy("shipmode")
+            .agg(F.count(F.when(F.col("_hi"), 1))
+                 .alias("high_line_count"),
+                 F.count(F.when(~F.col("_hi"), 1))
+                 .alias("low_line_count")))
+
+
+ORACLE_SHIPMODE_PRIORITY = """
+SELECT CASE l_partkey % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL'
+            ELSE 'SHIP' END AS shipmode,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT',
+                                                  '2-HIGH'))
+           AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT',
+                                                      '2-HIGH'))
+           AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+GROUP BY 1
+"""
+
+
 REGISTRY_OLAP3: dict[str, tuple] = {
     "q94_stream_enriched_counts": (q_stream_enriched_counts,
                                    ORACLE_STREAM_ENRICHED),
@@ -308,4 +361,6 @@ REGISTRY_OLAP3: dict[str, tuple] = {
     "q99_top_supplier": (q_top_supplier, ORACLE_TOP_SUPPLIER),
     "q100_variety_suppliers": (q_variety_suppliers,
                                ORACLE_VARIETY_SUPPLIERS),
+    "q201_shipmode_priority": (q_shipmode_priority,
+                               ORACLE_SHIPMODE_PRIORITY),
 }

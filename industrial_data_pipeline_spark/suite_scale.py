@@ -438,3 +438,48 @@ FROM t GROUP BY tile
 REGISTRY_SCALE.update({
     "q172_zorder_layout": (q_zorder_layout, ORACLE_ZORDER_LAYOUT),
 })
+
+
+# ------------------------------------ q207 join-key skew diagnostics
+
+SKEW_TOP = 20
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'why is my join slow' report: per-key row counts for the
+    events⋈users join key, top-20 hottest keys with their share of
+    all rows and their ratio to the mean key size — the numbers that
+    decide between a plain shuffle join, AQE skew split, and salting
+    (operators/scale.py::salted_join). Scale shape: one combinable
+    groupBy, a 2-value global agg, and a distributed top-k
+    (TakeOrderedAndProject) — never a global sort or window."""
+    c = (load(spark, sf_dir, "events")
+         .groupBy("user_id").agg(F.count("*").alias("n")))
+    stats = c.agg(F.sum("n").alias("_tot"),
+                  F.count("*").alias("_k"))
+    top = c.orderBy(F.desc("n"), F.asc("user_id")).limit(SKEW_TOP)
+    return (top.crossJoin(F.broadcast(stats))
+            .select("user_id", "n",
+                    (F.round(F.col("n") / F.col("_tot"), 6) + 0.0)
+                    .alias("share"),
+                    (F.round(F.col("n").cast("double")
+                             / (F.col("_tot").cast("double")
+                                / F.col("_k")), 6) + 0.0)
+                    .alias("ratio_to_mean")))
+
+
+ORACLE_SKEW_PROFILE = f"""
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+s AS (SELECT sum(n) AS tot, count(*) AS k FROM c),
+top AS (SELECT user_id, n FROM c
+        ORDER BY n DESC, user_id ASC LIMIT {SKEW_TOP})
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / tot, 6) + 0.0 AS share,
+       round(CAST(n AS DOUBLE) / (CAST(tot AS DOUBLE) / k), 6) + 0.0
+           AS ratio_to_mean
+FROM top, s
+"""
+
+REGISTRY_SCALE.update({
+    "q207_skew_profile": (q_skew_profile, ORACLE_SKEW_PROFILE),
+})

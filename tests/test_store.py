@@ -173,3 +173,29 @@ def test_drop_archive_partitions(spark, tmp_path):
     assert left == [3]
     # idempotent: nothing older remains
     assert st.drop_archive_partitions("ttl", "2024-01-03") == 0
+
+
+def test_compact_archive_merges_files_preserves_rows(spark, tmp_path):
+    from datetime import datetime as T
+
+    from industrial_data_pipeline_spark.catalog.store import ParquetStore
+    st = ParquetStore(spark, str(tmp_path))
+    st.create_database("c")
+    # three appends → 3 files in the 01-01 partition, 1 in 01-02
+    for a in (1, 2, 3):
+        rows = [(a, T(2024, 1, 1, h), float(a * 10 + h))
+                for h in range(4)]
+        if a == 1:
+            rows.append((a, T(2024, 1, 2, 0), 99.0))
+        st.append_archive("c", spark.createDataFrame(
+            rows, "attribute_id long, timestamp timestamp, value double"))
+    before = sorted((r.attribute_id, r.timestamp, r.value)
+                    for r in st.archive_values("c").collect())
+    stats = dict((d, (b, a)) for d, b, a in st.compact_archive("c"))
+    assert stats["2024-01-01"] == (3, 1)
+    assert stats["2024-01-02"] == (1, 1)  # under target: untouched
+    after = sorted((r.attribute_id, r.timestamp, r.value)
+                   for r in st.archive_values("c").collect())
+    assert after == before
+    # idempotent: second pass finds nothing to merge
+    assert all(b == a == 1 for _, b, a in st.compact_archive("c"))
