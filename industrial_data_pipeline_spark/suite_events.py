@@ -571,3 +571,101 @@ GROUP BY t.event_type, t.N
 REGISTRY_EVENTS.update({
     "q204_type_entropy": (q_type_entropy, ORACLE_TYPE_ENTROPY),
 })
+
+
+# ----------------------------- q210 purchase touch attribution
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style attribution: for every purchase, the user's
+    FIRST view ever (first-touch) and the LAST view preceding the
+    purchase (last-touch), plus the view→purchase latency in seconds
+    — exact integer µs arithmetic. One window partitioned by user
+    (conditional min/max over the running frame), no self-join: the
+    classic correlated-subquery shape collapsed into a single pass."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vts = F.when(F.col("event_type") == "view", F.col("ts"))
+    enriched = (ev.withColumn("first_touch", F.min(vts).over(w))
+                .withColumn("last_touch", F.max(vts).over(w)))
+    return (enriched.where(F.col("event_type") == "purchase")
+            .select("user_id", "event_id",
+                    F.col("ts").alias("purchase_ts"),
+                    "first_touch", "last_touch",
+                    ((F.unix_micros("ts")
+                      - F.unix_micros("last_touch"))
+                     / F.lit(1_000_000)).cast("bigint")
+                    .alias("latency_s")))
+
+
+ORACLE_TOUCH_ATTRIBUTION = f"""
+WITH {_EV_SQL},
+e AS (SELECT user_id, event_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER w AS first_touch,
+             max(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER w AS last_touch
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, ts AS purchase_ts, first_touch, last_touch,
+       CAST((epoch_us(ts) - epoch_us(last_touch)) // 1000000
+            AS BIGINT) AS latency_s
+FROM e WHERE event_type = 'purchase'
+"""
+
+REGISTRY_EVENTS.update({
+    "q210_touch_attribution": (q_touch_attribution,
+                               ORACLE_TOUCH_ATTRIBUTION),
+})
+
+
+# ----------------------------- q211 MAD robust outlier detection
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type — the
+    robust alternative to q42's mean/stddev z-scores (one wild value
+    inflates a stddev and hides itself; it cannot move a median).
+    Two grouped exact percentiles (median, then median of absolute
+    deviations) + a broadcast join of the 5-row medians back onto the
+    stream; flag |v − med| > 3·1.4826·MAD. All doubles flow through
+    identical IEEE op sequences on both engines (q46 percentile
+    parity), so med/MAD ship raw."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("_dev", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("_dev", 0.5).alias("mad"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 (F.max("med") + 0.0).alias("med"),
+                 (F.max("mad") + 0.0).alias("mad"),
+                 F.count(F.when(
+                     F.col("_dev") > 3.0 * 1.4826 * F.col("mad"), 1))
+                 .alias("n_outliers")))
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH {_EV_SQL},
+med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM ev GROUP BY 1),
+dev AS (SELECT e.event_type, abs(e.value - m.med) AS dv, m.med
+        FROM ev e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT d.event_type, count(*) AS n,
+       max(d.med) + 0.0 AS med, max(a.mad) + 0.0 AS mad,
+       count(CASE WHEN d.dv > 3.0 * 1.4826 * a.mad THEN 1 END)
+           AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+"""
+
+REGISTRY_EVENTS.update({
+    "q211_mad_outliers": (q_mad_outliers, ORACLE_MAD_OUTLIERS),
+})

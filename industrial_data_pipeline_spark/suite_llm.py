@@ -1234,3 +1234,38 @@ FROM r WHERE pick_rank <= {EVAL_QUOTA}
 REGISTRY_LLM.update({
     "q208_eval_set_quota": (q_eval_set_quota, _ORACLE_EVAL_QUOTA),
 })
+
+
+# ------------------------------ q212 duplicate-aware loss weights
+
+def q_dup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware training weights: instead of DROPPING exact
+    duplicates (q23), keep every copy but weight each document
+    1/|cluster| so a text repeated across crawls contributes exactly
+    one document's worth of gradient — the soft-dedup used when
+    provenance must be preserved. Same normalize+hash fingerprint as
+    q23; one groupBy + one shuffle join on the fingerprint; the
+    weight is a single int→double division, identical everywhere."""
+    docs = _load_docs(spark, sf_dir)
+    t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keyed = docs.withColumn("_fp", TX.hash64(t))
+    sizes = keyed.groupBy("_fp").agg(
+        F.count("*").alias("cluster_size"))
+    return (keyed.join(sizes, "_fp")
+            .select("doc_id", "cluster_size",
+                    (F.lit(1.0) / F.col("cluster_size") + 0.0)
+                    .alias("weight")))
+
+
+ORACLE_DUP_LOSS_WEIGHTS = f"""
+WITH keyed AS (SELECT doc_id, {_NORM_TEXT} AS fp FROM documents),
+g AS (SELECT fp, count(*) AS cluster_size FROM keyed GROUP BY fp)
+SELECT k.doc_id, g.cluster_size,
+       1.0 / g.cluster_size + 0.0 AS weight
+FROM keyed k JOIN g USING (fp)
+"""
+
+REGISTRY_LLM.update({
+    "q212_dup_loss_weights": (q_dup_loss_weights,
+                              ORACLE_DUP_LOSS_WEIGHTS),
+})

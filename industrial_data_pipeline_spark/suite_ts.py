@@ -915,3 +915,46 @@ FROM f2 ASOF LEFT JOIN t3 ON f2.t >= t3.t
 REGISTRY_TS.update({
     "q200_sensor_fusion": (q_sensor_fusion, ORACLE_SENSOR_FUSION),
 })
+
+
+# ------------------------------ q209 rolling exact median per tag
+
+ROLL_FRAME = 23  # previous readings in the frame (24 incl. current)
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the last 24 readings per tag — the
+    robust companion to q42's rolling mean/stddev anomaly scores
+    (a single spike shifts a mean but not a median). Exact
+    percentile as a moving-frame window aggregate, partitioned by
+    tag: state is the 24-row frame, work is |rows|×frame, fully
+    distributed — never a global sort. Interpolated medians of
+    identical double inputs are bit-identical across engines (q46
+    established percentile_cont parity), so values ship raw."""
+    arch = archive_analog(spark, sf_dir).where(
+        F.col("attribute_id").isin(1, 2, 3))
+    arch.createOrReplaceTempView("_roll_arch")
+    return spark.sql(f"""
+        SELECT attribute_id, timestamp, value,
+               percentile(value, 0.5) OVER (
+                   PARTITION BY attribute_id ORDER BY timestamp
+                   ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW
+               ) + 0.0 AS rolling_med
+        FROM _roll_arch
+    """)
+
+
+ORACLE_ROLLING_MEDIAN = f"""
+WITH {_ARCH_SQL}
+SELECT attribute_id, "timestamp", value,
+       quantile_cont(value, 0.5) OVER (
+           PARTITION BY attribute_id ORDER BY "timestamp"
+           ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW
+       ) + 0.0 AS rolling_med
+FROM arch
+WHERE attribute_id IN (1, 2, 3)
+"""
+
+REGISTRY_TS.update({
+    "q209_rolling_median": (q_rolling_median, ORACLE_ROLLING_MEDIAN),
+})

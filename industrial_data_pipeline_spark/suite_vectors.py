@@ -297,3 +297,76 @@ REGISTRY_VECTORS.update({
     "q188_dim_standardization": (q_dim_standardization,
                                  ORACLE_DIM_STANDARDIZATION),
 })
+
+
+# ----------------------- q213 centroid pairwise cosine similarity
+
+def q_centroid_similarity(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Class-confusability matrix: cosine similarity between every
+    pair of label centroids — the first thing to read before trusting
+    a labeled embedding space (two classes whose prototypes sit at
+    cos > 0.9 will confuse any nearest-centroid routing; q84 measures
+    that confusion empirically, this predicts it geometrically).
+    Determinism: the 1/n mean factors cancel inside cosine, so the
+    whole statistic computes from the exact per-dim DECIMAL sums
+    (q170's representation) — dot and squared norms stay in DECIMAL
+    (order-free), then exactly one sqrt/divide in IEEE doubles.
+    Shapes: long-form explode, (label × dim) partial-agg shuffle,
+    |labels|²/2 pair rows via a broadcast self-join on dim."""
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ex = emb.select("label", F.posexplode(v).alias("dim", "x"))
+    sd = (ex.groupBy("label", "dim")
+          .agg(F.sum(F.col("x").cast("decimal(28,6)"))
+               .cast("decimal(18,6)").alias("s")))
+    nrm = (sd.groupBy("label")
+           .agg(F.sum(F.col("s") * F.col("s")).alias("ss")))
+    a, b = sd.alias("a"), sd.alias("b")
+    dots = (a.join(F.broadcast(b),
+                   (F.col("a.dim") == F.col("b.dim"))
+                   & (F.col("a.label") < F.col("b.label")))
+            .groupBy(F.col("a.label").alias("label_a"),
+                     F.col("b.label").alias("label_b"))
+            .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot")))
+    na = nrm.select(F.col("label").alias("label_a"),
+                    F.col("ss").alias("ss_a"))
+    nb = nrm.select(F.col("label").alias("label_b"),
+                    F.col("ss").alias("ss_b"))
+    return (dots.join(F.broadcast(na), "label_a")
+            .join(F.broadcast(nb), "label_b")
+            .select("label_a", "label_b",
+                    (F.col("dot").cast("double")
+                     / (F.sqrt(F.col("ss_a").cast("double"))
+                        * F.sqrt(F.col("ss_b").cast("double")))
+                     + 0.0).alias("cosine")))
+
+
+ORACLE_CENTROID_SIMILARITY = """
+WITH ex AS (SELECT label, i.i AS dim,
+                   CAST(embedding[i.i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN
+                 (SELECT unnest(generate_series(1, 64)) AS i) i),
+sd AS (SELECT label, dim,
+              CAST(sum(CAST(x AS DECIMAL(28,6))) AS DECIMAL(18,6))
+                  AS s
+       FROM ex GROUP BY 1, 2),
+nrm AS (SELECT label, sum(s * s) AS ss FROM sd GROUP BY 1),
+dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                sum(a.s * b.s) AS dot
+         FROM sd a JOIN sd b
+           ON a.dim = b.dim AND a.label < b.label
+         GROUP BY 1, 2)
+SELECT d.label_a, d.label_b,
+       CAST(d.dot AS DOUBLE)
+       / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+       + 0.0 AS cosine
+FROM dots d JOIN nrm na ON d.label_a = na.label
+            JOIN nrm nb ON d.label_b = nb.label
+"""
+
+REGISTRY_VECTORS.update({
+    "q213_centroid_similarity": (q_centroid_similarity,
+                                 ORACLE_CENTROID_SIMILARITY),
+})
