@@ -21,7 +21,6 @@ from __future__ import annotations
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from industrial_data_pipeline_spark.catalog.store import ParquetStore
 from industrial_data_pipeline_spark.functions.formula import validate
@@ -342,11 +341,21 @@ class Pipeline:
                   F.col("_parent_path") == F.col("path")) \
             .select("element_id", "name", "kks", "formula", "old_id")
         base = self._next_id(new_attr, "attribute_id")
-        # dimension-sized: a global row_number is fine here
-        restored = derived_rows.withColumn(
-            "attribute_id",
-            (F.row_number().over(Window.orderBy("old_id"))
-             + F.lit(base - 1)).cast("long"))
+        # id assignment is driver-side: the derived snapshot is
+        # dimension-sized (catalog attributes) by construction, so a
+        # collect + enumerate replaces the global row_number window
+        # the earlier version used — one bounded job, no WindowExec,
+        # and every downstream consumer (final_attr, the id-map
+        # union, each per-partition archive rewrite) reads a local
+        # frame instead of re-executing the plan
+        drows = sorted(derived_rows.collect(),
+                       key=lambda r: r["old_id"])
+        restored = self.spark.createDataFrame(
+            [(r["element_id"], r["name"], r["kks"], r["formula"],
+              r["old_id"], int(base + i))
+             for i, r in enumerate(drows)],
+            "element_id long, name string, kks string, "
+            "formula string, old_id long, attribute_id long")
         final_attr = new_attr.unionByName(
             restored.select("element_id", "attribute_id", "name", "kks",
                             "formula"))

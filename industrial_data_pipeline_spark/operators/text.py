@@ -657,17 +657,18 @@ def trigram_like_search(df: DataFrame, pattern: str,
     posting = (df.select(F.col(id_col).alias("_id"),
                          F.explode(grams).alias("tg"))
                .where(F.col("tg").isin(qgrams)))
-    from pyspark.sql import Window
-
-    # one evaluation of the candidate subtree: the global candidate
-    # count rides on each row via an empty-partition window instead
-    # of a second aggregate over a recomputed explode+groupBy
-    cand = (posting.groupBy("_id")
-            .agg(F.count_distinct("tg").alias("_n"))
-            .where(F.col("_n") == len(qgrams))
-            .select("_id")
-            .withColumn("n_candidates",
-                        F.count("*").over(Window.partitionBy())))
+    # one evaluation of the candidate subtree: checkpoint the id set
+    # (bounded by the post-intersection candidates) so the global
+    # count and the verify join both read it without recomputing the
+    # explode+groupBy — and without an empty-partition window, which
+    # would ship every candidate to a single partition
+    cand_ids = (posting.groupBy("_id")
+                .agg(F.count_distinct("tg").alias("_n"))
+                .where(F.col("_n") == len(qgrams))
+                .select("_id")
+                .localCheckpoint(eager=True))
+    cand = cand_ids.crossJoin(F.broadcast(
+        cand_ids.agg(F.count("*").alias("n_candidates"))))
     return (df.join(cand, df[id_col] == cand._id)
             .where(t.like(f"%{pattern}%"))
             .select(id_col, "n_candidates"))
