@@ -348,3 +348,139 @@ REGISTRY_DATAENG.update({
     "q203_benford_audit": (q_benford_audit, ORACLE_BENFORD),
     "q206_bitemporal_asof": (q_bitemporal_asof, ORACLE_BITEMPORAL),
 })
+
+
+# ------------------- q215 SCD2 transition attribution (temporal)
+
+def q_scd2_prior_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SCD2 state did each user leave to make a purchase?  For
+    every purchase, the most recent DIFFERENT event_type before it
+    (conditional last_value over the running frame) — the
+    from-state of the conversion transition, aggregated to a
+    (prior_state → n, users, value) table. One window pass per user,
+    DECIMAL-exact sums; NULL prior state (purchase-first users)
+    groups as 'none'."""
+    ev = load(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.last(F.when(F.col("event_type") != "purchase",
+                          F.col("event_type")), ignorenulls=True).over(w)
+    return (ev.withColumn("_prior", prior)
+            .where(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("_prior", F.lit("none"))
+                     .alias("prior_state"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 .cast("double").alias("sum_value")))
+
+
+ORACLE_SCD2_PRIOR_STATE = f"""
+WITH {_EV},
+p AS (SELECT user_id, event_type, value,
+             last(CASE WHEN event_type <> 'purchase'
+                       THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prior_state
+      FROM ev)
+SELECT coalesce(prior_state, 'none') AS prior_state,
+       count(*) AS n_purchases,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM p WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+REGISTRY_DATAENG.update({
+    "q215_scd2_prior_state": (q_scd2_prior_state,
+                              ORACLE_SCD2_PRIOR_STATE),
+})
+
+
+# --------------------------- q216 data-quality expectation suite
+
+def q_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations scorecard a pipeline gate runs before
+    publishing a table: one row per declared constraint with rows
+    checked, violations, and pass/fail — completeness (NOT NULL),
+    validity (range / set membership), uniqueness (key), and
+    referential integrity (orphan FK), over orders+lineitem. Every
+    check is a combinable aggregation or an anti-join count; the
+    whole card is a union of tiny results, so it costs one scan per
+    table plus one key-project join."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def card(name, total_col, viol_col, df):
+        return df.agg(F.lit(name).alias("expectation"),
+                      F.count(total_col).alias("n_checked"),
+                      F.count(F.when(viol_col, 1)).alias("n_violations"),
+                      (F.count(F.when(viol_col, 1)) == 0).alias("ok"))
+
+    c1 = card("orders.o_totalprice NOT NULL AND > 0", "*",
+              F.col("o_totalprice").isNull()
+              | (F.col("o_totalprice") <= 0), orders)
+    c2 = card("orders.o_orderpriority IN 5 known values", "*",
+              ~F.col("o_orderpriority").isin(
+                  "1-URGENT", "2-HIGH", "3-MEDIUM",
+                  "4-NOT SPECIFIED", "5-LOW"), orders)
+    c3 = card("lineitem.l_discount IN [0, 0.1]", "*",
+              (F.col("l_discount") < 0)
+              | (F.col("l_discount") > 0.1), li)
+    dup = (orders.groupBy("o_orderkey")
+           .agg(F.count("*").alias("_c"))
+           .agg(F.lit("orders.o_orderkey UNIQUE").alias("expectation"),
+                F.count("*").alias("n_checked"),
+                F.count(F.when(F.col("_c") > 1, 1))
+                .alias("n_violations"),
+                (F.count(F.when(F.col("_c") > 1, 1)) == 0).alias("ok")))
+    orphan = (li.select(F.col("l_orderkey").alias("k")).distinct()
+              .join(orders.select(F.col("o_orderkey").alias("k")),
+                    "k", "left_anti")
+              .agg(F.lit("lineitem.l_orderkey REFERENCES orders")
+                   .alias("expectation"),
+                   F.count("*").alias("n_checked"),
+                   F.count("*").alias("n_violations"),
+                   (F.count("*") == 0).alias("ok")))
+    return c1.unionByName(c2).unionByName(c3).unionByName(dup) \
+        .unionByName(orphan)
+
+
+ORACLE_DQ_SCORECARD = """
+SELECT 'orders.o_totalprice NOT NULL AND > 0' AS expectation,
+       count(*) AS n_checked,
+       count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                  THEN 1 END) AS n_violations,
+       count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                  THEN 1 END) = 0 AS ok
+FROM orders
+UNION ALL
+SELECT 'orders.o_orderpriority IN 5 known values', count(*),
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+             '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 END),
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+             '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_discount IN [0, 0.1]', count(*),
+       count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END),
+       count(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                  THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_orderkey UNIQUE', count(*),
+       count(CASE WHEN c > 1 THEN 1 END),
+       count(CASE WHEN c > 1 THEN 1 END) = 0
+FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'lineitem.l_orderkey REFERENCES orders', count(*), count(*),
+       count(*) = 0
+FROM (SELECT DISTINCT l_orderkey FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+"""
+
+REGISTRY_DATAENG.update({
+    "q216_dq_scorecard": (q_dq_scorecard, ORACLE_DQ_SCORECARD),
+})

@@ -669,3 +669,43 @@ GROUP BY d.event_type
 REGISTRY_EVENTS.update({
     "q211_mad_outliers": (q_mad_outliers, ORACLE_MAD_OUTLIERS),
 })
+
+
+# --------------------------- q214 sliding-window rate monitoring
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) time windows — the rate-monitoring shape
+    tumbling windows (q62) can't express: a 1-hour window advancing
+    every 15 minutes, so each event contributes to 4 windows and a
+    burst is visible within 15 min instead of an hour. Spark's
+    native F.window(slide=) expands events JVM-side; one combinable
+    groupBy on (window, event_type). The oracle replays the window
+    algebra with a 4-slot generate_series per event."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type",
+                                              "value")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (ev.groupBy(w.alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 .cast("double").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n", "sum_value"))
+
+
+ORACLE_SLIDING_WINDOWS = f"""
+WITH {_EV_SQL},
+slots AS (SELECT event_type, value,
+                 make_timestamp((epoch_us(ts) // 900000000 - s.i)
+                                * 900000000) AS window_start
+          FROM ev CROSS JOIN
+               (SELECT unnest(generate_series(0, 3)) AS i) s
+          WHERE epoch_us(ts) // 900000000 - s.i >= 0)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM slots GROUP BY 1, 2
+"""
+
+REGISTRY_EVENTS.update({
+    "q214_sliding_windows": (q_sliding_windows,
+                             ORACLE_SLIDING_WINDOWS),
+})

@@ -89,6 +89,22 @@ PICKS = [
      "of those sums) with no re-shuffle or re-sort between them — "
      "the whole drift recurrence costs one shuffle + one per-key "
      "sort, no recursion, no UDF."),
+    ("q95_zipf_slope",
+     "Zipf fit after the round-4 fix: the vocabulary ranking is a "
+     "distributed TakeOrderedAndProject (top-1000), NOT a global "
+     "row_number window — the plan contains no WindowExec at all; "
+     "ranks for the 1000 survivors come from a single bounded-task "
+     "sort + sequential id."),
+    ("q172_zorder_layout",
+     "Exact ntile(16) without a global sort (round-4 fix): the only "
+     "Window is the within-bucket row_number partitioned on the "
+     "z-high-bits bucket key; tile quotas are integer arithmetic on "
+     "offsets collected from the <=64-row bucket-count table."),
+    ("q202_boilerplate_ngrams",
+     "Boilerplate shingles: the 5-gram expansion is a JVM-side "
+     "transform+explode (no Python); doc-frequency thresholding "
+     "happens BEFORE the hit-join, so only boilerplate grams "
+     "shuffle back against the corpus (semi-join reduction)."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
