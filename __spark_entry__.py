@@ -40,8 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows first, then the 59 remaining never-checked round-3 additions
 # in registration order, greens last. Greens carrying this round's
 # behavior-identical plan fixes (q95 window→limit, q172 ntile→range
-# boundaries) stay listed green: both re-verified values=MATCH in the
-# committed full-suite local artifact CORRECTNESS_LOCAL_r04.json.
+# boundaries, q123 driver-side derived-id assignment replacing the
+# dimension-sized window, q168 staging-dir try/finally) stay listed
+# green: each re-verified values=MATCH in the committed full-suite
+# local artifact CORRECTNESS_LOCAL_r04.json after its change.
 _VERIFIED_GREEN = {
     "q01_export_long", "q02_export_pivot", "q03_lookup_like",
     "q04_lookup_exact", "q05_leaf_heuristic", "q06_leaf_true",
