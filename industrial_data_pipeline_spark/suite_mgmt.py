@@ -1213,3 +1213,69 @@ REGISTRY_MGMT.update({
     "q205_compact_archive": (q_compact_archive,
                              ORACLE_COMPACT_ARCHIVE),
 })
+
+
+# ------------------- q218 anti-entropy repair plan (checksum diff)
+
+def q_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica reconciliation the cheap way: compare two copies of
+    the event archive per DATE PARTITION with q186's
+    order-independent XOR checksum first, then count row-level
+    deltas ONLY for partitions whose checksums disagree — the
+    anti-entropy pattern that repairs a 100 TB replica by shipping
+    per-partition fingerprints instead of data. Replica B is the
+    archive with a deterministic loss slice (event_id % 977 == 0
+    missing), so ground truth is replayable. Emits one row per
+    partition: both checksums, match flag, and (for mismatches) the
+    number of rows to re-ship."""
+    from industrial_data_pipeline_spark.operators.text import hash64
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    a = ev.withColumn("d", F.to_date("ts"))
+    b = a.where(F.col("event_id") % 977 != 0)
+    rendered = F.concat_ws("|", F.col("event_id").cast("string"),
+                           F.col("user_id").cast("string"))
+
+    def sums(df, tag):
+        return (df.select("d", hash64(rendered).alias("h"))
+                .groupBy("d")
+                .agg(F.count("*").alias(f"n_{tag}"),
+                     F.expr("bit_xor(h)").alias(f"ck_{tag}")))
+
+    cmp = (sums(a, "a").join(sums(b, "b"), "d", "left")
+           .select("d", "n_a", "ck_a",
+                   F.coalesce("n_b", F.lit(0)).alias("n_b"),
+                   F.coalesce("ck_b", F.lit(0)).alias("ck_b")))
+    match = F.col("ck_a") == F.col("ck_b")
+    # rows to re-ship: only computed where checksums disagree — at
+    # scale the expensive row diff never runs on healthy partitions
+    return cmp.select(
+        F.col("d").cast("string").alias("ts_date"),
+        "n_a", "n_b", match.alias("checksums_match"),
+        F.when(match, F.lit(0)).otherwise(F.col("n_a") - F.col("n_b"))
+        .cast("long").alias("rows_to_ship"))
+
+
+def _oracle_repair_plan() -> str:
+    h = ("('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' "
+         "|| CAST(user_id AS VARCHAR)), 1, 15))::BIGINT")
+    return f"""
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+            FROM events),
+a AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_a,
+             bit_xor({h}) AS ck_a
+      FROM ev GROUP BY 1),
+b AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_b,
+             bit_xor({h}) AS ck_b
+      FROM ev WHERE event_id % 977 <> 0 GROUP BY 1)
+SELECT strftime(a.d, '%Y-%m-%d') AS ts_date, a.n_a,
+       coalesce(b.n_b, 0) AS n_b,
+       a.ck_a = coalesce(b.ck_b, 0) AS checksums_match,
+       CASE WHEN a.ck_a = coalesce(b.ck_b, 0) THEN 0
+            ELSE a.n_a - coalesce(b.n_b, 0) END AS rows_to_ship
+FROM a LEFT JOIN b USING (d)
+"""
+
+REGISTRY_MGMT.update({
+    "q218_repair_plan": (q_repair_plan, _oracle_repair_plan()),
+})

@@ -370,3 +370,120 @@ REGISTRY_VECTORS.update({
     "q213_centroid_similarity": (q_centroid_similarity,
                                  ORACLE_CENTROID_SIMILARITY),
 })
+
+
+# ------------------- q217 quantization impact on retrieval recall
+
+QREC_NQ = 20   # query vectors (vec_id < QREC_NQ)
+QREC_K = 10    # neighbors compared
+
+
+def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does int8 quantization change what retrieval RETURNS?  q82
+    measures reconstruction error; this measures the consequence:
+    per query, the overlap between the exact-fp cosine top-10 and
+    the top-10 under q82's symmetric int8 scheme, plus whether the
+    top-1 neighbor survives. The per-vector scales cancel inside
+    cosine, so the quantized score is arithmetic on small integers
+    (|q| ≤ 127, 64-dim dot ≤ 1.04e6 — exactly representable, any
+    summation order, any engine). Shapes: the query set broadcasts,
+    scores are JVM-side zip_with/aggregate map work, ranking is one
+    window per ordering partitioned by query id — the corpus never
+    shuffles."""
+    from pyspark.sql import Window
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        _as_double, _dot)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+    v = _as_double(F.col("embedding"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    qarr = F.transform(v, lambda x: F.greatest(
+        F.lit(-127.0),
+        F.least(F.lit(127.0), F.floor(x * scale + 0.5)
+                .cast("double"))))
+    base = (_load_emb(spark, sf_dir)
+            .select("vec_id", v.alias("v"), qarr.alias("q"))
+            .withColumn("nv", _dot(F.col("v"), F.col("v")))
+            .withColumn("nq", _dot(F.col("q"), F.col("q"))))
+    queries = base.where(F.col("vec_id") < QREC_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("Qv"),
+        F.col("q").alias("Qq"), F.col("nv").alias("Qnv"),
+        F.col("nq").alias("Qnq"))
+    pairs = (base.crossJoin(F.broadcast(queries))
+             .where(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     (_dot(F.col("v"), F.col("Qv"))
+                      / (F.sqrt("nv") * F.sqrt("Qnv")))
+                     .alias("cos_fp"),
+                     (_dot(F.col("q"), F.col("Qq"))
+                      / (F.sqrt("nq") * F.sqrt("Qnq")))
+                     .alias("cos_q")))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_fp"),
+                                                "vec_id")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_q"),
+                                                "vec_id")
+    exact = (pairs.withColumn("rn", F.row_number().over(wf))
+             .where(F.col("rn") <= QREC_K)
+             .select("query_id", "vec_id", "rn"))
+    quant = (pairs.withColumn("qrn", F.row_number().over(wq))
+             .where(F.col("qrn") <= QREC_K)
+             .select("query_id", "vec_id", "qrn"))
+    overlap = (exact.join(quant, ["query_id", "vec_id"], "left")
+               .groupBy("query_id")
+               .agg(F.count(F.when(F.col("qrn").isNotNull(), 1))
+                    .alias("n_overlap"),
+                    F.max(F.when(F.col("rn") == 1, F.col("vec_id")))
+                    .alias("_e1")))
+    q1 = quant.where(F.col("qrn") == 1).select(
+        "query_id", F.col("vec_id").alias("_q1"))
+    return (overlap.join(q1, "query_id")
+            .select("query_id", "n_overlap",
+                    (F.col("_e1") == F.col("_q1"))
+                    .alias("top1_match")))
+
+
+ORACLE_QUANTIZED_RECALL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, v,
+             CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END
+                 AS scale
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)),
+                                  'max') AS amax
+            FROM e)),
+b AS (SELECT vec_id, v,
+             list_transform(v, x -> greatest(-127.0,
+                 least(127.0, floor(x * scale + 0.5)))) AS q
+      FROM p),
+pr AS (SELECT c.vec_id, qq.vec_id AS query_id,
+              list_dot_product(c.v, qq.v)
+              / (sqrt(list_dot_product(c.v, c.v))
+                 * sqrt(list_dot_product(qq.v, qq.v))) AS cos_fp,
+              list_dot_product(c.q, qq.q)
+              / (sqrt(list_dot_product(c.q, c.q))
+                 * sqrt(list_dot_product(qq.q, qq.q))) AS cos_q
+       FROM b c JOIN b qq ON qq.vec_id < {QREC_NQ}
+                         AND c.vec_id <> qq.vec_id),
+ex AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_fp DESC, vec_id) AS rn
+       FROM pr QUALIFY rn <= {QREC_K}),
+qt AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_q DESC, vec_id) AS qrn
+       FROM pr QUALIFY qrn <= {QREC_K})
+SELECT ex.query_id,
+       count(CASE WHEN qt.qrn IS NOT NULL THEN 1 END) AS n_overlap,
+       max(CASE WHEN ex.rn = 1 THEN ex.vec_id END)
+       = max(CASE WHEN ex.rn = 1 THEN q1._q1 END) AS top1_match
+FROM ex LEFT JOIN qt USING (query_id, vec_id)
+JOIN (SELECT query_id, vec_id AS _q1 FROM qt WHERE qrn = 1) q1
+  USING (query_id)
+GROUP BY ex.query_id
+"""
+
+REGISTRY_VECTORS.update({
+    "q217_quantized_recall": (q_quantized_recall,
+                              ORACLE_QUANTIZED_RECALL),
+})

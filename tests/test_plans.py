@@ -264,3 +264,25 @@ def test_salted_join_no_single_key_hotspot(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "salt" in p, "join must carry the salt in its key"
+
+
+def test_skew_profile_distributed_topk(spark):
+    """q207: the hottest-keys report must rank via distributed
+    TakeOrderedAndProject, never a global sort or window — the
+    diagnostic for skew must not itself create a skew hotspot."""
+    from industrial_data_pipeline_spark.suite_scale import q_skew_profile
+    p = plan(q_skew_profile(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_boilerplate_shingles_jvm_side(spark):
+    """q202: the 5-gram expansion must be JVM-side Generate (explode
+    of a transform over the token array) — no Python evaluation in
+    the shingle path; and the gram threshold must land before the
+    hit-join (the join build side is the filtered gram set)."""
+    from industrial_data_pipeline_spark.suite_corpus import (
+        q_boilerplate_ngrams)
+    p = plan(q_boilerplate_ngrams(spark, "/root/testdata/sf0.001"))
+    assert "Generate" in p and "explode(transform(" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
