@@ -709,3 +709,75 @@ REGISTRY_EVENTS.update({
     "q214_sliding_windows": (q_sliding_windows,
                              ORACLE_SLIDING_WINDOWS),
 })
+
+
+# -------------------- q219 exact higher moments (skew / kurtosis)
+
+# shared central-moment arithmetic, one string parsed by BOTH engines
+# so the IEEE op tree is identical by construction; sk_* are the
+# milli-unit INT64 power sums divided back to doubles
+_MOM_MEAN = "(s1 / 1e3 / n)"
+_MOM_M2 = f"(s2 / 1e3 / n - {_MOM_MEAN} * {_MOM_MEAN})"
+_MOM_M3 = (f"(s3 / 1e3 / n - 3 * {_MOM_MEAN} * s2 / 1e3 / n"
+           f" + 2 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})")
+_MOM_M4 = (f"(s4 / 1e3 / n - 4 * {_MOM_MEAN} * s3 / 1e3 / n"
+           f" + 6 * {_MOM_MEAN} * {_MOM_MEAN} * s2 / 1e3 / n"
+           f" - 3 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN}"
+           f" * {_MOM_MEAN})")
+# m2^1.5 as m2*sqrt(m2): sqrt is correctly rounded IEEE on every
+# engine, libm pow() is not (measured 1-ulp divergence at sf0.001)
+_MOM_SKEW = f"{_MOM_M3} / ({_MOM_M2} * sqrt({_MOM_M2})) + 0e0"
+_MOM_KURT = f"{_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3e0 + 0e0"
+
+
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type from
+    exact power sums — the distribution-shape profile behind every
+    'is this sensor Gaussian' decision. Each x^k is the same double
+    product on both engines, quantized by floor(·1000) to INT64
+    milli-units and summed as integers — exact in any order, and
+    int→double is a hardware conversion identical everywhere
+    (DECIMAL sums were measured to diverge here: the scaled s4
+    integer exceeds 2^53, where DECIMAL→DOUBLE takes divergent
+    software paths — the q192 lesson). The closed-form moment
+    arithmetic is ONE shared SQL string parsed by both engines, so
+    the IEEE op tree matches by construction. Built-in skewness()/
+    kurtosis() use order-dependent running float merges — exactly
+    what this avoids."""
+    x = F.col("value")
+    mi = lambda c: F.floor(c * F.lit(1000.0)).cast("long")  # noqa: E731
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    s = (ev.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum(mi(x)).alias("s1"),
+              F.sum(mi(x * x)).alias("s2"),
+              F.sum(mi(x * x * x)).alias("s3"),
+              F.sum(mi(x * x * x * x)).alias("s4")))
+    return s.selectExpr(
+        "event_type", "n",
+        f"{_MOM_MEAN} + 0e0 AS mean",
+        f"{_MOM_SKEW} AS skewness",
+        f"{_MOM_KURT} AS excess_kurtosis")
+
+
+ORACLE_MOMENTS = f"""
+WITH {{ev}},
+s AS (SELECT event_type, count(*) AS n,
+             sum(CAST(floor(value * 1000.0) AS BIGINT)) AS s1,
+             sum(CAST(floor(value * value * 1000.0) AS BIGINT))
+                 AS s2,
+             sum(CAST(floor(value * value * value * 1000.0)
+                      AS BIGINT)) AS s3,
+             sum(CAST(floor(value * value * value * value * 1000.0)
+                      AS BIGINT)) AS s4
+      FROM ev GROUP BY 1)
+SELECT event_type, n,
+       {_MOM_MEAN} + 0e0 AS mean,
+       {_MOM_SKEW} AS skewness,
+       {_MOM_KURT} AS excess_kurtosis
+FROM s
+""".format(ev=_EV_SQL)
+
+REGISTRY_EVENTS.update({
+    "q219_moments": (q_moments, ORACLE_MOMENTS),
+})

@@ -364,3 +364,56 @@ REGISTRY_OLAP3: dict[str, tuple] = {
     "q201_shipmode_priority": (q_shipmode_priority,
                                ORACLE_SHIPMODE_PRIORITY),
 }
+
+
+# ----------------------------- q220 weighted median (by quantity)
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted median price per return flag — the 'half the
+    QUANTITY traded below this price' statistic, which an unweighted
+    median misrepresents whenever cheap lines carry big volumes.
+    One window pass per group builds running integer weight sums in
+    a total (price, orderkey, linenumber) order; the median row is
+    picked by pure integer threshold arithmetic (2·cumw ≥ T crosses
+    at exactly one row for positive weights), so the whole selection
+    is engine-exact with no float comparisons."""
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  F.col("l_quantity").cast("bigint").alias("w"),
+                  "l_extendedprice", "l_orderkey", "l_linenumber"))
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = li.withColumn("cumw", F.sum("w").over(w))
+    tot = li.groupBy("l_returnflag").agg(F.sum("w").alias("T"))
+    return (run.join(F.broadcast(tot), "l_returnflag")
+            .where((2 * F.col("cumw") >= F.col("T"))
+                   & (2 * (F.col("cumw") - F.col("w")) < F.col("T")))
+            .select("l_returnflag", F.col("T").alias("total_qty"),
+                    F.col("l_extendedprice")
+                    .alias("weighted_median_price")))
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH li AS (SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   l_extendedprice, l_orderkey, l_linenumber
+            FROM lineitem),
+r AS (SELECT l_returnflag, w, l_extendedprice,
+             sum(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice, l_orderkey,
+                                   l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumw
+      FROM li),
+t AS (SELECT l_returnflag, sum(w) AS T FROM li GROUP BY 1)
+SELECT r.l_returnflag, CAST(t.T AS BIGINT) AS total_qty,
+       r.l_extendedprice AS weighted_median_price
+FROM r JOIN t USING (l_returnflag)
+WHERE 2 * r.cumw >= t.T AND 2 * (r.cumw - r.w) < t.T
+"""
+
+REGISTRY_OLAP3.update({
+    "q220_weighted_median": (q_weighted_median,
+                             ORACLE_WEIGHTED_MEDIAN),
+})
