@@ -148,3 +148,24 @@ def test_probe_rejects_garbage():
     assert MM.probe_image(b"not an image at all") is None
     # JPEG SOI followed by garbage: walk must terminate, not loop
     assert MM.probe_image(b"\xff\xd8" + b"\x00" * 50) is None
+
+
+def test_zorder_quota_arithmetic_equals_ntile(spark):
+    """q172's integer quota formula must reproduce F.ntile(16) for
+    ANY row count, including N < 16 and N % 16 != 0 — the property
+    the distributed rewrite must never drift from."""
+    from pyspark.sql import Window, functions as F
+    for n in (1, 5, 16, 17, 100, 159, 1600):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        w = Window.orderBy("k")
+        want = {r.k: r.t for r in
+                df.withColumn("t", F.ntile(16).over(w)).collect()}
+        q, rem = n // 16, n % 16
+        cut = rem * (q + 1)
+        got = {}
+        for idx in range(n):
+            if idx < cut:
+                got[idx] = idx // (q + 1) + 1
+            else:
+                got[idx] = rem + (idx - cut) // max(q, 1) + 1
+        assert got == want, f"N={n}"

@@ -286,3 +286,30 @@ def test_boilerplate_shingles_jvm_side(spark):
     p = plan(q_boilerplate_ngrams(spark, "/root/testdata/sf0.001"))
     assert "Generate" in p and "explode(transform(" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sliding_window_single_aggregate(spark):
+    """q214: the slide expansion must be plan-side (Expand/Generate
+    feeding ONE partial-aggregable groupBy) — no join, no window
+    function, no Python."""
+    from industrial_data_pipeline_spark.suite_events import (
+        q_sliding_windows)
+    p = plan(q_sliding_windows(spark, "/root/testdata/sf0.001"))
+    assert "HashAggregate" in p
+    assert "windowspecdefinition" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_weighted_median_partitioned_window(spark):
+    """q220: the running weight sum must be partitioned on the group
+    key (distributed) and the totals side must broadcast — never a
+    global sort of the fact."""
+    from industrial_data_pipeline_spark.suite_olap3 import (
+        q_weighted_median)
+    p = plan(q_weighted_median(spark, "/root/testdata/sf0.001"))
+    wins = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert wins
+    for ln in wins:
+        spec = ln.split("windowspecdefinition(")[1]
+        assert spec.split(",")[0].strip().startswith("l_returnflag"), ln
+    assert "BroadcastHashJoin" in p
