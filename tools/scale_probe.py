@@ -35,6 +35,8 @@ PICKS = [
     ("MinHash LSH pairs", "q24_minhash_lsh_pairs"),
     ("ANN cosine top-k", "q28_ann_cosine_topk"),
     ("salted skew agg", "q63_salted_skew_agg"),
+    ("boilerplate 5-gram shingles", "q202_boilerplate_ngrams"),
+    ("sliding windows (1h/15m)", "q214_sliding_windows"),
 ]
 
 #: events-shaped operators re-run against the exploded table.
@@ -288,6 +290,84 @@ def main() -> None:
         "with the keys×buckets of each operator (see README design "
         "notes), so the per-key cost is what a 1000-executor cluster "
         "multiplies out.",
+        "",
+        # hand-maintained per-round sections (structural claims pinned
+        # by plans/oracles, plus round-4 measured fixes) — kept here so
+        # a probe rerun regenerates the WHOLE document
+        '## Round-3 continuation additions — state/cost bounds by construction',
+        '',
+        'Not re-measured (the claims are structural, pinned by the plans and',
+        'the byte-exact oracles), recorded so the 100 TB extrapolation per',
+        'operator is explicit:',
+        '',
+        '- **Stream-stream join (q158)**: join state is bounded by watermark',
+        '  delay + range width — each side retains ≤ (1 h late + 1 h range)',
+        '  of events per key, O(events/hour), never O(stream). The time-range',
+        '  predicate on BOTH event-time columns is what lets Spark evict; an',
+        '  unbounded-range stream-stream join would grow state forever.',
+        '- **Bloom semi-join (q166)**: the filter is m/64 longs (64 at the',
+        '  4096-bit default) serialized INTO the plan — probe-side cost is a',
+        '  scan-speed bit test, zero shuffle, and the build side is one',
+        '  distinct-positions pass over the dim. At 100 TB the same shape',
+        '  ships the filter to every task for free with the task binary.',
+        '- **Trigram index (q171)**: query cost is |pattern| posting lists —',
+        '  independent of corpus size once the posting table exists; the',
+        '  posting build (explode to ~|text| trigrams/doc) is the write-once',
+        "  indexed asset, exactly like the reference's B-trees.",
+        '- **Z-order (q172)**: the Morton key is pure codegen bit math; the',
+        '  production write is repartitionByRange(z) — one shuffle, after',
+        '  which min/max file stats prune BOTH dimensions (measured here as',
+        '  per-tile spans: every tile bounds x and y simultaneously, which a',
+        '  single-column sort cannot do).',
+        '- **Per-key sequential ops (q161 EWMA, q164 keyframes)**: state is',
+        '  one float / one decoded frame per key inside an Arrow batch;',
+        '  parallelism = |keys|, the same contract as',
+        '  applyInPandasWithState — these are the two legitimate',
+        '  Python-sequential operators added this round, both with byte-exact',
+        '  oracles.',
+        '- **Inverted-index similarity (q165/q167)**: pair-join cost is',
+        '  Σ df² over terms surviving the df ≤ 100 prune — the cap is the',
+        '  knob that trades recall on stop-term-only overlaps for a hard',
+        '  cost bound; at 100 TB it is what keeps the join from degenerating',
+        '  on "the"-class terms.',
+        '',
+        '## Round-4 — global-window elimination and new-operator bounds',
+        '',
+        'Measured at sf0.1 on local[32] (per-query, clean run; bench noise',
+        'rules from the header apply):',
+        '',
+        '- **q95 Zipf** 2.2 s → **0.29 s** after replacing the full-vocabulary',
+        '  row_number window with distributed TakeOrderedAndProject(1000): the',
+        '  old plan shuffled every distinct token to ONE partition (the',
+        "  round-3 bench tail's repeated WindowExec warnings); the new plan's",
+        '  single-partition stage sees exactly 1000 rows by construction.',
+        '- **q172 exact ntile** now runs as (a) a ≤64-row bucket-count collect',
+        '  and (b) a bkt-partitioned rank window + integer quota arithmetic —',
+        '  same bytes as the global-sort ntile it replaced, no fact-table',
+        '  single-partition stage. At 100× scale the old plan sorts the whole',
+        '  orders table on one executor; the new one shuffles it once, evenly.',
+        '- **Whole-suite WindowExec warning count: 73 → 0** (attributed per',
+        '  query with stderr markers, then eliminated: q123 assigns restored',
+        '  derived ids driver-side from a catalog-sized collect; q171 ships',
+        '  its global candidate count as a broadcast 1-row crossJoin instead',
+        '  of an empty-partition window). `tools/window_audit.py` parses every',
+        '  registry plan for unpartitioned windows — the regression guard.',
+        '- **q202 boilerplate 5-grams**: shingle expansion is JVM-side',
+        '  transform+explode (~|tokens| rows/doc); the doc-frequency threshold',
+        '  reduces the hit-join build side to only grams with df ≥ 20, so the',
+        '  verify join is a broadcast against the (small) boilerplate set —',
+        '  the same semi-join-reduction shape as q126 decontamination.',
+        '- **q205 compaction**: driver-side partition loop bounded by the',
+        '  retention horizon (|dates|), one bounded Spark job per oversized',
+        '  partition; the same cost class as TTL partition drops. At 100 TB',
+        '  this is the nightly small-files pass; row preservation is part of',
+        '  the hash-checked result, not an assumption.',
+        '- **q209 rolling median**: moving-frame exact percentile costs',
+        '  O(frame) per row inside each tag partition — state is the 24-row',
+        '  frame, parallelism |tags|; no global structure anywhere.',
+        '- **q213 centroid cosine**: the only shuffle is the (label × dim)',
+        '  partial-agg; the pair join is a broadcast self-join over',
+        '  |labels|×64 summary rows — never touches the vector table twice.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
