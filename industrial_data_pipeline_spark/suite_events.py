@@ -781,3 +781,90 @@ FROM s
 REGISTRY_EVENTS.update({
     "q219_moments": (q_moments, ORACLE_MOMENTS),
 })
+
+
+# ----------------------- q222 time-constrained funnel conversion
+
+def q_constrained_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production funnel: a conversion only counts if each step
+    lands within its window — click ≤ 1 h after a view, purchase
+    ≤ 24 h after that click (q45's strict-order funnel has no
+    deadline, so a purchase a month later still 'converts').  Per
+    user: earliest view, the first click within an hour of ANY
+    prior view, the first purchase within a day of that click —
+    all in one window pass per user (conditional running mins over
+    integer µs), zero self-joins. Emits per-user step timestamps
+    and the constrained conversion flag."""
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    us = F.unix_micros(F.col("ts"))
+    last_view = F.max(F.when(F.col("event_type") == "view",
+                             us)).over(w)
+    is_click_in = ((F.col("event_type") == "click")
+                   & (us - last_view <= 3_600_000_000))
+    w_row = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_row.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    e = (ev.withColumn("_click_us",
+                       F.min(F.when(is_click_in, us)).over(w_run))
+         .withColumn("_prev_click", F.lag("_click_us").over(w_row))
+         .withColumn("_purch_us",
+                     F.min(F.when((F.col("event_type") == "purchase")
+                                  & (us - F.col("_prev_click")
+                                     <= 86_400_000_000), us))
+                     .over(w_run)))
+    agg = (e.groupBy("user_id")
+           .agg(F.min(F.when(F.col("event_type") == "view",
+                             us)).alias("first_view_us"),
+                F.max("_click_us").alias("click_us"),
+                F.max("_purch_us").alias("purch_us")))
+    return agg.select(
+        "user_id", "first_view_us", "click_us", "purch_us",
+        (F.col("purch_us").isNotNull()).alias("converted"))
+
+
+ORACLE_CONSTRAINED_FUNNEL = f"""
+WITH {_EV_SQL},
+b AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+             max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS last_view
+      FROM ev),
+c AS (SELECT *,
+             min(CASE WHEN event_type = 'click'
+                       AND us - last_view <= 3600000000
+                      THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS click_run
+      FROM b),
+c2 AS (SELECT *,
+              lag(click_run) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+                  AS prev_click
+       FROM c),
+d AS (SELECT *,
+             min(CASE WHEN event_type = 'purchase'
+                       AND us - prev_click <= 86400000000
+                      THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS purch_run
+      FROM c2)
+SELECT user_id,
+       CAST(min(CASE WHEN event_type = 'view' THEN us END)
+            AS BIGINT) AS first_view_us,
+       CAST(max(click_run) AS BIGINT) AS click_us,
+       CAST(max(purch_run) AS BIGINT) AS purch_us,
+       max(purch_run) IS NOT NULL AS converted
+FROM d GROUP BY 1
+"""
+
+REGISTRY_EVENTS.update({
+    "q222_constrained_funnel": (q_constrained_funnel,
+                                ORACLE_CONSTRAINED_FUNNEL),
+})

@@ -417,3 +417,54 @@ REGISTRY_OLAP3.update({
     "q220_weighted_median": (q_weighted_median,
                              ORACLE_WEIGHTED_MEDIAN),
 })
+
+
+# ------------------------------ q221 equi-depth price histogram
+
+EQD_BUCKETS = 8
+
+
+def q_equidepth_histogram(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Equi-DEPTH price histogram: bucket boundaries at the exact
+    k/8 quantiles of o_totalprice, then per-bucket count + min/max —
+    the optimizer-statistics shape (equi-width q88 starves on skewed
+    money columns; equi-depth puts equal weight in every bucket).
+    Boundaries come from one exact percentile aggregate (a single
+    ≤7-value array broadcast into the bucketing expression), counts
+    from one combinable groupBy — no sort, no window, no second
+    scan of the fact at shuffle width."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    qs = [i / EQD_BUCKETS for i in range(1, EQD_BUCKETS)]
+    bounds = o.agg(F.percentile("o_totalprice", qs).alias("b"))
+    bucket = F.lit(1)
+    for i in range(EQD_BUCKETS - 1):
+        bucket = bucket + (F.col("o_totalprice")
+                           > F.element_at("b", i + 1)).cast("int")
+    return (o.crossJoin(F.broadcast(bounds))
+            .select(bucket.alias("bucket"), "o_totalprice")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))
+
+
+def _oracle_equidepth() -> str:
+    qs = ", ".join(str(i / EQD_BUCKETS)
+                   for i in range(1, EQD_BUCKETS))
+    inc = " + ".join(
+        f"CASE WHEN o_totalprice > b[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(EQD_BUCKETS - 1))
+    return f"""
+WITH bounds AS (SELECT quantile_cont(o_totalprice, [{qs}]) AS b
+                FROM orders)
+SELECT 1 + {inc} AS bucket, count(*) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM orders, bounds
+GROUP BY 1
+"""
+
+REGISTRY_OLAP3.update({
+    "q221_equidepth_histogram": (q_equidepth_histogram,
+                                 _oracle_equidepth()),
+})
