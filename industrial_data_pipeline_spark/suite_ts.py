@@ -958,3 +958,124 @@ WHERE attribute_id IN (1, 2, 3)
 REGISTRY_TS.update({
     "q209_rolling_median": (q_rolling_median, ORACLE_ROLLING_MEDIAN),
 })
+
+
+# ------------------------- q223 stuck-at (flatline) sensor runs
+
+STUCK_MIN_RUN = 4
+
+
+def q_stuck_sensor_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE industrial data-quality screen: a transmitter that keeps
+    reporting exactly the same value has usually died with its
+    output latched — averages stay plausible, so only a run-length
+    scan catches it. Gaps-and-islands per tag on consecutive-equal
+    values (lag → change flag → running island id), islands of
+    ≥ STUCK_MIN_RUN readings emitted with their span. One shuffle
+    on the tag key; bitwise equality on doubles is deterministic.
+
+    The synthetic feed's random doubles never repeat, so latch
+    faults are INJECTED deterministically first (every 37-reading
+    stretch starts with 6 readings latched at the tag id) — the
+    detector then has real runs to find and the oracle replays the
+    same injection."""
+    from pyspark.sql import Window
+    arch = archive_analog(spark, sf_dir).where(
+        F.col("attribute_id").isin(1, 2, 3, 4, 5))
+    w = Window.partitionBy("attribute_id").orderBy("timestamp")
+    arch = (arch.withColumn("_r", F.row_number().over(w))
+            .withColumn("value",
+                        F.when(F.col("_r") % 37 < 6,
+                               F.col("attribute_id").cast("double"))
+                        .otherwise(F.col("value"))))
+    run = (arch.withColumn(
+        "_chg", F.when(F.lag("value").over(w).isNull()
+                       | (F.lag("value").over(w) != F.col("value")),
+                       1).otherwise(0))
+        .withColumn("_isl", F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))))
+    return (run.groupBy("attribute_id", "_isl")
+            .agg(F.count("*").alias("n_readings"),
+                 F.min("timestamp").alias("run_start"),
+                 F.max("timestamp").alias("run_end"),
+                 F.first("value").alias("stuck_value"))
+            .where(F.col("n_readings") >= STUCK_MIN_RUN)
+            .select("attribute_id", "run_start", "run_end",
+                    "n_readings", "stuck_value"))
+
+
+ORACLE_STUCK_RUNS = f"""
+WITH {_ARCH_SQL},
+a0 AS (SELECT *, row_number() OVER (PARTITION BY attribute_id
+                                    ORDER BY "timestamp") AS rr
+       FROM arch WHERE attribute_id IN (1, 2, 3, 4, 5)),
+a AS (SELECT attribute_id, "timestamp",
+             CASE WHEN rr % 37 < 6
+                  THEN CAST(attribute_id AS DOUBLE)
+                  ELSE value END AS value
+      FROM a0),
+r AS (SELECT attribute_id, "timestamp", value,
+             CASE WHEN lag(value) OVER w IS NULL
+                       OR lag(value) OVER w <> value
+                  THEN 1 ELSE 0 END AS chg
+      FROM a WINDOW w AS (PARTITION BY attribute_id
+                          ORDER BY "timestamp")),
+i AS (SELECT attribute_id, "timestamp", value,
+             sum(chg) OVER (PARTITION BY attribute_id
+                            ORDER BY "timestamp"
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+      FROM r)
+SELECT attribute_id, min("timestamp") AS run_start,
+       max("timestamp") AS run_end,
+       count(*) AS n_readings,
+       any_value(value) AS stuck_value
+FROM i GROUP BY attribute_id, isl
+HAVING count(*) >= {STUCK_MIN_RUN}
+"""
+
+REGISTRY_TS.update({
+    "q223_stuck_sensor_runs": (q_stuck_sensor_runs,
+                               ORACLE_STUCK_RUNS),
+})
+
+
+# ----------------------------- q224 shift-calendar rollup
+
+def q_shift_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plant operations report: per tag × 8-hour shift (A/B/C)
+    × weekday/weekend, reading count and DECIMAL-exact average —
+    the aggregation every shift handover meeting reads. Calendar
+    derivation is pure codegen (hour div 8, ISO day-of-week); one
+    combinable groupBy."""
+    arch = archive_analog(spark, sf_dir).where(
+        F.col("attribute_id").isin(1, 2, 3))
+    shift = F.element_at(
+        F.array(F.lit("A"), F.lit("B"), F.lit("C")),
+        (F.floor(F.hour("timestamp") / 8) + 1).cast("int"))
+    weekend = F.dayofweek("timestamp").isin(1, 7)  # Sun=1, Sat=7
+    return (arch.groupBy("attribute_id", shift.alias("shift"),
+                         weekend.alias("is_weekend"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)"))
+                         .cast("double")
+                         / F.count("*"), 6).alias("avg_value")))
+
+
+ORACLE_SHIFT_ROLLUP = f"""
+WITH {_ARCH_SQL}
+SELECT attribute_id,
+       CASE CAST(floor(extract(hour FROM "timestamp") / 8) AS INT)
+            WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END AS shift,
+       dayofweek("timestamp") IN (0, 6) AS is_weekend,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM arch WHERE attribute_id IN (1, 2, 3)
+GROUP BY 1, 2, 3
+"""
+
+REGISTRY_TS.update({
+    "q224_shift_rollup": (q_shift_rollup, ORACLE_SHIFT_ROLLUP),
+})
