@@ -193,9 +193,19 @@ class ParquetStore:
         the classic small-files problem (each file is a scan task
         and a namenode entry). Rewrite every partition holding more
         than ``target_files`` parquet files into ``target_files``
-        (restoring the (attribute_id, timestamp) row-group sort), via
-        a tmp-dir swap so a crashed compaction never loses rows.
+        (restoring the (attribute_id, timestamp) row-group sort).
         Returns (date, files_before, files_after) per partition.
+
+        Crash safety: staging dirs are ``_``-prefixed, which Spark/
+        Hadoop partition discovery IGNORES, so a half-finished
+        compaction never double-counts or pollutes reads (a tmp dir
+        named inside the partition namespace would be discovered as
+        a bogus partition). The swap is write ``_compact_tmp`` →
+        rename live → ``_compact_old`` → rename tmp → live → drop
+        old; the only vulnerable instant is between the two renames,
+        and the recovery sweep at the start of the next run restores
+        an orphaned ``_compact_old`` whose live dir is missing and
+        clears stale staging.
 
         The loop is driver-side metadata work bounded by the
         retention horizon (|dates|), same cost class as
@@ -207,6 +217,19 @@ class ParquetStore:
         if not os.path.isdir(root):
             return stats
 
+        # recovery sweep for a previously crashed compaction
+        for d in sorted(os.listdir(root)):
+            p = os.path.join(root, d)
+            if d.startswith("_compact_old_"):
+                live = os.path.join(root,
+                                    prefix + d[len("_compact_old_"):])
+                if os.path.isdir(live):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.rename(p, live)
+            elif d.startswith("_compact_tmp_"):
+                shutil.rmtree(p, ignore_errors=True)
+
         def parquet_files(p: str) -> int:
             return sum(f.endswith(".parquet") for f in os.listdir(p))
 
@@ -214,19 +237,21 @@ class ParquetStore:
             if not d.startswith(prefix):
                 continue
             part = os.path.join(root, d)
+            date = d[len(prefix):]
             n_before = parquet_files(part)
             if n_before <= target_files:
-                stats.append((d[len(prefix):], n_before, n_before))
+                stats.append((date, n_before, n_before))
                 continue
-            tmp = part + ".compact.tmp"
+            tmp = os.path.join(root, f"_compact_tmp_{date}")
+            old = os.path.join(root, f"_compact_old_{date}")
             (self.spark.read.parquet(part)
              .coalesce(target_files)
              .sortWithinPartitions("attribute_id", "timestamp")
              .write.mode("overwrite").parquet(tmp))
-            shutil.rmtree(part)
+            os.rename(part, old)
             os.rename(tmp, part)
-            stats.append((d[len(prefix):], n_before,
-                          parquet_files(part)))
+            shutil.rmtree(old, ignore_errors=True)
+            stats.append((date, n_before, parquet_files(part)))
         return stats
 
     def upsert_archive(self, database: str, df: DataFrame,

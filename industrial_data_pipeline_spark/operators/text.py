@@ -657,18 +657,19 @@ def trigram_like_search(df: DataFrame, pattern: str,
     posting = (df.select(F.col(id_col).alias("_id"),
                          F.explode(grams).alias("tg"))
                .where(F.col("tg").isin(qgrams)))
-    # one evaluation of the candidate subtree: checkpoint the id set
-    # (bounded by the post-intersection candidates) so the global
-    # count and the verify join both read it without recomputing the
-    # explode+groupBy — and without an empty-partition window, which
-    # would ship every candidate to a single partition
+    # the candidate count is collected eagerly (one bounded job) and
+    # folded in as a literal: no empty-partition window (which would
+    # ship every candidate to a single partition) and no retained
+    # checkpoint blocks (localCheckpoint pins executor storage until
+    # JVM GC). The posting intersection therefore evaluates twice —
+    # the count job and the verify join — a deliberate trade: it is
+    # the cheap indexed path, and the verify join dominates anyway.
     cand_ids = (posting.groupBy("_id")
                 .agg(F.count_distinct("tg").alias("_n"))
                 .where(F.col("_n") == len(qgrams))
-                .select("_id")
-                .localCheckpoint(eager=True))
-    cand = cand_ids.crossJoin(F.broadcast(
-        cand_ids.agg(F.count("*").alias("n_candidates"))))
+                .select("_id"))
+    cand = cand_ids.withColumn("n_candidates",
+                               F.lit(int(cand_ids.count())))
     return (df.join(cand, df[id_col] == cand._id)
             .where(t.like(f"%{pattern}%"))
             .select(id_col, "n_candidates"))

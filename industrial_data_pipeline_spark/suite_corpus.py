@@ -564,13 +564,21 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams that cleared the threshold (semi-join reduction)."""
     from industrial_data_pipeline_spark.suite_common import load
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # docs shorter than one shingle get an EMPTY array (and drop out
+    # of every downstream table, matching the oracle's empty range):
+    # an unguarded sequence(1, size-4) turns DESCENDING ([1, 0]) for
+    # short docs — Spark's default step is -1 when stop < start —
+    # and slice(..., 0, 5) then throws INVALID_PARAMETER_VALUE
     g = docs.select(
         "doc_id",
         F.explode(F.expr(
-            f"transform(sequence(1, greatest(size(split(trim(text),"
-            f" '\\\\s+')) - {BOILER_N - 1}, 0)),"
+            f"CASE WHEN size(split(trim(text), '\\\\s+'))"
+            f"          >= {BOILER_N}"
+            f" THEN transform(sequence(1, size(split(trim(text),"
+            f" '\\\\s+')) - {BOILER_N - 1}),"
             f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
-            f" i, {BOILER_N})))")).alias("gram"))
+            f" i, {BOILER_N})))"
+            f" ELSE array() END")).alias("gram"))
     boiler = (g.select("doc_id", "gram").distinct()
               .groupBy("gram").agg(F.count("*").alias("df"))
               .where(F.col("df") >= BOILER_DF)

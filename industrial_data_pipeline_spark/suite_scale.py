@@ -367,9 +367,9 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioned on bkt) and applies ntile's quota rule as pure
     # integer arithmetic on offset + local rank. No unpartitioned
     # WindowExec anywhere in the plan.
-    n_bkt = 64
+    zb_bits = 6  # 2^6 = 64 buckets over the 16-bit z key space
     b = z.withColumn("bkt", F.shiftright(F.col("z"),
-                                         16 - 6).cast("int"))
+                                         16 - zb_bits).cast("int"))
     wloc = Window.partitionBy("bkt").orderBy("z", "o_orderkey")
     r = b.withColumn("lrn", F.row_number().over(wloc))
     counts = sorted((row["bkt"], row["c"]) for row in
@@ -392,7 +392,6 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("tile")
     t = (r.join(F.broadcast(off), "bkt")
          .select("x", "y", "z", tile))
-    assert n_bkt == 1 << 6 and n_total == sum(c for _, c in counts)
     return (t.groupBy("tile")
             .agg(F.count("*").alias("n_rows"),
                  F.min("x").alias("x_min"), F.max("x").alias("x_max"),

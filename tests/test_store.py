@@ -199,3 +199,33 @@ def test_compact_archive_merges_files_preserves_rows(spark, tmp_path):
     assert after == before
     # idempotent: second pass finds nothing to merge
     assert all(b == a == 1 for _, b, a in st.compact_archive("c"))
+
+
+def test_compact_archive_crash_recovery(spark, tmp_path):
+    """A compaction that died between the two renames leaves the
+    partition only under _compact_old_; the next run must restore
+    it (and clear stale _compact_tmp_) before compacting. Staging
+    dirs are _-prefixed so Spark partition discovery never sees
+    them."""
+    import os
+    import shutil
+    from datetime import datetime as T
+
+    from industrial_data_pipeline_spark.catalog.store import ParquetStore
+    st = ParquetStore(spark, str(tmp_path))
+    st.create_database("r")
+    for a in (1, 2):
+        st.append_archive("r", spark.createDataFrame(
+            [(a, T(2024, 1, 1, h), float(h)) for h in range(3)],
+            "attribute_id long, timestamp timestamp, value double"))
+    root = os.path.join(str(tmp_path), "r", "archive")
+    live = os.path.join(root, "ts_date=2024-01-01")
+    # simulate the crash window: live dir renamed away, stale tmp left
+    os.rename(live, os.path.join(root, "_compact_old_2024-01-01"))
+    os.makedirs(os.path.join(root, "_compact_tmp_2024-01-01"))
+    # staging must be invisible to reads (no bogus partition, no rows)
+    assert st.archive_values("r").count() == 0
+    stats = dict((d, (b, a)) for d, b, a in st.compact_archive("r"))
+    assert stats["2024-01-01"] == (2, 1)
+    assert st.archive_values("r").count() == 6
+    assert not any(d.startswith("_compact") for d in os.listdir(root))

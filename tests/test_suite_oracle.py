@@ -146,3 +146,27 @@ def test_keyframes_custom_columns(spark):
         "video_id long, seq int, data binary")
     out = MM.keyframes(df, id_col="video_id", idx_col="seq").collect()
     assert out[0].video_id == 7 and out[0].is_keyframe
+
+
+def test_boilerplate_short_docs_no_crash(spark):
+    """q202 regression: documents with fewer tokens than one shingle
+    must produce an EMPTY gram array (matching the oracle's empty
+    range), not a descending sequence(1, 0) that makes slice()
+    throw INVALID_PARAMETER_VALUE. Short docs drop out of the
+    report entirely on both engines."""
+    from industrial_data_pipeline_spark.operators.text import tokens  # noqa: F401
+    from industrial_data_pipeline_spark.suite_corpus import (
+        BOILER_N, q_boilerplate_ngrams)
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp(prefix="idp_short_docs_")
+    try:
+        rows = [(1, "a b c d"), (2, "one"), (3, ""),
+                (4, "w1 w2 w3 w4 w5 w6")]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r.n_grams
+               for r in q_boilerplate_ngrams(spark, d).collect()}
+        # only doc 4 has >= BOILER_N tokens → 2 shingle positions
+        assert out == {4: 6 - BOILER_N + 1}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
