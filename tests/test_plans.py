@@ -284,7 +284,7 @@ def test_boilerplate_shingles_jvm_side(spark):
     from industrial_data_pipeline_spark.suite_corpus import (
         q_boilerplate_ngrams)
     p = plan(q_boilerplate_ngrams(spark, "/root/testdata/sf0.001"))
-    assert "Generate" in p and "explode(transform(" in p
+    assert "Generate" in p and "transform(sequence(" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
