@@ -25,6 +25,13 @@ def hierarchy_paths(element: DataFrame, sep: str = "|",
     Cycle-safe: stops after ``max_depth`` iterations (the reference has
     no cycle guard at all; its data can't cycle because ids are
     insertion-ordered).
+
+    Caveat (documented behavior, matching the reference's recursive
+    CTE): an element whose ``parent_id`` dangles (missing parent) or
+    that sits inside a cycle never joins the resolved frontier, so
+    it is OMITTED from the result — and attribute_paths consequently
+    omits its attributes. Callers that must surface such rows should
+    anti-join the input against this function's output.
     """
     elem = element.select("level", "element_id", "name", "parent_id")
     resolved = (

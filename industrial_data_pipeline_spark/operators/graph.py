@@ -25,7 +25,11 @@ DAMPING = 0.85
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 3, damping: float = DAMPING,
              undirected: bool = True) -> DataFrame:
-    """Fixed-`iters` PageRank. Returns (node, rank) for every node.
+    """Fixed-`iters` PageRank. Returns (node, rank) for every node —
+    including, in the directed case, sink nodes (no out-edges), which
+    earlier versions silently dropped from the node set. Sinks use
+    the simplified dangling treatment (their mass is not
+    redistributed), the common fixed-iteration variant.
 
     `undirected=True` mirrors each edge. Parallel edges should be
     deduped by the caller if they shouldn't weight the walk.
@@ -38,7 +42,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # (and for deg/nodes); without this the upstream plan (often an
     # expensive self-join) re-executes per round.
     e = e.distinct().localCheckpoint()
-    nodes = e.select(F.col("s").alias("node")).distinct()
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("d").alias("node"))).distinct())
     n = nodes.count()  # scalar cardinality only — O(1) driver state
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
 

@@ -65,13 +65,18 @@ def dedup_first_wins(df: DataFrame, keys: list[str],
     ``order_col`` (ingest order / timestamp) so the result is
     deterministic in a distributed setting — pandas keep='first'
     relied on implicit row order, which does not exist in Spark.
+    Rows that TIE on ``order_col`` order by the remaining columns
+    (a struct comparison — fields left to right), so the pick is a
+    total order and re-runs can never surface a different survivor.
 
     Implemented as min_by groupBy: one shuffle, map-side combinable
     (vs. a Window row_number which must sort every group)."""
     others = [c for c in df.columns if c not in keys]
+    ordk = F.struct(F.col(order_col),
+                    *[F.col(c) for c in others if c != order_col])
     picked = (
         df.groupBy(*keys)
-        .agg(F.min_by(F.struct(*others), F.col(order_col)).alias("_row"))
+        .agg(F.min_by(F.struct(*others), ordk).alias("_row"))
     )
     return picked.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
 
@@ -79,10 +84,13 @@ def dedup_first_wins(df: DataFrame, keys: list[str],
 def latest_per_key(df: DataFrame, keys: list[str],
                    order_col: str) -> DataFrame:
     """Last-wins / latest-value-per-key (W3/T6 trigger semantics;
-    database.py:710-713 ON CONFLICT DO UPDATE)."""
+    database.py:710-713 ON CONFLICT DO UPDATE). Same total-order
+    tie handling as :func:`dedup_first_wins`."""
     others = [c for c in df.columns if c not in keys]
+    ordk = F.struct(F.col(order_col),
+                    *[F.col(c) for c in others if c != order_col])
     picked = (
         df.groupBy(*keys)
-        .agg(F.max_by(F.struct(*others), F.col(order_col)).alias("_row"))
+        .agg(F.max_by(F.struct(*others), ordk).alias("_row"))
     )
     return picked.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])

@@ -391,7 +391,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             out = {"media_id": [], "frame_idx": [], "frame_ms": [],
                    "frame_hash": []}
             for _, row in pdf.iterrows():
-                dur = int(row["duration_ms"] or 0)
+                # Arrow renders a NULL nullable-long as float NaN,
+                # which is truthy — `or 0` alone would int(NaN)-crash
+                raw_dur = row["duration_ms"]
+                dur = 0 if raw_dur is None or pd.isna(raw_dur) \
+                    else int(raw_dur)
                 n = min(max(dur // every_ms, 0) + 1, max_frames)
                 payload = bytes(row["data"] or b"")
                 for i in range(n):

@@ -155,8 +155,10 @@ def bloom_filter_join_stats(fact: DataFrame, dim_keys: DataFrame,
 
     cand = fact.select(F.col(fact_key).alias("_k"),
                        member.alias("_m"))
-    dk = dim_keys.select(F.col(dim_key).alias("_k"),
-                         F.lit(True).alias("_hit"))
+    # distinct: a duplicated dim key would multiply matching fact
+    # rows through the left join and inflate every emitted count
+    dk = (dim_keys.select(F.col(dim_key).alias("_k")).distinct()
+          .withColumn("_hit", F.lit(True)))
     joined = cand.join(F.broadcast(dk), "_k", "left")
     return joined.agg(
         F.count("*").alias("n_fact"),

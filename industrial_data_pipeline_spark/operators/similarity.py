@@ -43,10 +43,14 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_dp: int = 6) -> DataFrame:
     """Exact top-k by cosine similarity to ``query_vec``.
-    Ties broken by id for determinism."""
+    Ties broken by id for determinism. A zero-norm corpus vector has
+    no defined cosine — it gets NULL (sorted last, so it can never
+    displace a real neighbor; unguarded 0/0 is NaN, which Spark
+    sorts ABOVE every double in descending order)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = _as_double(F.col(vec_col))
-    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    nv = _norm(v)
+    cos = F.when(nv > 0, _dot(v, q) / (nv * _norm(q)))
     return (df.select(F.col(id_col),
                       F.round(cos, round_dp).alias("cosine_sim"))
             .orderBy(F.desc("cosine_sim"), F.col(id_col))
@@ -81,8 +85,10 @@ def filtered_cosine_topk(corpus: DataFrame, queries: DataFrame,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"),
                       F.col(filter_col).alias("_f"))
-    cos = _dot(F.col("_cv"), F.col("_qv")) \
-        / (_norm(F.col("_cv")) * _norm(F.col("_qv")))
+    # zero-norm guard: NULL (sorted last), never NaN (sorted first)
+    cos = F.when(_norm(F.col("_cv")) > 0,
+                 _dot(F.col("_cv"), F.col("_qv"))
+                 / (_norm(F.col("_cv")) * _norm(F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
                                                F.col("neighbor_id"))
     return (c.join(F.broadcast(q), "_f")

@@ -28,9 +28,12 @@ def hash64(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization."""
+    """Whitespace tokenization. Empty/whitespace-only text yields an
+    EMPTY array — a bare split() returns [''] there, and that one
+    phantom token would count as a word, bill a packing token, and
+    emit a chunk for every empty document."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
@@ -642,12 +645,13 @@ def trigram_like_search(df: DataFrame, pattern: str,
 
     Emits (id, n_candidates): the candidate count rides along so the
     pruning claim itself is part of the checked result."""
-    if len(pattern) < 3 or any(ch in pattern for ch in "%_"):
-        # '_' is a LIKE wildcard the trigram filter would treat
-        # literally — candidates would silently miss true matches
+    if len(pattern) < 3 or any(ch in pattern for ch in "%_\\"):
+        # '%'/'_' are LIKE wildcards and '\\' is the LIKE escape —
+        # the trigram filter treats all three literally, so candidates
+        # would silently miss true matches (or the LIKE would throw)
         raise ValueError(
             "pattern must be a plain substring of length >= 3 "
-            "(no %/_ wildcards)")
+            "(no %/_ wildcards, no backslash)")
     qgrams = sorted({pattern[i:i + 3]
                      for i in range(len(pattern) - 2)})
     t = F.col(text_col)

@@ -211,7 +211,10 @@ def rolling_anomaly(archive: DataFrame, window_rows: int = 10,
     reference stores the data and leaves alerting to operators; the
     engine computes it. Bounded window per key → constant state,
     single shuffle on the key."""
-    w = (Window.partitionBy(key_col).orderBy(ts_col)
+    # (ts, value) order: a bare ts sort leaves the frame contents
+    # nondeterministic on duplicate timestamps (the cusum/SPC rule,
+    # applied here too)
+    w = (Window.partitionBy(key_col).orderBy(ts_col, value_col)
          .rowsBetween(-window_rows, -1))
     mean = F.avg(value_col).over(w)
     # population stddev via E[x²]−E[x]² in one pass over the frame
@@ -318,7 +321,7 @@ def roc_alarms(archive: DataFrame, threshold: float,
     |Δvalue| > threshold per key — the classic historian alarm rule,
     run retrospectively over raw archive history. One window per key
     (bounded state, parallel across keys), one groupBy."""
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
     delta = F.col(value_col) - F.lag(value_col).over(w)
     alarms = (archive
               .withColumn("_ad", F.abs(delta))

@@ -68,9 +68,12 @@ def _lloyd_assign(df: DataFrame, k: int, iters: int,
     emb = df.select(F.col(id_col).alias("_id"),
                     _as_double(F.col(vec_col)).alias("_v")) \
         .withColumn("_q", _quantize(F.col("_v")))
-    cents = emb.where(F.col("_id") < k) \
-        .select(F.col("_id").cast("long").alias("cluster"),
-                F.col("_q").alias("_cq")).localCheckpoint()
+    # genuinely the k LOWEST ids (the ivf_build pattern) — the old
+    # `_id < k` filter assumed ids start at 0 and silently seeded
+    # fewer than k centroids (or none) on any other id space
+    cents = (emb.orderBy("_id").limit(k)
+             .select(F.col("_id").cast("long").alias("cluster"),
+                     F.col("_q").alias("_cq")).localCheckpoint())
 
     assign = None
     for _ in range(iters):

@@ -151,7 +151,8 @@ s AS (SELECT attribute_id, "timestamp", value,
              avg(value * value) OVER w AS meansq_,
              count(value) OVER w AS n_
       FROM arch
-      WINDOW w AS (PARTITION BY attribute_id ORDER BY "timestamp"
+      WINDOW w AS (PARTITION BY attribute_id
+                   ORDER BY "timestamp", value
                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
 z AS (SELECT *,
              sqrt(greatest(meansq_ - mean_ * mean_, 0.0)) AS sd_,
@@ -441,8 +442,8 @@ ORACLE_ROC_ALARMS = f"""
 WITH {_ARCH_SQL},
 d AS (SELECT attribute_id, "timestamp",
              abs(value - lag(value) OVER
-                 (PARTITION BY attribute_id ORDER BY "timestamp"))
-                 AS ad
+                 (PARTITION BY attribute_id
+                  ORDER BY "timestamp", value)) AS ad
       FROM arch)
 SELECT attribute_id, count(*) AS n_alarms,
        min("timestamp") AS first_alarm_ts,
