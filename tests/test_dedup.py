@@ -235,3 +235,18 @@ def test_mixture_weights_hand_computed(spark):
     out2 = {r.source: r.sample_rate for r in
             mixture_weights(extra, {"big": 3, "small": 1}).collect()}
     assert out2["other"] == 0.0
+
+
+def test_first_wins_tie_is_total_order(spark):
+    """Rows tying on the order column must resolve by the remaining
+    columns (total order) — the same survivor on every run and any
+    partitioning."""
+    from industrial_data_pipeline_spark.operators.maintenance import (
+        dedup_first_wins, latest_per_key)
+    rows = [("k", 5, "b"), ("k", 5, "a"), ("k", 7, "z")]
+    df = spark.createDataFrame(rows, "key string, ord int, val string") \
+        .repartition(8)
+    first = dedup_first_wins(df, ["key"], "ord").collect()[0]
+    assert (first.ord, first.val) == (5, "a")
+    last = latest_per_key(df, ["key"], "ord").collect()[0]
+    assert (last.ord, last.val) == (7, "z")

@@ -125,3 +125,14 @@ def test_filtered_topk_matches_bruteforce_within_stratum(emb):
                                   k=1).first())
     assert got.neighbor_id == brute.vec_id
     assert got.cosine_sim == brute.cosine_sim
+
+
+def test_cosine_topk_zero_vector_ranks_last(spark):
+    """A zero-norm embedding must never top the ranking: its cosine
+    is NULL (sorted last), not NaN (which Spark sorts first desc)."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        cosine_topk)
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [r.vec_id for r in cosine_topk(df, [1.0, 0.0], k=3).collect()]
+    assert got[0] == 1 and got[-1] == 2

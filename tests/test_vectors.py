@@ -89,3 +89,18 @@ def test_semantic_dedup_recall_vs_bruteforce(spark):
     # at k=4 on this corpus the split-twin fraction is modest; the
     # measured recall (250/300 here) must stay in a sane band
     assert len(sem) / len(brute) >= 0.7
+
+
+def test_lloyd_seeds_k_lowest_ids_any_id_space(spark):
+    """k-means must seed k centroids from the k LOWEST ids even when
+    the id space does not start at zero (the old `_id < k` filter
+    produced zero centroids and silently empty output)."""
+    from industrial_data_pipeline_spark.operators.vectors import (
+        kmeans_assign)
+    rows = [(1000 + i, [float(i % 4), float((i * 7) % 5)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=4, iters=2)
+    assert out.count() == 40
+    assert out.select("cluster").distinct().count() >= 2
