@@ -269,9 +269,12 @@ class ParquetStore:
         """
         assert mode in ("first_wins", "last_wins")
         path = self._path(database, "archive")
+        # one evaluation of the caller's plan: the dates collect AND
+        # the merge both read it, and for derived maintenance that
+        # plan is a pivot+join worth not recomputing
         incoming = self._with_partition(
             df.select("attribute_id", "timestamp", "value")
-        )
+        ).localCheckpoint(eager=True)
         # affected partitions: tiny driver-side list (dates in the batch)
         dates = [r[0] for r in
                  incoming.select(ARCHIVE_PARTITION_COL).distinct().collect()]
@@ -288,10 +291,14 @@ class ParquetStore:
         new = incoming.withColumn("_src", F.lit(1))
         unioned = old.unionByName(new)
         pick = F.min_by if mode == "first_wins" else F.max_by
+        # ordering struct: _src (old-vs-new precedence) THEN value —
+        # duplicate keys WITHIN one batch would otherwise tie on _src
+        # and pick a partition-order-dependent winner
         merged = (
             unioned.groupBy("attribute_id", "timestamp")
             .agg(
-                pick(F.struct("value", ARCHIVE_PARTITION_COL), F.col("_src"))
+                pick(F.struct("value", ARCHIVE_PARTITION_COL),
+                     F.struct(F.col("_src"), F.col("value")))
                 .alias("_row"))
             .select("attribute_id", "timestamp",
                     F.col("_row.value").alias("value"),

@@ -26,9 +26,6 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from industrial_data_pipeline_spark.catalog.store import ParquetStore
-from industrial_data_pipeline_spark.operators.maintenance import (
-    dedup_first_wins,
-)
 
 RAW_SCHEMA = "lookup_key string, timestamp string, value string"
 
@@ -52,9 +49,11 @@ def cleanse(raw: DataFrame, mapping: DataFrame,
       (ingest.py:147-148 coercion, F8).
     - unmapped lookup_keys dropped (P8; ingest.py:149).
     - first-wins dedup on (attribute_id, timestamp) (P9;
-      ingest.py:156) — 'first' = lowest original value string, made
-      deterministic by ordering on the raw value (pandas kept implicit
-      input order, which Spark does not have).
+      ingest.py:156) — 'first' = lowest COERCED value with non-null
+      preferred (a garbage reading must never beat a real one on a
+      duplicate key; NULL survives only when every duplicate is
+      garbage). Deterministic total order — pandas kept implicit
+      input order, which Spark does not have.
     """
     shifted = F.to_timestamp("timestamp") + F.expr(
         f"INTERVAL {int(tz_shift_hours)} HOURS")
@@ -72,7 +71,11 @@ def cleanse(raw: DataFrame, mapping: DataFrame,
         .join(mapping, "lookup_key")  # inner join drops unmapped (P8)
         .select("attribute_id", "timestamp", "value")
     )
-    return dedup_first_wins(rows, ["attribute_id", "timestamp"], "value")
+    ordk = F.struct(F.col("value").isNull(), F.col("value"))
+    return (rows.groupBy("attribute_id", "timestamp")
+            .agg(F.min_by(F.struct("value"), ordk).alias("_r"))
+            .select("attribute_id", "timestamp",
+                    F.col("_r.value").alias("value")))
 
 
 class IncrementalIngestor:

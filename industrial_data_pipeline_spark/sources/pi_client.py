@@ -61,8 +61,10 @@ def requests_transport(username: str, password: str,
     session.auth = HttpNtlmAuth(username, password)
 
     def transport(method: str, url: str, body: dict | None = None):
-        r = (session.post(url, json=body, timeout=3000)
-             if method == "POST" else session.get(url, timeout=3000))
+        # requests timeouts are SECONDS — 3000 was a 50-minute hang
+        # window per stalled request on the minute-cadence ingestor
+        r = (session.post(url, json=body, timeout=30)
+             if method == "POST" else session.get(url, timeout=30))
         r.raise_for_status()
         return r.json()
 

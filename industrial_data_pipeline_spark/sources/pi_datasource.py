@@ -70,7 +70,17 @@ def ntlm_transport_factory(options: dict):
         requests_transport)
     return requests_transport(
         options["username"], options["password"],
-        verify=options.get("verify", "true").lower() != "false")
+        verify=_verify_option(options.get("verify", "true")))
+
+
+def _verify_option(raw: str):
+    """'true'/'false' → bool; anything else is a CA-bundle PATH and
+    must pass through verbatim (collapsing it to True would silently
+    validate against the default store instead of the private CA)."""
+    low = raw.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    return raw
 
 
 def fake_grid_transport_factory(options: dict):
@@ -79,7 +89,7 @@ def fake_grid_transport_factory(options: dict):
     time range), so executors need no closure state and a SQL oracle
     can replay it exactly: value = (uid*1000003 + epoch_minute) % 997
     for webids of the form ``W{uid}``."""
-    from datetime import datetime, timedelta
+    from datetime import datetime, timedelta, timezone
 
     def transport(method: str, url: str, body: dict | None = None):
         assert method == "POST" and url.endswith("/batch")
@@ -94,7 +104,11 @@ def fake_grid_transport_factory(options: dict):
                 res.split("endTime=")[1].split("&")[0])
             items, t = [], start
             while t <= end:
-                minute = int(t.timestamp() // 60)
+                # naive datetime.timestamp() applies the HOST tz; the
+                # oracle replays epoch(ts) in UTC — pin UTC so q138/
+                # q139 hold on any host timezone
+                minute = int(t.replace(tzinfo=timezone.utc)
+                             .timestamp() // 60)
                 items.append({
                     "Timestamp": t.isoformat(sep="T"),
                     "Value": str((uid * 1000003 + minute) % 997)})
@@ -190,7 +204,7 @@ class PIBatchStreamReader(SimpleDataSourceStreamReader):
         return flatten_batch_response(resp)
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
-        from datetime import datetime, timedelta
+        from datetime import datetime, timedelta, timezone
         lo = datetime.fromisoformat(start["next"])
         now = self._now_minute()
         if lo >= now:
@@ -202,7 +216,7 @@ class PIBatchStreamReader(SimpleDataSourceStreamReader):
         return rows, {"next": nxt}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
-        from datetime import datetime, timedelta
+        from datetime import datetime, timedelta, timezone
         lo = datetime.fromisoformat(start["next"])
         hi = datetime.fromisoformat(end["next"]) - timedelta(minutes=1)
         if hi < lo:

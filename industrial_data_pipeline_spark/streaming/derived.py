@@ -73,8 +73,6 @@ class DerivedMaintenance:
         affected_dates = [r[0] for r in batch.select(
             F.to_date("timestamp").alias("d")).distinct().collect()]
 
-        archive = self.store.archive(self.database).where(
-            F.col("ts_date").isin(affected_dates))  # partition pruning
         for did, formula in formulas.items():
             src_ids = referenced_ids(formula)
             if not (set(src_ids) & batch_ids):
@@ -82,6 +80,13 @@ class DerivedMaintenance:
             affected_ts = (batch
                            .where(F.col("attribute_id").isin(src_ids))
                            .select("timestamp").distinct())
+            # fresh archive frame PER formula: the previous upsert
+            # rewrote the affected partitions via dynamic-partition
+            # overwrite, so a frame built before the loop would scan
+            # a stale file listing and die with FileNotFoundException
+            # on the second derived formula
+            archive = self.store.archive(self.database).where(
+                F.col("ts_date").isin(affected_dates))
             src = (archive
                    .where(F.col("attribute_id").isin(src_ids))
                    .join(F.broadcast(affected_ts), "timestamp")

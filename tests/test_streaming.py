@@ -76,3 +76,22 @@ def test_streaming_end_to_end(spark, pipe, tmp_path):
     arch = pipe.store.archive_values("plant")
     rows = {(r.attribute_id, r.timestamp, r.value) for r in arch.collect()}
     assert rows == {(1, t0, 10.0), (2, t0, 20.0), (4, t0, 15.0)}
+
+
+def test_two_derived_formulas_one_batch(spark, pipe):
+    """Regression: with TWO derived formulas over intersecting
+    sources, the first formula's upsert rewrites the affected
+    partitions; the second must read a FRESH archive frame — a frame
+    built before the loop scans the deleted file listing and dies
+    with FileNotFoundException."""
+    pipe.insert_attribute("plant", element_id=3, name="DiffTP",
+                          formula="$1 - $2")
+    m = DerivedMaintenance(spark, pipe.store, "plant")
+    t0 = T(2025, 1, 1, 0, 0)
+    m.process_batch(_batch(spark, [(1, t0, 10.0), (2, t0, 4.0)]))
+    vals = {r.attribute_id: r.value for r in
+            pipe.store.archive_values("plant").collect()}
+    # AvgTP = (10+4)/2 = 7, DiffTP = 10-4 = 6 (derived ids allocated
+    # in insert order after the sources)
+    derived = sorted(v for k, v in vals.items() if k not in (1, 2))
+    assert derived == [6.0, 7.0]
