@@ -94,6 +94,9 @@ class Pipeline:
     def lookup(self, database: str, text: str,
                kind: str = "element") -> DataFrame:
         """POST /api/lookup (web_app.py:423-488): '%' → LIKE else exact."""
+        if kind not in ("element", "attribute"):
+            raise ValueError(
+                f"kind must be 'element' or 'attribute', got {kind!r}")
         df = (self.store.element(database) if kind == "element"
               else self.store.attribute(database))
         return lookup_dispatch(df, text, f"{kind}_id")
@@ -254,41 +257,55 @@ class Pipeline:
 
     def delete_element(self, database: str, element_id: int) -> dict:
         """D7 (database.py:915-958): cascade element → attributes →
-        archive; returns the reference's count dict."""
+        archive; returns the reference's count dict. The deleted-row
+        count rides an Observation on the rewrite scan itself — a
+        separate count() would be a second full pass over the fact
+        table per management delete (dim counts stay plain: dims are
+        tiny by design)."""
+        from pyspark.sql import Observation
         elem = self.store.element(database)
         attr = self.store.attribute(database)
         arch = self.store.archive_values(database)
-        doomed = attr.where(F.col("element_id") == element_id) \
-            .select("attribute_id")
+        doomed_ids = [r["attribute_id"] for r in
+                      attr.where(F.col("element_id") == element_id)
+                      .select("attribute_id").collect()]
         n_elem = elem.where(F.col("element_id") == element_id).count()
-        n_attr = doomed.count()
-        n_arch = arch.join(F.broadcast(doomed), "attribute_id",
-                           "left_semi").count()
-        self.store.rewrite_archive(
-            database,
-            arch.join(F.broadcast(doomed), "attribute_id", "left_anti"))
+        obs = Observation()
+        is_doomed = (F.col("attribute_id").isin(doomed_ids)
+                     if doomed_ids else F.lit(False))
+        observed = arch.observe(
+            obs, F.count(F.when(is_doomed, 1)).alias("n_doomed"))
+        self.store.rewrite_archive(database,
+                                   observed.where(~is_doomed))
         self.store.overwrite_dim(
             database, "attribute",
             attr.where(F.col("element_id") != element_id))
         self.store.overwrite_dim(
             database, "element",
             elem.where(F.col("element_id") != element_id))
-        return {"elements_deleted": n_elem, "attributes_deleted": n_attr,
-                "archive_records_deleted": n_arch}
+        return {"elements_deleted": n_elem,
+                "attributes_deleted": len(doomed_ids),
+                "archive_records_deleted": obs.get["n_doomed"]}
 
     def delete_attribute(self, database: str, attribute_id: int) -> dict:
-        """D8 (database.py:1075-1111)."""
+        """D8 (database.py:1075-1111). Same single-scan Observation
+        pattern as :meth:`delete_element`."""
+        from pyspark.sql import Observation
         attr = self.store.attribute(database)
         arch = self.store.archive_values(database)
         n_attr = attr.where(F.col("attribute_id") == attribute_id).count()
-        n_arch = arch.where(F.col("attribute_id") == attribute_id).count()
+        obs = Observation()
+        observed = arch.observe(
+            obs, F.count(F.when(F.col("attribute_id") == attribute_id,
+                                1)).alias("n_doomed"))
         self.store.rewrite_archive(
-            database, arch.where(F.col("attribute_id") != attribute_id))
+            database,
+            observed.where(F.col("attribute_id") != attribute_id))
         self.store.overwrite_dim(
             database, "attribute",
             attr.where(F.col("attribute_id") != attribute_id))
         return {"attributes_deleted": n_attr,
-                "archive_records_deleted": n_arch}
+                "archive_records_deleted": obs.get["n_doomed"]}
 
     # ------------------------------------------------------- tree reload
 
@@ -317,6 +334,13 @@ class Pipeline:
             "element_id", "path").localCheckpoint(eager=True)
         old_paths = self._attr_paths_from(old_elem_paths, old_attr)
         new_paths = self._attr_paths_from(elem_paths, new_attr)
+        # collapse duplicate paths to ONE id (lowest — the reference
+        # builds {path: id} dicts, which likewise collapse): without
+        # this, two same-named attributes on one element make the
+        # path join many-to-many and every reload DUPLICATES their
+        # archive history
+        new_paths_1 = (new_paths.groupBy("attribute_path")
+                       .agg(F.min("attribute_id").alias("attribute_id")))
 
         # snapshot derived attrs by full path (backup, populate.py:163-296)
         derived = (old_attr.where(F.col("formula").isNotNull())
@@ -329,8 +353,11 @@ class Pipeline:
                            .join(old_paths, "attribute_id")
                            .select(F.col("attribute_id").alias("old_id"),
                                    "attribute_path"))
-        idmap = old_non_derived.join(new_paths, "attribute_path") \
-            .select("old_id", F.col("attribute_id").alias("new_id"))
+        idmap = (old_non_derived
+                 .groupBy("attribute_path")
+                 .agg(F.min("old_id").alias("old_id"))
+                 .join(new_paths_1, "attribute_path")
+                 .select("old_id", F.col("attribute_id").alias("new_id")))
 
         # restore deriveds under matching parent-element paths
         derived_rows = derived.withColumn(
@@ -366,11 +393,17 @@ class Pipeline:
         # remap archive attribute ids (populate.py:530-597) and purge
         # rows whose attribute no longer exists (J6, populate.py:409-417)
         arch = self.store.archive_values(database)
+        # INNER remap: an archive row whose old attribute has no path
+        # match in the new tree is DROPPED — the earlier left-join +
+        # coalesce kept its raw id, and when the new tree's dense
+        # preorder reused that id the orphan history silently merged
+        # into an unrelated attribute (and could collide on
+        # (attribute_id, timestamp) with the rightful rows)
         remapped = (arch.join(
             F.broadcast(full_idmap),
-            arch.attribute_id == F.col("old_id"), "left")
-            .select(F.coalesce("new_id", "attribute_id")
-                    .alias("attribute_id"), "timestamp", "value"))
+            arch.attribute_id == F.col("old_id"), "inner")
+            .select(F.col("new_id").alias("attribute_id"),
+                    "timestamp", "value"))
         cleaned = purge_orphans(
             remapped, final_attr.select("attribute_id"))
 

@@ -73,11 +73,10 @@ def referenced_ids(formula: str) -> list[int]:
 
 @dataclass
 class _Node:
-    op: str | None = None       # + - * / or None for leaf
+    op: str | None = None       # + - * / 'neg', or None for leaf
     left: "_Node | None" = None
     right: "_Node | None" = None
     leaf: _Tok | None = None
-    neg: bool = False
 
 
 class _Parser:
@@ -152,8 +151,15 @@ def parse(formula: str) -> _Node:
 def validate(formula: str, known_ids: set[int] | None = None) -> list[int]:
     """Parse + optional existence check of $N references.
     Reference behavior: unknown ids → ValueError (database.py:575-577)."""
-    ids = referenced_ids(formula)
-    parse(formula)
+    toks = tokenize(formula)  # one tokenize serves both passes
+    if not toks:
+        raise FormulaError("Invalid formula: empty")
+    seen: dict[int, None] = {}
+    for t in toks:
+        if t.kind == "ref":
+            seen.setdefault(int(t.text[1:]), None)
+    ids = list(seen)
+    _Parser(toks).parse()
     if known_ids is not None:
         missing = [i for i in ids if i not in known_ids]
         if missing:

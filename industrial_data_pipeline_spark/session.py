@@ -25,6 +25,20 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+_driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+
+def _xms_gb(mem: str) -> int:
+    """Initial-heap gigabytes: min(8, configured max), floor 1."""
+    try:
+        gb = int(mem.lower().rstrip("gb").rstrip("m") or 0)
+        if mem.lower().endswith(("m", "mb")):
+            gb = max(gb // 1024, 1)
+    except ValueError:
+        gb = 8
+    return max(1, min(8, gb))
+
+
 def get_spark(app_name: str = "industrial_data_pipeline_spark",
               cores: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
@@ -44,11 +58,13 @@ def get_spark(app_name: str = "industrial_data_pipeline_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", _driver_mem)
         # pre-size the heap: hash-heavy stages allocate hard, and a
-        # growing heap means young-GC thrash on their first run
-        .config("spark.driver.extraJavaOptions", "-Xms8g")
+        # growing heap means young-GC thrash on their first run —
+        # capped at the configured max (a fixed -Xms8g refused to
+        # start whenever SPARK_GRAFT_DRIVER_MEM was set below 8g)
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{_xms_gb(_driver_mem)}g")
         .config("spark.ui.enabled", "false")
         # ContextCleaner frees dropped localCheckpoint/broadcast blocks
         # only after a JVM GC notices the references died; the 30 min
