@@ -868,3 +868,102 @@ REGISTRY_EVENTS.update({
     "q222_constrained_funnel": (q_constrained_funnel,
                                 ORACLE_CONSTRAINED_FUNNEL),
 })
+
+
+# ---------------------- q225 bucketed interval (range) join
+
+INCIDENT_VALUE_MIN = 90
+INCIDENT_WINDOW_US = 1_800_000_000
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: high-value error events open 30-minute incident
+    windows; count the click/purchase events (and distinct users)
+    landing inside each half-open window — ANY user, so there is no
+    equi key and a naive join is a BroadcastNestedLoopJoin. The
+    engine side goes through the bucketed range join
+    (``TS.bucketed_interval_join``): explode intervals onto <=2
+    time buckets, equi-join points on the bucket, exact-filter.
+    The oracle keeps the naive inequality join as the semantics
+    spec. Zero-hit incidents are kept (LEFT join, counts 0)."""
+    from industrial_data_pipeline_spark.operators import timeseries as TS
+    ev = load(spark, sf_dir, "events")
+    inc = (ev.where((F.col("event_type") == "error")
+                    & (F.col("value") > INCIDENT_VALUE_MIN))
+           .select(F.col("event_id").alias("incident_id"),
+                   F.unix_micros("ts").alias("s_us"),
+                   (F.unix_micros("ts") + F.lit(INCIDENT_WINDOW_US))
+                   .alias("e_us")))
+    pts = (ev.where(F.col("event_type").isin("click", "purchase"))
+           .select(F.unix_micros("ts").alias("t_us"), "user_id"))
+    pairs = TS.bucketed_interval_join(
+        inc, pts, id_col="incident_id", bucket_us=INCIDENT_WINDOW_US)
+    hits = (pairs.groupBy("incident_id")
+            .agg(F.count("*").alias("_n"),
+                 F.countDistinct("user_id").alias("_u")))
+    return (inc.select("incident_id").join(hits, "incident_id", "left")
+            .select("incident_id",
+                    F.coalesce("_n", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.coalesce("_u", F.lit(0)).cast("long")
+                    .alias("n_users")))
+
+
+ORACLE_INTERVAL_JOIN = f"""
+WITH {_EV_SQL},
+inc AS (SELECT event_id AS incident_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {INCIDENT_WINDOW_US} AS e
+        FROM ev WHERE event_type = 'error'
+              AND value > {INCIDENT_VALUE_MIN}),
+p AS (SELECT epoch_us(ts) AS t, user_id FROM ev
+      WHERE event_type IN ('click', 'purchase'))
+SELECT i.incident_id,
+       CAST(count(p.t) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM inc i LEFT JOIN p ON p.t >= i.s AND p.t < i.e
+GROUP BY 1
+"""
+
+
+# ---------------------- q226 peak concurrency (sweep line)
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval depth per event type: every event opens a
+    30-minute window; how many were simultaneously open at the worst
+    moment, and when that moment first occurred. Sweep-line running
+    sum (operators/timeseries.peak_concurrency) — the DEPTH
+    complement of q189's union-coverage TIME measure."""
+    from industrial_data_pipeline_spark.operators import timeseries as TS
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select("event_type",
+                   F.unix_micros("ts").alias("s_us"),
+                   (F.unix_micros("ts") + F.lit(INCIDENT_WINDOW_US))
+                   .alias("e_us"))
+    return TS.peak_concurrency(iv)
+
+
+ORACLE_PEAK_CONCURRENCY = f"""
+WITH {_EV_SQL},
+iv AS (SELECT event_type, epoch_us(ts) AS s,
+              epoch_us(ts) + {INCIDENT_WINDOW_US} AS e
+       FROM ev),
+d AS (SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv),
+r AS (SELECT event_type, t,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS depth
+      FROM d),
+m AS (SELECT event_type, max(depth) AS peak FROM r GROUP BY 1)
+SELECT r.event_type, CAST(m.peak AS BIGINT) AS peak,
+       CAST(min(r.t) AS BIGINT) AS peak_at_us
+FROM r JOIN m ON r.event_type = m.event_type AND r.depth = m.peak
+GROUP BY 1, 2
+"""
+
+REGISTRY_EVENTS.update({
+    "q225_interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
+    "q226_peak_concurrency": (q_peak_concurrency,
+                              ORACLE_PEAK_CONCURRENCY),
+})
