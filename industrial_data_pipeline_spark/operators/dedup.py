@@ -456,3 +456,73 @@ def incremental_exact_dedup(corpus: DataFrame, batch: DataFrame,
     seen = corpus.select(hash64(F.col(text_col)).alias("_h")).distinct()
     return (first.join(seen, "_h", "left_anti")
             .select(id_col, F.col("_h").alias("content_hash")))
+
+
+# ------------------------------------------------- exact set-similarity join
+
+def set_similarity_join(sets: DataFrame, id_col: str = "doc_id",
+                        item_col: str = "item",
+                        t_millis: int = 500) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering —
+    the AllPairs/PPJoin family (Bayardo et al., WWW'07). The third
+    point in the dedup design space: minhash_lsh_pairs is approximate
+    with tunable recall, ngram_jaccard_pairs is exact but O(n²) and
+    guard-fenced; this is exact AND scalable when high-similarity
+    pairs are rare (the realistic corpus regime).
+
+    Canonical order = ascending document frequency (rarest item
+    first), tie-broken by the item itself. Two sets with Jaccard >=
+    t MUST share an item inside their first ``n - ceil(t*n) + 1``
+    items of that order (if all common items sat in both suffixes,
+    the overlap would be < ceil(t*n_min) <= the overlap Jaccard >= t
+    forces) — so the prefix equi-join loses nothing, and candidates
+    are verified exactly afterwards. No O(n²) stage anywhere: ranks
+    are per-set windows, the candidate join keys on the item, the
+    verify joins key on (id, item).
+
+    The threshold is integer millis (t = t_millis/1000) and the
+    output carries exact integer ``n_inter``/``n_union`` — the
+    Jaccard test is the cross-multiplication ``1000*i >= t_millis*u``,
+    no float anywhere.
+    """
+    from pyspark.sql import Window
+    if not 0 < t_millis <= 1000:
+        raise ValueError(f"t_millis must be in (0, 1000]: {t_millis}")
+    s = (sets.select(F.col(id_col).alias("_id"),
+                     F.col(item_col).alias("_it")).distinct())
+    sz = s.groupBy("_id").agg(F.count("*").alias("_n"))
+    dfreq = s.groupBy("_it").agg(F.count("*").alias("_df"))
+    ranked = (s.join(dfreq, "_it")
+              .withColumn("_r", F.row_number().over(
+                  Window.partitionBy("_id").orderBy("_df", "_it"))))
+    # ceil(t*n) in exact integers: (t_millis*n + 999) div 1000
+    pre = (ranked.join(sz, "_id")
+           .where(F.col("_r")
+                  <= F.col("_n")
+                  - F.floor((F.lit(t_millis) * F.col("_n")
+                             + F.lit(999)) / F.lit(1000)) + 1)
+           .select("_id", "_it"))
+    cand = (pre.alias("a")
+            .join(pre.alias("b"),
+                  (F.col("a._it") == F.col("b._it"))
+                  & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("_ia"),
+                    F.col("b._id").alias("_ib"))
+            .distinct())
+    sa = s.select(F.col("_id").alias("_ia"), "_it")
+    sb = s.select(F.col("_id").alias("_ib"), "_it")
+    inter = (cand.join(sa, "_ia").join(sb, ["_ib", "_it"])
+             .groupBy("_ia", "_ib").agg(F.count("*").alias("n_inter")))
+    out = (inter
+           .join(sz.select(F.col("_id").alias("_ia"),
+                           F.col("_n").alias("_na")), "_ia")
+           .join(sz.select(F.col("_id").alias("_ib"),
+                           F.col("_n").alias("_nb")), "_ib")
+           .withColumn("n_union",
+                       F.col("_na") + F.col("_nb") - F.col("n_inter")))
+    return (out.where(F.col("n_inter") * 1000
+                      >= F.lit(t_millis) * F.col("n_union"))
+            .select(F.col("_ia").alias("id_a"),
+                    F.col("_ib").alias("id_b"),
+                    F.col("n_inter").cast("long").alias("n_inter"),
+                    F.col("n_union").cast("long").alias("n_union")))

@@ -170,3 +170,41 @@ def winsorized_stats(df: DataFrame, group_col: str = "event_type",
                  F.sum(F.when((F.col(value_col) < F.col("_plo"))
                               | (F.col(value_col) > F.col("_phi")), 1)
                        .otherwise(0)).alias("n_clipped")))
+
+
+#: shared IEEE formula strings (parsed by Spark AND the DuckDB oracle,
+#: so both engines execute the identical op tree — raw doubles then
+#: compare byte-exact): expected count and chi-square cell term over
+#: integer inputs o/rt/ct/n.
+CHI2_EXPECTED = ("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+                 " / CAST(n AS DOUBLE)")
+CHI2_TERM = (f"(CAST(o AS DOUBLE) - {CHI2_EXPECTED})"
+             f" * (CAST(o AS DOUBLE) - {CHI2_EXPECTED})"
+             f" / ({CHI2_EXPECTED})")
+
+
+def chi_square_independence(df: DataFrame, row_col: str,
+                            col_col: str) -> DataFrame:
+    """Pearson chi-square contingency analysis between two
+    categorical columns: per observed cell, the count, the
+    independence-model expectation ``row_tot*col_tot/N``, and the
+    cell's chi-square contribution ``(o-e)^2/e`` (the analyst sums
+    terms / consults the critical value downstream — per-cell terms
+    keep the output float-deterministic: each is a single IEEE
+    expression over exact integers, no cross-cell float sum).
+
+    Shape: three combinable groupBy counts over the same scan plus a
+    1-row broadcast cross join for N — no windows, no collect. Cells
+    with zero observations are absent (as in the SQL formulation);
+    distinct-category cardinality bounds every join side.
+    """
+    cells = df.groupBy(row_col, col_col).agg(F.count("*").alias("o"))
+    rt = df.groupBy(row_col).agg(F.count("*").alias("rt"))
+    ct = df.groupBy(col_col).agg(F.count("*").alias("ct"))
+    n = df.agg(F.count("*").alias("n"))
+    return (cells.join(rt, row_col).join(ct, col_col)
+            .crossJoin(F.broadcast(n))
+            .selectExpr(row_col, col_col,
+                        "CAST(o AS LONG) AS observed",
+                        f"{CHI2_EXPECTED} AS expected",
+                        f"{CHI2_TERM} AS chi2_term"))

@@ -623,3 +623,65 @@ FROM t LEFT JOIN h USING (doc_id)
 REGISTRY_CORPUS.update({
     "q202_boilerplate_ngrams": (q_boilerplate_ngrams, _ORACLE_BOILER),
 })
+
+
+# -------------------- q227 exact set-similarity join (prefix filter)
+
+SETSIM_N = 5          # shingle width (shared shape with q202)
+SETSIM_T_MILLIS = 500  # Jaccard threshold, integer millis
+
+
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs by Jaccard >= 0.5 over 5-word shingle
+    SETS, via the AllPairs prefix filter
+    (operators/dedup.set_similarity_join) — exact like q25's all-pairs
+    baseline but with no O(n²) stage: rarest-first prefixes equi-join
+    on the shingle, then exact verification of the survivors only.
+    Pure integer output (intersection/union sizes); the oracle is the
+    naive quadratic join as the semantics spec."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        set_similarity_join)
+    from industrial_data_pipeline_spark.suite_common import load
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(split(trim(text), '\\\\s+'))"
+            f"          >= {SETSIM_N}"
+            f" THEN transform(sequence(1, size(split(trim(text),"
+            f" '\\\\s+')) - {SETSIM_N - 1}),"
+            f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
+            f" i, {SETSIM_N})))"
+            f" ELSE array() END")).alias("item"))
+    return set_similarity_join(sh, id_col="doc_id", item_col="item",
+                               t_millis=SETSIM_T_MILLIS)
+
+
+_ORACLE_SETSIM = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+                     AS tk
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest([array_to_string(tk[i:i + {SETSIM_N - 1}], ' ')
+                      FOR i IN range(1, greatest(len(tk)
+                                                 - {SETSIM_N - 2}, 1))])
+                  AS s
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS i
+          FROM sh a JOIN sh b
+               ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(i AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - i AS BIGINT) AS n_union
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i * 1000 >= {SETSIM_T_MILLIS} * (sa.n + sb.n - i)
+"""
+
+REGISTRY_CORPUS.update({
+    "q227_set_similarity_join": (q_set_similarity_join, _ORACLE_SETSIM),
+})

@@ -967,3 +967,42 @@ REGISTRY_EVENTS.update({
     "q226_peak_concurrency": (q_peak_concurrency,
                               ORACLE_PEAK_CONCURRENCY),
 })
+
+
+# ---------------------- q228 chi-square test of independence
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is event type independent of day-of-week? Pearson chi-square
+    contingency cells (observed, expected under independence, cell
+    chi2 term) — the drift/seasonality screening companion to q182's
+    PSI. Day-of-week is pure integer epoch arithmetic ((days+4)%7,
+    0=Sunday), identical under any session timezone; the float
+    expressions are the shared formula strings both engines parse
+    (operators/events_analytics.CHI2_*)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "event_type",
+        "(unix_micros(ts) div 86400000000 + 4) % 7 AS dow")
+    return EA.chi_square_independence(base, "event_type", "dow") \
+        .orderBy("event_type", "dow")
+
+
+ORACLE_CHI_SQUARE = f"""
+WITH {_EV_SQL},
+b AS (SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+      FROM ev),
+cells AS (SELECT event_type, dow, count(*) AS o FROM b GROUP BY 1, 2),
+r AS (SELECT event_type, count(*) AS rt FROM b GROUP BY 1),
+c AS (SELECT dow, count(*) AS ct FROM b GROUP BY 1),
+g AS (SELECT count(*) AS n FROM b)
+SELECT event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(o AS BIGINT) AS observed,
+       {EA.CHI2_EXPECTED} AS expected,
+       {EA.CHI2_TERM} AS chi2_term
+FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN g
+"""
+
+REGISTRY_EVENTS.update({
+    "q228_chi_square": (q_chi_square, ORACLE_CHI_SQUARE),
+})

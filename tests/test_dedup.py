@@ -250,3 +250,47 @@ def test_first_wins_tie_is_total_order(spark):
     assert (first.ord, first.val) == (5, "a")
     last = latest_per_key(df, ["key"], "ord").collect()[0]
     assert (last.ord, last.val) == (7, "z")
+
+
+def test_set_similarity_join_hand_computed(spark):
+    """A={x,y,z} B={x,y,z,w} C={p,q}: only (A,B) with J=3/4 passes
+    t=0.5; output carries the exact integer sizes."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        set_similarity_join)
+    rows = [(1, i) for i in "xyz"] + [(2, i) for i in "xyzw"] \
+        + [(3, i) for i in "pq"]
+    df = spark.createDataFrame(rows, "doc_id long, item string")
+    got = [(r.id_a, r.id_b, r.n_inter, r.n_union)
+           for r in set_similarity_join(df, t_millis=500).collect()]
+    assert got == [(1, 2, 3, 4)]
+
+
+def test_set_similarity_join_matches_naive(spark):
+    """Prefix filtering is lossless: against a brute-force quadratic
+    Jaccard over random small sets, the pair set is identical."""
+    import itertools
+    from industrial_data_pipeline_spark.operators.dedup import (
+        set_similarity_join)
+    import random
+    rng = random.Random(7)
+    sets = {i: frozenset(rng.sample(range(20), rng.randint(1, 10)))
+            for i in range(30)}
+    rows = [(i, str(x)) for i, s in sets.items() for x in s]
+    df = spark.createDataFrame(rows, "doc_id long, item string")
+    got = sorted((r.id_a, r.id_b)
+                 for r in set_similarity_join(df, t_millis=600)
+                 .collect())
+    want = sorted(
+        (a, b) for a, b in itertools.combinations(sorted(sets), 2)
+        if 1000 * len(sets[a] & sets[b])
+        >= 600 * len(sets[a] | sets[b]))
+    assert got == want
+
+
+def test_set_similarity_join_rejects_bad_threshold(spark):
+    from industrial_data_pipeline_spark.operators.dedup import (
+        set_similarity_join)
+    df = spark.createDataFrame([(1, "x")], "doc_id long, item string")
+    for t in (0, -1, 1001):
+        with pytest.raises(ValueError):
+            set_similarity_join(df, t_millis=t)

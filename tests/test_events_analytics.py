@@ -169,3 +169,20 @@ def test_shard_assignment_deterministic_and_balanced(spark):
         sizes[r.shard] = sizes.get(r.shard, 0) + 1
     assert len(sizes) == 8
     assert max(sizes.values()) < 2 * min(sizes.values())
+
+
+def test_chi_square_independence_hand_computed(spark):
+    """2x2 table [[10, 20], [30, 40]]: expected = rt*ct/100, term =
+    (o-e)^2/e — checked against the hand arithmetic."""
+    from industrial_data_pipeline_spark.operators.events_analytics import (
+        chi_square_independence)
+    rows = ([("a", 0)] * 10 + [("a", 1)] * 20
+            + [("b", 0)] * 30 + [("b", 1)] * 40)
+    df = spark.createDataFrame(rows, "r string, c long")
+    got = {(x.r, x.c): x for x in
+           chi_square_independence(df, "r", "c").collect()}
+    e_a0 = 30 * 40 / 100.0
+    assert got[("a", 0)].observed == 10
+    assert got[("a", 0)].expected == e_a0
+    assert got[("a", 0)].chi2_term == (10 - e_a0) ** 2 / e_a0
+    assert got[("b", 1)].expected == 70 * 60 / 100.0
