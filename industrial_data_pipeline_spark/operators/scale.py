@@ -47,8 +47,10 @@ def interval_join_binned(events: DataFrame, intervals: DataFrame,
                          ts_col: str = "ts",
                          start_col: str = "start",
                          end_col: str = "end",
-                         bin_unit: str = "hour") -> DataFrame:
-    """Range-containment join (event.ts ∈ [interval.start, end]) as an
+                         bin_unit: str = "hour",
+                         end_inclusive: bool = True) -> DataFrame:
+    """Range-containment join (event.ts ∈ [interval.start, end] — or
+    half-open [start, end) with ``end_inclusive=False``) as an
     equi-join on time bins instead of a broadcast-nested-loop theta
     join.
 
@@ -57,6 +59,8 @@ def interval_join_binned(events: DataFrame, intervals: DataFrame,
     hash/sort-merge equi-join on the bin key, followed by the exact
     containment filter. Turns O(|events|·|intervals|) into
     O(|events| + Σ bins) with a shuffle both sides partition-prune on.
+    Each event owns exactly ONE bin, so a (event, interval) pair can
+    only meet in one task — no post-join dedup needed.
 
     Returns events ⋈ intervals rows (all columns from both sides).
     """
@@ -64,13 +68,16 @@ def interval_join_binned(events: DataFrame, intervals: DataFrame,
     binned_iv = intervals.withColumn(
         "_bin", F.explode(F.sequence(
             F.date_trunc(bin_unit, F.col(start_col)),
+            # for a half-open end the bin holding `end` is only a
+            # (harmless) extra candidate; the exact filter drops it
             F.date_trunc(bin_unit, F.col(end_col)),
             one_bin)))
     binned_ev = events.withColumn(
         "_bin", F.date_trunc(bin_unit, F.col(ts_col)))
+    upper = (F.col(ts_col) <= F.col(end_col) if end_inclusive
+             else F.col(ts_col) < F.col(end_col))
     return (binned_ev.join(binned_iv, "_bin")
-            .where((F.col(ts_col) >= F.col(start_col))
-                   & (F.col(ts_col) <= F.col(end_col)))
+            .where((F.col(ts_col) >= F.col(start_col)) & upper)
             .drop("_bin"))
 
 

@@ -533,51 +533,6 @@ def ewma(archive: DataFrame, alpha: float = 0.25,
     return archive.groupBy(key_col).applyInPandas(fn, schema)
 
 
-def bucketed_interval_join(intervals: DataFrame, points: DataFrame,
-                           id_col: str = "interval_id",
-                           s_col: str = "s_us", e_col: str = "e_us",
-                           t_col: str = "t_us",
-                           bucket_us: int = 1_800_000_000) -> DataFrame:
-    """Range (interval-overlap) join: pair every point with every
-    interval whose half-open [s, e) contains it — the "which events
-    fall inside this incident/maintenance window" primitive the
-    reference resolves with per-window SQL BETWEEN queries
-    (/root/reference/src/pi/extraction/ingest.py:229-246 pulls one
-    time-window at a time).
-
-    A raw ``points.join(intervals, (t >= s) & (t < e))`` has no equi
-    key, so Spark plans BroadcastNestedLoopJoin — O(n·m) compares and
-    an all-to-one broadcast that dies at scale. This implements the
-    standard bucketed range join instead (what Databricks' range-join
-    hint does under the hood): quantize time into fixed buckets,
-    explode each interval onto the buckets it spans, and equi-join on
-    the bucket before applying the exact predicate. Each point owns
-    exactly ONE bucket, so a (point, interval) pair can meet in only
-    one task — no post-join dedup. With bucket width >= typical
-    interval length, intervals explode to <= 2 rows; the join is a
-    plain shuffled (or AQE-broadcast) hash join on an integer key.
-
-    Timestamps are integer epoch-µs end to end; returns the matched
-    pairs (interval id + all point columns).
-    """
-    if bucket_us <= 0:
-        raise ValueError(f"bucket_us must be positive: {bucket_us}")
-    b = F.lit(int(bucket_us))
-    iv = intervals.select(
-        id_col, s_col, e_col,
-        F.explode(F.sequence(
-            F.floor(F.col(s_col) / b),
-            # e is exclusive: the last covered bucket is the one
-            # holding e-1 (an interval ending ON a boundary does not
-            # reach into the next bucket)
-            F.floor((F.col(e_col) - 1) / b))).alias("_bk"))
-    pt = points.withColumn("_bk", F.floor(F.col(t_col) / b))
-    return (pt.join(iv, "_bk")
-            .where((F.col(t_col) >= F.col(s_col))
-                   & (F.col(t_col) < F.col(e_col)))
-            .drop("_bk", s_col, e_col))
-
-
 def peak_concurrency(intervals: DataFrame,
                      key_col: str = "event_type",
                      s_col: str = "s_us",

@@ -879,25 +879,28 @@ INCIDENT_WINDOW_US = 1_800_000_000
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: high-value error events open 30-minute incident
     windows; count the click/purchase events (and distinct users)
-    landing inside each half-open window — ANY user, so there is no
-    equi key and a naive join is a BroadcastNestedLoopJoin. The
-    engine side goes through the bucketed range join
-    (``TS.bucketed_interval_join``): explode intervals onto <=2
-    time buckets, equi-join points on the bucket, exact-filter.
-    The oracle keeps the naive inequality join as the semantics
-    spec. Zero-hit incidents are kept (LEFT join, counts 0)."""
-    from industrial_data_pipeline_spark.operators import timeseries as TS
+    landing inside each HALF-OPEN [s, e) window — ANY user, so there
+    is no equi key and a naive join is a BroadcastNestedLoopJoin.
+    The engine side reuses q64's binned range join
+    (``operators/scale.interval_join_binned``) with
+    ``end_inclusive=False``: intervals explode onto their covered
+    hour bins, points equi-join on their single bin, exact filter
+    after. The oracle keeps the naive inequality join as the
+    semantics spec. Zero-hit incidents are kept (LEFT join,
+    counts 0)."""
+    from industrial_data_pipeline_spark.operators.scale import (
+        interval_join_binned)
     ev = load(spark, sf_dir, "events")
     inc = (ev.where((F.col("event_type") == "error")
                     & (F.col("value") > INCIDENT_VALUE_MIN))
            .select(F.col("event_id").alias("incident_id"),
-                   F.unix_micros("ts").alias("s_us"),
-                   (F.unix_micros("ts") + F.lit(INCIDENT_WINDOW_US))
-                   .alias("e_us")))
+                   F.col("ts").alias("start"),
+                   (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                   .alias("end")))
     pts = (ev.where(F.col("event_type").isin("click", "purchase"))
-           .select(F.unix_micros("ts").alias("t_us"), "user_id"))
-    pairs = TS.bucketed_interval_join(
-        inc, pts, id_col="incident_id", bucket_us=INCIDENT_WINDOW_US)
+           .select("ts", "user_id"))
+    pairs = interval_join_binned(pts, inc, ts_col="ts",
+                                 end_inclusive=False)
     hits = (pairs.groupBy("incident_id")
             .agg(F.count("*").alias("_n"),
                  F.countDistinct("user_id").alias("_u")))

@@ -313,3 +313,29 @@ def test_weighted_median_partitioned_window(spark):
         spec = ln.split("windowspecdefinition(")[1]
         assert spec.split(",")[0].strip().startswith("l_returnflag"), ln
     assert "BroadcastHashJoin" in p
+
+
+def test_interval_join_binned_half_open(spark):
+    """end_inclusive=False: a point AT the interval end must not
+    match; a point at the start must; an interval ending exactly on a
+    bin boundary must not leak into the next bin; a pair meeting
+    across a bin edge appears exactly once."""
+    from datetime import datetime as T
+    from industrial_data_pipeline_spark.operators.scale import (
+        interval_join_binned)
+    iv = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 30), T(2024, 1, 1, 1, 30)),  # spans 2 bins
+         (2, T(2024, 1, 1, 0, 0), T(2024, 1, 1, 1, 0)),    # ends on edge
+         (3, T(2024, 1, 1, 1, 10), T(2024, 1, 1, 1, 20))],
+        "window_id long, start timestamp, end timestamp")
+    pt = spark.createDataFrame(
+        [(T(2024, 1, 1, 0, 30),), (T(2024, 1, 1, 0, 59),),
+         (T(2024, 1, 1, 1, 0),), (T(2024, 1, 1, 1, 15),),
+         (T(2024, 1, 1, 1, 29),), (T(2024, 1, 1, 1, 30),)],
+        "ts timestamp")
+    got = sorted((r.window_id, r.ts.minute + 60 * r.ts.hour)
+                 for r in interval_join_binned(
+                     pt, iv, ts_col="ts", end_inclusive=False)
+                 .collect())
+    assert got == [(1, 30), (1, 59), (1, 60), (1, 75), (1, 89),
+                   (2, 30), (2, 59), (3, 75)]

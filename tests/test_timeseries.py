@@ -299,38 +299,6 @@ def test_ewma_duplicate_ts_commutes(spark):
     assert got == [5.0, 5.0, 0.25 * 9 + 0.75 * 5.0]
 
 
-def test_bucketed_interval_join_boundaries(spark):
-    """Half-open [s, e): point at s matches, at e does not; an
-    interval ending ON a bucket boundary must not leak into the next
-    bucket; a pair meeting across a bucket edge appears exactly once."""
-    from industrial_data_pipeline_spark.operators.timeseries import (
-        bucketed_interval_join)
-    B = 100
-    iv = spark.createDataFrame(
-        [(1, 50, 150),    # spans buckets 0 and 1
-         (2, 0, 100),     # ends exactly on the bucket edge
-         (3, 130, 140)],  # inside bucket 1
-        "interval_id long, s_us long, e_us long")
-    pt = spark.createDataFrame(
-        [(50,), (99,), (100,), (135,), (149,), (150,)], "t_us long")
-    got = sorted((r.interval_id, r.t_us)
-                 for r in bucketed_interval_join(iv, pt, bucket_us=B)
-                 .collect())
-    assert got == [(1, 50), (1, 99), (1, 100), (1, 135), (1, 149),
-                   (2, 50), (2, 99), (3, 135)]
-
-
-def test_bucketed_interval_join_rejects_bad_bucket(spark):
-    from industrial_data_pipeline_spark.operators.timeseries import (
-        bucketed_interval_join)
-    import pytest as _pt
-    df = spark.createDataFrame([(1, 0, 1)],
-                               "interval_id long, s_us long, e_us long")
-    with _pt.raises(ValueError):
-        bucketed_interval_join(df, df.select(F.lit(0).alias("t_us")),
-                               bucket_us=0)
-
-
 def test_peak_concurrency_hand_computed(spark):
     """[0,10) [5,15) [10,20): depth peaks at 2, first reached at t=5;
     half-open means [0,10) and [10,20) are never concurrent."""
