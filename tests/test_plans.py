@@ -339,3 +339,19 @@ def test_interval_join_binned_half_open(spark):
                  .collect())
     assert got == [(1, 30), (1, 59), (1, 60), (1, 75), (1, 89),
                    (2, 30), (2, 59), (3, 75)]
+
+
+def test_set_similarity_join_no_theta_join(spark):
+    """q227's AllPairs set-similarity join must contain no
+    CartesianProduct / BroadcastNestedLoopJoin and no unpartitioned
+    window: prefixes equi-join on the item, verification equi-joins
+    on (id, item), ranks are per-set windows."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        set_similarity_join)
+    df = spark.createDataFrame(
+        [(i, str((i * 7 + j) % 15)) for i in range(40)
+         for j in range(i % 6 + 1)],
+        "doc_id long, item string")
+    p = plan(set_similarity_join(df, t_millis=500))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -105,6 +105,16 @@ PICKS = [
      "transform+explode (no Python); doc-frequency thresholding "
      "happens BEFORE the hit-join, so only boilerplate grams "
      "shuffle back against the corpus (semi-join reduction)."),
+    ("q225_interval_join",
+     "Half-open range join through the shared binned operator: NO "
+     "BroadcastNestedLoopJoin / CartesianProduct anywhere — the "
+     "interval side explodes onto hour bins and the join is a plain "
+     "equi-join on the bin key, exact containment filtered after."),
+    ("q227_set_similarity_join",
+     "Exact AllPairs set-similarity join: every join is an equi-join "
+     "(prefix item, then (id, item) verify) — no theta join, no "
+     "all-pairs stage; per-set ranks are doc_id-partitioned windows, "
+     "never a global sort."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —

@@ -37,12 +37,14 @@ PICKS = [
     ("salted skew agg", "q63_salted_skew_agg"),
     ("boilerplate 5-gram shingles", "q202_boilerplate_ngrams"),
     ("sliding windows (1h/15m)", "q214_sliding_windows"),
+    ("binned range join (half-open)", "q225_interval_join"),
+    ("AllPairs set-similarity join", "q227_set_similarity_join"),
 ]
 
 #: events-shaped operators re-run against the exploded table.
 XL_OPS = ["hourly rollup", "as-of join (union-sort)",
           "linear-interp grid fill", "sessionize (gap windows)",
-          "salted skew agg"]
+          "salted skew agg", "binned range join (half-open)"]
 
 
 def main() -> None:
