@@ -59,14 +59,21 @@ def tokenize(formula: str) -> list[_Tok]:
     return toks
 
 
-def referenced_ids(formula: str) -> list[int]:
-    """Distinct attribute ids referenced, in first-appearance order.
-    Reference: re.findall(r'\\$(\\d+)') (database.py:560)."""
+def _ids_from_toks(toks: list[_Tok]) -> list[int]:
+    """Distinct $N ids in first-appearance order — THE ref-id
+    extraction, shared by referenced_ids and validate so the two can
+    never drift."""
     seen: dict[int, None] = {}
-    for t in tokenize(formula):
+    for t in toks:
         if t.kind == "ref":
             seen.setdefault(int(t.text[1:]), None)
     return list(seen)
+
+
+def referenced_ids(formula: str) -> list[int]:
+    """Distinct attribute ids referenced, in first-appearance order.
+    Reference: re.findall(r'\\$(\\d+)') (database.py:560)."""
+    return _ids_from_toks(tokenize(formula))
 
 
 # ------------------------------------------------------------------ AST
@@ -154,11 +161,7 @@ def validate(formula: str, known_ids: set[int] | None = None) -> list[int]:
     toks = tokenize(formula)  # one tokenize serves both passes
     if not toks:
         raise FormulaError("Invalid formula: empty")
-    seen: dict[int, None] = {}
-    for t in toks:
-        if t.kind == "ref":
-            seen.setdefault(int(t.text[1:]), None)
-    ids = list(seen)
+    ids = _ids_from_toks(toks)
     _Parser(toks).parse()
     if known_ids is not None:
         missing = [i for i in ids if i not in known_ids]

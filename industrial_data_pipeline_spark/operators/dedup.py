@@ -488,19 +488,22 @@ def set_similarity_join(sets: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
     if not 0 < t_millis <= 1000:
         raise ValueError(f"t_millis must be in (0, 1000]: {t_millis}")
-    s = (sets.select(F.col(id_col).alias("_id"),
-                     F.col(item_col).alias("_it")).distinct())
+    # NULL items are excluded up front: an equi-join can never match
+    # NULL, so counting one in the set size would deflate the Jaccard
+    # of every pair involving that set
+    s = (sets.where(F.col(item_col).isNotNull())
+         .select(F.col(id_col).alias("_id"),
+                 F.col(item_col).alias("_it")).distinct())
     sz = s.groupBy("_id").agg(F.count("*").alias("_n"))
     dfreq = s.groupBy("_it").agg(F.count("*").alias("_df"))
     ranked = (s.join(dfreq, "_it")
               .withColumn("_r", F.row_number().over(
                   Window.partitionBy("_id").orderBy("_df", "_it"))))
-    # ceil(t*n) in exact integers: (t_millis*n + 999) div 1000
+    # ceil(t*n) in exact integers: (t_millis*n + 999) div 1000 —
+    # `div`, not `/`: Column `/` is IEEE double division
     pre = (ranked.join(sz, "_id")
-           .where(F.col("_r")
-                  <= F.col("_n")
-                  - F.floor((F.lit(t_millis) * F.col("_n")
-                             + F.lit(999)) / F.lit(1000)) + 1)
+           .where(F.col("_r") <= F.expr(
+               f"_n - (({t_millis} * _n + 999) div 1000) + 1"))
            .select("_id", "_it"))
     cand = (pre.alias("a")
             .join(pre.alias("b"),

@@ -197,7 +197,14 @@ def chi_square_independence(df: DataFrame, row_col: str,
     1-row broadcast cross join for N — no windows, no collect. Cells
     with zero observations are absent (as in the SQL formulation);
     distinct-category cardinality bounds every join side.
+
+    Rows with a NULL in either category are excluded from the WHOLE
+    analysis (cells, marginals, and N alike): a null-keyed cell can
+    never survive the equi-joins, so counting its rows in the totals
+    would skew every other cell's expectation.
     """
+    df = df.where(F.col(row_col).isNotNull()
+                  & F.col(col_col).isNotNull())
     cells = df.groupBy(row_col, col_col).agg(F.count("*").alias("o"))
     rt = df.groupBy(row_col).agg(F.count("*").alias("rt"))
     ct = df.groupBy(col_col).agg(F.count("*").alias("ct"))

@@ -17,6 +17,7 @@ so the same code deploys unchanged to a multi-executor cluster:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -25,18 +26,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-_driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
-
-
-def _xms_gb(mem: str) -> int:
-    """Initial-heap gigabytes: min(8, configured max), floor 1."""
-    try:
-        gb = int(mem.lower().rstrip("gb").rstrip("m") or 0)
-        if mem.lower().endswith(("m", "mb")):
-            gb = max(gb // 1024, 1)
-    except ValueError:
-        gb = 8
-    return max(1, min(8, gb))
+def _xms_mb(mem: str) -> int | None:
+    """Initial-heap megabytes: min(8 GiB, the configured max heap).
+    Returns None when ``mem`` doesn't parse as a JVM size — then no
+    -Xms is emitted at all (guessing risks -Xms > -Xmx, which refuses
+    to start; that direction is strictly worse than a growing heap)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", mem.lower())
+    if not m:
+        return None
+    n, unit = int(m.group(1)), m.group(2)
+    mb = {"k": n // 1024, "": n // (1024 * 1024),
+          "m": n, "g": n * 1024, "t": n * 1024 * 1024}[unit]
+    return max(1, min(8 * 1024, mb))
 
 
 def get_spark(app_name: str = "industrial_data_pipeline_spark",
@@ -48,6 +49,10 @@ def get_spark(app_name: str = "industrial_data_pipeline_spark",
     session is returned as-is (Spark is one-session-per-JVM).
     """
     n = cores or default_parallelism()
+    # read per call, not at import: callers set the env var after
+    # importing the package and before building the session
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    xms = _xms_mb(driver_mem)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -58,13 +63,13 @@ def get_spark(app_name: str = "industrial_data_pipeline_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", _driver_mem)
+        .config("spark.driver.memory", driver_mem)
         # pre-size the heap: hash-heavy stages allocate hard, and a
         # growing heap means young-GC thrash on their first run —
         # capped at the configured max (a fixed -Xms8g refused to
         # start whenever SPARK_GRAFT_DRIVER_MEM was set below 8g)
         .config("spark.driver.extraJavaOptions",
-                f"-Xms{_xms_gb(_driver_mem)}g")
+                f"-Xms{xms}m" if xms else "")
         .config("spark.ui.enabled", "false")
         # ContextCleaner frees dropped localCheckpoint/broadcast blocks
         # only after a JVM GC notices the references died; the 30 min

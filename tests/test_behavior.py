@@ -103,3 +103,50 @@ def test_scd2_islands(spark):
                 F.count("*").alias("n")))
     got = sorted((r._run, r.state, r.n) for r in isl.collect())
     assert got == [(1, "A", 2), (2, "B", 1), (3, "A", 1)]
+
+
+def test_xms_mb_never_exceeds_configured_max():
+    """-Xms must never exceed -Xmx: sub-gig settings get a sub-gig
+    (or equal) Xms, unparseable settings get NO Xms at all — the
+    failure mode both wrong directions share is a JVM that refuses
+    to start."""
+    from industrial_data_pipeline_spark.session import _xms_mb
+    assert _xms_mb("48g") == 8 * 1024      # capped at 8 GiB
+    assert _xms_mb("8g") == 8 * 1024
+    assert _xms_mb("2g") == 2 * 1024
+    assert _xms_mb("512m") == 512          # NOT rounded up past max
+    assert _xms_mb("512M") == 512
+    assert _xms_mb("900000k") == 900000 // 1024
+    assert _xms_mb("1t") == 8 * 1024
+    assert _xms_mb("  4gb ") == 4 * 1024
+    for bad in ("0.5g", "abc", "", "g8"):
+        assert _xms_mb(bad) is None
+
+
+def test_set_similarity_ignores_null_items(spark):
+    """A NULL item must not deflate set sizes: two identical sets
+    that each also carry a NULL row are still Jaccard 1.0."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        set_similarity_join)
+    rows = [(1, "x"), (1, "y"), (1, None),
+            (2, "x"), (2, "y"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, item string")
+    got = [(r.id_a, r.id_b, r.n_inter, r.n_union)
+           for r in set_similarity_join(df, t_millis=1000).collect()]
+    assert got == [(1, 2, 2, 2)]
+
+
+def test_chi_square_excludes_null_categories(spark):
+    """Rows with a NULL category leave the analysis entirely —
+    totals must not include observations no cell accounts for."""
+    from industrial_data_pipeline_spark.operators.events_analytics import (
+        chi_square_independence)
+    rows = ([("a", 0)] * 10 + [("a", 1)] * 10
+            + [("b", 0)] * 10 + [("b", 1)] * 10
+            + [(None, 0)] * 100 + [("a", None)] * 100)
+    df = spark.createDataFrame(rows, "r string, c long")
+    out = chi_square_independence(df, "r", "c").collect()
+    assert len(out) == 4
+    for x in out:
+        assert x.observed == 10 and x.expected == 10.0
+        assert x.chi2_term == 0.0

@@ -355,3 +355,8 @@ def test_set_similarity_join_no_theta_join(spark):
     p = plan(set_similarity_join(df, t_millis=500))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    wins = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert wins
+    for ln in wins:  # every window partitioned by the set id
+        spec = ln.split("windowspecdefinition(")[1]
+        assert spec.split(",")[0].strip().startswith("_id"), ln
