@@ -370,6 +370,29 @@ def main() -> None:
         '- **q213 centroid cosine**: the only shuffle is the (label × dim)',
         '  partial-agg; the pair join is a broadcast self-join over',
         '  |labels|×64 summary rows — never touches the vector table twice.',
+        '',
+        '## Round-4b — range join, sweep line, AllPairs, chi-square',
+        '',
+        '- **q225 half-open range join**: reuses q64\'s binned operator',
+        '  (end_inclusive=False) — intervals explode onto ≤2 hour bins,',
+        '  points own ONE bin, so the join is a plain equi-join and each',
+        '  pair meets in exactly one task (no dedup). Cost is',
+        '  O(|points| + Σ bins) shuffled on the bin key; the naive theta',
+        '  join Spark would otherwise pick is a BroadcastNestedLoopJoin.',
+        '- **q226 peak concurrency**: sweep line = 2 rows per interval,',
+        '  one running-sum window partitioned by the key; state per key is',
+        '  one counter. The per-key peak is a second whole-partition max',
+        '  window over the same shuffle — no extra exchange (same key).',
+        '- **q227 AllPairs set-similarity**: candidate cost is Σ over',
+        '  prefix items of df² — prefixes are the ~10% rarest-first slice',
+        '  of each set, so df is small by construction where it is',
+        '  squared; verification joins are (id, item) equi-joins bounded',
+        '  by |candidates|×|set|. Exact output (integer Jaccard), unlike',
+        '  LSH; no guard needed, unlike the O(n²) baseline.',
+        '- **q228 chi-square**: three combinable groupBy counts over one',
+        '  scan + a 1-row broadcast for N; per-cell χ² terms are single',
+        '  IEEE expressions over exact integers, so there is no',
+        '  cross-cell float sum to make merge order matter.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
