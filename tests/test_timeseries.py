@@ -311,3 +311,27 @@ def test_peak_concurrency_hand_computed(spark):
     got = {r.event_type: (r.peak, r.peak_at_us)
            for r in peak_concurrency(iv).collect()}
     assert got == {"a": (2, 5), "b": (1, 0)}
+
+
+def test_peak_concurrency_matches_brute_force(spark):
+    """Random intervals vs a brute-force sweep in Python: peak depth
+    and earliest peak instant must agree exactly (half-open [s, e))."""
+    import random
+    from industrial_data_pipeline_spark.operators.timeseries import (
+        peak_concurrency)
+    rng = random.Random(11)
+    ivs = []
+    for k in ("a", "b"):
+        for _ in range(60):
+            s = rng.randrange(0, 500)
+            ivs.append((k, s, s + rng.randrange(1, 80)))
+    df = spark.createDataFrame(
+        ivs, "event_type string, s_us long, e_us long")
+    got = {r.event_type: (r.peak, r.peak_at_us)
+           for r in peak_concurrency(df).collect()}
+    for k in ("a", "b"):
+        mine = [(s, e) for kk, s, e in ivs if kk == k]
+        # depth only changes at start points; earliest max start wins
+        best = max((sum(1 for s2, e2 in mine if s2 <= t < e2), -t)
+                   for t in sorted({s for s, _ in mine}))
+        assert got[k] == (best[0], -best[1])
