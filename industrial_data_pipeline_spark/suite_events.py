@@ -228,8 +228,14 @@ def q_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = F.lead("event_type", 1).over(w)
     s3 = F.lead("event_type", 2).over(w)
     motif = F.concat_ws(">", F.col("event_type"), s2, s3)
-    return (ev.withColumn("_m", motif).withColumn("_s3", s3)
-            .where(F.col("_s3").isNotNull())
+    # all three parts must be non-null: concat_ws SKIPS nulls while
+    # the oracle's || null-propagates — requiring completeness on
+    # both sides keeps the semantics identical even if event_type
+    # is ever null in the data
+    return (ev.withColumn("_m", motif).withColumn("_s2", s2)
+            .withColumn("_s3", s3)
+            .where(F.col("_s3").isNotNull() & F.col("_s2").isNotNull()
+                   & F.col("event_type").isNotNull())
             .groupBy(F.col("_m").alias("motif"))
             .agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("motif")).limit(20))
@@ -244,7 +250,8 @@ s AS (SELECT event_type,
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT event_type || '>' || e2 || '>' || e3 AS motif,
        count(*) AS n
-FROM s WHERE e3 IS NOT NULL
+FROM s WHERE e3 IS NOT NULL AND e2 IS NOT NULL
+      AND event_type IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, motif ASC LIMIT 20
 """
 
@@ -267,7 +274,11 @@ def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("hour", "ts").alias("h"), "event_type")
     b = ev.distinct()
-    n_buckets = b.select("user_id", "h").distinct().count()
+    # bucket total stays IN the plan as a 1-row broadcast cross join
+    # (the q13/chi-square shape) — an eager .count() here ran a full
+    # extra scan+shuffle at every plan BUILD, not just at execution
+    nb = (b.select("user_id", "h").distinct()
+          .agg(F.count("*").alias("_nbk")))
     tx = b.groupBy("event_type").agg(F.count("*").alias("n_x"))
     l = b.select("user_id", "h", F.col("event_type").alias("ta"))
     r = b.select("user_id", "h", F.col("event_type").alias("tb"))
@@ -278,10 +289,11 @@ def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n_x").alias("_na"))
     jb = tx.select(F.col("event_type").alias("tb"),
                    F.col("n_x").alias("_nb"))
-    arg = (F.col("n_xy").cast("double") * F.lit(n_buckets)) \
+    arg = (F.col("n_xy").cast("double") * F.col("_nbk")) \
         / (F.col("_na") * F.col("_nb"))
     return (pairs.join(F.broadcast(ja), "ta")
             .join(F.broadcast(jb), "tb")
+            .crossJoin(F.broadcast(nb))
             .select(F.col("ta").alias("type_a"),
                     F.col("tb").alias("type_b"), "n_xy",
                     (F.round(F.log(arg), 6) + F.lit(0.0))
@@ -353,7 +365,11 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = binned(ref, "r")
     c = binned(cur, "c")
-    m = r.join(c, "event_type")
+    # LEFT join from the reference side: a type with reference rows
+    # but no current-week rows (retired event type) must still report
+    # (n_cur=0, smoothed psi) — the oracle aggregates ONE table and
+    # keeps such groups; an inner join here silently dropped them
+    m = r.join(c, "event_type", "left").na.fill(0)
     rn = sum(F.col(f"r{i}") for i in range(10))
     cn = sum(F.col(f"c{i}") for i in range(10))
 

@@ -809,8 +809,6 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.unix_micros("timestamp")
     day_end = F.unix_micros(
         F.date_trunc("day", "timestamp") + F.expr("INTERVAL 1 DAY"))
-    w = Window.partitionBy("attribute_id", day.alias("d")) \
-        .orderBy("timestamp", "value")
     nxt = F.lead(us).over(
         Window.partitionBy("attribute_id", day)
         .orderBy("timestamp", "value"))
@@ -938,7 +936,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"""
         SELECT attribute_id, timestamp, value,
                percentile(value, 0.5) OVER (
-                   PARTITION BY attribute_id ORDER BY timestamp
+                   PARTITION BY attribute_id ORDER BY timestamp, value
                    ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW
                ) + 0.0 AS rolling_med
         FROM _roll_arch
@@ -949,7 +947,7 @@ ORACLE_ROLLING_MEDIAN = f"""
 WITH {_ARCH_SQL}
 SELECT attribute_id, "timestamp", value,
        quantile_cont(value, 0.5) OVER (
-           PARTITION BY attribute_id ORDER BY "timestamp"
+           PARTITION BY attribute_id ORDER BY "timestamp", value
            ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW
        ) + 0.0 AS rolling_med
 FROM arch
@@ -983,7 +981,12 @@ def q_stuck_sensor_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     arch = archive_analog(spark, sf_dir).where(
         F.col("attribute_id").isin(1, 2, 3, 4, 5))
-    w = Window.partitionBy("attribute_id").orderBy("timestamp")
+    # (timestamp, value) ordering — the repo-wide tie discipline: a
+    # bare-timestamp order leaves duplicate-µs rows in arbitrary
+    # engine-specific order, and here the order decides WHERE the
+    # injection lands ("_r" binds to the ORIGINAL value; the run
+    # windows below re-resolve "value" to the rewritten column)
+    w = Window.partitionBy("attribute_id").orderBy("timestamp", "value")
     arch = (arch.withColumn("_r", F.row_number().over(w))
             .withColumn("value",
                         F.when(F.col("_r") % 37 < 6,
@@ -1009,7 +1012,7 @@ def q_stuck_sensor_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STUCK_RUNS = f"""
 WITH {_ARCH_SQL},
 a0 AS (SELECT *, row_number() OVER (PARTITION BY attribute_id
-                                    ORDER BY "timestamp") AS rr
+                                    ORDER BY "timestamp", value) AS rr
        FROM arch WHERE attribute_id IN (1, 2, 3, 4, 5)),
 a AS (SELECT attribute_id, "timestamp",
              CASE WHEN rr % 37 < 6
@@ -1021,10 +1024,10 @@ r AS (SELECT attribute_id, "timestamp", value,
                        OR lag(value) OVER w <> value
                   THEN 1 ELSE 0 END AS chg
       FROM a WINDOW w AS (PARTITION BY attribute_id
-                          ORDER BY "timestamp")),
+                          ORDER BY "timestamp", value)),
 i AS (SELECT attribute_id, "timestamp", value,
              sum(chg) OVER (PARTITION BY attribute_id
-                            ORDER BY "timestamp"
+                            ORDER BY "timestamp", value
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS isl
       FROM r)

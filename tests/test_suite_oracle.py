@@ -170,3 +170,64 @@ def test_boilerplate_short_docs_no_crash(spark):
         assert out == {4: 6 - BOILER_N + 1}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _synthetic_events_compare(spark, tmp_path, rows, qname):
+    """Run a suite query AND its oracle over a synthetic events table,
+    compare byte-exactly — the degenerate-data harness the fixed
+    testdata can't exercise."""
+    import duckdb
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    d = str(tmp_path / "sfX")
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{d}/events.parquet"))
+    fn, sql = REGISTRY[qname]
+    con = duckdb.connect()
+    # Spark writes a part-file directory; DuckDB needs the glob
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet/*.parquet'")
+    compare(fn(spark, d), con.execute(sql).fetchdf(), qname)
+
+
+def test_psi_drift_keeps_retired_event_types(spark, tmp_path):
+    """q182 degenerate case: an event type with reference-week rows
+    but ZERO current-week rows must still be reported (n_cur=0,
+    smoothed PSI) — the engine's old inner join dropped it."""
+    from datetime import datetime as T
+    rows = [(i, T(2024, 1, 2, i % 24), 1, "retired", 10.0 + i, None)
+            for i in range(30)]
+    rows += [(100 + i, T(2024, 1, 2, i % 24), 2, "alive",
+              5.0 + i, None) for i in range(30)]
+    rows += [(200 + i, T(2024, 1, 26, i % 24), 2, "alive",
+              6.0 + i, None) for i in range(20)]
+    _synthetic_events_compare(spark, tmp_path, rows, "q182_psi_drift")
+
+
+def test_stuck_runs_duplicate_timestamp_ties(spark, tmp_path):
+    """q223 degenerate case: duplicate (attribute, µs) readings — the
+    (timestamp, value) tiebreak must make the injection landing spots
+    and run boundaries identical across engines."""
+    from datetime import datetime as T
+    rows = []
+    for i in range(200):
+        # every 5th reading duplicates its timestamp with a
+        # DIFFERENT value → real (ts) ties, ordered only by value
+        t = T(2024, 1, 1, 0, i // 2 % 60, i % 60)
+        rows.append((i, t, 1 + i % 3, "view", float(i % 7), None))
+    _synthetic_events_compare(spark, tmp_path, rows,
+                              "q223_stuck_sensor_runs")
+
+
+def test_sequence_motifs_null_event_type(spark, tmp_path):
+    """q175 degenerate case: NULL event_type rows — concat_ws skips
+    nulls while SQL || null-propagates; both sides now require all
+    three motif parts non-null."""
+    from datetime import datetime as T
+    rows = [(i, T(2024, 1, 1, 0, i), 1,
+             None if i % 4 == 2 else ("view", "click", "buy")[i % 3],
+             1.0, None) for i in range(40)]
+    _synthetic_events_compare(spark, tmp_path, rows,
+                              "q175_sequence_motifs")

@@ -376,9 +376,15 @@ def main() -> None:
         '- **q225 half-open range join**: reuses q64\'s binned operator',
         '  (end_inclusive=False) — intervals explode onto ≤2 hour bins,',
         '  points own ONE bin, so the join is a plain equi-join and each',
-        '  pair meets in exactly one task (no dedup). Cost is',
-        '  O(|points| + Σ bins) shuffled on the bin key; the naive theta',
+        '  pair meets in exactly one task (no dedup); the naive theta',
         '  join Spark would otherwise pick is a BroadcastNestedLoopJoin.',
+        '  The XL ratio (33.5× for 16× rows) is OUTPUT, not plan, cost:',
+        '  the 16× explosion densifies a fixed 30-day span, so windows',
+        '  ×16 AND points-per-window ×16 → matched pairs ×~256. Cost is',
+        '  O(|points| + Σ bins + |pairs|), and |pairs| is the quadratic',
+        '  term a denser feed genuinely implies — at constant density',
+        '  (the real 100 TB shape: longer span / more sources, not 16×',
+        '  events in the same month) pairs grow linearly.',
         '- **q226 peak concurrency**: sweep line = 2 rows per interval,',
         '  one running-sum window partitioned by the key; state per key is',
         '  one counter. The per-key peak is a second whole-partition max',
