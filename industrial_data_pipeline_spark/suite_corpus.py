@@ -22,7 +22,8 @@ from industrial_data_pipeline_spark.suite_llm import (
     q_minhash_lsh_pairs,
 )
 
-_LTOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_LTOKS = ("list_filter(string_split_regex(trim(lower(text)),"
+          " '\\s+'), x -> x <> '')")
 
 
 # Materialized near-dup pair set, keyed by (session, sf_dir): three
@@ -32,21 +33,21 @@ _LTOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 # shingles+signatures per consumer. q24 itself still measures the
 # honest derivation cost — only downstream consumers reuse. The
 # checkpointed frame is tiny (id pairs + similarity).
-_PAIRS_CACHE: dict = {}
-_PAIRS_CACHE_MAX = 4  # a handful of (session, sf_dir) combos; FIFO
-# eviction keeps stopped sessions / stale sf_dirs from pinning their
-# checkpoint blocks for the process lifetime
-
-
 def _pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark._jsparkSession), sf_dir)
-    hit = _PAIRS_CACHE.get(key)
+    # lives in suite_common's WEAKLY-session-keyed cache (the same
+    # store load() uses): a stopped session's entries — and their
+    # checkpoint blocks — die with it, and a key can never be served
+    # to a different session (the id()-reuse hazard that cache's
+    # docstring warns about)
+    from industrial_data_pipeline_spark.suite_common import (
+        _session_cache)
+    cache = _session_cache(spark)
+    key = ("lsh_pairs", sf_dir)
+    hit = cache.get(key)
     if hit is None:
         hit = q_minhash_lsh_pairs(spark, sf_dir) \
             .localCheckpoint(eager=True)
-        while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
-            _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
-        _PAIRS_CACHE[key] = hit
+        cache[key] = hit
     return hit
 
 
@@ -262,13 +263,11 @@ GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
 # band contains the planted near-dups, not just exact copies.
 
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from industrial_data_pipeline_spark.suite_llm import _mut_corpus
     return TX.tfidf_cosine_pairs(_mut_corpus(spark, sf_dir),
                                  max_df=100, threshold=0.5)
 
 
 def _oracle_tfidf_pairs() -> str:
-    from industrial_data_pipeline_spark.suite_llm import _MUT_SQL
     return f"""
 WITH corpus AS ({_MUT_SQL}),
 toks AS (SELECT doc_id, unnest({_LTOKS}) AS t FROM corpus),
@@ -304,13 +303,10 @@ _RRF_QIDS = [1, 2, 3]
 
 
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from industrial_data_pipeline_spark.operators.dedup import (
         jaccard,
         word_shingles,
     )
-    from industrial_data_pipeline_spark.suite_llm import _mut_corpus
     corpus = _mut_corpus(spark, sf_dir)
     qids = F.col("doc_id").isin(_RRF_QIDS)
 
@@ -475,8 +471,6 @@ def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_source_dup_matrix() -> str:
-    from industrial_data_pipeline_spark.suite_llm import (
-        ORACLE_MINHASH_LSH)
     return f"""
 WITH pairs AS ({ORACLE_MINHASH_LSH})
 SELECT least(da.source, db.source) AS source_a,
@@ -505,7 +499,11 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships with (q169 does this for the ANN index; this closes the
     loop for hybrid text retrieval). Exact integers and 1/rank
     ratios."""
-    fused = q_hybrid_retrieval(spark, sf_dir)
+    # <=30 rows; eager checkpoint so the expensive retrieval subtree
+    # runs ONCE instead of relying on ReuseExchange to dedupe the two
+    # references below (the simhash_pairs precedent)
+    fused = q_hybrid_retrieval(spark, sf_dir) \
+        .localCheckpoint(eager=True)
     truth = F.col("query_id") + F.lit(100000)
     hit = fused.where(F.col("cand_id") == truth)
     found = (hit.select("query_id",
@@ -551,6 +549,37 @@ BOILER_N = 5          # shingle width
 BOILER_DF = 20        # doc-frequency threshold → boilerplate
 
 
+def _word_shingle_expr(n: int) -> str:
+    """Guarded JVM-side n-word shingle expression over `text` —
+    shared by q202 and q227 so the short-doc guard lives ONCE.
+    Docs shorter than one shingle get an EMPTY array (and drop out
+    of every downstream table, matching the oracle's empty range):
+    an unguarded sequence(1, size-(n-1)) turns DESCENDING for short
+    docs — Spark's default step is -1 when stop < start — and
+    slice(..., 0, n) then throws INVALID_PARAMETER_VALUE."""
+    return (f"CASE WHEN size(split(trim(text), '\\\\s+')) >= {n}"
+            f" THEN transform(sequence(1, size(split(trim(text),"
+            f" '\\\\s+')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split(trim(text),"
+            f" '\\\\s+'), i, {n})))"
+            f" ELSE array() END")
+
+
+def _oracle_shingle_cte(n: int) -> str:
+    """The DuckDB mirror of :func:`_word_shingle_expr`: CTEs `toks`
+    (token list per doc) and `g` ((doc_id, gram) long table; empty
+    range for short docs)."""
+    return f"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+                     AS tk
+              FROM documents),
+g AS (SELECT doc_id,
+             unnest([array_to_string(tk[i:i + {n - 1}], ' ')
+                     FOR i IN range(1, greatest(len(tk)
+                                                - {n - 2}, 1))])
+                 AS gram
+      FROM toks)"""
+
+
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style boilerplate suppression, phrase-level: a
     5-gram that appears in ≥ BOILER_DF distinct documents is
@@ -562,23 +591,10 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, no Python), doc-frequency is one distinct+groupBy on the
     gram hash, the hit-join shuffles on the gram string only for
     grams that cleared the threshold (semi-join reduction)."""
-    from industrial_data_pipeline_spark.suite_common import load
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # docs shorter than one shingle get an EMPTY array (and drop out
-    # of every downstream table, matching the oracle's empty range):
-    # an unguarded sequence(1, size-4) turns DESCENDING ([1, 0]) for
-    # short docs — Spark's default step is -1 when stop < start —
-    # and slice(..., 0, 5) then throws INVALID_PARAMETER_VALUE
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
     g = docs.select(
         "doc_id",
-        F.explode(F.expr(
-            f"CASE WHEN size(split(trim(text), '\\\\s+'))"
-            f"          >= {BOILER_N}"
-            f" THEN transform(sequence(1, size(split(trim(text),"
-            f" '\\\\s+')) - {BOILER_N - 1}),"
-            f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
-            f" i, {BOILER_N})))"
-            f" ELSE array() END")).alias("gram"))
+        F.explode(F.expr(_word_shingle_expr(BOILER_N))).alias("gram"))
     boiler = (g.select("doc_id", "gram").distinct()
               .groupBy("gram").agg(F.count("*").alias("df"))
               .where(F.col("df") >= BOILER_DF)
@@ -597,15 +613,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_BOILER = f"""
-WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
-                     AS tk
-              FROM documents),
-g AS (SELECT doc_id,
-             unnest([array_to_string(tk[i:i + {BOILER_N - 1}], ' ')
-                     FOR i IN range(1, greatest(len(tk)
-                                                - {BOILER_N - 2}, 1))])
-                 AS gram
-      FROM toks),
+WITH {_oracle_shingle_cte(BOILER_N)},
 b AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
       GROUP BY gram HAVING count(*) >= {BOILER_DF}),
 h AS (SELECT doc_id, count(*) AS boiler_positions,
@@ -641,32 +649,17 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive quadratic join as the semantics spec."""
     from industrial_data_pipeline_spark.operators.dedup import (
         set_similarity_join)
-    from industrial_data_pipeline_spark.suite_common import load
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
     sh = docs.select(
         "doc_id",
-        F.explode(F.expr(
-            f"CASE WHEN size(split(trim(text), '\\\\s+'))"
-            f"          >= {SETSIM_N}"
-            f" THEN transform(sequence(1, size(split(trim(text),"
-            f" '\\\\s+')) - {SETSIM_N - 1}),"
-            f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
-            f" i, {SETSIM_N})))"
-            f" ELSE array() END")).alias("item"))
+        F.explode(F.expr(_word_shingle_expr(SETSIM_N))).alias("item"))
     return set_similarity_join(sh, id_col="doc_id", item_col="item",
                                t_millis=SETSIM_T_MILLIS)
 
 
 _ORACLE_SETSIM = f"""
-WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
-                     AS tk
-              FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest([array_to_string(tk[i:i + {SETSIM_N - 1}], ' ')
-                      FOR i IN range(1, greatest(len(tk)
-                                                 - {SETSIM_N - 2}, 1))])
-                  AS s
-       FROM toks),
+WITH {_oracle_shingle_cte(SETSIM_N)},
+sh AS (SELECT DISTINCT doc_id, gram AS s FROM g),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  count(*) AS i

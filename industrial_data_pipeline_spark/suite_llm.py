@@ -31,7 +31,8 @@ def _h64(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS = ("list_filter(string_split_regex(trim(text), '\\s+'),"
+         " x -> x <> '')")
 _EN = "['" + "','".join(TX.LANG_LEXICONS["en"]) + "']"
 
 
@@ -246,15 +247,14 @@ WITH corpus AS (
   SELECT * FROM ({_MUT_SQL}) WHERE doc_id < 40 OR doc_id >= 100000),
 tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 sh AS (SELECT doc_id, list_distinct({_GRAMS}) AS shingles FROM tk)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))), 6)
-           AS jaccard_sim
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-      / (len(a.shingles) + len(b.shingles)
-         - len(list_intersect(a.shingles, b.shingles))) >= {_THRESH}
+SELECT id_a, id_b, jaccard_sim FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6)
+             AS jaccard_sim
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard_sim >= {_THRESH}
 """
 
 
@@ -557,7 +557,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = assigned.select("vec_id", "_cell").join(
         base, "vec_id")
     # per-query probe cells: rank the 16 centroids by cosine to qid
-    import math
     cent = spark.createDataFrame(
         [(c, vec) for c, vec in enumerate(centroids)],
         "cell int, cv array<double>")

@@ -84,7 +84,8 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("intercept"))
 
 
-_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"  # == tokens()
+_TOKS_SQL = ("list_filter(string_split_regex(trim(text), '\\s+'),"
+             " x -> x <> '')")  # == tokens(): no phantom '' token
 
 ORACLE_ZIPF_SLOPE = f"""
 WITH tok AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents),

@@ -15,7 +15,8 @@ from industrial_data_pipeline_spark.operators import text as TX
 from industrial_data_pipeline_spark.suite_common import load
 from industrial_data_pipeline_spark.suite_llm import _h64, _load_docs
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS = ("list_filter(string_split_regex(trim(text), '\\s+'),"
+         " x -> x <> '')")
 _EN = "['" + "','".join(TX.LANG_LEXICONS["en"]) + "']"
 
 # quality_metrics columns rendered in DuckDB SQL (same as q19's oracle)
@@ -344,7 +345,8 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lm_cross_entropy(_load_docs(spark, sf_dir))
 
 
-_LTOKS_P = "string_split_regex(trim(lower(text)), '\\s+')"
+_LTOKS_P = ("list_filter(string_split_regex(trim(lower(text)),"
+            " '\\s+'), x -> x <> '')")
 
 ORACLE_LM_CROSS_ENTROPY = f"""
 WITH d AS (SELECT doc_id, {_LTOKS_P} AS t,

@@ -62,7 +62,8 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("overestimate")))
 
 
-_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_TOKS_SQL = ("list_filter(string_split_regex(trim(text), '\\s+'),"
+             " x -> x <> '')")
 _H = ("('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || t), 1, 15))"
       f"::BIGINT % {CM_WIDTH}")
 

@@ -231,3 +231,28 @@ def test_sequence_motifs_null_event_type(spark, tmp_path):
              1.0, None) for i in range(40)]
     _synthetic_events_compare(spark, tmp_path, rows,
                               "q175_sequence_motifs")
+
+
+def test_tokenizer_parity_on_empty_docs(spark, tmp_path):
+    """Oracle tokenizers must not emit the phantom '' token a bare
+    string_split_regex produces for empty/whitespace-only text —
+    engine tokens() strips it. Compare q19 and q59 over a corpus
+    containing empty and whitespace-only docs."""
+    import duckdb
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    d = str(tmp_path / "sfX")
+    rows = [(1, "alpha beta alpha end.", "en", "web", 21),
+            (2, "", "en", "web", 0),
+            (3, "   ", "en", "web", 3),
+            (4, "beta gamma", "en", "book", 10)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string,"
+              " source string, n_chars long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{d}/documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    for qname in ("q19_text_quality", "q59_tfidf_top_terms"):
+        fn, sql = REGISTRY[qname]
+        compare(fn(spark, d), con.execute(sql).fetchdf(), qname)
