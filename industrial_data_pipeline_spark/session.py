@@ -37,7 +37,11 @@ def _xms_mb(mem: str) -> int | None:
     n, unit = int(m.group(1)), m.group(2)
     mb = {"k": n // 1024, "": n // (1024 * 1024),
           "m": n, "g": n * 1024, "t": n * 1024 * 1024}[unit]
-    return max(1, min(8 * 1024, mb))
+    if mb < 1:
+        # sub-MiB max heap: flooring to -Xms1m would exceed -Xmx and
+        # the JVM refuses to start — emit no -Xms instead
+        return None
+    return min(8 * 1024, mb)
 
 
 def get_spark(app_name: str = "industrial_data_pipeline_spark",

@@ -45,6 +45,19 @@ def _pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("lsh_pairs", sf_dir)
     hit = cache.get(key)
     if hit is None:
+        # bound the LIVE-session footprint too: unlike load()'s lazy
+        # frames, each entry here pins eager checkpoint blocks, so a
+        # session sweeping many sf_dirs (scale probes, bench loops)
+        # must not accumulate one block set per dir — evict the
+        # oldest entry beyond 4 and free its RDD blocks now rather
+        # than at session stop
+        stale = [k for k in cache if k[0] == "lsh_pairs"]
+        for k in stale[:max(0, len(stale) - 3)]:
+            # dropping the last reference lets the ContextCleaner
+            # reclaim the checkpoint blocks (localCheckpoint has no
+            # explicit release API — GC of the JVM-side RDD is the
+            # documented mechanism)
+            del cache[k]
         hit = q_minhash_lsh_pairs(spark, sf_dir) \
             .localCheckpoint(eager=True)
         cache[key] = hit

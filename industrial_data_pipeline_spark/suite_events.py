@@ -1010,7 +1010,8 @@ ORACLE_CHI_SQUARE = f"""
 WITH {_EV_SQL},
 b AS (SELECT event_type,
              (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
-      FROM ev),
+      FROM ev
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL),
 cells AS (SELECT event_type, dow, count(*) AS o FROM b GROUP BY 1, 2),
 r AS (SELECT event_type, count(*) AS rt FROM b GROUP BY 1),
 c AS (SELECT dow, count(*) AS ct FROM b GROUP BY 1),

@@ -121,6 +121,12 @@ def test_xms_mb_never_exceeds_configured_max():
     assert _xms_mb("  4gb ") == 4 * 1024
     for bad in ("0.5g", "abc", "", "g8"):
         assert _xms_mb(bad) is None
+    # parseable but sub-MiB max heaps: flooring to -Xms1m would
+    # EXCEED -Xmx → no -Xms, same as unparseable
+    for tiny in ("512k", "1023k", "4096", "0m", "0g"):
+        assert _xms_mb(tiny) is None
+    assert _xms_mb("1024k") == 1
+    assert _xms_mb("1m") == 1
 
 
 def test_set_similarity_ignores_null_items(spark):
@@ -134,6 +140,34 @@ def test_set_similarity_ignores_null_items(spark):
     got = [(r.id_a, r.id_b, r.n_inter, r.n_union)
            for r in set_similarity_join(df, t_millis=1000).collect()]
     assert got == [(1, 2, 2, 2)]
+
+
+def test_pairs_cache_bounded_per_session(spark, monkeypatch):
+    """The materialized LSH pair cache pins eager checkpoint blocks,
+    so a session sweeping many sf_dirs must evict: at most 4 entries
+    live, oldest-first eviction, newest always retained."""
+    from industrial_data_pipeline_spark import suite_corpus as SC
+    from industrial_data_pipeline_spark.suite_common import (
+        _session_cache)
+    calls = []
+    monkeypatch.setattr(
+        SC, "q_minhash_lsh_pairs",
+        lambda s, d: (calls.append(d),
+                      s.range(1).selectExpr("id AS id_a",
+                                            "id + 1 AS id_b"))[1])
+    cache = _session_cache(spark)
+    for k in [k for k in cache if k[0] == "lsh_pairs"]:
+        del cache[k]
+    dirs = [f"/nonexistent/sf_fake_{i}" for i in range(6)]
+    for d in dirs:
+        SC._pairs_materialized(spark, d)
+    live = sorted(k[1] for k in cache if k[0] == "lsh_pairs")
+    assert live == sorted(dirs[-4:])
+    # a re-request of a retained dir is a cache hit, not a rebuild
+    SC._pairs_materialized(spark, dirs[-1])
+    assert calls.count(dirs[-1]) == 1
+    for k in [k for k in cache if k[0] == "lsh_pairs"]:
+        del cache[k]
 
 
 def test_chi_square_excludes_null_categories(spark):
