@@ -39,18 +39,32 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _usable_norm(nv: Column) -> Column:
+    """True iff ``nv`` is a usable denominator: finite AND > 0. The
+    naive ``nv > 0`` guard passes NaN (Spark orders NaN ABOVE every
+    double, so ``NaN > 0`` is true) — a single NaN component would
+    give a NaN cosine that sorts FIRST under ``desc`` and displaces a
+    real neighbor, the exact failure the guard exists to stop. NaN
+    also fails ``< inf`` (it sorts above infinity), so the conjunction
+    excludes NaN, ±inf and zero in one predicate; the cosine becomes
+    NULL and sorts LAST."""
+    return (nv > 0) & (nv < F.lit(float("inf")))
+
+
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_dp: int = 6) -> DataFrame:
     """Exact top-k by cosine similarity to ``query_vec``.
-    Ties broken by id for determinism. A zero-norm corpus vector has
-    no defined cosine — it gets NULL (sorted last, so it can never
-    displace a real neighbor; unguarded 0/0 is NaN, which Spark
-    sorts ABOVE every double in descending order)."""
+    Ties broken by id for determinism. A zero-norm, NaN- or
+    inf-normed corpus vector has no defined cosine — it gets NULL
+    (sorted last, so it can never displace a real neighbor; unguarded
+    0/0 is NaN, which Spark sorts ABOVE every double in descending
+    order, and ``NaN > 0`` is TRUE, so the guard must exclude
+    non-finite norms explicitly — see :func:`_usable_norm`)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = _as_double(F.col(vec_col))
     nv = _norm(v)
-    cos = F.when(nv > 0, _dot(v, q) / (nv * _norm(q)))
+    cos = F.when(_usable_norm(nv), _dot(v, q) / (nv * _norm(q)))
     return (df.select(F.col(id_col),
                       F.round(cos, round_dp).alias("cosine_sim"))
             .orderBy(F.desc("cosine_sim"), F.col(id_col))

@@ -45,6 +45,33 @@ def hourly_event_counts_stream(
     return spark.table(table_name)
 
 
+def _merge_session_events(cur: list | None, us: list, micros: list,
+                          gap_us: int) -> tuple[list, list]:
+    """Core of the stateful sessionization handler, extracted pure so
+    the cross-batch merge rules are unit-testable without a state
+    store: fold (timestamp_us, value_micro) pairs — sorted within the
+    batch, but possibly EARLIER than the carried open session ``cur``
+    — into ``cur``, splitting on the inactivity gap. Returns
+    (sessions closed by evidence, trailing open session). A late
+    event merging into the open session can only WIDEN its span
+    (min/max), never regress ``end``: a regressed end would make the
+    next gap test measure from a false early end and split a live
+    session."""
+    done: list[list] = []
+    for t, m in zip(us, micros):
+        if cur is None:
+            cur = [t, t, 1, m]
+        elif t - cur[1] > gap_us:
+            done.append(cur)
+            cur = [t, t, 1, m]
+        else:
+            cur[0] = min(cur[0], t)
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += m
+    return done, cur
+
+
 def sessionize_stream(spark: SparkSession, sf_dir: str,
                       gap_seconds: int = 1800,
                       table_name: str = "idp_stream_sessions") -> DataFrame:
@@ -101,18 +128,9 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
         if state.exists:
             closed, s_us, e_us, n0, sum0 = state.get
             cur = [s_us, e_us, n0, sum0]
-        done = []  # sessions closed by evidence: a later event past gap
-        for t, v in zip(us, vals):
-            m = _micro(v)
-            if cur is None:
-                cur = [t, t, 1, m]
-            elif t - cur[1] > gap_us:
-                done.append(cur)
-                cur = [t, t, 1, m]
-            else:
-                cur[1] = t
-                cur[2] += 1
-                cur[3] += m
+        # sessions closed by evidence: a later event past the gap
+        done, cur = _merge_session_events(
+            cur, us, [_micro(v) for v in vals], gap_us)
         state.update((closed + len(done),
                       cur[0], cur[1], cur[2], cur[3]))
         done.append(cur)  # trailing open session, emitted optimistically

@@ -95,3 +95,27 @@ def test_two_derived_formulas_one_batch(spark, pipe):
     # in insert order after the sources)
     derived = sorted(v for k, v in vals.items() if k not in (1, 2))
     assert derived == [6.0, 7.0]
+
+
+def test_session_merge_never_regresses_open_end():
+    """Cross-batch late event: within-batch sort does not order events
+    against the STATE-carried open session, so an event earlier than
+    the carried end must widen the span (min/max), not overwrite it —
+    a regressed end makes the next gap test split a live session."""
+    from industrial_data_pipeline_spark.streaming.queries import (
+        _merge_session_events)
+    mn = 60_000_000  # one minute in µs
+    gap = 30 * mn
+    # carried open session: 09:30–10:00 (2 events)
+    cur = [570 * mn, 600 * mn, 2, 0]
+    # batch 2: late 09:45, then 10:25 (25 min after the true end)
+    done, cur = _merge_session_events(cur, [585 * mn, 625 * mn],
+                                      [0, 0], gap)
+    assert done == []              # buggy end-regression would split
+    assert cur == [570 * mn, 625 * mn, 4, 0]
+    # a late event can also extend the span BACKWARDS
+    done, cur = _merge_session_events(cur, [560 * mn], [0], gap)
+    assert done == [] and cur[0] == 560 * mn and cur[1] == 625 * mn
+    # and a genuine gap still splits
+    done, cur = _merge_session_events(cur, [700 * mn], [7], gap)
+    assert len(done) == 1 and cur == [700 * mn, 700 * mn, 1, 7]
