@@ -32,26 +32,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries holding a green (hash_match) verdict from a prior driver
-# run — the r01 ∪ r02 ∪ r03 union, latest verdict wins, computed from
-# the committed CORRECTNESS_r0*.json artifacts (134 greens; the only
-# ever-red queries q43/q66/q108 were repaired this round and sort
-# first). The driver truncates at ~50 queries/round, so the dict is
-# ordered: repaired reds + never-driver-checked SURVEY §2 evidence
-# rows first, then the 59 remaining never-checked round-3 additions
-# in registration order, greens last. Greens carrying this round's
-# behavior-identical plan fixes (q95 window→limit, q172 ntile→range
-# boundaries, q123 driver-side derived-id assignment replacing the
-# dimension-sized window, q168 staging-dir try/finally) stay listed
-# green: each re-verified values=MATCH in the committed full-suite
-# local artifact CORRECTNESS_LOCAL_r04.json after its change.
+# run — the r01 ∪ r02 ∪ r03 ∪ r04 union, latest verdict wins,
+# computed from the committed CORRECTNESS_r0*.json artifacts
+# (184 greens; zero ever-red outstanding since r04 repaired the
+# HUGEINT trio q43/q66/q108). The driver truncates at ~50
+# queries/round, so the dict is ordered: never-driver-checked
+# queries first BY NUMBER (the q183–q228 backlog + round-5
+# additions ≤ 50), greens last. Greens carrying this round's
+# behavior-identical ADVICE fixes (q151 NaN-norm guard, q171
+# lazy candidate count, q16/q17 orderable tie-break, q14/q115/q116
+# null-safe delete predicates) stay listed green: each re-verified
+# values=MATCH via tools/drive_contract.py after its change and in
+# the committed full-suite artifact CORRECTNESS_LOCAL_r05.json.
 _VERIFIED_GREEN = {
     "q01_export_long", "q02_export_pivot", "q03_lookup_like",
     "q04_lookup_exact", "q05_leaf_heuristic", "q06_leaf_true",
-    "q07_hierarchy_paths", "q08_attribute_paths",
-    "q09_timestamp_range", "q100_variety_suppliers",
-    "q101_scd2_user_state", "q102_table_profile", "q103_fk_audit",
-    "q104_price_deciles", "q105_stream_dedup_counts",
-    "q106_asof_forward", "q107_top_prices_with_ties",
+    "q07_hierarchy_paths", "q08_attribute_paths", "q09_timestamp_range",
+    "q100_variety_suppliers", "q101_scd2_user_state",
+    "q102_table_profile", "q103_fk_audit", "q104_price_deciles",
+    "q105_stream_dedup_counts", "q106_asof_forward",
+    "q107_top_prices_with_ties", "q108_segment_priority_matrix",
     "q109_countmin_topk", "q10_watermark", "q110_conversion_latency",
     "q111_order_size_distribution", "q112_store_roundtrip",
     "q113_insert_element", "q114_insert_attribute_backfill",
@@ -64,56 +64,66 @@ _VERIFIED_GREEN = {
     "q127_pii_redaction", "q128_sequence_packing", "q129_hash_split",
     "q12_grouped_stats", "q130_seasonal_baseline", "q131_roc_alarms",
     "q132_cluster_representatives", "q133_frame_sampling",
-    "q134_image_resize", "q136_real_image_resize",
-    "q13_above_global_avg", "q14_cascade_counts", "q15_orphan_purge",
-    "q16_latest_per_key", "q17_dedup_first_wins",
+    "q134_image_resize", "q135_ingest_now_bound",
+    "q136_real_image_resize", "q137_dup_clusters_star",
+    "q138_pi_datasource", "q139_pi_stream_source",
+    "q13_above_global_avg", "q140_semantic_dedup",
+    "q141_lm_cross_entropy", "q142_cusum_alarms", "q143_spc_rules",
+    "q144_phash_image_dedup", "q145_audio_features",
+    "q146_chunk_documents", "q147_tag_correlation",
+    "q148_mixture_weights", "q149_asof_tolerance", "q14_cascade_counts",
+    "q150_chunk_dedup", "q151_filtered_ann", "q152_shard_manifest",
+    "q153_leakage_safe_split", "q154_winsorized_stats",
+    "q155_media_metadata", "q156_bpe_merge_pairs",
+    "q157_session_window_stream", "q158_stream_stream_join",
+    "q159_ivf_incremental", "q15_orphan_purge", "q160_triangles",
+    "q161_ewma_chart", "q162_table_diff", "q163_curation_pipeline",
+    "q164_keyframes", "q165_tfidf_pairs", "q166_bloom_filter_join",
+    "q167_hybrid_retrieval", "q168_watermark_drops", "q169_ann_recall",
+    "q16_latest_per_key", "q170_label_centroids", "q171_trigram_search",
+    "q172_zorder_layout", "q173_gap_report", "q174_rollup_cascade",
+    "q175_sequence_motifs", "q176_retention_cleanup",
+    "q177_source_dup_matrix", "q178_event_pmi",
+    "q179_seasonal_band_anomalies", "q17_dedup_first_wins",
+    "q180_incremental_rollup", "q181_theilsen_slopes", "q182_psi_drift",
     "q18_formula_backfill", "q199_transition_matrix",
     "q19_text_quality", "q200_sensor_fusion", "q20_token_counts",
     "q21_lang_id", "q22_fingerprints", "q23_exact_dedup",
     "q24_minhash_lsh_pairs", "q25_ngram_jaccard_pairs", "q26_simhash",
     "q27_simhash_pairs", "q28_ann_cosine_topk", "q29_ann_lsh_topk",
-    "q30_ann_ivf_topk", "q31_multimodal_features",
-    "q32_legacy_between", "q33_union_distinct",
-    "q34_olap_pricing_summary", "q35_star_join",
+    "q30_ann_ivf_topk", "q31_multimodal_features", "q32_legacy_between",
+    "q33_union_distinct", "q34_olap_pricing_summary", "q35_star_join",
     "q36_cosine_near_dup", "q37_cosine_near_dup_lsh",
     "q38_rollup_hourly", "q39_asof_rollup", "q40_locf_grid",
-    "q41_interp_grid", "q42_rolling_anomaly", "q44_topk_per_group",
-    "q45_funnel", "q46_grouped_percentiles", "q47_json_props",
-    "q48_stratified_sample", "q49_shipping_priority",
+    "q41_interp_grid", "q42_rolling_anomaly", "q43_sessionize",
+    "q44_topk_per_group", "q45_funnel", "q46_grouped_percentiles",
+    "q47_json_props", "q48_stratified_sample", "q49_shipping_priority",
     "q50_local_supplier_volume", "q51_order_priority_count",
     "q52_returned_items", "q53_customer_order_distribution",
     "q54_small_quantity_revenue", "q55_large_volume_customers",
-    "q56_pricing_rollup", "q57_order_rank",
-    "q58_cumulative_user_value", "q59_tfidf_top_terms",
-    "q60_bigram_counts", "q61_dup_clusters",
+    "q56_pricing_rollup", "q57_order_rank", "q58_cumulative_user_value",
+    "q59_tfidf_top_terms", "q60_bigram_counts", "q61_dup_clusters",
     "q62_stream_hourly_counts", "q63_salted_skew_agg",
-    "q64_interval_join", "q65_distinct_users", "q67_trend_slopes",
-    "q68_quality_filter", "q69_incremental_dedup",
-    "q70_approx_profile", "q71_token_rarity",
-    "q72_repetition_metrics", "q73_nation_trade_volume",
-    "q74_market_share", "q75_product_profit", "q76_promo_revenue",
-    "q77_supplier_part_variety", "q78_disjunctive_revenue",
-    "q79_sole_late_supplier", "q80_dormant_customers", "q81_kmeans",
-    "q82_quantization_error", "q83_label_cohesion",
-    "q84_neighbor_confusion", "q85_retention_cohorts",
-    "q86_level_shifts", "q87_basket_pairs", "q88_price_histogram",
-    "q89_interarrival_stats", "q90_weighted_sample", "q91_pagerank",
-    "q92_sql_revenue", "q93_sql_cube", "q94_stream_enriched_counts",
-    "q95_zipf_slope", "q96_salted_join_revenue",
-    "q97_min_cost_supplier", "q98_important_inventory",
-    "q99_top_supplier",
+    "q64_interval_join", "q65_distinct_users", "q66_stream_sessionize",
+    "q67_trend_slopes", "q68_quality_filter", "q69_incremental_dedup",
+    "q70_approx_profile", "q71_token_rarity", "q72_repetition_metrics",
+    "q73_nation_trade_volume", "q74_market_share", "q75_product_profit",
+    "q76_promo_revenue", "q77_supplier_part_variety",
+    "q78_disjunctive_revenue", "q79_sole_late_supplier",
+    "q80_dormant_customers", "q81_kmeans", "q82_quantization_error",
+    "q83_label_cohesion", "q84_neighbor_confusion",
+    "q85_retention_cohorts", "q86_level_shifts", "q87_basket_pairs",
+    "q88_price_histogram", "q89_interarrival_stats",
+    "q90_weighted_sample", "q91_pagerank", "q92_sql_revenue",
+    "q93_sql_cube", "q94_stream_enriched_counts", "q95_zipf_slope",
+    "q96_salted_join_revenue", "q97_min_cost_supplier",
+    "q98_important_inventory", "q99_top_supplier",
 }
 
-# Repaired / never-driver-checked SURVEY §2 evidence rows — the only
-# queries whose absence blocks a §2 coverage line (F9: q135, T4:
-# q138/q139) plus the three ex-red HUGEINT-oracle queries and q137
-# (star-variant clustering, §2's dup-cluster scale path).
-_VERIFY_FIRST = {
-    "q43_sessionize", "q66_stream_sessionize",
-    "q108_segment_priority_matrix", "q135_ingest_now_bound",
-    "q137_dup_clusters_star", "q138_pi_datasource",
-    "q139_pi_stream_source",
-}
+# All seven round-4 verify-first rows went green (CORRECTNESS_r04);
+# the tier-0 set is retired. Round 5's budget goes entirely to the
+# never-checked tail.
+_VERIFY_FIRST: set[str] = set()
 
 
 def _qnum(name: str) -> int:
@@ -124,8 +134,9 @@ def _priority(name: str) -> tuple[int, int]:
     # Tier, then NUMERIC query id (registration order within a tier is
     # module-dependent and round 3 showed it pushes low-numbered
     # flagships like q140 past the ~50-query budget). Numeric order
-    # makes the budget cut predictable: tier 0 (7) + the first 43
-    # unchecked (q140–q186) land in round 4; the q187+ tail is round 5.
+    # makes the budget cut predictable: round 5's 44-query backlog
+    # (q183–q228) plus new registrations fit the ~50 budget whole —
+    # this is the round query-level evidence closes at 228/228.
     if name in _VERIFY_FIRST:
         return (0, _qnum(name))
     if name in _VERIFIED_GREEN:

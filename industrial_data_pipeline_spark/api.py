@@ -275,8 +275,14 @@ class Pipeline:
                      if doomed_ids else F.lit(False))
         observed = arch.observe(
             obs, F.count(F.when(is_doomed, 1)).alias("n_doomed"))
-        self.store.rewrite_archive(database,
-                                   observed.where(~is_doomed))
+        # NULL-safe keep predicate: an archive row with NULL
+        # attribute_id makes is_doomed NULL, and `~NULL` is NULL —
+        # which a where() DROPS. SQL DELETE (the reference,
+        # database.py:915-958) never deletes on a NULL predicate, so
+        # coalesce to False to retain such rows.
+        self.store.rewrite_archive(
+            database,
+            observed.where(~F.coalesce(is_doomed, F.lit(False))))
         self.store.overwrite_dim(
             database, "attribute",
             attr.where(F.col("element_id") != element_id))
@@ -298,9 +304,12 @@ class Pipeline:
         observed = arch.observe(
             obs, F.count(F.when(F.col("attribute_id") == attribute_id,
                                 1)).alias("n_doomed"))
+        # null-safe inequality: keep NULL-attribute rows (same
+        # three-valued-logic retention contract as delete_element).
         self.store.rewrite_archive(
             database,
-            observed.where(F.col("attribute_id") != attribute_id))
+            observed.where(
+                ~F.col("attribute_id").eqNullSafe(F.lit(attribute_id))))
         self.store.overwrite_dim(
             database, "attribute",
             attr.where(F.col("attribute_id") != attribute_id))

@@ -58,6 +58,29 @@ def purge_orphans(archive: DataFrame, attribute: DataFrame) -> DataFrame:
         "attribute_id", "left_semi")
 
 
+def _orderable_cols(df: DataFrame, cols: list[str]) -> list[str]:
+    """Subset of ``cols`` whose types Spark can ORDER BY. Map types
+    (at any nesting depth) are unorderable — including one in the
+    tie-break struct would fail analysis for callers whose ordering
+    previously worked on ``order_col`` alone. NULLs in the remaining
+    payload columns still participate in the tie order (NULLS FIRST
+    inside the struct comparison) — that is part of the documented
+    total-order contract, not an accident."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def ok(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in cols if ok(types[c])]
+
+
 def dedup_first_wins(df: DataFrame, keys: list[str],
                      order_col: str) -> DataFrame:
     """First-wins dedup (P9/T6 backfill semantics; ingest.py:156
@@ -65,15 +88,17 @@ def dedup_first_wins(df: DataFrame, keys: list[str],
     ``order_col`` (ingest order / timestamp) so the result is
     deterministic in a distributed setting — pandas keep='first'
     relied on implicit row order, which does not exist in Spark.
-    Rows that TIE on ``order_col`` order by the remaining columns
-    (a struct comparison — fields left to right), so the pick is a
-    total order and re-runs can never surface a different survivor.
+    Rows that TIE on ``order_col`` order by the remaining ORDERABLE
+    columns (a struct comparison — fields left to right; map-typed
+    payload columns are carried but excluded from the tie key, see
+    :func:`_orderable_cols`), so the pick is a total order and
+    re-runs can never surface a different survivor.
 
     Implemented as min_by groupBy: one shuffle, map-side combinable
     (vs. a Window row_number which must sort every group)."""
     others = [c for c in df.columns if c not in keys]
-    ordk = F.struct(F.col(order_col),
-                    *[F.col(c) for c in others if c != order_col])
+    tiebreak = _orderable_cols(df, [c for c in others if c != order_col])
+    ordk = F.struct(F.col(order_col), *[F.col(c) for c in tiebreak])
     picked = (
         df.groupBy(*keys)
         .agg(F.min_by(F.struct(*others), ordk).alias("_row"))
@@ -87,8 +112,8 @@ def latest_per_key(df: DataFrame, keys: list[str],
     database.py:710-713 ON CONFLICT DO UPDATE). Same total-order
     tie handling as :func:`dedup_first_wins`."""
     others = [c for c in df.columns if c not in keys]
-    ordk = F.struct(F.col(order_col),
-                    *[F.col(c) for c in others if c != order_col])
+    tiebreak = _orderable_cols(df, [c for c in others if c != order_col])
+    ordk = F.struct(F.col(order_col), *[F.col(c) for c in tiebreak])
     picked = (
         df.groupBy(*keys)
         .agg(F.max_by(F.struct(*others), ordk).alias("_row"))

@@ -99,8 +99,10 @@ def filtered_cosine_topk(corpus: DataFrame, queries: DataFrame,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"),
                       F.col(filter_col).alias("_f"))
-    # zero-norm guard: NULL (sorted last), never NaN (sorted first)
-    cos = F.when(_norm(F.col("_cv")) > 0,
+    # zero/NaN/inf-norm guard: cosine becomes NULL (sorted last) —
+    # same _usable_norm predicate as cosine_topk; a bare `> 0` would
+    # pass NaN (NaN > 0 is TRUE in Spark) and sort it FIRST.
+    cos = F.when(_usable_norm(_norm(F.col("_cv"))),
                  _dot(F.col("_cv"), F.col("_qv"))
                  / (_norm(F.col("_cv")) * _norm(F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),

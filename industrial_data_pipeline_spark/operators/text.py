@@ -661,19 +661,22 @@ def trigram_like_search(df: DataFrame, pattern: str,
     posting = (df.select(F.col(id_col).alias("_id"),
                          F.explode(grams).alias("tg"))
                .where(F.col("tg").isin(qgrams)))
-    # the candidate count is collected eagerly (one bounded job) and
-    # folded in as a literal: no empty-partition window (which would
-    # ship every candidate to a single partition) and no retained
-    # checkpoint blocks (localCheckpoint pins executor storage until
-    # JVM GC). The posting intersection therefore evaluates twice —
-    # the count job and the verify join — a deliberate trade: it is
-    # the cheap indexed path, and the verify join dominates anyway.
+    # the candidate count rides along as a broadcast 1-row crossJoin
+    # of the count aggregate: fully lazy (no Spark job at
+    # DataFrame-construction time — plan-only callers like explain
+    # dumps and window_audit stay free), no empty-partition window
+    # (which would ship every candidate to a single partition), and
+    # no retained checkpoint blocks. The posting intersection still
+    # evaluates twice per action (count subtree + verify join) — a
+    # deliberate trade: it is the cheap indexed path, and the verify
+    # join dominates anyway.
     cand_ids = (posting.groupBy("_id")
                 .agg(F.count_distinct("tg").alias("_n"))
                 .where(F.col("_n") == len(qgrams))
                 .select("_id"))
-    cand = cand_ids.withColumn("n_candidates",
-                               F.lit(int(cand_ids.count())))
+    n_cand = cand_ids.agg(
+        F.count("*").alias("n_candidates"))
+    cand = cand_ids.crossJoin(F.broadcast(n_cand))
     return (df.join(cand, df[id_col] == cand._id)
             .where(t.like(f"%{pattern}%"))
             .select(id_col, "n_candidates"))

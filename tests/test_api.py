@@ -155,3 +155,27 @@ def test_mapping_cache_counts(pipe, tmp_path):
 def test_timestamp_range(pipe):
     lo, hi = pipe.timestamp_range("plant", 2)
     assert lo == T0 and hi == datetime(2025, 1, 1, 0, 59)
+
+
+def test_delete_cascades_retain_null_attribute_rows(pipe, spark):
+    """ADVICE r4: under three-valued logic `~(attribute_id IN (...))`
+    is NULL for a NULL attribute_id, and where() drops NULL — but SQL
+    DELETE (the reference) never deletes on a NULL predicate. Both
+    cascade deletes must RETAIN archive rows with NULL attribute_id."""
+    null_row = spark.createDataFrame(
+        [(None, T0, 1.5)],
+        "attribute_id long, timestamp timestamp, value double")
+    pipe.store.append_archive("plant", null_row)
+    fan_a = [a for a in pipe.all_attributes("plant").collect()
+             if a.element_name == "FanA"]
+    eid = fan_a[0].element_id
+    pipe.delete_element("plant", eid)
+    arch = pipe.store.archive_values("plant")
+    assert arch.where(arch.attribute_id.isNull()).count() == 1
+    # attribute cascade: same retention contract
+    remaining = [a.attribute_id for a in
+                 pipe.all_attributes("plant").collect()]
+    if remaining:
+        pipe.delete_attribute("plant", remaining[0])
+        arch = pipe.store.archive_values("plant")
+        assert arch.where(arch.attribute_id.isNull()).count() == 1

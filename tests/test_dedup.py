@@ -294,3 +294,18 @@ def test_set_similarity_join_rejects_bad_threshold(spark):
     for t in (0, -1, 1001):
         with pytest.raises(ValueError):
             set_similarity_join(df, t_millis=t)
+
+
+def test_dedup_map_payload_column_supported(spark):
+    """ADVICE r4: a map-typed payload column must not break analysis —
+    maps are unorderable in Spark, so they are carried in the payload
+    struct but excluded from the tie-break key."""
+    from industrial_data_pipeline_spark.operators.maintenance import (
+        dedup_first_wins, latest_per_key)
+    rows = [("k", 5, {"a": 1}), ("k", 7, {"b": 2})]
+    df = spark.createDataFrame(
+        rows, "key string, ord int, props map<string,int>")
+    first = dedup_first_wins(df, ["key"], "ord").collect()[0]
+    assert first.ord == 5 and first.props == {"a": 1}
+    last = latest_per_key(df, ["key"], "ord").collect()[0]
+    assert last.ord == 7 and last.props == {"b": 2}

@@ -1,0 +1,54 @@
+"""Pin the local driver-simulation harness's own compare semantics
+(tools/drive_contract.py) — VERDICT r4 item 6: the r3 blind spot
+(pandas promoting int64-vs-float64 to a passing compare) must never
+return. No SparkSession needed; these exercise the pandas layer."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo/tools")
+from drive_contract import canon, col_exact, compare  # noqa: E402
+
+
+def test_int_vs_float_is_mismatch():
+    """The q43/q66/q108 class: DuckDB HUGEINT arrives as float64 via
+    fetchdf; Spark emits int64. Equal VALUES must still be a
+    MISMATCH — the real driver hashes dtype-sensitively."""
+    a = pd.Series([1, 2, 3], dtype="int64")
+    b = pd.Series([1.0, 2.0, 3.0], dtype="float64")
+    assert not col_exact(a, b)
+    assert not col_exact(b, a)
+    v = compare(pd.DataFrame({"x": a}), pd.DataFrame({"x": b}))
+    assert v["rows_match"] and v["schema_match"]
+    assert not v["hash_match"]
+
+
+def test_float_compare_is_byte_exact():
+    one_ulp = np.nextafter(1.0, 2.0)
+    assert not col_exact(pd.Series([1.0]), pd.Series([one_ulp]))
+    assert not col_exact(pd.Series([0.0]), pd.Series([-0.0]))
+    assert col_exact(pd.Series([float("nan")]),
+                     pd.Series([float("nan")]))
+    assert col_exact(pd.Series([1.5, 2.5]), pd.Series([1.5, 2.5]))
+
+
+def test_int32_vs_int64_ok():
+    """Width differences within the integer family are NOT the bug —
+    the driver compares values after a lossless widening."""
+    assert col_exact(pd.Series([1, 2], dtype="int32"),
+                     pd.Series([1, 2], dtype="int64"))
+
+
+def test_canon_sorts_rows_and_columns():
+    d = pd.DataFrame({"b": [2, 1], "a": ["y", "x"]})
+    c = canon(d)
+    assert list(c.columns) == ["a", "b"]
+    assert c["a"].tolist() == ["x", "y"]
+
+
+def test_compare_row_count_and_schema_gates():
+    g = pd.DataFrame({"x": [1, 2]})
+    assert not compare(g, pd.DataFrame({"x": [1]}))["rows_match"]
+    assert not compare(g, pd.DataFrame({"y": [1, 2]}))["schema_match"]

@@ -136,3 +136,22 @@ def test_cosine_topk_zero_vector_ranks_last(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = [r.vec_id for r in cosine_topk(df, [1.0, 0.0], k=3).collect()]
     assert got[0] == 1 and got[-1] == 2
+
+
+def test_filtered_topk_nan_vector_never_displaces(spark):
+    """ADVICE r4: a corpus vector with a NaN component must not rank
+    first (Spark NaN > 0 is TRUE, and NaN sorts above every double
+    under desc). With the _usable_norm guard its cosine is NULL —
+    sorted last — so real neighbors keep their ranks."""
+    rows = [(1, [1.0, 0.0], "a"), (2, [float("nan"), 1.0], "a"),
+            (3, [0.5, 0.5], "a"), (4, [float("inf"), 0.0], "a")]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    q = corpus.where(F.col("vec_id") == 1)
+    got = S.filtered_cosine_topk(corpus, q, k=2,
+                                 filter_col="label").collect()
+    ranked = [r.neighbor_id for r in sorted(got, key=lambda r: r.rk)]
+    # the only finite non-self neighbor is 3; NaN/inf rows sort last
+    assert ranked[0] == 3
+    sims = {r.neighbor_id: r.cosine_sim for r in got}
+    assert sims.get(2) is None and sims.get(4) is None
