@@ -203,25 +203,32 @@ class PIBatchStreamReader(SimpleDataSourceStreamReader):
         resp = self._transport("POST", f"{self.base_url}/batch", body)
         return flatten_batch_response(resp)
 
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
-        from datetime import datetime, timedelta, timezone
+    def read(self, start: dict):
+        # returns (ITERATOR, offset): the non-availableNow microbatch
+        # path (_SimpleStreamReaderWrapper prefetch, used by
+        # processAllAvailable) calls next() on the rows — a bare list
+        # dies with "'list' object is not an iterator"; the
+        # availableNow path merely iterates, so an iterator satisfies
+        # both.
+        from datetime import datetime, timedelta
         lo = datetime.fromisoformat(start["next"])
         now = self._now_minute()
         if lo >= now:
-            return [], start  # caught up: empty batch, same offset
+            return iter([]), start  # caught up: empty batch, same offset
         hi = min(lo + timedelta(minutes=self.max_minutes),
                  now - timedelta(minutes=1))
         rows = self._pull(lo.isoformat(sep="T"), hi.isoformat(sep="T"))
         nxt = (hi + timedelta(minutes=1)).isoformat(sep="T")
-        return rows, {"next": nxt}
+        return iter(rows), {"next": nxt}
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
-        from datetime import datetime, timedelta, timezone
+    def readBetweenOffsets(self, start: dict, end: dict):
+        from datetime import datetime, timedelta
         lo = datetime.fromisoformat(start["next"])
         hi = datetime.fromisoformat(end["next"]) - timedelta(minutes=1)
         if hi < lo:
-            return []
-        return self._pull(lo.isoformat(sep="T"), hi.isoformat(sep="T"))
+            return iter([])
+        return iter(self._pull(lo.isoformat(sep="T"),
+                               hi.isoformat(sep="T")))
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the PI server holds no cursor

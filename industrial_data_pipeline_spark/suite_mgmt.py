@@ -1279,3 +1279,84 @@ FROM a LEFT JOIN b USING (d)
 REGISTRY_MGMT.update({
     "q218_repair_plan": (q_repair_plan, _oracle_repair_plan()),
 })
+
+
+# ---------- q229 full trigger loop: stream → cleanse → upsert → derived
+
+def q_stream_derived_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete real-time loop as ONE pipeline
+    (ingest.py:217-236 fetch/cleanse/insert + database.py:694-734
+    trigger): the offset-resumed ``pi_batch`` STREAM source (T1) feeds
+    foreachBatch maintenance (T5) — every micro-batch is cleansed
+    (F7/F8/P8/P9), upserted last-wins (W3/T7), and the derived
+    attribute recomputed at the batch's affected timestamps (J3),
+    sibling values coming from the just-updated archive.
+    ``max_minutes_per_batch=50`` forces THREE micro-batches over the
+    120-minute window, so the upsert→recompute path runs repeatedly
+    against a growing archive — cross-batch state, not intra-batch
+    luck. Emits source (attrs 1,2) + derived histories read back from
+    the store, all SQL-replayable via the deterministic grid
+    transport."""
+    import json as _json
+
+    from industrial_data_pipeline_spark.sources.ingest import cleanse
+    from industrial_data_pipeline_spark.sources.mapping import mapping_df
+    from industrial_data_pipeline_spark.sources.pi_datasource import (
+        PIBatchDataSource)
+    from industrial_data_pipeline_spark.streaming.derived import (
+        DerivedMaintenance)
+
+    spark.dataSource.register(PIBatchDataSource)
+    pipe, root = _seed(spark, sf_dir, n_cust=6)
+    did = pipe.insert_attribute(DB, element_id=10, name="Calc",
+                                formula=_FORMULA, backfill=False)
+    end_excl = "2024-02-01T02:00:00"  # == _DS_END + 1 min (exclusive)
+    raw = (spark.readStream.format("pi_batch")
+           .option("base_url", "https://pi.example/piwebapi")
+           .option("webids",
+                   _json.dumps({f"tag_{i}": f"W{i}" for i in range(6)}))
+           .option("start", _DS_START).option("end_bound", end_excl)
+           .option("max_minutes_per_batch", "50")
+           .option("transport_factory",
+                   "industrial_data_pipeline_spark.sources."
+                   "pi_datasource:fake_grid_transport_factory")
+           .load())
+    mapping = mapping_df(
+        spark, {f"\\\\SRV\\Plant|tag_{i}": i for i in range(6)})
+    checkpoint = os.path.join(root, "ckpt")
+    q = DerivedMaintenance(spark, pipe.store, DB).attach(
+        raw, checkpoint,
+        prepare=lambda b: cleanse(b, mapping, tz_shift_hours=0))
+    q.processAllAvailable()
+    q.stop()
+    out = (pipe.store.archive_values(DB)
+           .where(F.col("attribute_id").isin([1, 2, did]))
+           .select("attribute_id", "timestamp", "value"))
+    return _finish(out, root)
+
+
+ORACLE_STREAM_DERIVED_CHAIN = f"""
+WITH g AS (SELECT ts FROM generate_series(
+    TIMESTAMP '{_DS_START.replace("T", " ")}',
+    TIMESTAMP '{_DS_END.replace("T", " ")}', INTERVAL 1 MINUTE) t(ts)),
+u AS (SELECT unnest([1, 2]) AS uid),
+src AS (SELECT uid::BIGINT AS attribute_id, ts AS "timestamp",
+               ((uid * 1000003 + epoch(ts)::BIGINT // 60) % 997)::DOUBLE
+                   AS value
+        FROM g CROSS JOIN u),
+wide AS (SELECT "timestamp",
+                any_value(value) FILTER (WHERE attribute_id = 1) AS v1,
+                any_value(value) FILTER (WHERE attribute_id = 2) AS v2
+         FROM src GROUP BY 1)
+SELECT attribute_id, "timestamp", value FROM src
+UNION ALL
+SELECT 6::BIGINT AS attribute_id, "timestamp",
+       (v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0) AS value
+FROM wide
+WHERE (v1 + v2) / nullif(CAST(2 AS DOUBLE), 0.0) IS NOT NULL
+"""
+
+REGISTRY_MGMT.update({
+    "q229_stream_derived_chain": (q_stream_derived_chain,
+                                  ORACLE_STREAM_DERIVED_CHAIN),
+})
