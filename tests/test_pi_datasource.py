@@ -78,19 +78,24 @@ def test_stream_reader_offsets_and_bounded_run(spark):
     # unit level: offsets advance by 46-minute strides then clamp
     r = PIBatchStreamReader(opts)
     assert r.initialOffset() == {"next": "2024-03-01T00:00:00"}
-    rows1, o1 = r.read({"next": "2024-03-01T00:00:00"})
+    # read() returns (ITERATOR, offset) — the prefetch wrapper calls
+    # next() on the rows (q229 regression)
+    it1, o1 = r.read({"next": "2024-03-01T00:00:00"})
+    rows1 = list(it1)
     assert o1 == {"next": "2024-03-01T00:46:00"}
     assert len(rows1) == 46 * 2
-    rows2, o2 = r.read(o1)
+    it2, o2 = r.read(o1)
+    rows2 = list(it2)
     assert o2 == {"next": "2024-03-01T01:32:00"}
-    rows3, o3 = r.read(o2)
+    it3, o3 = r.read(o2)
+    rows3 = list(it3)
     assert o3 == {"next": "2024-03-01T02:00:00"}
-    rowsX, oX = r.read(o3)
-    assert rowsX == [] and oX == o3  # caught up
+    itX, oX = r.read(o3)
+    assert list(itX) == [] and oX == o3  # caught up
     assert len(rows1) + len(rows2) + len(rows3) == 120 * 2
     # replay determinism: re-reading a committed range is identical
-    assert r.readBetweenOffsets({"next": "2024-03-01T00:00:00"}, o1) \
-        == rows1
+    assert list(r.readBetweenOffsets(
+        {"next": "2024-03-01T00:00:00"}, o1)) == rows1
 
     # end to end through Structured Streaming (availableNow consumes
     # ONE prefetched batch from a simple stream reader, so cover the
