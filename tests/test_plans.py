@@ -300,10 +300,14 @@ def test_sliding_window_single_aggregate(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_weighted_median_partitioned_window(spark):
-    """q220: the running weight sum must be partitioned on the group
-    key (distributed) and the totals side must broadcast — never a
-    global sort of the fact."""
+def test_weighted_median_no_fact_wide_sort(spark):
+    """q220 (VERDICT r4 item 4): the median must come from two-level
+    bucketed prefix sums — every window runs over an AGGREGATED
+    (dimension-sized) input, partitioned on the group key; the fact
+    table itself is never sorted. The old fact-wide window ordered on
+    (price, l_orderkey, l_linenumber); the bucketed plan never even
+    references the tie-break columns, so their absence is the
+    regression signal."""
     from industrial_data_pipeline_spark.suite_olap3 import (
         q_weighted_median)
     p = plan(q_weighted_median(spark, "/root/testdata/sf0.001"))
@@ -312,7 +316,8 @@ def test_weighted_median_partitioned_window(spark):
     for ln in wins:
         spec = ln.split("windowspecdefinition(")[1]
         assert spec.split(",")[0].strip().startswith("l_returnflag"), ln
-    assert "BroadcastHashJoin" in p
+    assert "l_orderkey" not in p and "l_linenumber" not in p
+    assert "BroadcastHashJoin" in p and "HashAggregate" in p
 
 
 def test_interval_join_binned_half_open(spark):
@@ -360,3 +365,17 @@ def test_set_similarity_join_no_theta_join(spark):
     for ln in wins:  # every window partitioned by the set id
         spec = ln.split("windowspecdefinition(")[1]
         assert spec.split(",")[0].strip().startswith("_id"), ln
+
+
+def test_equidepth_histogram_no_sort_no_window(spark):
+    """q221 (VERDICT r4 item 4): the equi-depth boundaries must come
+    from ONE percentile aggregate (distinct-bounded counts-map state,
+    see suite_olap3 docstring) and the bucketing from a broadcast —
+    never a global sort or a window over the fact."""
+    from industrial_data_pipeline_spark.suite_olap3 import (
+        q_equidepth_histogram)
+    p = plan(q_equidepth_histogram(spark, "/root/testdata/sf0.001"))
+    assert "windowspecdefinition" not in p
+    assert "Sort " not in p and "+- Sort" not in p
+    assert "percentile" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
