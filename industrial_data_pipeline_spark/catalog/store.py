@@ -33,8 +33,12 @@ ingest daemon per database).
 
 from __future__ import annotations
 
+import contextlib
+import functools
+import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -48,11 +52,105 @@ from industrial_data_pipeline_spark.catalog.schemas import (
 _TABLES = ("element", "attribute", "archive")
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second PROCESS tried to mutate a database another process is
+    writing. The store's contract is single-writer-per-database
+    (module docstring — the reference runs one Flask app + one ingest
+    daemon per database); this error turns a silent-corruption
+    scenario (interleaved dynamic-partition overwrites) into a loud
+    one."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _locked(method):
+    """Run a store write under the database's writer lock."""
+    @functools.wraps(method)
+    def wrapper(self, database, *args, **kwargs):
+        with self.write_lock(database):
+            return method(self, database, *args, **kwargs)
+    return wrapper
+
+
 class ParquetStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._lock_depth: dict[str, int] = {}
+
+    # ------------------------------------------------------ writer lock
+    def _lock_path(self, database: str) -> str:
+        return os.path.join(self.root, database, ".writer.lock")
+
+    @contextlib.contextmanager
+    def write_lock(self, database: str, timeout_s: float = 10.0):
+        """Enforce the single-writer-per-database boundary (module
+        docstring). The lock is a pid-stamped O_EXCL file under the
+        database directory: best-effort (NFS O_EXCL caveats apply; on
+        a real deployment a catalog service or Delta/Iceberg commit
+        protocol replaces it), but it converts the previously silent
+        assumption into a checked property — a second WRITER PROCESS
+        gets :class:`ConcurrentWriterError` instead of interleaved
+        partition overwrites. Reentrant within one process (the
+        management plane nests writes, e.g. upsert inside
+        foreachBatch inside an API call); locks abandoned by a dead
+        pid are stolen."""
+        depth = self._lock_depth.get(database, 0)
+        if depth:
+            self._lock_depth[database] = depth + 1
+            try:
+                yield
+            finally:
+                self._lock_depth[database] -= 1
+            return
+        path = self._lock_path(database)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        deadline = time.monotonic() + timeout_s
+        fd = None
+        while fd is None:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(path, encoding="utf-8") as fh:
+                        holder = json.load(fh)
+                    pid = int(holder.get("pid", -1))
+                except (OSError, ValueError):
+                    pid = -1  # partially written or vanished: stale
+                if pid == os.getpid():
+                    # another store INSTANCE in this process holds it;
+                    # in-process callers are cooperative by contract
+                    yield
+                    return
+                if pid < 0 or not _pid_alive(pid):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(path)  # steal abandoned lock
+                    continue
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriterError(
+                        f"database {database!r} is being written by "
+                        f"pid {pid} (lock {path}); the store is "
+                        "single-writer per database")
+                time.sleep(0.05)
+        try:
+            os.write(fd, json.dumps(
+                {"pid": os.getpid(), "ts": time.time()}).encode())
+            os.close(fd)
+            self._lock_depth[database] = 1
+            yield
+        finally:
+            self._lock_depth.pop(database, None)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
 
     # ---------------------------------------------------------- databases
     def list_databases(self) -> list[str]:
@@ -62,6 +160,7 @@ class ParquetStore:
             if os.path.isdir(os.path.join(self.root, d))
         )
 
+    @_locked
     def create_database(self, database: str) -> None:
         """Reference DDL create_tables (populate.py:69-160): creates the
         three tables; existing archive data is preserved."""
@@ -79,6 +178,7 @@ class ParquetStore:
                 ARCHIVE_PARTITION_COL
             ).parquet(arch)
 
+    @_locked
     def drop_database(self, database: str) -> None:
         shutil.rmtree(os.path.join(self.root, database), ignore_errors=True)
 
@@ -131,6 +231,7 @@ class ParquetStore:
             .sortWithinPartitions(ARCHIVE_PARTITION_COL,
                                   "attribute_id", "timestamp")
 
+    @_locked
     def overwrite_dim(self, database: str, table: str, df: DataFrame) -> None:
         assert table in ("element", "attribute")
         path = self._path(database, table)
@@ -141,6 +242,7 @@ class ParquetStore:
             shutil.rmtree(path)
         os.rename(tmp, path)
 
+    @_locked
     def append_archive(self, database: str, df: DataFrame) -> None:
         """Blind bulk append (reference COPY path, ingest.py:166-176).
         Caller is responsible for (attribute_id, timestamp) uniqueness
@@ -156,6 +258,7 @@ class ParquetStore:
                 ARCHIVE_PARTITION_COL
             ).parquet(self._path(database, "archive"))
 
+    @_locked
     def drop_archive_partitions(self, database: str,
                                 before_date: str) -> int:
         """Retention/TTL enforcement as a PARTITION DROP: remove every
@@ -184,6 +287,7 @@ class ParquetStore:
                     dropped += 1
         return dropped
 
+    @_locked
     def compact_archive(self, database: str,
                         target_files: int = 1
                         ) -> list[tuple[str, int, int]]:
@@ -254,6 +358,7 @@ class ParquetStore:
             stats.append((date, n_before, parquet_files(part)))
         return stats
 
+    @_locked
     def upsert_archive(self, database: str, df: DataFrame,
                        mode: str = "first_wins") -> None:
         """Partition-scoped merge on (attribute_id, timestamp).
@@ -315,6 +420,7 @@ class ParquetStore:
                     ARCHIVE_PARTITION_COL
                 ).parquet(path)
 
+    @_locked
     def rewrite_archive(self, database: str, df: DataFrame) -> None:
         """Full rewrite with the logical schema (delete/remap paths)."""
         path = self._path(database, "archive")

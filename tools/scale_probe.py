@@ -39,12 +39,27 @@ PICKS = [
     ("sliding windows (1h/15m)", "q214_sliding_windows"),
     ("binned range join (half-open)", "q225_interval_join"),
     ("AllPairs set-similarity join", "q227_set_similarity_join"),
+    ("rolling exact median (24-frame)", "q209_rolling_median"),
+    ("weighted median (bucketed)", "q220_weighted_median"),
+    ("equi-depth histogram", "q221_equidepth_histogram"),
 ]
 
-#: events-shaped operators re-run against the exploded table.
+#: operators re-run against the 16×-exploded tables. events-shaped
+#: ops read the exploded events; q202/q227 read the token-salted
+#: exploded documents (cross-copy shingle overlap is ZERO, so output
+#: scales ~16×, the longer-corpus-same-density shape); q220/q221 read
+#: the orderkey-shifted lineitem/orders.
 XL_OPS = ["hourly rollup", "as-of join (union-sort)",
           "linear-interp grid fill", "sessionize (gap windows)",
-          "salted skew agg", "binned range join (half-open)"]
+          "salted skew agg", "binned range join (half-open)",
+          "boilerplate 5-gram shingles", "AllPairs set-similarity join",
+          "weighted median (bucketed)", "equi-depth histogram"]
+
+#: per-tag-density ops: the standard explosion shifts user ids (key
+#: cardinality ×16, per-key rows ×1), which leaves a per-tag windowed
+#: operator's work unchanged. These run against a DENSE explosion
+#: (same user ids, second-jittered timestamps → per-tag rows ×16).
+XL_DENSE_OPS = ["rolling exact median (24-frame)"]
 
 
 def main() -> None:
@@ -89,13 +104,62 @@ def main() -> None:
              "event_type", "value", "props")
      .write.mode("overwrite").parquet(os.path.join(xl_dir,
                                                    "events.parquet")))
-    # the XL dir only holds events; point event-only queries at it
+    # documents ×16: shift doc ids, suffix every TOKEN with the copy
+    # index — within-copy shingle structure is identical, cross-copy
+    # overlap is zero, so near-dup output scales ~16× (the honest
+    # longer-corpus shape; naive text copies would give every doc 15
+    # twins and quadratic pair growth instead).
+    docs = load(spark, "/root/testdata/sf0.1", "documents")
+    doc_cols = [c for c in docs.columns if c not in ("doc_id", "text")]
+    (docs.select("*", F.explode(F.sequence(
+        F.lit(0), F.lit(XL_FACTOR - 1))).alias("i"))
+     .select((F.col("doc_id") + F.col("i") * 10_000_000)
+             .alias("doc_id"),
+             F.array_join(
+                 F.expr("transform(split(trim(text), '\\\\s+'), "
+                        "t -> concat(t, 'x', i))"), " ").alias("text"),
+             *doc_cols)
+     .write.mode("overwrite").parquet(
+         os.path.join(xl_dir, "documents.parquet")))
+    # lineitem / orders ×16: shifted orderkeys, values untouched
+    li = load(spark, "/root/testdata/sf0.1", "lineitem")
+    (li.select("*", F.explode(F.sequence(
+        F.lit(0), F.lit(XL_FACTOR - 1))).alias("i"))
+     .select(*[(F.col("l_orderkey") + F.col("i") * 100_000_000)
+               .alias("l_orderkey") if c == "l_orderkey" else c
+               for c in li.columns])
+     .write.mode("overwrite").parquet(
+         os.path.join(xl_dir, "lineitem.parquet")))
+    orders = load(spark, "/root/testdata/sf0.1", "orders")
+    (orders.select("*", F.explode(F.sequence(
+        F.lit(0), F.lit(XL_FACTOR - 1))).alias("i"))
+     .select(*[(F.col("o_orderkey") + F.col("i") * 100_000_000)
+               .alias("o_orderkey") if c == "o_orderkey" else c
+               for c in orders.columns])
+     .write.mode("overwrite").parquet(
+         os.path.join(xl_dir, "orders.parquet")))
+
     xl_rows = spark.read.parquet(
         os.path.join(xl_dir, "events.parquet")).count()
     xl_times = {}
     by_label = dict(PICKS)
     for label in XL_OPS:
         xl_times[label] = run(REGISTRY[by_label[label]][0], xl_dir)
+
+    # dense events dir: same user ids, jittered ts → per-tag rows ×16
+    dense_dir = tempfile.mkdtemp(prefix="idp_scale_dense_")
+    (ev.select("*", F.explode(F.sequence(
+        F.lit(0), F.lit(XL_FACTOR - 1))).alias("i"))
+     .select((F.col("event_id") + F.col("i") * 10_000_000)
+             .alias("event_id"),
+             F.timestamp_micros(F.unix_micros("ts")
+                                + F.col("i") * 1_000_000).alias("ts"),
+             "user_id", "event_type", "value", "props")
+     .write.mode("overwrite").parquet(
+         os.path.join(dense_dir, "events.parquet")))
+    for label in XL_DENSE_OPS:
+        xl_times[label] = run(REGISTRY[by_label[label]][0], dense_dir)
+    shutil.rmtree(dense_dir, ignore_errors=True)
 
     # ---- ingest path at beyond-reference density: the full
     # cleanse→map→dedup→append pipeline over the XL batch
@@ -399,6 +463,28 @@ def main() -> None:
         '  scan + a 1-row broadcast for N; per-cell χ² terms are single',
         '  IEEE expressions over exact integers, so there is no',
         '  cross-cell float sum to make merge order matter.',
+        '',
+        '## Round-5 — XL coverage closed + q220 de-windowed',
+        '',
+        '- The XL fan now covers the round-4 additions the verdict flagged:',
+        '  **q202/q227** run against a token-salted 16× documents table',
+        '  (cross-copy shingle overlap is zero, so candidate/pair output',
+        '  scales ~16× — the longer-corpus-same-density shape; naive text',
+        '  copies would hand every doc 15 twins and conflate output growth',
+        '  with plan cost). **q220/q221** run against orderkey-shifted 16×',
+        '  lineitem/orders. **q209** runs against a DENSE explosion (same',
+        '  tags, jittered seconds): the standard user-shifted explosion',
+        '  multiplies tag cardinality, which leaves a per-tag moving-frame',
+        "  operator's work untouched — per-tag rows ×16 is its real probe.",
+        '- **q220 weighted median** no longer windows the fact at all',
+        '  (two-level dollar-bucket prefix sums, integer threshold pick;',
+        '  the only windows run over dimension-sized bucket aggregates).',
+        '  Its XL ratio is therefore pure aggregation scaling.',
+        '- **q229 stream→cleanse→upsert→derived chain**: per micro-batch the',
+        '  cost is the batch upsert (partition-scoped, see the upsert row',
+        '  above) + derived recompute bounded by the batch\'s affected',
+        '  timestamps — the steady-state ingest loop is independent of',
+        '  archive history size by the same measurement.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
