@@ -76,3 +76,57 @@ def attribute_paths(element: DataFrame, attribute: DataFrame,
                      F.col("name")).alias("attribute_path"),
         )
     )
+
+
+def supports_recursive_cte(spark) -> bool:
+    """True iff this Spark can parse/execute ``WITH RECURSIVE``
+    (SPARK-24497, landed in Spark 4.0). Feature-probed rather than
+    version-compared so vendored builds with the feature back- or
+    un-ported answer correctly."""
+    try:
+        spark.sql("WITH RECURSIVE _p(n) AS ("
+                  "SELECT 1 UNION ALL SELECT n + 1 FROM _p WHERE n < 3)"
+                  " SELECT max(n) FROM _p").collect()
+        return True
+    except Exception:
+        return False
+
+
+def hierarchy_paths_recursive(element: DataFrame, sep: str = "|",
+                              max_depth: int = 64) -> DataFrame:
+    """:func:`hierarchy_paths` expressed as the reference's literal
+    shape — a ``WITH RECURSIVE`` CTE (populate.py:200-231) — on
+    Spark ≥ 4.0 (SPARK-24497). SURVEY §4.2 names this the forward
+    path; the iterative loop stays the DEFAULT because (a) it runs on
+    any Spark and (b) it localCheckpoints each level, while the CTE
+    re-derives the whole recursion if the plan is reused. Identical
+    output contract (dangling/cyclic rows omitted; depth-capped).
+
+    ``max_depth`` maps onto the recursion guard in the WHERE clause;
+    Spark separately enforces spark.sql.cteRecursionLevelLimit
+    (default 100) as a hard backstop.
+    """
+    spark = element.sparkSession
+    if not supports_recursive_cte(spark):
+        return hierarchy_paths(element, sep=sep, max_depth=max_depth)
+    import uuid
+
+    view = "_closure_elem_" + uuid.uuid4().hex[:12]
+    element.select("level", "element_id", "name", "parent_id") \
+        .createOrReplaceTempView(view)
+    sep_lit = sep.replace("'", "''")
+    try:
+        return spark.sql(f"""
+WITH RECURSIVE paths (level, element_id, name, parent_id, path, _d) AS (
+  SELECT level, element_id, name, parent_id, name AS path, 1 AS _d
+  FROM {view} WHERE parent_id IS NULL
+  UNION ALL
+  SELECT c.level, c.element_id, c.name, c.parent_id,
+         concat_ws('{sep_lit}', p.path, c.name), p._d + 1
+  FROM {view} c JOIN paths p ON c.parent_id = p.element_id
+  WHERE p._d <= {int(max_depth)}
+)
+SELECT level, element_id, name, parent_id, path FROM paths
+""").localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)
