@@ -115,6 +115,19 @@ PICKS = [
      "(prefix item, then (id, item) verify) — no theta join, no "
      "all-pairs stage; per-set ranks are doc_id-partitioned windows, "
      "never a global sort."),
+    ("q220_weighted_median",
+     "Round-5 de-windowed weighted median: the fact feeds only "
+     "map-side-combinable HashAggregates (dollar buckets, then "
+     "exact prices within ONE crossing bucket); the windows run "
+     "over dimension-sized aggregate outputs, partitioned on the "
+     "group key; totals/crossing tables broadcast. The fact is "
+     "never sorted — the tie-break columns of the old fact-wide "
+     "window do not appear anywhere in the plan."),
+    ("q221_equidepth_histogram",
+     "Equi-depth boundaries: ONE exact percentile aggregate "
+     "(distinct-bounded counts-map state) broadcast into the "
+     "bucketing projection; no Sort, no Window, one combinable "
+     "groupBy for the per-bucket stats."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
