@@ -557,6 +557,21 @@ GROUP BY p_brand, s_name
 """
 
 
+def q_recursive_cte_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 in the reference's LITERAL shape: the hierarchy closure as a
+    Spark ≥ 4.0 ``WITH RECURSIVE`` CTE (SPARK-24497 — SURVEY §4.2's
+    named forward path), against the same recursive-SQL oracle as
+    q07's iterative loop. Feature-probed: on a Spark without
+    recursive CTEs the call falls back to the loop, so the query is
+    green either way and the verdict certifies whichever path ran.
+    The loop remains the project default (localCheckpoint per level;
+    see operators/closure.py docstrings)."""
+    from industrial_data_pipeline_spark.operators.closure import (
+        hierarchy_paths_recursive)
+    return hierarchy_paths_recursive(hierarchy_analog(spark, sf_dir)) \
+        .select("element_id", "path")
+
+
 from industrial_data_pipeline_spark.suite_llm import REGISTRY_LLM  # noqa: E402
 
 REGISTRY: dict[str, tuple] = {
@@ -578,6 +593,8 @@ REGISTRY: dict[str, tuple] = {
     "q16_latest_per_key": (q_latest_per_key, ORACLE_LATEST_PER_KEY),
     "q17_dedup_first_wins": (q_dedup_first_wins, ORACLE_DEDUP_FIRST_WINS),
     "q18_formula_backfill": (q_formula_backfill, ORACLE_FORMULA_BACKFILL),
+    "q230_recursive_cte_paths": (q_recursive_cte_paths,
+                                 ORACLE_HIERARCHY_PATHS),
 }
 REGISTRY.update(REGISTRY_LLM)
 from industrial_data_pipeline_spark.suite_ts import REGISTRY_TS  # noqa: E402
