@@ -209,3 +209,67 @@ def test_recursive_cte_closure_matches_iterative(spark):
            for r in hierarchy_paths_recursive(elem).collect()}
     assert it == rec
     assert (5, "Root|A|A1|A1x") in rec and all(i != 9 for i, _ in rec)
+
+
+def test_weighted_median_bucketed_equals_naive_window(spark):
+    """q220's two-level bucketed prefix-sum median must equal the
+    naive fact-wide-window definition on adversarial synthetic data:
+    heavy ties (many rows at one exact price), skewed weights, prices
+    straddling dollar-bucket edges, and a group whose total weight is
+    even (threshold lands exactly between rows)."""
+    from pyspark.sql import Window, functions as F
+
+    # deterministic pseudo-random rows: 3 groups × 4000 rows
+    df = spark.range(12000).selectExpr(
+        "CASE id % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END"
+        " AS l_returnflag",
+        # ~25% of rows collapse onto exactly 1000.00; others spread
+        # over [900, 1100) with cent granularity incl. x.00 edges
+        "CASE WHEN id % 4 = 0 THEN 1000.0D ELSE"
+        " 900.0D + (pmod(hash(id), 20000) / 100.0D) END"
+        " AS l_extendedprice",
+        # skewed integer weights 1..50, some huge
+        "CASE WHEN pmod(hash(id, 7), 100) = 0 THEN 500L"
+        " ELSE 1L + pmod(hash(id, 13), 50) END AS w")
+    # naive definition: running sum over a total row order
+    wnaive = (Window.partitionBy("l_returnflag")
+              .orderBy("l_extendedprice", "id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = (df.withColumn("id", F.monotonically_increasing_id())
+             .withColumn("cumw", F.sum("w").over(wnaive)))
+    tot = df.groupBy("l_returnflag").agg(F.sum("w").alias("T"))
+    want = {(r.l_returnflag, float(r.l_extendedprice)) for r in
+            naive.join(tot, "l_returnflag")
+            .where((2 * F.col("cumw") >= F.col("T"))
+                   & (2 * (F.col("cumw") - F.col("w")) < F.col("T")))
+            .select("l_returnflag", "l_extendedprice").collect()}
+
+    # bucketed implementation, lifted verbatim from q220's shape
+    lvl1 = (df.groupBy("l_returnflag",
+                       F.floor("l_extendedprice").alias("dollar"))
+            .agg(F.sum("w").alias("bw")))
+    wc = (Window.partitionBy("l_returnflag").orderBy("dollar")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot1 = lvl1.groupBy("l_returnflag").agg(F.sum("bw").alias("T"))
+    crossing = (lvl1.withColumn("cumb", F.sum("bw").over(wc))
+                .join(F.broadcast(tot1), "l_returnflag")
+                .where((2 * F.col("cumb") >= F.col("T"))
+                       & (2 * (F.col("cumb") - F.col("bw"))
+                          < F.col("T")))
+                .select("l_returnflag", "dollar",
+                        (F.col("cumb") - F.col("bw")).alias("below"),
+                        "T"))
+    lvl2 = (df.join(F.broadcast(crossing), "l_returnflag")
+            .where(F.floor("l_extendedprice") == F.col("dollar"))
+            .groupBy("l_returnflag", "l_extendedprice", "below", "T")
+            .agg(F.sum("w").alias("pw")))
+    wc2 = (Window.partitionBy("l_returnflag")
+           .orderBy("l_extendedprice")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    got = {(r.l_returnflag, float(r.l_extendedprice)) for r in
+           lvl2.withColumn("cump",
+                           F.col("below") + F.sum("pw").over(wc2))
+           .where((2 * F.col("cump") >= F.col("T"))
+                  & (2 * (F.col("cump") - F.col("pw")) < F.col("T")))
+           .select("l_returnflag", "l_extendedprice").collect()}
+    assert got == want and len(got) == 3
