@@ -283,12 +283,17 @@ class Pipeline:
         self.store.rewrite_archive(
             database,
             observed.where(~F.coalesce(is_doomed, F.lit(False))))
+        # dim rewrites share the archive's NULL-retention contract:
+        # `col != id` is NULL (dropped) for a NULL-keyed dim row,
+        # while SQL DELETE retains it — use null-safe inequality.
         self.store.overwrite_dim(
             database, "attribute",
-            attr.where(F.col("element_id") != element_id))
+            attr.where(~F.col("element_id").eqNullSafe(
+                F.lit(element_id))))
         self.store.overwrite_dim(
             database, "element",
-            elem.where(F.col("element_id") != element_id))
+            elem.where(~F.col("element_id").eqNullSafe(
+                F.lit(element_id))))
         return {"elements_deleted": n_elem,
                 "attributes_deleted": len(doomed_ids),
                 "archive_records_deleted": obs.get["n_doomed"]}
@@ -312,7 +317,8 @@ class Pipeline:
                 ~F.col("attribute_id").eqNullSafe(F.lit(attribute_id))))
         self.store.overwrite_dim(
             database, "attribute",
-            attr.where(F.col("attribute_id") != attribute_id))
+            attr.where(~F.col("attribute_id").eqNullSafe(
+                F.lit(attribute_id))))
         return {"attributes_deleted": n_attr,
                 "archive_records_deleted": obs.get["n_doomed"]}
 

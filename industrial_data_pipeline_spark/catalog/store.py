@@ -86,54 +86,64 @@ class ParquetStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._lock_depth: dict[str, int] = {}
+        self._mutex = __import__("threading").Lock()
 
     # ------------------------------------------------------ writer lock
     def _lock_path(self, database: str) -> str:
-        return os.path.join(self.root, database, ".writer.lock")
+        # ROOT-level dotfile, NOT inside the database directory: the
+        # lock must never create a phantom database dir for a
+        # misspelled name (list_databases only reports directories,
+        # and a dotFILE at root is invisible to it either way).
+        return os.path.join(self.root, f".{database}.writer.lock")
 
-    @contextlib.contextmanager
-    def write_lock(self, database: str, timeout_s: float = 10.0):
-        """Enforce the single-writer-per-database boundary (module
-        docstring). The lock is a pid-stamped O_EXCL file under the
-        database directory: best-effort (NFS O_EXCL caveats apply; on
-        a real deployment a catalog service or Delta/Iceberg commit
-        protocol replaces it), but it converts the previously silent
-        assumption into a checked property — a second WRITER PROCESS
-        gets :class:`ConcurrentWriterError` instead of interleaved
-        partition overwrites. Reentrant within one process (the
-        management plane nests writes, e.g. upsert inside
-        foreachBatch inside an API call); locks abandoned by a dead
-        pid are stolen."""
-        depth = self._lock_depth.get(database, 0)
-        if depth:
-            self._lock_depth[database] = depth + 1
-            try:
-                yield
-            finally:
-                self._lock_depth[database] -= 1
-            return
+    def _acquire_lock_file(self, database: str, timeout_s: float) -> bool:
+        """Claim the lock file. Returns False when another store
+        INSTANCE in this same process holds it (cooperative —
+        single-writer is a per-PROCESS contract); raises
+        :class:`ConcurrentWriterError` on a live foreign holder.
+
+        Race-free claim and steal: the pid payload is written to a
+        private temp file FIRST and published with ``os.link`` —
+        atomic, and the lock file is therefore always fully written
+        when it becomes visible (no half-written-JSON window). A
+        stale lock is stolen by ``os.rename`` to a private name:
+        exactly ONE stealer wins the rename (the losers see
+        FileNotFoundError and re-race the link), so two waiters can
+        never both 'steal' and double-acquire."""
         path = self._lock_path(database)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = json.dumps(
+            {"pid": os.getpid(), "ts": time.time()}).encode()
+        import uuid as _uuid
+
+        tmp = f"{path}.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
         deadline = time.monotonic() + timeout_s
-        fd = None
-        while fd is None:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
+        try:
+            while True:
+                try:
+                    os.link(tmp, path)
+                    return True
+                except FileExistsError:
+                    pass
                 try:
                     with open(path, encoding="utf-8") as fh:
-                        holder = json.load(fh)
-                    pid = int(holder.get("pid", -1))
+                        pid = int(json.load(fh).get("pid", -1))
+                except FileNotFoundError:
+                    continue  # released between link and read: re-race
                 except (OSError, ValueError):
-                    pid = -1  # partially written or vanished: stale
+                    pid = -1  # unreadable: treat as stale
                 if pid == os.getpid():
-                    # another store INSTANCE in this process holds it;
-                    # in-process callers are cooperative by contract
-                    yield
-                    return
+                    return False  # our process already holds it
                 if pid < 0 or not _pid_alive(pid):
+                    steal = f"{path}.stale.{os.getpid()}." \
+                            f"{_uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(path, steal)  # one winner only
+                    except FileNotFoundError:
+                        continue  # lost the steal race: re-race link
                     with contextlib.suppress(FileNotFoundError):
-                        os.unlink(path)  # steal abandoned lock
+                        os.unlink(steal)
                     continue
                 if time.monotonic() >= deadline:
                     raise ConcurrentWriterError(
@@ -141,16 +151,43 @@ class ParquetStore:
                         f"pid {pid} (lock {path}); the store is "
                         "single-writer per database")
                 time.sleep(0.05)
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
+
+    @contextlib.contextmanager
+    def write_lock(self, database: str, timeout_s: float = 10.0):
+        """Enforce the single-writer-per-database boundary (module
+        docstring). The lock is a pid-stamped root-level file:
+        best-effort (NFS link() caveats apply; on a real deployment a
+        catalog service or Delta/Iceberg commit protocol replaces
+        it), but it converts the previously silent assumption into a
+        checked property — a second WRITER PROCESS gets
+        :class:`ConcurrentWriterError` instead of interleaved
+        partition overwrites. Reentrant within one process AND across
+        its threads (the management plane nests writes, e.g. upsert
+        inside a foreachBatch thread inside an API call): depth
+        accounting is mutex-guarded, and only the exit that returns
+        the depth to zero releases the file."""
+        with self._mutex:
+            depth = self._lock_depth.get(database, 0)
+            self._lock_depth[database] = depth + 1
+        owns_file = False
         try:
-            os.write(fd, json.dumps(
-                {"pid": os.getpid(), "ts": time.time()}).encode())
-            os.close(fd)
-            self._lock_depth[database] = 1
+            if depth == 0:
+                owns_file = self._acquire_lock_file(database, timeout_s)
             yield
         finally:
-            self._lock_depth.pop(database, None)
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(path)
+            release = False
+            with self._mutex:
+                if database in self._lock_depth:
+                    self._lock_depth[database] -= 1
+                    if self._lock_depth[database] <= 0:
+                        del self._lock_depth[database]
+                        release = True
+            if release and owns_file:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(self._lock_path(database))
 
     # ---------------------------------------------------------- databases
     def list_databases(self) -> list[str]:

@@ -78,18 +78,27 @@ def attribute_paths(element: DataFrame, attribute: DataFrame,
     )
 
 
+_RECURSIVE_CTE_SUPPORT: dict[int, bool] = {}
+
+
 def supports_recursive_cte(spark) -> bool:
     """True iff this Spark can parse/execute ``WITH RECURSIVE``
     (SPARK-24497, landed in Spark 4.0). Feature-probed rather than
     version-compared so vendored builds with the feature back- or
-    un-ported answer correctly."""
-    try:
-        spark.sql("WITH RECURSIVE _p(n) AS ("
-                  "SELECT 1 UNION ALL SELECT n + 1 FROM _p WHERE n < 3)"
-                  " SELECT max(n) FROM _p").collect()
-        return True
-    except Exception:
-        return False
+    un-ported answer correctly; the probe (a real 3-row recursion
+    job) runs ONCE per SparkSession and is memoized — the answer is
+    a static property of the running build."""
+    key = id(spark)
+    if key not in _RECURSIVE_CTE_SUPPORT:
+        try:
+            spark.sql(
+                "WITH RECURSIVE _p(n) AS ("
+                "SELECT 1 UNION ALL SELECT n + 1 FROM _p WHERE n < 3)"
+                " SELECT max(n) FROM _p").collect()
+            _RECURSIVE_CTE_SUPPORT[key] = True
+        except Exception:
+            _RECURSIVE_CTE_SUPPORT[key] = False
+    return _RECURSIVE_CTE_SUPPORT[key]
 
 
 def hierarchy_paths_recursive(element: DataFrame, sep: str = "|",
@@ -114,19 +123,24 @@ def hierarchy_paths_recursive(element: DataFrame, sep: str = "|",
     view = "_closure_elem_" + uuid.uuid4().hex[:12]
     element.select("level", "element_id", "name", "parent_id") \
         .createOrReplaceTempView(view)
-    sep_lit = sep.replace("'", "''")
     try:
+        # sep rides as a BOUND PARAMETER (:sep), never an inlined
+        # literal: Spark's default parser treats backslash as an
+        # escape and concatenates adjacent string literals, so the PI
+        # form sep="\\" or a quote-bearing sep would be silently
+        # corrupted (or fail to parse) if spliced into the SQL text —
+        # exactly the seps attribute_paths feeds the iterative twin.
         return spark.sql(f"""
 WITH RECURSIVE paths (level, element_id, name, parent_id, path, _d) AS (
   SELECT level, element_id, name, parent_id, name AS path, 1 AS _d
   FROM {view} WHERE parent_id IS NULL
   UNION ALL
   SELECT c.level, c.element_id, c.name, c.parent_id,
-         concat_ws('{sep_lit}', p.path, c.name), p._d + 1
+         concat_ws(:sep, p.path, c.name), p._d + 1
   FROM {view} c JOIN paths p ON c.parent_id = p.element_id
   WHERE p._d <= {int(max_depth)}
 )
 SELECT level, element_id, name, parent_id, path FROM paths
-""").localCheckpoint(eager=True)
+""", args={"sep": sep}).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(view)

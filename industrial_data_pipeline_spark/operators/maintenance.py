@@ -58,27 +58,42 @@ def purge_orphans(archive: DataFrame, attribute: DataFrame) -> DataFrame:
         "attribute_id", "left_semi")
 
 
-def _orderable_cols(df: DataFrame, cols: list[str]) -> list[str]:
-    """Subset of ``cols`` whose types Spark can ORDER BY. Map types
-    (at any nesting depth) are unorderable — including one in the
-    tie-break struct would fail analysis for callers whose ordering
-    previously worked on ``order_col`` alone. NULLs in the remaining
-    payload columns still participate in the tie order (NULLS FIRST
-    inside the struct comparison) — that is part of the documented
-    total-order contract, not an accident."""
+def _tiebreak_exprs(df: DataFrame, cols: list[str]) -> list:
+    """Tie-break expressions over ``cols`` forming a TOTAL order.
+    Orderable columns compare natively. Map types (unorderable in
+    Spark — putting one in the tie struct fails analysis) enter the
+    order through a canonical serialization instead of being dropped:
+    ``to_json(array_sort(map_entries(m)))`` when the entries are
+    orderable (key-order-independent — two maps with equal content
+    always serialize identically), else plain ``to_json`` as a
+    documented best-effort (content-equal maps built in different
+    orders may then compare unequal, but the pick is still
+    deterministic for any fixed input). NULLs participate NULLS-FIRST
+    inside the struct comparison — part of the contract, not an
+    accident."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    def ok(dt) -> bool:
+    def orderable(dt) -> bool:
         if isinstance(dt, MapType):
             return False
         if isinstance(dt, ArrayType):
-            return ok(dt.elementType)
+            return orderable(dt.elementType)
         if isinstance(dt, StructType):
-            return all(ok(f.dataType) for f in dt.fields)
+            return all(orderable(f.dataType) for f in dt.fields)
         return True
 
     types = {f.name: f.dataType for f in df.schema.fields}
-    return [c for c in cols if ok(types[c])]
+    out = []
+    for c in cols:
+        dt = types[c]
+        if orderable(dt):
+            out.append(F.col(c))
+        elif isinstance(dt, MapType) and orderable(dt.keyType) \
+                and orderable(dt.valueType):
+            out.append(F.to_json(F.array_sort(F.map_entries(F.col(c)))))
+        else:
+            out.append(F.to_json(F.col(c)))
+    return out
 
 
 def dedup_first_wins(df: DataFrame, keys: list[str],
@@ -90,15 +105,15 @@ def dedup_first_wins(df: DataFrame, keys: list[str],
     relied on implicit row order, which does not exist in Spark.
     Rows that TIE on ``order_col`` order by the remaining ORDERABLE
     columns (a struct comparison — fields left to right; map-typed
-    payload columns are carried but excluded from the tie key, see
-    :func:`_orderable_cols`), so the pick is a total order and
+    payload columns enter via canonical JSON serialization, see
+    :func:`_tiebreak_exprs`), so the pick is a total order and
     re-runs can never surface a different survivor.
 
     Implemented as min_by groupBy: one shuffle, map-side combinable
     (vs. a Window row_number which must sort every group)."""
     others = [c for c in df.columns if c not in keys]
-    tiebreak = _orderable_cols(df, [c for c in others if c != order_col])
-    ordk = F.struct(F.col(order_col), *[F.col(c) for c in tiebreak])
+    tiebreak = _tiebreak_exprs(df, [c for c in others if c != order_col])
+    ordk = F.struct(F.col(order_col), *tiebreak)
     picked = (
         df.groupBy(*keys)
         .agg(F.min_by(F.struct(*others), ordk).alias("_row"))
@@ -112,8 +127,8 @@ def latest_per_key(df: DataFrame, keys: list[str],
     database.py:710-713 ON CONFLICT DO UPDATE). Same total-order
     tie handling as :func:`dedup_first_wins`."""
     others = [c for c in df.columns if c not in keys]
-    tiebreak = _orderable_cols(df, [c for c in others if c != order_col])
-    ordk = F.struct(F.col(order_col), *[F.col(c) for c in tiebreak])
+    tiebreak = _tiebreak_exprs(df, [c for c in others if c != order_col])
+    ordk = F.struct(F.col(order_col), *tiebreak)
     picked = (
         df.groupBy(*keys)
         .agg(F.max_by(F.struct(*others), ordk).alias("_row"))

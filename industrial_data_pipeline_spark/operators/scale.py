@@ -190,3 +190,55 @@ def zorder_key(x, y, bits: int = 8):
         yb = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1))
         z = z + F.shiftleft(xb, 2 * i) + F.shiftleft(yb, 2 * i + 1)
     return z
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact weighted median of ``value_col`` per ``group_col`` with
+    integer weights, computed by two-level bucketed prefix sums — no
+    fact-wide sort or window (q220; VERDICT r4 item 4).
+
+    1. map-side-combinable groupBy into (group, floor(value)) bucket
+       partial weights — dimension-sized output, so its cumulative
+       window is cheap and partitioned;
+    2. integer threshold arithmetic (2·cum ≥ T crosses exactly once
+       for positive weights) finds each group's crossing BUCKET and
+       the weight offset below it (broadcast, ≤ #groups rows);
+    3. only the crossing bucket's rows (one unit of value space) are
+       re-aggregated per EXACT value and the same threshold picks the
+       median. The crossing value is invariant to intra-value row
+       order, so every shuffle is an aggregation and the result is
+       engine-exact integer arithmetic end to end.
+
+    Returns (group_col, total_w, weighted_median)."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(group_col).alias("_g"),
+                     F.col(value_col).alias("_v"),
+                     F.col(weight_col).cast("bigint").alias("_w"))
+    lvl1 = (base.groupBy("_g", F.floor("_v").alias("_bkt"))
+            .agg(F.sum("_w").alias("_bw")))
+    wc = (Window.partitionBy("_g").orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = lvl1.groupBy("_g").agg(F.sum("_bw").alias("_T"))
+    crossing = (lvl1.withColumn("_cumb", F.sum("_bw").over(wc))
+                .join(F.broadcast(tot), "_g")
+                .where((2 * F.col("_cumb") >= F.col("_T"))
+                       & (2 * (F.col("_cumb") - F.col("_bw"))
+                          < F.col("_T")))
+                .select("_g", "_bkt",
+                        (F.col("_cumb") - F.col("_bw")).alias("_below"),
+                        "_T"))
+    lvl2 = (base.join(F.broadcast(crossing), "_g")
+            .where(F.floor("_v") == F.col("_bkt"))
+            .groupBy("_g", "_v", "_below", "_T")
+            .agg(F.sum("_w").alias("_pw")))
+    wc2 = (Window.partitionBy("_g").orderBy("_v")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (lvl2.withColumn("_cum",
+                            F.col("_below") + F.sum("_pw").over(wc2))
+            .where((2 * F.col("_cum") >= F.col("_T"))
+                   & (2 * (F.col("_cum") - F.col("_pw")) < F.col("_T")))
+            .select(F.col("_g").alias(group_col),
+                    F.col("_T").alias("total_w"),
+                    F.col("_v").alias("weighted_median")))

@@ -389,37 +389,18 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
        flag — and the same threshold picks the median price.
     The crossing price is invariant to intra-price row order, so
     every shuffle is an aggregation and the result is engine-exact
-    integer arithmetic end to end."""
-    li = (load(spark, sf_dir, "lineitem")
-          .select("l_returnflag",
-                  F.col("l_quantity").cast("bigint").alias("w"),
-                  "l_extendedprice"))
-    lvl1 = (li.groupBy("l_returnflag",
-                       F.floor("l_extendedprice").alias("dollar"))
-            .agg(F.sum("w").alias("bw")))
-    wc = (Window.partitionBy("l_returnflag").orderBy("dollar")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    tot = lvl1.groupBy("l_returnflag").agg(F.sum("bw").alias("T"))
-    crossing = (lvl1.withColumn("cumb", F.sum("bw").over(wc))
-                .join(F.broadcast(tot), "l_returnflag")
-                .where((2 * F.col("cumb") >= F.col("T"))
-                       & (2 * (F.col("cumb") - F.col("bw"))
-                          < F.col("T")))
-                .select("l_returnflag", "dollar",
-                        (F.col("cumb") - F.col("bw")).alias("below"),
-                        "T"))
-    lvl2 = (li.join(F.broadcast(crossing), "l_returnflag")
-            .where(F.floor("l_extendedprice") == F.col("dollar"))
-            .groupBy("l_returnflag", "l_extendedprice", "below", "T")
-            .agg(F.sum("w").alias("pw")))
-    wc2 = (Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (lvl2.withColumn("cump",
-                            F.col("below") + F.sum("pw").over(wc2))
-            .where((2 * F.col("cump") >= F.col("T"))
-                   & (2 * (F.col("cump") - F.col("pw")) < F.col("T")))
-            .select("l_returnflag", F.col("T").alias("total_qty"),
-                    F.col("l_extendedprice")
+    integer arithmetic end to end. Algorithm lives in
+    operators/scale.py::weighted_median (shared with the adversarial
+    property test, so the suite entry can't drift from what the test
+    pins)."""
+    from industrial_data_pipeline_spark.operators.scale import (
+        weighted_median)
+    li = load(spark, sf_dir, "lineitem")
+    return (weighted_median(li, "l_returnflag", "l_extendedprice",
+                            "l_quantity")
+            .select("l_returnflag",
+                    F.col("total_w").alias("total_qty"),
+                    F.col("weighted_median")
                     .alias("weighted_median_price")))
 
 

@@ -166,12 +166,20 @@ def test_delete_cascades_retain_null_attribute_rows(pipe, spark):
         [(None, T0, 1.5)],
         "attribute_id long, timestamp timestamp, value double")
     pipe.store.append_archive("plant", null_row)
+    # NULL-keyed DIM row: same retention contract as the archive
+    attr = pipe.store.attribute("plant")
+    pipe.store.overwrite_dim(
+        "plant", "attribute",
+        attr.unionByName(spark.createDataFrame(
+            [(None, 999, "ghost", None, None)], attr.schema)))
     fan_a = [a for a in pipe.all_attributes("plant").collect()
              if a.element_name == "FanA"]
     eid = fan_a[0].element_id
     pipe.delete_element("plant", eid)
     arch = pipe.store.archive_values("plant")
     assert arch.where(arch.attribute_id.isNull()).count() == 1
+    surviving = pipe.store.attribute("plant")
+    assert surviving.where(surviving.element_id.isNull()).count() == 1
     # attribute cascade: same retention contract
     remaining = [a.attribute_id for a in
                  pipe.all_attributes("plant").collect()]

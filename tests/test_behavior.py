@@ -209,6 +209,16 @@ def test_recursive_cte_closure_matches_iterative(spark):
            for r in hierarchy_paths_recursive(elem).collect()}
     assert it == rec
     assert (5, "Root|A|A1|A1x") in rec and all(i != 9 for i, _ in rec)
+    # adversarial separators (the PI backslash form and a quote):
+    # the sep is a BOUND parameter, so neither may corrupt or throw
+    for sep in ["\\", "it's"]:
+        it_s = {(r.element_id, r.path)
+                for r in hierarchy_paths(elem, sep=sep).collect()}
+        rec_s = {(r.element_id, r.path)
+                 for r in hierarchy_paths_recursive(
+                     elem, sep=sep).collect()}
+        assert it_s == rec_s
+        assert (5, sep.join(["Root", "A", "A1", "A1x"])) in rec_s
 
 
 def test_weighted_median_bucketed_equals_naive_window(spark):
@@ -244,32 +254,10 @@ def test_weighted_median_bucketed_equals_naive_window(spark):
                    & (2 * (F.col("cumw") - F.col("w")) < F.col("T")))
             .select("l_returnflag", "l_extendedprice").collect()}
 
-    # bucketed implementation, lifted verbatim from q220's shape
-    lvl1 = (df.groupBy("l_returnflag",
-                       F.floor("l_extendedprice").alias("dollar"))
-            .agg(F.sum("w").alias("bw")))
-    wc = (Window.partitionBy("l_returnflag").orderBy("dollar")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    tot1 = lvl1.groupBy("l_returnflag").agg(F.sum("bw").alias("T"))
-    crossing = (lvl1.withColumn("cumb", F.sum("bw").over(wc))
-                .join(F.broadcast(tot1), "l_returnflag")
-                .where((2 * F.col("cumb") >= F.col("T"))
-                       & (2 * (F.col("cumb") - F.col("bw"))
-                          < F.col("T")))
-                .select("l_returnflag", "dollar",
-                        (F.col("cumb") - F.col("bw")).alias("below"),
-                        "T"))
-    lvl2 = (df.join(F.broadcast(crossing), "l_returnflag")
-            .where(F.floor("l_extendedprice") == F.col("dollar"))
-            .groupBy("l_returnflag", "l_extendedprice", "below", "T")
-            .agg(F.sum("w").alias("pw")))
-    wc2 = (Window.partitionBy("l_returnflag")
-           .orderBy("l_extendedprice")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    got = {(r.l_returnflag, float(r.l_extendedprice)) for r in
-           lvl2.withColumn("cump",
-                           F.col("below") + F.sum("pw").over(wc2))
-           .where((2 * F.col("cump") >= F.col("T"))
-                  & (2 * (F.col("cump") - F.col("pw")) < F.col("T")))
-           .select("l_returnflag", "l_extendedprice").collect()}
+    # the PRODUCTION operator (shared with q220's suite entry)
+    from industrial_data_pipeline_spark.operators.scale import (
+        weighted_median)
+    got = {(r.l_returnflag, float(r.weighted_median)) for r in
+           weighted_median(df, "l_returnflag", "l_extendedprice",
+                           "w").collect()}
     assert got == want and len(got) == 3

@@ -297,9 +297,10 @@ def test_set_similarity_join_rejects_bad_threshold(spark):
 
 
 def test_dedup_map_payload_column_supported(spark):
-    """ADVICE r4: a map-typed payload column must not break analysis —
-    maps are unorderable in Spark, so they are carried in the payload
-    struct but excluded from the tie-break key."""
+    """ADVICE r4 + review: a map-typed payload column must not break
+    analysis (maps are unorderable in Spark) AND must still yield a
+    deterministic survivor when rows tie on every other column — maps
+    enter the tie key via canonical sorted-entries JSON."""
     from industrial_data_pipeline_spark.operators.maintenance import (
         dedup_first_wins, latest_per_key)
     rows = [("k", 5, {"a": 1}), ("k", 7, {"b": 2})]
@@ -309,3 +310,13 @@ def test_dedup_map_payload_column_supported(spark):
     assert first.ord == 5 and first.props == {"a": 1}
     last = latest_per_key(df, ["key"], "ord").collect()[0]
     assert last.ord == 7 and last.props == {"b": 2}
+    # tie on ord, differ ONLY in the map: '{"x":1}' < '{"x":2}' in the
+    # canonical JSON order, every run, any partitioning
+    tie = spark.createDataFrame(
+        [("k", 5, {"x": 2}), ("k", 5, {"x": 1})],
+        "key string, ord int, props map<string,int>").repartition(8)
+    for _ in range(3):
+        assert dedup_first_wins(
+            tie, ["key"], "ord").collect()[0].props == {"x": 1}
+        assert latest_per_key(
+            tie, ["key"], "ord").collect()[0].props == {"x": 2}

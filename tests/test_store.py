@@ -265,3 +265,9 @@ def test_writer_lock_blocks_second_process(spark, tmp_path):
     with store.write_lock("db", timeout_s=0.2):
         pass
     assert not os.path.exists(lock)
+    # a write against a nonexistent database must not leave a phantom
+    # database directory behind (the lock lives at root level)
+    assert store.drop_archive_partitions("no-such-db", "2024-01-01") == 0
+    assert "no-such-db" not in store.list_databases()
+    # the lock file itself is invisible to list_databases
+    assert store.list_databases() == ["db"]
