@@ -271,3 +271,60 @@ def test_writer_lock_blocks_second_process(spark, tmp_path):
     assert "no-such-db" not in store.list_databases()
     # the lock file itself is invisible to list_databases
     assert store.list_databases() == ["db"]
+
+
+def test_writer_lock_race_single_winner(tmp_path):
+    """True multi-process race: N processes try to claim the same
+    database's lock simultaneously; exactly one must win at any
+    instant, and every process eventually proceeds (the queue drains
+    as each winner releases). Uses the lock machinery directly — no
+    SparkSession needed in the children."""
+    import multiprocessing as mp
+    import sys
+
+    code = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+from industrial_data_pipeline_spark.catalog.store import ParquetStore
+
+
+class _Stub:  # write_lock never touches spark
+    pass
+
+
+store = ParquetStore.__new__(ParquetStore)
+store.root = sys.argv[1]
+store._lock_depth = {}
+import threading
+store._mutex = threading.Lock()
+witness = os.path.join(sys.argv[1], "witness")
+with store.write_lock("db", timeout_s=30.0):
+    # while holding: witness file must not exist (mutual exclusion),
+    # create it, hold briefly, remove it
+    assert not os.path.exists(witness), "second writer inside lock!"
+    open(witness, "w").close()
+    time.sleep(0.05)
+    os.remove(witness)
+print("OK")
+"""
+    root = str(tmp_path / "race")
+    os.makedirs(root, exist_ok=True)
+    procs = [mp.Process(target=_run_child, args=(code, root))
+             for _ in range(6)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+    assert all(p.exitcode == 0 for p in procs), \
+        [p.exitcode for p in procs]
+    assert not os.path.exists(os.path.join(root, ".db.writer.lock"))
+
+
+def _run_child(code, root):
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-c", code, root],
+                       capture_output=True, text=True, timeout=55)
+    if r.returncode != 0 or "OK" not in r.stdout:
+        raise SystemExit(r.returncode or 1)
