@@ -691,3 +691,123 @@ WHERE i * 1000 >= {SETSIM_T_MILLIS} * (sa.n + sb.n - i)
 REGISTRY_CORPUS.update({
     "q227_set_similarity_join": (q_set_similarity_join, _ORACLE_SETSIM),
 })
+
+
+# --------------- q231 cross-doc duplicate spans (exact substring dedup)
+
+DUPSPAN_N = 8  # token n-gram width: a hit = an 8-token run seen elsewhere
+
+
+def _pos_shingle_expr(n: int) -> str:
+    """Positional variant of :func:`_word_shingle_expr`: array of
+    struct(pos, gram) with 1-based token positions (same short-doc
+    empty-array guard)."""
+    tk = "split(trim(text), '\\\\s+')"
+    return (f"CASE WHEN size({tk}) >= {n}"
+            f" THEN transform(sequence(1, size({tk}) - {n - 1}),"
+            f" i -> struct(i AS pos,"
+            f" concat_ws(' ', slice({tk}, i, {n})) AS gram))"
+            f" ELSE array() END")
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicate-SPAN report — the token-level
+    substring-dedup signal (Lee et al., 'Deduplicating Training Data
+    Makes Language Models Better'): any {DUPSPAN_N}-token run that
+    also appears in ANOTHER document marks its positions duplicated;
+    overlapping/adjacent hits merge into maximal spans
+    (gaps-and-islands: with fixed n and ascending positions, a new
+    island starts iff pos > prev_pos + n). Emits per doc the span
+    count, duplicated-token total and duplicated fraction — the
+    numbers a span-excision pass or a dup-aware loss weighting
+    (q212) consumes at token granularity rather than q150's chunk
+    granularity.
+
+    Scale shape: positional shingles explode JVM-side; the shared-
+    gram set is one distinct+groupBy (map-side combinable) and the
+    hit filter a semi-join on the gram string; island merging is one
+    lag window PARTITIONED BY doc (state bounded by doc length).
+    Nothing global, nothing quadratic."""
+    n = DUPSPAN_N
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.expr("size(split(trim(text), '\\\\s+'))")
+        .cast("bigint").alias("total_tokens"),
+        F.expr(_pos_shingle_expr(n)).alias("_pg"))
+    pg = (base.select("doc_id", F.explode("_pg").alias("s"))
+          .select("doc_id", F.col("s.pos").alias("pos"),
+                  F.col("s.gram").alias("gram")))
+    shared = (pg.select("gram", "doc_id").distinct()
+              .groupBy("gram").agg(F.count("*").alias("df"))
+              .where(F.col("df") >= 2).select("gram"))
+    hits = pg.join(shared, "gram", "left_semi")
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (hits
+           .withColumn("brk", (F.col("pos")
+                               - F.coalesce(F.lag("pos").over(w),
+                                            F.lit(-n)) > n)
+                  .cast("int"))
+           .withColumn("isl", F.sum("brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (isl.groupBy("doc_id", "isl")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + F.lit(n - 1)).alias("e")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum(F.col("e") - F.col("s") + 1)
+                    .alias("dup_tokens")))
+    return (base.select("doc_id", "total_tokens")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("dup_tokens", F.lit(0))
+                    .alias("dup_tokens"),
+                    "total_tokens",
+                    (F.coalesce("dup_tokens", F.lit(0))
+                     / F.col("total_tokens")).alias("dup_fraction")))
+
+
+def _oracle_dup_spans() -> str:
+    n = DUPSPAN_N
+    return f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents),
+p AS (SELECT doc_id,
+             unnest(range(1, greatest(len(tk) - {n - 2}, 1))) AS pos,
+             unnest([array_to_string(tk[i:i + {n - 1}], ' ')
+                     FOR i IN range(1, greatest(len(tk)
+                                                - {n - 2}, 1))]) AS gram
+      FROM toks),
+shared AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM p)
+           GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT doc_id, pos FROM p JOIN shared USING (gram)),
+flags AS (SELECT doc_id, pos,
+                 CASE WHEN pos - coalesce(lag(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos), -{n}) > {n}
+                      THEN 1 ELSE 0 END AS brk
+          FROM h),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM flags),
+spans AS (SELECT doc_id, isl_id, min(pos) AS s,
+                 max(pos) + {n - 1} AS e
+          FROM isl GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY 1)
+SELECT t.doc_id,
+       CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(len(t.tk) AS BIGINT) AS total_tokens,
+       CAST(coalesce(d.dup_tokens, 0) AS BIGINT)
+           / CAST(len(t.tk) AS BIGINT) AS dup_fraction
+FROM toks t LEFT JOIN per_doc d USING (doc_id)
+"""
+
+
+REGISTRY_CORPUS.update({
+    "q231_dup_spans": (q_dup_spans, _oracle_dup_spans()),
+})
