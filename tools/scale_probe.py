@@ -42,6 +42,7 @@ PICKS = [
     ("rolling exact median (24-frame)", "q209_rolling_median"),
     ("weighted median (bucketed)", "q220_weighted_median"),
     ("equi-depth histogram", "q221_equidepth_histogram"),
+    ("dup-span report (8-gram islands)", "q231_dup_spans"),
 ]
 
 #: operators re-run against the 16×-exploded tables. events-shaped
@@ -53,7 +54,8 @@ XL_OPS = ["hourly rollup", "as-of join (union-sort)",
           "linear-interp grid fill", "sessionize (gap windows)",
           "salted skew agg", "binned range join (half-open)",
           "boilerplate 5-gram shingles", "AllPairs set-similarity join",
-          "weighted median (bucketed)", "equi-depth histogram"]
+          "weighted median (bucketed)", "equi-depth histogram",
+          "dup-span report (8-gram islands)"]
 
 #: per-tag-density ops: the standard explosion shifts user ids (key
 #: cardinality ×16, per-key rows ×1), which leaves a per-tag windowed
