@@ -34,10 +34,12 @@ ingest daemon per database).
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import functools
 import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -61,16 +63,6 @@ class ConcurrentWriterError(RuntimeError):
     one."""
 
 
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-    return True
-
-
 def _locked(method):
     """Run a store write under the database's writer lock."""
     @functools.wraps(method)
@@ -80,13 +72,20 @@ def _locked(method):
     return wrapper
 
 
+#: process-global per-(root, database) lock state, shared by every
+#: ParquetStore instance in the process — the single-writer contract
+#: is per PROCESS, so two instances over the same root must share one
+#: flock fd and one in-process RLock, not race each other.
+#: entry: {"rlock": RLock, "depth": int, "fd": int | None}
+_PROC_LOCKS: dict[tuple[str, str], dict] = {}
+_PROC_LOCKS_GUARD = threading.Lock()
+
+
 class ParquetStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._lock_depth: dict[str, int] = {}
-        self._mutex = __import__("threading").Lock()
 
     # ------------------------------------------------------ writer lock
     def _lock_path(self, database: str) -> str:
@@ -96,98 +95,85 @@ class ParquetStore:
         # and a dotFILE at root is invisible to it either way).
         return os.path.join(self.root, f".{database}.writer.lock")
 
-    def _acquire_lock_file(self, database: str, timeout_s: float) -> bool:
-        """Claim the lock file. Returns False when another store
-        INSTANCE in this same process holds it (cooperative —
-        single-writer is a per-PROCESS contract); raises
-        :class:`ConcurrentWriterError` on a live foreign holder.
-
-        Race-free claim and steal: the pid payload is written to a
-        private temp file FIRST and published with ``os.link`` —
-        atomic, and the lock file is therefore always fully written
-        when it becomes visible (no half-written-JSON window). A
-        stale lock is stolen by ``os.rename`` to a private name:
-        exactly ONE stealer wins the rename (the losers see
-        FileNotFoundError and re-race the link), so two waiters can
-        never both 'steal' and double-acquire."""
-        path = self._lock_path(database)
-        payload = json.dumps(
-            {"pid": os.getpid(), "ts": time.time()}).encode()
-        import uuid as _uuid
-
-        tmp = f"{path}.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "wb") as fh:
-            fh.write(payload)
-        deadline = time.monotonic() + timeout_s
-        try:
-            while True:
-                try:
-                    os.link(tmp, path)
-                    return True
-                except FileExistsError:
-                    pass
-                try:
-                    with open(path, encoding="utf-8") as fh:
-                        pid = int(json.load(fh).get("pid", -1))
-                except FileNotFoundError:
-                    continue  # released between link and read: re-race
-                except (OSError, ValueError):
-                    pid = -1  # unreadable: treat as stale
-                if pid == os.getpid():
-                    return False  # our process already holds it
-                if pid < 0 or not _pid_alive(pid):
-                    steal = f"{path}.stale.{os.getpid()}." \
-                            f"{_uuid.uuid4().hex[:8]}"
-                    try:
-                        os.rename(path, steal)  # one winner only
-                    except FileNotFoundError:
-                        continue  # lost the steal race: re-race link
-                    with contextlib.suppress(FileNotFoundError):
-                        os.unlink(steal)
-                    continue
-                if time.monotonic() >= deadline:
-                    raise ConcurrentWriterError(
-                        f"database {database!r} is being written by "
-                        f"pid {pid} (lock {path}); the store is "
-                        "single-writer per database")
-                time.sleep(0.05)
-        finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(tmp)
+    def _lock_state(self, database: str) -> dict:
+        key = (os.path.abspath(self.root), database)
+        with _PROC_LOCKS_GUARD:
+            return _PROC_LOCKS.setdefault(
+                key, {"rlock": threading.RLock(), "depth": 0, "fd": None})
 
     @contextlib.contextmanager
     def write_lock(self, database: str, timeout_s: float = 10.0):
         """Enforce the single-writer-per-database boundary (module
-        docstring). The lock is a pid-stamped root-level file:
-        best-effort (NFS link() caveats apply; on a real deployment a
-        catalog service or Delta/Iceberg commit protocol replaces
-        it), but it converts the previously silent assumption into a
-        checked property — a second WRITER PROCESS gets
-        :class:`ConcurrentWriterError` instead of interleaved
-        partition overwrites. Reentrant within one process AND across
-        its threads (the management plane nests writes, e.g. upsert
-        inside a foreachBatch thread inside an API call): depth
-        accounting is mutex-guarded, and only the exit that returns
-        the depth to zero releases the file."""
-        with self._mutex:
-            depth = self._lock_depth.get(database, 0)
-            self._lock_depth[database] = depth + 1
-        owns_file = False
+        docstring) with ``flock``: the kernel releases the lock the
+        instant the holding process dies, so there are no stale locks
+        and no steal protocol (the previous link/rename scheme had
+        unfixable read-then-act races — review r5). A second live
+        WRITER PROCESS gets :class:`ConcurrentWriterError` after
+        ``timeout_s`` instead of interleaving partition overwrites.
+
+        In-process semantics: one RLock + depth counter + flock fd
+        per (root, database), shared PROCESS-GLOBALLY by all store
+        instances (module-level ``_PROC_LOCKS``) — same-thread
+        nesting is reentrant (upsert inside an API write), other
+        threads SERIALIZE (they block until the holder finishes —
+        writes never interleave even in-process), and the flock fd
+        is owned by the shared state, not a stack frame, so whichever
+        exit returns the depth to zero releases it. The depth
+        counter and fd are only ever touched while holding the
+        RLock. The lock FILE is deliberately never unlinked:
+        removing it would let a waiter flock the orphaned inode
+        while a third process creates a fresh file — the classic
+        flock/unlink double-holder hole. Caveat: flock over NFS
+        depends on the server's lock manager; a real deployment
+        replaces this with a catalog service or a Delta/Iceberg
+        commit protocol."""
+        st = self._lock_state(database)
+        rl = st["rlock"]
+        if not rl.acquire(timeout=timeout_s):
+            raise ConcurrentWriterError(
+                f"database {database!r} is being written by another "
+                "thread of this process (in-process writer lock "
+                f"timeout after {timeout_s}s)")
         try:
-            if depth == 0:
-                owns_file = self._acquire_lock_file(database, timeout_s)
-            yield
+            st["depth"] += 1
+            if st["depth"] == 1:
+                fd = os.open(self._lock_path(database),
+                             os.O_CREAT | os.O_RDWR, 0o644)
+                deadline = time.monotonic() + timeout_s
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if time.monotonic() >= deadline:
+                            holder = "unknown"
+                            with contextlib.suppress(Exception):
+                                holder = os.pread(fd, 256, 0).decode(
+                                    "utf-8", "replace").strip() or holder
+                            os.close(fd)
+                            st["depth"] -= 1
+                            raise ConcurrentWriterError(
+                                f"database {database!r} is being "
+                                f"written by another process "
+                                f"(holder: {holder}; lock "
+                                f"{self._lock_path(database)}); the "
+                                "store is single-writer per database")
+                        time.sleep(0.05)
+                os.ftruncate(fd, 0)
+                os.write(fd, json.dumps(
+                    {"pid": os.getpid(), "ts": time.time()}).encode())
+                st["fd"] = fd
+            try:
+                yield
+            finally:
+                st["depth"] -= 1
+                if st["depth"] == 0 and st["fd"] is not None:
+                    fd, st["fd"] = st["fd"], None
+                    with contextlib.suppress(OSError):
+                        fcntl.flock(fd, fcntl.LOCK_UN)
+                    os.close(fd)
         finally:
-            release = False
-            with self._mutex:
-                if database in self._lock_depth:
-                    self._lock_depth[database] -= 1
-                    if self._lock_depth[database] <= 0:
-                        del self._lock_depth[database]
-                        release = True
-            if release and owns_file:
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(self._lock_path(database))
+            rl.release()
 
     # ---------------------------------------------------------- databases
     def list_databases(self) -> list[str]:

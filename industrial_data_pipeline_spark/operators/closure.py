@@ -78,27 +78,27 @@ def attribute_paths(element: DataFrame, attribute: DataFrame,
     )
 
 
-_RECURSIVE_CTE_SUPPORT: dict[int, bool] = {}
-
-
 def supports_recursive_cte(spark) -> bool:
     """True iff this Spark can parse/execute ``WITH RECURSIVE``
     (SPARK-24497, landed in Spark 4.0). Feature-probed rather than
     version-compared so vendored builds with the feature back- or
     un-ported answer correctly; the probe (a real 3-row recursion
-    job) runs ONCE per SparkSession and is memoized — the answer is
-    a static property of the running build."""
-    key = id(spark)
-    if key not in _RECURSIVE_CTE_SUPPORT:
+    job) runs ONCE per SparkSession, memoized as an attribute ON the
+    session object itself — an id()-keyed dict would both pin the
+    verdict past the session's lifetime and risk a recycled-address
+    collision handing a NEW session a dead session's answer."""
+    cached = getattr(spark, "_idp_supports_recursive_cte", None)
+    if cached is None:
         try:
             spark.sql(
                 "WITH RECURSIVE _p(n) AS ("
                 "SELECT 1 UNION ALL SELECT n + 1 FROM _p WHERE n < 3)"
                 " SELECT max(n) FROM _p").collect()
-            _RECURSIVE_CTE_SUPPORT[key] = True
+            cached = True
         except Exception:
-            _RECURSIVE_CTE_SUPPORT[key] = False
-    return _RECURSIVE_CTE_SUPPORT[key]
+            cached = False
+        spark._idp_supports_recursive_cte = cached
+    return cached
 
 
 def hierarchy_paths_recursive(element: DataFrame, sep: str = "|",
