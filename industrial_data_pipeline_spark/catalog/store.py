@@ -159,10 +159,15 @@ class ParquetStore:
                                 f"{self._lock_path(database)}); the "
                                 "store is single-writer per database")
                         time.sleep(0.05)
-                os.ftruncate(fd, 0)
-                os.write(fd, json.dumps(
-                    {"pid": os.getpid(), "ts": time.time()}).encode())
                 st["fd"] = fd
+                # pid stamp is informational (surfaced in the other
+                # process's ConcurrentWriterError message) — a failed
+                # write must not abort a successfully-acquired lock
+                with contextlib.suppress(OSError):
+                    os.ftruncate(fd, 0)
+                    os.write(fd, json.dumps(
+                        {"pid": os.getpid(),
+                         "ts": time.time()}).encode())
             try:
                 yield
             finally:
