@@ -44,3 +44,33 @@ def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
         *key_cols, ct.alias("change_type"),
         F.when(ct == "changed", changed).otherwise(F.lit(""))
         .alias("changed_cols"))
+
+
+def apply_changelog(snapshot: DataFrame, changes: DataFrame,
+                    key_cols: list[str], op_col: str = "op",
+                    seq_col: str | None = None) -> DataFrame:
+    """Apply a CDC changelog to a snapshot — the WRITE half of CDC
+    (q162's :func:`table_diff` computes one; this replays one), i.e.
+    MERGE semantics on immutable storage: ``D`` removes the keyed
+    row, ``I``/``U`` replace-or-insert it. With ``seq_col`` given,
+    multiple entries per key first collapse to the LATEST (total-order
+    tie handling via :func:`...maintenance.latest_per_key`); without
+    it the changelog must carry at most one entry per key.
+
+    Plan shape: one left_anti join removes every keyed row touched by
+    any change, one unionByName adds the I/U images — two shuffles on
+    the key, no window over the snapshot, partial-agg-free. At 100 TB
+    this is the same anti-join + append the store's partition-scoped
+    upsert uses, applied table-wide; row-level MERGE engines
+    (Delta/Iceberg) slot in behind the same signature."""
+    payload = [c for c in changes.columns if c != op_col]
+    ch = changes
+    if seq_col is not None:
+        from industrial_data_pipeline_spark.operators.maintenance import (
+            latest_per_key)
+        ch = latest_per_key(changes, key_cols, seq_col)
+    upserts = (ch.where(F.col(op_col).isin("I", "U"))
+               .select(*[c for c in payload if c != seq_col]))
+    touched = ch.select(*key_cols).distinct()
+    kept = snapshot.join(touched, key_cols, "left_anti")
+    return kept.unionByName(upserts)

@@ -484,3 +484,91 @@ FROM (SELECT DISTINCT l_orderkey FROM lineitem
 REGISTRY_DATAENG.update({
     "q216_dq_scorecard": (q_dq_scorecard, ORACLE_DQ_SCORECARD),
 })
+
+
+# ---------------------- q232 CDC changelog APPLY (merge semantics)
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of CDC (q162 computes a diff; this replays
+    one): a deterministic changelog — inserts (orderkey % 977 == 0,
+    withheld from the snapshot), updates (% 13 == 0: status → 'X',
+    price + $1) and deletes (% 31 == 0) — MERGEs into the orders
+    snapshot via operators/diff.py::apply_changelog (one anti-join +
+    one union, no window). Prices ride as integer CENTS so every
+    value is engine-exact. Emits per-status row counts, an exact
+    total, and an order-independent bit_xor content checksum of the
+    final state (q186's primitive) — the oracle replays the merged
+    TABLE, not just its size."""
+    from industrial_data_pipeline_spark.operators.diff import (
+        apply_changelog)
+    from industrial_data_pipeline_spark.operators.text import hash64
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_cents"))
+    snap = o.where(F.col("o_orderkey") % 977 != 0)
+    ins = (o.where(F.col("o_orderkey") % 977 == 0)
+           .withColumn("op", F.lit("I")))
+    upd = (o.where((F.col("o_orderkey") % 977 != 0)
+                   & (F.col("o_orderkey") % 13 == 0))
+           .withColumn("o_orderstatus", F.lit("X"))
+           .withColumn("price_cents", F.col("price_cents") + 100)
+           .withColumn("op", F.lit("U")))
+    dels = (o.where((F.col("o_orderkey") % 977 != 0)
+                    & (F.col("o_orderkey") % 13 != 0)
+                    & (F.col("o_orderkey") % 31 == 0))
+            .withColumn("op", F.lit("D")))
+    final = apply_changelog(
+        snap, ins.unionByName(upd).unionByName(dels), ["o_orderkey"])
+    rendered = F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                           F.col("o_custkey").cast("string"),
+                           F.col("o_orderstatus"),
+                           F.col("price_cents").cast("string"))
+    return (final.select("o_orderstatus",
+                         "price_cents",
+                         hash64(rendered).alias("h"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("price_cents").alias("total_cents"),
+                 F.expr("bit_xor(h)").alias("checksum")))
+
+
+ORACLE_CDC_APPLY = """
+WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS price_cents
+           FROM orders),
+snap AS (SELECT * FROM o WHERE o_orderkey % 977 <> 0),
+ins AS (SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        FROM o WHERE o_orderkey % 977 = 0),
+upd AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+               price_cents + 100 AS price_cents
+        FROM o WHERE o_orderkey % 977 <> 0 AND o_orderkey % 13 = 0),
+dels AS (SELECT o_orderkey FROM o
+         WHERE o_orderkey % 977 <> 0 AND o_orderkey % 13 <> 0
+           AND o_orderkey % 31 = 0),
+touched AS (SELECT o_orderkey FROM ins
+            UNION SELECT o_orderkey FROM upd
+            UNION SELECT o_orderkey FROM dels),
+final AS (SELECT * FROM snap
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+          UNION ALL SELECT * FROM ins
+          UNION ALL SELECT * FROM upd),
+h AS (SELECT o_orderstatus, price_cents,
+             (('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|'
+                 || CAST(o_custkey AS VARCHAR) || '|'
+                 || o_orderstatus || '|'
+                 || CAST(price_cents AS VARCHAR)), 1, 15))::BIGINT)
+                 AS h
+      FROM final)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents,
+       bit_xor(h) AS checksum
+FROM h GROUP BY 1
+"""
+
+REGISTRY_DATAENG.update({
+    "q232_cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
+})

@@ -261,3 +261,26 @@ def test_weighted_median_bucketed_equals_naive_window(spark):
            weighted_median(df, "l_returnflag", "l_extendedprice",
                            "w").collect()}
     assert got == want and len(got) == 3
+
+
+def test_apply_changelog_merge_semantics(spark):
+    """apply_changelog: D removes, U replaces, I inserts; with a seq
+    column, multiple entries per key collapse to the LATEST before
+    applying (U then D at a higher seq ⇒ the row is gone)."""
+    from industrial_data_pipeline_spark.operators.diff import (
+        apply_changelog)
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    ch = spark.createDataFrame(
+        [(2, "B", "U", 1), (3, None, "D", 1), (4, "d", "I", 1),
+         (1, "A", "U", 1), (1, None, "D", 2)],  # late delete wins
+        "k long, v string, op string, seq int")
+    got = {(r.k, r.v) for r in
+           apply_changelog(snap, ch, ["k"], seq_col="seq").collect()}
+    assert got == {(2, "B"), (4, "d")}
+    # without seq: one entry per key, plain merge
+    ch1 = spark.createDataFrame(
+        [(2, "B", "U"), (4, "d", "I")], "k long, v string, op string")
+    got1 = {(r.k, r.v) for r in
+            apply_changelog(snap, ch1, ["k"]).collect()}
+    assert got1 == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
