@@ -135,8 +135,12 @@ class ParquetStore:
                 "thread of this process (in-process writer lock "
                 f"timeout after {timeout_s}s)")
         try:
-            st["depth"] += 1
-            if st["depth"] == 1:
+            # acquire the FILE before publishing depth: if os.open or
+            # the flock loop raises, nothing was incremented and the
+            # next caller retries acquisition from scratch (a depth
+            # incremented on a failed acquisition would silently skip
+            # flock forever — review r5, third pass)
+            if st["depth"] == 0:
                 fd = os.open(self._lock_path(database),
                              os.O_CREAT | os.O_RDWR, 0o644)
                 deadline = time.monotonic() + timeout_s
@@ -151,7 +155,6 @@ class ParquetStore:
                                 holder = os.pread(fd, 256, 0).decode(
                                     "utf-8", "replace").strip() or holder
                             os.close(fd)
-                            st["depth"] -= 1
                             raise ConcurrentWriterError(
                                 f"database {database!r} is being "
                                 f"written by another process "
@@ -168,6 +171,7 @@ class ParquetStore:
                     os.write(fd, json.dumps(
                         {"pid": os.getpid(),
                          "ts": time.time()}).encode())
+            st["depth"] += 1
             try:
                 yield
             finally:

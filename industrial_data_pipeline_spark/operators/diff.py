@@ -57,6 +57,13 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame,
     tie handling via :func:`...maintenance.latest_per_key`); without
     it the changelog must carry at most one entry per key.
 
+    Both contract violations fail LOUDLY at execution time (plan-side
+    ``raise_error``, no driver collect): an op outside {I, U, D}
+    would otherwise be silently treated as a delete (its key leaves
+    via the anti-join but never re-inserts), and — without
+    ``seq_col`` — a second entry for the same key would emit
+    duplicate keyed rows into the merged snapshot.
+
     Plan shape: one left_anti join removes every keyed row touched by
     any change, one unionByName adds the I/U images — two shuffles on
     the key, no window over the snapshot, partial-agg-free. At 100 TB
@@ -64,11 +71,33 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame,
     upsert uses, applied table-wide; row-level MERGE engines
     (Delta/Iceberg) slot in behind the same signature."""
     payload = [c for c in changes.columns if c != op_col]
-    ch = changes
+    # unknown op → runtime error (op_col is consumed by the filters
+    # below, so the guard expression is never pruned)
+    ch = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("apply_changelog: unknown op "),
+            F.coalesce(F.col(op_col), F.lit("NULL")),
+            F.lit(" (expected I/U/D)")))))
     if seq_col is not None:
         from industrial_data_pipeline_spark.operators.maintenance import (
             latest_per_key)
-        ch = latest_per_key(changes, key_cols, seq_col)
+        ch = latest_per_key(ch, key_cols, seq_col)
+    else:
+        # enforce the at-most-one-entry-per-key contract: a window
+        # count partitioned on the key (changelogs are delta-sized)
+        from pyspark.sql import Window
+        w = Window.partitionBy(*key_cols)
+        ch = (ch.withColumn("_n_per_key", F.count("*").over(w))
+              .withColumn(
+                  op_col,
+                  F.when(F.col("_n_per_key") == 1, F.col(op_col))
+                  .otherwise(F.raise_error(F.lit(
+                      "apply_changelog: multiple changelog entries "
+                      "for one key — pass seq_col to collapse "
+                      "last-wins"))))
+              .drop("_n_per_key"))
     upserts = (ch.where(F.col(op_col).isin("I", "U"))
                .select(*[c for c in payload if c != seq_col]))
     touched = ch.select(*key_cols).distinct()

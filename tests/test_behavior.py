@@ -3,6 +3,8 @@ is pinned by test_suite_oracle q85–q90)."""
 
 from datetime import datetime
 
+import pytest
+
 from industrial_data_pipeline_spark.operators.behavior import (
     basket_pairs, equi_width_histogram, interarrival_stats,
     retention_cohorts, weighted_sample)
@@ -284,3 +286,28 @@ def test_apply_changelog_merge_semantics(spark):
     got1 = {(r.k, r.v) for r in
             apply_changelog(snap, ch1, ["k"]).collect()}
     assert got1 == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_apply_changelog_contract_violations_fail_loudly(spark):
+    """Review r5 pass 3: an op outside {I,U,D} must raise, not
+    silently delete; duplicate keys without seq_col must raise, not
+    emit duplicate keyed rows."""
+    from industrial_data_pipeline_spark.operators.diff import (
+        apply_changelog)
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad_op = spark.createDataFrame(
+        [(1, "A", "update")], "k long, v string, op string")
+    with pytest.raises(Exception, match="unknown op"):
+        apply_changelog(snap, bad_op, ["k"]).collect()
+    dup = spark.createDataFrame(
+        [(1, "A", "U"), (1, "B", "U")], "k long, v string, op string")
+    with pytest.raises(Exception, match="multiple changelog entries"):
+        apply_changelog(snap, dup, ["k"]).collect()
+    # and the same duplicate feed WITH seq collapses cleanly
+    dup_seq = spark.createDataFrame(
+        [(1, "A", "U", 1), (1, "B", "U", 2)],
+        "k long, v string, op string, seq int")
+    got = {(r.k, r.v) for r in
+           apply_changelog(snap, dup_seq, ["k"],
+                           seq_col="seq").collect()}
+    assert got == {(1, "B")}
