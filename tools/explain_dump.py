@@ -128,6 +128,17 @@ PICKS = [
      "(distinct-bounded counts-map state) broadcast into the "
      "bucketing projection; no Sort, no Window, one combinable "
      "groupBy for the per-bucket stats."),
+    ("q231_dup_spans",
+     "Duplicate-span report: positional shingles explode JVM-side "
+     "(Generate over transform, no Python); the shared-gram set is "
+     "one distinct+groupBy and the hit filter a LeftSemi join on the "
+     "gram; the only window (island merge) is partitioned on doc_id "
+     "— state bounded by doc length, nothing global."),
+    ("q232_cdc_apply",
+     "CDC apply: the merge is one LeftAnti join on the key (touched "
+     "rows leave) + one Union (I/U images enter) — no window over "
+     "the snapshot; the one-entry-per-key guard window runs over the "
+     "delta-sized changelog only, partitioned on the key."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
