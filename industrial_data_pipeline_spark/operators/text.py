@@ -680,3 +680,74 @@ def trigram_like_search(df: DataFrame, pattern: str,
     return (df.join(cand, df[id_col] == cand._id)
             .where(t.like(f"%{pattern}%"))
             .select(id_col, "n_candidates"))
+
+
+def bm25_topk(df: DataFrame, queries: dict[int, str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text",
+              round_dp: int = 6) -> DataFrame:
+    """BM25 (Okapi) top-``k`` retrieval — the lexical ranking function
+    behind decontamination sweeps, eval-set mining and the sparse leg
+    of hybrid RAG retrieval (complements q167's TF-IDF/RRF fusion
+    with the saturating-tf model every production retriever actually
+    ships). The reference's only text search is a full-scan LIKE
+    (database.py lookup path); this is its corpus-scale ranked
+    counterpart.
+
+    ``queries`` maps query_id → free-text query string (tokenized the
+    same way as documents). Returns (query_id, doc_id, bm25, rank),
+    rank 1..k per query, ties broken by doc_id.
+
+    Scale shape: the posting explode is FILTERED to the union of
+    query terms immediately (the probe touches |query terms| posting
+    lists, never the full index); query terms and the (N, avgdl)
+    scalar are broadcast; the only shuffles are the (doc,term) tf
+    count and the per-(query,doc) score sum — both narrow, both
+    map-side-combined. No all-pairs stage, no global window (the
+    rank window partitions by query_id; |queries| partitions).
+
+    Determinism: per-term contributions round to ``round_dp`` BEFORE
+    the sum, and the rank orders on the ROUNDED sum — so the oracle's
+    decimal math lands on identical quantized values and rank flips
+    on last-ulp ln/division noise cannot occur (sums of 1e-6
+    multiples sit half a quantum away from every rounding boundary).
+    """
+    qterms = sorted({(qid, t)
+                     for qid, qs in queries.items()
+                     for t in qs.lower().split()})
+    vocab = sorted({t for _, t in qterms})
+    toks = tokens(F.lower(F.col(text_col)))
+    docs = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    # scalar stats ride a broadcast 1-row crossJoin (lazy; no job at
+    # construction time). dl counts ALL tokens, not just query terms.
+    stats = docs.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg(F.size("_toks")).alias("_avgdl"))
+    posting = (docs.select("_id", F.size("_toks").alias("_dl"),
+                           F.explode("_toks").alias("_t"))
+               .where(F.col("_t").isin(vocab))
+               .groupBy("_id", "_t", "_dl")
+               .agg(F.count("*").alias("_tf")))
+    dfreq = posting.groupBy("_t").agg(F.count("*").alias("_df"))
+    qdf = posting.sparkSession.createDataFrame(
+        qterms, ["query_id", "_t"])
+    idf = F.log(F.lit(1.0)
+                + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5)))
+    contrib = F.round(
+        idf * (F.col("_tf") * F.lit(k1 + 1.0))
+        / (F.col("_tf")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("_dl") / F.col("_avgdl"))),
+        round_dp)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.col("doc_id"))
+    return (posting
+            .join(F.broadcast(qdf), "_t")
+            .join(F.broadcast(dfreq), "_t")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", F.col("_id").alias("doc_id"))
+            .agg(F.round(F.sum(contrib), round_dp).alias("bm25"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
