@@ -30,6 +30,15 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
     rows; emitting the full per-group table keeps the audit itself
     checkable.
 
+    NULL semantics (deliberate, conservative): ``count_distinct``
+    ignores NULL sensitive values, so an all-NULL group reports
+    ``n_sensitive = 0`` and partial NULLs don't add diversity — NULL
+    never *satisfies* l-diversity, so the audit over-flags rather
+    than under-flags (a NULL sensitive value offers the attacker no
+    ambiguity an analyst can rely on). Callers who model NULL as a
+    real category should ``coalesce(sensitive_col, '<null>')``
+    before calling.
+
     Scale shape: one groupBy shuffle over the quasi-identifier key
     (map-side combined; distinct-count via the same hash aggregate),
     plus a broadcast 1-row total for the percentage — no window, no

@@ -575,17 +575,24 @@ def tfidf_weights(df: DataFrame, id_col: str = "doc_id",
     (:func:`tfidf_cosine_pairs`) and hybrid retrieval. Weights
     quantize to DECIMAL(18,6) (cross-engine ln() safety, the q141
     pattern); norms are exact decimal sums under an IEEE sqrt.
-    Returns (weights(_id, t, w), norms(_id, _n))."""
+    Returns (weights(_id, t, w), norms(_id, _n)).
+
+    N (the corpus size) rides a broadcast 1-row crossJoin of the
+    count aggregate rather than an eager ``docs.count()`` — fully
+    lazy, so constructing the DataFrame launches NO Spark job
+    (plan-only callers like explain dumps and window_audit stay
+    free; the q171/bm25 pattern)."""
     docs = df.select(F.col(id_col).alias("_id"), text_col)
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count("*").alias("_N"))
     toks = docs.select(
         "_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
     tf = toks.groupBy("_id", "t").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     w = (tf.join(F.broadcast(dfreq.where(F.col("df") <= max_df)), "t")
+         .crossJoin(F.broadcast(n_docs))
          .select("_id", "t",
                  (F.col("tf") * F.log(
-                     (F.lit(n_docs) + F.lit(1.0))
+                     (F.col("_N") + F.lit(1.0))
                      / (F.col("df") + F.lit(1.0))))
                  .cast("decimal(18,6)").alias("w")))
     norm = w.groupBy("_id").agg(
@@ -715,6 +722,9 @@ def bm25_topk(df: DataFrame, queries: dict[int, str], k: int = 10,
     qterms = sorted({(qid, t)
                      for qid, qs in queries.items()
                      for t in qs.lower().split()})
+    if not qterms:
+        raise ValueError("queries must contain at least one "
+                         "non-whitespace term")
     vocab = sorted({t for _, t in qterms})
     toks = tokens(F.lower(F.col(text_col)))
     docs = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
@@ -729,8 +739,10 @@ def bm25_topk(df: DataFrame, queries: dict[int, str], k: int = 10,
                .groupBy("_id", "_t", "_dl")
                .agg(F.count("*").alias("_tf")))
     dfreq = posting.groupBy("_t").agg(F.count("*").alias("_df"))
+    # explicit DDL schema: inference would raise on edge-shaped input
+    # and would type query_id from the first row only
     qdf = posting.sparkSession.createDataFrame(
-        qterms, ["query_id", "_t"])
+        qterms, "query_id long, _t string")
     idf = F.log(F.lit(1.0)
                 + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
                 / (F.col("_df") + F.lit(0.5)))

@@ -572,3 +572,43 @@ FROM h GROUP BY 1
 REGISTRY_DATAENG.update({
     "q232_cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
 })
+
+
+# ------------------------------- q234 k-anonymity / l-diversity audit
+
+_KANON_K, _KANON_L = 12, 10
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate privacy audit of the ``customer`` dimension:
+    k-anonymity / l-diversity per (c_mktsegment, c_nationkey)
+    equivalence class with c_acctbal as the sensitive attribute
+    (operators/privacy.py::k_anonymity_audit; Sweeney 2002 /
+    Machanavajjhala 2007). The reference exports raw site- and
+    user-keyed telemetry with no such gate (web_app.py export
+    endpoints); at training-data scale every outbound table needs
+    one. One map-side-combined groupBy over the quasi key plus a
+    broadcast 1-row total — output is bounded by the quasi-identifier
+    domain (5 segments x 25 nations), independent of row count."""
+    from industrial_data_pipeline_spark.operators.privacy import (
+        k_anonymity_audit)
+    cust = load(spark, sf_dir, "customer")
+    return k_anonymity_audit(cust, ["c_mktsegment", "c_nationkey"],
+                             "c_acctbal", k=_KANON_K, l=_KANON_L)
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH total AS (SELECT count(*) AS t FROM customer)
+SELECT c_mktsegment, c_nationkey,
+       count(*) AS group_size,
+       count(DISTINCT c_acctbal) AS n_sensitive,
+       round(count(*) / (SELECT t FROM total)::DOUBLE, 6)
+           AS pct_of_table,
+       count(*) < {_KANON_K} AS k_violation,
+       count(DISTINCT c_acctbal) < {_KANON_L} AS l_violation
+FROM customer GROUP BY 1, 2
+"""
+
+REGISTRY_DATAENG.update({
+    "q234_k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
+})

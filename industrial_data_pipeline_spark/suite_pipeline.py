@@ -914,3 +914,77 @@ REGISTRY_PIPELINE.update({
     "q198_curation_funnel": (q_curation_funnel,
                              _oracle_curation_funnel()),
 })
+
+
+# ----------------------------- q233 BM25 top-k lexical retrieval
+
+#: Fixed query batch: plain free-text strings tokenized exactly like
+#: documents (lower + whitespace). Terms chosen from the corpus
+#: vocabulary so every query retrieves a full top-k.
+BM25_QUERIES = {0: "merge batch spark",
+                1: "customer order stream",
+                2: "hash join window"}
+BM25_K = 10
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi) ranked retrieval over ``documents`` — the
+    saturating-tf lexical ranker behind decontamination sweeps and
+    the sparse leg of hybrid RAG (pairs with q167's TF-IDF/RRF
+    fusion). The reference's only text search is a full-scan LIKE
+    (database.py lookup path); this is its corpus-scale ranked
+    counterpart (operators/text.py::bm25_topk). Query terms, df
+    stats and the (N, avgdl) scalar are all broadcast; the posting
+    explode is filtered to query terms immediately, so the probe
+    never touches the full index."""
+    return TX.bm25_topk(_load_docs(spark, sf_dir), BM25_QUERIES,
+                        k=BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+def _oracle_bm25_topk() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    qterms = sorted({(qid, t)
+                     for qid, qs in BM25_QUERIES.items()
+                     for t in qs.lower().split()})
+    vals = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')"
+                     for qid, t in qterms)
+    vocab = ", ".join(f"'{t}'" for t in sorted({t for _, t in qterms}))
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS tk
+              FROM (SELECT doc_id, lower(text) AS text
+                    FROM documents)),
+q(query_id, t) AS (SELECT * FROM (VALUES {vals})),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM docs),
+posting AS (SELECT doc_id, dl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS t
+                  FROM docs)
+            WHERE t IN ({vocab})
+            GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, count(*) AS df FROM posting GROUP BY 1),
+scored AS (SELECT q.query_id, p.doc_id,
+                  round(sum(round(
+                      ln(1.0 + ((s.n_docs - d.df)::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5))
+                      * (p.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                      / (p.tf + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * p.dl / s.avgdl)), 6)), 6) AS bm25
+           FROM posting p
+           JOIN q ON q.t = p.t
+           JOIN dfreq d ON d.t = p.t
+           CROSS JOIN stats s
+           GROUP BY 1, 2)
+SELECT query_id, doc_id, bm25, rank FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+         AS rank
+     FROM scored)
+WHERE rank <= {BM25_K}
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q233_bm25_topk": (q_bm25_topk, _oracle_bm25_topk()),
+})

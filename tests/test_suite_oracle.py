@@ -256,3 +256,81 @@ def test_tokenizer_parity_on_empty_docs(spark, tmp_path):
     for qname in ("q19_text_quality", "q59_tfidf_top_terms"):
         fn, sql = REGISTRY[qname]
         compare(fn(spark, d), con.execute(sql).fetchdf(), qname)
+
+
+def test_bm25_hand_computed(spark):
+    """Pin BM25 semantics on a 3-doc corpus computed by hand: Okapi
+    idf = ln(1 + (N-df+0.5)/(df+0.5)), saturating tf, per-term
+    contributions rounded to 6dp BEFORE the sum (the oracle-
+    determinism design), rank ties broken by doc_id."""
+    import math
+    from industrial_data_pipeline_spark.operators.text import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"),
+         (3, "durian")], "doc_id long, text string")
+    out = bm25_topk(docs, {7: "apple banana"}, k=10).collect()
+    n, avgdl, k1, b = 3, 2.0, 1.2, 0.75
+
+    def contrib(tf, dl, df):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * (tf * (k1 + 1.0))
+                     / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    want = {1: round(contrib(2, 3, 1) + contrib(1, 3, 2), 6),
+            2: round(contrib(1, 2, 2), 6)}
+    got = {r.doc_id: r.bm25 for r in out}
+    assert got == want
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks == {1: 1, 2: 2}  # d1 outranks d2; d3 absent
+    assert all(r.query_id == 7 for r in out)
+
+
+def test_bm25_empty_queries_raises(spark):
+    import pytest as _pytest
+    from industrial_data_pipeline_spark.operators.text import bm25_topk
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, {})
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, {0: "   "})
+
+
+def test_k_anonymity_flags_and_null_semantics(spark):
+    """Hand-built equivalence classes: k/l flags fire per the
+    documented thresholds, and NULL sensitive values are NOT counted
+    as diversity (all-NULL group reports n_sensitive=0 and violates
+    l) — the conservative over-flagging contract in the docstring."""
+    from industrial_data_pipeline_spark.operators.privacy import (
+        k_anonymity_audit)
+    rows = ([("a", 1, "s1"), ("a", 1, "s2"), ("a", 1, "s3")]
+            + [("b", 2, "s1")]              # size 1 -> k_violation
+            + [("c", 3, None), ("c", 3, None)])  # all-NULL sensitive
+    df = spark.createDataFrame(
+        rows, "seg string, nat int, sens string")
+    out = {(r.seg, r.nat): r for r in
+           k_anonymity_audit(df, ["seg", "nat"], "sens",
+                             k=2, l=2).collect()}
+    a, b, c = out[("a", 1)], out[("b", 2)], out[("c", 3)]
+    assert (a.group_size, a.n_sensitive, a.k_violation,
+            a.l_violation) == (3, 3, False, False)
+    assert (b.group_size, b.k_violation) == (1, True)
+    assert (c.group_size, c.n_sensitive, c.l_violation) == (2, 0, True)
+    assert abs(a.pct_of_table - 0.5) < 1e-12
+
+
+def test_tfidf_weights_construction_is_lazy(spark):
+    """Pin the ADVICE fix: constructing tfidf_weights launches no
+    Spark job (N rides a broadcast 1-row crossJoin, not an eager
+    docs.count()) — plan-only tooling stays free."""
+    from industrial_data_pipeline_spark.operators.text import (
+        tfidf_weights)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")],
+        "doc_id long, text string")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    w, norm = tfidf_weights(docs)
+    w.schema, norm.schema  # analysis only
+    after = set(tracker.getJobIdsForGroup())
+    assert after == before, "tfidf_weights construction ran a job"
+    assert w.count() == 4 and norm.count() == 2  # still computes
