@@ -700,13 +700,21 @@ DUPSPAN_N = 8  # token n-gram width: a hit = an 8-token run seen elsewhere
 
 def _pos_shingle_expr(n: int) -> str:
     """Positional variant of :func:`_word_shingle_expr`: array of
-    struct(pos, gram) with 1-based token positions (same short-doc
-    empty-array guard)."""
+    struct(pos, gh) with 1-based token positions (same short-doc
+    empty-array guard). ``gh`` is xxhash64 of the gram STRING,
+    computed JVM-side inside the transform — the ~60-char gram never
+    leaves the project, so the explode/distinct/semi-join downstream
+    shuffle 16 bytes/row instead of the string (the dominant byte
+    volume of the posting scan at XL). Collision risk is the
+    standard 64-bit birthday bound (~n²/2⁶⁵: < 1e-9 even at 10⁸
+    distinct grams per corpus) and can only ADD a false shared span
+    to the report, never drop a true one — acceptable for a
+    dup-span report and documented here."""
     tk = "split(trim(text), '\\\\s+')"
     return (f"CASE WHEN size({tk}) >= {n}"
             f" THEN transform(sequence(1, size({tk}) - {n - 1}),"
             f" i -> struct(i AS pos,"
-            f" concat_ws(' ', slice({tk}, i, {n})) AS gram))"
+            f" xxhash64(concat_ws(' ', slice({tk}, i, {n}))) AS gh))"
             f" ELSE array() END")
 
 
@@ -723,11 +731,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q212) consumes at token granularity rather than q150's chunk
     granularity.
 
-    Scale shape: positional shingles explode JVM-side; the shared-
-    gram set is one distinct+groupBy (map-side combinable) and the
-    hit filter a semi-join on the gram string; island merging is one
-    lag window PARTITIONED BY doc (state bounded by doc length).
-    Nothing global, nothing quadratic."""
+    Scale shape: positional shingles explode JVM-side AS 64-bit
+    xxhash64 keys (the gram string never leaves the project — see
+    :func:`_pos_shingle_expr` for the shuffle-byte and collision
+    analysis); the shared-gram set is one distinct+groupBy
+    (map-side combinable) and the hit filter a semi-join on the
+    8-byte hash; island merging is one lag window PARTITIONED BY
+    doc (state bounded by doc length). Nothing global, nothing
+    quadratic."""
     n = DUPSPAN_N
     docs = _load_docs(spark, sf_dir).select("doc_id", "text")
     base = docs.select(
@@ -737,11 +748,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_pos_shingle_expr(n)).alias("_pg"))
     pg = (base.select("doc_id", F.explode("_pg").alias("s"))
           .select("doc_id", F.col("s.pos").alias("pos"),
-                  F.col("s.gram").alias("gram")))
-    shared = (pg.select("gram", "doc_id").distinct()
-              .groupBy("gram").agg(F.count("*").alias("df"))
-              .where(F.col("df") >= 2).select("gram"))
-    hits = pg.join(shared, "gram", "left_semi")
+                  F.col("s.gh").alias("gh")))
+    shared = (pg.select("gh", "doc_id").distinct()
+              .groupBy("gh").agg(F.count("*").alias("df"))
+              .where(F.col("df") >= 2).select("gh"))
+    hits = pg.join(shared, "gh", "left_semi")
     from pyspark.sql import Window
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = (hits

@@ -52,3 +52,23 @@ def test_compare_row_count_and_schema_gates():
     g = pd.DataFrame({"x": [1, 2]})
     assert not compare(g, pd.DataFrame({"x": [1]}))["rows_match"]
     assert not compare(g, pd.DataFrame({"y": [1, 2]}))["schema_match"]
+
+
+def test_merge_bench_minima_fold():
+    """tools/merge_bench.py: elementwise min, carry-through for
+    queries new to either side, value re-derived as the sum, and a
+    hard error on sf mismatch (cross-SF minima are meaningless)."""
+    import pytest
+    from tools.merge_bench import merge
+    minima = {"sf": 0.1, "unit": "sec",
+              "queries": {"a": 1.0, "b": 2.0, "gone": 9.0}}
+    run = {"sf": 0.1, "unit": "sec",
+           "queries": {"a": 0.5, "b": 3.0, "new": 4.0}}
+    out, rep = merge(minima, run)
+    assert out["queries"] == {"a": 0.5, "b": 2.0, "gone": 9.0,
+                              "new": 4.0}
+    assert out["value"] == 15.5
+    assert rep["n_improved"] == 1 and rep["added"] == ["new"]
+    with pytest.raises(SystemExit):
+        merge({"sf": 0.1, "unit": "sec", "queries": {}},
+              {"sf": 0.01, "unit": "sec", "queries": {}})
