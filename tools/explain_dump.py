@@ -139,6 +139,134 @@ PICKS = [
      "rows leave) + one Union (I/U images enter) — no window over "
      "the snapshot; the one-entry-per-key guard window runs over the "
      "delta-sized changelog only, partitioned on the key."),
+    # ---- top-20-expensive coverage (VERDICT r6 item 7): the plan
+    # property that justifies each query's cost at scale. For
+    # store/streaming flows the dump RUNS the flow at sf0.001 and
+    # shows the final read-back plan; the load-bearing property of
+    # the mutation path itself is stated (and where marked, pinned
+    # by tests/test_plans.py or tools/window_audit.py instead).
+    ("q123_tree_reload",
+     "Tree reload (the reference's scariest flow): the dumped plan "
+     "is the post-reload catalog⋈archive-extents read — dims "
+     "broadcast, extents one partial-aggable min/max groupBy over "
+     "the archive scan. The reload itself assigns preorder ids "
+     "driver-side from a catalog-sized collect (NO global window — "
+     "the round-4 fix window_audit pins) and remaps archive ids "
+     "via a broadcast old→new map join, one partition-scoped "
+     "rewrite."),
+    ("q229_stream_derived_chain",
+     "Stream→cleanse→upsert→derived chain: the dumped plan is the "
+     "derived-history read-back after three real offset-advancing "
+     "micro-batches — a plain partitioned store scan with the "
+     "attribute filter pushed down. The per-batch cost property "
+     "(upsert + recompute touch only the batch's affected "
+     "(date, timestamp) partitions, independent of history size) "
+     "is measured in SCALE_NOTES, not visible in the final scan."),
+    ("q158_stream_stream_join",
+     "Stream-stream view→purchase attribution: the dumped batch "
+     "read of the append sink proves the run completed; the scale "
+     "property lives in the streaming plan — both sides "
+     "watermarked 1 h and the join range-bounded on BOTH event-time "
+     "columns, so state per key is ≤ (watermark + range) of events, "
+     "O(events/hour), never O(stream)."),
+    ("q132_cluster_representatives",
+     "Cluster representatives: survivor pick is one partial-aggable "
+     "max_by((len, -id)) HashAggregate per cluster — NO window over "
+     "the corpus; the LSH pair set is the localCheckpoint-ed "
+     "session-shared asset (its cost shows here and is reused by "
+     "q61/q137), so the finished plan joins the corpus against "
+     "in-memory cluster labels."),
+    ("q121_derived_maintenance_stream",
+     "Derived-attribute maintenance (trigger replacement): dumped "
+     "plan is the derived-history read-back; the foreachBatch body "
+     "recomputes ONLY timestamps present in the arriving batch "
+     "(semi-join on the batch's ts set) with sibling values from a "
+     "pivot on those same partitions — per-batch cost tracks batch "
+     "size, not archive size."),
+    ("q115_update_attribute",
+     "Formula update (D6): read-back of the recomputed derived "
+     "history — the store scan prunes to the one attribute id; the "
+     "update path deletes old rows and recomputes via the pivoted "
+     "formula join on the affected partitions only (the dims enter "
+     "broadcast; no fact-wide window)."),
+    ("q114_insert_attribute_backfill",
+     "Attribute insert + backfill (D5): same shape as q115 — "
+     "catalog-sized id allocation, first-wins backfill over the "
+     "seeded hourly archive via the pivot join, read-back scan "
+     "pruned to the new id."),
+    ("q113_insert_element",
+     "Element insert (D4): id = max+1 from a catalog-sized scalar "
+     "aggregate, dim overwrite, read back from disk — the dumped "
+     "plan is a dimension scan; nothing fact-sized moves."),
+    ("q187_personalized_pagerank",
+     "Personalized PageRank: each iteration localCheckpoints, so "
+     "the dumped final plan joins the (in-memory) rank vector "
+     "against the checkpointed edge list — contributions shuffle "
+     "on dst only; the teleport/restart vector is a broadcast "
+     "2-row table; lineage stays flat at any iteration count."),
+    ("q168_watermark_drops",
+     "Watermark drop accounting: the dumped sink read proves the "
+     "availableNow run; the streaming plan's property is the "
+     "watermarked windowed agg — state is |open windows × keys|, "
+     "late rows beyond the watermark are dropped and ACCOUNTED "
+     "(the emitted ledger is the checked result)."),
+    ("q119_ingest_recovery",
+     "Ingest recovery ledger (T1+T2+T3): per-tag minute-grid "
+     "fetches are bounded by the density breaker; recovery "
+     "re-pulls in 59-min blocks — every Spark job in the flow is "
+     "bounded by (tags × blocks), and the dumped ledger plan is "
+     "catalog-sized."),
+    ("q160_triangles",
+     "Exact triangles: edges are degree-ordered BEFORE the wedge "
+     "join (orientation), so every wedge is generated once and the "
+     "two joins are equi-joins on (lo, hi) node keys — no theta "
+     "join; the quadratic naive 3-way join exists only as the "
+     "DuckDB oracle."),
+    ("q138_pi_datasource",
+     "Custom DataSource (S2/T4): the scan shows the pi_batch "
+     "source with tag-range input partitions — per-task batched "
+     "pulls replace the reference's thread pool; cleansing is the "
+     "same JVM-side projection chain as q118 on top of the scan."),
+    ("q140_semantic_dedup",
+     "SemDeDup: k-means cell assignment is two broadcast-centroid "
+     "projections; the candidate pair join is scoped WITHIN cells "
+     "(shuffle key = cluster id, Σ|cell|² work) — never an "
+     "all-pairs join over the corpus."),
+    ("q27_simhash_pairs",
+     "SimHash near-dup pairs: 64-bit signatures are JVM bit math; "
+     "the pigeonhole block join buckets on 16-bit bands (equi-join "
+     "on the band value), Hamming verify only on bucket "
+     "collisions — no all-pairs XOR stage."),
+    ("q198_curation_funnel",
+     "Curation funnel: each stage is a semi/anti-join reduction of "
+     "the previous stage's survivors (quality gate → exact-dup "
+     "anti-join → decontamination gram semi-join → split hash "
+     "filter); stage counts union into 5 rows — the plan shows the "
+     "stacked joins with the benchmark gram set entering broadcast."),
+    ("q70_approx_profile",
+     "Sketch profile: HLL++ distinct and GK percentiles are "
+     "fixed-size partial-aggable sketch states per event_type — "
+     "ONE combinable HashAggregate pair over the fact, no distinct "
+     "expansion, no sort; the in-plan exact comparison (the "
+     "accuracy booleans) is what costs the second aggregate."),
+    ("q84_neighbor_confusion",
+     "Exact top-1 neighbor confusion: the 5% deterministic query "
+     "sample joins the corpus — cost is |sample|×|corpus| dot "
+     "products, a deliberate exact baseline fenced by "
+     "_guard_quadratic; the argmax is max_by, not a window; the "
+     "confusion matrix is a dimension-sized groupBy."),
+    ("q105_stream_dedup_counts",
+     "Streaming dedup: dropDuplicatesWithinWatermark keys state by "
+     "(user_id, event_type) and expires it with the watermark — "
+     "state tracks the ACTIVE key set, not stream length; the "
+     "dumped plan is the batch count over the append sink."),
+    ("q205_compact_archive",
+     "Small-file compaction: a driver loop bounded by |dates| "
+     "issues one bounded job per oversized partition (sort + "
+     "single-file rewrite); the dumped plan is the post-compaction "
+     "read-back whose row count is part of the hash-checked "
+     "result — no global shuffle, cost class of TTL partition "
+     "maintenance."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
