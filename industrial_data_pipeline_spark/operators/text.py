@@ -763,3 +763,79 @@ def bm25_topk(df: DataFrame, queries: dict[int, str], k: int = 10,
             .agg(F.round(F.sum(contrib), round_dp).alias("bm25"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+#: Unit separator used by :func:`bpe_apply`'s symbol encoding —
+#: ASCII 0x1F, guaranteed absent from whitespace-tokenized text.
+BPE_SEP = "\x1f"
+
+
+def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
+              id_col: str = "doc_id", text_col: str = "text",
+              round_dp: int = 6) -> DataFrame:
+    """Apply a FIXED BPE merge table to tokenize a corpus — the step
+    q156 (merge-pair counting) stops short of: q156 LEARNS the next
+    merge, this APPLIES a learned list, producing the subword
+    statistics a token-budgeted pipeline bills against (pairs with
+    q128 packing and q141 perplexity). The reference has no
+    tokenizer at all; every LLM-data pipeline runs this over the
+    full corpus once per tokenizer version.
+
+    Semantics (deterministic, engine-portable): words are whitespace
+    tokens of ``lower(text)``; each word is encoded with every unit
+    WRAPPED in ``BPE_SEP`` (``SEP c SEP`` per char, so adjacent
+    units are separated by a DOUBLED separator); merge rules apply
+    in list order as a left-to-right non-overlapping string replace
+    of ``SEP a SEP SEP b SEP -> SEP ab SEP``. The wrapping is what
+    makes the replace unit-aware: a pattern can never match a
+    suffix/prefix of a longer unit (no separator precedes mid-unit
+    chars), and adjacent matches share no boundary characters, so
+    one replace pass == the exhaustive leftmost-greedy application
+    of that rule. (Rank-priority iterative BPE and the in-order
+    exhaustive form coincide when, as in any standard learned
+    table, a rule's output symbols are produced only by earlier
+    rules; the in-order form is what both engines run as a pure
+    string pipeline, so it is the DEFINED semantics and the oracle
+    replays it verbatim.) Merges never cross word boundaries: the
+    space between words breaks every pattern.
+
+    Scale shape: the whole operator is a per-row projection — one
+    transform building the symbol string, ``len(merges)`` chained
+    ``replace`` calls, and arithmetic on separator counts. No
+    shuffle, no explode, no Python; cost is O(|text| · |merges|)
+    per document, embarrassingly parallel, and the filter/column
+    pruning of the underlying scan is untouched.
+
+    Emits (id, n_units, n_subwords, merged_units, bpe_ratio): initial
+    character units, post-merge subword count, units absorbed by
+    merges, and the compression ratio (NULL for empty docs).
+    """
+    if not merges:
+        raise ValueError("merges must contain at least one pair")
+    sep = BPE_SEP
+    word_syms = F.transform(
+        tokens(F.lower(F.col(text_col))),
+        lambda w: F.regexp_replace(w, "(.)", sep + "$1" + sep))
+    sym = F.array_join(word_syms, " ")
+
+    def seps(c):  # each unit carries TWO separators
+        return ((F.length(c)
+                 - F.length(F.replace(c, F.lit(sep), F.lit(""))))
+                / F.lit(2)).cast("bigint")
+
+    out = df.select(F.col(id_col), sym.alias("_sym"))
+    out = out.withColumn("n_units", seps(F.col("_sym")))
+    merged = F.col("_sym")
+    for a, b in merges:
+        merged = F.replace(merged,
+                           F.lit(sep + a + sep + sep + b + sep),
+                           F.lit(sep + a + b + sep))
+    out = out.withColumn("_m", merged)
+    return out.select(
+        id_col, "n_units",
+        seps(F.col("_m")).alias("n_subwords"),
+        (F.col("n_units") - seps(F.col("_m"))).alias("merged_units"),
+        (F.round(F.col("n_units")
+                 / F.nullif(seps(F.col("_m")).cast("double"),
+                            F.lit(0.0)), round_dp) + F.lit(0.0))
+        .alias("bpe_ratio"))

@@ -988,3 +988,59 @@ WHERE rank <= {BM25_K}
 REGISTRY_PIPELINE.update({
     "q233_bm25_topk": (q_bm25_topk, _oracle_bm25_topk()),
 })
+
+
+# ------------------------------- q235 BPE-apply corpus tokenization
+
+#: Fixed learned-merge table (priority order). Rules' outputs are
+#: produced only by earlier rules, the property that makes in-order
+#: exhaustive application == rank-priority BPE (see bpe_apply).
+BPE_MERGES = [("t", "a"), ("ta", "b"), ("s", "c"), ("sc", "a"),
+              ("o", "w"), ("e", "r"), ("j", "o"), ("jo", "i"),
+              ("i", "n"), ("t", "h"), ("th", "e")]
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the fixed BPE merge table to the whole corpus
+    (operators/text.py::bpe_apply) — the tokenizer-application pass
+    every LLM pipeline runs per tokenizer version; q156 learns the
+    pairs, this bills the corpus with them. One shuffle-free
+    projection: symbol encoding + len(BPE_MERGES) chained JVM
+    replaces + separator-count arithmetic."""
+    return TX.bpe_apply(_load_docs(spark, sf_dir), BPE_MERGES)
+
+
+def _oracle_bpe_apply() -> str:
+    sep = "chr(31)"
+    enc = ("array_to_string(list_transform(tk, "
+           f"w -> regexp_replace(w, '(.)', {sep} || '\\1' || {sep},"
+           " 'g')), ' ')")
+    sym_chain = "sym"
+    for a, b in BPE_MERGES:
+        sym_chain = (f"replace({sym_chain}, "
+                     f"{sep} || '{a}' || {sep} || {sep} || '{b}' || {sep}, "
+                     f"{sep} || '{a}{b}' || {sep})")
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS tk
+              FROM (SELECT doc_id, lower(text) AS text
+                    FROM documents)),
+enc AS (SELECT doc_id, {enc} AS sym FROM docs),
+m AS (SELECT doc_id, sym, {sym_chain} AS merged FROM enc),
+c AS (SELECT doc_id,
+             (length(sym) - length(replace(sym, {sep}, ''))) // 2
+                 AS n_units,
+             (length(merged) - length(replace(merged, {sep}, ''))) // 2
+                 AS n_subwords
+      FROM m)
+SELECT doc_id, CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_subwords AS BIGINT) AS n_subwords,
+       CAST(n_units - n_subwords AS BIGINT) AS merged_units,
+       round(n_units / nullif(n_subwords, 0)::DOUBLE, 6) + 0.0
+           AS bpe_ratio
+FROM c
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q235_bpe_apply": (q_bpe_apply, _oracle_bpe_apply()),
+})

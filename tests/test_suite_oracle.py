@@ -334,3 +334,25 @@ def test_tfidf_weights_construction_is_lazy(spark):
     after = set(tracker.getJobIdsForGroup())
     assert after == before, "tfidf_weights construction ran a job"
     assert w.count() == 4 and norm.count() == 2  # still computes
+
+
+def test_bpe_apply_hand_computed(spark):
+    """Pin bpe_apply merge semantics by hand: in-order exhaustive
+    replace-chain application, merges never cross word boundaries,
+    empty docs yield a NULL ratio."""
+    from industrial_data_pipeline_spark.operators.text import bpe_apply
+    from industrial_data_pipeline_spark.suite_pipeline import BPE_MERGES
+    docs = spark.createDataFrame(
+        [(1, "The tab join x"), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe_apply(docs, BPE_MERGES).collect()}
+    # the->t,h,e->th,e->the(1); tab->ta,b->tab(1); join->jo,i,n->
+    # joi,n(2; no i unit remains for ("i","n")); x(1)
+    r1 = out[1]
+    assert (r1.n_units, r1.n_subwords, r1.merged_units) == (11, 5, 6)
+    assert r1.bpe_ratio == 2.2
+    r2 = out[2]
+    assert (r2.n_units, r2.n_subwords, r2.merged_units) == (0, 0, 0)
+    assert r2.bpe_ratio is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bpe_apply(docs, [])
