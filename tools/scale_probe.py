@@ -491,16 +491,31 @@ def main() -> None:
         '  plan is preferred.',
         '- **q231 dup-span report**: cost is Σ|tokens| positional postings',
         '  + one map-combinable df aggregation + a per-doc lag window over',
-        '  HIT positions only. Measured XL ratio 19.4× for 16× docs —',
-        '  linear in corpus size up to the shuffle log factor; the',
-        '  124 s absolute at 1.6M-doc-equivalent XL is the posting',
-        "  explosion's scan cost, the write-once indexed asset of the",
-        '  substring-dedup pass (like q171, amortized across reruns).',
+        '  HIT positions only. Round 7 replaced the 8-gram STRING posting',
+        '  key with xxhash64 computed inside the shingle transform —',
+        '  same-session XL A/B: wall 293 s → 140 s (2.1×), shuffle write',
+        '  276 MB → 139 MB (2.0×) at identical output (byte-exact oracle',
+        '  match; collision risk is the 64-bit birthday bound, additive-only',
+        '  for a dup report, documented at _pos_shingle_expr). Still linear',
+        "  in corpus size; the remaining absolute is the posting explosion's",
+        '  scan cost, the write-once indexed asset of the substring-dedup',
+        '  pass (like q171, amortized across reruns).',
         '- **q229 stream→cleanse→upsert→derived chain**: per micro-batch the',
         '  cost is the batch upsert (partition-scoped, see the upsert row',
         '  above) + derived recompute bounded by the batch\'s affected',
         '  timestamps — the steady-state ingest loop is independent of',
         '  archive history size by the same measurement.',
+        '- **Writer-lock contention** (tools/lock_probe.py, quiet window,',
+        '  6 processes × 20 cycles, 10 ms holds on ONE database): median',
+        '  acquisition 0.7–0.8 ms both uncontended and contended — the flock',
+        '  itself is free; the contended TAIL is queueing, bounded by',
+        '  (waiters × hold) plus the 50 ms retry quantum per lost poll',
+        '  (observed p95 1.3–51 ms, max 1.2 s when a waiter loses several',
+        '  rounds behind 5 writers). Aggregate ~49 lock cycles/s. The',
+        '  single-writer boundary costs nothing on the hot path and',
+        '  degrades linearly, not catastrophically, under contention —',
+        '  and it guards MANAGEMENT writes only; fact-table reads and',
+        '  appends to different databases never touch it.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
