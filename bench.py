@@ -80,10 +80,29 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    # raw per-query timings of THIS run
+    with open(os.path.join(here, "BENCH_RUN.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
+    # BENCH_DETAIL.json is the per-query MINIMA over all runs (the
+    # only round-over-round signal under container noise) — FOLD this
+    # run in, never overwrite (round-6 lesson; tools/merge_bench.py).
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        from tools.merge_bench import merge
+        with open(detail_path) as fh:
+            minima = json.load(fh)
+        folded, _rep = merge(minima, detail)
+        with open(detail_path, "w") as fh:
+            json.dump(folded, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+    except FileNotFoundError:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except SystemExit as exc:
+        # sf mismatch: a local run at another SF must not pollute the
+        # sf0.1 minima — keep them untouched
+        print(f"[bench] minima fold skipped: {exc}", file=sys.stderr)
 
     # n_errors travels with the headline number so a partially failed
     # run (smaller total over fewer queries) can't read as a speedup
@@ -95,7 +114,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "detail": "BENCH_DETAIL.json",
+        "detail": "BENCH_RUN.json (this run); "
+                  "BENCH_DETAIL.json (all-runs minima)",
     }
     print(json.dumps(result))
 

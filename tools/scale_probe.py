@@ -516,6 +516,24 @@ def main() -> None:
         '  degrades linearly, not catastrophically, under contention —',
         '  and it guards MANAGEMENT writes only; fact-table reads and',
         '  appends to different databases never touch it.',
+        '',
+        '## Round-7 quiet-window re-measure (VERDICT r6 item 2)',
+        '',
+        'Three consecutive full-suite sf0.1 runs on a verified-quiet machine',
+        '(345.8 / 386.1 / 415.7 s, 235 queries, 0 errors; per-query minima',
+        'folded into BENCH_DETAIL via tools/merge_bench.py). The two r6',
+        'single-run outliers are CLEARED — both were container noise, not',
+        'regressions (code untouched, as VERDICT suspected):',
+        '',
+        '- **q03_lookup_like**: 27.3 s (r6 driver) → 2.02 / 2.28 / 1.89 s',
+        '  (1.3–1.6× of the 1.47 s r5 minimum) across all three runs.',
+        '- **q31_multimodal_features**: 12.7 s (r6) → 3.52 / 0.99 / 1.09 s —',
+        '  runs 2+3 are 1.5–1.6× of the 0.67 s minimum. The one 5× reading',
+        "  (run 1) co-occurred with q133's only outlier (3.4×): both are",
+        '  Arrow mapInPandas kernels, so their tail variance is Python-worker',
+        '  scheduling under transient host load, not plan cost.',
+        '- Watch-list (q05–q08, q133, q214, q75, q35): all within 2.01× of',
+        '  their r5 minima in runs 2 and 3.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
