@@ -267,6 +267,28 @@ PICKS = [
      "read-back whose row count is part of the hash-checked "
      "result — no global shuffle, cost class of TTL partition "
      "maintenance."),
+    ("q233_bm25_topk",
+     "BM25 top-k: the posting explode is filtered to the query-term "
+     "vocabulary IN-list immediately (the probe never materializes "
+     "the full index); query terms, df stats and the (N, avgdl) "
+     "scalar all enter as BroadcastExchanges; the only shuffles are "
+     "the (doc,term) tf count and the per-(query,doc) score sum, "
+     "both partial-aggregated; the rank window partitions by "
+     "query_id — |queries| partitions, never global."),
+    ("q234_k_anonymity",
+     "k-anonymity audit: ONE map-side-combined HashAggregate over "
+     "the quasi-identifier key (count + distinct-count in the same "
+     "aggregate) plus a 1-row broadcast total for the percentage — "
+     "no window, no second fact pass; output is bounded by the "
+     "quasi-identifier domain product."),
+    ("q235_bpe_apply",
+     "BPE apply: the ENTIRE operator is a stacked projection chain "
+     "directly over the scan — symbol encoding, the chained "
+     "unit-aware replaces and the separator-count arithmetic add "
+     "ZERO shuffles, Python stages or explodes; the one Exchange "
+     "in the plan is _load_docs' round-robin spread of the "
+     "single-file test corpus (input balancing, present before the "
+     "operator and absent on a properly-split production table)."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
