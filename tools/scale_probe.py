@@ -534,6 +534,19 @@ def main() -> None:
         '  scheduling under transient host load, not plan cost.',
         '- Watch-list (q05–q08, q133, q214, q75, q35): all within 2.01× of',
         '  their r5 minima in runs 2 and 3.',
+        '',
+        '## Round-7 new-operator XL rows (id-shifted ×16 explosions, min of 2)',
+        '',
+        '- **q233 BM25 top-k**: 2.81 s → 4.52 s for 16× docs (1.6×) — the',
+        '  query-term posting filter keeps probe cost proportional to matched',
+        '  postings, not corpus size; stats/df/query tables stay broadcast at',
+        '  any SF, and the rank window is |queries|-partitioned.',
+        '- **q234 k-anonymity audit**: 0.30 s → 0.31 s for 16× customers',
+        '  (1.0×) — one combinable aggregate whose output is fixed at the',
+        '  125-class quasi-identifier domain; pure scan-rate scaling.',
+        '- **q235 BPE apply**: 0.39 s → 1.12 s for 16× docs (2.9×) — a',
+        '  shuffle-free projection still amortizing fixed cost at 80 k docs;',
+        '  per-doc cost is O(|text|·|merges|) by construction.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
