@@ -169,3 +169,51 @@ def test_zorder_quota_arithmetic_equals_ntile(spark):
             else:
                 got[idx] = rem + (idx - cut) // max(q, 1) + 1
         assert got == want, f"N={n}"
+
+
+# --------------------------- bpe_apply vs unit-level Python reference
+
+def _bpe_reference(text: str, merges: list) -> tuple:
+    """Unit-level reference for bpe_apply's defined semantics: rules
+    in order, each applied as ONE leftmost-greedy non-overlapping
+    simultaneous pass over each word's unit sequence."""
+    words = [w for w in text.lower().split() if w]
+    n_units = sum(len(w) for w in words)
+    n_sub = 0
+    for w in words:
+        units = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(units):
+                if (i + 1 < len(units)
+                        and units[i] == a and units[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(units[i])
+                    i += 1
+            units = out
+        n_sub += len(units)
+    return n_units, n_sub
+
+
+@given(st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=24), min_size=1,
+    max_size=8),
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c", "ab", "bc",
+                                        "aa", "abc"]),
+                       st.sampled_from(["a", "b", "c", "ab", "bc"])),
+             min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_bpe_apply_matches_unit_reference(spark, texts, merges):
+    """bpe_apply's separator-wrapped string replaces == the
+    unit-level leftmost-greedy reference, on adversarial tiny
+    alphabets where suffix-matching and adjacent-merge bugs show."""
+    from industrial_data_pipeline_spark.operators.text import bpe_apply
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: (r.n_units, r.n_subwords)
+           for r in bpe_apply(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _bpe_reference(t, merges), (
+            f"text={t!r} merges={merges}")
