@@ -1268,3 +1268,79 @@ REGISTRY_LLM.update({
     "q212_dup_loss_weights": (q_dup_loss_weights,
                               ORACLE_DUP_LOSS_WEIGHTS),
 })
+
+
+# --------------- q236 incremental MinHash-LSH ingest gate (new vs corpus)
+
+def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state near-dup admission gate: a NEW ingest batch (20
+    planted near-dup mutants of existing docs + 10 token-reversed
+    decoys that share vocabulary but no 3-gram shingles) probes the
+    corpus's LSH band index; collisions exact-verify (operators/
+    dedup.py::incremental_minhash_lsh). Batch-vs-index only — the
+    incremental counterpart of q24 (full-corpus pairing) and q69
+    (exact incremental dedup)."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    mut = (docs.where(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 400000).alias("doc_id"),
+                   F.concat("text", F.lit(" qqq")).alias("text")))
+    rev = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+           .select((F.col("doc_id") + 500000).alias("doc_id"),
+                   F.array_join(F.reverse(TX.tokens(F.col("text"))),
+                                " ").alias("text")))
+    batch = mut.unionByName(rev)
+    return D.incremental_minhash_lsh(
+        docs, batch, "doc_id",
+        num_perm=_NUM_PERM, bands=_BANDS, threshold=_THRESH)
+
+
+ORACLE_INCREMENTAL_LSH = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 400000 AS doc_id, text || ' qqq' AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 500000,
+         array_to_string(list_reverse({_TOKS}), ' ')
+  FROM documents WHERE doc_id >= 100 AND doc_id < 110),
+ctk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+btk AS (SELECT doc_id, {_TOKS} AS toks FROM batch),
+csh AS (SELECT doc_id, list_distinct({_GRAMS}) AS shingles FROM ctk),
+bsh AS (SELECT doc_id, list_distinct({_GRAMS}) AS shingles FROM btk),
+cex AS (SELECT doc_id, unnest(shingles) AS s FROM csh),
+bex AS (SELECT doc_id, unnest(shingles) AS s FROM bsh),
+chb AS (SELECT doc_id, ({_h64('s')} & 2147483647) AS h32 FROM cex),
+bhb AS (SELECT doc_id, ({_h64('s')} & 2147483647) AS h32 FROM bex),
+cm AS (SELECT doc_id, {_minhash_min_cols()} FROM chb GROUP BY doc_id),
+bm AS (SELECT doc_id, {_minhash_min_cols()} FROM bhb GROUP BY doc_id),
+cbands AS (
+  SELECT doc_id AS old_id, i AS band,
+         {_h64(f"array_to_string({_SIG_ARRAY}[(i*{_ROWS_PER_BAND}+1):(i*{_ROWS_PER_BAND}+{_ROWS_PER_BAND})], ',')")}
+             AS bucket
+  FROM cm, UNNEST(generate_series(0, {_BANDS - 1})) AS t(i)),
+bbands AS (
+  SELECT doc_id AS new_id, i AS band,
+         {_h64(f"array_to_string({_SIG_ARRAY}[(i*{_ROWS_PER_BAND}+1):(i*{_ROWS_PER_BAND}+{_ROWS_PER_BAND})], ',')")}
+             AS bucket
+  FROM bm, UNNEST(generate_series(0, {_BANDS - 1})) AS t(i)),
+cand AS (
+  SELECT DISTINCT b.new_id, c.old_id
+  FROM bbands b JOIN cbands c
+    ON b.band = c.band AND b.bucket = c.bucket),
+verified AS (
+  SELECT cd.new_id, cd.old_id,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6)
+             AS jaccard_sim
+  FROM cand cd
+  JOIN bsh a ON cd.new_id = a.doc_id
+  JOIN csh b ON cd.old_id = b.doc_id)
+SELECT new_id, old_id, jaccard_sim FROM verified
+WHERE jaccard_sim >= {_THRESH}
+"""
+
+REGISTRY_LLM.update({
+    "q236_incremental_lsh": (q_incremental_lsh,
+                             ORACLE_INCREMENTAL_LSH),
+})

@@ -320,3 +320,28 @@ def test_dedup_map_payload_column_supported(spark):
             tie, ["key"], "ord").collect()[0].props == {"x": 1}
         assert latest_per_key(
             tie, ["key"], "ord").collect()[0].props == {"x": 2}
+
+
+def test_incremental_lsh_batch_vs_index_only(spark):
+    """incremental_minhash_lsh is a batch-vs-corpus gate: an exact
+    copy in the batch pairs with its original at jaccard 1.0; a
+    shingle-disjoint batch doc pairs with nothing; two identical
+    batch docs do NOT pair with each other (no batch-vs-batch), and
+    corpus-vs-corpus duplicates are likewise never emitted."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_lsh)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # corpus dup
+         (3, "one two three four five six")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),  # copy of 1/2
+         (11, "seven eight nine ten eleven twelve"),   # no overlap
+         (12, "seven eight nine ten eleven twelve")],  # batch dup
+        "doc_id long, text string")
+    rows = incremental_minhash_lsh(corpus, batch, "doc_id",
+                                   threshold=0.5).collect()
+    got = {(r.new_id, r.old_id): r.jaccard_sim for r in rows}
+    assert set(got) == {(10, 1), (10, 2)}
+    assert all(v == 1.0 for v in got.values())

@@ -289,6 +289,15 @@ PICKS = [
      "in the plan is _load_docs' round-robin spread of the "
      "single-file test corpus (input balancing, present before the "
      "operator and absent on a properly-split production table)."),
+    ("q236_incremental_lsh",
+     "Incremental LSH ingest gate: every join is an equi-join — the "
+     "probe on (band, bucket), the verifies on bare ids — and the "
+     "batch side only ever meets the corpus INDEX, never the corpus "
+     "rows (no batch-vs-batch or corpus-vs-corpus pairing "
+     "anywhere); exact verify re-shingles only collision survivors. "
+     "The corpus signature subtree appearing under multiple joins "
+     "is the documented in-plan-index trade — stored band/shingle "
+     "columns replace it in production."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
