@@ -554,14 +554,15 @@ def incremental_minhash_lsh(corpus: DataFrame, batch: DataFrame,
     of corpus size; here the index is built in-plan from the
     ``corpus`` argument so the whole gate stays SQL-replayable.
 
-    In-plan trade (deliberate, the q171 double-evaluation pattern):
-    the candidate subtree is referenced by the verify joins as well,
-    so the lazy plan re-derives it rather than shuffling every
-    corpus row's wide shingle array into the verify (which is what
-    joining pre-shingled full tables would cost — worse at corpus
-    scale). Both re-derivation AND the in-plan index build vanish in
-    the production shape, where the band table and per-doc shingle
-    sets are stored columns."""
+    In-plan verify shape: the candidate pair set is BATCH-sized
+    (|batch| × collision rate), so it enters the corpus-side verify
+    as a broadcast — the candidate subtree (which embeds the in-plan
+    corpus signature build) is evaluated ONCE, the corpus is never
+    shuffled for the verify (its shingles are computed only for rows
+    the broadcast hash join keeps), and the batch side pre-shingles
+    in full because the batch is small by definition. The in-plan
+    index build itself vanishes in the production shape, where the
+    band table and per-doc shingle sets are stored columns."""
     def _bands(df: DataFrame, out_id: str) -> DataFrame:
         base = df.select(F.col(id_col).alias(out_id),
                          word_shingles(F.col(text_col), k).alias("_sh"))
@@ -578,19 +579,15 @@ def incremental_minhash_lsh(corpus: DataFrame, batch: DataFrame,
     cand = (probe.join(idx, ["_band", "_bucket"])
             .select("new_id", "old_id").distinct())
 
-    def _shingled(df: DataFrame, out_id: str, cand_side: str) \
-            -> DataFrame:
-        surv = cand.select(F.col(cand_side).alias("_s")).distinct()
-        return (df.select(F.col(id_col).alias(out_id), text_col)
-                .join(surv, F.col(out_id) == F.col("_s"))
-                .select(out_id, word_shingles(F.col(text_col), k)
-                        .alias(f"_sh_{out_id}")))
-
-    a = _shingled(batch, "new_id", "new_id")
-    b = _shingled(corpus, "old_id", "old_id")
-    return (cand.join(a, "new_id").join(b, "old_id")
+    b = (corpus.select(F.col(id_col).alias("old_id"), text_col)
+         .join(F.broadcast(cand), "old_id")
+         .select("new_id", "old_id",
+                 word_shingles(F.col(text_col), k).alias("_sh_old")))
+    a = batch.select(F.col(id_col).alias("new_id"),
+                     word_shingles(F.col(text_col), k).alias("_sh_new"))
+    return (b.join(F.broadcast(a), "new_id")
             .withColumn("jaccard_sim",
-                        F.round(jaccard(F.col("_sh_new_id"),
-                                        F.col("_sh_old_id")), round_dp))
+                        F.round(jaccard(F.col("_sh_new"),
+                                        F.col("_sh_old")), round_dp))
             .where(F.col("jaccard_sim") >= threshold)
             .select("new_id", "old_id", "jaccard_sim"))

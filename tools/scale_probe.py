@@ -547,12 +547,15 @@ def main() -> None:
         '- **q235 BPE apply**: 0.39 s → 1.12 s for 16× docs (2.9×) — a',
         '  shuffle-free projection still amortizing fixed cost at 80 k docs;',
         '  per-doc cost is O(|text|·|merges|) by construction.',
-        '- **q236 incremental MinHash-LSH gate**: 21.1 s → 56.5 s for a 16×',
-        '  corpus at fixed batch size (2.7×, sublinear) — the growth is',
-        '  entirely the IN-PLAN index build (corpus signatures re-derived',
-        '  under the verify joins, the documented q171-style trade for SQL',
-        '  replayability); with the band table and shingle sets stored as',
-        '  index columns (one write per admitted batch), per-batch cost is',
+        '- **q236 incremental MinHash-LSH gate**: 5.4 s → 50.5 s for a 16×',
+        '  corpus at fixed batch size (9.4×, sublinear). The batch-sized',
+        '  candidate set broadcasts into the corpus-side verify, so the',
+        '  candidate subtree (which embeds the in-plan index build) is',
+        '  evaluated ONCE and the corpus is never shuffled for the verify —',
+        '  restructuring it this way cut sf0.1 from 21.1 s to 5.4 s (4×).',
+        '  The remaining XL growth is the in-plan corpus signature build',
+        '  itself; with the band table and shingle sets stored as index',
+        '  columns (one write per admitted batch), per-batch cost is',
         '  O(|batch| signatures + collisions), independent of corpus size.',
         "",
     ]
