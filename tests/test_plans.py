@@ -380,3 +380,59 @@ def test_equidepth_histogram_no_sort_no_window(spark):
     assert "Sort " not in p and "+- Sort" not in p
     assert "percentile" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_bm25_broadcast_stats_and_partitioned_window(spark):
+    """q233's scale contract: query terms / df / (N, avgdl) all enter
+    broadcast; the rank window partitions by query_id (never a global
+    window); the posting explode is filtered to the query vocabulary
+    (an In/INSET predicate below the aggregate)."""
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    p = plan(REGISTRY["q233_bm25_topk"][0](spark,
+                                           "/root/testdata/sf0.001"))
+    assert p.count("BroadcastExchange") >= 3, p
+    assert "Window" in p
+    assert "partitionBy=[query_id" not in p  # formatted style differs
+    import re
+    w = re.search(r"Arguments: \[row_number\(\).*", p)
+    assert w and "query_id" in w.group(0), w
+    assert ("_t#" in p and (" IN " in p or "INSET" in p)), \
+        "vocabulary filter missing"
+
+
+def test_k_anonymity_single_aggregate_no_window(spark):
+    """q234: one combinable aggregate pair over the quasi key + a
+    1-row broadcast total — no window, no sort-merge join."""
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    p = plan(REGISTRY["q234_k_anonymity"][0](spark,
+                                             "/root/testdata/sf0.001"))
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total cross
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bpe_apply_zero_shuffle_projection(spark):
+    """q235: no shuffle beyond the loader's round-robin input spread,
+    no Python stage, no explode/Generate, no join, no window."""
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    p = plan(REGISTRY["q235_bpe_apply"][0](spark,
+                                           "/root/testdata/sf0.001"))
+    import re
+    shuffles = re.findall(r"Arguments: (\w+)Partitioning", p)
+    assert all(s == "RoundRobin" for s in shuffles), shuffles
+    for bad in ("Generate", "Window", "Join", "ArrowEvalPython",
+                "BatchEvalPython"):
+        assert bad not in p, bad
+
+
+def test_incremental_lsh_broadcast_verify(spark):
+    """q236: the verify joins are broadcast hash joins (the candidate
+    set is batch-sized by construction) — the corpus is never
+    sort-merge-shuffled for the verify, and there is no theta join."""
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    p = plan(REGISTRY["q236_incremental_lsh"][0](
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
