@@ -839,3 +839,46 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
                  / F.nullif(seps(F.col("_m")).cast("double"),
                             F.lit(0.0)), round_dp) + F.lit(0.0))
         .alias("bpe_ratio"))
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Corpus text normalization — the cleaning pass every pipeline
+    (C4, Gopher, RefinedWeb) runs before tokenizing, shingling or
+    quality-scoring, in a fixed stage order so the counts are
+    well-defined:
+
+    1. strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) —
+       ``n_zero_width`` removed;
+    2. map exotic whitespace (NBSP, tab, CR, LF) to plain space
+       (length-preserving);
+    3. strip remaining C0 control characters + DEL — ``n_ctrl``;
+    4. collapse space runs to one — ``n_collapsed`` characters
+       absorbed; then trim.
+
+    Pure JVM regexp projections (patterns restricted to the
+    Java-regex ∩ RE2 common syntax: literal chars and ``\\xHH``
+    classes, so the DuckDB oracle runs the IDENTICAL patterns) — no
+    shuffle, no Python; scan-speed at any corpus size. Emits the
+    cleaned text's md5 so content equality itself is hash-checked,
+    plus raw/clean lengths, per-stage counts, and ``changed``.
+    """
+    zw = "[\u200b\u200c\u200d\ufeff]"
+    ws = "[\u00a0\t\n\r]"
+    ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    t = F.col(text_col)
+    s1 = F.regexp_replace(t, zw, "")
+    s2 = F.regexp_replace(s1, ws, " ")
+    s3 = F.regexp_replace(s2, ctrl, "")
+    s4 = F.regexp_replace(s3, " {2,}", " ")
+    s5 = F.trim(s4)
+    out = df.select(
+        F.col(id_col),
+        F.length(t).alias("raw_len"),
+        (F.length(t) - F.length(s1)).alias("n_zero_width"),
+        (F.length(s2) - F.length(s3)).alias("n_ctrl"),
+        (F.length(s3) - F.length(s4)).alias("n_collapsed"),
+        F.length(s5).alias("clean_len"),
+        (s5 != t).alias("changed"),
+        F.md5(s5).alias("clean_md5"))
+    return out

@@ -1044,3 +1044,64 @@ FROM c
 REGISTRY_PIPELINE.update({
     "q235_bpe_apply": (q_bpe_apply, _oracle_bpe_apply()),
 })
+
+
+# ------------------------------- q237 corpus text normalization
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pass before any tokenize/shingle/quality stage
+    (operators/text.py::normalize_text). The synthetic corpus is
+    clean, so 10 dirty mirrors are planted (zero-width prefix, BOM,
+    NBSP, tab, BEL control char, double spaces, trailing ZWJ) —
+    the normalizer must both FIX those and leave the 500 originals
+    byte-identical (changed=false, md5 = md5(text))."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    dirty = (docs.where(F.col("doc_id") < 10)
+             .select((F.col("doc_id") + 600000).alias("doc_id"),
+                     F.concat(F.lit("​﻿x "),
+                              F.col("text"),
+                              F.lit("\t\x07  y  ‍"))
+                     .alias("text")))
+    return TX.normalize_text(docs.unionByName(dirty))
+
+
+def _oracle_text_normalize() -> str:
+    zw = "chr(8203) || chr(8204) || chr(8205) || chr(65279)"
+    ws = "chr(160) || chr(9) || chr(10) || chr(13)"
+    dirty = ("chr(8203) || chr(65279) || 'x' || chr(160) || text"
+             " || chr(9) || chr(7) || '  y  ' || chr(8205)")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 600000, {dirty} FROM documents WHERE doc_id < 10),
+st AS (SELECT doc_id, text,
+              regexp_replace(text, '[' || {zw} || ']', '', 'g') AS s1
+       FROM corpus),
+st2 AS (SELECT *,
+               regexp_replace(s1, '[' || {ws} || ']', ' ', 'g') AS s2
+        FROM st),
+st3 AS (SELECT *,
+               regexp_replace(
+                   s2, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                   '', 'g') AS s3
+        FROM st2),
+st4 AS (SELECT *, regexp_replace(s3, ' {{2,}}', ' ', 'g') AS s4
+        FROM st3),
+fin AS (SELECT *, trim(s4) AS s5 FROM st4)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS raw_len,
+       CAST(length(text) - length(s1) AS INT) AS n_zero_width,
+       CAST(length(s2) - length(s3) AS INT) AS n_ctrl,
+       CAST(length(s3) - length(s4) AS INT) AS n_collapsed,
+       CAST(length(s5) AS INT) AS clean_len,
+       s5 <> text AS changed,
+       md5(s5) AS clean_md5
+FROM fin
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q237_text_normalize": (q_text_normalize,
+                            _oracle_text_normalize()),
+})

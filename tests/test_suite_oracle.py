@@ -356,3 +356,32 @@ def test_bpe_apply_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bpe_apply(docs, [])
+
+
+def test_normalize_text_hand_computed(spark):
+    """Pin normalize_text stage semantics on a hand-built dirty doc:
+    zero-width strip, NBSP/tab->space, control strip, space collapse,
+    trim — and a clean doc passes through byte-identical."""
+    import hashlib
+    from industrial_data_pipeline_spark.operators.text import (
+        normalize_text)
+    dirty = "​﻿x a b\t\x07  y  ‍"
+    clean = "plain text"
+    docs = spark.createDataFrame([(1, dirty), (2, clean)],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_text(docs).collect()}
+    r1 = out[1]
+    # stages: strip 3 zw; nbsp/tab->' '; strip BEL; collapse 2 runs
+    # of 2 spaces (-2); trim trailing ' ' -> "x a b  y" collapsed...
+    assert r1.n_zero_width == 3
+    assert r1.n_ctrl == 1
+    assert r1.raw_len == len(dirty)
+    expect = "x a b y"
+    assert r1.clean_len == len(expect)
+    assert r1.clean_md5 == hashlib.md5(expect.encode()).hexdigest()
+    assert r1.changed
+    r2 = out[2]
+    assert (not r2.changed and r2.n_zero_width == 0 and r2.n_ctrl == 0
+            and r2.n_collapsed == 0
+            and r2.clean_md5
+            == hashlib.md5(clean.encode()).hexdigest())
