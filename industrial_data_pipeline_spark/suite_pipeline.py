@@ -1105,3 +1105,90 @@ REGISTRY_PIPELINE.update({
     "q237_text_normalize": (q_text_normalize,
                             _oracle_text_normalize()),
 })
+
+
+# ----------------------- q238 nDCG@10 ranking-quality evaluation
+
+#: shared IEEE formula (the q228 chi-square pattern): rendered
+#: identically into the Spark plan and the DuckDB oracle, with the
+#: per-position contribution rounded BEFORE the sum (the q233
+#: determinism design). Linear gain (rel / log2(rank+1)): rel is an
+#: exact integer and rank ∈ 1..10, so each term is one IEEE division
+#: of identical inputs on both engines.
+_DCG_TERM = "round({rel} / log2({rank} + 1), 6)"
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the q233 BM25 run — the GRADED ranking-quality
+    metric beside q195's MRR (first-hit only) and q169's recall
+    (set overlap): relevance = TOTAL occurrences of the query's terms
+    in the retrieved document (integer, fully derivable so the
+    oracle can replay it — and deliberately NOT what BM25 optimizes,
+    since BM25 saturates tf and length-normalizes, so the metric
+    discriminates: 0.86-1.0 across the fixture queries), linear-gain
+    DCG discounts by log2(rank+1), IDCG re-ranks the SAME retrieved
+    list ideally (rel desc, doc_id tie-break), nDCG = DCG/IDCG. One
+    broadcast qterm join + one |k|-row query-partitioned window over
+    the 30-row run — evaluation cost is O(queries x k), independent
+    of corpus size."""
+    from pyspark.sql import Window
+    run = q_bm25_topk(spark, sf_dir)  # (query_id, doc_id, bm25, rank)
+    docs = _load_docs(spark, sf_dir).select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("_toks"))
+    qterms = sorted({(qid, t) for qid, qs in BM25_QUERIES.items()
+                     for t in qs.lower().split()})
+    qdf = spark.createDataFrame(qterms, "query_id long, _t string")
+    occ = F.size(F.filter("_toks", lambda x: x == F.col("_t")))
+    rel = (run.join(docs, "doc_id")
+           .join(F.broadcast(qdf), "query_id")
+           .groupBy("query_id", "doc_id", "rank")
+           .agg(F.sum(occ).cast("int").alias("rel")))
+    wi = Window.partitionBy("query_id").orderBy(F.desc("rel"),
+                                                F.col("doc_id"))
+    scored = rel.withColumn("irank", F.row_number().over(wi)).select(
+        "query_id",
+        F.expr(_DCG_TERM.format(rel="rel", rank="rank")).alias("_d"),
+        F.expr(_DCG_TERM.format(rel="rel", rank="irank")).alias("_i"))
+    agg = scored.groupBy("query_id").agg(
+        F.round(F.sum("_d"), 6).alias("dcg"),
+        F.round(F.sum("_i"), 6).alias("idcg"))
+    return agg.select(
+        "query_id", "dcg", "idcg",
+        (F.round(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6)
+         + F.lit(0.0)).alias("ndcg")).orderBy("query_id")
+
+
+def _oracle_ndcg() -> str:
+    run = _oracle_bm25_topk().strip().rstrip()
+    qterms = sorted({(qid, t) for qid, qs in BM25_QUERIES.items()
+                     for t in qs.lower().split()})
+    vals = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')"
+                     for qid, t in qterms)
+    d = _DCG_TERM.format(rel="rel", rank="rank")
+    i = _DCG_TERM.format(rel="rel", rank="irank")
+    return f"""
+WITH run AS ({run}),
+qt(query_id, t) AS (SELECT * FROM (VALUES {vals})),
+dt AS (SELECT doc_id, {_TOKS} AS toks
+       FROM (SELECT doc_id, lower(text) AS text FROM documents)),
+rel AS (SELECT r.query_id, r.doc_id, r.rank,
+               CAST(sum(len(list_filter(dt.toks, x -> x = qt.t)))
+                    AS INT) AS rel
+        FROM run r JOIN dt USING (doc_id) JOIN qt USING (query_id)
+        GROUP BY 1, 2, 3),
+ranked AS (SELECT *, CAST(row_number() OVER
+               (PARTITION BY query_id ORDER BY rel DESC, doc_id)
+               AS INT) AS irank
+           FROM rel),
+agg AS (SELECT query_id, round(sum({d}), 6) AS dcg,
+               round(sum({i}), 6) AS idcg
+        FROM ranked GROUP BY 1)
+SELECT query_id, dcg, idcg,
+       round(dcg / nullif(idcg, 0.0), 6) + 0.0 AS ndcg
+FROM agg
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q238_ndcg": (q_ndcg, _oracle_ndcg()),
+})

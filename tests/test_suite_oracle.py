@@ -385,3 +385,37 @@ def test_normalize_text_hand_computed(spark):
             and r2.n_collapsed == 0
             and r2.clean_md5
             == hashlib.md5(clean.encode()).hexdigest())
+
+
+def test_ndcg_hand_computed(spark, sf_dir):
+    """q238 invariants on the live fixture: idcg >= dcg (the ideal
+    reordering can only improve a linear-gain DCG), 0 < ndcg <= 1,
+    and at least the formula's discount math reproduces one row
+    recomputed by hand from the q233 run + raw term occurrences."""
+    import math
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    rows = REGISTRY["q238_ndcg"][0](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.idcg >= r.dcg > 0
+        assert 0 < r.ndcg <= 1.0
+    # recompute query 0 by hand
+    run = {(r.query_id, r.doc_id): r.rank
+           for r in REGISTRY["q233_bm25_topk"][0](spark,
+                                                  sf_dir).collect()}
+    docs = {d.doc_id: d.text.lower().split() for d in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .collect()}
+    from industrial_data_pipeline_spark.suite_pipeline import (
+        BM25_QUERIES)
+    terms = BM25_QUERIES[0].split()
+    rel = {doc: sum(docs[doc].count(t) for t in terms)
+           for (q, doc), _rk in run.items() if q == 0}
+    dcg = round(sum(round(rel[d] / math.log2(rk + 1), 6)
+                    for (q, d), rk in run.items() if q == 0), 6)
+    ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))
+    idcg = round(sum(round(v / math.log2(i + 2), 6)
+                     for i, (_d, v) in enumerate(ideal)), 6)
+    got = {r.query_id: r for r in rows}[0]
+    assert (got.dcg, got.idcg) == (dcg, idcg)
+    assert got.ndcg == round(dcg / idcg, 6)
