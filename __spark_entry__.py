@@ -87,6 +87,25 @@ _VERIFIED_GREEN = {
     "q179_seasonal_band_anomalies", "q17_dedup_first_wins",
     "q180_incremental_rollup", "q181_theilsen_slopes", "q182_psi_drift",
     "q18_formula_backfill", "q199_transition_matrix",
+    "q183_ingest_quarantine", "q184_pseudonymization", "q185_jsonl_roundtrip",
+    "q186_table_checksums", "q187_personalized_pagerank",
+    "q188_dim_standardization", "q189_interval_coverage",
+    "q190_hierarchy_contribution", "q191_golden_records",
+    "q192_time_weighted_avg", "q193_schema_evolution",
+    "q194_upsert_idempotence", "q195_retrieval_mrr", "q196_dataset_card",
+    "q197_dup_threshold_sweep", "q198_curation_funnel",
+    "q201_shipmode_priority", "q202_boilerplate_ngrams", "q203_benford_audit",
+    "q204_type_entropy", "q205_compact_archive", "q206_bitemporal_asof",
+    "q207_skew_profile", "q208_eval_set_quota", "q209_rolling_median",
+    "q210_touch_attribution", "q211_mad_outliers", "q212_dup_loss_weights",
+    "q213_centroid_similarity", "q214_sliding_windows",
+    "q215_scd2_prior_state", "q216_dq_scorecard", "q217_quantized_recall",
+    "q218_repair_plan", "q219_moments", "q220_weighted_median",
+    "q221_equidepth_histogram", "q222_constrained_funnel",
+    "q223_stuck_sensor_runs", "q224_shift_rollup", "q225_interval_join",
+    "q226_peak_concurrency", "q227_set_similarity_join", "q228_chi_square",
+    "q229_stream_derived_chain", "q230_recursive_cte_paths", "q231_dup_spans",
+    "q232_cdc_apply",
     "q19_text_quality", "q200_sensor_fusion", "q20_token_counts",
     "q21_lang_id", "q22_fingerprints", "q23_exact_dedup",
     "q24_minhash_lsh_pairs", "q25_ngram_jaccard_pairs", "q26_simhash",
@@ -120,9 +139,12 @@ _VERIFIED_GREEN = {
     "q98_important_inventory", "q99_top_supplier",
 }
 
-# All seven round-4 verify-first rows went green (CORRECTNESS_r04);
-# the tier-0 set is retired. Round 5's budget goes entirely to the
-# never-checked tail.
+# Round 6 closed the q183-q232 backlog (CORRECTNESS_r06: 50/50
+# green) — those moved into the green tier above, and q231 keeps its
+# green listing across the round-7 posting-key hash (re-verified
+# values=MATCH via tools/drive_contract.py and the committed
+# CORRECTNESS_LOCAL_r07.json), as do q59/q165/q167 across the
+# tfidf lazy-N change. Round 7's never-checked tail is q233-q238.
 _VERIFY_FIRST: set[str] = set()
 
 
