@@ -718,27 +718,12 @@ def _pos_shingle_expr(n: int) -> str:
             f" ELSE array() END")
 
 
-def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cross-document duplicate-SPAN report — the token-level
-    substring-dedup signal (Lee et al., 'Deduplicating Training Data
-    Makes Language Models Better'): any {DUPSPAN_N}-token run that
-    also appears in ANOTHER document marks its positions duplicated;
-    overlapping/adjacent hits merge into maximal spans
-    (gaps-and-islands: with fixed n and ascending positions, a new
-    island starts iff pos > prev_pos + n). Emits per doc the span
-    count, duplicated-token total and duplicated fraction — the
-    numbers a span-excision pass or a dup-aware loss weighting
-    (q212) consumes at token granularity rather than q150's chunk
-    granularity.
-
-    Scale shape: positional shingles explode JVM-side AS 64-bit
-    xxhash64 keys (the gram string never leaves the project — see
-    :func:`_pos_shingle_expr` for the shuffle-byte and collision
-    analysis); the shared-gram set is one distinct+groupBy
-    (map-side combinable) and the hit filter a semi-join on the
-    8-byte hash; island merging is one lag window PARTITIONED BY
-    doc (state bounded by doc length). Nothing global, nothing
-    quadratic."""
+def _dup_spans_frames(spark: SparkSession,
+                      sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared substrate of q231 (report) and q239 (excision):
+    returns (base(doc_id, total_tokens, _pg), spans(doc_id, isl, s,
+    e)) with ``[s, e]`` the 1-based inclusive token range of each
+    maximal duplicated span."""
     n = DUPSPAN_N
     docs = _load_docs(spark, sf_dir).select("doc_id", "text")
     base = docs.select(
@@ -764,7 +749,32 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                w.rowsBetween(Window.unboundedPreceding, 0))))
     spans = (isl.groupBy("doc_id", "isl")
              .agg(F.min("pos").alias("s"),
-                  (F.max("pos") + F.lit(n - 1)).alias("e")))
+                  (F.max("pos") + F.lit(DUPSPAN_N - 1)).alias("e")))
+    return base, spans
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicate-SPAN report — the token-level
+    substring-dedup signal (Lee et al., 'Deduplicating Training Data
+    Makes Language Models Better'): any {DUPSPAN_N}-token run that
+    also appears in ANOTHER document marks its positions duplicated;
+    overlapping/adjacent hits merge into maximal spans
+    (gaps-and-islands: with fixed n and ascending positions, a new
+    island starts iff pos > prev_pos + n). Emits per doc the span
+    count, duplicated-token total and duplicated fraction — the
+    numbers a span-excision pass or a dup-aware loss weighting
+    (q212) consumes at token granularity rather than q150's chunk
+    granularity.
+
+    Scale shape: positional shingles explode JVM-side AS 64-bit
+    xxhash64 keys (the gram string never leaves the project — see
+    :func:`_pos_shingle_expr` for the shuffle-byte and collision
+    analysis); the shared-gram set is one distinct+groupBy
+    (map-side combinable) and the hit filter a semi-join on the
+    8-byte hash; island merging is one lag window PARTITIONED BY
+    doc (state bounded by doc length). Nothing global, nothing
+    quadratic."""
+    base, spans = _dup_spans_frames(spark, sf_dir)
     per_doc = (spans.groupBy("doc_id")
                .agg(F.count("*").alias("n_spans"),
                     F.sum(F.col("e") - F.col("s") + 1)
@@ -821,4 +831,110 @@ FROM toks t LEFT JOIN per_doc d USING (doc_id)
 
 REGISTRY_CORPUS.update({
     "q231_dup_spans": (q_dup_spans, _oracle_dup_spans()),
+})
+
+
+# --------------- q239 duplicate-span EXCISION (apply the q231 report)
+
+def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the q231 duplicate-span report: drop every token inside
+    a maximal duplicated span and rebuild the document — the actual
+    excision step of Lee et al.'s substring dedup (q231 measures,
+    q239 cuts; q212's loss-weights are the keep-everything
+    alternative). Emits per doc the kept/removed token counts and
+    the md5 of the REBUILT text, so the surgery itself — not just
+    its arithmetic — is hash-checked against the oracle.
+
+    Scale shape: the span table rides the q231 substrate (hashed
+    postings, doc-partitioned island window); the excision is one
+    anti-join of positional tokens against the doc's spans (equi on
+    doc_id, range residual — spans per doc are few) and the rebuild
+    one doc-partitioned sort-aggregate. Nothing global; cost is
+    O(|tokens|) plus the report itself."""
+    base, spans = _dup_spans_frames(spark, sf_dir)
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(trim(text), '\\\\s+')"))
+        .alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # spans shares lineage with toks (both derive from the docs
+    # scan), so rename its columns before the anti-join — the bare
+    # `toks.doc_id == spans.doc_id` form makes Spark warn about (and
+    # potentially resolve) a trivially-true self-comparison
+    sp = spans.select(F.col("doc_id").alias("_sdoc"),
+                      F.col("s").alias("_s"), F.col("e").alias("_e"))
+    kept = toks.join(
+        sp,
+        (F.col("doc_id") == F.col("_sdoc"))
+        & (F.col("pos") >= F.col("_s")) & (F.col("pos") <= F.col("_e")),
+        "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").alias("kept_tokens"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda x: x.tok), " ").alias("_txt")))
+    return (base.select("doc_id", "total_tokens")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id", "total_tokens",
+                    F.coalesce("kept_tokens", F.lit(0))
+                    .alias("kept_tokens"),
+                    (F.col("total_tokens")
+                     - F.coalesce("kept_tokens", F.lit(0)))
+                    .alias("removed_tokens"),
+                    F.md5(F.coalesce("_txt", F.lit("")))
+                    .alias("clean_md5")))
+
+
+def _oracle_dup_span_excise() -> str:
+    n = DUPSPAN_N
+    return f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents),
+p AS (SELECT doc_id,
+             unnest(range(1, greatest(len(tk) - {n - 2}, 1))) AS pos,
+             unnest([array_to_string(tk[i:i + {n - 1}], ' ')
+                     FOR i IN range(1, greatest(len(tk)
+                                                - {n - 2}, 1))]) AS gram
+      FROM toks),
+shared AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM p)
+           GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT doc_id, pos FROM p JOIN shared USING (gram)),
+flags AS (SELECT doc_id, pos,
+                 CASE WHEN pos - coalesce(lag(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos), -{n}) > {n}
+                      THEN 1 ELSE 0 END AS brk
+          FROM h),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM flags),
+spans AS (SELECT doc_id, isl_id, min(pos) AS s,
+                 max(pos) + {n - 1} AS e
+          FROM isl GROUP BY 1, 2),
+pt AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+              unnest(tk) AS tok
+       FROM toks),
+keep AS (SELECT * FROM pt
+         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                           WHERE sp.doc_id = pt.doc_id
+                             AND pt.pos >= sp.s AND pt.pos <= sp.e)),
+reb AS (SELECT doc_id, count(*) AS kept_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS txt
+        FROM keep GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS total_tokens,
+       CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(t.tk) - coalesce(r.kept_tokens, 0) AS BIGINT)
+           AS removed_tokens,
+       md5(coalesce(r.txt, '')) AS clean_md5
+FROM toks t LEFT JOIN reb r USING (doc_id)
+"""
+
+
+REGISTRY_CORPUS.update({
+    "q239_dup_span_excise": (q_dup_span_excise,
+                             _oracle_dup_span_excise()),
 })

@@ -345,3 +345,34 @@ def test_incremental_lsh_batch_vs_index_only(spark):
     got = {(r.new_id, r.old_id): r.jaccard_sim for r in rows}
     assert set(got) == {(10, 1), (10, 2)}
     assert all(v == 1.0 for v in got.values())
+
+
+def test_dup_span_excise_hand_built(spark, tmp_path):
+    """q239 surgery on a planted corpus: two docs share one 8-token
+    run; the excision must remove exactly those 8 positions from
+    each and rebuild the remaining text verbatim (md5-pinned);
+    a third unrelated doc passes through untouched."""
+    import hashlib
+    from industrial_data_pipeline_spark.suite_corpus import (
+        q_dup_span_excise)
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8"
+    d1 = f"left1 left2 {shared} right1"
+    d2 = f"{shared} tail1 tail2"
+    d3 = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (spark.createDataFrame([(1, d1), (2, d2), (3, d3)],
+                           "doc_id long, text string")
+     .write.parquet(str(sf / "documents.parquet")))
+    out = {r.doc_id: r for r in
+           q_dup_span_excise(spark, str(sf)).collect()}
+    e1, e2, e3 = out[1], out[2], out[3]
+    assert (e1.total_tokens, e1.removed_tokens, e1.kept_tokens) \
+        == (11, 8, 3)
+    assert e1.clean_md5 == hashlib.md5(
+        b"left1 left2 right1").hexdigest()
+    assert (e2.total_tokens, e2.removed_tokens, e2.kept_tokens) \
+        == (10, 8, 2)
+    assert e2.clean_md5 == hashlib.md5(b"tail1 tail2").hexdigest()
+    assert (e3.removed_tokens, e3.kept_tokens) == (0, 9)
+    assert e3.clean_md5 == hashlib.md5(d3.encode()).hexdigest()
