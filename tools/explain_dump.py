@@ -289,6 +289,12 @@ PICKS = [
      "in the plan is _load_docs' round-robin spread of the "
      "single-file test corpus (input balancing, present before the "
      "operator and absent on a properly-split production table)."),
+    ("q239_dup_span_excise",
+     "Span excision: the token anti-join is an equi-join on doc_id "
+     "with the span range as a residual filter (no theta join); the "
+     "rebuild is one doc-partitioned sort-aggregate; the span "
+     "subtree reuses q231's hashed-posting shape (8-byte keys, "
+     "doc-partitioned island window) — nothing global."),
     ("q236_incremental_lsh",
      "Incremental LSH ingest gate: every join is an equi-join — the "
      "probe on (band, bucket), the verifies on bare ids — and the "
