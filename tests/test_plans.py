@@ -436,3 +436,28 @@ def test_incremental_lsh_broadcast_verify(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_text_normalize_projection_only(spark):
+    """q237: pure regexp projection — no join, window, Generate,
+    Python stage, or aggregate anywhere in the plan."""
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    p = plan(REGISTRY["q237_text_normalize"][0](
+        spark, "/root/testdata/sf0.001"))
+    for bad in ("Join", "Window", "Generate", "HashAggregate",
+                "SortAggregate", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in p, bad
+
+
+def test_dup_span_excise_equi_antijoin(spark):
+    """q239: the token-vs-span anti-join executes as an equi-join on
+    doc_id with the range as residual — never a
+    BroadcastNestedLoopJoin/CartesianProduct theta join; the rebuild
+    window/sort stays doc-partitioned (via the shared q231 substrate
+    the window_audit already covers)."""
+    from industrial_data_pipeline_spark.suite import REGISTRY
+    p = plan(REGISTRY["q239_dup_span_excise"][0](
+        spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
