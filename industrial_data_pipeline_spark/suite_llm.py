@@ -1344,3 +1344,189 @@ REGISTRY_LLM.update({
     "q236_incremental_lsh": (q_incremental_lsh,
                              ORACLE_INCREMENTAL_LSH),
 })
+
+
+# ---------- q240 STREAMING near-dup admission gate (cross-batch state)
+
+def _gate_ctes(p: str, corpus_cte: str, batch_cte: str) -> str:
+    """CTE chain (prefix ``p``) replaying one incremental-LSH gate of
+    ``batch_cte`` against ``corpus_cte``; ends with ``{p}ver``
+    (new_id, old_id, jaccard_sim >= threshold). Same machinery as
+    ORACLE_INCREMENTAL_LSH, parameterized so q240 can run the gate
+    TWICE in one query (batch 2 verifies against batch 1's
+    admissions)."""
+    bands = f"""
+{p}ctk AS (SELECT doc_id, {_TOKS} AS toks FROM {corpus_cte}),
+{p}btk AS (SELECT doc_id, {_TOKS} AS toks FROM {batch_cte}),
+{p}csh AS (SELECT doc_id, list_distinct({_GRAMS}) AS shingles
+           FROM {p}ctk),
+{p}bsh AS (SELECT doc_id, list_distinct({_GRAMS}) AS shingles
+           FROM {p}btk),
+{p}chb AS (SELECT doc_id, ({_h64('s')} & 2147483647) AS h32
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM {p}csh)),
+{p}bhb AS (SELECT doc_id, ({_h64('s')} & 2147483647) AS h32
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM {p}bsh)),
+{p}cm AS (SELECT doc_id, {_minhash_min_cols()} FROM {p}chb
+          GROUP BY doc_id),
+{p}bm AS (SELECT doc_id, {_minhash_min_cols()} FROM {p}bhb
+          GROUP BY doc_id),
+{p}cb AS (SELECT doc_id AS old_id, i AS band,
+                 {_h64(f"array_to_string({_SIG_ARRAY}[(i*{_ROWS_PER_BAND}+1):(i*{_ROWS_PER_BAND}+{_ROWS_PER_BAND})], ',')")}
+                     AS bucket
+          FROM {p}cm, UNNEST(generate_series(0, {_BANDS - 1})) AS t(i)),
+{p}bb AS (SELECT doc_id AS new_id, i AS band,
+                 {_h64(f"array_to_string({_SIG_ARRAY}[(i*{_ROWS_PER_BAND}+1):(i*{_ROWS_PER_BAND}+{_ROWS_PER_BAND})], ',')")}
+                     AS bucket
+          FROM {p}bm, UNNEST(generate_series(0, {_BANDS - 1})) AS t(i)),
+{p}cand AS (SELECT DISTINCT b.new_id, c.old_id
+            FROM {p}bb b JOIN {p}cb c
+              ON b.band = c.band AND b.bucket = c.bucket),
+{p}ver AS (SELECT cd.new_id, cd.old_id
+           FROM {p}cand cd
+           JOIN {p}bsh a ON cd.new_id = a.doc_id
+           JOIN {p}csh b ON cd.old_id = b.doc_id
+           WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
+                 >= {_THRESH})"""
+    return bands
+
+
+_REV = "array_to_string(list_reverse({toks}), ' ')".format(toks=_TOKS)
+
+_B1_SQL = f"""
+SELECT doc_id + 700000 AS doc_id, text || ' qqq' AS text
+FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id + 710000, {_REV}
+FROM documents WHERE doc_id >= 100 AND doc_id < 105
+"""
+
+_B2_SQL = f"""
+SELECT doc_id + 720000 AS doc_id, {_REV} || ' qqq' AS text
+FROM documents WHERE doc_id >= 100 AND doc_id < 105
+UNION ALL
+SELECT doc_id + 730000, {_REV}
+FROM documents WHERE doc_id >= 105 AND doc_id < 110
+"""
+
+
+def q_streaming_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q236 gate as an actual Structured Streaming admission
+    pipeline with CROSS-BATCH state: two offset-advancing
+    micro-batches of candidate documents stream through foreachBatch;
+    each batch is LSH-matched against the CURRENT corpus, rejects are
+    ledgered, admits are appended to the corpus — so batch 2's
+    mutants of batch 1's admissions are rejected ONLY because batch 1
+    really advanced the corpus between batches (the trigger-loop
+    pattern q229 proves for the archive, here for the dedup gate).
+    Emits the admission ledger (doc_id, admitted, n_matches); the
+    oracle replays both gates sequentially in SQL.
+
+    Scale shape: per batch it is exactly q236 (batch-vs-index probe,
+    broadcast batch-sized candidate verify) plus one append of the
+    admitted rows; the corpus is re-listed per batch (fresh file
+    listing, the store-maintenance discipline from streaming/
+    derived.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="idp_q240_")
+    corpus_dir = os.path.join(root, "corpus")
+    staging = os.path.join(root, "staging")
+    ledger_dir = os.path.join(root, "ledger")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging)
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(corpus_dir)
+    rev = F.array_join(F.reverse(TX.tokens(F.col("text"))), " ")
+    b1 = (docs.where(F.col("doc_id") < 5)
+          .select((F.col("doc_id") + 700000).alias("doc_id"),
+                  F.concat("text", F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 100)
+                         & (F.col("doc_id") < 105))
+              .select((F.col("doc_id") + 710000).alias("doc_id"),
+                      rev.alias("text"))))
+    b2 = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 105))
+          .select((F.col("doc_id") + 720000).alias("doc_id"),
+                  F.concat(rev, F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 105)
+                         & (F.col("doc_id") < 110))
+              .select((F.col("doc_id") + 730000).alias("doc_id"),
+                      rev.alias("text"))))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        batch = (batch.select("doc_id", "text")
+                 .localCheckpoint(eager=True))
+        if batch.isEmpty():
+            return
+        corpus = spark.read.parquet(corpus_dir)
+        matches = D.incremental_minhash_lsh(
+            corpus, batch, "doc_id",
+            num_perm=_NUM_PERM, bands=_BANDS, threshold=_THRESH)
+        per_new = matches.groupBy("new_id").agg(
+            F.count("*").alias("n_matches"))
+        stats = (batch.join(per_new,
+                            batch.doc_id == per_new.new_id, "left")
+                 .select(batch.doc_id,
+                         F.coalesce("n_matches", F.lit(0))
+                         .cast("long").alias("n_matches"))
+                 .localCheckpoint(eager=True))
+        admitted = stats.where(F.col("n_matches") == 0) \
+            .select("doc_id")
+        (batch.join(admitted, "doc_id").select("doc_id", "text")
+         .write.mode("append").parquet(corpus_dir))
+        (stats.select("doc_id",
+                      (F.col("n_matches") == 0).alias("admitted"),
+                      "n_matches")
+         .write.mode("append").parquet(ledger_dir))
+
+    src = (spark.readStream.schema("doc_id long, text string")
+           .parquet(staging))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").start())
+    try:
+        # stage → drain → stage → drain: two real offset-advancing
+        # micro-batches, batch 2 gated against batch 1's admissions
+        b1.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (spark.read.parquet(ledger_dir)
+           .select("doc_id", "admitted", "n_matches")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_STREAMING_LSH_GATE = f"""
+WITH corpus0 AS (SELECT doc_id, text FROM documents),
+b1 AS ({_B1_SQL}),
+{_gate_ctes('g1', 'corpus0', 'b1').lstrip()},
+adm1 AS (SELECT doc_id, text FROM b1
+         WHERE doc_id NOT IN (SELECT new_id FROM g1ver)),
+corpus1 AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM adm1),
+b2 AS ({_B2_SQL}),
+{_gate_ctes('g2', 'corpus1', 'b2').lstrip()},
+led AS (
+  SELECT b1.doc_id,
+         CAST(count(v.old_id) AS BIGINT) AS n_matches
+  FROM b1 LEFT JOIN g1ver v ON v.new_id = b1.doc_id
+  GROUP BY 1
+  UNION ALL
+  SELECT b2.doc_id, CAST(count(v.old_id) AS BIGINT)
+  FROM b2 LEFT JOIN g2ver v ON v.new_id = b2.doc_id
+  GROUP BY 1)
+SELECT doc_id, n_matches = 0 AS admitted, n_matches FROM led
+"""
+
+REGISTRY_LLM.update({
+    "q240_streaming_lsh_gate": (q_streaming_lsh_gate,
+                                ORACLE_STREAMING_LSH_GATE),
+})

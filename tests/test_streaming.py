@@ -119,3 +119,26 @@ def test_session_merge_never_regresses_open_end():
     # and a genuine gap still splits
     done, cur = _merge_session_events(cur, [700 * mn], [7], gap)
     assert len(done) == 1 and cur == [700 * mn, 700 * mn, 1, 7]
+
+
+def test_streaming_lsh_gate_cross_batch_state(spark):
+    """q240's load-bearing property: batch 2's near-dup mutants of
+    batch 1's ADMITTED documents are rejected — possible only if
+    batch 1's admissions really advanced the corpus between
+    micro-batches (cross-batch state through the store, not
+    intra-batch luck)."""
+    from industrial_data_pipeline_spark.suite_llm import (
+        q_streaming_lsh_gate)
+    out = {r.doc_id: r for r in
+           q_streaming_lsh_gate(spark,
+                                "/root/testdata/sf0.001").collect()}
+    # batch-1 mutants of corpus docs: rejected against the base corpus
+    assert all(not out[700000 + i].admitted for i in range(5))
+    # batch-1 fresh (token-reversed) docs: admitted
+    assert all(out[710100 + i].admitted for i in range(5))
+    # batch-2 mutants of the batch-1 ADMISSIONS: rejected (the
+    # cross-batch proof — their only possible match is a 710xxx doc)
+    assert all(not out[720100 + i].admitted
+               and out[720100 + i].n_matches >= 1 for i in range(5))
+    # batch-2 fresh docs: admitted
+    assert all(out[730105 + i].admitted for i in range(5))
