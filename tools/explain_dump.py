@@ -304,6 +304,13 @@ PICKS = [
      "The corpus signature subtree appearing under multiple joins "
      "is the documented in-plan-index trade — stored band/shingle "
      "columns replace it in production."),
+    ("q240_streaming_lsh_gate",
+     "Streaming admission gate: the dumped plan is the ledger "
+     "read-back after two REAL offset-advancing micro-batches (the "
+     "run happens during the dump); each batch's in-flight plan is "
+     "q236's broadcast-verify shape, and the cross-batch property "
+     "(batch 2 rejected against batch 1's admissions) is pinned by "
+     "tests/test_streaming.py, not by this final scan."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —

@@ -567,6 +567,11 @@ def main() -> None:
         '  write-once indexed asset — a production pass computes it once and',
         '  excises from the stored spans, so the marginal excision cost is',
         '  the anti-join + rebuild only.',
+        '- **q240 streaming admission gate**: per-batch cost is exactly the',
+        '  q236 row above (batch-vs-index probe + broadcast verify) plus one',
+        '  append of the admitted rows; corpus file listings refresh per',
+        "  batch, so the stream's steady-state cost tracks batch size — the",
+        '  same history-independence q229 measures for the archive loop.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
