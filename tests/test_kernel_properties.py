@@ -217,3 +217,69 @@ def test_bpe_apply_matches_unit_reference(spark, texts, merges):
     for i, t in enumerate(texts):
         assert got[i] == _bpe_reference(t, merges), (
             f"text={t!r} merges={merges}")
+
+
+# ------------------------ normalize_text vs Python reference
+
+def _normalize_reference(t: str):
+    import re
+    s1 = re.sub("[​‌‍﻿]", "", t)
+    s2 = re.sub("[ \t\n\r]", " ", s1)
+    s3 = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", s2)
+    s4 = re.sub(" {2,}", " ", s3)
+    s5 = s4.strip(" ")
+    return (len(t), len(t) - len(s1), len(s2) - len(s3),
+            len(s3) - len(s4), len(s5), s5)
+
+
+_DIRTY_ALPHABET = ("ab \t\n ​‍﻿\x07\x1f.!"
+                   "  ")  # double space raises collapse frequency
+
+
+@given(st.lists(st.text(alphabet=_DIRTY_ALPHABET, min_size=0,
+                        max_size=40), min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None)
+def test_normalize_text_matches_reference(spark, texts):
+    """normalize_text == the Python re reference on adversarial
+    strings mixing zero-width, control, exotic-whitespace and
+    multi-space runs (trim in Spark strips spaces only after stage 2
+    has already mapped every other whitespace to ' ', so strip(' ')
+    is the faithful reference)."""
+    import hashlib
+    from industrial_data_pipeline_spark.operators.text import (
+        normalize_text)
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(docs).collect()}
+    for i, t in enumerate(texts):
+        raw, zw, ctrl, coll, clean_len, clean = _normalize_reference(t)
+        r = got[i]
+        assert (r.raw_len, r.n_zero_width, r.n_ctrl, r.n_collapsed,
+                r.clean_len) == (raw, zw, ctrl, coll, clean_len), t
+        assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+
+
+@given(st.lists(st.lists(st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]),
+    min_size=6, max_size=12), min_size=2, max_size=5),
+    st.integers(min_value=0, max_value=10))
+@settings(max_examples=15, deadline=None)
+def test_incremental_lsh_no_false_negative_on_copy(spark, wordlists,
+                                                   pick):
+    """MinHash-LSH has NO false negatives for identical shingle
+    sets: a batch document byte-equal to a corpus document shares
+    every band bucket, so the gate must always report the pair at
+    jaccard 1.0 — the property that makes it safe as an exact-dup
+    admission gate too."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_lsh)
+    texts = [" ".join(ws) for ws in wordlists]
+    corpus = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+    target = pick % len(texts)
+    batch = spark.createDataFrame([(1000, texts[target])],
+                                  "doc_id long, text string")
+    rows = incremental_minhash_lsh(corpus, batch, "doc_id",
+                                   threshold=0.99).collect()
+    assert any(r.new_id == 1000 and r.old_id == target
+               and r.jaccard_sim == 1.0 for r in rows), texts
