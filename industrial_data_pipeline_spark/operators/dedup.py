@@ -591,3 +591,37 @@ def incremental_minhash_lsh(corpus: DataFrame, batch: DataFrame,
                                         F.col("_sh_old")), round_dp))
             .where(F.col("jaccard_sim") >= threshold)
             .select("new_id", "old_id", "jaccard_sim"))
+
+
+def incremental_connected_components(labels: DataFrame,
+                                     new_pairs: DataFrame,
+                                     src: str = "id_a",
+                                     dst: str = "id_b",
+                                     max_iter: int = 50,
+                                     stats: dict | None = None
+                                     ) -> DataFrame:
+    """Maintain duplicate-cluster labels as NEW near-dup edges arrive
+    (e.g. from the :func:`incremental_minhash_lsh` admission gate)
+    WITHOUT re-clustering the full pair graph: run min-label
+    propagation over the REDUCED graph = (node → current label) star
+    edges ∪ the delta edges.
+
+    Correctness: the star edges are exact reachability witnesses —
+    u and label(u) are connected by construction, and every old
+    component is represented by a depth-1 star whose center is its
+    min node id (connected_components' label contract) — so
+    components of (star ∪ delta) equal components of
+    (old pairs ∪ delta), and min-over-component is unchanged.
+
+    Scale: the reduced graph has |labels| + |delta| edges regardless
+    of how many pair edges built the old clusters, and rounds are
+    bounded by the DELTA's bridging depth (old clusters contribute
+    depth-1 stars), not the historical graph's diameter — the
+    steady-state cost profile an ingest loop needs. Same (doc_id,
+    cluster_id) output contract as :func:`connected_components`."""
+    star = labels.select(F.col("doc_id").alias(src),
+                         F.col("cluster_id").alias(dst))
+    combined = star.unionByName(
+        new_pairs.select(F.col(src).cast("long"),
+                         F.col(dst).cast("long")))
+    return connected_components(combined, src, dst, max_iter, stats)

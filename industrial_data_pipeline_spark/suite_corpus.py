@@ -938,3 +938,68 @@ REGISTRY_CORPUS.update({
     "q239_dup_span_excise": (q_dup_span_excise,
                              _oracle_dup_span_excise()),
 })
+
+
+# ------------- q241 incremental cluster maintenance (gate -> clusters)
+
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the q61 duplicate clusters as an ingest batch lands,
+    WITHOUT re-clustering the historical pair graph: delta edges come
+    from the q236 admission gate (20 new mutants of docs 10-29 probed
+    against the mutated corpus), and incremental_connected_components
+    folds them into the existing labels via the label-star reduction
+    (operators/dedup.py) — |labels| + |delta| edges per round instead
+    of the full pair graph, rounds bounded by the delta's bridging
+    depth. The oracle recomputes components over base ∪ delta pairs
+    from scratch — equality IS the incremental-correctness proof."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        connected_components, incremental_minhash_lsh)
+    from industrial_data_pipeline_spark.suite_llm import (
+        _BANDS, _NUM_PERM, _THRESH)
+    base_labels = connected_components(
+        _pairs_materialized(spark, sf_dir), "id_a", "id_b")
+    corpus = _mut_corpus(spark, sf_dir)
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    new = (docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+           .select((F.col("doc_id") + 310000).alias("doc_id"),
+                   F.concat("text", F.lit(" qq ww")).alias("text")))
+    delta = incremental_minhash_lsh(
+        corpus, new, "doc_id",
+        num_perm=_NUM_PERM, bands=_BANDS, threshold=_THRESH)
+    from industrial_data_pipeline_spark.operators.dedup import (
+        incremental_connected_components)
+    return incremental_connected_components(
+        base_labels,
+        delta.select(F.col("new_id").alias("id_a"),
+                     F.col("old_id").alias("id_b")))
+
+
+def _oracle_incremental_clusters() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _gate_ctes
+    nb = ("SELECT doc_id + 310000 AS doc_id, text || ' qq ww' AS text "
+          "FROM documents WHERE doc_id >= 10 AND doc_id < 30")
+    return f"""
+WITH RECURSIVE
+bp AS (SELECT id_a, id_b FROM ({ORACLE_MINHASH_LSH})),
+dp AS (SELECT new_id AS id_a, old_id AS id_b FROM (
+    WITH mutc AS ({_MUT_SQL}),
+    nb AS ({nb}),
+    {_gate_ctes('d', 'mutc', 'nb').lstrip()}
+    SELECT new_id, old_id FROM dver)),
+pairs AS (SELECT * FROM bp UNION ALL SELECT * FROM dp),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u
+)
+SELECT node AS doc_id, min(reach) AS cluster_id
+FROM walk GROUP BY node
+"""
+
+
+REGISTRY_CORPUS.update({
+    "q241_incremental_clusters": (q_incremental_clusters,
+                                  _oracle_incremental_clusters()),
+})

@@ -376,3 +376,24 @@ def test_dup_span_excise_hand_built(spark, tmp_path):
     assert e2.clean_md5 == hashlib.md5(b"tail1 tail2").hexdigest()
     assert (e3.removed_tokens, e3.kept_tokens) == (0, 9)
     assert e3.clean_md5 == hashlib.md5(d3.encode()).hexdigest()
+
+
+def test_incremental_cc_merges_and_extends(spark):
+    """incremental_connected_components on a hand-built state: one
+    delta edge MERGES two existing clusters (all five nodes re-label
+    to the global min), another extends a cluster with a brand-new
+    node, and an untouched cluster keeps its label."""
+    from industrial_data_pipeline_spark.operators.dedup import (
+        incremental_connected_components)
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1),          # cluster 1
+         (5, 5), (6, 5), (7, 5),  # cluster 5
+         (9, 9)],                 # untouched cluster
+        "doc_id long, cluster_id long")
+    delta = spark.createDataFrame(
+        [(2, 6),     # bridges cluster 1 and cluster 5
+         (20, 7)],   # new node 20 joins cluster 5's component
+        "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in
+           incremental_connected_components(labels, delta).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 7: 1, 20: 1, 9: 9}
