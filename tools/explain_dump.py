@@ -304,6 +304,12 @@ PICKS = [
      "The corpus signature subtree appearing under multiple joins "
      "is the documented in-plan-index trade — stored band/shingle "
      "columns replace it in production."),
+    ("q241_incremental_clusters",
+     "Incremental cluster maintenance: the final labels plan joins "
+     "checkpointed frames only (every propagation round "
+     "localCheckpoints, so lineage stays flat); the label-star "
+     "reduction means the joins run over |labels| + |delta| edges — "
+     "the historical pair graph appears nowhere in the plan."),
     ("q240_streaming_lsh_gate",
      "Streaming admission gate: the dumped plan is the ledger "
      "read-back after two REAL offset-advancing micro-batches (the "
