@@ -144,7 +144,7 @@ _VERIFIED_GREEN = {
 # green listing across the round-7 posting-key hash (re-verified
 # values=MATCH via tools/drive_contract.py and the committed
 # CORRECTNESS_LOCAL_r07.json), as do q59/q165/q167 across the
-# tfidf lazy-N change. Round 7's never-checked tail is q233-q240.
+# tfidf lazy-N change. Round 7's never-checked tail is q233-q241.
 _VERIFY_FIRST: set[str] = set()
 
 
