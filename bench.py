@@ -103,6 +103,14 @@ def main() -> None:
         # sf mismatch: a local run at another SF must not pollute the
         # sf0.1 minima — keep them untouched
         print(f"[bench] minima fold skipped: {exc}", file=sys.stderr)
+    except (ValueError, KeyError, TypeError, AttributeError) as exc:
+        # corrupt/hand-edited BENCH_DETAIL.json (JSONDecodeError is a
+        # ValueError) must not crash bench AFTER the whole suite ran —
+        # skip the fold; BENCH_RUN.json preserves this run's raw
+        # timings for a manual re-fold via tools/merge_bench.py
+        print(f"[bench] minima fold skipped (bad BENCH_DETAIL.json: "
+              f"{exc!r}) — raw timings kept in BENCH_RUN.json",
+              file=sys.stderr)
 
     # n_errors travels with the headline number so a partially failed
     # run (smaller total over fewer queries) can't read as a speedup

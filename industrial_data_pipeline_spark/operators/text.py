@@ -766,7 +766,12 @@ def bm25_topk(df: DataFrame, queries: dict[int, str], k: int = 10,
 
 
 #: Unit separator used by :func:`bpe_apply`'s symbol encoding —
-#: ASCII 0x1F, guaranteed absent from whitespace-tokenized text.
+#: ASCII 0x1F. NOT guaranteed absent from arbitrary text (0x1F is a
+#: control char, not whitespace), so :func:`bpe_apply` strips it from
+#: the input before encoding — the same disposition
+#: :func:`normalize_text` applies (its ctrl class removes 0x1F), so
+#: normalized corpora are unaffected and un-normalized ones can't
+#: corrupt unit counts or merge boundaries.
 BPE_SEP = "\x1f"
 
 
@@ -813,8 +818,12 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     if not merges:
         raise ValueError("merges must contain at least one pair")
     sep = BPE_SEP
+    # strip any literal 0x1F from the input first: it's a control
+    # char (not whitespace), so a document containing it would
+    # otherwise forge unit boundaries (see BPE_SEP note)
     word_syms = F.transform(
-        tokens(F.lower(F.col(text_col))),
+        tokens(F.replace(F.lower(F.col(text_col)),
+                         F.lit(sep), F.lit(""))),
         lambda w: F.regexp_replace(w, "(.)", sep + "$1" + sep))
     sym = F.array_join(word_syms, " ")
 

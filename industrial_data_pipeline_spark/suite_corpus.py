@@ -709,7 +709,9 @@ def _pos_shingle_expr(n: int) -> str:
     standard 64-bit birthday bound (~n²/2⁶⁵: < 1e-9 even at 10⁸
     distinct grams per corpus) and can only ADD a false shared span
     to the report, never drop a true one — acceptable for a
-    dup-span report and documented here."""
+    dup-span report. NOTE: q239's excision consumes the same
+    substrate, where a false shared span DELETES unique text; see
+    q_dup_span_excise's docstring for the accepted-loss bound."""
     tk = "split(trim(text), '\\\\s+')"
     return (f"CASE WHEN size({tk}) >= {n}"
             f" THEN transform(sequence(1, size({tk}) - {n - 1}),"
@@ -844,6 +846,16 @@ def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative). Emits per doc the kept/removed token counts and
     the md5 of the REBUILT text, so the surgery itself — not just
     its arithmetic — is hash-checked against the oracle.
+
+    Collision disposition: the substrate keys grams by xxhash64
+    (_pos_shingle_expr). For q231's REPORT a collision can only ADD
+    a false shared span; HERE the same false positive would EXCISE
+    unique text — accepted data loss, bounded by the 64-bit birthday
+    rate (< 1e-9 expected false grams even at 10⁸ distinct grams;
+    each costs ≤ one span of ~2n tokens from one document). A
+    pipeline that cannot accept that bound should verify candidate
+    spans against raw grams before cutting (one extra semi-join on
+    the span rows only).
 
     Scale shape: the span table rides the q231 substrate (hashed
     postings, doc-partitioned island window); the excision is one

@@ -1496,12 +1496,15 @@ def q_streaming_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         b2.coalesce(1).write.mode("append").parquet(staging)
         q.processAllAvailable()
+        out = (spark.read.parquet(ledger_dir)
+               .select("doc_id", "admitted", "n_matches")
+               .localCheckpoint(eager=True))
     finally:
+        # rmtree in finally so a failed stream/foreachBatch body
+        # doesn't leak the corpus/ledger/checkpoint temp root; the
+        # eager localCheckpoint above detaches `out` from the files
         q.stop()
-    out = (spark.read.parquet(ledger_dir)
-           .select("doc_id", "admitted", "n_matches")
-           .localCheckpoint(eager=True))
-    shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 

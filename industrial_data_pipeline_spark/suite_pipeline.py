@@ -1022,8 +1022,10 @@ def _oracle_bpe_apply() -> str:
                      f"{sep} || '{a}{b}' || {sep})")
     return f"""
 WITH docs AS (SELECT doc_id, {_TOKS} AS tk
-              FROM (SELECT doc_id, lower(text) AS text
+              FROM (SELECT doc_id,
+                           replace(lower(text), chr(31), '') AS text
                     FROM documents)),
+-- chr(31) stripped first: bpe_apply removes any literal BPE_SEP
 enc AS (SELECT doc_id, {enc} AS sym FROM docs),
 m AS (SELECT doc_id, sym, {sym_chain} AS merged FROM enc),
 c AS (SELECT doc_id,

@@ -219,6 +219,20 @@ def test_bpe_apply_matches_unit_reference(spark, texts, merges):
             f"text={t!r} merges={merges}")
 
 
+def test_bpe_apply_strips_literal_sep(spark):
+    """A document containing a literal 0x1F (BPE_SEP) cannot forge
+    unit boundaries or corrupt counts: the char is stripped from the
+    input before symbol encoding (ADVICE r7)."""
+    from industrial_data_pipeline_spark.operators.text import bpe_apply
+    docs = spark.createDataFrame(
+        [(0, "ta\x1fb cd"), (1, "tab cd")],
+        "doc_id long, text string")
+    rows = {r.doc_id: (r.n_units, r.n_subwords)
+            for r in bpe_apply(
+                docs, [("t", "a"), ("ta", "b")]).collect()}
+    assert rows[0] == rows[1] == (5, 3)
+
+
 # ------------------------ normalize_text vs Python reference
 
 def _normalize_reference(t: str):
