@@ -1533,3 +1533,157 @@ REGISTRY_LLM.update({
     "q240_streaming_lsh_gate": (q_streaming_lsh_gate,
                                 ORACLE_STREAMING_LSH_GATE),
 })
+
+
+# ------------- q242 stored-index LSH gate (persisted band/shingle assets)
+
+def q_stored_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q236 admission gate probing a PERSISTED index
+    (operators/lsh_index.py::StoredLshIndex) instead of re-signing
+    the corpus in-plan — the steady-state production shape: the band
+    table and shingle sets are parquet assets written once per
+    admitted doc, so a probe costs O(|batch| signatures +
+    collisions) regardless of corpus size (vs the in-plan gate's
+    corpus-sized rebuild, 9.4× wall at a 16× corpus — SCALE_NOTES).
+    Same planted batch and SAME ORACLE as q236: byte-equality IS the
+    proof that the stored index reproduces the in-plan gate."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.lsh_index import \
+        StoredLshIndex
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    mut = (docs.where(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 400000).alias("doc_id"),
+                   F.concat("text", F.lit(" qqq")).alias("text")))
+    rev = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+           .select((F.col("doc_id") + 500000).alias("doc_id"),
+                   F.array_join(F.reverse(TX.tokens(F.col("text"))),
+                                " ").alias("text")))
+    batch = mut.unionByName(rev)
+    root = tempfile.mkdtemp(prefix="idp_q242_")
+    try:
+        idx = StoredLshIndex(spark, root, num_perm=_NUM_PERM,
+                             bands=_BANDS, threshold=_THRESH)
+        idx.build(docs)  # the one-time corpus-sized cost
+        out = (idx.probe(batch)
+               .select("new_id", "old_id", "jaccard_sim")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_LLM.update({
+    # oracle intentionally shared with q236: the stored index must be
+    # indistinguishable from the in-plan gate
+    "q242_stored_lsh_gate": (q_stored_lsh_gate, ORACLE_INCREMENTAL_LSH),
+})
+
+
+# -------- q243 STREAMING admission gate over the persisted LSH index
+
+def q_streaming_stored_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q240's cross-batch streaming admission gate re-based on the
+    PERSISTED index: foreachBatch signs the batch ONCE, probes the
+    stored band/shingle assets, ledgers the decision, and appends the
+    ADMITTED rows' already-computed signature rows to the index — no
+    corpus text is ever re-read or re-signed after the initial build.
+    Batch 2's mutants of batch 1's admissions are rejected only
+    because batch 1's append really advanced the stored index.
+
+    Scale shape: per batch = sign batch + index equi-join probe +
+    broadcast verify + two batch-sized appends. Steady-state cost is
+    O(|batch| + collisions), independent of corpus size — the
+    VERDICT r7 lead item. SAME ORACLE as q240 (sequential replay of
+    both gates): equality proves the persisted index carries the
+    cross-batch state exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.lsh_index import \
+        StoredLshIndex
+
+    root = tempfile.mkdtemp(prefix="idp_q243_")
+    idx_root = os.path.join(root, "lsh_index")
+    staging = os.path.join(root, "staging")
+    ledger_dir = os.path.join(root, "ledger")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging)
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    idx = StoredLshIndex(spark, idx_root, num_perm=_NUM_PERM,
+                         bands=_BANDS, threshold=_THRESH)
+    idx.build(docs)
+    rev = F.array_join(F.reverse(TX.tokens(F.col("text"))), " ")
+    b1 = (docs.where(F.col("doc_id") < 5)
+          .select((F.col("doc_id") + 700000).alias("doc_id"),
+                  F.concat("text", F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 100)
+                         & (F.col("doc_id") < 105))
+              .select((F.col("doc_id") + 710000).alias("doc_id"),
+                      rev.alias("text"))))
+    b2 = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 105))
+          .select((F.col("doc_id") + 720000).alias("doc_id"),
+                  F.concat(rev, F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 105)
+                         & (F.col("doc_id") < 110))
+              .select((F.col("doc_id") + 730000).alias("doc_id"),
+                      rev.alias("text"))))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        batch = (batch.select("doc_id", "text")
+                 .localCheckpoint(eager=True))
+        if batch.isEmpty():
+            return
+        # sign ONCE; the checkpointed frames feed probe AND append
+        bands_df, shingles_df = idx.signature_frames(batch)
+        bands_df = bands_df.localCheckpoint(eager=True)
+        shingles_df = shingles_df.localCheckpoint(eager=True)
+        matches = idx.probe_frames(bands_df, shingles_df)
+        per_new = matches.groupBy("new_id").agg(
+            F.count("*").alias("n_matches"))
+        stats = (batch.join(per_new,
+                            batch.doc_id == per_new.new_id, "left")
+                 .select(batch.doc_id,
+                         F.coalesce("n_matches", F.lit(0))
+                         .cast("long").alias("n_matches"))
+                 .localCheckpoint(eager=True))
+        admitted = stats.where(F.col("n_matches") == 0) \
+            .select("doc_id")
+        idx.append_frames(
+            bands_df.join(F.broadcast(admitted), "doc_id"),
+            shingles_df.join(F.broadcast(admitted), "doc_id"))
+        (stats.select("doc_id",
+                      (F.col("n_matches") == 0).alias("admitted"),
+                      "n_matches")
+         .write.mode("append").parquet(ledger_dir))
+
+    src = (spark.readStream.schema("doc_id long, text string")
+           .parquet(staging))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").start())
+    try:
+        b1.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        out = (spark.read.parquet(ledger_dir)
+               .select("doc_id", "admitted", "n_matches")
+               .localCheckpoint(eager=True))
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_LLM.update({
+    # oracle shared with q240: the stored-index stream must replay to
+    # the identical admission ledger
+    "q243_streaming_stored_gate": (q_streaming_stored_gate,
+                                   ORACLE_STREAMING_LSH_GATE),
+})

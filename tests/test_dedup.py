@@ -397,3 +397,55 @@ def test_incremental_cc_merges_and_extends(spark):
     got = {r.doc_id: r.cluster_id for r in
            incremental_connected_components(labels, delta).collect()}
     assert got == {1: 1, 2: 1, 5: 1, 6: 1, 7: 1, 20: 1, 9: 9}
+
+
+# ----------------------------- persisted LSH index (lsh_index.py)
+
+
+def test_stored_lsh_index_equals_in_plan_gate(spark, tmp_path, corpus):
+    """Probing the PERSISTED index is byte-identical to the in-plan
+    incremental_minhash_lsh over the same corpus — the equality that
+    makes q242 share q236's oracle."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+    docs = corpus
+    batch = (docs.where(F.col("doc_id") < 10)
+             .select((F.col("doc_id") + 900000).alias("doc_id"),
+                     F.concat("text", F.lit(" yyy")).alias("text")))
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.35)
+    idx.build(docs)
+    stored = {(r.new_id, r.old_id, r.jaccard_sim)
+              for r in idx.probe(batch).collect()}
+    inplan = {(r.new_id, r.old_id, r.jaccard_sim)
+              for r in D.incremental_minhash_lsh(
+                  docs, batch, "doc_id", threshold=0.35).collect()}
+    assert stored == inplan and stored
+
+
+def test_stored_lsh_index_append_advances_gate(spark, tmp_path):
+    """An admitted batch's appended signature rows really advance the
+    index: a later near-copy of the admitted doc is caught, and
+    open() round-trips the build parameters."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    idx.build(docs)
+    newcomer = spark.createDataFrame(
+        [(10, "red orange yellow green blue indigo violet")],
+        "doc_id long, text string")
+    bands_df, shingles_df = idx.signature_frames(newcomer)
+    assert idx.probe_frames(bands_df, shingles_df).count() == 0
+    idx.append_frames(bands_df, shingles_df)  # admit
+    probe2 = spark.createDataFrame(
+        [(11, "red orange yellow green blue indigo violet")],
+        "doc_id long, text string")
+    reopened = StoredLshIndex.open(spark, str(tmp_path / "idx"))
+    assert (reopened.num_perm, reopened.bands,
+            reopened.threshold) == (32, 8, 0.5)
+    got = {(r.new_id, r.old_id, r.jaccard_sim)
+           for r in reopened.probe(probe2).collect()}
+    assert got == {(11, 10, 1.0)}

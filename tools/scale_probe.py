@@ -493,8 +493,11 @@ def main() -> None:
         '  + one map-combinable df aggregation + a per-doc lag window over',
         '  HIT positions only. Round 7 replaced the 8-gram STRING posting',
         '  key with xxhash64 computed inside the shingle transform —',
-        '  same-session XL A/B: wall 293 s → 140 s (2.1×), shuffle write',
-        '  276 MB → 139 MB (2.0×) at identical output (byte-exact oracle',
+        '  same-session XL A/B on a SEPARATE (noisier) window: wall',
+        '  293 s → 140 s (2.1×), shuffle write 276 MB → 139 MB (2.0×) at',
+        '  identical output; the headline XL table row above is measured',
+        '  fresh each regeneration ON the fixed path, so the table, not',
+        '  this historical A/B, is the current number (byte-exact oracle',
         '  match; collision risk is the 64-bit birthday bound, additive-only',
         '  for a dup report, documented at _pos_shingle_expr). Still linear',
         "  in corpus size; the remaining absolute is the posting explosion's",
@@ -554,9 +557,21 @@ def main() -> None:
         '  evaluated ONCE and the corpus is never shuffled for the verify —',
         '  restructuring it this way cut sf0.1 from 21.1 s to 5.4 s (4×).',
         '  The remaining XL growth is the in-plan corpus signature build',
-        '  itself; with the band table and shingle sets stored as index',
-        '  columns (one write per admitted batch), per-batch cost is',
-        '  O(|batch| signatures + collisions), independent of corpus size.',
+        '  itself — RESOLVED in round 8 by the persisted index (next row).',
+        '- **q242/q243 stored-index LSH gate** (round 8, the r7 lead item,',
+        '  operators/lsh_index.py): the corpus band table + shingle sets',
+        '  are parquet assets written once per admitted doc; the gate signs',
+        '  only the batch and equi-joins the STORED band table. A/B probe',
+        '  (tools/lsh_gate_probe.py, min of 2, fixed 30-doc batch):',
+        '  in-plan gate 8.0 s → 106.1 s at 16× corpus (13.3×) vs stored',
+        '  probe 1.53 s → 1.14 s (0.75× — FLAT; ≥6× faster even at 1×).',
+        '  One-time build cost 10 s (1×) / 165 s (16×) is the amortized',
+        '  corpus pass. Byte-exactness vs the in-plan gate is pinned by',
+        '  q242 sharing q236\'s oracle and q243 sharing q240\'s (the',
+        '  streaming form appends admitted signature rows per batch, so',
+        '  cross-batch state lives entirely in the stored asset). Per-batch',
+        '  steady-state cost is O(|batch| signatures + collisions),',
+        '  independent of corpus size — measured, not projected.',
         '- **q237 text normalization**: 0.47 s → 0.95 s for 16× docs (2.0×) —',
         '  a shuffle-free regexp projection still overhead-dominated at 80 k',
         '  docs; scan-rate by construction.',
@@ -572,6 +587,9 @@ def main() -> None:
         '  append of the admitted rows; corpus file listings refresh per',
         "  batch, so the stream's steady-state cost tracks batch size — the",
         '  same history-independence q229 measures for the archive loop.',
+        '  q243 is its stored-index form: the per-batch corpus signature',
+        '  rebuild disappears entirely (see the q242/q243 row), making the',
+        '  stream the production admission loop.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
