@@ -1,0 +1,218 @@
+"""Lease-file writer lock — the cross-node form of the store's
+single-writer boundary.
+
+The default ``flock`` backend (catalog/store.py::write_lock) is exact
+on one node: the kernel releases a dead holder's lock instantly and
+there is no stale state. But at 100 TB the store root lives on object
+storage or a shared filesystem where no kernel spans the writers —
+flock either doesn't exist (S3/GCS) or silently degrades (NFS without
+a lock manager). This module provides the standard replacement: a
+LEASE protocol built from three primitives every target offers —
+
+  atomic create-if-absent   (POSIX ``O_CREAT|O_EXCL``; S3/GCS
+                             conditional PUT ``If-None-Match: *``)
+  atomic replace            (POSIX ``rename``; object-store PUT)
+  read                      (read/GET)
+
+Protocol:
+
+- **Acquire**: create the lease file exclusively, payload
+  ``{owner, pid, hb_ts, token}``. If it exists and its heartbeat is
+  fresh (age < ttl) → the database has a live writer → fail loudly
+  after the caller's timeout. If STALE (age ≥ ttl) → takeover.
+- **Heartbeat**: a daemon thread atomically rewrites the lease every
+  ttl/3 with a new ``hb_ts``; it first re-reads the file and, if the
+  owner is no longer us, sets :attr:`LeaseLock.lost` and stops —
+  loss is detected within one heartbeat interval.
+- **Takeover**: serialized by a ``.takeover`` marker created
+  exclusively (one stealer at a time; a marker older than ttl is
+  itself considered abandoned and removed). The winner re-reads the
+  lease, aborts if it changed since the staleness check, then
+  unlinks + recreates it.
+- **Fencing token**: a monotonic counter in ``<lease>.fence``,
+  incremented by each successful acquisition (only the unique winner
+  writes it). Downstream commit protocols can persist the token with
+  each write and reject writes carrying a stale token — the standard
+  mitigation for the inherent lease weakness below.
+
+Honest limits (documented, tested where testable): a holder paused
+longer than the ttl (GC, VM freeze) can be overtaken and may overlap
+the new holder for up to one heartbeat interval before noticing —
+leases bound, but cannot eliminate, that window; that is exactly what
+the fencing token is for. Clock skew between writers shifts staleness
+judgement by the skew; keep ttl ≫ max skew. A real deployment can
+swap this file-level protocol for a catalog service or an
+Iceberg/Delta commit protocol without touching callers — the store's
+``write_lock`` interface is the seam.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import socket
+import threading
+import time
+import uuid
+
+
+class LeaseHeldError(RuntimeError):
+    """The lease is held by a live (fresh-heartbeat) foreign owner."""
+
+
+class LeaseLock:
+    """A single writer lease over ``path``. Not reentrant — callers
+    needing reentrancy wrap it (ParquetStore's depth counter does)."""
+
+    def __init__(self, path: str, ttl_s: float = 10.0,
+                 heartbeat_s: float | None = None,
+                 owner: str | None = None):
+        self.path = path
+        self.ttl_s = ttl_s
+        self.heartbeat_s = heartbeat_s or ttl_s / 3.0
+        self.owner = owner or (f"{socket.gethostname()}:{os.getpid()}:"
+                               f"{uuid.uuid4().hex[:8]}")
+        self.token: int | None = None
+        #: set by the heartbeat thread when it finds the lease no
+        #: longer ours — the holder learns it was overtaken within
+        #: one heartbeat interval
+        self.lost = threading.Event()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ file IO
+
+    def _read(self) -> dict | None:
+        try:
+            with open(self.path) as fh:
+                return json.loads(fh.read())
+        except (FileNotFoundError, json.JSONDecodeError):
+            # mid-replace torn read on non-POSIX stores decodes as
+            # None → caller retries
+            return None
+
+    def _payload(self) -> bytes:
+        return json.dumps({"owner": self.owner, "pid": os.getpid(),
+                           "hb_ts": time.time(),
+                           "token": self.token}).encode()
+
+    def _replace(self) -> None:
+        tmp = f"{self.path}.{self.owner.rsplit(':', 1)[-1]}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(self._payload())
+        os.replace(tmp, self.path)  # atomic publish
+
+    def _try_create(self) -> bool:
+        """Atomic create-if-absent with our payload; bumps the fence
+        counter on success (only the unique winner writes it)."""
+        try:
+            fd = os.open(self.path,
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        fence_path = self.path + ".fence"
+        try:
+            with open(fence_path) as fh:
+                fence = int(fh.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            fence = 0
+        self.token = fence + 1
+        with open(fence_path + ".tmp", "w") as fh:
+            fh.write(str(self.token))
+        os.replace(fence_path + ".tmp", fence_path)
+        os.write(fd, self._payload())
+        os.close(fd)
+        return True
+
+    # ----------------------------------------------------------- takeover
+
+    def _try_takeover(self, observed: dict) -> bool:
+        """Steal a stale lease; serialized by an exclusive marker."""
+        marker = self.path + ".takeover"
+        try:
+            fd = os.open(marker,
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            # another stealer is mid-takeover; clear an abandoned
+            # marker (stealer died) so the system can't wedge
+            with contextlib.suppress(OSError):
+                if time.time() - os.path.getmtime(marker) > self.ttl_s:
+                    os.unlink(marker)
+            return False
+        try:
+            os.write(fd, self.owner.encode())
+            os.close(fd)
+            current = self._read()
+            if current != observed:
+                # the holder heartbeated between our staleness check
+                # and the marker — it is alive; abort the steal
+                return False
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self.path)
+            return self._try_create()
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(marker)
+
+    # ---------------------------------------------------------------- API
+
+    def acquire(self, timeout_s: float = 10.0) -> int:
+        """Acquire the lease; returns the fencing token. Raises
+        :class:`LeaseHeldError` after ``timeout_s`` if a live owner
+        holds it."""
+        deadline = time.monotonic() + timeout_s
+        holder = "unknown"
+        while True:
+            if self._try_create():
+                break
+            cur = self._read()
+            if cur is None:
+                continue  # vanished or torn — retry immediately
+            holder = f"{cur.get('owner')} (pid {cur.get('pid')})"
+            if time.time() - float(cur.get("hb_ts", 0)) >= self.ttl_s:
+                if self._try_takeover(cur):
+                    break
+                continue  # lost the steal race — re-examine
+            if time.monotonic() >= deadline:
+                raise LeaseHeldError(
+                    f"lease {self.path} is held by {holder} with a "
+                    f"fresh heartbeat (ttl {self.ttl_s}s)")
+            time.sleep(0.05)
+        self.lost.clear()
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._heartbeat_loop,
+                                        daemon=True,
+                                        name=f"lease-hb:{self.path}")
+        self._thread.start()
+        return self.token
+
+    def _heartbeat_loop(self) -> None:
+        while not self._stop.wait(self.heartbeat_s):
+            cur = self._read()
+            if cur is None or cur.get("owner") != self.owner:
+                # overtaken (we stalled past the ttl) — surface it
+                # and stop renewing; the fencing token is what keeps
+                # the overlap window from corrupting committed state
+                self.lost.set()
+                return
+            with contextlib.suppress(OSError):
+                self._replace()
+
+    def release(self) -> None:
+        """Stop heartbeating and delete the lease iff still ours."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=self.ttl_s)
+            self._thread = None
+        cur = self._read()
+        if cur is not None and cur.get("owner") == self.owner:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self.path)
+
+    def __enter__(self) -> "LeaseLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()

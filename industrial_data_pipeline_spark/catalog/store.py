@@ -82,9 +82,26 @@ _PROC_LOCKS_GUARD = threading.Lock()
 
 
 class ParquetStore:
-    def __init__(self, spark: SparkSession, root: str):
+    #: class-level default so partially-constructed instances
+    #: (tests use ``__new__`` for lock-only children) still resolve
+    #: a backend
+    lock_backend = "flock"
+
+    def __init__(self, spark: SparkSession, root: str,
+                 lock_backend: str = "flock"):
+        """``lock_backend``: ``"flock"`` (default — exact on one
+        node, kernel-released on holder death) or ``"lease"``
+        (catalog/lease.py — heartbeat + stale takeover + fencing
+        token, for roots on object storage / shared filesystems
+        where no kernel spans the writers). ALL writers of a root
+        must agree on the backend; a mixed pair would be guarding
+        different files and exclude nothing, so the process-global
+        lock state rejects a mismatch loudly."""
+        if lock_backend not in ("flock", "lease"):
+            raise ValueError(f"unknown lock_backend {lock_backend!r}")
         self.spark = spark
         self.root = root
+        self.lock_backend = lock_backend
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------ writer lock
@@ -98,8 +115,18 @@ class ParquetStore:
     def _lock_state(self, database: str) -> dict:
         key = (os.path.abspath(self.root), database)
         with _PROC_LOCKS_GUARD:
-            return _PROC_LOCKS.setdefault(
-                key, {"rlock": threading.RLock(), "depth": 0, "fd": None})
+            st = _PROC_LOCKS.setdefault(
+                key, {"rlock": threading.RLock(), "depth": 0,
+                      "fd": None, "lease": None,
+                      "backend": self.lock_backend})
+            if st["backend"] != self.lock_backend:
+                # two instances guarding DIFFERENT files would
+                # exclude nothing — fail loudly (constructor note)
+                raise ConcurrentWriterError(
+                    f"store root {self.root!r} is already locked via "
+                    f"backend {st['backend']!r} in this process; "
+                    f"refusing to mix with {self.lock_backend!r}")
+            return st
 
     @contextlib.contextmanager
     def write_lock(self, database: str, timeout_s: float = 10.0):
@@ -124,9 +151,13 @@ class ParquetStore:
         removing it would let a waiter flock the orphaned inode
         while a third process creates a fresh file — the classic
         flock/unlink double-holder hole. Caveat: flock over NFS
-        depends on the server's lock manager; a real deployment
-        replaces this with a catalog service or a Delta/Iceberg
-        commit protocol."""
+        depends on the server's lock manager, and object stores have
+        no flock at all — construct the store with
+        ``lock_backend="lease"`` there (catalog/lease.py: heartbeat +
+        stale takeover + fencing token, built only from atomic
+        create-if-absent/replace, which S3/GCS conditional PUT also
+        offers); a real deployment can equally swap in a catalog
+        service or a Delta/Iceberg commit protocol at this seam."""
         st = self._lock_state(database)
         rl = st["rlock"]
         if not rl.acquire(timeout=timeout_s):
@@ -140,7 +171,19 @@ class ParquetStore:
             # next caller retries acquisition from scratch (a depth
             # incremented on a failed acquisition would silently skip
             # flock forever — review r5, third pass)
-            if st["depth"] == 0:
+            if st["depth"] == 0 and self.lock_backend == "lease":
+                from industrial_data_pipeline_spark.catalog.lease import (
+                    LeaseHeldError, LeaseLock)
+                lease = LeaseLock(self._lock_path(database) + ".lease")
+                try:
+                    lease.acquire(timeout_s)
+                except LeaseHeldError as exc:
+                    raise ConcurrentWriterError(
+                        f"database {database!r} is being written by "
+                        f"another node ({exc}); the store is "
+                        "single-writer per database") from exc
+                st["lease"] = lease
+            elif st["depth"] == 0:
                 fd = os.open(self._lock_path(database),
                              os.O_CREAT | os.O_RDWR, 0o644)
                 deadline = time.monotonic() + timeout_s
@@ -176,6 +219,9 @@ class ParquetStore:
                 yield
             finally:
                 st["depth"] -= 1
+                if st["depth"] == 0 and st["lease"] is not None:
+                    lease, st["lease"] = st["lease"], None
+                    lease.release()
                 if st["depth"] == 0 and st["fd"] is not None:
                     fd, st["fd"] = st["fd"], None
                     with contextlib.suppress(OSError):

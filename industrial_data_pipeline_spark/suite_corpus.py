@@ -863,14 +863,23 @@ def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, range residual — spans per doc are few) and the rebuild
     one doc-partitioned sort-aggregate. Nothing global; cost is
     O(|tokens|) plus the report itself."""
-    base, spans = _dup_spans_frames(spark, sf_dir)
+    _base, spans = _dup_spans_frames(spark, sf_dir)
     docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    return _excise_tokens(docs, spans)
+
+
+def _excise_tokens(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """The excision MARGINAL, shared by q239 (spans built in-plan)
+    and q244 (spans read from the persisted q231 asset): positional
+    tokens anti-join the span ranges, one doc-partitioned rebuild.
+    Cost is O(|tokens| of the excised docs + |spans|) — it never
+    touches the posting substrate that FOUND the spans."""
     toks = docs.select(
         "doc_id",
         F.posexplode(F.expr("split(trim(text), '\\\\s+')"))
         .alias("pos0", "tok")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    # spans shares lineage with toks (both derive from the docs
+    # spans may share lineage with toks (both derive from the docs
     # scan), so rename its columns before the anti-join — the bare
     # `toks.doc_id == spans.doc_id` form makes Spark warn about (and
     # potentially resolve) a trivially-true self-comparison
@@ -888,16 +897,22 @@ def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.array_sort(F.collect_list(
                                 F.struct("pos", "tok"))),
                             lambda x: x.tok), " ").alias("_txt")))
-    return (base.select("doc_id", "total_tokens")
-            .join(rebuilt, "doc_id", "left")
-            .select("doc_id", "total_tokens",
-                    F.coalesce("kept_tokens", F.lit(0))
-                    .alias("kept_tokens"),
-                    (F.col("total_tokens")
-                     - F.coalesce("kept_tokens", F.lit(0)))
-                    .alias("removed_tokens"),
-                    F.md5(F.coalesce("_txt", F.lit("")))
-                    .alias("clean_md5")))
+    # total_tokens recomputed from docs with the substrate's exact
+    # expression (identical to _dup_spans_frames' base column) so the
+    # stored-span path needs no base frame
+    return (docs.select(
+        "doc_id",
+        F.expr("size(split(trim(text), '\\\\s+'))")
+        .cast("bigint").alias("total_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", "total_tokens",
+                F.coalesce("kept_tokens", F.lit(0))
+                .alias("kept_tokens"),
+                (F.col("total_tokens")
+                 - F.coalesce("kept_tokens", F.lit(0)))
+                .alias("removed_tokens"),
+                F.md5(F.coalesce("_txt", F.lit("")))
+                .alias("clean_md5")))
 
 
 def _oracle_dup_span_excise() -> str:
@@ -1014,4 +1029,46 @@ FROM walk GROUP BY node
 REGISTRY_CORPUS.update({
     "q241_incremental_clusters": (q_incremental_clusters,
                                   _oracle_incremental_clusters()),
+})
+
+
+# ------- q244 span excision from the PERSISTED q231 span table (store asset)
+
+def q_dup_span_excise_stored(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of substring-dedup excision: the q231
+    span table is computed ONCE and persisted as a parquet asset
+    (the write-once indexed artifact SCALE_NOTES describes); the
+    registered excision then READS the stored spans and applies only
+    the token anti-join + per-doc rebuild (_excise_tokens) — it
+    never re-runs the posting substrate. SAME ORACLE as q239:
+    byte-equality proves excising from the stored asset equals
+    excising from the in-plan spans.
+
+    Scale shape: marginal cost is O(Σ|tokens| of excised docs +
+    |spans|); the corpus-sized posting scan is paid once at asset
+    build and amortized across every downstream excision/rerun
+    (measured: tools/span_excise_probe.py)."""
+    import shutil
+    import tempfile
+
+    _base, spans = _dup_spans_frames(spark, sf_dir)
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="idp_q244_")
+    try:
+        # the write-once asset build (amortized, corpus-sized)
+        spans.write.mode("overwrite").parquet(root + "/spans")
+        stored = spark.read.parquet(root + "/spans")
+        # the registered shape: excision marginal over stored spans
+        out = _excise_tokens(docs, stored).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_CORPUS.update({
+    # oracle intentionally shared with q239: stored-span excision
+    # must be indistinguishable from the in-plan form
+    "q244_dup_span_excise_stored": (q_dup_span_excise_stored,
+                                    _oracle_dup_span_excise()),
 })

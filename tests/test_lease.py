@@ -1,0 +1,232 @@
+"""Lease-file writer lock (catalog/lease.py) — the cross-node form of
+the single-writer boundary (VERDICT r7 item 4).
+
+Covers: atomic acquisition, live-holder rejection, stale takeover
+(holder died — no kernel to release a lease, unlike flock), fencing
+token monotonicity, loss detection within a heartbeat interval,
+takeover-marker serialization, and the ParquetStore lease backend
+end-to-end including backend-mix rejection and a true multi-process
+mutual-exclusion race."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from industrial_data_pipeline_spark.catalog.lease import (
+    LeaseHeldError, LeaseLock)
+
+
+def test_acquire_release_roundtrip(tmp_path):
+    path = str(tmp_path / "db.lease")
+    lk = LeaseLock(path, ttl_s=2.0)
+    token = lk.acquire(timeout_s=1.0)
+    assert token == 1
+    assert json.load(open(path))["owner"] == lk.owner
+    lk.release()
+    assert not os.path.exists(path)
+
+
+def test_live_holder_rejects_second_acquirer(tmp_path):
+    path = str(tmp_path / "db.lease")
+    a = LeaseLock(path, ttl_s=5.0)
+    a.acquire()
+    b = LeaseLock(path, ttl_s=5.0)
+    t0 = time.monotonic()
+    with pytest.raises(LeaseHeldError) as ei:
+        b.acquire(timeout_s=0.3)
+    assert time.monotonic() - t0 < 2.0
+    assert a.owner in str(ei.value)  # holder surfaced in the error
+    a.release()
+
+
+def test_stale_lease_taken_over_and_fence_increments(tmp_path):
+    """A lease whose holder died (no heartbeat for >= ttl) is stolen;
+    the fencing token strictly increases across ownerships."""
+    path = str(tmp_path / "db.lease")
+    a = LeaseLock(path, ttl_s=0.5)
+    assert a.acquire() == 1
+    # simulate holder death: stop heartbeating WITHOUT deleting
+    a._stop.set()
+    a._thread.join()
+    time.sleep(0.7)  # let the lease go stale
+    b = LeaseLock(path, ttl_s=0.5)
+    assert b.acquire(timeout_s=2.0) == 2
+    assert json.load(open(path))["owner"] == b.owner
+    b.release()
+
+
+def test_heartbeat_keeps_lease_fresh_past_ttl(tmp_path):
+    """A healthy holder is NOT stolen from even after > ttl wall
+    time — the heartbeat renews hb_ts."""
+    path = str(tmp_path / "db.lease")
+    a = LeaseLock(path, ttl_s=0.6)
+    a.acquire()
+    time.sleep(1.5)  # 2.5 ttls; heartbeat every 0.2s keeps it fresh
+    b = LeaseLock(path, ttl_s=0.6)
+    with pytest.raises(LeaseHeldError):
+        b.acquire(timeout_s=0.3)
+    assert not a.lost.is_set()
+    a.release()
+
+
+def test_overtaken_holder_detects_loss(tmp_path):
+    """If the lease changes owner under a holder (it stalled past the
+    ttl and was stolen), the holder's heartbeat sets .lost within one
+    interval and stops renewing."""
+    path = str(tmp_path / "db.lease")
+    a = LeaseLock(path, ttl_s=0.6)
+    a.acquire()
+    usurper = {"owner": "other:1:deadbeef", "pid": 1,
+               "hb_ts": time.time(), "token": 99}
+    with open(path + ".tmp2", "w") as fh:
+        json.dump(usurper, fh)
+    os.replace(path + ".tmp2", path)
+    assert a.lost.wait(timeout=2.0)
+    a.release()  # must NOT delete the usurper's lease
+    assert json.load(open(path))["owner"] == "other:1:deadbeef"
+
+
+def test_takeover_marker_blocks_second_stealer(tmp_path):
+    """While one stealer's .takeover marker exists, another stealer
+    backs off; an ABANDONED marker (older than ttl) is cleared."""
+    path = str(tmp_path / "db.lease")
+    stale = {"owner": "dead:1:x", "pid": 1, "hb_ts": 0.0, "token": 1}
+    with open(path, "w") as fh:
+        json.dump(stale, fh)
+    with open(path + ".fence", "w") as fh:
+        fh.write("1")  # the dead holder's acquisition bumped it to 1
+    marker = path + ".takeover"
+    with open(marker, "w") as fh:
+        fh.write("live-stealer")
+    b = LeaseLock(path, ttl_s=5.0)
+    assert b._try_takeover(stale) is False  # marker held, fresh mtime
+    old = time.time() - 60
+    os.utime(marker, (old, old))  # abandoned marker
+    assert b.acquire(timeout_s=2.0) == 1 + 1  # clears marker, steals
+    b.release()
+
+
+def test_takeover_aborts_if_lease_changed_under_marker(tmp_path):
+    """The stealer re-reads after winning the marker: a heartbeat that
+    landed since the staleness check aborts the steal (no unlink of a
+    live lease)."""
+    path = str(tmp_path / "db.lease")
+    observed = {"owner": "slow:1:x", "pid": 1, "hb_ts": 0.0, "token": 3}
+    renewed = dict(observed, hb_ts=time.time())
+    with open(path, "w") as fh:
+        json.dump(renewed, fh)  # on disk: already renewed
+    b = LeaseLock(path, ttl_s=1.0)
+    assert b._try_takeover(observed) is False
+    assert json.load(open(path))["owner"] == "slow:1:x"
+    assert not os.path.exists(path + ".takeover")  # marker cleaned
+
+
+# --------------------------------------- ParquetStore lease backend
+
+
+def test_store_lease_backend_end_to_end(spark, tmp_path):
+    """A store constructed with lock_backend='lease' runs writes under
+    the lease, releases it after, and a second LIVE process' store
+    gets ConcurrentWriterError while a dead holder's stale lease is
+    taken over."""
+    from industrial_data_pipeline_spark.catalog.store import (
+        ConcurrentWriterError, ParquetStore)
+    root = str(tmp_path / "wh")
+    store = ParquetStore(spark, root, lock_backend="lease")
+    store.create_database("db")
+    with store.write_lock("db"):
+        with store.write_lock("db"):  # reentrant under one lease
+            pass
+        assert os.path.exists(store._lock_path("db") + ".lease")
+    assert not os.path.exists(store._lock_path("db") + ".lease")
+
+    # live foreign holder (child process heartbeats a LeaseLock)
+    child = subprocess.Popen(
+        [sys.executable, "-c", r"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from industrial_data_pipeline_spark.catalog.lease import LeaseLock
+lk = LeaseLock(sys.argv[1], ttl_s=10.0)
+lk.acquire()
+print("HELD", flush=True)
+time.sleep(float(sys.argv[2]))
+lk.release()
+""", store._lock_path("db") + ".lease", "15"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert child.stdout.readline().strip() == "HELD"
+        with pytest.raises(ConcurrentWriterError):
+            with store.write_lock("db", timeout_s=0.3):
+                pass
+    finally:
+        child.kill()
+        child.wait()
+    # dead holder: lease is stale after its ttl; our acquire with the
+    # default 10s ttl needs the file's age to exceed OUR ttl — rewrite
+    # hb_ts to the past to simulate the elapsed staleness window
+    lease_path = store._lock_path("db") + ".lease"
+    cur = json.load(open(lease_path))
+    cur["hb_ts"] = time.time() - 60
+    with open(lease_path, "w") as fh:
+        json.dump(cur, fh)
+    with store.write_lock("db", timeout_s=5.0):
+        pass
+
+
+def test_store_rejects_mixed_lock_backends(spark, tmp_path):
+    from industrial_data_pipeline_spark.catalog.store import (
+        ConcurrentWriterError, ParquetStore)
+    root = str(tmp_path / "wh")
+    a = ParquetStore(spark, root, lock_backend="lease")
+    a.create_database("db")  # registers lease state for (root, db)
+    b = ParquetStore(spark, root)  # default flock
+    with pytest.raises(ConcurrentWriterError):
+        with b.write_lock("db"):
+            pass
+    with pytest.raises(ValueError):
+        ParquetStore(spark, root, lock_backend="zookeeper")
+
+
+def test_lease_race_single_winner(tmp_path):
+    """True multi-process mutual exclusion under the lease backend:
+    6 processes contend; a witness file proves no two were ever
+    inside the lock at once."""
+    import multiprocessing as mp
+
+    code = r"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from industrial_data_pipeline_spark.catalog.store import ParquetStore
+
+store = ParquetStore.__new__(ParquetStore)
+store.root = sys.argv[1]
+store.lock_backend = "lease"
+witness = os.path.join(sys.argv[1], "witness")
+with store.write_lock("db", timeout_s=30.0):
+    assert not os.path.exists(witness), "second writer inside lease!"
+    open(witness, "w").close()
+    time.sleep(0.05)
+    os.remove(witness)
+print("OK")
+"""
+    root = str(tmp_path / "race")
+    os.makedirs(root, exist_ok=True)
+
+    def _run(code, root):
+        r = subprocess.run([sys.executable, "-c", code, root],
+                           capture_output=True, text=True, timeout=55)
+        if r.returncode != 0 or "OK" not in r.stdout:
+            raise SystemExit(r.stderr[-500:] or 1)
+
+    procs = [mp.Process(target=_run, args=(code, root))
+             for _ in range(6)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+    assert all(p.exitcode == 0 for p in procs), \
+        [p.exitcode for p in procs]

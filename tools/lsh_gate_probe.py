@@ -90,7 +90,7 @@ def main() -> None:
         res[f"inplan_probe_{label}_s"] = timed(
             lambda c=corpus: D.incremental_minhash_lsh(
                 c, batch, "doc_id", num_perm=NUM_PERM, bands=BANDS,
-                threshold=THRESH).count())
+                threshold=THRESH).write.format("noop").mode("overwrite").save())
         root = os.path.join(tmp, f"idx_{label}")
         idx = StoredLshIndex(spark, root, num_perm=NUM_PERM,
                              bands=BANDS, threshold=THRESH)
@@ -98,7 +98,7 @@ def main() -> None:
         idx.build(corpus)
         res[f"stored_build_{label}_s"] = time.monotonic() - t0
         res[f"stored_probe_{label}_s"] = timed(
-            lambda i=idx: i.probe(batch).count())
+            lambda i=idx: i.probe(batch).write.format("noop").mode("overwrite").save())
 
     res["inplan_ratio"] = round(
         res["inplan_probe_16x_s"] / res["inplan_probe_1x_s"], 2)
