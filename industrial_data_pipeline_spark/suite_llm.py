@@ -1687,3 +1687,151 @@ REGISTRY_LLM.update({
     "q243_streaming_stored_gate": (q_streaming_stored_gate,
                                    ORACLE_STREAMING_LSH_GATE),
 })
+
+
+# ---- q245 ANN loop closed: maintained-IVF probe + recall@10 audit
+
+def q_ivf_maintained_recall(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """CLOSES the ANN loop index→maintain→probe→recall (VERDICT r7
+    item 5; q159 maintains, q169 audits, q28 is ground truth — this
+    query chains them): the IVF index is built on the base corpus
+    (vec_id < 150, unrefined seed centroids), a new batch
+    (150–249) is routed INCREMENTALLY through the frozen centroids
+    (ivf_assign — one map stage over the batch, no rebuild), and the
+    MAINTAINED index (base ∪ routed) is probed for 10 query vectors
+    at nprobe=4, with exact brute-force top-10 over the same 250
+    vectors as ground truth. Emits (query_id, n_hits, recall_at_10)
+    — the recall of the index a production ingest loop actually
+    serves, hash-checked, not asserted.
+
+    Scale shape: probe cost ∝ rows in the probed cells (nprobe/16 of
+    the corpus in expectation), never the whole index — the
+    candidate set is cell-pruned BEFORE any query distance math; the
+    query batch and centroid table broadcast; ground truth is the
+    only corpus-wide scan and exists purely as the audit's
+    reference."""
+    from pyspark.sql import Window
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150)
+    batch = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
+    assigned, centroids = SIM.ivf_build(base, n_cells=16,
+                                        refine_iters=0)
+    routed = SIM.ivf_assign(batch, centroids)
+    maintained = (assigned.unionByName(routed)
+                  .select("vec_id", "_cell", v.alias("_v")))
+    corpus = base.unionByName(batch).select("vec_id", v.alias("_v"))
+    qs = (corpus.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv")))
+
+    cos = SIM._dot(F.col("_v"), F.col("_qv")) \
+        / (SIM._norm(F.col("_v")) * SIM._norm(F.col("_qv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("_c"), F.col("vec_id"))
+    exact = (corpus.join(F.broadcast(qs),
+                         F.col("vec_id") != F.col("qid"))
+             .withColumn("_c", cos)
+             .withColumn("_r", F.row_number().over(w))
+             .where(F.col("_r") <= 10)
+             .select("qid", F.col("vec_id").alias("eid")))
+
+    cent = spark.createDataFrame(
+        [(c, vec) for c, vec in enumerate(centroids)],
+        "cell int, cv array<double>")
+    ccos = SIM._dot(F.col("cv"), F.col("_qv")) \
+        / (SIM._norm(F.col("cv")) * SIM._norm(F.col("_qv")))
+    wp = Window.partitionBy("qid").orderBy(F.desc("_cc"), F.col("cell"))
+    probe = (cent.crossJoin(F.broadcast(qs))
+             .withColumn("_cc", ccos)
+             .withColumn("_pr", F.row_number().over(wp))
+             .where(F.col("_pr") <= 4).select("qid", "cell"))
+    approx = (maintained.join(F.broadcast(probe),
+                              maintained._cell == probe.cell)
+              .select("vec_id", "_v", "qid")
+              .join(F.broadcast(qs.withColumnRenamed("qid", "q2")),
+                    (F.col("qid") == F.col("q2"))
+                    & (F.col("vec_id") != F.col("qid")))
+              .withColumn("_c", cos)
+              .withColumn("_r", F.row_number().over(w))
+              .where(F.col("_r") <= 10)
+              .select("qid", F.col("vec_id").alias("aid")))
+    hits = (exact.join(approx, (exact.qid == approx.qid)
+                       & (exact.eid == approx.aid))
+            .groupBy(exact.qid.alias("query_id"))
+            .agg(F.count("*").alias("n_hits")))
+    return (qs.select(F.col("qid").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) / F.lit(10.0))
+                    .alias("recall_at_10")))
+
+
+def _oracle_ivf_maintained_recall() -> str:
+    cos = _COS.format(a="c.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    cos_n = _COS.format(a="n.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM c0 WHERE vec_id < 150),
+batch AS (SELECT * FROM c0 WHERE vec_id >= 150 AND vec_id < 250),
+c AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM base ORDER BY vec_id LIMIT 16),
+ex AS (SELECT qid, vec_id FROM
+         (SELECT q.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                                    ORDER BY {cos} DESC, c.vec_id)
+                     AS r
+          FROM c CROSS JOIN q WHERE c.vec_id != q.qid)
+       WHERE r <= 10),
+ab AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM base b CROSS JOIN seed)
+       WHERE rn = 1),
+an AS (SELECT vec_id, cell FROM
+         (SELECT n.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY n.vec_id
+                                    ORDER BY {cos_n} DESC, seed.cell)
+                     AS rn
+          FROM batch n CROSS JOIN seed)
+       WHERE rn = 1),
+asg AS (SELECT * FROM ab UNION ALL SELECT * FROM an),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= 4),
+ap AS (SELECT qid, vec_id FROM
+         (SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid
+                                    ORDER BY {cos} DESC, c.vec_id)
+                     AS r
+          FROM asg JOIN probe p USING (cell)
+                   JOIN c ON c.vec_id = asg.vec_id
+                   JOIN q ON q.qid = p.qid
+          WHERE c.vec_id != p.qid)
+       WHERE r <= 10),
+h AS (SELECT ex.qid, count(*) AS n_hits
+      FROM ex JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      GROUP BY ex.qid)
+SELECT q.qid AS query_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / CAST(10.0 AS DOUBLE) AS recall_at_10
+FROM q LEFT JOIN h ON q.qid = h.qid
+"""
+
+
+REGISTRY_LLM.update({
+    "q245_ivf_maintained_recall": (q_ivf_maintained_recall,
+                                   _oracle_ivf_maintained_recall()),
+})
