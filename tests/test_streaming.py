@@ -142,3 +142,130 @@ def test_streaming_lsh_gate_cross_batch_state(spark):
                and out[720100 + i].n_matches >= 1 for i in range(5))
     # batch-2 fresh docs: admitted
     assert all(out[730105 + i].admitted for i in range(5))
+
+
+def test_two_concurrent_gates_serialize_under_writer_lock(spark,
+                                                          tmp_path):
+    """VERDICT r7 item 8 (stretch): TWO concurrent streaming
+    admission gates over ONE shared StoredLshIndex, each foreachBatch
+    body running under the store writer lock. Pins the
+    admission-ledger serializability claim with order-independent
+    assertions:
+
+    - mutual exclusion: a witness file proves no two handler bodies
+      ever overlapped (the lock really serializes the streams);
+    - serializability: for each planted CROSS-STREAM near-dup pair
+      (stream A admits X, stream B offers a mutant of X, or vice
+      versa) EXACTLY ONE of the two is admitted — whichever stream's
+      batch committed first wins, the other must see its append.
+      Both-admitted would prove a probe raced an append; both-
+      rejected is impossible for texts absent from the base corpus;
+    - determinism at the edges: corpus mutants always rejected,
+      per-stream exclusive fresh docs always admitted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.catalog.store import ParquetStore
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    idx = StoredLshIndex(spark, os.path.join(root, "idx"),
+                         threshold=0.5)
+    idx.build(base)
+    store = ParquetStore.__new__(ParquetStore)
+    store.root = root
+    store.lock_backend = "flock"
+    ledger_dir = os.path.join(root, "ledger")
+    witness = os.path.join(root, "witness")
+
+    # five cross-stream pairs: A offers P_i, B offers a near-copy
+    pair_words = [
+        "red orange yellow green blue indigo violet maroon",
+        "cat dog bird fish horse cow sheep goat",
+        "north south east west up down left right",
+        "mon tue wed thu fri sat sun week",
+        "iron gold silver copper zinc lead tin nickel",
+    ]
+    a_rows = [(100 + i, w) for i, w in enumerate(pair_words)]
+    b_rows = [(200 + i, w + " qqq") for i, w in enumerate(pair_words)]
+    # edges: corpus mutant (always rejected) + exclusive fresh doc
+    a_rows += [(150, base.collect()[0].text + " qqq"),
+               (151, "ant bee fly moth wasp beetle gnat tick")]
+    b_rows += [(250, base.collect()[1].text + " qqq"),
+               (251, "oak elm ash pine birch cedar maple fir")]
+
+    def make_handler(tag):
+        def handle(batch, epoch_id):
+            batch = (batch.select("doc_id", "text")
+                     .localCheckpoint(eager=True))
+            if batch.isEmpty():
+                return
+            with store.write_lock("gate", timeout_s=60.0):
+                assert not os.path.exists(witness), \
+                    "two gate handlers interleaved inside the lock!"
+                open(witness, "w").close()
+                try:
+                    bands_df, shingles_df = idx.signature_frames(batch)
+                    bands_df = bands_df.localCheckpoint(eager=True)
+                    shingles_df = shingles_df.localCheckpoint(
+                        eager=True)
+                    matches = idx.probe_frames(bands_df, shingles_df)
+                    per_new = matches.groupBy("new_id").agg(
+                        F.count("*").alias("n_matches"))
+                    stats = (batch.join(
+                        per_new, batch.doc_id == per_new.new_id,
+                        "left")
+                        .select(batch.doc_id,
+                                F.coalesce("n_matches", F.lit(0))
+                                .cast("long").alias("n_matches"))
+                        .localCheckpoint(eager=True))
+                    admitted = stats.where(
+                        F.col("n_matches") == 0).select("doc_id")
+                    idx.append_frames(
+                        bands_df.join(F.broadcast(admitted), "doc_id"),
+                        shingles_df.join(F.broadcast(admitted),
+                                         "doc_id"))
+                    (stats.select(
+                        "doc_id", F.lit(tag).alias("stream"),
+                        (F.col("n_matches") == 0).alias("admitted"))
+                     .write.mode("append").parquet(ledger_dir))
+                finally:
+                    os.remove(witness)
+        return handle
+
+    streams = []
+    for tag, rows in (("A", a_rows), ("B", b_rows)):
+        staging = os.path.join(root, f"staging_{tag}")
+        os.makedirs(staging)
+        src = (spark.readStream.schema("doc_id long, text string")
+               .parquet(staging))
+        q = (src.writeStream.foreachBatch(make_handler(tag))
+             .option("checkpointLocation",
+                     os.path.join(root, f"ckpt_{tag}"))
+             .outputMode("update").start())
+        streams.append(q)
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("append").parquet(staging))
+    try:
+        for q in streams:
+            q.processAllAvailable()
+    finally:
+        for q in streams:
+            q.stop()
+
+    led = {r.doc_id: r.admitted
+           for r in spark.read.parquet(ledger_dir).collect()}
+    # serializability: exactly one of each cross-stream pair admitted
+    for i in range(5):
+        assert led[100 + i] != led[200 + i], (
+            f"pair {i}: A={led[100 + i]} B={led[200 + i]} — a gate "
+            "raced the other's append")
+    # corpus mutants always rejected; exclusive fresh docs admitted
+    assert led[150] is False and led[250] is False
+    assert led[151] is True and led[251] is True

@@ -562,10 +562,11 @@ def main() -> None:
         '  operators/lsh_index.py): the corpus band table + shingle sets',
         '  are parquet assets written once per admitted doc; the gate signs',
         '  only the batch and equi-joins the STORED band table. A/B probe',
-        '  (tools/lsh_gate_probe.py, min of 2, fixed 30-doc batch):',
-        '  in-plan gate 8.0 s → 106.1 s at 16× corpus (13.3×) vs stored',
-        '  probe 1.53 s → 1.14 s (0.75× — FLAT; ≥6× faster even at 1×).',
-        '  One-time build cost 10 s (1×) / 165 s (16×) is the amortized',
+        '  (tools/lsh_gate_probe.py, noop-write forced, min of 2, fixed',
+        '  30-doc batch): in-plan gate 7.6 s → 104.9 s at 16× corpus',
+        '  (13.7×) vs stored probe 1.30 s → 1.11 s (0.86× — FLAT; ~6×',
+        '  faster even at 1×).',
+        '  One-time build cost 10 s (1×) / 158 s (16×) is the amortized',
         '  corpus pass. Byte-exactness vs the in-plan gate is pinned by',
         '  q242 sharing q236\'s oracle and q243 sharing q240\'s (the',
         '  streaming form appends admitted signature rows per batch, so',
