@@ -13,10 +13,14 @@ shapes. Two decode paths:
   scanline unfilter), resized (numpy nearest-neighbor), re-encoded
   (filter-0 + zlib), and perceptually hashed (32×32 DCT pHash);
   audio payloads go through a stdlib RIFF/PCM16 WAV codec into rfft
-  signal features (RMS / zero-crossing rate / dominant frequency).
-  JPEG pixel work and video frame extraction still raise
-  NotImplementedError — a JPEG entropy decoder / ffmpeg is a genuine
-  dependency gap, stated rather than faked.
+  signal features (RMS / zero-crossing rate / dominant frequency);
+  JPEG payloads are REALLY decoded/encoded since round 8 via the
+  pure-Python baseline-sequential codec (operators/jpeg.py: Annex-K
+  tables, canonical Huffman, DCT matmuls — public T.81 spec
+  material), so pHash/resize/features accept JPEG wire bytes.
+  Progressive/arithmetic JPEG and video frame extraction still raise
+  NotImplementedError — those are genuine scope/dependency gaps
+  (ffmpeg), stated rather than faked.
 
 Design for 100 TB of media:
 - binary payloads live in their own parquet column; metadata columns
@@ -186,6 +190,24 @@ def png_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, c, out.reshape(h, w, c)
 
 
+def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Format-dispatching pixel decode: PNG via :func:`png_decode`,
+    JPEG via the baseline codec (operators/jpeg.py). Returns
+    (width, height, channels, uint8 [h, w, c]); unrecognized or
+    out-of-scope payloads raise (ValueError / NotImplementedError)."""
+    b = bytes(payload)
+    probed = probe_image(b)
+    if probed and probed[0] == "png":
+        return png_decode(b)
+    if probed and probed[0] == "jpeg":
+        from industrial_data_pipeline_spark.operators.jpeg import (
+            jpeg_decode)
+        return jpeg_decode(b)
+    raise NotImplementedError(
+        f"decode_image supports PNG and baseline JPEG (got "
+        f"{probed[0] if probed else 'unrecognized bytes'})")
+
+
 def png_encode(pixels: np.ndarray) -> bytes:
     """Encode a uint8 [h, w, c] array (c ∈ 1,2,3,4) as a filter-0
     non-interlaced 8-bit PNG. Deterministic: fixed zlib level 6."""
@@ -227,26 +249,28 @@ def _fake_feature(payload: bytes | None) -> list[float] | None:
 def _real_feature(payload: bytes | None) -> list[float] | None:
     """Real header+pixel features, FEATURE_DIM doubles:
     [width, height, channels, mean/255, std/255, min/255, max/255,
-    aspect]. Decodable PNG → pixel statistics; other recognizable
-    formats → header dims + byte-level statistics (still a real
-    computation over the payload); unrecognized → all byte-level."""
+    aspect]. Decodable PNG / baseline JPEG → pixel statistics; other
+    recognizable formats → header dims + byte-level statistics
+    (still a real computation over the payload); unrecognized → all
+    byte-level."""
     if payload is None:
         return None
     b = bytes(payload)
     probed = probe_image(b)
-    if probed and probed[0] == "png":
+    if probed and probed[0] in ("png", "jpeg"):
         try:
-            w, h, c, px = png_decode(b)
+            w, h, c, px = decode_image(b)
             flat = px.astype(np.float64)
             return [float(w), float(h), float(c),
                     float(flat.mean() / 255.0), float(flat.std() / 255.0),
                     float(flat.min() / 255.0), float(flat.max() / 255.0),
                     float(w) / float(h)]
         except (NotImplementedError, ValueError, struct.error,
-                zlib.error):
+                zlib.error, IndexError, KeyError):
             # unsupported flavor OR corrupt payload (truncated chunk →
-            # struct.error, bad IDAT → zlib.error): fall back to byte
-            # statistics rather than failing the whole Spark task
+            # struct.error / IndexError, bad IDAT → zlib.error, JPEG
+            # scan referencing an undeclared table → KeyError): fall
+            # back to byte statistics rather than failing the task
             pass
     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64) \
         if b else np.zeros(1)
@@ -314,7 +338,8 @@ def keyframes(frames: DataFrame, threshold: float = 0.5,
               idx_col: str = "frame_idx",
               data_col: str = "data") -> DataFrame:
     """Shot-boundary detection over REAL frame payloads: per video,
-    decode every frame (PNG codec), compute the mean absolute pixel
+    decode every frame (PNG or baseline-JPEG codec, see
+    :func:`decode_image`), compute the mean absolute pixel
     difference to the previous frame, and mark a keyframe at the
     first frame and wherever the diff exceeds ``threshold`` — the
     standard cheap keyframe selector before expensive per-frame
@@ -333,7 +358,7 @@ def keyframes(frames: DataFrame, threshold: float = 0.5,
         prev = None
         flags = []
         for payload in pdf[data_col]:
-            _w, _h, _c, px = png_decode(bytes(payload))
+            _w, _h, _c, px = decode_image(bytes(payload))
             if prev is None or prev.shape != px.shape:
                 flags.append(True)
             else:
@@ -415,13 +440,13 @@ def resize_images(df: DataFrame, width: int, height: int,
                   decode_stub: bool = True) -> DataFrame:
     """image rows → resized payloads.
 
-    ``decode_stub=False`` runs the REAL kernel on PNG payloads:
-    decode (zlib inflate + unfilter) → nearest-neighbor resample →
-    re-encode; width/height metadata come from the actual output
-    header. JPEG payloads raise NotImplementedError (no entropy
-    decoder in this container — an honest gap, not a fake). The stub
-    path keeps bytes and rewrites metadata only, which is what the
-    SQL oracle replays."""
+    ``decode_stub=False`` runs the REAL kernel: PNG decode (zlib
+    inflate + unfilter) or baseline-JPEG decode (operators/jpeg.py)
+    → nearest-neighbor resample → re-encode in the SAME format
+    (JPEG at fixed quality 90 so output bytes are deterministic);
+    width/height metadata come from the actual output header. Other
+    formats raise NotImplementedError. The stub path keeps bytes and
+    rewrites metadata only, which is what the SQL oracle replays."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -437,13 +462,18 @@ def resize_images(df: DataFrame, width: int, height: int,
                     return None
                 b = bytes(payload)
                 probed = probe_image(b)
-                if probed is None or probed[0] != "png":
+                if probed is None or probed[0] not in ("png", "jpeg"):
                     raise NotImplementedError(
-                        f"real resize supports PNG only (got "
-                        f"{probed[0] if probed else 'unrecognized'}): "
-                        f"JPEG needs libjpeg, absent here")
-                _w, _h, _c, px = png_decode(b)
-                return png_encode(resize_nearest(px, width, height))
+                        f"real resize supports PNG and baseline JPEG "
+                        f"(got "
+                        f"{probed[0] if probed else 'unrecognized'})")
+                _w, _h, _c, px = decode_image(b)
+                resized = resize_nearest(px, width, height)
+                if probed[0] == "jpeg":
+                    from industrial_data_pipeline_spark.operators \
+                        .jpeg import jpeg_encode
+                    return jpeg_encode(resized, quality=90)
+                return png_encode(resized)
 
             pdf["data"] = pdf["data"].map(kernel)
             pdf["width"] = width
@@ -480,15 +510,16 @@ def phash64_array(px: "np.ndarray") -> int:
 
 def phash64(df: DataFrame, id_col: str = "media_id",
             data_col: str = "data") -> DataFrame:
-    """(id, phash) for PNG payloads via the real decode path — Arrow
-    batches through mapInPandas, one pass, no shuffle."""
+    """(id, phash) for PNG / baseline-JPEG payloads via the real
+    decode path — Arrow batches through mapInPandas, one pass, no
+    shuffle."""
     schema = f"{id_col} long, phash long"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_h = [], []
             for mid, payload in zip(pdf[id_col], pdf[data_col]):
-                _w, _h, _c, px = png_decode(bytes(payload))
+                _w, _h, _c, px = decode_image(bytes(payload))
                 out_ids.append(mid)
                 out_h.append(phash64_array(px))
             yield pd.DataFrame({id_col: out_ids, "phash": out_h})

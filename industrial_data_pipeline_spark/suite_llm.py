@@ -1835,3 +1835,135 @@ REGISTRY_LLM.update({
     "q245_ivf_maintained_recall": (q_ivf_maintained_recall,
                                    _oracle_ivf_maintained_recall()),
 })
+
+
+# ------ q246/q247 real JPEG pixel path (baseline codec, r7 item 7)
+
+def q_jpeg_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q144's image near-dup detection with JPEG wire bytes end to
+    end: procedural noise textures + perturbed twins are ENCODED as
+    baseline JPEG (operators/jpeg.py — Annex-K tables, canonical
+    Huffman, DCT matmuls), decoded back through the real entropy
+    decoder, perceptually hashed, and pigeonhole-joined. Measured
+    margins on this texture family: twin Hamming ≤ 4, cross-image
+    ≥ 16 — threshold 6 separates cleanly THROUGH the lossy
+    round-trip. Self-verified in-plan like q144: the oracle is the
+    planted-recall constant table, so a hash match proves the codec
+    + pHash + join recovered every planted pair."""
+    import numpy as np
+    import pandas as pd
+
+    from industrial_data_pipeline_spark.operators.jpeg import (
+        jpeg_encode)
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id")
+            .where(F.col("doc_id") < 60).repartition(4))
+
+    def pixels_for(doc_id: int) -> "np.ndarray":
+        # q144's textured hash-noise (see its docstring for why a
+        # smooth ramp is degenerate for pHash)
+        w, h = int(doc_id) % 23 + 24, int(doc_id) % 17 + 24
+        x = np.arange(w, dtype=np.uint64)[None, :, None]
+        y = np.arange(h, dtype=np.uint64)[:, None, None]
+        ch = np.arange(3, dtype=np.uint64)[None, None, :]
+        mix = (x * np.uint64(1103515245) + y * np.uint64(976369)
+               + ch * np.uint64(40503)
+               + np.uint64(int(doc_id) * 97 + 13))
+        mix = (mix * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return (mix >> np.uint64(24)).astype(np.uint8)
+
+    def encode(batches):
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for i in pdf["doc_id"]:
+                base = pixels_for(i)
+                noisy = base.astype(np.int16)
+                noisy[::7, ::9] += 2
+                noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+                for mid, px in ((int(i), base),
+                                (int(i) + 100000, noisy)):
+                    ids.append(mid)
+                    kinds.append("image")
+                    payloads.append(jpeg_encode(px, quality=90))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": kinds, "data": payloads,
+                "width": None, "height": None,
+                "duration_ms": None, "sample_rate": None})
+
+    media = docs.mapInPandas(encode, MM.MEDIA_SCHEMA)
+    hashes = MM.phash64(media)
+    pairs = MM.phash_pairs(hashes, max_hamming=6)
+    expected = docs.select(F.col("doc_id").alias("id_a"),
+                           (F.col("doc_id") + 100000).alias("id_b"))
+    found = (expected.join(pairs, ["id_a", "id_b"], "left_semi")
+             .select(F.col("id_a").alias("doc_id"),
+                     F.lit(True).alias("pair_found")))
+    missed = (expected.join(pairs, ["id_a", "id_b"], "left_anti")
+              .select(F.col("id_a").alias("doc_id"),
+                      F.lit(False).alias("pair_found")))
+    return found.unionByName(missed)
+
+
+ORACLE_JPEG_PHASH_DEDUP = """
+SELECT doc_id, true AS pair_found FROM documents WHERE doc_id < 60
+"""
+
+
+def q_jpeg_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q164's shot-boundary detection with JPEG frames: synthetic
+    videos whose frames are baseline-JPEG encodes (within-scene
+    frames are byte-identical — identical pixels encode
+    deterministically, so their decoded diff is exactly 0; scene
+    shifts move every pixel by 7 mod 256, far above threshold even
+    through quantization). Oracle = the arithmetically planted
+    boundaries, so a hash match proves decode + diff + flag
+    end-to-end on JPEG wire bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from industrial_data_pipeline_spark.operators.jpeg import (
+        jpeg_encode)
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id")
+            .where(F.col("doc_id") < 120).repartition(4))
+    frame_schema = "media_id long, frame_idx int, data binary"
+
+    def gen(batches):
+        for pdf in batches:
+            mids, idxs, payloads = [], [], []
+            for m in pdf["doc_id"]:
+                m = int(m)
+                w, h = m % 13 + 6, m % 11 + 6
+                n = m % 6 + 4
+                scene = 0
+                for i in range(n):
+                    if i > 0 and (m + i) % 3 == 0:
+                        scene += 1
+                    x = np.arange(w)[None, :, None]
+                    y = np.arange(h)[:, None, None]
+                    ch = np.arange(3)[None, None, :]
+                    px = ((x + 2 * y + ch + m + 7 * scene) % 256
+                          ).astype(np.uint8)
+                    mids.append(m), idxs.append(i)
+                    payloads.append(jpeg_encode(px, quality=90))
+            yield pd.DataFrame({"media_id": mids, "frame_idx": idxs,
+                                "data": payloads})
+
+    frames = docs.mapInPandas(gen, frame_schema)
+    return MM.keyframes(frames)
+
+
+ORACLE_JPEG_KEYFRAMES = """
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       (i = 0 OR (doc_id + i) % 3 = 0) AS is_keyframe
+FROM (SELECT doc_id,
+             unnest(generate_series(0, doc_id % 6 + 3)) AS i
+      FROM documents WHERE doc_id < 120)
+"""
+
+
+REGISTRY_LLM.update({
+    "q246_jpeg_phash_dedup": (q_jpeg_phash_dedup,
+                              ORACLE_JPEG_PHASH_DEDUP),
+    "q247_jpeg_keyframes": (q_jpeg_keyframes, ORACLE_JPEG_KEYFRAMES),
+})
