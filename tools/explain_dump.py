@@ -317,6 +317,36 @@ PICKS = [
      "q236's broadcast-verify shape, and the cross-batch property "
      "(batch 2 rejected against batch 1's admissions) is pinned by "
      "tests/test_streaming.py, not by this final scan."),
+    ("q242_stored_lsh_gate",
+     "Stored-index LSH gate (the q236 production shape, round 8): "
+     "the corpus side enters as PARQUET SCANS of the persisted band "
+     "and shingle tables — no corpus text scan, no signature "
+     "subtree anywhere in the probe plan; only the 30-row batch is "
+     "signed in-plan. Candidates and batch shingles broadcast into "
+     "the stored tables; every join is an equi-join. This is the "
+     "plan whose per-batch cost the XL probe measured FLAT (0.86×) "
+     "at a 16× corpus."),
+    ("q244_dup_span_excise_stored",
+     "Stored-span excision (the q239 production shape): the span "
+     "side is a PARQUET SCAN of the persisted q231 asset — the "
+     "posting/island subtree appears nowhere; what remains is "
+     "exactly the excision marginal (token posexplode, doc_id "
+     "equi-join with range residual, doc-partitioned rebuild) that "
+     "the XL probe measured at 3.3% of the full pass."),
+    ("q245_ivf_maintained_recall",
+     "Maintained-IVF recall audit: the index side is base "
+     "assignment UNION the batch routed through frozen centroids "
+     "(one Arrow map stage, no rebuild); the probe prunes to the "
+     "per-query top-4 cells BEFORE any corpus distance math "
+     "(broadcast probe-cell join), and the only corpus-wide scan "
+     "is the brute-force ground truth the audit exists to "
+     "compare against."),
+    ("q246_jpeg_phash_dedup",
+     "JPEG pHash dedup: encode → REAL baseline-JPEG entropy decode "
+     "→ pHash all live in two Arrow mapInPandas stages (bounded "
+     "per-image Python, no per-row serde); the pair search is the "
+     "pigeonhole block join on 8-byte keys — the lossy codec adds "
+     "zero joins, the plan is q144's with JPEG wire bytes."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
