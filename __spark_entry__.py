@@ -105,7 +105,10 @@ _VERIFIED_GREEN = {
     "q223_stuck_sensor_runs", "q224_shift_rollup", "q225_interval_join",
     "q226_peak_concurrency", "q227_set_similarity_join", "q228_chi_square",
     "q229_stream_derived_chain", "q230_recursive_cte_paths", "q231_dup_spans",
-    "q232_cdc_apply",
+    "q232_cdc_apply", "q233_bm25_topk", "q234_k_anonymity",
+    "q235_bpe_apply", "q236_incremental_lsh", "q237_text_normalize",
+    "q238_ndcg", "q239_dup_span_excise", "q240_streaming_lsh_gate",
+    "q241_incremental_clusters",
     "q19_text_quality", "q200_sensor_fusion", "q20_token_counts",
     "q21_lang_id", "q22_fingerprints", "q23_exact_dedup",
     "q24_minhash_lsh_pairs", "q25_ngram_jaccard_pairs", "q26_simhash",
@@ -139,12 +142,16 @@ _VERIFIED_GREEN = {
     "q98_important_inventory", "q99_top_supplier",
 }
 
-# Round 6 closed the q183-q232 backlog (CORRECTNESS_r06: 50/50
-# green) — those moved into the green tier above, and q231 keeps its
-# green listing across the round-7 posting-key hash (re-verified
-# values=MATCH via tools/drive_contract.py and the committed
-# CORRECTNESS_LOCAL_r07.json), as do q59/q165/q167 across the
-# tfidf lazy-N change. Round 7's never-checked tail is q233-q241.
+# Round 7 closed the q233-q241 tail (CORRECTNESS_r07: 50/50 green) —
+# moved into the green tier above. q235/q239/q240/q231 keep their
+# green listings across round 8's behavior-identical changes (BPE_SEP
+# 0x1F strip — testdata contains no 0x1F; excision refactor to the
+# shared _excise_tokens; q240 cleanup-path hardening): each
+# re-verified values=MATCH via tools/drive_contract.py and the
+# committed full-suite CORRECTNESS_LOCAL_r08.json (247/247). Round
+# 8's never-checked tail is q242-q247 (stored LSH gate ×2,
+# stored-span excision, maintained-IVF recall, JPEG pHash dedup,
+# JPEG keyframes).
 _VERIFY_FIRST: set[str] = set()
 
 
