@@ -354,3 +354,62 @@ def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
     probe = order[:nprobe]
     cand = assigned.where(F.col("_cell").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_dp)
+
+
+# ------------------------------------- embedding admission gate (LSH)
+
+
+def ann_signature_index(df: DataFrame, dim: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_tables: int = 8,
+                        n_planes: int = 6) -> DataFrame:
+    """(vec_id, table, sig) exploded hyperplane-signature table — the
+    persistable index asset of the EMBEDDING-space admission gate
+    (the vector twin of the text gate's band table,
+    operators/lsh_index.py). One Arrow matmul per batch to sign, one
+    posexplode; written once per admitted vector, the probe side
+    never re-signs the corpus."""
+    sigs = df.select(
+        F.col(id_col).alias("vec_id"),
+        hyperplane_signatures(F.col(vec_col), dim, n_tables,
+                              n_planes).alias("_sigs"))
+    return sigs.select(
+        "vec_id",
+        F.posexplode("_sigs").alias("table", "sig"))
+
+
+def ann_gate(index: DataFrame, corpus: DataFrame,
+             batch: DataFrame, batch_index: DataFrame,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             threshold: float = 0.98,
+             round_dp: int = 6) -> DataFrame:
+    """Embedding near-dup admission gate: a new vector batch probes
+    the corpus's signature ``index`` on (table, sig) — batch-vs-index
+    only, never corpus-vs-corpus — and collisions exact-verify with
+    cosine ≥ ``threshold``. Returns (new_id, old_id, cosine_sim).
+
+    Plan shape mirrors the text gate (dedup.incremental_minhash_lsh
+    / lsh_index.StoredLshIndex.probe_frames): the distinct candidate
+    set is batch-sized so it BROADCASTS into the corpus-side verify
+    (corpus scanned once, only collision survivors compute a
+    cosine), and the batch vectors broadcast into the survivors.
+    ``vec_col`` must already be array<double> on both sides so the
+    verify's float math is engine-replayable."""
+    cand = (batch_index.select(F.col("vec_id").alias("new_id"),
+                               "table", "sig")
+            .join(index.select(F.col("vec_id").alias("old_id"),
+                               "table", "sig"),
+                  ["table", "sig"])
+            .select("new_id", "old_id").distinct())
+    b = (corpus.select(F.col(id_col).alias("old_id"),
+                       F.col(vec_col).alias("_vo"))
+         .join(F.broadcast(cand), "old_id"))
+    a = batch.select(F.col(id_col).alias("new_id"),
+                     F.col(vec_col).alias("_vn"))
+    cos = _dot(F.col("_vn"), F.col("_vo")) \
+        / (_norm(F.col("_vn")) * _norm(F.col("_vo")))
+    return (b.join(F.broadcast(a), "new_id")
+            .withColumn("cosine_sim", F.round(cos, round_dp))
+            .where(F.col("cosine_sim") >= threshold)
+            .select("new_id", "old_id", "cosine_sim"))

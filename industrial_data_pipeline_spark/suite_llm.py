@@ -1967,3 +1967,84 @@ REGISTRY_LLM.update({
                               ORACLE_JPEG_PHASH_DEDUP),
     "q247_jpeg_keyframes": (q_jpeg_keyframes, ORACLE_JPEG_KEYFRAMES),
 })
+
+
+# ------ q248 stored EMBEDDING admission gate (hyperplane-LSH index)
+
+def q_stored_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector twin of q242: an embedding ingest batch (15 scaled
+    near-copies — cosine exactly 1 up to rounding, hyperplane signs
+    invariant under positive scaling, so every table collides — plus
+    10 reversed decoys) probes a PERSISTED hyperplane-signature
+    index (operators/similarity.py::ann_signature_index written to
+    parquet, probe via ann_gate); collisions exact-verify at cosine
+    ≥ 0.98. Completes the persisted-admission-gate story across both
+    modalities: text (MinHash bands, q242/q243) and embeddings
+    (hyperplane signatures, here).
+
+    Scale shape: probe = equi-join of the batch's (table, sig) rows
+    against the stored index; batch-sized candidates broadcast into
+    the corpus verify; only the batch is ever signed per admission.
+    The oracle replays the signatures from the same md5-derived
+    plane literals (q29's machinery), the bucket match as an
+    any-table OR, and the cosine verify in SQL."""
+    import shutil
+    import tempfile
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", v.alias("vec"))
+    batch = (corpus.where(F.col("vec_id") < 15)
+             .select((F.col("vec_id") + 800000).alias("vec_id"),
+                     F.transform(F.col("vec"),
+                                 lambda x: x * F.lit(1.25))
+                     .alias("vec"))
+             .unionByName(
+                 corpus.where((F.col("vec_id") >= 100)
+                              & (F.col("vec_id") < 110))
+                 .select((F.col("vec_id") + 900000).alias("vec_id"),
+                         F.reverse(F.col("vec")).alias("vec"))))
+    root = tempfile.mkdtemp(prefix="idp_q248_")
+    try:
+        SIM.ann_signature_index(corpus, _EMB_DIM, vec_col="vec") \
+            .write.mode("overwrite").parquet(root + "/sigs")
+        stored = spark.read.parquet(root + "/sigs")
+        batch_idx = SIM.ann_signature_index(batch, _EMB_DIM,
+                                            vec_col="vec")
+        out = (SIM.ann_gate(stored, corpus, batch, batch_idx,
+                            vec_col="vec", threshold=0.98)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_stored_ann_gate() -> str:
+    csigs = ", ".join(f"{_sig_sql('v', t, 6)} AS s{t}"
+                      for t in range(8))
+    any_tab = " OR ".join(f"bs.s{t} = cs.s{t}" for t in range(8))
+    cos = _COS6.format(a="bb.v", b="cc.v")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id + 800000 AS vec_id,
+             list_transform(v, x -> x * 1.25) AS v
+      FROM c WHERE vec_id < 15
+      UNION ALL
+      SELECT vec_id + 900000, list_reverse(v)
+      FROM c WHERE vec_id >= 100 AND vec_id < 110),
+csig AS (SELECT vec_id, {csigs} FROM c),
+bsig AS (SELECT vec_id, {csigs} FROM b),
+cand AS (SELECT DISTINCT bs.vec_id AS new_id, cs.vec_id AS old_id
+         FROM bsig bs JOIN csig cs ON {any_tab})
+SELECT cd.new_id, cd.old_id, {cos} AS cosine_sim
+FROM cand cd
+JOIN b bb ON bb.vec_id = cd.new_id
+JOIN c cc ON cc.vec_id = cd.old_id
+WHERE {cos} >= 0.98
+"""
+
+
+REGISTRY_LLM.update({
+    "q248_stored_ann_gate": (q_stored_ann_gate,
+                             _oracle_stored_ann_gate()),
+})

@@ -72,3 +72,38 @@ def test_merge_bench_minima_fold():
     with pytest.raises(SystemExit):
         merge({"sf": 0.1, "unit": "sec", "queries": {}},
               {"sf": 0.01, "unit": "sec", "queries": {}})
+
+
+def test_merge_bench_drift_report(tmp_path):
+    """tools/merge_bench.py (VERDICT r7 item 6): the fold emits
+    run-vs-minima ratios, flags only >2x entries, treats added
+    queries as new minima (no ratio), and write_drift_report
+    persists BENCH_DRIFT.json next to the minima file."""
+    import json
+    import os
+
+    from tools.merge_bench import merge, write_drift_report
+
+    minima = {"sf": 0.1, "unit": "sec",
+              "queries": {"q1": 1.0, "q2": 2.0, "q3": 0.5}}
+    run = {"sf": 0.1, "unit": "sec",
+           "queries": {"q1": 1.5, "q2": 5.0, "q3": 0.4, "q4": 9.9}}
+    folded, rep = merge(minima, run)
+    assert folded["queries"] == {"q1": 1.0, "q2": 2.0, "q3": 0.4,
+                                 "q4": 9.9}
+    assert rep["ratios"] == {"q1": 1.5, "q2": 2.5, "q3": 1.0}
+    assert rep["outliers"] == {"q2": 2.5}  # only the >2x entry
+    assert rep["added"] == ["q4"] and "q4" not in rep["ratios"]
+    minima_path = str(tmp_path / "BENCH_DETAIL.json")
+    with open(minima_path, "w") as fh:
+        json.dump(folded, fh)
+    drift_path = write_drift_report(rep, minima_path)
+    assert os.path.basename(drift_path) == "BENCH_DRIFT.json"
+    with open(drift_path) as fh:
+        drift = json.load(fh)
+    assert drift["n_outliers"] == 1 and drift["outliers"] == {"q2": 2.5}
+
+    import pytest
+
+    with pytest.raises(SystemExit):  # sf mismatch refuses to fold
+        merge({"sf": 0.01, "unit": "sec", "queries": {}}, run)

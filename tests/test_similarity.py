@@ -155,3 +155,34 @@ def test_filtered_topk_nan_vector_never_displaces(spark):
     assert ranked[0] == 3
     sims = {r.neighbor_id: r.cosine_sim for r in got}
     assert sims.get(2) is None and sims.get(4) is None
+
+
+def test_ann_gate_batch_vs_index_only(spark, tmp_path):
+    """ann_gate (q248): a positively-scaled copy collides in EVERY
+    table (hyperplane signs are scale-invariant) and verifies at
+    cosine 1.0; an orthogonal batch vector matches nothing; two
+    identical batch vectors never pair with each other (no
+    batch-vs-batch); and the probe works off the PERSISTED index."""
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        ann_gate, ann_signature_index)
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0, 0.5]), (2, [0.0, 3.0, 0.0, -1.0])],
+        "vec_id long, vec array<double>")
+    batch = spark.createDataFrame(
+        [(10, [2.0, 0.0, 4.0, 1.0]),    # 2x of vec 1 -> cosine 1.0
+         (11, [-1.0, 0.0, -2.0, -0.5]),  # negated: signs all flip
+         (12, [-1.0, 0.0, -2.0, -0.5])],
+        "vec_id long, vec array<double>")
+    path = str(tmp_path / "sigs")
+    ann_signature_index(corpus, 4, vec_col="vec") \
+        .write.parquet(path)
+    stored = spark.read.parquet(path)
+    batch_idx = ann_signature_index(batch, 4, vec_col="vec")
+    got = {(r.new_id, r.old_id): r.cosine_sim
+           for r in ann_gate(stored, corpus, batch, batch_idx,
+                             vec_col="vec",
+                             threshold=0.98).collect()}
+    assert set(got) == {(10, 1)} and got[(10, 1)] == 1.0
