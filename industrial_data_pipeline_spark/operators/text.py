@@ -891,3 +891,69 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
         (s5 != t).alias("changed"),
         F.md5(s5).alias("clean_md5"))
     return out
+
+
+def classifier_weights(n_buckets: int = 64) -> list[int]:
+    """Deterministic md5-derived integer milli-weights in
+    [-1000, 1000] for :func:`quality_classifier` — public-recipe
+    constants any engine can reproduce (the repo's minhash_coeffs
+    pattern)."""
+    import hashlib
+
+    return [int(hashlib.md5(f"qc:w:{b}".encode()).hexdigest()[:8],
+                16) % 2001 - 1000 for b in range(n_buckets)]
+
+
+def quality_classifier(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_buckets: int = 64,
+                       bias: float = -0.1,
+                       round_dp: int = 6) -> DataFrame:
+    """fastText-style linear document-quality classifier: hash
+    unigram + bigram features into ``n_buckets``, average the
+    buckets' learned weights, squash with a sigmoid — the shape of
+    the model-based quality filters production pipelines run after
+    the rule-based gates (CCNet/LLaMA's fastText wiki classifier;
+    q19's heuristics are the rule tier, this is the model tier).
+    Weights here are fixed md5-derived constants so the whole model
+    is engine-replayable; swapping in really-learned weights changes
+    only the constant array.
+
+    Determinism across engines: weights are INTEGER milli-units and
+    the per-doc aggregation sums integers (exact, order-free); the
+    single float division + sigmoid happen once per doc on identical
+    inputs, and the score is rounded. No float is ever summed.
+
+    Scale shape: explode → one narrow (id, bucket-weight) shuffle →
+    map-side-combinable sum/count per doc; the weight table is a
+    64-entry array literal folded into codegen — no join, no UDF,
+    no driver state. Emits (id, n_features, score, label); empty
+    docs get NULL score/label (no features to judge).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    grams = F.filter(F.concat(toks, bigrams), lambda g: g != "")
+    w_arr = F.array(*[F.lit(w) for w in classifier_weights(n_buckets)])
+    ex = df.select(F.col(id_col),
+                   F.explode(grams).alias("_g"))
+    feat = ex.select(
+        id_col,
+        F.element_at(w_arr,
+                     (hash64(F.col("_g")) % n_buckets + 1)
+                     .cast("int")).alias("_w"))
+    agg = (feat.groupBy(id_col)
+           .agg(F.count("*").alias("n_features"),
+                F.sum("_w").alias("_s")))
+    z = F.lit(bias) + (F.col("_s") / F.col("n_features")) / F.lit(1000.0)
+    scored = agg.select(
+        id_col, "n_features",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_dp)
+        .alias("score"))
+    return (df.select(id_col)
+            .join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_features", F.lit(0))
+                    .alias("n_features"),
+                    "score",
+                    (F.col("score") >= 0.5).alias("keep")))

@@ -2048,3 +2048,54 @@ REGISTRY_LLM.update({
     "q248_stored_ann_gate": (q_stored_ann_gate,
                              _oracle_stored_ann_gate()),
 })
+
+
+# -------- q249 hashed n-gram quality classifier (model-tier filter)
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier over the corpus
+    (operators/text.py::quality_classifier): unigram+bigram features
+    hashed into 64 buckets, integer milli-weight average, sigmoid —
+    the MODEL tier of quality filtering (q19/q68 are the rule tier;
+    CCNet/LLaMA run exactly this shape with learned weights). The
+    whole model is md5-derived constants, so the oracle replays
+    weights, hashing, the exact integer sum, and the single
+    float step per document."""
+    return TX.quality_classifier(_load_docs(spark, sf_dir))
+
+
+def _oracle_quality_classifier() -> str:
+    w = TX.classifier_weights(64)
+    w_lit = "[" + ", ".join(str(x) for x in w) + "]"
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+    return f"""
+WITH tk AS (SELECT doc_id, {ltoks} AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_filter(
+                 list_concat(toks,
+                     list_transform(
+                         generate_series(0, greatest(len(toks) - 2, 0)),
+                         i -> array_to_string(toks[i+1:i+2], ' '))),
+                 x -> x <> '')) AS gram
+      FROM tk),
+f AS (SELECT doc_id,
+             {w_lit}[({_h64('gram')} % 64)::INT + 1] AS w
+      FROM g),
+a AS (SELECT doc_id, count(*) AS n_features, sum(w) AS s
+      FROM f GROUP BY 1),
+sc AS (SELECT doc_id, n_features,
+              round(1.0 / (1.0 + exp(-(-0.1
+                    + (s / n_features) / 1000.0))), 6) AS score
+       FROM a)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_features, 0) AS BIGINT) AS n_features,
+       sc.score, sc.score >= 0.5 AS keep
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+REGISTRY_LLM.update({
+    "q249_quality_classifier": (q_quality_classifier,
+                                _oracle_quality_classifier()),
+})

@@ -297,3 +297,44 @@ def test_incremental_lsh_no_false_negative_on_copy(spark, wordlists,
                                    threshold=0.99).collect()
     assert any(r.new_id == 1000 and r.old_id == target
                and r.jaccard_sim == 1.0 for r in rows), texts
+
+
+# ----------------- quality_classifier vs unit-level Python reference
+
+def _classifier_reference(text: str) -> tuple:
+    import hashlib
+    import math
+
+    from industrial_data_pipeline_spark.operators.text import (
+        classifier_weights)
+    w = classifier_weights(64)
+    toks = [t for t in text.lower().split() if t]
+    grams = list(toks)
+    for i in range(max(len(toks) - 1, 1)):
+        g = " ".join(toks[i:i + 2])
+        if g:
+            grams.append(g)
+    if not grams:
+        return 0, None, None
+    s = sum(w[int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64]
+            for g in grams)
+    z = -0.1 + (s / len(grams)) / 1000.0
+    score = round(1.0 / (1.0 + math.exp(-z)), 6)
+    return len(grams), score, score >= 0.5
+
+
+def test_quality_classifier_matches_reference(spark):
+    """quality_classifier (q249): hashed-feature lookup, exact
+    integer milli-weight sum, one sigmoid per doc — against an
+    independent Python walk, including the empty-doc NULL contract
+    and the single-token unigram+self-'bigram' quirk."""
+    from industrial_data_pipeline_spark.operators.text import (
+        quality_classifier)
+    texts = ["the quick brown fox", "a a a a a", "zzz",
+             "  ", "one two", "Punctuation, and CASE!"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: (r.n_features, r.score, r.keep)
+           for r in quality_classifier(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _classifier_reference(t), f"text={t!r}"

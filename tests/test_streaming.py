@@ -144,8 +144,13 @@ def test_streaming_lsh_gate_cross_batch_state(spark):
     assert all(out[730105 + i].admitted for i in range(5))
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("lock_backend", ["flock", "lease"])
 def test_two_concurrent_gates_serialize_under_writer_lock(spark,
-                                                          tmp_path):
+                                                          tmp_path,
+                                                          lock_backend):
     """VERDICT r7 item 8 (stretch): TWO concurrent streaming
     admission gates over ONE shared StoredLshIndex, each foreachBatch
     body running under the store writer lock. Pins the
@@ -180,7 +185,7 @@ def test_two_concurrent_gates_serialize_under_writer_lock(spark,
     idx.build(base)
     store = ParquetStore.__new__(ParquetStore)
     store.root = root
-    store.lock_backend = "flock"
+    store.lock_backend = lock_backend  # both backends must serialize
     ledger_dir = os.path.join(root, "ledger")
     witness = os.path.join(root, "witness")
 

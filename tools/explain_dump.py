@@ -319,20 +319,23 @@ PICKS = [
      "tests/test_streaming.py, not by this final scan."),
     ("q242_stored_lsh_gate",
      "Stored-index LSH gate (the q236 production shape, round 8): "
-     "the corpus side enters as PARQUET SCANS of the persisted band "
-     "and shingle tables — no corpus text scan, no signature "
-     "subtree anywhere in the probe plan; only the 30-row batch is "
-     "signed in-plan. Candidates and batch shingles broadcast into "
-     "the stored tables; every join is an equi-join. This is the "
-     "plan whose per-batch cost the XL probe measured FLAT (0.86×) "
-     "at a 16× corpus."),
+     "the registered query localCheckpoints its result before "
+     "deleting the temp assets, so the dump below is the result "
+     "read-back. The PROBE plan itself — two parquet scans of the "
+     "persisted band/shingle tables, batch-only signing (≤32 "
+     "partial_min aggregates), broadcast candidate/batch sides, no "
+     "corpus signature subtree — is asserted structurally in "
+     "tests/test_plans.py::test_stored_lsh_gate_probe_plan. Its "
+     "per-batch cost measured FLAT (0.86×) at a 16× corpus."),
     ("q244_dup_span_excise_stored",
-     "Stored-span excision (the q239 production shape): the span "
-     "side is a PARQUET SCAN of the persisted q231 asset — the "
-     "posting/island subtree appears nowhere; what remains is "
-     "exactly the excision marginal (token posexplode, doc_id "
-     "equi-join with range residual, doc-partitioned rebuild) that "
-     "the XL probe measured at 3.3% of the full pass."),
+     "Stored-span excision (the q239 production shape): dump is the "
+     "checkpointed result read-back (temp asset deleted); the "
+     "excision-marginal plan — parquet span scan, NO xxhash64 "
+     "posting substrate, token posexplode + doc_id equi-join with "
+     "range residual + doc-partitioned rebuild — is asserted in "
+     "tests/test_plans.py::test_stored_span_excise_plan_reads_"
+     "parquet_spans, and the XL probe measured it at 3.3% of the "
+     "full pass."),
     ("q245_ivf_maintained_recall",
      "Maintained-IVF recall audit: the index side is base "
      "assignment UNION the batch routed through frozen centroids "
@@ -347,6 +350,20 @@ PICKS = [
      "per-image Python, no per-row serde); the pair search is the "
      "pigeonhole block join on 8-byte keys — the lossy codec adds "
      "zero joins, the plan is q144's with JPEG wire bytes."),
+    ("q248_stored_ann_gate",
+     "Stored EMBEDDING admission gate: dump is the checkpointed "
+     "result read-back (temp index deleted); the probe shape — "
+     "parquet scan of the persisted (vec_id, table, sig) index, "
+     "batch signed by one Arrow matmul, (table, sig) equi-join, "
+     "broadcast batch-sized cosine verify — mirrors q242's and is "
+     "pinned by tests/test_similarity.py::"
+     "test_ann_gate_batch_vs_index_only."),
+    ("q249_quality_classifier",
+     "Hashed n-gram quality classifier: one explode, one narrow "
+     "(id, int-weight) shuffle with map-side combine, the 64-entry "
+     "weight array folded as a literal into codegen — no join, no "
+     "UDF, no float ever summed (integer milli-weights; the single "
+     "float division + sigmoid happen once per doc)."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
