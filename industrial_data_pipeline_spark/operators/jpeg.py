@@ -180,10 +180,19 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn — markers are NOT stuffed."""
+        self.pad_to_byte()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n & 7))
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -218,30 +227,82 @@ def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
                    255).astype(np.uint8)
 
 
-def _encode_plane_blocks(plane: np.ndarray, qt_zz: np.ndarray
-                         ) -> list[np.ndarray]:
-    """Plane (float, already level-shifted is NOT assumed — shift
-    here) → list of 64-entry zigzag-quantized int blocks, row-major
-    block order, edge-replicated to a multiple of 8."""
+def _pad_replicate(plane: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate a plane to a multiple of ``mult`` per side."""
     h, w = plane.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
     padded = np.empty((ph, pw), dtype=np.float64)
     padded[:h, :w] = plane
-    padded[h:, :w] = plane[-1:, :]
+    padded[h:, :w] = plane[h - 1:h, :w]
     padded[:, w:] = padded[:, w - 1:w]
+    return padded
+
+
+def _block_grid(plane: np.ndarray, qt_zz: np.ndarray) -> list[list]:
+    """Plane (float; level-shifted here) → 2-D grid [by][bx] of
+    64-entry zigzag-quantized int blocks. Plane must already be a
+    multiple of 8 per side."""
     zz = np.array(ZIGZAG)
-    blocks = []
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            f = padded[by:by + 8, bx:bx + 8] - 128.0
+    h, w = plane.shape
+    grid = []
+    for by in range(0, h, 8):
+        row = []
+        for bx in range(0, w, 8):
+            f = plane[by:by + 8, bx:bx + 8] - 128.0
             coefs = (_C @ f @ _C.T).reshape(64)[zz]
-            blocks.append(np.round(coefs / qt_zz).astype(np.int32))
-    return blocks
+            row.append(np.round(coefs / qt_zz).astype(np.int32))
+        grid.append(row)
+    return grid
 
 
-def jpeg_encode(px: np.ndarray, quality: int = 75) -> bytes:
+def _encode_block(bw: "_BitWriter", block: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one quantized zigzag block; returns new DC
+    predictor."""
+    dc = int(block[0])
+    s, bits = _magnitude(dc - pred)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(block)[0])) \
+        if np.any(block[1:]) else 0
+    for k in range(1, 64):
+        v = int(block[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def jpeg_encode(px: np.ndarray, quality: int = 75,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """uint8 [h, w] / [h, w, 1] (gray) or [h, w, 3] (RGB) → baseline
-    sequential JFIF bytes, 4:4:4, standard tables at ``quality``."""
+    sequential JFIF bytes with standard tables at ``quality``.
+
+    ``subsample=True`` emits 4:2:0 (Y at 2×2, box-averaged chroma —
+    half the chroma blocks of 4:4:4; the dominant wire format).
+    ``restart_interval=N`` emits a DRI segment and an RSTn marker
+    every N MCUs with DC-predictor reset — the error-resilience (and
+    decoder-parallelism) feature of real streams. Both exist chiefly
+    so the DECODER's subsampling and restart paths are exercised by
+    honest round-trips, not just by our own simplest output."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
@@ -256,49 +317,57 @@ def jpeg_encode(px: np.ndarray, quality: int = 75) -> bytes:
     zz = np.array(ZIGZAG)
     qts_zz = [qt[zz] for qt in qts]
 
+    # sampling factors per component
+    if c == 3 and subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # box-average chroma 2x2 (pad first so odd dims average
+        # replicated edges, matching the decoder's crop)
+        for i in (1, 2):
+            p = _pad_replicate(planes[i], 2)
+            planes[i] = (p[0::2, 0::2] + p[1::2, 0::2]
+                         + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+    else:
+        samp = [(1, 1)] * c
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+
     dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
                 _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
-    comp_blocks = [_encode_plane_blocks(p, qts_zz[min(i, 1)])
-                   for i, p in enumerate(planes)]
-    n_blocks = len(comp_blocks[0])
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    grids = []
+    for ci, p in enumerate(planes):
+        hs, vs = samp[ci]
+        # edge-replicate each plane out to its full MCU-grid extent
+        need_h, need_w = mcus_y * vs * 8, mcus_x * hs * 8
+        padded = np.pad(p, ((0, need_h - p.shape[0]),
+                            (0, need_w - p.shape[1])), mode="edge")
+        grids.append(_block_grid(padded, qts_zz[min(ci, 1)]))
+
     bw = _BitWriter()
     preds = [0] * c
-    for bi in range(n_blocks):  # 4:4:4 → one block per comp per MCU
-        for ci in range(c):
-            t = min(ci, 1)
-            block = comp_blocks[ci][bi]
-            diff = int(block[0]) - preds[ci]
-            preds[ci] = int(block[0])
-            s, bits = _magnitude(diff)
-            code, ln = dc_codes[t][s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits, s)
-            run = 0
-            last_nz = int(np.max(np.nonzero(block)[0])) \
-                if np.any(block[1:]) else 0
-            for k in range(1, 64):
-                v = int(block[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[t][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, ln = ac_codes[t][(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits, s)
-                run = 0
-                if k == last_nz:
-                    break
-            if last_nz < 63:
-                code, ln = ac_codes[t][0x00]  # EOB
-                bw.write(code, ln)
+    rst = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * c
+            for ci in range(c):
+                t = min(ci, 1)
+                hs, vs = samp[ci]
+                for v in range(vs):
+                    for hb in range(hs):
+                        block = grids[ci][my * vs + v][mx * hs + hb]
+                        preds[ci] = _encode_block(
+                            bw, block, preds[ci],
+                            dc_codes[t], ac_codes[t])
+            mcu_count += 1
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -309,9 +378,13 @@ def jpeg_encode(px: np.ndarray, quality: int = 75) -> bytes:
     out += seg(0xE0, b"JFIF\x00\x01\x02\x01\x00H\x00H\x00\x00")
     for tq, qt in enumerate(qts_zz):
         out += seg(0xDB, bytes([tq]) + bytes(int(x) for x in qt))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sof = struct.pack(">BHHB", 8, h, w, c)
     for ci in range(c):
-        sof += struct.pack(">BBB", ci + 1, 0x11, min(ci, 1))
+        sof += struct.pack(">BBB", ci + 1,
+                           (samp[ci][0] << 4) | samp[ci][1],
+                           min(ci, 1))
     out += seg(0xC0, sof)
     for tc_th, bits, vals in (
             ((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS),

@@ -92,3 +92,38 @@ def test_resize_jpeg_pixels_match_reference():
     _w2, _h2, _c2, dec2 = jpeg_decode(jpeg_encode(ref, quality=90))
     assert dec2.shape == (12, 12, 3)
     assert np.abs(dec2.astype(int) - ref.astype(int)).max() <= 8
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 encode exercises the decoder's sampling-factor MCU walk
+    and chroma upsample: smooth content survives within the combined
+    quantization + subsample bound; dims exact on non-multiples of
+    16."""
+    px = _gradient_rgb(24, 33)
+    enc = jpeg_encode(px, quality=90, subsample=True)
+    w, h, c, dec = jpeg_decode(enc)
+    assert (w, h, c) == (33, 24, 3)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 12
+
+
+def test_restart_markers_decode_identically():
+    """Restart intervals repackage the SAME quantized coefficients
+    (DC predictors reset at each RSTn) — decoded pixels must be
+    byte-identical to the non-restart stream, proving the decoder's
+    segment split + predictor reset, in gray, 4:4:4 and 4:2:0."""
+    px = _gradient_rgb(24, 33)
+    base = jpeg_decode(jpeg_encode(px, quality=90))[3]
+    for kwargs in ({"restart_interval": 1}, {"restart_interval": 2},
+                   {"restart_interval": 7}):
+        enc = jpeg_encode(px, quality=90, **kwargs)
+        assert b"\xff\xdd" in enc  # DRI present
+        assert np.array_equal(jpeg_decode(enc)[3], base)
+    b420 = jpeg_decode(jpeg_encode(px, quality=90, subsample=True))[3]
+    enc = jpeg_encode(px, quality=90, subsample=True,
+                      restart_interval=1)
+    assert np.array_equal(jpeg_decode(enc)[3], b420)
+    g = (np.arange(40 * 25).reshape(25, 40) % 256).astype(np.uint8)
+    gb = jpeg_decode(jpeg_encode(g, quality=92))[3]
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(g, quality=92, restart_interval=3))[3],
+        gb)
