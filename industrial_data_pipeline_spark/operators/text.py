@@ -957,3 +957,67 @@ def quality_classifier(df: DataFrame, id_col: str = "doc_id",
                     .alias("n_features"),
                     "score",
                     (F.col("score") >= 0.5).alias("keep")))
+
+
+#: HTML entity decodes applied by :func:`strip_html`, in order.
+#: Literal-only patterns (no class syntax divergence risk); &amp;
+#: LAST so freshly-decoded ampersands can't re-combine with following
+#: text into a second round of decoding.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def strip_html(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Markup removal — the FIRST pass of every web-corpus pipeline
+    (trafilatura/jusText run structural extraction; this is the
+    regex tier that follows or substitutes at scale), in a fixed
+    stage order so counts are well-defined:
+
+    1. drop non-content subtrees entirely: ``<script>``/``<style>``
+       elements including their text — ``n_dropped_blocks``;
+    2. strip remaining tags ``<...>`` (replaced by a space so
+       ``a<br>b`` keeps its word boundary) — ``n_tags``;
+    3. decode the common entities (HTML_ENTITIES, literal patterns,
+       ``&amp;`` last) — ``n_entities``;
+    4. collapse whitespace runs + trim.
+
+    All JVM regexps restricted to the Java∩RE2 common syntax (the
+    normalize_text discipline) so the DuckDB oracle runs IDENTICAL
+    patterns. Emits raw/clean lengths, per-stage counts, and the
+    cleaned text's md5 — extraction is hash-checked, not asserted.
+
+    Scale shape: a shuffle-free projection; scan-speed at any corpus
+    size, and the cleaned column feeds tokens()/shingles directly.
+    """
+    t = F.col(text_col)
+    # regex-tier limit, documented: script/style bodies without
+    # nested markup ([^<]*) — structural extractors handle the rest
+    block = ("<script[^>]*>[^<]*</script>"
+             "|<style[^>]*>[^<]*</style>")
+    s1 = F.regexp_replace(t, block, " ")
+    # count the blocks ACTUALLY dropped (the full pattern), not
+    # opening tags — a script body containing '<' falls through to
+    # the tag-strip stage and must not inflate this count
+    n_blocks = F.regexp_count(t, F.lit(block))
+    s2 = F.regexp_replace(s1, "<[^>]*>", " ")
+    n_tags = F.regexp_count(s1, F.lit("<[^>]*>"))
+    s3 = s2
+    ent_counts = []
+    for pat, rep in HTML_ENTITIES:
+        ent_counts.append(F.regexp_count(s3, F.lit(pat)))
+        s3 = F.replace(s3, F.lit(pat), F.lit(rep))
+    n_entities = ent_counts[0]
+    for c in ent_counts[1:]:
+        n_entities = n_entities + c
+    s4 = F.trim(F.regexp_replace(s3, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("raw_len"),
+        n_blocks.cast("bigint").alias("n_dropped_blocks"),
+        n_tags.cast("bigint").alias("n_tags"),
+        n_entities.cast("bigint").alias("n_entities"),
+        F.length(s4).alias("clean_len"),
+        F.md5(s4).alias("clean_md5"))

@@ -1194,3 +1194,78 @@ FROM agg
 REGISTRY_PIPELINE.update({
     "q238_ndcg": (q_ndcg, _oracle_ndcg()),
 })
+
+
+# ----------------------- q250 HTML markup stripping (web-corpus tier)
+
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal, the FIRST pass of every web-corpus pipeline
+    (operators/text.py::strip_html): the synthetic corpus is plain
+    text, so every document is wrapped IN-QUERY in a deterministic
+    HTML shell (head with script+style blocks whose bodies must
+    vanish entirely, heading/paragraph tags, a br, entity-encoded
+    tail) — the stripper must drop the non-content subtrees, strip
+    tags to word boundaries, decode entities, and collapse
+    whitespace; the cleaned md5 hash-checks the extraction against
+    the oracle's identical-regex replay."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><script type=\"a\">var x=1;</script>"
+                  "<style>p{color:red}</style></head>"
+                  "<body><h1>T</h1><p id=\"d\">"),
+            F.col("text"),
+            F.lit("</p><br>&nbsp;&amp;&lt;end&gt;</body></html>"))
+        .alias("text"))
+    return TX.strip_html(wrapped)
+
+
+def _oracle_strip_html() -> str:
+    wrap_pre = ('\'<html><head><script type="a">var x=1;</script>'
+                "<style>p{color:red}</style></head>"
+                '<body><h1>T</h1><p id="d">\'')
+    wrap_post = "'</p><br>&nbsp;&amp;&lt;end&gt;</body></html>'"
+    block = ("'<script[^>]*>[^<]*</script>"
+             "|<style[^>]*>[^<]*</style>'")
+    # entity chain written out explicitly (e1..e6) for readability —
+    # it mirrors HTML_ENTITIES order, &amp; last
+    return f"""
+WITH wrapped AS (
+  SELECT doc_id, {wrap_pre} || text || {wrap_post} AS text
+  FROM documents),
+s1t AS (SELECT doc_id, text,
+               regexp_replace(text, {block}, ' ', 'g') AS s1,
+               len(regexp_extract_all(text, {block})) AS n_blocks
+        FROM wrapped),
+s2t AS (SELECT *, regexp_replace(s1, '<[^>]*>', ' ', 'g') AS s2,
+               len(regexp_extract_all(s1, '<[^>]*>')) AS n_tags
+        FROM s1t),
+e1 AS (SELECT *, replace(s2, '&nbsp;', ' ') AS x1,
+              len(regexp_extract_all(s2, '&nbsp;')) AS c1 FROM s2t),
+e2 AS (SELECT *, replace(x1, '&lt;', '<') AS x2,
+              len(regexp_extract_all(x1, '&lt;')) AS c2 FROM e1),
+e3 AS (SELECT *, replace(x2, '&gt;', '>') AS x3,
+              len(regexp_extract_all(x2, '&gt;')) AS c3 FROM e2),
+e4 AS (SELECT *, replace(x3, '&quot;', '"') AS x4,
+              len(regexp_extract_all(x3, '&quot;')) AS c4 FROM e3),
+e5 AS (SELECT *, replace(x4, '&#39;', '''') AS x5,
+              len(regexp_extract_all(x4, '&#39;')) AS c5 FROM e4),
+e6 AS (SELECT *, replace(x5, '&amp;', '&') AS x6,
+              len(regexp_extract_all(x5, '&amp;')) AS c6 FROM e5),
+fin AS (SELECT *, trim(regexp_replace(x6, '\\s+', ' ', 'g')) AS s4
+        FROM e6)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS raw_len,
+       CAST(n_blocks AS BIGINT) AS n_dropped_blocks,
+       CAST(n_tags AS BIGINT) AS n_tags,
+       CAST(c1 + c2 + c3 + c4 + c5 + c6 AS BIGINT) AS n_entities,
+       CAST(length(s4) AS INT) AS clean_len,
+       md5(s4) AS clean_md5
+FROM fin
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q250_strip_html": (q_strip_html, _oracle_strip_html()),
+})

@@ -338,3 +338,39 @@ def test_quality_classifier_matches_reference(spark):
            for r in quality_classifier(docs).collect()}
     for i, t in enumerate(texts):
         assert got[i] == _classifier_reference(t), f"text={t!r}"
+
+
+def test_strip_html_hand_computed(spark):
+    """strip_html (q250) by hand: script/style bodies vanish, tags
+    become word boundaries, entities decode in order (&amp; last so
+    freshly-decoded ampersands can't re-decode), whitespace
+    collapses; a markup-free doc passes through with zero counts."""
+    import hashlib
+
+    from industrial_data_pipeline_spark.operators.text import (
+        strip_html)
+    docs = spark.createDataFrame(
+        [(0, '<html><script>var x=1;</script><p>a&nbsp;b</p>'
+             '<br>c &amp;amp; d</html>'),
+         (1, "plain text only"),
+         (2, '<script>has <b>markup</b>;</script>z')],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in strip_html(docs).collect()}
+    # doc 0: script body fully dropped; '&amp;amp;' decodes ONCE to
+    # the literal '&amp;', never twice (order: &amp; is last)
+    assert rows[0].n_dropped_blocks == 1
+    assert rows[0].n_tags == 5  # <html> <p> </p> <br> </html>
+    clean0 = "a b c &amp; d"
+    assert rows[0].n_entities == 2  # &nbsp; + one &amp;
+    assert rows[0].clean_md5 == hashlib.md5(
+        clean0.encode()).hexdigest(), clean0
+    r1 = rows[1]
+    assert (r1.n_dropped_blocks, r1.n_tags, r1.n_entities) == (0, 0, 0)
+    assert r1.clean_md5 == hashlib.md5(b"plain text only").hexdigest()
+    # doc 2: script body CONTAINS markup -> outside the regex tier's
+    # documented [^<]* limit: not counted as a dropped block, falls
+    # through to tag-stripping (body text survives)
+    r2 = rows[2]
+    assert r2.n_dropped_blocks == 0 and r2.n_tags == 4
+    assert r2.clean_md5 == hashlib.md5(
+        b"has markup ; z").hexdigest()
