@@ -1269,3 +1269,85 @@ FROM fin
 REGISTRY_PIPELINE.update({
     "q250_strip_html": (q_strip_html, _oracle_strip_html()),
 })
+
+
+# -------------------- q251 ROUGE-N summary-overlap evaluation
+
+def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 eval harness (operators/text.py::rouge_n) over
+    deterministic candidate/reference pairs: candidate = the doc
+    with every 3rd token dropped (a lossy 'summary' whose true
+    overlap statistics are computable), reference = the full doc.
+    Clipped multiset counts — the naive set-overlap shortcut would
+    diverge on repeated tokens and hash-mismatch. Completes the
+    eval family (q169 recall, q195 MRR, q238 nDCG) with the
+    generation-side metric every summarization/distillation
+    pipeline reports."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    cand = F.array_join(
+        F.filter(toks, lambda x, i: i % 3 != 0), " ")
+    pairs = docs.select(
+        "doc_id", cand.alias("candidate"),
+        F.col("text").alias("reference"))
+    return TX.rouge_n(pairs)
+
+
+def _oracle_rouge_eval() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+
+    def big(lst: str) -> str:
+        return (f"CASE WHEN len({lst}) >= 2 THEN "
+                f"list_transform(generate_series(1, len({lst}) - 1),"
+                f" i -> {lst}[i] || ' ' || {lst}[i+1])"
+                f" ELSE [] END")
+
+    def metric(n: int, cg: str, rg: str) -> str:
+        return f"""
+c{n} AS (SELECT doc_id, g, count(*) AS n FROM
+           (SELECT doc_id, unnest({cg}) AS g FROM pairs)
+         GROUP BY 1, 2),
+r{n} AS (SELECT doc_id, g, count(*) AS n FROM
+           (SELECT doc_id, unnest({rg}) AS g FROM pairs)
+         GROUP BY 1, 2),
+o{n} AS (SELECT doc_id, CAST(sum(least(c{n}.n, r{n}.n)) AS BIGINT)
+                AS ov
+         FROM c{n} JOIN r{n} USING (doc_id, g) GROUP BY 1),
+m{n} AS (SELECT p.doc_id,
+                round(coalesce(ov, 0)
+                      / nullif(len({cg})::DOUBLE, 0.0), 6)
+                    AS rouge{n}_p,
+                round(coalesce(ov, 0)
+                      / nullif(len({rg})::DOUBLE, 0.0), 6)
+                    AS rouge{n}_r,
+                round(2.0 * (coalesce(ov, 0)
+                             / nullif(len({cg})::DOUBLE, 0.0))
+                          * (coalesce(ov, 0)
+                             / nullif(len({rg})::DOUBLE, 0.0))
+                      / nullif((coalesce(ov, 0)
+                                / nullif(len({cg})::DOUBLE, 0.0))
+                               + (coalesce(ov, 0)
+                                  / nullif(len({rg})::DOUBLE, 0.0)),
+                               0.0), 6) AS rouge{n}_f1
+         FROM pairs p LEFT JOIN o{n} USING (doc_id))"""
+
+    return f"""
+WITH base AS (SELECT doc_id, {ltoks} AS rt FROM documents),
+pairs AS (SELECT doc_id, rt,
+                 list_transform(
+                     list_filter(generate_series(1, len(rt)),
+                                 i -> (i - 1) % 3 <> 0),
+                     i -> rt[i]) AS ct
+          FROM base),
+{metric(1, 'ct', 'rt').lstrip()},
+{metric(2, big('ct'), big('rt')).lstrip()}
+SELECT m1.doc_id, m1.rouge1_p, m1.rouge1_r, m1.rouge1_f1,
+       m2.rouge2_p, m2.rouge2_r, m2.rouge2_f1
+FROM m1 JOIN m2 USING (doc_id)
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q251_rouge_eval": (q_rouge_eval, _oracle_rouge_eval()),
+})

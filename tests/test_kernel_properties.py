@@ -374,3 +374,27 @@ def test_strip_html_hand_computed(spark):
     assert r2.n_dropped_blocks == 0 and r2.n_tags == 4
     assert r2.clean_md5 == hashlib.md5(
         b"has markup ; z").hexdigest()
+
+
+def test_rouge_n_clipped_counts_hand_computed(spark):
+    """rouge_n (q251) by hand, on the repeated-token case where
+    unclipped overlap overcounts: cand='a a a b', ref='a b b c' →
+    ROUGE-1 overlap = min(3,1) + min(1,2) = 2 (naive set overlap
+    would claim 2 too, but unclipped multiset would claim 4);
+    p = 2/4, r = 2/4, f1 = 0.5. ROUGE-2: cand bigrams {a a ×2, a b},
+    ref {a b, b b, b c} → overlap 1, p = 1/3, r = 1/3."""
+    from industrial_data_pipeline_spark.operators.text import rouge_n
+    pairs = spark.createDataFrame(
+        [(0, "a a a b", "a b b c"),
+         (1, "", "x y"),           # empty candidate: p NULL, r 0
+         (2, "same text", "same text")],
+        "doc_id long, candidate string, reference string")
+    rows = {r.doc_id: r for r in rouge_n(pairs).collect()}
+    r0 = rows[0]
+    assert (r0.rouge1_p, r0.rouge1_r, r0.rouge1_f1) == (0.5, 0.5, 0.5)
+    assert (r0.rouge2_p, r0.rouge2_r) == (round(1 / 3, 6),
+                                          round(1 / 3, 6))
+    r1 = rows[1]
+    assert r1.rouge1_p is None and r1.rouge1_r == 0.0
+    r2 = rows[2]
+    assert (r2.rouge1_f1, r2.rouge2_f1) == (1.0, 1.0)
