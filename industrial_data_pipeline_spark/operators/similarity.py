@@ -413,3 +413,44 @@ def ann_gate(index: DataFrame, corpus: DataFrame,
             .withColumn("cosine_sim", F.round(cos, round_dp))
             .where(F.col("cosine_sim") >= threshold)
             .select("new_id", "old_id", "cosine_sim"))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame,
+                   k: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   filter_col: str = "label",
+                   round_dp: int = 6) -> DataFrame:
+    """Hard-negative mining — the contrastive-training counterpart
+    of :func:`filtered_cosine_topk`: per query, the top-k MOST
+    similar corpus rows with a DIFFERENT ``filter_col`` value
+    (high-cosine cross-label items are exactly the negatives that
+    teach an embedding model its decision boundary; random negatives
+    are trivially separable and waste gradient).
+
+    Plan shape: the query batch broadcasts into a nested-loop join
+    on label inequality — with |queries| small (a mining batch) the
+    cost is one corpus scan × |queries| distance computations, the
+    same envelope as the brute-force retrieval it rides on; the
+    per-query rank window partitions on query_id. For corpus-scale
+    query sets, run per label stratum through the ANN index
+    (q29/q248) and anti-filter instead."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("_qv"),
+                       F.col(filter_col).alias("_qf"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("_cv"),
+                      F.col(filter_col).alias("_cf"))
+    cos = F.when(_usable_norm(_norm(F.col("_cv"))),
+                 _dot(F.col("_cv"), F.col("_qv"))
+                 / (_norm(F.col("_cv")) * _norm(F.col("_qv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
+                                               F.col("neighbor_id"))
+    return (c.join(F.broadcast(q), F.col("_cf") != F.col("_qf"))
+            .withColumn("_cos", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("_cos", round_dp).alias("cosine_sim"),
+                    "rk"))

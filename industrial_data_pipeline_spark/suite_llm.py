@@ -2099,3 +2099,40 @@ REGISTRY_LLM.update({
     "q249_quality_classifier": (q_quality_classifier,
                                 _oracle_quality_classifier()),
 })
+
+
+# --------------- q252 hard-negative mining (contrastive training)
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training
+    (operators/similarity.py::hard_negatives): for each of 5 query
+    vectors, the top-3 most-similar corpus vectors with a DIFFERENT
+    label — the cross-label near-neighbors that carry the gradient
+    signal. The complement of q151's same-label retrieval; together
+    they are the positive/negative pair-mining stage of an
+    embedding-training data pipeline."""
+    emb = _load_emb(spark, sf_dir)
+    return SIM.hard_negatives(emb, emb.where(F.col("vec_id") < 5),
+                              k=3)
+
+
+def _oracle_hard_negatives() -> str:
+    cos = _COS.format(a="c.v", b="q.qv")
+    return f"""
+WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label, v AS qv FROM c
+      WHERE vec_id < 5),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS raw,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rk
+      FROM c JOIN q ON c.label <> q.label)
+SELECT query_id, neighbor_id, round(raw, 6) AS cosine_sim, rk
+FROM s WHERE rk <= 3
+"""
+
+
+REGISTRY_LLM.update({
+    "q252_hard_negatives": (q_hard_negatives,
+                            _oracle_hard_negatives()),
+})

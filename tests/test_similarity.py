@@ -186,3 +186,21 @@ def test_ann_gate_batch_vs_index_only(spark, tmp_path):
                              vec_col="vec",
                              threshold=0.98).collect()}
     assert set(got) == {(10, 1)} and got[(10, 1)] == 1.0
+
+
+def test_hard_negatives_cross_label_only(spark):
+    """hard_negatives (q252): only DIFFERENT-label rows are returned,
+    ranked by cosine — the nearest cross-label vector wins; same-label
+    near-duplicates never appear."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        hard_negatives)
+    corpus = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "a", [0.99, 0.14]),  # same label
+         (3, "b", [0.9, 0.44]), (4, "b", [0.0, 1.0]),
+         (5, "c", [-1.0, 0.0])],
+        "vec_id long, label string, embedding array<double>")
+    q = corpus.where("vec_id = 1")
+    got = [(r.neighbor_id, r.rk) for r in
+           hard_negatives(corpus, q, k=2).orderBy("rk").collect()]
+    # 2 (same label) excluded though nearest; 3 > 4 > 5 by cosine
+    assert got == [(3, 1), (4, 2)]
