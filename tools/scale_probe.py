@@ -607,6 +607,23 @@ def main() -> None:
         '  q243 is its stored-index form: the per-batch corpus signature',
         '  rebuild disappears entirely (see the q242/q243 row), making the',
         '  stream the production admission loop.',
+        '',
+        '## Round-8 late additions (tools/new_ops_probe.py, noop-forced, min of 2)',
+        '',
+        '- **q249 quality classifier**: 1.00 s → 4.31 s for 16× docs (4.3×,',
+        '  sublinear): one explode + one narrow integer-weight shuffle with',
+        '  map-side combine; the 64-entry weight array folds into codegen.',
+        '- **q250 HTML strip**: 0.32 s → 0.78 s for 16× docs (2.4×) —',
+        '  shuffle-free regexp projection, scan-rate by construction.',
+        '- **q251 ROUGE-1/2 eval**: 2.86 s → 11.63 s for 16× docs (4.1×,',
+        '  sublinear): per-n gram-count shuffles + (id, gram) overlap joins,',
+        '  all keyed on 8-byte-ish gram strings per doc — linear in Σ|tokens|',
+        '  with no cross-doc state.',
+        '- **q252 hard-negative mining**: 0.46 s → 1.25 s for a 64× corpus',
+        '  (2.7×): the broadcast label-inequality join is one corpus scan ×',
+        '  |queries| distance computations — the documented brute-force',
+        '  envelope; corpus-scale query sets route through the ANN index',
+        '  instead (operator docstring).',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
