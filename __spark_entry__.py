@@ -148,12 +148,13 @@ _VERIFIED_GREEN = {
 # 0x1F strip — testdata contains no 0x1F; excision refactor to the
 # shared _excise_tokens; q240 cleanup-path hardening): each
 # re-verified values=MATCH via tools/drive_contract.py and the
-# committed full-suite CORRECTNESS_LOCAL_r08.json (252/252). Round
-# 8's never-checked tail is q242-q252 (stored LSH gate ×2,
+# committed full-suite CORRECTNESS_LOCAL_r08.json (253/253). Round
+# 8's never-checked tail is q242-q253 (stored LSH gate ×2,
 # stored-span excision, maintained-IVF recall, JPEG pHash dedup,
 # JPEG keyframes, stored embedding gate, quality classifier, HTML
-# strip, ROUGE eval, hard-negative mining) — 11 queries, comfortably
-# inside the ~50 budget with the 241 greens re-confirming after.
+# strip, ROUGE eval, hard-negative mining, full curation admission
+# stream) — 12 queries, comfortably inside the ~50 budget with the
+# 241 greens re-confirming after.
 _VERIFY_FIRST: set[str] = set()
 
 
