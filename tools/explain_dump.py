@@ -364,6 +364,22 @@ PICKS = [
      "weight array folded as a literal into codegen — no join, no "
      "UDF, no float ever summed (integer milli-weights; the single "
      "float division + sigmoid happen once per doc)."),
+    ("q252_hard_negatives",
+     "Hard-negative mining: the 5-row query batch broadcasts into a "
+     "nested-loop join on label inequality (the documented "
+     "brute-force envelope — one corpus scan × |queries| distance "
+     "computations); the rank window partitions on query_id. "
+     "Corpus-scale query sets route through the ANN index instead "
+     "(operator docstring)."),
+    ("q253_curation_stream",
+     "Full curation admission stream: the dump is the ledger "
+     "read-back after two REAL micro-batches (classifier + "
+     "stored-index probe + admit-append run during the dump); "
+     "per-batch plan = q249's shuffle-narrow classifier + q242's "
+     "stored-index probe shape (tests/test_plans.py), and the "
+     "composition properties (quality-passing dups rejected, "
+     "rejects never poison the index) are pinned by "
+     "tests/test_streaming.py::test_curation_stream_composition."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
