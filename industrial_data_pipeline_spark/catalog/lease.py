@@ -9,8 +9,10 @@ flock either doesn't exist (S3/GCS) or silently degrades (NFS without
 a lock manager). This module provides the standard replacement: a
 LEASE protocol built from three primitives every target offers —
 
-  atomic create-if-absent   (POSIX ``O_CREAT|O_EXCL``; S3/GCS
-                             conditional PUT ``If-None-Match: *``)
+  atomic create-if-absent   (POSIX ``link`` of a pre-written tmp —
+                             payload published atomically WITH the
+                             create; S3/GCS conditional PUT
+                             ``If-None-Match: *``, same property)
   atomic replace            (POSIX ``rename``; object-store PUT)
   read                      (read/GET)
 
@@ -104,13 +106,33 @@ class LeaseLock:
         os.replace(tmp, self.path)  # atomic publish
 
     def _try_create(self) -> bool:
-        """Atomic create-if-absent with our payload; bumps the fence
-        counter on success (only the unique winner writes it)."""
+        """Atomic create-if-absent WITH payload; bumps the fence
+        counter on success (only the unique winner writes it).
+
+        The payload is written to a tmp file first and published by
+        ``os.link`` (create-if-absent + content in ONE step; the
+        object-store analogue is a conditional PUT, whose body is
+        atomic by nature) — so no reader can ever observe an existing
+        lease with empty/unparseable content, the state that
+        previously required the corrupt-lease takeover below. The
+        fence bump stays AFTER the publish: only the unique link
+        winner runs it, so fence updates remain serialized by lease
+        ownership (a lock-free read-bump-replace before publishing
+        could regress the counter under a create race and mint
+        duplicate tokens). A crash between link and bump leaves a
+        valid owned lease whose eventual stale-takeover does the bump
+        — tokens stay unique and monotonic, never duplicated."""
+        tmp = f"{self.path}.{self.owner.rsplit(':', 1)[-1]}.create.tmp"
+        self.token = None
+        with open(tmp, "wb") as fh:
+            fh.write(self._payload())
         try:
-            fd = os.open(self.path,
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            os.link(tmp, self.path)
         except FileExistsError:
             return False
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
         fence_path = self.path + ".fence"
         try:
             with open(fence_path) as fh:
@@ -121,14 +143,20 @@ class LeaseLock:
         with open(fence_path + ".tmp", "w") as fh:
             fh.write(str(self.token))
         os.replace(fence_path + ".tmp", fence_path)
-        os.write(fd, self._payload())
-        os.close(fd)
+        # rewrite the lease with the token for observability; owner +
+        # hb_ts (all any reader decides on) were valid from the start
+        self._replace()
         return True
 
     # ----------------------------------------------------------- takeover
 
-    def _try_takeover(self, observed: dict) -> bool:
-        """Steal a stale lease; serialized by an exclusive marker."""
+    def _try_takeover(self, observed: dict | None) -> bool:
+        """Steal a stale lease; serialized by an exclusive marker.
+        ``observed`` is the stale payload the caller saw — or None
+        for a corrupt lease (unparseable past ttl by mtime): the
+        steal then proceeds only if the content is STILL unparseable
+        under the marker (a valid payload appearing means a live
+        writer won the file back — abort)."""
         marker = self.path + ".takeover"
         try:
             fd = os.open(marker,
@@ -168,7 +196,28 @@ class LeaseLock:
                 break
             cur = self._read()
             if cur is None:
-                continue  # vanished or torn — retry immediately
+                # vanished (released/stolen under us) → retry now;
+                # but a file that EXISTS with unparseable content is
+                # a torn read or a crashed creator — never spin on it:
+                # past ttl (by mtime) treat it as stale and steal it
+                # (self-heal), otherwise honor the deadline and sleep
+                # like the live-holder branch does.
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                except OSError:
+                    continue  # vanished — retry immediately
+                holder = "unparseable lease content"
+                if age >= self.ttl_s:
+                    if self._try_takeover(None):
+                        break
+                    continue  # lost the steal race — re-examine
+                if time.monotonic() >= deadline:
+                    raise LeaseHeldError(
+                        f"lease {self.path} exists with {holder} "
+                        f"younger than ttl {self.ttl_s}s — possible "
+                        f"torn write; retry or raise timeout_s")
+                time.sleep(0.05)
+                continue
             holder = f"{cur.get('owner')} (pid {cur.get('pid')})"
             if time.time() - float(cur.get("hb_ts", 0)) >= self.ttl_s:
                 if self._try_takeover(cur):

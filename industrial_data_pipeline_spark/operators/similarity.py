@@ -102,7 +102,11 @@ def filtered_cosine_topk(corpus: DataFrame, queries: DataFrame,
     # zero/NaN/inf-norm guard: cosine becomes NULL (sorted last) —
     # same _usable_norm predicate as cosine_topk; a bare `> 0` would
     # pass NaN (NaN > 0 is TRUE in Spark) and sort it FIRST.
-    cos = F.when(_usable_norm(_norm(F.col("_cv"))),
+    # BOTH norms guarded (ADVICE r8): an unguarded query-side norm
+    # lets one NaN query component poison every cosine for that query
+    # — NaN sorts FIRST under desc and displaces all real neighbors.
+    cos = F.when(_usable_norm(_norm(F.col("_cv")))
+                 & _usable_norm(_norm(F.col("_qv"))),
                  _dot(F.col("_cv"), F.col("_qv"))
                  / (_norm(F.col("_cv")) * _norm(F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
@@ -407,8 +411,14 @@ def ann_gate(index: DataFrame, corpus: DataFrame,
          .join(F.broadcast(cand), "old_id"))
     a = batch.select(F.col(id_col).alias("new_id"),
                      F.col(vec_col).alias("_vn"))
-    cos = _dot(F.col("_vn"), F.col("_vo")) \
-        / (_norm(F.col("_vn")) * _norm(F.col("_vo")))
+    # guarded on BOTH sides (ADVICE r8): NaN >= threshold is TRUE
+    # under Spark's NaN ordering, so an unguarded cosine would wave
+    # NaN vectors through the admission gate; the guard makes the
+    # cosine NULL and NULL >= threshold filters out.
+    cos = F.when(_usable_norm(_norm(F.col("_vn")))
+                 & _usable_norm(_norm(F.col("_vo"))),
+                 _dot(F.col("_vn"), F.col("_vo"))
+                 / (_norm(F.col("_vn")) * _norm(F.col("_vo"))))
     return (b.join(F.broadcast(a), "new_id")
             .withColumn("cosine_sim", F.round(cos, round_dp))
             .where(F.col("cosine_sim") >= threshold)
@@ -442,7 +452,11 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"),
                       F.col(filter_col).alias("_cf"))
-    cos = F.when(_usable_norm(_norm(F.col("_cv"))),
+    # BOTH norms guarded (ADVICE r8): an unguarded query-side norm
+    # lets one NaN query component poison every cosine for that query
+    # — NaN sorts FIRST under desc and displaces all real neighbors.
+    cos = F.when(_usable_norm(_norm(F.col("_cv")))
+                 & _usable_norm(_norm(F.col("_qv"))),
                  _dot(F.col("_cv"), F.col("_qv"))
                  / (_norm(F.col("_cv")) * _norm(F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),

@@ -936,9 +936,15 @@ def quality_classifier(df: DataFrame, id_col: str = "doc_id",
     midpoint 0.5 would reject this corpus wholesale).
     """
     toks = tokens(F.lower(F.col(text_col)))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    # guarded like rouge_n's grams(): a 1-token doc has NO bigrams —
+    # the unguarded sequence(0, greatest(size-2, 0)) emitted index
+    # [0] even then, double-counting the lone unigram as a phantom
+    # bigram (ADVICE r8; the q249/q253 oracles mirror this CASE)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    ).otherwise(F.array().cast("array<string>"))
     grams = F.filter(F.concat(toks, bigrams), lambda g: g != "")
     w_arr = F.array(*[F.lit(w) for w in classifier_weights(n_buckets)])
     ex = df.select(F.col(id_col),

@@ -2074,9 +2074,11 @@ WITH tk AS (SELECT doc_id, {ltoks} AS toks FROM documents),
 g AS (SELECT doc_id,
              unnest(list_filter(
                  list_concat(toks,
-                     list_transform(
-                         generate_series(0, greatest(len(toks) - 2, 0)),
-                         i -> array_to_string(toks[i+1:i+2], ' '))),
+                     CASE WHEN len(toks) >= 2 THEN
+                         list_transform(
+                             generate_series(0, len(toks) - 2),
+                             i -> array_to_string(toks[i+1:i+2], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END),
                  x -> x <> '')) AS gram
       FROM tk),
 f AS (SELECT doc_id,
@@ -2154,11 +2156,12 @@ def _clf_ctes(p: str, batch_cte: str) -> str:
 {p}g AS (SELECT doc_id,
                 unnest(list_filter(
                     list_concat(toks,
-                        list_transform(
-                            generate_series(0,
-                                greatest(len(toks) - 2, 0)),
-                            i -> array_to_string(toks[i+1:i+2],
-                                                 ' '))),
+                        CASE WHEN len(toks) >= 2 THEN
+                            list_transform(
+                                generate_series(0, len(toks) - 2),
+                                i -> array_to_string(toks[i+1:i+2],
+                                                     ' '))
+                        ELSE CAST([] AS VARCHAR[]) END),
                     x -> x <> '')) AS gram
          FROM {p}tk),
 {p}f AS (SELECT doc_id,

@@ -310,10 +310,8 @@ def _classifier_reference(text: str) -> tuple:
     w = classifier_weights(64)
     toks = [t for t in text.lower().split() if t]
     grams = list(toks)
-    for i in range(max(len(toks) - 1, 1)):
-        g = " ".join(toks[i:i + 2])
-        if g:
-            grams.append(g)
+    for i in range(len(toks) - 1):
+        grams.append(" ".join(toks[i:i + 2]))
     if not grams:
         return 0, None, None
     s = sum(w[int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64]
@@ -327,7 +325,8 @@ def test_quality_classifier_matches_reference(spark):
     """quality_classifier (q249): hashed-feature lookup, exact
     integer milli-weight sum, one sigmoid per doc — against an
     independent Python walk, including the empty-doc NULL contract
-    and the single-token unigram+self-'bigram' quirk."""
+    and the 1-token contract: exactly ONE feature (its unigram), no
+    phantom self-bigram (ADVICE r8 fix, mirrored in the oracles)."""
     from industrial_data_pipeline_spark.operators.text import (
         quality_classifier)
     texts = ["the quick brown fox", "a a a a a", "zzz",

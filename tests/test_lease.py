@@ -230,3 +230,50 @@ print("OK")
         p.join(timeout=60)
     assert all(p.exitcode == 0 for p in procs), \
         [p.exitcode for p in procs]
+
+
+def test_corrupt_lease_does_not_busy_spin_and_self_heals(tmp_path):
+    """ADVICE r8: a lease file with unparseable content (crash window
+    of a non-atomic creator, or a torn read) must neither spin the
+    CPU forever nor ignore timeout_s. Fresh corrupt content times out
+    with a clear error; corrupt content older than ttl (by mtime) is
+    takeover-eligible, so a crashed creator self-heals."""
+    path = str(tmp_path / "db.lease")
+    open(path, "w").close()  # empty = unparseable
+    lk = LeaseLock(path, ttl_s=5.0)
+    t0 = time.monotonic()
+    with pytest.raises(LeaseHeldError) as ei:
+        lk.acquire(timeout_s=0.4)  # fresh mtime → honors the deadline
+    elapsed = time.monotonic() - t0
+    assert 0.3 <= elapsed < 3.0  # no infinite spin, deadline honored
+    assert "unparseable" in str(ei.value)
+    # age the corrupt file past ttl → stale-takeover self-heal
+    old = time.time() - 6.0
+    os.utime(path, (old, old))
+    token = lk.acquire(timeout_s=2.0)
+    assert token == 1
+    assert json.load(open(path))["owner"] == lk.owner
+    lk.release()
+
+
+def test_lease_file_never_observable_without_payload(tmp_path):
+    """ADVICE r8: the create publishes payload atomically (os.link of
+    a pre-written tmp), so the lease file, whenever it exists, always
+    parses with owner + hb_ts — and the fence never advances for an
+    acquisition that wasn't published."""
+    path = str(tmp_path / "db.lease")
+    lk = LeaseLock(path, ttl_s=5.0)
+    lk.acquire(timeout_s=1.0)
+    cur = json.load(open(path))
+    assert cur["owner"] == lk.owner and cur["hb_ts"] > 0
+    assert cur["token"] == 1  # rewritten with the minted token
+    # a second contender's failed create leaves no tmp litter and
+    # does not bump the fence
+    b = LeaseLock(path, ttl_s=5.0)
+    with pytest.raises(LeaseHeldError):
+        b.acquire(timeout_s=0.2)
+    assert int(open(path + ".fence").read()) == 1
+    leftovers = [f for f in os.listdir(os.path.dirname(path))
+                 if f.endswith(".create.tmp")]
+    assert leftovers == []
+    lk.release()

@@ -204,3 +204,48 @@ def test_hard_negatives_cross_label_only(spark):
            hard_negatives(corpus, q, k=2).orderBy("rk").collect()]
     # 2 (same label) excluded though nearest; 3 > 4 > 5 by cosine
     assert got == [(3, 1), (4, 2)]
+
+
+def test_hard_negatives_nan_query_never_displaces(spark):
+    """ADVICE r8: a NaN component in a QUERY vector must not produce
+    NaN cosines (which sort first desc and displace every real hard
+    negative) — the guarded cosine goes NULL and real queries are
+    unaffected."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        hard_negatives)
+    corpus = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (3, "b", [0.9, 0.44]),
+         (4, "b", [0.0, 1.0])],
+        "vec_id long, label string, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (9, "a", [float("nan"), 1.0])],
+        "vec_id long, label string, embedding array<double>")
+    rows = hard_negatives(corpus, queries, k=2).collect()
+    good = sorted((r.neighbor_id, r.rk) for r in rows
+                  if r.query_id == 1)
+    assert good == [(3, 1), (4, 2)]  # real query: unchanged ranking
+    bad = {r.neighbor_id: r.cosine_sim for r in rows
+           if r.query_id == 9}
+    # NaN query: cosines are NULL (sorted last), never NaN-first
+    assert all(v is None for v in bad.values())
+
+
+def test_ann_gate_nan_vector_cannot_pass(spark, tmp_path):
+    """ADVICE r8: NaN >= threshold is TRUE under Spark NaN ordering —
+    an unguarded gate would ADMIT-as-duplicate (or worse, pass) NaN
+    vectors. The guarded cosine is NULL, so NaN batch vectors produce
+    no collision rows at all."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        ann_gate, ann_signature_index)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0, 0.5])], "vec_id long, vec array<double>")
+    batch = spark.createDataFrame(
+        [(10, [float("nan"), 0.0, 0.0, 0.0]),
+         (11, [2.0, 0.0, 4.0, 1.0])],
+        "vec_id long, vec array<double>")
+    idx = ann_signature_index(corpus, 4, vec_col="vec")
+    bidx = ann_signature_index(batch, 4, vec_col="vec")
+    got = {(r.new_id, r.old_id): r.cosine_sim
+           for r in ann_gate(idx, corpus, batch, bidx, vec_col="vec",
+                             threshold=0.98).collect()}
+    assert set(got) == {(11, 1)} and got[(11, 1)] == 1.0
