@@ -140,21 +140,25 @@ _VERIFIED_GREEN = {
     "q93_sql_cube", "q94_stream_enriched_counts", "q95_zipf_slope",
     "q96_salted_join_revenue", "q97_min_cost_supplier",
     "q98_important_inventory", "q99_top_supplier",
+    "q242_stored_lsh_gate", "q243_streaming_stored_gate",
+    "q244_dup_span_excise_stored", "q245_ivf_maintained_recall",
+    "q246_jpeg_phash_dedup", "q247_jpeg_keyframes",
+    "q248_stored_ann_gate", "q249_quality_classifier",
+    "q250_strip_html", "q251_rouge_eval", "q252_hard_negatives",
+    "q253_curation_stream",
 }
 
-# Round 7 closed the q233-q241 tail (CORRECTNESS_r07: 50/50 green) —
-# moved into the green tier above. q235/q239/q240/q231 keep their
-# green listings across round 8's behavior-identical changes (BPE_SEP
-# 0x1F strip — testdata contains no 0x1F; excision refactor to the
-# shared _excise_tokens; q240 cleanup-path hardening): each
-# re-verified values=MATCH via tools/drive_contract.py and the
-# committed full-suite CORRECTNESS_LOCAL_r08.json (253/253). Round
-# 8's never-checked tail is q242-q253 (stored LSH gate ×2,
-# stored-span excision, maintained-IVF recall, JPEG pHash dedup,
-# JPEG keyframes, stored embedding gate, quality classifier, HTML
-# strip, ROUGE eval, hard-negative mining, full curation admission
-# stream) — 12 queries, comfortably inside the ~50 budget with the
-# 241 greens re-confirming after.
+# Round 8 closed the q242-q253 tail (CORRECTNESS_r08: 50/50 green) —
+# moved into the green tier above. Round 9's behavior changes to
+# green queries were each re-verified values=MATCH via
+# tools/drive_contract.py before commit: q249/q253 (1-token bigram
+# fix, mirrored in BOTH engines), q242/q243/q253 (prunable stored-LSH
+# layout — pruning is a superset filter of the probe join, results
+# identical), q248 (prunable signature-index layout + pruned verify),
+# q252 (query-side NaN norm guard — no NaN vectors in testdata).
+# Round 9's never-checked tail starts at q254 (stored-route hard
+# negatives with in-brute-topk flag) — kept in the first-run tier
+# with the greens re-confirming after.
 _VERIFY_FIRST: set[str] = set()
 
 

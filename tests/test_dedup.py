@@ -449,3 +449,52 @@ def test_stored_lsh_index_append_advances_gate(spark, tmp_path):
     got = {(r.new_id, r.old_id, r.jaccard_sim)
            for r in reopened.probe(probe2).collect()}
     assert got == {(11, 10, 1.0)}
+
+
+def test_stored_index_compaction_bounds_files_probe_unchanged(
+        spark, tmp_path):
+    """VERDICT r8 item 2: per-batch appends accrete small files;
+    compact() folds them back into the build layout. Pins (a) file
+    count strictly drops after >= 3 append batches, (b) a probe is
+    BYTE-identical across the compaction, (c) the writer lease is
+    released (a second compact() doesn't dead-wait), and (d) a crash
+    between the two renames is recovered on the next compact()."""
+    import os
+
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    base = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(20)],
+        "doc_id long, text string")
+    root = str(tmp_path / "idx")
+    idx = StoredLshIndex(spark, root, threshold=0.5)
+    idx.build(base)
+    for b in range(3):  # three admission micro-batches
+        batch = spark.createDataFrame(
+            [(100 + b, f"x{b}a x{b}b x{b}c x{b}d x{b}e")],
+            "doc_id long, text string")
+        bands_df, shingles_df = idx.signature_frames(batch)
+        idx.append_frames(bands_df, shingles_df)
+    probe = spark.createDataFrame(
+        [(900, "x1a x1b x1c x1d x1e"),       # dup of batch-1 admit
+         (901, "w3a w3b w3c w3d w3e"),       # dup of base corpus
+         (902, "zz1 zz2 zz3 zz4 zz5")],      # novel
+        "doc_id long, text string")
+    before_files = idx.file_count()
+    before = sorted((r.new_id, r.old_id, r.jaccard_sim)
+                    for r in idx.probe(probe).collect())
+    assert {(900, 101), (901, 3)} == {(a, b) for a, b, _ in before}
+    stats = idx.compact()
+    assert stats["files_after"] < before_files
+    after = sorted((r.new_id, r.old_id, r.jaccard_sim)
+                   for r in idx.probe(probe).collect())
+    assert after == before  # byte-identical across compaction
+    # lease released: a second compaction acquires immediately
+    stats2 = idx.compact()
+    assert stats2["files_after"] <= stats["files_after"]
+    # crash recovery: simulate death between the two renames
+    os.rename(idx._shingles_path, idx._shingles_path + "_compact_old")
+    idx.compact()  # _recover() restores, then compacts
+    assert sorted((r.new_id, r.old_id, r.jaccard_sim)
+                  for r in idx.probe(probe).collect()) == before

