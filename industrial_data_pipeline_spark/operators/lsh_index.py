@@ -82,7 +82,8 @@ class StoredLshIndex:
     def __init__(self, spark: SparkSession, root: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  k: int = 3, num_perm: int = 32, bands: int = 8,
-                 threshold: float = 0.5):
+                 threshold: float = 0.5,
+                 max_records_per_file: int | None = None):
         self.spark = spark
         self.root = root
         self.id_col = id_col
@@ -91,6 +92,14 @@ class StoredLshIndex:
         self.num_perm = num_perm
         self.bands = bands
         self.threshold = threshold
+        #: bound on rows per data file at build/compact time — the
+        #: PRUNING GRANULARITY knob: a probe reads whole row groups,
+        #: so bytes-per-probe ≈ (distinct probe keys) × (rows per
+        #: row group) once files/row-groups outnumber the keys.
+        #: None keeps Spark's defaults (fine for tests; a 100 TB
+        #: index sets this so row groups ≫ expected batch keys —
+        #: tools/lsh_gate_probe.py measures the effect).
+        self.max_records_per_file = max_records_per_file
         self._bands_path = os.path.join(root, "bands")
         self._shingles_path = os.path.join(root, "shingles")
         #: observability: the pruned band-table scan of the LAST
@@ -131,13 +140,22 @@ class StoredLshIndex:
                        "bands": self.bands,
                        "threshold": self.threshold}, fh)
         bands_df, shingles_df = self.signature_frames(corpus)
-        (bands_df.repartitionByRange("band", "bucket")
-         .sortWithinPartitions("band", "bucket")
-         .write.mode("overwrite").partitionBy("band")
+        (self._sized(bands_df.repartitionByRange("band", "bucket")
+                     .sortWithinPartitions("band", "bucket")
+                     .write.mode("overwrite").partitionBy("band"))
          .parquet(self._bands_path))
-        (shingles_df.repartitionByRange("doc_id")
-         .sortWithinPartitions("doc_id")
-         .write.mode("overwrite").parquet(self._shingles_path))
+        (self._sized(shingles_df.repartitionByRange("doc_id")
+                     .sortWithinPartitions("doc_id")
+                     .write.mode("overwrite"))
+         .parquet(self._shingles_path))
+
+    def _sized(self, writer):
+        """Apply the max_records_per_file pruning-granularity bound
+        (None = Spark defaults)."""
+        if self.max_records_per_file:
+            return writer.option("maxRecordsPerFile",
+                                 self.max_records_per_file)
+        return writer
 
     # ----------------------------------------------------- signatures
 
@@ -308,14 +326,14 @@ class StoredLshIndex:
             self._recover()
             before = self.file_count()
             for path, rewrite in (
-                (self._bands_path, lambda df:
-                 df.repartitionByRange("band", "bucket")
-                 .sortWithinPartitions("band", "bucket")
-                 .write.mode("overwrite").partitionBy("band")),
-                (self._shingles_path, lambda df:
-                 df.repartitionByRange("doc_id")
-                 .sortWithinPartitions("doc_id")
-                 .write.mode("overwrite")),
+                (self._bands_path, lambda df: self._sized(
+                    df.repartitionByRange("band", "bucket")
+                    .sortWithinPartitions("band", "bucket")
+                    .write.mode("overwrite").partitionBy("band"))),
+                (self._shingles_path, lambda df: self._sized(
+                    df.repartitionByRange("doc_id")
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite"))),
             ):
                 tmp, old = path + "_compact_tmp", path + "_compact_old"
                 rewrite(self.spark.read.parquet(path)).parquet(tmp)

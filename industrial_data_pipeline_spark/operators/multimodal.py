@@ -190,13 +190,74 @@ def png_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, c, out.reshape(h, w, c)
 
 
+#: Native-decoder seam (VERDICT r8 item 8 — the codec twin of the PI
+#: transport seam, sources/pi_client.py): format → callable
+#: ``decoder(payload: bytes) -> (w, h, c, uint8[h, w, c])``. The
+#: pure-Python codecs are the dependency-free DEFAULT (correct,
+#: Arrow-batched, but ~Python-speed per pixel — a correctness vehicle,
+#: not a production decode path); a 100 TB multimodal run registers
+#: libjpeg-turbo/PIL here ONCE per worker and every decode_image
+#: consumer (features, keyframes, pHash, resize) picks it up with no
+#: plan change, because the seam sits below the Arrow kernels.
+#: Registration is process-local by design: mapInPandas workers run
+#: the module top level, so production wiring is an import-time
+#: ``register_native_decoder("jpeg", pil_jpeg_decoder())`` in the
+#: job's entry module. Parity contract: same (w, h, c); JPEG pixel
+#: values may differ by the T.81 IDCT tolerance (±1/LSB per sample —
+#: the spec's Annex A accuracy bound, NOT byte drift in our results:
+#: registered queries hash pipeline OUTPUTS of the default codec);
+#: PNG must be bit-exact (lossless). tests/test_multimodal.py pins
+#: the routing + contract with a fake, and runs a PIL parity check
+#: when PIL is installed (import-gated; absent in this container).
+_NATIVE_DECODERS: dict[str, object] = {}
+
+
+def register_native_decoder(fmt: str, decoder) -> None:
+    """Install a native ``decoder`` for ``fmt`` ('jpeg' | 'png');
+    see the seam contract above."""
+    if fmt not in ("jpeg", "png"):
+        raise ValueError(f"unknown image format {fmt!r}")
+    _NATIVE_DECODERS[fmt] = decoder
+
+
+def clear_native_decoder(fmt: str | None = None) -> None:
+    """Remove one (or every) registered native decoder — restores
+    the pure-Python default; tests use it for isolation."""
+    if fmt is None:
+        _NATIVE_DECODERS.clear()
+    else:
+        _NATIVE_DECODERS.pop(fmt, None)
+
+
+def pil_jpeg_decoder():
+    """Production wiring for the seam: a PIL/libjpeg-backed decoder
+    (import-gated — this container has no PIL; the seam is exercised
+    with fakes instead). Returns a callable matching the contract."""
+    from PIL import Image  # noqa: F401 — import-gated by design
+    import io
+
+    def decoder(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        img = Image.open(io.BytesIO(bytes(payload)))
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        return w, h, c, arr.astype(np.uint8)
+
+    return decoder
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Format-dispatching pixel decode: PNG via :func:`png_decode`,
-    JPEG via the baseline codec (operators/jpeg.py). Returns
-    (width, height, channels, uint8 [h, w, c]); unrecognized or
-    out-of-scope payloads raise (ValueError / NotImplementedError)."""
+    JPEG via the baseline codec (operators/jpeg.py) — unless a
+    native decoder is registered for the format (the scale seam
+    above). Returns (width, height, channels, uint8 [h, w, c]);
+    unrecognized or out-of-scope payloads raise (ValueError /
+    NotImplementedError)."""
     b = bytes(payload)
     probed = probe_image(b)
+    if probed and probed[0] in _NATIVE_DECODERS:
+        return _NATIVE_DECODERS[probed[0]](b)
     if probed and probed[0] == "png":
         return png_decode(b)
     if probed and probed[0] == "jpeg":

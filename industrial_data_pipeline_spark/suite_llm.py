@@ -346,19 +346,21 @@ _COS = ("(list_dot_product({a}, {b})"
 _COS6 = f"round({_COS}, 6)"
 
 
-def _plane_arr_sql(table: int, p: int) -> str:
+def _plane_arr_sql(table: int, p: int, dim: int = _EMB_DIM) -> str:
     """The hyperplane as a DuckDB DOUBLE[] literal — the SAME
     md5-derived constants the Spark plan folds in
     (operators/similarity._plane_component), so the oracle's bucket
     assignment is the engine's, not a re-derivation."""
     return "[" + ", ".join(repr(SIM._plane_component(table, p, d))
-                           for d in range(_EMB_DIM)) + "]"
+                           for d in range(dim)) + "]"
 
 
-def _sig_sql(vec: str, table: int, n_planes: int) -> str:
+def _sig_sql(vec: str, table: int, n_planes: int,
+             dim: int = _EMB_DIM) -> str:
     """DuckDB twin of operators.similarity.hyperplane_signatures."""
     bits = " + ".join(
-        f"(CASE WHEN list_dot_product({vec}, {_plane_arr_sql(table, p)})"
+        f"(CASE WHEN list_dot_product({vec},"
+        f" {_plane_arr_sql(table, p, dim)})"
         f" > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes))
     return f"({bits})"
@@ -2424,4 +2426,339 @@ WHERE a.rk <= 3
 REGISTRY_LLM.update({
     "q254_ann_hard_negatives": (q_ann_hard_negatives,
                                 _oracle_ann_hard_negatives()),
+})
+
+
+# ------------------- q255 ROUGE-L (LCS) summarization eval metric
+
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L over three planted pair families (operators/text.py::
+    rouge_l — the LCS kernel next to q251's ROUGE-1/2, VERDICT r8
+    item 7): identity pairs (doc_id < 30 — LCS = |ref|, P=R=F1=1),
+    subsequence+noise pairs (30 ≤ doc_id < 90 — every 3rd token
+    dropped, two never-in-corpus noise tokens appended: LCS = kept
+    count EXACTLY, since noise matches nothing and the kept tokens
+    are a subsequence of the reference), and disjoint pairs
+    (90 ≤ doc_id < 120 — LCS = 0, F1 NULL by the 0/0 contract).
+
+    The kernel runs the GENERAL O(m·n) Arrow DP — it can't see the
+    planting; the oracle exploits the planted structure to know each
+    family's LCS in closed form, so the metric is hash-checked
+    without SQL having to run a dynamic program (adversarial
+    unplanted cases — repeats, swaps, empties — are pinned by
+    hand-computed unit tests instead)."""
+    docs = _load_docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    toks = TX.tokens(F.col("text"))
+    kept = F.filter(toks, lambda x, i: i % 3 != 0)
+    cand = (F.when(F.col("doc_id") < 30, F.col("text"))
+            .when(F.col("doc_id") < 90,
+                  F.concat(F.array_join(kept, " "),
+                           F.lit(" q255noisea q255noiseb")))
+            .otherwise(F.lit("zzzq255a zzzq255b zzzq255c")))
+    pairs = docs.select("doc_id", cand.alias("candidate"),
+                        F.col("text").alias("reference"))
+    return TX.rouge_l(pairs).orderBy("doc_id")
+
+
+def _oracle_rouge_l() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(text),"
+             " '\\s+'), x -> x <> '')")
+    return f"""
+WITH base AS (SELECT doc_id, len({ltoks}) AS n
+              FROM documents WHERE doc_id < 120),
+shaped AS (SELECT doc_id, n,
+    CASE WHEN doc_id < 30 THEN n
+         WHEN doc_id < 90 THEN n - ((n + 2) // 3)
+         ELSE 0 END AS lcs_len,
+    CASE WHEN doc_id < 30 THEN n
+         WHEN doc_id < 90 THEN n - ((n + 2) // 3) + 2
+         ELSE 3 END AS m
+    FROM base),
+metrics AS (SELECT doc_id, CAST(lcs_len AS BIGINT) AS lcs_len,
+    lcs_len / CAST(m AS DOUBLE) AS p,
+    lcs_len / CAST(n AS DOUBLE) AS r
+    FROM shaped)
+SELECT doc_id, lcs_len,
+       round(p, 6) AS rougeL_p,
+       round(r, 6) AS rougeL_r,
+       round(2.0 * p * r / nullif(p + r, 0.0), 6) AS rougeL_f1
+FROM metrics ORDER BY doc_id
+"""
+
+
+REGISTRY_LLM.update({
+    "q255_rouge_l": (q_rouge_l, _oracle_rouge_l()),
+})
+
+
+# -- q256 MULTI-GATE curation admission stream: quality + text dedup
+# -- + EMBEDDING dedup (VERDICT r8 item 9 — the full production shape)
+
+_DEMB_DIM = 16
+_LTOKS = ("list_filter(string_split_regex(trim(lower(text)),"
+          " '\\s+'), x -> x <> '')")
+
+
+def _demb_sql(cte: str) -> str:
+    """DuckDB twin of operators.text.hashed_bow_embedding over
+    ``cte`` (doc_id, text): integer milli-weight sums per dim (exact,
+    order-free), one float division per component — verified
+    byte-equal to the Spark expression."""
+    w = _h64("t || ':' || d") + " % 2001 - 1000"
+    return (f"SELECT doc_id,"
+            f" list_transform(generate_series(0, {_DEMB_DIM - 1}),"
+            f" d -> coalesce(list_sum(list_transform({_LTOKS},"
+            f" t -> ({w}))), 0) / 1000.0) AS v FROM {cte}")
+
+
+def _egate_ctes(p: str, corpus_cte: str, batch_cte: str) -> str:
+    """CTE chain (prefix ``p``) replaying one EMBEDDING admission
+    gate of ``batch_cte`` against ``corpus_cte``: hashed-BoW
+    embeddings, dim-16 hyperplane signatures (same md5-derived plane
+    constants the Spark pandas-UDF matmul folds in), any-table
+    collision candidates, cosine ≥ 0.98 verify. Ends with ``{p}ver``
+    (new_id, old_id) — the embedding twin of :func:`_gate_ctes`."""
+    csigs = ", ".join(f"{_sig_sql('v', t, 6, _DEMB_DIM)} AS s{t}"
+                      for t in range(8))
+    any_tab = " OR ".join(f"bs.s{t} = cs.s{t}" for t in range(8))
+    cos = _COS6.format(a="bb.v", b="cc.v")
+    return f"""
+{p}cde AS ({_demb_sql(corpus_cte)}),
+{p}bde AS ({_demb_sql(batch_cte)}),
+{p}csg AS (SELECT doc_id, {csigs} FROM {p}cde),
+{p}bsg AS (SELECT doc_id, {csigs} FROM {p}bde),
+{p}cand AS (SELECT DISTINCT bs.doc_id AS new_id, cs.doc_id AS old_id
+            FROM {p}bsg bs JOIN {p}csg cs ON {any_tab}),
+{p}ver AS (SELECT cd.new_id, cd.old_id FROM {p}cand cd
+           JOIN {p}bde bb ON bb.doc_id = cd.new_id
+           JOIN {p}cde cc ON cc.doc_id = cd.old_id
+           WHERE {cos} >= 0.98)"""
+
+
+_MSUF = ("array_to_string(list_transform({toks}, t -> t || 'z9'), ' ')"
+         .format(toks=_TOKS))
+_MREVSUF = ("array_to_string(list_reverse("
+            "list_transform({toks}, t -> t || 'z9')), ' ')"
+            .format(toks=_TOKS))
+
+_MB1_SQL = f"""
+SELECT doc_id + 740000 AS doc_id, text || ' qqq' AS text
+FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id + 750000, {_REV}
+FROM documents WHERE doc_id >= 100 AND doc_id < 105
+UNION ALL
+SELECT doc_id + 760000, {_MSUF}
+FROM documents WHERE doc_id >= 105 AND doc_id < 110
+"""
+
+_MB2_SQL = f"""
+SELECT doc_id + 770000 AS doc_id, {_MREVSUF} AS text
+FROM documents WHERE doc_id >= 105 AND doc_id < 110
+UNION ALL
+SELECT doc_id + 780000, {_MSUF}
+FROM documents WHERE doc_id >= 110 AND doc_id < 115
+"""
+
+
+def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q253 completed to the FULL production curation shape: each
+    micro-batch passes (1) the quality classifier, (2) the persisted
+    text-LSH gate, and (3) a persisted EMBEDDING gate (hashed-BoW
+    vectors, q248's stored hyperplane-signature asset + pruned
+    verify) — admission requires all three; admitted docs advance
+    BOTH index assets. The embedding gate's value-add is pinned by
+    construction: batch 1 carries token-REVERSED copies of corpus
+    docs, which the shingle gate cannot see (reversed trigrams are
+    novel) but the order-invariant embedding maps to the IDENTICAL
+    vector — cosine 1.0, rejected. Batch 2 carries reversed copies
+    of batch 1's suffix-transformed ADMITS: rejected only if batch
+    1's append really advanced the signature/vector assets (and
+    quality-rejects must NOT have poisoned them — the q253 invariant
+    extended to the second index). Ledger: (doc_id, quality_keep,
+    n_matches, n_emb_matches, admitted); oracle replays both batches
+    sequentially — classifier + both gates + both index advances —
+    in pure SQL.
+
+    Scale shape: per batch = one classifier projection + the pruned
+    stored-LSH probe + one Arrow signing matmul + the pruned stored
+    signature probe, all batch-sized; both verifies read only
+    collision survivors (id pushdown). Steady-state cost is
+    O(|batch| + collisions) compute and O(probed rows) I/O —
+    corpus-independent on every axis."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.lsh_index import \
+        StoredLshIndex
+
+    root = tempfile.mkdtemp(prefix="idp_q256_")
+    idx_root = os.path.join(root, "lsh_index")
+    sig_path = os.path.join(root, "emb_sigs")
+    vec_path = os.path.join(root, "emb_vecs")
+    staging = os.path.join(root, "staging")
+    ledger_dir = os.path.join(root, "ledger")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging)
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    idx = StoredLshIndex(spark, idx_root, num_perm=_NUM_PERM,
+                         bands=_BANDS, threshold=_THRESH)
+    idx.build(docs)
+    corpus_vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM).alias("v"))
+    (corpus_vecs.repartitionByRange("vec_id")
+     .sortWithinPartitions("vec_id")
+     .write.mode("overwrite").parquet(vec_path))
+    SIM.write_signature_index(
+        SIM.ann_signature_index(spark.read.parquet(vec_path),
+                                _DEMB_DIM, vec_col="v"), sig_path)
+
+    toks = TX.tokens(F.col("text"))
+    rev = F.array_join(F.reverse(toks), " ")
+    suf_t = F.transform(toks, lambda t: F.concat(t, F.lit("z9")))
+    suf = F.array_join(suf_t, " ")
+    revsuf = F.array_join(F.reverse(suf_t), " ")
+    b1 = (docs.where(F.col("doc_id") < 5)
+          .select((F.col("doc_id") + 740000).alias("doc_id"),
+                  F.concat("text", F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 100)
+                         & (F.col("doc_id") < 105))
+              .select((F.col("doc_id") + 750000).alias("doc_id"),
+                      rev.alias("text")))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 105)
+                         & (F.col("doc_id") < 110))
+              .select((F.col("doc_id") + 760000).alias("doc_id"),
+                      suf.alias("text"))))
+    b2 = (docs.where((F.col("doc_id") >= 105) & (F.col("doc_id") < 110))
+          .select((F.col("doc_id") + 770000).alias("doc_id"),
+                  revsuf.alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 110)
+                         & (F.col("doc_id") < 115))
+              .select((F.col("doc_id") + 780000).alias("doc_id"),
+                      suf.alias("text"))))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        batch = (batch.select("doc_id", "text")
+                 .localCheckpoint(eager=True))
+        if batch.isEmpty():
+            return
+        clf = TX.quality_classifier(batch).select(
+            "doc_id",
+            F.coalesce("keep", F.lit(False)).alias("quality_keep"))
+        bands_df, shingles_df = idx.signature_frames(batch)
+        bands_df = bands_df.localCheckpoint(eager=True)
+        shingles_df = shingles_df.localCheckpoint(eager=True)
+        tmatch = idx.probe_frames(bands_df, shingles_df)
+        vecs = (batch.select(
+            F.col("doc_id").alias("vec_id"),
+            TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM)
+            .alias("v")).localCheckpoint(eager=True))
+        bsig = (SIM.ann_signature_index(vecs, _DEMB_DIM, vec_col="v")
+                .localCheckpoint(eager=True))
+        stored_sig = SIM.pruned_signature_scan(spark, sig_path, bsig)
+        ematch = SIM.ann_gate(stored_sig,
+                              spark.read.parquet(vec_path), vecs,
+                              bsig, id_col="vec_id", vec_col="v",
+                              threshold=0.98)
+        per_t = (tmatch.groupBy("new_id")
+                 .agg(F.count("*").alias("n_matches"))
+                 .withColumnRenamed("new_id", "_tid"))
+        per_e = (ematch.groupBy("new_id")
+                 .agg(F.count("*").alias("n_emb_matches"))
+                 .withColumnRenamed("new_id", "_eid"))
+        stats = (batch.join(clf, "doc_id")
+                 .join(per_t, F.col("doc_id") == F.col("_tid"), "left")
+                 .join(per_e, F.col("doc_id") == F.col("_eid"), "left")
+                 .select("doc_id", "quality_keep",
+                         F.coalesce("n_matches", F.lit(0))
+                         .cast("long").alias("n_matches"),
+                         F.coalesce("n_emb_matches", F.lit(0))
+                         .cast("long").alias("n_emb_matches"))
+                 .localCheckpoint(eager=True))
+        admitted = (stats.where(F.col("quality_keep")
+                                & (F.col("n_matches") == 0)
+                                & (F.col("n_emb_matches") == 0))
+                    .select("doc_id"))
+        adm_vec = admitted.select(F.col("doc_id").alias("vec_id"))
+        idx.append_frames(
+            bands_df.join(F.broadcast(admitted), "doc_id"),
+            shingles_df.join(F.broadcast(admitted), "doc_id"))
+        (vecs.join(F.broadcast(adm_vec), "vec_id").coalesce(1)
+         .sortWithinPartitions("vec_id")
+         .write.mode("append").parquet(vec_path))
+        (bsig.join(F.broadcast(adm_vec), "vec_id").coalesce(1)
+         .sortWithinPartitions("table", "sig")
+         .write.mode("append").partitionBy("table").parquet(sig_path))
+        (stats.select("doc_id", "quality_keep", "n_matches",
+                      "n_emb_matches",
+                      (F.col("quality_keep")
+                       & (F.col("n_matches") == 0)
+                       & (F.col("n_emb_matches") == 0))
+                      .alias("admitted"))
+         .write.mode("append").parquet(ledger_dir))
+
+    src = (spark.readStream.schema("doc_id long, text string")
+           .parquet(staging))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").start())
+    try:
+        b1.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        out = (spark.read.parquet(ledger_dir)
+               .select("doc_id", "quality_keep", "n_matches",
+                       "n_emb_matches", "admitted")
+               .localCheckpoint(eager=True))
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_MULTIGATE_STREAM = f"""
+WITH corpus0 AS (SELECT doc_id, text FROM documents),
+b1 AS ({_MB1_SQL}),
+{_clf_ctes('k1', 'b1').lstrip()},
+{_gate_ctes('g1', 'corpus0', 'b1').lstrip()},
+{_egate_ctes('e1', 'corpus0', 'b1').lstrip()},
+adm1 AS (SELECT b1.doc_id, b1.text
+         FROM b1 JOIN k1keep USING (doc_id)
+         WHERE keep
+           AND doc_id NOT IN (SELECT new_id FROM g1ver)
+           AND doc_id NOT IN (SELECT new_id FROM e1ver)),
+corpus1 AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM adm1),
+b2 AS ({_MB2_SQL}),
+{_clf_ctes('k2', 'b2').lstrip()},
+{_gate_ctes('g2', 'corpus1', 'b2').lstrip()},
+{_egate_ctes('e2', 'corpus1', 'b2').lstrip()},
+led AS (
+  SELECT b1.doc_id, k.keep AS quality_keep,
+         (SELECT count(*) FROM g1ver v
+          WHERE v.new_id = b1.doc_id) AS n_matches,
+         (SELECT count(*) FROM e1ver v
+          WHERE v.new_id = b1.doc_id) AS n_emb_matches
+  FROM b1 JOIN k1keep k USING (doc_id)
+  UNION ALL
+  SELECT b2.doc_id, k.keep,
+         (SELECT count(*) FROM g2ver v WHERE v.new_id = b2.doc_id),
+         (SELECT count(*) FROM e2ver v WHERE v.new_id = b2.doc_id)
+  FROM b2 JOIN k2keep k USING (doc_id))
+SELECT doc_id, quality_keep,
+       CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(n_emb_matches AS BIGINT) AS n_emb_matches,
+       quality_keep AND n_matches = 0 AND n_emb_matches = 0
+           AS admitted
+FROM led
+"""
+
+REGISTRY_LLM.update({
+    "q256_multigate_stream": (q_multigate_stream,
+                              ORACLE_MULTIGATE_STREAM),
 })

@@ -397,3 +397,57 @@ def test_rouge_n_clipped_counts_hand_computed(spark):
     assert r1.rouge1_p is None and r1.rouge1_r == 0.0
     r2 = rows[2]
     assert (r2.rouge1_f1, r2.rouge2_f1) == (1.0, 1.0)
+
+
+def _lcs_reference(a: list, b: list) -> int:
+    """Classic O(m·n) table DP — independent of the numpy
+    prefix-max formulation under test."""
+    m, n = len(a), len(b)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m):
+        for j in range(n):
+            dp[i + 1][j + 1] = (dp[i][j] + 1 if a[i] == b[j]
+                                else max(dp[i][j + 1], dp[i + 1][j]))
+    return dp[m][n]
+
+
+def test_rouge_l_hand_computed_and_vs_reference(spark):
+    """rouge_l / lcs_token_len (q255): hand cases the planted oracle
+    can't cover — repeats, swaps, case folding, empties — plus a
+    pseudo-random sweep against an independent classic DP."""
+    import random
+
+    from industrial_data_pipeline_spark.operators.text import rouge_l
+
+    cases = [
+        (0, "a b a b a", "b a b a b", 4),    # repeated tokens
+        (1, "x y", "y x", 1),                # order matters
+        (2, "A b C", "a B c", 3),            # case-insensitive
+        (3, "", "a b c", 0),                 # empty candidate
+        (4, "a b c", "", 0),                 # empty reference
+        (5, "p q r s", "p x q y r z s", 4),  # interleaved
+    ]
+    rng = random.Random(42)
+    rand, base = [], ["t%d" % i for i in range(6)]
+    for i in range(20):  # small vocab → dense repeat structure
+        a = [rng.choice(base) for _ in range(rng.randint(0, 15))]
+        b = [rng.choice(base) for _ in range(rng.randint(0, 15))]
+        rand.append((100 + i, " ".join(a), " ".join(b),
+                     _lcs_reference(a, b)))
+    df = spark.createDataFrame(
+        [(i, c, r) for i, c, r, _ in cases + rand],
+        "doc_id long, candidate string, reference string")
+    got = {r.doc_id: r for r in rouge_l(df).collect()}
+    for i, c, ref, want in cases + rand:
+        assert got[i].lcs_len == want, (c, ref)
+    # metric contracts on the hand cases
+    assert got[0].rougeL_p == round(4 / 5, 6)
+    assert got[0].rougeL_r == round(4 / 5, 6)
+    assert got[0].rougeL_f1 == round(4 / 5, 6)
+    # only the 0/0 side is undefined: an empty candidate has NULL
+    # precision but a perfectly defined recall of 0 (and vice versa)
+    assert (got[3].rougeL_p is None and got[3].rougeL_r == 0.0
+            and got[3].rougeL_f1 is None)
+    assert (got[4].rougeL_p == 0.0 and got[4].rougeL_r is None
+            and got[4].rougeL_f1 is None)
+    assert got[1].rougeL_f1 == round(2 * .5 * .5 / 1.0, 6)

@@ -277,3 +277,65 @@ def test_keyframes_detects_planted_cuts(spark):
     got = {r.frame_idx: r.is_keyframe
            for r in MM.keyframes(df).collect()}
     assert got == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_native_decoder_seam_routes_and_restores():
+    """VERDICT r8 item 8: the native-codec seam. A registered decoder
+    takes over its format only (PNG keeps the pure path), the output
+    contract is the decode_image tuple, and clearing restores the
+    pure-Python default bit-for-bit."""
+    import numpy as np
+
+    from industrial_data_pipeline_spark.operators import multimodal as MM
+    from industrial_data_pipeline_spark.operators.jpeg import jpeg_encode
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    jpg = jpeg_encode(px, quality=90)
+    png = MM.png_encode(px)
+    w0, h0, c0, pure = MM.decode_image(jpg)
+    calls = []
+
+    def fake(payload):
+        calls.append(len(payload))
+        return w0, h0, c0, np.zeros((h0, w0, c0), dtype=np.uint8)
+
+    MM.register_native_decoder("jpeg", fake)
+    try:
+        w, h, c, out = MM.decode_image(jpg)
+        assert (w, h, c) == (w0, h0, c0) and calls == [len(jpg)]
+        assert not out.any()  # the fake's output came through
+        # PNG path untouched by the jpeg registration
+        _, _, _, png_px = MM.decode_image(png)
+        assert np.array_equal(png_px, px)
+    finally:
+        MM.clear_native_decoder("jpeg")
+    _, _, _, restored = MM.decode_image(jpg)
+    assert np.array_equal(restored, pure)  # default back, bit-exact
+    import pytest
+    with pytest.raises(ValueError):
+        MM.register_native_decoder("webp", fake)
+
+
+def test_native_decoder_pil_parity_on_baseline_jpeg():
+    """Parity check of the pure-Python baseline decoder against a
+    REAL native decoder (PIL/libjpeg) on our own encoder's output:
+    same shape, every sample within the T.81 Annex-A IDCT tolerance
+    window (±1 LSB plus chroma-upsample edge rounding). Import-gated:
+    skips where PIL isn't installed (this container)."""
+    import pytest
+    pil = pytest.importorskip("PIL.Image")  # noqa: F841
+    import numpy as np
+
+    from industrial_data_pipeline_spark.operators import multimodal as MM
+    from industrial_data_pipeline_spark.operators.jpeg import jpeg_encode
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    jpg = jpeg_encode(px, quality=90)
+    w, h, c, ours = MM.decode_image(jpg)
+    dec = MM.pil_jpeg_decoder()
+    nw, nh, nc, theirs = dec(jpg)
+    assert (nw, nh, nc) == (w, h, c)
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    assert diff.max() <= 2  # IDCT tolerance + upsample rounding

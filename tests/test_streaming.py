@@ -301,3 +301,39 @@ def test_curation_stream_composition(spark):
     # (c) mutants of quality-REJECTED docs sail through the dedup
     # gate — the rejects never entered the index
     assert all(led[720100 + i].n_matches == 0 for i in rejects_b1)
+
+
+def test_multigate_stream_gate_attribution(spark):
+    """q256's non-obvious semantics, asserted per gate: token-REVERSED
+    corpus copies are invisible to the shingle gate (n_matches 0) but
+    caught by the order-invariant embedding gate; suffix-transformed
+    novel docs pass both dedup gates in batch 1; their reversed twins
+    in batch 2 are embedding-rejected IFF the twin was admitted (the
+    cross-batch proof that batch 1's append advanced the signature/
+    vector assets — and that rejects did NOT poison them); plain text
+    mutants still die on the text gate."""
+    from industrial_data_pipeline_spark.suite_llm import (
+        q_multigate_stream)
+
+    out = {r.doc_id: r for r in
+           q_multigate_stream(spark,
+                              "/root/testdata/sf0.001").collect()}
+    for i in range(5):  # ' qqq' text near-dups: text gate fires
+        r = out[740000 + i]
+        assert r.n_matches > 0 and not r.admitted
+    for i in range(100, 105):  # reversed: ONLY the embedding gate
+        r = out[750000 + i]
+        assert r.n_matches == 0 and r.n_emb_matches > 0
+        assert not r.admitted
+    for i in range(105, 110):  # novel in b1; reversed twin in b2
+        r1, r2 = out[760000 + i], out[770000 + i]
+        assert r1.n_matches == 0 and r1.n_emb_matches == 0
+        if r1.admitted:  # b1 append advanced the embedding index
+            assert r2.n_emb_matches > 0 and not r2.admitted
+        else:  # quality-reject must not have poisoned either index
+            assert r2.n_matches == 0 and r2.n_emb_matches == 0
+    assert any(out[760000 + i].admitted for i in range(105, 110)), \
+        "fixture degenerate: no b1 admit exercises the index advance"
+    for i in range(110, 115):  # fresh b2 admits (quality permitting)
+        r = out[780000 + i]
+        assert r.n_matches == 0 and r.n_emb_matches == 0
