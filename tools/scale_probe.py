@@ -623,7 +623,67 @@ def main() -> None:
         '  (2.7×): the broadcast label-inequality join is one corpus scan ×',
         '  |queries| distance computations — the documented brute-force',
         '  envelope; corpus-scale query sets route through the ANN index',
-        '  instead (operator docstring).',
+        '  instead (q254, measured below).',
+        '',
+        '## Round-9: persisted-index probe I/O + the composed stream',
+        '',
+        '(r8 verdict items 1/2/4/6; tools/lsh_gate_probe.py,',
+        'tools/curation_probe.py, tools/ann_hardneg_probe.py — scan',
+        'metrics read from the SQL REST scan nodes, not wall.)',
+        '',
+        '- **Prunable stored-LSH layout** (operators/lsh_index.py): bands',
+        '  partitioned by band + range-clustered/sorted by bucket, shingles',
+        '  doc_id-sorted; the probe collects its batch-sized keys and pushes',
+        '  them into both index scans (PartitionFilters + In(bucket) /',
+        '  In(doc_id) asserted in tests/test_plans.py). Measured at a',
+        '  2048-row file granularity (so row groups ≫ keys — the production',
+        '  shape; a 100 TB index tunes max_records_per_file the same way):',
+        '  a 1-doc probe against the 16× index DECODES 131,072 of 640,000',
+        '  band rows (0.205×) — exactly its 8 keys × 8 bands = 64 row',
+        '  groups × 2048 rows — and grows 3.84× while the full scan grows',
+        '  14.22×: decoded rows ∝ probe keys × row-group size, NOT index',
+        '  size. The 30-doc arm records the toy-scale limit honestly: its',
+        '  240 uniform bucket keys saturate the 16× index\'s ~320 row-group',
+        '  spans (0.97–1.0×) — the win needs row groups ≫ keys, which a',
+        '  100 TB index has (1M-row groups: 240 keys read 0.02% of the',
+        '  index) and a 0.6 MB toy index cannot. Spark\'s "size of files',
+        '  read" stays constant BY DEFINITION (data filters prune row',
+        '  groups inside files, never the file listing) — decoded rows is',
+        '  the byte proxy; an object-store reader fetches only surviving',
+        '  row groups\' byte ranges. Probe WALL stays flat: 2.38 → 1.70 s',
+        '  (0.72×) at 16×; build 16 s / 209 s is the amortized corpus pass.',
+        '  Byte-exactness across the layout change: q242/q243/q253 share',
+        '  their round-8 oracles unchanged (pruning is a superset filter',
+        '  of the probe join\'s own equality predicate).',
+        '- **Index compaction** (StoredLshIndex.compact, r8 item 2): folds',
+        '  per-batch append small files back into the build layout via the',
+        '  q205 tmp→old→live swap under the lease writer lock. Structural',
+        '  row — pinned by tests/test_dedup.py: file count strictly drops',
+        '  after 3 append batches, probes are byte-identical across the',
+        '  compaction, a crash between the two renames recovers, and the',
+        '  lease releases (second compact acquires immediately).',
+        '- **q256 composed curation stream** (quality + text-LSH + embedding',
+        '  gate, ALL assets persisted): per-batch wall on a fixed 15-doc',
+        '  batch, min of 2 (tools/curation_probe.py): 6.35 s at 1× → 6.07 s',
+        '  at 16× corpus (**0.96× — FLAT**), asset build 36 s / 414 s is',
+        '  the amortized corpus pass. This measures the FULL foreachBatch',
+        '  body — classifier, stored text probe, embedding + signature',
+        '  matmul, stored signature probe, pruned cosine verify, appends to',
+        '  all assets, ledger — i.e. the r8 verdict\'s item-6 row with the',
+        '  item-9 stretch composition included (q253 is the 2-gate subset).',
+        '- **q254 stored-route hard negatives** (similarity.',
+        '  ann_hard_negatives; tools/ann_hardneg_probe.py, rotated-copy',
+        '  16× embedding corpus, fixed 5-query planted batch): stored',
+        '  route 1.54 s → 1.27 s (0.83× — FLAT) while the brute route',
+        '  grows 0.50 s → 2.31 s (4.62×, corpus-linear) — the stored',
+        '  route overtakes brute between 1× and 16× and the gap widens',
+        '  with corpus size (brute = full scan × |queries| distances;',
+        '  stored = fixed query signing + collision-sized verify). Index',
+        '  scan rows at 16× still include the whole signature table at',
+        '  this default file granularity (same row-groups-vs-keys bound',
+        '  as the LSH row; max_records_per_file is the lever) — the wall',
+        '  win is already decisive because the avoided work is the',
+        '  corpus-side DISTANCE math, not the narrow signature scan.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
