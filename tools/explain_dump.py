@@ -380,6 +380,31 @@ PICKS = [
      "composition properties (quality-passing dups rejected, "
      "rejects never poison the index) are pinned by "
      "tests/test_streaming.py::test_curation_stream_composition."),
+    ("q254_ann_hard_negatives",
+     "Stored-route hard negatives: the dump is the checkpointed "
+     "result (the probe collects then prunes); the live plan's "
+     "load-bearing shapes — (table, sig) IN-lists pushed into the "
+     "partitioned signature scan, candidate ids pushed into the "
+     "corpus verify, batch-sized broadcasts — are the q248 machinery "
+     "asserted in tests/test_plans.py, and the route's equality with "
+     "brute force on the planted overlap is pinned by "
+     "tests/test_similarity.py and the in_brute_topk column the "
+     "oracle recomputes in SQL."),
+    ("q255_rouge_l",
+     "ROUGE-L: a shuffle-free projection — ONE ArrowEvalPython "
+     "(the LCS kernel, integer output) over the pair rows plus "
+     "JVM-side division/round; no join, no window, no cross-pair "
+     "state — eval cost is Σ(m·n) with nothing to re-shuffle."),
+    ("q256_multigate_stream",
+     "Multi-gate curation stream: ledger read-back after two REAL "
+     "micro-batches through quality + stored text-LSH + stored "
+     "embedding gates (all three ran during the dump, advancing "
+     "both index assets); per-batch plan = q249's classifier + "
+     "q242's pruned band probe + q248's pruned signature probe "
+     "(tests/test_plans.py), and the gate-attribution invariants "
+     "(reversed-token dups caught ONLY by the embedding gate, "
+     "cross-batch index advance, reject no-poison) are pinned by "
+     "tests/test_streaming.py::test_multigate_stream_gate_attribution."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
