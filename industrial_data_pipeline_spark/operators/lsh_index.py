@@ -71,6 +71,62 @@ from industrial_data_pipeline_spark.operators.dedup import (
 MAX_PUSHDOWN_KEYS = 4096
 
 
+def _recover_swap(path: str) -> None:
+    """Finish/roll back a :func:`compact_parquet_dir` swap that
+    crashed mid-rename: an ``_compact_old`` whose live dir is missing
+    is renamed back (the new dir never went live); leftover staging
+    is discarded (rewrites are idempotent)."""
+    old = path + "_compact_old"
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+    for leftover in (path + "_compact_tmp", old):
+        if os.path.isdir(leftover) and os.path.isdir(path):
+            shutil.rmtree(leftover, ignore_errors=True)
+
+
+def compact_parquet_dir(spark: SparkSession, path: str,
+                        sort_cols: tuple[str, ...] = (),
+                        partition_by: str | None = None,
+                        max_records_per_file: int | None = None
+                        ) -> dict:
+    """Fold an append-accreted plain parquet dir (an index asset, an
+    admission LEDGER, any micro-batch sink) back into a clustered
+    layout: range-partition + sort by ``sort_cols``, optionally
+    re-``partition_by``, via the crash-recoverable tmp→old→live swap
+    (store.compact_archive's pattern, q205). A reader never observes
+    a half state and a crash between the renames is healed by the
+    next run's recovery sweep. Callers serialize against the dir's
+    writer (StoredLshIndex.compact holds the lease; a streaming
+    ledger compacts from ITS OWN foreachBatch or with the stream
+    paused). Returns {files_before, files_after}."""
+    _recover_swap(path)
+    before = _count_parquet_files(path)
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = (df.repartitionByRange(*sort_cols)
+              .sortWithinPartitions(*sort_cols))
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile",
+                               max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    tmp, old = path + "_compact_tmp", path + "_compact_old"
+    writer.parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": before,
+            "files_after": _count_parquet_files(path)}
+
+
+def _count_parquet_files(path: str) -> int:
+    n = 0
+    for _, _, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
 class StoredLshIndex:
     """A MinHash-LSH band index persisted under ``root``.
 
@@ -323,37 +379,17 @@ class StoredLshIndex:
         lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
         lock.acquire(timeout_s=lease_timeout_s)
         try:
-            self._recover()
             before = self.file_count()
-            for path, rewrite in (
-                (self._bands_path, lambda df: self._sized(
-                    df.repartitionByRange("band", "bucket")
-                    .sortWithinPartitions("band", "bucket")
-                    .write.mode("overwrite").partitionBy("band"))),
-                (self._shingles_path, lambda df: self._sized(
-                    df.repartitionByRange("doc_id")
-                    .sortWithinPartitions("doc_id")
-                    .write.mode("overwrite"))),
-            ):
-                tmp, old = path + "_compact_tmp", path + "_compact_old"
-                rewrite(self.spark.read.parquet(path)).parquet(tmp)
-                os.rename(path, old)
-                os.rename(tmp, path)
-                shutil.rmtree(old)
+            compact_parquet_dir(self.spark, self._bands_path,
+                                ("band", "bucket"),
+                                partition_by="band",
+                                max_records_per_file=
+                                self.max_records_per_file)
+            compact_parquet_dir(self.spark, self._shingles_path,
+                                ("doc_id",),
+                                max_records_per_file=
+                                self.max_records_per_file)
             return {"files_before": before,
                     "files_after": self.file_count()}
         finally:
             lock.release()
-
-    def _recover(self) -> None:
-        """Finish/roll back a compaction that crashed mid-swap: an
-        ``_compact_old`` whose live dir is missing is renamed back
-        (the new dir never went live); any ``_compact_tmp`` is
-        discarded (rewrites are idempotent)."""
-        for path in (self._bands_path, self._shingles_path):
-            old = path + "_compact_old"
-            if os.path.isdir(old) and not os.path.isdir(path):
-                os.rename(old, path)
-            for leftover in (path + "_compact_tmp", old):
-                if os.path.isdir(leftover) and os.path.isdir(path):
-                    shutil.rmtree(leftover, ignore_errors=True)

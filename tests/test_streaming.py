@@ -337,3 +337,46 @@ def test_multigate_stream_gate_attribution(spark):
     for i in range(110, 115):  # fresh b2 admits (quality permitting)
         r = out[780000 + i]
         assert r.n_matches == 0 and r.n_emb_matches == 0
+
+
+def test_ledger_compaction_bounds_files_and_preserves_rows(
+        spark, tmp_path):
+    """VERDICT r8 item 2, the LEDGER half: a foreachBatch admission
+    ledger accretes one file per micro-batch; compact_parquet_dir
+    (the q205 swap, shared with StoredLshIndex.compact) folds it back
+    to a bounded, doc_id-clustered layout with rows byte-identical —
+    and a crash between the two renames recovers on the next call."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        compact_parquet_dir)
+
+    ledger = str(tmp_path / "ledger")
+    for b in range(4):  # four micro-batch appends
+        (spark.range(b * 10, b * 10 + 10)
+         .select(F.col("id").alias("doc_id"),
+                 (F.col("id") % 2 == 0).alias("admitted"),
+                 F.lit(b).cast("long").alias("epoch"))
+         .coalesce(1).write.mode("append").parquet(ledger))
+
+    def files():
+        return sum(1 for _, _, fs in os.walk(ledger)
+                   for f in fs if f.endswith(".parquet"))
+
+    def rows():
+        return sorted(map(tuple,
+                          spark.read.parquet(ledger).collect()))
+
+    before_files, before_rows = files(), rows()
+    assert before_files >= 4
+    stats = compact_parquet_dir(spark, ledger, ("doc_id",),
+                                max_records_per_file=100)
+    assert stats["files_after"] < before_files
+    assert rows() == before_rows  # byte-identical content
+    # crash simulation: live dir gone, _compact_old holds the data
+    os.rename(ledger, ledger + "_compact_old")
+    stats2 = compact_parquet_dir(spark, ledger, ("doc_id",))
+    assert rows() == before_rows  # recovery sweep restored, then ran
+    assert stats2["files_after"] <= stats["files_after"]
