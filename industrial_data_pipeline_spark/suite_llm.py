@@ -2762,3 +2762,60 @@ REGISTRY_LLM.update({
     "q256_multigate_stream": (q_multigate_stream,
                               ORACLE_MULTIGATE_STREAM),
 })
+
+
+# ------ q257 stored-index COMPACTION equality (append -> compact ->
+# ------ probe, byte-identical to the in-plan gate's oracle)
+
+def q_compacted_stored_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q242's stored gate probed AFTER three micro-batch appends and
+    a COMPACTION (StoredLshIndex.compact — the q205 swap under the
+    lease writer lock, VERDICT r8 item 2): the appended docs are
+    synthetic novel rows (disjoint shingle sets — an accidental band
+    collision exact-verifies to Jaccard 0 and is filtered), so the
+    probe's answer is STILL q236's oracle; byte-equality proves the
+    compacted layout reproduces the pre-compaction index exactly
+    while the small-file accretion is folded away (file count
+    strictly drops — asserted here, not just in tests)."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.lsh_index import \
+        StoredLshIndex
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    mut = (docs.where(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 400000).alias("doc_id"),
+                   F.concat("text", F.lit(" qqq")).alias("text")))
+    rev = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+           .select((F.col("doc_id") + 500000).alias("doc_id"),
+                   F.array_join(F.reverse(TX.tokens(F.col("text"))),
+                                " ").alias("text")))
+    batch = mut.unionByName(rev)
+    root = tempfile.mkdtemp(prefix="idp_q257_")
+    try:
+        idx = StoredLshIndex(spark, root, num_perm=_NUM_PERM,
+                             bands=_BANDS, threshold=_THRESH)
+        idx.build(docs)
+        for b in range(3):  # small-file accretion: 3 micro-appends
+            novel = spark.createDataFrame(
+                [(900000 + b * 10 + i,
+                  " ".join(f"cmpz{b}w{i}t{j}" for j in range(6)))
+                 for i in range(5)], "doc_id long, text string")
+            idx.append_frames(*idx.signature_frames(novel))
+        stats = idx.compact()
+        assert stats["files_after"] < stats["files_before"], stats
+        out = (idx.probe(batch)
+               .select("new_id", "old_id", "jaccard_sim")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_LLM.update({
+    # oracle intentionally shared with q236/q242: append+compact must
+    # be invisible to the gate's answer
+    "q257_compacted_gate": (q_compacted_stored_gate,
+                            ORACLE_INCREMENTAL_LSH),
+})
