@@ -1215,3 +1215,85 @@ def hashed_bow_embedding(text_col: Column, dim: int = 16) -> Column:
                                                   d.cast("string")))
                                   % 2001 - 1000)
         ).cast("double") / F.lit(1000.0))
+
+
+def bleu(pairs: DataFrame, id_col: str = "doc_id",
+         cand_col: str = "candidate", ref_col: str = "reference",
+         max_n: int = 4, round_dp: int = 6) -> DataFrame:
+    """Sentence BLEU-``max_n`` (Papineni 2002) per candidate/reference
+    row: modified (CLIPPED) n-gram precisions p1..p4 — each candidate
+    n-gram credits at most its reference multiplicity, the same
+    multiset discipline as :func:`rouge_n` — brevity penalty
+    BP = min(1, e^(1 − r/c)), and BLEU = BP · exp(Σ ln(p_n)/max_n).
+    The standard unsmoothed convention: any p_n that is zero or
+    undefined (candidate shorter than n) makes BLEU 0.0; an EMPTY
+    candidate yields all-NULL metrics (nothing to score). Completes
+    the eval family next to ROUGE-1/2 (q251) and ROUGE-L (q255).
+
+    Engine determinism: overlaps and gram counts are exact integers;
+    the per-row float chain (4 divisions, ln/exp, one multiply) runs
+    once per doc on identical operands in both engines and rounds
+    last — the q141/q249 ln/exp-parity precedent.
+
+    Scale shape: per n, two (id, gram) count shuffles + an inner
+    overlap join (rouge_n's shape ×4); no windows, no UDFs, no
+    cross-doc state — linear in Σ|tokens|."""
+    def grams(col: Column, n: int) -> Column:
+        toks = tokens(F.lower(col))
+        if n == 1:
+            return toks
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(toks, i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    lens = pairs.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(cand_col)))).alias("_c"),
+        F.size(tokens(F.lower(F.col(ref_col)))).alias("_r"))
+    out = lens
+    for n in range(1, max_n + 1):
+        def side(col_name: str, alias: str) -> DataFrame:
+            return (pairs.select(
+                F.col(id_col),
+                F.explode_outer(grams(F.col(col_name), n))
+                .alias("_g"))
+                .groupBy(id_col, "_g")
+                .agg(F.count("_g").alias(alias)))
+
+        ov = (side(cand_col, "_nc").join(side(ref_col, "_nr"),
+                                         [id_col, "_g"])
+              .groupBy(id_col)
+              .agg(F.sum(F.least("_nc", "_nr")).alias(f"_ov{n}")))
+        tot = pairs.select(
+            F.col(id_col),
+            F.size(grams(F.col(cand_col), n)).alias(f"_tc{n}"))
+        out = (out.join(tot, id_col)
+               .join(ov, id_col, "left")
+               .withColumn(f"_ov{n}",
+                           F.coalesce(f"_ov{n}", F.lit(0))))
+    ps = [F.col(f"_ov{n}")
+          / F.nullif(F.col(f"_tc{n}").cast("double"), F.lit(0.0))
+          for n in range(1, max_n + 1)]
+    bp = F.when(F.col("_c") >= F.col("_r"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("_r") / F.col("_c").cast("double")))
+    any_dead = F.lit(False)
+    logsum = F.lit(0.0)
+    for p in ps:
+        any_dead = any_dead | p.isNull() | (p == 0.0)
+        logsum = logsum + F.log(p)
+    score = F.when(F.col("_c") == 0, F.lit(None).cast("double")) \
+        .when(any_dead, F.lit(0.0)) \
+        .otherwise(bp * F.exp(logsum / F.lit(float(max_n))))
+    cols = [F.col(id_col)]
+    cols += [F.round(F.when(F.col("_c") == 0, F.lit(None)
+                            .cast("double")).otherwise(p),
+                     round_dp).alias(f"p{n}")
+             for n, p in enumerate(ps, 1)]
+    cols += [F.round(F.when(F.col("_c") == 0,
+                            F.lit(None).cast("double")).otherwise(bp),
+                     round_dp).alias("bp"),
+             F.round(score, round_dp).alias("bleu")]
+    return out.select(*cols)

@@ -1351,3 +1351,97 @@ FROM m1 JOIN m2 USING (doc_id)
 REGISTRY_PIPELINE.update({
     "q251_rouge_eval": (q_rouge_eval, _oracle_rouge_eval()),
 })
+
+
+# ------------------------- q258 BLEU-4 generation evaluation
+
+def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence BLEU-4 (operators/text.py::bleu) over q251's
+    deterministic lossy-summary pairs (candidate = every 3rd token
+    dropped, reference = the full doc): clipped modified precisions
+    p1..p4, brevity penalty, geometric-mean BLEU — the
+    translation/generation-side metric that completes the eval
+    family (q251 ROUGE-1/2, q255 ROUGE-L, q169 recall, q195 MRR,
+    q238 nDCG). Dropping interior tokens leaves real but degraded
+    higher-n overlaps (adjacent kept tokens still form shared
+    bigrams), so all four precisions are exercised non-trivially;
+    the oracle replays the clipped counts, BP and the ln/exp chain
+    generically in SQL."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    cand = F.array_join(
+        F.filter(toks, lambda x, i: i % 3 != 0), " ")
+    pairs = docs.select(
+        "doc_id", cand.alias("candidate"),
+        F.col("text").alias("reference"))
+    return TX.bleu(pairs)
+
+
+def _oracle_bleu_eval() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+
+    def ngrams(lst: str, n: int) -> str:
+        if n == 1:
+            return lst
+        return (f"CASE WHEN len({lst}) >= {n} THEN "
+                f"list_transform(generate_series(1,"
+                f" len({lst}) - {n - 1}),"
+                f" i -> array_to_string({lst}[i:i+{n - 1}], ' '))"
+                f" ELSE [] END")
+
+    parts = []
+    for n in range(1, 5):
+        cg, rg = ngrams("ct", n), ngrams("rt", n)
+        parts.append(f"""
+c{n} AS (SELECT doc_id, g, count(*) AS n FROM
+           (SELECT doc_id, unnest({cg}) AS g FROM pairs)
+         GROUP BY 1, 2),
+r{n} AS (SELECT doc_id, g, count(*) AS n FROM
+           (SELECT doc_id, unnest({rg}) AS g FROM pairs)
+         GROUP BY 1, 2),
+o{n} AS (SELECT doc_id, CAST(sum(least(c{n}.n, r{n}.n)) AS BIGINT)
+                AS ov
+         FROM c{n} JOIN r{n} USING (doc_id, g) GROUP BY 1),
+t{n} AS (SELECT doc_id, len({cg}) AS tc FROM pairs)""")
+    pr = ", ".join(
+        f"coalesce(o{n}.ov, 0) / nullif(t{n}.tc::DOUBLE, 0.0) AS rp{n}"
+        for n in range(1, 5))
+    joins = "\n".join(
+        f"JOIN t{n} USING (doc_id) LEFT JOIN o{n} USING (doc_id)"
+        for n in range(1, 5))
+    dead = " OR ".join(f"rp{n} IS NULL OR rp{n} = 0.0"
+                       for n in range(1, 5))
+    lsum = " + ".join(f"ln(rp{n})" for n in range(1, 5))
+    return f"""
+WITH base AS (SELECT doc_id, {ltoks} AS rt FROM documents),
+pairs AS (SELECT doc_id, rt,
+                 list_transform(
+                     list_filter(generate_series(1, len(rt)),
+                                 i -> (i - 1) % 3 <> 0),
+                     i -> rt[i]) AS ct
+          FROM base),
+{",".join(p.lstrip() for p in parts)},
+raw AS (SELECT p.doc_id, len(p.ct) AS c, len(p.rt) AS r, {pr}
+        FROM pairs p
+        {joins}),
+scored AS (SELECT doc_id, c, r, rp1, rp2, rp3, rp4,
+                  CASE WHEN c >= r THEN 1.0
+                       ELSE exp(1.0 - r / c::DOUBLE) END AS rbp
+           FROM raw)
+SELECT doc_id,
+       round(CASE WHEN c = 0 THEN NULL ELSE rp1 END, 6) AS p1,
+       round(CASE WHEN c = 0 THEN NULL ELSE rp2 END, 6) AS p2,
+       round(CASE WHEN c = 0 THEN NULL ELSE rp3 END, 6) AS p3,
+       round(CASE WHEN c = 0 THEN NULL ELSE rp4 END, 6) AS p4,
+       round(CASE WHEN c = 0 THEN NULL ELSE rbp END, 6) AS bp,
+       round(CASE WHEN c = 0 THEN NULL
+                  WHEN {dead} THEN 0.0
+                  ELSE rbp * exp(({lsum}) / 4.0) END, 6) AS bleu
+FROM scored
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q258_bleu_eval": (q_bleu_eval, _oracle_bleu_eval()),
+})

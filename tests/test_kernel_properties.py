@@ -451,3 +451,38 @@ def test_rouge_l_hand_computed_and_vs_reference(spark):
     assert (got[4].rougeL_p == 0.0 and got[4].rougeL_r is None
             and got[4].rougeL_f1 is None)
     assert got[1].rougeL_f1 == round(2 * .5 * .5 / 1.0, 6)
+
+
+def test_bleu_hand_computed(spark):
+    """bleu (q258) hand cases: identity = 1.0; the Papineni clipping
+    example ('the the the the' vs 'the cat' -> p1 clipped to 1/4,
+    p2 = 0 -> BLEU 0); a contiguous prefix candidate exercising the
+    brevity penalty; candidates too short for 4-grams (BLEU 0 by the
+    unsmoothed convention); empty candidate (all NULL)."""
+    import math
+
+    from industrial_data_pipeline_spark.operators.text import bleu
+
+    ref = "a b c d e f g h"
+    cases = [
+        (0, ref, ref),
+        (1, "the the the the", "the cat"),
+        (2, "a b c d", ref),          # prefix: p_n = 1, bp penalizes
+        (3, "a b c", ref),            # no 4-grams -> bleu 0
+        (4, "", ref),                 # empty candidate -> NULLs
+    ]
+    df = spark.createDataFrame(
+        cases, "doc_id long, candidate string, reference string")
+    got = {r.doc_id: r for r in bleu(df).collect()}
+    assert (got[0].p1, got[0].p4, got[0].bp, got[0].bleu) == \
+        (1.0, 1.0, 1.0, 1.0)
+    assert got[1].p1 == 0.25 and got[1].p2 == 0.0
+    assert got[1].bleu == 0.0
+    # prefix: all precisions 1, bp = exp(1 - 8/4)
+    want_bp = round(math.exp(1.0 - 8.0 / 4.0), 6)
+    assert (got[2].p1, got[2].p4) == (1.0, 1.0)
+    assert got[2].bp == want_bp and got[2].bleu == want_bp
+    assert got[3].p3 == 1.0 and got[3].p4 is None
+    assert got[3].bleu == 0.0
+    assert got[4].p1 is None and got[4].bp is None \
+        and got[4].bleu is None
