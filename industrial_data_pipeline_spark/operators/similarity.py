@@ -592,3 +592,142 @@ def ann_hard_negatives(index: DataFrame, corpus: DataFrame,
             .select("query_id", "neighbor_id",
                     F.round("_cos", round_dp).alias("cosine_sim"),
                     "rk"))
+
+
+class StoredIvfIndex:
+    """Persisted IVF index: the assigned table written PARTITIONED BY
+    ``_cell`` (vectors as array<double>, rows id-clustered within a
+    cell), centroids + params in ``_ivf_meta.json`` — the third
+    persisted ANN asset next to the LSH band index (text) and the
+    hyperplane-signature index (embedding gate). Because the probe
+    key (cell id) is COARSE, the probe reads only the ``nprobe``
+    probed cells' partition DIRECTORIES — true file-level partition
+    pruning (PartitionFilters in the plan; "size of files read" drops
+    ~nprobe/n_cells), the strongest pruning form, complementing the
+    LSH index's row-group-level pruning on fine 64-bit keys.
+
+    Lifecycle mirrors StoredLshIndex: ``build`` is the one corpus
+    pass (seed/refined centroids FROZEN thereafter), ``append``
+    routes new batches through the frozen centroids (one Arrow
+    matmul, batch-only) and appends into their cell partitions,
+    ``compact`` folds append accretion per cell via the shared
+    q205 swap. Probes of the stored index are byte-identical to the
+    in-plan ``ivf_topk`` over the same data — q259 pins it by
+    sharing q245's oracle."""
+
+    def __init__(self, spark, root: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_cells: int = 16,
+                 max_records_per_file: int | None = None):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_cells = n_cells
+        self.max_records_per_file = max_records_per_file
+        self.centroids: list[list[float]] | None = None
+        self._data_path = os.path.join(root, "cells")
+
+    @property
+    def _meta_path(self) -> str:
+        import os
+        return os.path.join(self.root, "_ivf_meta.json")
+
+    @classmethod
+    def open(cls, spark, root: str) -> "StoredIvfIndex":
+        import json
+
+        with open(f"{root}/_ivf_meta.json") as fh:
+            meta = json.load(fh)
+        idx = cls(spark, root, id_col=meta["id_col"],
+                  vec_col=meta["vec_col"], n_cells=meta["n_cells"])
+        idx.centroids = meta["centroids"]
+        return idx
+
+    def _rows(self, assigned: DataFrame) -> DataFrame:
+        return assigned.select(
+            F.col(self.id_col).alias("vec_id"),
+            _as_double(F.col(self.vec_col)).alias("v"), "_cell")
+
+    def build(self, corpus: DataFrame,
+              refine_iters: int = 0) -> None:
+        import json
+        import os
+
+        assigned, centroids = ivf_build(
+            corpus, self.n_cells, self.id_col, self.vec_col,
+            refine_iters)
+        self.centroids = centroids
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._meta_path, "w") as fh:
+            json.dump({"id_col": self.id_col,
+                       "vec_col": self.vec_col,
+                       "n_cells": self.n_cells,
+                       "centroids": centroids}, fh)
+        w = (self._rows(assigned)
+             .repartitionByRange("_cell", "vec_id")
+             .sortWithinPartitions("_cell", "vec_id")
+             .write.mode("overwrite").partitionBy("_cell"))
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", self.max_records_per_file)
+        w.parquet(self._data_path)
+
+    def append(self, batch: DataFrame) -> None:
+        """Route a new batch through the FROZEN centroids and append
+        into its cell partitions — one small file per touched cell
+        per batch; :meth:`compact` bounds the accretion."""
+        routed = ivf_assign(batch, self.centroids, self.vec_col)
+        (self._rows(routed).coalesce(1)
+         .sortWithinPartitions("_cell", "vec_id")
+         .write.mode("append").partitionBy("_cell")
+         .parquet(self._data_path))
+
+    def probe_cells(self, query_vec: list[float],
+                    nprobe: int) -> list[int]:
+        """The ``nprobe`` cells nearest the query by centroid cosine
+        (ties to the lower cell id — the oracle's ORDER BY)."""
+        import math
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return dot / (na * nb) if na and nb else 0.0
+
+        order = sorted(range(len(self.centroids)),
+                       key=lambda c: (-cos(self.centroids[c],
+                                           query_vec), c))
+        return order[:nprobe]
+
+    def cell_scan(self, cells: list[int]) -> DataFrame:
+        """Scan ONLY the given cells — `_cell` is the partition
+        column, so this is directory-level pruning (files outside
+        the probed cells are never listed into the plan)."""
+        return (self.spark.read.parquet(self._data_path)
+                .where(F.col("_cell").isin(cells)))
+
+    def probe(self, query_vec: list[float], k: int = 10,
+              nprobe: int = 4, round_dp: int = 6) -> DataFrame:
+        cand = self.cell_scan(self.probe_cells(query_vec, nprobe))
+        return cosine_topk(cand, query_vec, k, id_col="vec_id",
+                           vec_col="v", round_dp=round_dp)
+
+    def compact(self, lease_timeout_s: float = 30.0) -> dict:
+        """Fold per-append small files, per cell — the shared
+        crash-recoverable swap, serialized by the writer lease."""
+        import os
+
+        from industrial_data_pipeline_spark.catalog.lease import (
+            LeaseLock)
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            compact_parquet_dir)
+        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
+        lock.acquire(timeout_s=lease_timeout_s)
+        try:
+            return compact_parquet_dir(
+                self.spark, self._data_path, ("_cell", "vec_id"),
+                partition_by="_cell",
+                max_records_per_file=self.max_records_per_file)
+        finally:
+            lock.release()

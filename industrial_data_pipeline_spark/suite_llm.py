@@ -2819,3 +2819,93 @@ REGISTRY_LLM.update({
     "q257_compacted_gate": (q_compacted_stored_gate,
                             ORACLE_INCREMENTAL_LSH),
 })
+
+
+# -- q259 PERSISTED IVF index: build -> append -> partition-pruned
+# -- probe, byte-identical to the in-plan maintained index (q245)
+
+def q_stored_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q245's maintain-and-probe loop re-based on a PERSISTED IVF
+    index (operators/similarity.py::StoredIvfIndex): the base corpus
+    is built into a parquet asset PARTITIONED BY cell, the new batch
+    is routed through the frozen centroids and APPENDED into its
+    cell partitions, and each query's probe scans ONLY its nprobe=4
+    probed cells — directory-level partition pruning, the coarse-key
+    complement of the LSH index's row-group pruning (the plan's
+    PartitionFilters carry the cell IN-list; tests/test_plans.py
+    asserts it and that non-probed cells' files never enter the
+    scan). SAME ORACLE as q245: byte-equality proves the stored,
+    appended, partition-pruned index reproduces the in-plan
+    maintained index exactly — recall@10 and all."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150)
+    batch = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
+    corpus = base.unionByName(batch).select("vec_id", v.alias("_v"))
+    qs = (corpus.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+    qvecs = {r["qid"]: list(map(float, r["_qv"]))
+             for r in qs.collect()}
+
+    cos = SIM._dot(F.col("_v"), F.col("_qv")) \
+        / (SIM._norm(F.col("_v")) * SIM._norm(F.col("_qv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("_c"),
+                                          F.col("vec_id"))
+    exact = (corpus.join(F.broadcast(qs),
+                         F.col("vec_id") != F.col("qid"))
+             .withColumn("_c", cos)
+             .withColumn("_r", F.row_number().over(w))
+             .where(F.col("_r") <= 10)
+             .select("qid", F.col("vec_id").alias("eid")))
+
+    root = tempfile.mkdtemp(prefix="idp_q259_")
+    try:
+        idx = SIM.StoredIvfIndex(spark, root, n_cells=16)
+        idx.build(base)                  # frozen seed centroids
+        idx.append(batch)                # routed, cell-partitioned
+        scans = []
+        for qid, qv in sorted(qvecs.items()):
+            cells = idx.probe_cells(qv, nprobe=4)
+            scans.append(idx.cell_scan(cells)
+                         .select("vec_id",
+                                 F.col("v").alias("_v"),
+                                 F.lit(qid).alias("qid")))
+        cand = scans[0]
+        for s in scans[1:]:
+            cand = cand.unionByName(s)
+        approx = (cand.where(F.col("vec_id") != F.col("qid"))
+                  .join(F.broadcast(qs), "qid")
+                  .withColumn("_c", cos)
+                  .withColumn("_r", F.row_number().over(w))
+                  .where(F.col("_r") <= 10)
+                  .select("qid", F.col("vec_id").alias("aid")))
+        hits = (exact.join(approx, (exact.qid == approx.qid)
+                           & (exact.eid == approx.aid))
+                .groupBy(exact.qid.alias("query_id"))
+                .agg(F.count("*").alias("n_hits")))
+        out = (qs.select(F.col("qid").alias("query_id"))
+               .join(hits, "query_id", "left")
+               .select("query_id",
+                       F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                       (F.coalesce("n_hits", F.lit(0)) / F.lit(10.0))
+                       .alias("recall_at_10"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_LLM.update({
+    # oracle intentionally shared with q245: the persisted,
+    # appended, partition-pruned index must be indistinguishable
+    # from the in-plan maintained index
+    "q259_stored_ivf_recall": (q_stored_ivf_recall,
+                               _oracle_ivf_maintained_recall()),
+})

