@@ -684,6 +684,16 @@ def main() -> None:
         '  as the LSH row; max_records_per_file is the lever) — the wall',
         '  win is already decisive because the avoided work is the',
         '  corpus-side DISTANCE math, not the narrow signature scan.',
+        '- **q259 persisted IVF index** (similarity.StoredIvfIndex;',
+        '  tools/ivf_prune_result.json): the probe key (cell id) is the',
+        '  PARTITION column, so pruning is file-level — a probe of the',
+        '  32k-vector stored index at nprobe=4/16 reads 6 of 25 files',
+        '  (0.24×), 2.9 of 12.8 MB (0.23×), 7,263 of 32,000 rows',
+        "  (0.227×) — 'size of files read' itself drops, the strongest",
+        '  pruning form (directories outside the probed cells never',
+        '  enter the listing), matching the 0.24 candidate fraction',
+        '  q245 measured for the in-plan index. Byte-exactness across',
+        '  persist→append→pruned-probe: q259 shares q245\'s oracle.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
