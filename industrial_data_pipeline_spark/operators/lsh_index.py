@@ -87,8 +87,8 @@ def _recover_swap(path: str) -> None:
 def compact_parquet_dir(spark: SparkSession, path: str,
                         sort_cols: tuple[str, ...] = (),
                         partition_by: str | None = None,
-                        max_records_per_file: int | None = None
-                        ) -> dict:
+                        max_records_per_file: int | None = None,
+                        keep=None) -> dict:
     """Fold an append-accreted plain parquet dir (an index asset, an
     admission LEDGER, any micro-batch sink) back into a clustered
     layout: range-partition + sort by ``sort_cols``, optionally
@@ -98,10 +98,14 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     next run's recovery sweep. Callers serialize against the dir's
     writer (StoredLshIndex.compact holds the lease; a streaming
     ledger compacts from ITS OWN foreachBatch or with the stream
-    paused). Returns {files_before, files_after}."""
+    paused). ``keep`` (a Column predicate) turns the rewrite into a
+    RETRACTION — rows failing it are dropped atomically with the
+    swap. Returns {files_before, files_after}."""
     _recover_swap(path)
     before = _count_parquet_files(path)
     df = spark.read.parquet(path)
+    if keep is not None:
+        df = df.where(keep)
     if sort_cols:
         df = (df.repartitionByRange(*sort_cols)
               .sortWithinPartitions(*sort_cols))
@@ -389,6 +393,43 @@ class StoredLshIndex:
                                 ("doc_id",),
                                 max_records_per_file=
                                 self.max_records_per_file)
+            return {"files_before": before,
+                    "files_after": self.file_count()}
+        finally:
+            lock.release()
+
+    def retract(self, doc_ids: list,
+                lease_timeout_s: float = 30.0) -> dict:
+        """REMOVE documents from the index — the takedown /
+        right-to-be-forgotten path a curation pipeline must support
+        (a retracted near-dup's former matches become admissible
+        again, exactly as if it had never been admitted). A retract
+        IS a compaction with a filter: both assets are rewritten in
+        the build layout dropping the ids, atomically via the same
+        crash-recoverable swap, under the writer lease. ``doc_ids``
+        is a driver-side batch (takedowns arrive in bounded lists);
+        the rewrite is O(index) per call, so batch retractions and
+        piggyback them on the scheduled compaction at scale. Returns
+        {files_before, files_after}."""
+        from industrial_data_pipeline_spark.catalog.lease import (
+            LeaseLock)
+        ids = sorted(set(doc_ids))
+        keep = ~F.col("doc_id").isin(ids)
+        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
+        lock.acquire(timeout_s=lease_timeout_s)
+        try:
+            before = self.file_count()
+            compact_parquet_dir(self.spark, self._bands_path,
+                                ("band", "bucket"),
+                                partition_by="band",
+                                max_records_per_file=
+                                self.max_records_per_file,
+                                keep=keep)
+            compact_parquet_dir(self.spark, self._shingles_path,
+                                ("doc_id",),
+                                max_records_per_file=
+                                self.max_records_per_file,
+                                keep=keep)
             return {"files_before": before,
                     "files_after": self.file_count()}
         finally:

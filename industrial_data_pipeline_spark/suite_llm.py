@@ -2909,3 +2909,58 @@ REGISTRY_LLM.update({
     "q259_stored_ivf_recall": (q_stored_ivf_recall,
                                _oracle_ivf_maintained_recall()),
 })
+
+
+# ---- q260 index RETRACTION (takedown): remove docs, probe reflects
+
+def q_retracted_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-asset lifecycle's last verb — RETRACT (takedown /
+    right-to-be-forgotten): q242's stored gate after
+    StoredLshIndex.retract(doc_id 0–9) removes those documents'
+    band + shingle rows (a filtered compaction under the writer
+    lease, atomic swap). The probe batch contains ' qqq' mutants of
+    doc_id 0–19: mutants of the RETRACTED 0–9 must now pass the gate
+    (their former matches are gone, as if never admitted) while
+    mutants of the kept 10–19 still collide — the oracle is the
+    incremental-LSH gate over ``documents WHERE doc_id >= 10``, so
+    byte-equality proves retraction removed exactly the requested
+    docs and nothing else."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.lsh_index import \
+        StoredLshIndex
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    mut = (docs.where(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 400000).alias("doc_id"),
+                   F.concat("text", F.lit(" qqq")).alias("text")))
+    rev = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+           .select((F.col("doc_id") + 500000).alias("doc_id"),
+                   F.array_join(F.reverse(TX.tokens(F.col("text"))),
+                                " ").alias("text")))
+    batch = mut.unionByName(rev)
+    root = tempfile.mkdtemp(prefix="idp_q260_")
+    try:
+        idx = StoredLshIndex(spark, root, num_perm=_NUM_PERM,
+                             bands=_BANDS, threshold=_THRESH)
+        idx.build(docs)
+        idx.retract(list(range(10)))
+        out = (idx.probe(batch)
+               .select("new_id", "old_id", "jaccard_sim")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_LLM.update({
+    # q236's oracle over the POST-retraction corpus: equality proves
+    # the retraction removed exactly doc_id 0-9 and nothing else
+    "q260_retracted_gate": (
+        q_retracted_gate,
+        ORACLE_INCREMENTAL_LSH.replace(
+            "WITH corpus AS (SELECT doc_id, text FROM documents),",
+            "WITH corpus AS (SELECT doc_id, text FROM documents"
+            " WHERE doc_id >= 10),")),
+})

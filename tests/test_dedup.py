@@ -498,3 +498,33 @@ def test_stored_index_compaction_bounds_files_probe_unchanged(
     idx.compact()  # _recover() restores, then compacts
     assert sorted((r.new_id, r.old_id, r.jaccard_sim)
                   for r in idx.probe(probe).collect()) == before
+
+
+def test_stored_index_retract_restores_admissibility(spark, tmp_path):
+    """retract() (q260): a retracted document's former near-dups
+    become admissible again — and a later append can re-admit it,
+    the full takedown/re-ingest cycle on one asset."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    idx.build(docs)
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    assert {r.old_id for r in idx.probe(probe).collect()} == {1}
+    idx.retract([1])
+    assert idx.probe(probe).count() == 0  # former dup now admissible
+    # the OTHER doc is untouched
+    probe2 = spark.createDataFrame(
+        [(11, "one two three four five six")],
+        "doc_id long, text string")
+    assert {r.old_id for r in idx.probe(probe2).collect()} == {2}
+    # re-ingest the retracted doc -> matches again
+    idx.append_frames(*idx.signature_frames(
+        docs.where("doc_id = 1")))
+    assert {r.old_id for r in idx.probe(probe).collect()} == {1}
