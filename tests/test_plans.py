@@ -584,3 +584,40 @@ def test_stored_ivf_probe_partition_prunes(spark, tmp_path):
     got = {r.vec_id: r.cosine_sim for r in
            idx.probe(qv, k=10, nprobe=8).collect()}
     assert got.get(100) == 1.0
+
+
+def test_pruned_signature_scan_pushes_keys(spark, tmp_path):
+    """q248/q254's probe-side I/O: pruned_signature_scan pushes the
+    batch's table IN-list into PartitionFilters (table is the
+    partition column of write_signature_index's layout) and the sig
+    IN-list into PushedFilters — and the pruned scan's rows are a
+    superset of what the probe join keeps, so results match the
+    full scan."""
+    import re
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        ann_signature_index, pruned_signature_scan,
+        write_signature_index)
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, -float(i), 0.5]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "sigs")
+    write_signature_index(ann_signature_index(corpus, 4), path)
+    batch = spark.createDataFrame(
+        [(100, [2.0, 2.0, -2.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    bidx = ann_signature_index(batch, 4).localCheckpoint(eager=True)
+    scan = pruned_signature_scan(spark, path, bidx)
+    p = plan(scan)
+    assert re.search(r"PartitionFilters: \[.*table", p), p
+    assert re.search(r"PushedFilters: \[.*In\(sig", p), p
+    # pruning is a superset filter of the probe's (table, sig) join:
+    # joining either scan against the batch keys gives the same rows
+    full = spark.read.parquet(path)
+    keys = bidx.select("table", "sig").distinct()
+    want = sorted(map(tuple, full.join(keys, ["table", "sig"])
+                      .select("vec_id", "table", "sig").collect()))
+    got = sorted(map(tuple, scan.join(keys, ["table", "sig"])
+                     .select("vec_id", "table", "sig").collect()))
+    assert got == want
