@@ -18,9 +18,12 @@ shapes. Two decode paths:
   pure-Python baseline-sequential codec (operators/jpeg.py: Annex-K
   tables, canonical Huffman, DCT matmuls — public T.81 spec
   material), so pHash/resize/features accept JPEG wire bytes.
-  Progressive/arithmetic JPEG and video frame extraction still raise
-  NotImplementedError — those are genuine scope/dependency gaps
-  (ffmpeg), stated rather than faked.
+  Progressive/arithmetic JPEG and video FRAME extraction still raise
+  NotImplementedError — genuine scope/dependency gaps (ffmpeg), stated
+  rather than faked, with ``register_native_decoder`` as the documented
+  production seam. Video container METADATA is real since round 9:
+  ``probe_video`` walks ISO-BMFF (MP4) box trees (mvhd/tkhd/stsz) the
+  way ``probe_image`` walks image headers — never touching ``mdat``.
 
 Design for 100 TB of media:
 - binary payloads live in their own parquet column; metadata columns
@@ -708,3 +711,148 @@ def extract_audio_features(df: DataFrame, id_col: str = "media_id",
             yield pd.DataFrame(out)
 
     return df.mapInPandas(op, AUDIO_FEATURES_SCHEMA)
+
+
+# -------------------------------------- video container metadata (MP4)
+
+
+def mp4_encode_header(width: int, height: int, duration_ms: int,
+                      timescale: int = 1000,
+                      n_frames: int = 0) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) skeleton: ``ftyp`` + ``moov``
+    containing ``mvhd`` (version 0: timescale + duration) and one
+    video ``trak``/``tkhd`` (dims as 16.16 fixed point) + an ``stsz``
+    advertising ``n_frames`` samples. No media data (``mdat``) — this
+    is the FIXTURE ENCODER for wire-shaped video payloads, playing
+    the role jfif_encode_header plays for JPEG: real container bytes
+    for the metadata path while frame DECODE stays behind the
+    native-codec seam (no ffmpeg in scope)."""
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512)
+               + b"isomiso2mp41")
+    mvhd = box(b"mvhd", struct.pack(
+        ">B3s7I", 0, b"\x00\x00\x00", 0, 0, timescale,
+        duration_ms * timescale // 1000, 0x00010000, 0, 0)
+        + b"\x00" * 44 + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", struct.pack(
+        ">B3s5I", 0, b"\x00\x00\x07", 0, 0, 1, 0,
+        duration_ms * timescale // 1000)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16))
+    stsz = box(b"stsz", struct.pack(">B3sII", 0, b"\x00\x00\x00",
+                                    0, n_frames))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def probe_video(payload: bytes | None
+                ) -> tuple[str, int, int, int, int] | None:
+    """Struct-read an MP4/ISO-BMFF header → (format, width, height,
+    duration_ms, n_frames), or None if not recognizable. Walks the
+    box tree ONLY (mvhd for timescale/duration, first tkhd for dims,
+    first stsz for sample count) — never touches ``mdat``, so probing
+    a 10 GB video costs the same as a header-only fixture: the
+    probe_image discipline extended to the video column. Truncated or
+    hostile box sizes terminate cleanly (dirty-media-lake contract).
+    Frame DECODE intentionally stays behind the native-codec seam
+    (register_native_decoder's video analogue would wrap
+    ffmpeg/PyAV); this probe is what schema/metadata pipelines need
+    without it."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    dims = duration = frames = None
+    timescale = 1000
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal dims, duration, frames, timescale
+        if depth > 8:
+            return
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", b[i:i + 4])
+            typ = b[i + 4:i + 8]
+            if size < 8 or i + size > hi:
+                return  # hostile/truncated size: stop cleanly
+            body_lo, body_hi = i + 8, i + size
+            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body_lo, body_hi, depth + 1)
+            elif typ == b"mvhd" and body_hi - body_lo >= 20:
+                ver = b[body_lo]
+                if ver == 0:
+                    timescale, dur = struct.unpack(
+                        ">II", b[body_lo + 12:body_lo + 20])
+                else:  # version 1: 64-bit times
+                    timescale, = struct.unpack(
+                        ">I", b[body_lo + 20:body_lo + 24])
+                    dur, = struct.unpack(
+                        ">Q", b[body_lo + 24:body_lo + 32])
+                if timescale:
+                    duration = int(dur * 1000 // timescale)
+            elif typ == b"tkhd" and dims is None \
+                    and body_hi - body_lo >= 84:
+                w, h = struct.unpack(">II", b[body_hi - 8:body_hi])
+                if w and h:  # audio tracks carry 0x0 — skip them
+                    dims = (w >> 16, h >> 16)
+            elif typ == b"stsz" and frames is None \
+                    and body_hi - body_lo >= 12:
+                frames, = struct.unpack(
+                    ">I", b[body_lo + 8:body_lo + 12])
+            i += size
+
+    walk(0, len(b), 0)
+    if dims is None and duration is None:
+        return None
+    w, h = dims if dims else (0, 0)
+    return ("mp4", w, h, duration or 0, frames or 0)
+
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+])
+
+
+def probe_video_media(df: DataFrame, id_col: str = "media_id",
+                      data_col: str = "data") -> DataFrame:
+    """Container-metadata extraction over a video column:
+    :func:`probe_video` per payload, Arrow-batched (mapInPandas) —
+    unrecognizable payloads yield NULL metadata, never an exception
+    (the dirty-media-lake contract probe_media set for images). At
+    100 TB the probe walks box headers only, so cost is rows, not
+    bytes; metadata lands in scalar prunable columns so downstream
+    filters (dims, duration) never touch the payloads again."""
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "format": [], "width": [],
+                   "height": [], "duration_ms": [], "n_frames": []}
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                probed = probe_video(payload)
+                out["media_id"].append(int(mid))
+                if probed is None:
+                    for k in ("format", "width", "height",
+                              "duration_ms", "n_frames"):
+                        out[k].append(None)
+                else:
+                    fmt, w, h, dur, nf = probed
+                    out["format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["duration_ms"].append(dur)
+                    out["n_frames"].append(nf)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, data_col).mapInPandas(
+        op, VIDEO_META_SCHEMA)

@@ -2964,3 +2964,64 @@ REGISTRY_LLM.update({
             "WITH corpus AS (SELECT doc_id, text FROM documents"
             " WHERE doc_id >= 10),")),
 })
+
+
+# -------- q261 VIDEO container metadata probe (MP4 box walk)
+
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column metadata extraction: wire-shaped ISO-BMFF (MP4)
+    payloads — real ftyp/moov/mvhd/tkhd/stsz box trees built by
+    multimodal.mp4_encode_header, the video analogue of q155's JFIF
+    preludes — probed by the REAL box walk (probe_video via
+    probe_video_media; never reads past headers, mdat untouched).
+    Every 4th payload is corrupt (junk bytes) and must yield NULL
+    metadata, not an exception. Dims/duration/frame-count are
+    deterministic functions of the id, so the oracle replays them
+    arithmetically: a hash match proves the mvhd (timescale +
+    duration), tkhd (16.16 dims) and stsz (sample count) reads each
+    recovered exactly what was encoded. Frame DECODE stays behind
+    the native-codec seam (no ffmpeg — documented scope); this is
+    the metadata path a schema/curation pipeline needs without it."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id")
+            .where(F.col("doc_id") < 400).repartition(4))
+
+    def encode(batches):
+        for pdf in batches:
+            mids, data = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                mids.append(i)
+                if i % 4 == 3:
+                    data.append(b"vjunk" + hashlib.md5(
+                        str(i).encode()).digest())
+                else:
+                    data.append(MM.mp4_encode_header(
+                        i % 31 + 16, i % 23 + 16,
+                        i % 5000 + 100, n_frames=i % 250 + 1))
+            yield pd.DataFrame({"media_id": mids, "data": data})
+
+    media = docs.mapInPandas(encode, "media_id long, data binary")
+    return MM.probe_video_media(media)
+
+
+ORACLE_VIDEO_METADATA = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'mp4' END AS format,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(doc_id % 31 + 16 AS INT) END AS width,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(doc_id % 23 + 16 AS INT) END AS height,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(doc_id % 5000 + 100 AS BIGINT) END AS duration_ms,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(doc_id % 250 + 1 AS BIGINT) END AS n_frames
+FROM documents WHERE doc_id < 400
+"""
+
+REGISTRY_LLM.update({
+    "q261_video_metadata": (q_video_metadata, ORACLE_VIDEO_METADATA),
+})

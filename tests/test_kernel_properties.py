@@ -486,3 +486,30 @@ def test_bleu_hand_computed(spark):
     assert got[3].bleu == 0.0
     assert got[4].p1 is None and got[4].bp is None \
         and got[4].bleu is None
+
+
+@given(st.integers(min_value=1, max_value=4095),
+       st.integers(min_value=1, max_value=4095),
+       st.integers(min_value=0, max_value=10_000_000),
+       st.integers(min_value=0, max_value=1_000_000))
+@settings(max_examples=40, deadline=None)
+def test_mp4_header_probe_property(w, h, dur, nf):
+    """probe_video (q261) round-trips mp4_encode_header for any dims/
+    duration/frame count, and truncation anywhere returns None or a
+    partial-but-consistent probe — never raises (dirty-media-lake
+    contract, the probe_image discipline)."""
+    payload = MM.mp4_encode_header(w, h, dur, n_frames=nf)
+    assert MM.probe_video(payload) == ("mp4", w, h, dur, nf)
+    for cut in (3, 11, len(payload) // 3, len(payload) - 1):
+        got = MM.probe_video(payload[:cut])
+        assert got is None or got[0] == "mp4"
+
+
+def test_probe_video_rejects_garbage_and_hostile_sizes():
+    assert MM.probe_video(None) is None
+    assert MM.probe_video(b"") is None
+    assert MM.probe_video(b"not a video") is None
+    # hostile box size (overruns the buffer) terminates cleanly
+    evil = (b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"
+            b"\xff\xff\xff\xffmoov")
+    assert MM.probe_video(evil) in (None, ("mp4", 0, 0, 0, 0))
