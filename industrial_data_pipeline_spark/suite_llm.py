@@ -2578,7 +2578,10 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended to the second index). Ledger: (doc_id, quality_keep,
     n_matches, n_emb_matches, admitted); oracle replays both batches
     sequentially — classifier + both gates + both index advances —
-    in pure SQL.
+    in pure SQL. The stream also COMPACTS its own LSH asset before
+    batch 2 (in-stream cadence under the writer lease it already
+    holds), so the oracle equality additionally proves in-stream
+    compaction is invisible to admission decisions.
 
     Scale shape: per batch = one classifier projection + the pruned
     stored-LSH probe + one Arrow signing matmul + the pruned stored
@@ -2647,6 +2650,16 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .localCheckpoint(eager=True))
         if batch.isEmpty():
             return
+        if epoch_id >= 1:
+            # in-stream compaction cadence (every batch here so the
+            # 2-batch fixture exercises it; production sets N): the
+            # admitting stream IS the single writer, so it holds the
+            # lease and folds its own append accretion — batch 2's
+            # probes then run against the compacted assets, and the
+            # unchanged oracle proves compaction is invisible to
+            # admission decisions (q257's claim, now inside the
+            # live stream).
+            idx.compact()
         clf = TX.quality_classifier(batch).select(
             "doc_id",
             F.coalesce("keep", F.lit(False)).alias("quality_keep"))
