@@ -29,7 +29,8 @@ two plans' bytesRead).
 Layout under ``root/``::
 
     _lsh_meta.json            {id_col, k, num_perm, bands, threshold}
-    bands/band=<b>/ (parquet) doc_id, bucket long — files sorted by
+    bands/_epoch=<e>/band=<b>/ (parquet) doc_id, bucket long —
+                              files sorted by
                               bucket (range-partitioned at build, so
                               row-group min/max prune bucket IN-lists)
     shingles/ (parquet)       doc_id, shingles array<string> — files
@@ -86,9 +87,9 @@ def _recover_swap(path: str) -> None:
 
 def compact_parquet_dir(spark: SparkSession, path: str,
                         sort_cols: tuple[str, ...] = (),
-                        partition_by: str | None = None,
+                        partition_by=None,
                         max_records_per_file: int | None = None,
-                        keep=None) -> dict:
+                        keep=None, prepare=None) -> dict:
     """Fold an append-accreted plain parquet dir (an index asset, an
     admission LEDGER, any micro-batch sink) back into a clustered
     layout: range-partition + sort by ``sort_cols``, optionally
@@ -100,12 +101,17 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     ledger compacts from ITS OWN foreachBatch or with the stream
     paused). ``keep`` (a Column predicate) turns the rewrite into a
     RETRACTION — rows failing it are dropped atomically with the
-    swap. Returns {files_before, files_after}."""
+    swap; ``prepare`` (df -> df) applies a final reshaping (e.g.
+    folding epoch partitions into history); ``partition_by`` takes a
+    column name or a tuple of names. Returns
+    {files_before, files_after}."""
     _recover_swap(path)
     before = _count_parquet_files(path)
     df = spark.read.parquet(path)
     if keep is not None:
         df = df.where(keep)
+    if prepare is not None:
+        df = prepare(df)
     if sort_cols:
         df = (df.repartitionByRange(*sort_cols)
               .sortWithinPartitions(*sort_cols))
@@ -114,7 +120,9 @@ def compact_parquet_dir(spark: SparkSession, path: str,
         writer = writer.option("maxRecordsPerFile",
                                max_records_per_file)
     if partition_by:
-        writer = writer.partitionBy(partition_by)
+        cols = ([partition_by] if isinstance(partition_by, str)
+                else list(partition_by))
+        writer = writer.partitionBy(*cols)
     tmp, old = path + "_compact_tmp", path + "_compact_old"
     writer.parquet(tmp)
     os.rename(path, old)
@@ -200,13 +208,19 @@ class StoredLshIndex:
                        "bands": self.bands,
                        "threshold": self.threshold}, fh)
         bands_df, shingles_df = self.signature_frames(corpus)
-        (self._sized(bands_df.repartitionByRange("band", "bucket")
+        # _epoch=-1 = "history": the epoch partition column exists
+        # from birth so per-epoch idempotent appends (append_frames)
+        # share one consistent partition layout with the build
+        (self._sized(bands_df.withColumn("_epoch", F.lit(-1))
+                     .repartitionByRange("band", "bucket")
                      .sortWithinPartitions("band", "bucket")
-                     .write.mode("overwrite").partitionBy("band"))
+                     .write.mode("overwrite")
+                     .partitionBy("_epoch", "band"))
          .parquet(self._bands_path))
-        (self._sized(shingles_df.repartitionByRange("doc_id")
+        (self._sized(shingles_df.withColumn("_epoch", F.lit(-1))
+                     .repartitionByRange("doc_id")
                      .sortWithinPartitions("doc_id")
-                     .write.mode("overwrite"))
+                     .write.mode("overwrite").partitionBy("_epoch"))
          .parquet(self._shingles_path))
 
     def _sized(self, writer):
@@ -334,21 +348,44 @@ class StoredLshIndex:
                                  prune=prune)
 
     def append_frames(self, batch_bands: DataFrame,
-                      batch_shingles: DataFrame) -> None:
+                      batch_shingles: DataFrame,
+                      epoch_id: int | None = None) -> None:
         """Admit pre-signed rows: append their band + shingle rows in
         the index layout (bucket-sorted per band dir / doc_id-sorted),
         one task per batch — a micro-batch is broadcast-sized, so a
         parallel write would only shard it into more small files.
-        Plain parquet appends — the admitting stream serializes
-        admission order (single-writer contract, q243); file-count
-        growth (``bands`` files + 1 per batch) is bounded by
-        :meth:`compact`."""
-        (batch_bands.coalesce(1)
-         .sortWithinPartitions("band", "bucket")
-         .write.mode("append").partitionBy("band")
-         .parquet(self._bands_path))
-        (batch_shingles.coalesce(1).sortWithinPartitions("doc_id")
-         .write.mode("append").parquet(self._shingles_path))
+        The admitting stream serializes admission order
+        (single-writer contract, q243); file-count growth (``bands``
+        files + 1 per batch) is bounded by :meth:`compact`.
+
+        EXACTLY-ONCE under micro-batch retries: pass the
+        foreachBatch ``epoch_id`` and the rows land in that epoch's
+        ``_epoch=N`` partition via DYNAMIC partition overwrite — a
+        retried epoch REPLACES its own partition instead of
+        double-appending (a duplicate shingle row would duplicate
+        verify output rows, not just waste space). Without an
+        epoch_id (ad-hoc admission, q257's appends) the write is a
+        plain append into ``_epoch=-1``. Only the in-flight epoch
+        can ever retry (committed epochs never re-run), so
+        :meth:`compact` folding history into ``_epoch=-1`` cannot
+        collide with a replay."""
+        e = -1 if epoch_id is None else int(epoch_id)
+        bw = (batch_bands.withColumn("_epoch", F.lit(e))
+              .coalesce(1).sortWithinPartitions("band", "bucket")
+              .write.partitionBy("_epoch", "band"))
+        sw = (batch_shingles.withColumn("_epoch", F.lit(e))
+              .coalesce(1).sortWithinPartitions("doc_id")
+              .write.partitionBy("_epoch"))
+        if epoch_id is None:
+            bw.mode("append").parquet(self._bands_path)
+            sw.mode("append").parquet(self._shingles_path)
+        else:
+            (bw.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(self._bands_path))
+            (sw.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(self._shingles_path))
 
     # --------------------------------------------------- maintenance
 
@@ -384,15 +421,19 @@ class StoredLshIndex:
         lock.acquire(timeout_s=lease_timeout_s)
         try:
             before = self.file_count()
+            fold = lambda df: df.withColumn("_epoch", F.lit(-1))
             compact_parquet_dir(self.spark, self._bands_path,
                                 ("band", "bucket"),
-                                partition_by="band",
+                                partition_by=("_epoch", "band"),
                                 max_records_per_file=
-                                self.max_records_per_file)
+                                self.max_records_per_file,
+                                prepare=fold)
             compact_parquet_dir(self.spark, self._shingles_path,
                                 ("doc_id",),
+                                partition_by="_epoch",
                                 max_records_per_file=
-                                self.max_records_per_file)
+                                self.max_records_per_file,
+                                prepare=fold)
             return {"files_before": before,
                     "files_after": self.file_count()}
         finally:
@@ -421,12 +462,13 @@ class StoredLshIndex:
             before = self.file_count()
             compact_parquet_dir(self.spark, self._bands_path,
                                 ("band", "bucket"),
-                                partition_by="band",
+                                partition_by=("_epoch", "band"),
                                 max_records_per_file=
                                 self.max_records_per_file,
                                 keep=keep)
             compact_parquet_dir(self.spark, self._shingles_path,
                                 ("doc_id",),
+                                partition_by="_epoch",
                                 max_records_per_file=
                                 self.max_records_per_file,
                                 keep=keep)

@@ -1656,13 +1656,21 @@ def q_streaming_stored_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .localCheckpoint(eager=True))
         admitted = stats.where(F.col("n_matches") == 0) \
             .select("doc_id")
+        # exactly-once under retries: index rows land in this
+        # epoch's partition (dynamic overwrite — a replay REPLACES,
+        # never double-appends), and the ledger is epoch-partitioned
+        # the same way
         idx.append_frames(
             bands_df.join(F.broadcast(admitted), "doc_id"),
-            shingles_df.join(F.broadcast(admitted), "doc_id"))
+            shingles_df.join(F.broadcast(admitted), "doc_id"),
+            epoch_id=epoch_id)
         (stats.select("doc_id",
                       (F.col("n_matches") == 0).alias("admitted"),
                       "n_matches")
-         .write.mode("append").parquet(ledger_dir))
+         .withColumn("_epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_epoch").parquet(ledger_dir))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))
@@ -2262,13 +2270,18 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         admitted = (stats.where(F.col("quality_keep")
                                 & (F.col("n_matches") == 0))
                     .select("doc_id"))
+        # exactly-once under retries (q243's discipline)
         idx.append_frames(
             bands_df.join(F.broadcast(admitted), "doc_id"),
-            shingles_df.join(F.broadcast(admitted), "doc_id"))
+            shingles_df.join(F.broadcast(admitted), "doc_id"),
+            epoch_id=epoch_id)
         (stats.select("doc_id", "quality_keep", "n_matches",
                       (F.col("quality_keep")
                        & (F.col("n_matches") == 0)).alias("admitted"))
-         .write.mode("append").parquet(ledger_dir))
+         .withColumn("_epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_epoch").parquet(ledger_dir))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))
@@ -2611,12 +2624,20 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_vecs = docs.select(
         F.col("doc_id").alias("vec_id"),
         TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM).alias("v"))
-    (corpus_vecs.repartitionByRange("vec_id")
-     .sortWithinPartitions("vec_id")
-     .write.mode("overwrite").parquet(vec_path))
-    SIM.write_signature_index(
-        SIM.ann_signature_index(spark.read.parquet(vec_path),
-                                _DEMB_DIM, vec_col="v"), sig_path)
+    # epoch partition from birth (_epoch=-1 = history) so per-epoch
+    # idempotent appends share one consistent layout — the
+    # append_frames discipline applied to the embedding assets
+    (corpus_vecs.withColumn("_epoch", F.lit(-1))
+     .repartitionByRange("vec_id").sortWithinPartitions("vec_id")
+     .write.mode("overwrite").partitionBy("_epoch")
+     .parquet(vec_path))
+    (SIM.ann_signature_index(spark.read.parquet(vec_path),
+                             _DEMB_DIM, vec_col="v")
+     .withColumn("_epoch", F.lit(-1))
+     .repartitionByRange("table", "sig")
+     .sortWithinPartitions("table", "sig")
+     .write.mode("overwrite").partitionBy("_epoch", "table")
+     .parquet(sig_path))
 
     toks = TX.tokens(F.col("text"))
     rev = F.array_join(F.reverse(toks), " ")
@@ -2698,22 +2719,37 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 & (F.col("n_emb_matches") == 0))
                     .select("doc_id"))
         adm_vec = admitted.select(F.col("doc_id").alias("vec_id"))
+        # exactly-once under retries: EVERY per-batch write (both
+        # index assets, the vector store, the ledger) lands in this
+        # epoch's partition via dynamic overwrite — a replayed epoch
+        # REPLACES its own output instead of double-appending
+        e = F.lit(int(epoch_id))
         idx.append_frames(
             bands_df.join(F.broadcast(admitted), "doc_id"),
-            shingles_df.join(F.broadcast(admitted), "doc_id"))
-        (vecs.join(F.broadcast(adm_vec), "vec_id").coalesce(1)
+            shingles_df.join(F.broadcast(admitted), "doc_id"),
+            epoch_id=epoch_id)
+        (vecs.join(F.broadcast(adm_vec), "vec_id")
+         .withColumn("_epoch", e).coalesce(1)
          .sortWithinPartitions("vec_id")
-         .write.mode("append").parquet(vec_path))
-        (bsig.join(F.broadcast(adm_vec), "vec_id").coalesce(1)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_epoch").parquet(vec_path))
+        (bsig.join(F.broadcast(adm_vec), "vec_id")
+         .withColumn("_epoch", e).coalesce(1)
          .sortWithinPartitions("table", "sig")
-         .write.mode("append").partitionBy("table").parquet(sig_path))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_epoch", "table").parquet(sig_path))
         (stats.select("doc_id", "quality_keep", "n_matches",
                       "n_emb_matches",
                       (F.col("quality_keep")
                        & (F.col("n_matches") == 0)
                        & (F.col("n_emb_matches") == 0))
                       .alias("admitted"))
-         .write.mode("append").parquet(ledger_dir))
+         .withColumn("_epoch", e)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_epoch").parquet(ledger_dir))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))

@@ -380,3 +380,46 @@ def test_ledger_compaction_bounds_files_and_preserves_rows(
     stats2 = compact_parquet_dir(spark, ledger, ("doc_id",))
     assert rows() == before_rows  # recovery sweep restored, then ran
     assert stats2["files_after"] <= stats["files_after"]
+
+
+def test_epoch_append_is_retry_idempotent(spark, tmp_path):
+    """Exactly-once admission under micro-batch retries: replaying
+    an epoch's append_frames (a crashed-then-restarted foreachBatch
+    re-runs its in-flight epoch) REPLACES that epoch's partition
+    instead of double-appending — a duplicate shingle row would
+    duplicate verify OUTPUT rows, not just waste space. Also pins
+    that epoch-less appends still accumulate (the ad-hoc path) and
+    that compaction folds epochs into history without changing
+    probe results."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    idx.build(docs)
+    newcomer = spark.createDataFrame(
+        [(10, "red orange yellow green blue indigo violet")],
+        "doc_id long, text string")
+    frames = idx.signature_frames(newcomer)
+    bands_df = frames[0].localCheckpoint(eager=True)
+    shingles_df = frames[1].localCheckpoint(eager=True)
+    idx.append_frames(bands_df, shingles_df, epoch_id=7)
+    idx.append_frames(bands_df, shingles_df, epoch_id=7)  # retry!
+    probe = spark.createDataFrame(
+        [(11, "red orange yellow green blue indigo violet")],
+        "doc_id long, text string")
+    rows = idx.probe(probe).collect()
+    assert [(r.new_id, r.old_id, r.jaccard_sim)
+            for r in rows] == [(11, 10, 1.0)]  # ONE row, not two
+    # raw asset check: exactly one shingle row for doc 10
+    assert idx.shingle_table().where("doc_id = 10").count() == 1
+    # compaction folds the epoch partition into history (_epoch=-1)
+    idx.compact()
+    assert idx.shingle_table().where("doc_id = 10").count() == 1
+    assert [(r.new_id, r.old_id) for r in
+            idx.probe(probe).collect()] == [(11, 10)]
+    eps = {r._epoch for r in
+           idx.shingle_table().select("_epoch").distinct().collect()}
+    assert eps == {-1}
