@@ -665,23 +665,37 @@ class StoredIvfIndex:
                        "vec_col": self.vec_col,
                        "n_cells": self.n_cells,
                        "centroids": centroids}, fh)
-        w = (self._rows(assigned)
+        # _epoch=-1 = history; per-epoch idempotent appends share
+        # one consistent partition layout (the StoredLshIndex
+        # exactly-once discipline)
+        w = (self._rows(assigned).withColumn("_epoch", F.lit(-1))
              .repartitionByRange("_cell", "vec_id")
              .sortWithinPartitions("_cell", "vec_id")
-             .write.mode("overwrite").partitionBy("_cell"))
+             .write.mode("overwrite").partitionBy("_epoch", "_cell"))
         if self.max_records_per_file:
             w = w.option("maxRecordsPerFile", self.max_records_per_file)
         w.parquet(self._data_path)
 
-    def append(self, batch: DataFrame) -> None:
+    def append(self, batch: DataFrame,
+               epoch_id: int | None = None) -> None:
         """Route a new batch through the FROZEN centroids and append
         into its cell partitions — one small file per touched cell
-        per batch; :meth:`compact` bounds the accretion."""
+        per batch; :meth:`compact` bounds the accretion. With
+        ``epoch_id`` the write is EXACTLY-ONCE under micro-batch
+        retries: the epoch's partitions are dynamically OVERWRITTEN,
+        so a replay replaces instead of double-appending (duplicate
+        vectors would duplicate top-k candidates)."""
         routed = ivf_assign(batch, self.centroids, self.vec_col)
-        (self._rows(routed).coalesce(1)
-         .sortWithinPartitions("_cell", "vec_id")
-         .write.mode("append").partitionBy("_cell")
-         .parquet(self._data_path))
+        e = -1 if epoch_id is None else int(epoch_id)
+        w = (self._rows(routed).withColumn("_epoch", F.lit(e))
+             .coalesce(1).sortWithinPartitions("_cell", "vec_id")
+             .write.partitionBy("_epoch", "_cell"))
+        if epoch_id is None:
+            w.mode("append").parquet(self._data_path)
+        else:
+            (w.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(self._data_path))
 
     def probe_cells(self, query_vec: list[float],
                     nprobe: int) -> list[int]:
@@ -727,7 +741,9 @@ class StoredIvfIndex:
         try:
             return compact_parquet_dir(
                 self.spark, self._data_path, ("_cell", "vec_id"),
-                partition_by="_cell",
-                max_records_per_file=self.max_records_per_file)
+                partition_by=("_epoch", "_cell"),
+                max_records_per_file=self.max_records_per_file,
+                prepare=lambda df: df.withColumn("_epoch",
+                                                 F.lit(-1)))
         finally:
             lock.release()
