@@ -399,12 +399,39 @@ PICKS = [
      "Multi-gate curation stream: ledger read-back after two REAL "
      "micro-batches through quality + stored text-LSH + stored "
      "embedding gates (all three ran during the dump, advancing "
-     "both index assets); per-batch plan = q249's classifier + "
-     "q242's pruned band probe + q248's pruned signature probe "
+     "both index assets, with in-stream compaction before batch 2 "
+     "and every per-batch write epoch-partitioned for exactly-once "
+     "retries); per-batch plan = q249's classifier + q242's pruned "
+     "band probe + q248's pruned signature probe "
      "(tests/test_plans.py), and the gate-attribution invariants "
      "(reversed-token dups caught ONLY by the embedding gate, "
      "cross-batch index advance, reject no-poison) are pinned by "
      "tests/test_streaming.py::test_multigate_stream_gate_attribution."),
+    ("q258_bleu_eval",
+     "BLEU-4: four (id, gram) count-shuffle + overlap-join rounds "
+     "(rouge_n's shape) feeding one per-row ln/exp chain — integer "
+     "clipped counts throughout, floats once per doc, no windows, "
+     "no UDFs, no cross-doc state."),
+    ("q259_stored_ivf_recall",
+     "Stored-IVF recall loop: the dump is the checkpointed result "
+     "(build + append + 10 probes ran during it); the load-bearing "
+     "plan shape — the cell IN-list in PartitionFilters, so probes "
+     "list ONLY the probed cells' directories (measured 0.24x files "
+     "/ 0.23x bytes at nprobe=4/16, tools/ivf_prune_result.json) — "
+     "is asserted in tests/test_plans.py::"
+     "test_stored_ivf_probe_partition_prunes."),
+    ("q260_retracted_gate",
+     "Index retraction: checkpointed probe result after a filtered "
+     "atomic rewrite removed doc 0-9's rows under the writer lease; "
+     "byte-equality with the gate over documents>=10 (the shared "
+     "oracle) is the proof — the probe plan itself is q242's pruned "
+     "shape, unchanged by retraction."),
+    ("q261_video_metadata",
+     "Video metadata probe: one mapInPandas over (media_id, data) — "
+     "generate wire-shaped MP4 payloads, walk box headers, emit "
+     "scalar metadata columns; no shuffle, no bytes beyond headers "
+     "read (mdat never touched), corrupt payloads yield NULLs "
+     "in-plan rather than exceptions."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
