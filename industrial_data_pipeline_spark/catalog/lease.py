@@ -130,6 +130,20 @@ class LeaseLock:
             os.link(tmp, self.path)
         except FileExistsError:
             return False
+        except OSError:
+            # filesystem without hard links (FAT/exFAT, some FUSE or
+            # SMB mounts): fall back to the O_EXCL create + write —
+            # it reopens the tiny empty-content window, but the
+            # corrupt-lease takeover path below self-heals it, and
+            # losing atomic-payload publish beats losing the lock
+            try:
+                fd = os.open(self.path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                             0o644)
+            except FileExistsError:
+                return False
+            os.write(fd, self._payload())
+            os.close(fd)
         finally:
             with contextlib.suppress(OSError):
                 os.unlink(tmp)
@@ -154,9 +168,11 @@ class LeaseLock:
         """Steal a stale lease; serialized by an exclusive marker.
         ``observed`` is the stale payload the caller saw — or None
         for a corrupt lease (unparseable past ttl by mtime): the
-        steal then proceeds only if the content is STILL unparseable
-        under the marker (a valid payload appearing means a live
-        writer won the file back — abort)."""
+        steal then proceeds only if, under the marker, the content is
+        STILL unparseable AND the file's mtime is STILL past ttl — a
+        torn read of a freshly-published valid lease also decodes as
+        None, but its mtime is new, so the age re-check is what keeps
+        a live writer's lease from being stolen (review r9)."""
         marker = self.path + ".takeover"
         try:
             fd = os.open(marker,
@@ -176,6 +192,16 @@ class LeaseLock:
                 # the holder heartbeated between our staleness check
                 # and the marker — it is alive; abort the steal
                 return False
+            if observed is None:
+                # corrupt-lease path: None == None passes the check
+                # above even when a NEW valid lease tore mid-read —
+                # only steal if the file is REALLY still old
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                except OSError:
+                    age = self.ttl_s  # vanished: create race below
+                if age < self.ttl_s:
+                    return False
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(self.path)
             return self._try_create()

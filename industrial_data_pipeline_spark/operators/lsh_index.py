@@ -89,7 +89,8 @@ def compact_parquet_dir(spark: SparkSession, path: str,
                         sort_cols: tuple[str, ...] = (),
                         partition_by=None,
                         max_records_per_file: int | None = None,
-                        keep=None, prepare=None) -> dict:
+                        keep=None, prepare=None,
+                        schema: str | None = None) -> dict:
     """Fold an append-accreted plain parquet dir (an index asset, an
     admission LEDGER, any micro-batch sink) back into a clustered
     layout: range-partition + sort by ``sort_cols``, optionally
@@ -103,11 +104,23 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     RETRACTION — rows failing it are dropped atomically with the
     swap; ``prepare`` (df -> df) applies a final reshaping (e.g.
     folding epoch partitions into history); ``partition_by`` takes a
-    column name or a tuple of names. Returns
-    {files_before, files_after}."""
+    column name or a tuple of names; ``schema`` (explicit read
+    schema incl. partition columns) keeps an EMPTIED dir readable —
+    without it, inference fails once a retraction drops every row.
+
+    Atomicity scope, stated honestly: the swap is atomic for CRASHES
+    (recovery sweep) and invisible to readers in the SAME process
+    that serializes with the writer (the admitting stream's own
+    probes); a reader in ANOTHER process that lists the dir in the
+    instant between the two renames sees it missing and must retry —
+    the same window store.compact_archive (q205) documents. A
+    multi-process snapshot upgrade is a versioned-dir pointer file;
+    the single-admitting-writer contract makes it unnecessary here.
+    Returns {files_before, files_after}."""
     _recover_swap(path)
     before = _count_parquet_files(path)
-    df = spark.read.parquet(path)
+    reader = spark.read.schema(schema) if schema else spark.read
+    df = reader.parquet(path)
     if keep is not None:
         df = df.where(keep)
     if prepare is not None:
@@ -130,6 +143,26 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     shutil.rmtree(old)
     return {"files_before": before,
             "files_after": _count_parquet_files(path)}
+
+
+def isin_prune(scan: DataFrame, keys: dict[str, list]) -> DataFrame:
+    """Push a collected key set into a scan as conjunctive IN-lists
+    — the probe-side pruning pattern shared by every stored-index
+    probe (band/bucket, table/sig, doc_id, old_id). Empty keys prune
+    everything (no candidates can exist); above
+    :data:`MAX_PUSHDOWN_KEYS` distinct values in any column the
+    IN-list stops being a win and the full scan is returned. The
+    filter is always a SUPERSET of the consuming equi-join's own
+    predicate, so results are identical with pruning on or off."""
+    if any(len(v) == 0 for v in keys.values()):
+        return scan.where(F.lit(False))
+    if any(len(set(v)) > MAX_PUSHDOWN_KEYS for v in keys.values()):
+        return scan
+    cond = None
+    for col, vals in keys.items():
+        c = F.col(col).isin(sorted(set(vals)))
+        cond = c if cond is None else cond & c
+    return scan.where(cond)
 
 
 def _count_parquet_files(path: str) -> int:
@@ -254,20 +287,31 @@ class StoredLshIndex:
 
     # ----------------------------------------------------- read sides
 
+    #: explicit read schemas (data + partition columns): inference
+    #: would fail on an EMPTIED asset (retract of every doc leaves a
+    #: dir with no data files — q260's right-to-be-forgotten path
+    #: must stay probeable, returning the empty gate result)
+    BANDS_SCHEMA = "doc_id long, bucket long, _epoch int, band int"
+    SHINGLES_SCHEMA = ("doc_id long, shingles array<string>,"
+                       " _epoch int")
+
     def band_table(self) -> DataFrame:
         """Fresh-listing read of the stored band table."""
-        return self.spark.read.parquet(self._bands_path)
+        return (self.spark.read.schema(self.BANDS_SCHEMA)
+                .parquet(self._bands_path))
 
     def shingle_table(self) -> DataFrame:
         """Fresh-listing read of the stored shingle sets."""
-        return self.spark.read.parquet(self._shingles_path)
+        return (self.spark.read.schema(self.SHINGLES_SCHEMA)
+                .parquet(self._shingles_path))
 
     # ---------------------------------------------------- probe/admit
 
     def probe_frames(self, batch_bands: DataFrame,
                      batch_shingles: DataFrame,
                      round_dp: int = 6,
-                     prune: bool = True) -> DataFrame:
+                     prune: bool = True,
+                     exclude_epoch: int | None = None) -> DataFrame:
         """Gate a pre-signed batch against the STORED index. Returns
         (new_id, old_id, jaccard_sim), exact Jaccard ≥ threshold —
         the contract of ``incremental_minhash_lsh``, with the corpus
@@ -291,36 +335,42 @@ class StoredLshIndex:
         mark). The filters are supersets of the join's own
         equality predicates, so results are byte-identical with
         pruning on or off — q242/q243 pin it. Falls back to the full
-        scan above :data:`MAX_PUSHDOWN_KEYS` keys."""
+        scan above :data:`MAX_PUSHDOWN_KEYS` keys.
+
+        ``exclude_epoch`` is the EXACTLY-ONCE half of the per-epoch
+        write scheme (append_frames): a retried foreachBatch epoch
+        must NOT probe the crashed attempt's own ``_epoch=N`` rows —
+        they would self-match every previously-admitted doc, flip
+        its admission, and (the flipped write being empty) dynamic
+        overwrite would never clear the stale partition. Excluding
+        the in-flight epoch makes the retry's decisions identical to
+        a clean run's, so its overwrite deterministically replaces
+        the crashed attempt's partitions."""
+        bt, sh = self.band_table(), self.shingle_table()
+        if exclude_epoch is not None:
+            bt = bt.where(F.col("_epoch") != int(exclude_epoch))
+            sh = sh.where(F.col("_epoch") != int(exclude_epoch))
         probe = batch_bands.select(
             F.col("doc_id").alias("new_id"), "band", "bucket")
-        idx = self.band_table().select(
+        idx = bt.select(
             F.col("doc_id").alias("old_id"), "band", "bucket")
         if prune:
             # batch-sized by construction (|batch| × bands rows)
             keys = (batch_bands.select("band", "bucket")
                     .distinct().collect())
-            if 0 < len(keys) <= MAX_PUSHDOWN_KEYS:
-                idx = idx.where(
-                    F.col("band").isin(sorted({r["band"] for r in keys}))
-                    & F.col("bucket").isin(
-                        sorted({r["bucket"] for r in keys})))
-            elif not keys:
-                idx = idx.where(F.lit(False))
+            idx = isin_prune(idx, {
+                "band": [r["band"] for r in keys],
+                "bucket": [r["bucket"] for r in keys]})
             self.last_band_scan = idx
         cand = (probe.join(idx, ["band", "bucket"])
                 .select("new_id", "old_id").distinct())
-        sh = self.shingle_table()
         if prune:
             # materialize the (batch-sized) candidates once: they feed
             # the doc_id pushdown AND the broadcast verify below
             cand = cand.localCheckpoint(eager=True)
-            old_ids = sorted(r["old_id"] for r in
-                             cand.select("old_id").distinct().collect())
-            if 0 < len(old_ids) <= MAX_PUSHDOWN_KEYS:
-                sh = sh.where(F.col("doc_id").isin(old_ids))
-            elif not old_ids:
-                sh = sh.where(F.lit(False))
+            old_ids = [r["old_id"] for r in
+                       cand.select("old_id").distinct().collect()]
+            sh = isin_prune(sh, {"doc_id": old_ids})
         b = (sh.select(F.col("doc_id").alias("old_id"),
                        F.col("shingles").alias("_sh_old"))
              .join(F.broadcast(cand), "old_id"))
@@ -336,7 +386,8 @@ class StoredLshIndex:
                 .select("new_id", "old_id", "jaccard_sim"))
 
     def probe(self, batch: DataFrame, round_dp: int = 6,
-              prune: bool = True) -> DataFrame:
+              prune: bool = True,
+              exclude_epoch: int | None = None) -> DataFrame:
         """Sign ``batch`` and gate it against the stored index. The
         signed frames are checkpointed (batch-sized) so the pruning
         collects and the probe plan share one signing pass."""
@@ -345,7 +396,8 @@ class StoredLshIndex:
             bands_df = bands_df.localCheckpoint(eager=True)
             shingles_df = shingles_df.localCheckpoint(eager=True)
         return self.probe_frames(bands_df, shingles_df, round_dp,
-                                 prune=prune)
+                                 prune=prune,
+                                 exclude_epoch=exclude_epoch)
 
     def append_frames(self, batch_bands: DataFrame,
                       batch_shingles: DataFrame,
@@ -392,14 +444,11 @@ class StoredLshIndex:
     def file_count(self) -> int:
         """Data files currently composing the index (both assets) —
         the quantity :meth:`compact` bounds."""
-        n = 0
-        for base in (self._bands_path, self._shingles_path):
-            for _, _, files in os.walk(base):
-                n += sum(1 for f in files
-                         if f.endswith(".parquet"))
-        return n
+        return (_count_parquet_files(self._bands_path)
+                + _count_parquet_files(self._shingles_path))
 
-    def compact(self, lease_timeout_s: float = 30.0) -> dict:
+    def compact(self, lease_timeout_s: float = 30.0,
+                in_flight_epoch: int | None = None) -> dict:
         """Rewrite both assets into the build layout (range-clustered,
         sorted files — per-batch append accretion folded away), via
         q205's crash-recoverable swap: write ``<asset>_compact_tmp`` →
@@ -414,6 +463,14 @@ class StoredLshIndex:
         compactors can't interleave; the ADMITTING stream must be the
         caller (or paused), per the single-writer contract: an append
         landing between the tmp write and the swap would be lost.
+        ``in_flight_epoch`` is REQUIRED when compacting from inside
+        a foreachBatch body (q256's in-stream cadence): any rows the
+        CURRENT epoch's crashed prior attempt left behind must be
+        DROPPED, not folded into history — folded, they would escape
+        the retry's dynamic overwrite forever (duplicate index rows,
+        duplicated verify output). Committed epochs (< in-flight)
+        never re-run, so folding them is safe; the dropped rows are
+        deterministically rewritten by this very retry.
         Returns {files_before, files_after}."""
         from industrial_data_pipeline_spark.catalog.lease import (
             LeaseLock)
@@ -422,18 +479,20 @@ class StoredLshIndex:
         try:
             before = self.file_count()
             fold = lambda df: df.withColumn("_epoch", F.lit(-1))
-            compact_parquet_dir(self.spark, self._bands_path,
-                                ("band", "bucket"),
-                                partition_by=("_epoch", "band"),
-                                max_records_per_file=
-                                self.max_records_per_file,
-                                prepare=fold)
-            compact_parquet_dir(self.spark, self._shingles_path,
-                                ("doc_id",),
-                                partition_by="_epoch",
-                                max_records_per_file=
-                                self.max_records_per_file,
-                                prepare=fold)
+            keep = (None if in_flight_epoch is None
+                    else F.col("_epoch") < int(in_flight_epoch))
+            for path, sort_cols, pby, schema in (
+                (self._bands_path, ("band", "bucket"),
+                 ("_epoch", "band"), self.BANDS_SCHEMA),
+                (self._shingles_path, ("doc_id",), "_epoch",
+                 self.SHINGLES_SCHEMA),
+            ):
+                compact_parquet_dir(self.spark, path, sort_cols,
+                                    partition_by=pby,
+                                    max_records_per_file=
+                                    self.max_records_per_file,
+                                    keep=keep, prepare=fold,
+                                    schema=schema)
             return {"files_before": before,
                     "files_after": self.file_count()}
         finally:
@@ -465,13 +524,14 @@ class StoredLshIndex:
                                 partition_by=("_epoch", "band"),
                                 max_records_per_file=
                                 self.max_records_per_file,
-                                keep=keep)
+                                keep=keep, schema=self.BANDS_SCHEMA)
             compact_parquet_dir(self.spark, self._shingles_path,
                                 ("doc_id",),
                                 partition_by="_epoch",
                                 max_records_per_file=
                                 self.max_records_per_file,
-                                keep=keep)
+                                keep=keep,
+                                schema=self.SHINGLES_SCHEMA)
             return {"files_before": before,
                     "files_after": self.file_count()}
         finally:

@@ -790,12 +790,16 @@ def probe_video(payload: bytes | None
                 if ver == 0:
                     timescale, dur = struct.unpack(
                         ">II", b[body_lo + 12:body_lo + 20])
-                else:  # version 1: 64-bit times
+                elif body_hi - body_lo >= 32:  # v1: 64-bit times,
+                    # bigger box — a v1 marker on a v0-sized body is
+                    # hostile/truncated: skip, never a short unpack
                     timescale, = struct.unpack(
                         ">I", b[body_lo + 20:body_lo + 24])
                     dur, = struct.unpack(
                         ">Q", b[body_lo + 24:body_lo + 32])
-                if timescale:
+                else:
+                    dur = None
+                if timescale and dur is not None:
                     duration = int(dur * 1000 // timescale)
             elif typ == b"tkhd" and dims is None \
                     and body_hi - body_lo >= 84:

@@ -408,17 +408,12 @@ def pruned_signature_scan(spark, path: str,
     Falls back to the full scan above
     :data:`~.lsh_index.MAX_PUSHDOWN_KEYS` keys."""
     from industrial_data_pipeline_spark.operators.lsh_index import (
-        MAX_PUSHDOWN_KEYS)
+        isin_prune)
 
     scan = spark.read.parquet(path)
     keys = probe_index.select("table", "sig").distinct().collect()
-    if 0 < len(keys) <= MAX_PUSHDOWN_KEYS:
-        return scan.where(
-            F.col("table").isin(sorted({r["table"] for r in keys}))
-            & F.col("sig").isin(sorted({r["sig"] for r in keys})))
-    if not keys:
-        return scan.where(F.lit(False))
-    return scan
+    return isin_prune(scan, {"table": [r["table"] for r in keys],
+                             "sig": [r["sig"] for r in keys]})
 
 
 def ann_gate(index: DataFrame, corpus: DataFrame,
@@ -452,14 +447,11 @@ def ann_gate(index: DataFrame, corpus: DataFrame,
         # of the r8 verdict's `weak` mark; byte-identical because the
         # filter is a superset of the join's own predicate)
         from industrial_data_pipeline_spark.operators.lsh_index import (
-            MAX_PUSHDOWN_KEYS)
+            isin_prune)
         cand = cand.localCheckpoint(eager=True)
-        old_ids = sorted(r["old_id"] for r in
-                         cand.select("old_id").distinct().collect())
-        if 0 < len(old_ids) <= MAX_PUSHDOWN_KEYS:
-            corpus = corpus.where(F.col(id_col).isin(old_ids))
-        elif not old_ids:
-            corpus = corpus.where(F.lit(False))
+        old_ids = [r["old_id"] for r in
+                   cand.select("old_id").distinct().collect()]
+        corpus = isin_prune(corpus, {id_col: old_ids})
     b = (corpus.select(F.col(id_col).alias("old_id"),
                        F.col(vec_col).alias("_vo"))
          .join(F.broadcast(cand), "old_id"))
@@ -563,14 +555,11 @@ def ann_hard_negatives(index: DataFrame, corpus: DataFrame,
             .select("query_id", "neighbor_id").distinct())
     if prune:
         from industrial_data_pipeline_spark.operators.lsh_index import (
-            MAX_PUSHDOWN_KEYS)
+            isin_prune)
         cand = cand.localCheckpoint(eager=True)
-        ids = sorted(r["neighbor_id"] for r in
-                     cand.select("neighbor_id").distinct().collect())
-        if 0 < len(ids) <= MAX_PUSHDOWN_KEYS:
-            corpus = corpus.where(F.col(id_col).isin(ids))
-        elif not ids:
-            corpus = corpus.where(F.lit(False))
+        ids = [r["neighbor_id"] for r in
+               cand.select("neighbor_id").distinct().collect()]
+        corpus = isin_prune(corpus, {id_col: ids})
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"),
                       F.col(filter_col).alias("_cf"))
@@ -714,11 +703,17 @@ class StoredIvfIndex:
                                            query_vec), c))
         return order[:nprobe]
 
+    #: explicit read schema (data + partition cols) — inference
+    #: would fail on an emptied asset; types match build's writes
+    DATA_SCHEMA = ("vec_id long, v array<double>, _epoch int,"
+                   " _cell int")
+
     def cell_scan(self, cells: list[int]) -> DataFrame:
         """Scan ONLY the given cells — `_cell` is the partition
         column, so this is directory-level pruning (files outside
         the probed cells are never listed into the plan)."""
-        return (self.spark.read.parquet(self._data_path)
+        return (self.spark.read.schema(self.DATA_SCHEMA)
+                .parquet(self._data_path)
                 .where(F.col("_cell").isin(cells)))
 
     def probe(self, query_vec: list[float], k: int = 10,
@@ -744,6 +739,7 @@ class StoredIvfIndex:
                 partition_by=("_epoch", "_cell"),
                 max_records_per_file=self.max_records_per_file,
                 prepare=lambda df: df.withColumn("_epoch",
-                                                 F.lit(-1)))
+                                                 F.lit(-1)),
+                schema=self.DATA_SCHEMA)
         finally:
             lock.release()

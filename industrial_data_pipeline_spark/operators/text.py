@@ -1123,9 +1123,18 @@ def lcs_token_len(cand_col: Column, ref_col: Column) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    import re
+
+    # EXACTLY tokens()'s split class — Java \s, i.e. ASCII
+    # [ \t\n\x0b\f\r] — NOT Python str.split(), whose Unicode
+    # whitespace (NBSP, thin space) and \x1c-\x1f separators would
+    # make the kernel's LCS exceed the JVM-computed token counts and
+    # emit precision/recall > 1 (review r9)
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     def _lcs_pair(a: str, b: str) -> int:
-        ta = (a or "").lower().split()
-        tb = (b or "").lower().split()
+        ta = [t for t in _ws.split((a or "").lower()) if t]
+        tb = [t for t in _ws.split((b or "").lower()) if t]
         if not ta or not tb:
             return 0
         # ints, not strings, inside the DP hot loop

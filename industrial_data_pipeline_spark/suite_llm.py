@@ -1645,7 +1645,8 @@ def q_streaming_stored_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_df, shingles_df = idx.signature_frames(batch)
         bands_df = bands_df.localCheckpoint(eager=True)
         shingles_df = shingles_df.localCheckpoint(eager=True)
-        matches = idx.probe_frames(bands_df, shingles_df)
+        matches = idx.probe_frames(bands_df, shingles_df,
+                                   exclude_epoch=epoch_id)
         per_new = matches.groupBy("new_id").agg(
             F.count("*").alias("n_matches"))
         stats = (batch.join(per_new,
@@ -2257,7 +2258,8 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_df, shingles_df = idx.signature_frames(batch)
         bands_df = bands_df.localCheckpoint(eager=True)
         shingles_df = shingles_df.localCheckpoint(eager=True)
-        matches = idx.probe_frames(bands_df, shingles_df)
+        matches = idx.probe_frames(bands_df, shingles_df,
+                                   exclude_epoch=epoch_id)
         per_new = matches.groupBy("new_id").agg(
             F.count("*").alias("n_matches"))
         stats = (batch.join(clf, "doc_id")
@@ -2680,23 +2682,31 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # unchanged oracle proves compaction is invisible to
             # admission decisions (q257's claim, now inside the
             # live stream).
-            idx.compact()
+            idx.compact(in_flight_epoch=int(epoch_id))
         clf = TX.quality_classifier(batch).select(
             "doc_id",
             F.coalesce("keep", F.lit(False)).alias("quality_keep"))
         bands_df, shingles_df = idx.signature_frames(batch)
         bands_df = bands_df.localCheckpoint(eager=True)
         shingles_df = shingles_df.localCheckpoint(eager=True)
-        tmatch = idx.probe_frames(bands_df, shingles_df)
+        tmatch = idx.probe_frames(bands_df, shingles_df,
+                                  exclude_epoch=epoch_id)
         vecs = (batch.select(
             F.col("doc_id").alias("vec_id"),
             TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM)
             .alias("v")).localCheckpoint(eager=True))
         bsig = (SIM.ann_signature_index(vecs, _DEMB_DIM, vec_col="v")
                 .localCheckpoint(eager=True))
-        stored_sig = SIM.pruned_signature_scan(spark, sig_path, bsig)
+        # exactly-once: a retried epoch must not probe the crashed
+        # attempt's own _epoch rows on EITHER asset (self-matches
+        # would flip admissions; see probe_frames' exclude_epoch)
+        not_inflight = F.col("_epoch") != F.lit(int(epoch_id))
+        stored_sig = (SIM.pruned_signature_scan(spark, sig_path,
+                                                bsig)
+                      .where(not_inflight))
         ematch = SIM.ann_gate(stored_sig,
-                              spark.read.parquet(vec_path), vecs,
+                              spark.read.parquet(vec_path)
+                              .where(not_inflight), vecs,
                               bsig, id_col="vec_id", vec_col="v",
                               threshold=0.98)
         per_t = (tmatch.groupBy("new_id")

@@ -453,6 +453,26 @@ def test_rouge_l_hand_computed_and_vs_reference(spark):
     assert got[1].rougeL_f1 == round(2 * .5 * .5 / 1.0, 6)
 
 
+def test_rouge_l_tokenization_matches_jvm_split(spark):
+    """Review r9: the LCS kernel must split EXACTLY like tokens()'s
+    Java \\s+ — Python str.split() also breaks on NBSP/thin-space/
+    0x1C-0x1F, which would let LCS exceed the JVM token counts and
+    emit precision > 1. An NBSP-joined candidate is ONE token on both
+    sides: lcs 0 against a space-split reference, precision 0."""
+    from industrial_data_pipeline_spark.operators.text import rouge_l
+
+    df = spark.createDataFrame(
+        [(0, "foo\u00a0bar", "foo bar"),
+         (1, "foo\x1fbar", "foo bar"),
+         (2, "foo\u2009bar", "foo bar"),
+         (3, "foo\tbar", "foo bar")],  # real Java \s: splits
+        "doc_id long, candidate string, reference string")
+    got = {r.doc_id: r for r in rouge_l(df).collect()}
+    for i in (0, 1, 2):
+        assert got[i].lcs_len == 0 and got[i].rougeL_p == 0.0, i
+    assert got[3].lcs_len == 2 and got[3].rougeL_p == 1.0
+
+
 def test_bleu_hand_computed(spark):
     """bleu (q258) hand cases: identity = 1.0; the Papineni clipping
     example ('the the the the' vs 'the cat' -> p1 clipped to 1/4,

@@ -423,3 +423,79 @@ def test_epoch_append_is_retry_idempotent(spark, tmp_path):
     eps = {r._epoch for r in
            idx.shingle_table().select("_epoch").distinct().collect()}
     assert eps == {-1}
+
+
+def test_retried_epoch_probe_ignores_crashed_attempt(spark, tmp_path):
+    """Review r9 findings 1+2: a retried epoch must make the SAME
+    admission decisions as a clean run even though the crashed
+    attempt already appended its _epoch=N rows — (a) the probe
+    excludes the in-flight epoch (else every previously-admitted doc
+    self-matches and is flipped to rejected, and the then-empty
+    overwrite never clears the stale partition); (b) an in-stream
+    compact with in_flight_epoch=N DROPS the leftovers instead of
+    folding them into history where the retry's overwrite could
+    never reach them."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    idx.build(docs)
+    newcomer = spark.createDataFrame(
+        [(10, "red orange yellow green blue indigo violet")],
+        "doc_id long, text string")
+    frames = idx.signature_frames(newcomer)
+    bands_df = frames[0].localCheckpoint(eager=True)
+    shingles_df = frames[1].localCheckpoint(eager=True)
+    # --- crashed attempt of epoch 3: probed clean, admitted, appended
+    assert idx.probe_frames(bands_df, shingles_df,
+                            exclude_epoch=3).count() == 0
+    idx.append_frames(bands_df, shingles_df, epoch_id=3)
+    # --- retry of epoch 3 (scenario a): the probe MUST NOT see the
+    # crashed attempt's rows — unexcluded it would self-match...
+    assert idx.probe(newcomer).count() == 1  # the hazard, visible
+    # ...excluded, the decision matches the clean run
+    assert idx.probe_frames(bands_df, shingles_df,
+                            exclude_epoch=3).count() == 0
+    idx.append_frames(bands_df, shingles_df, epoch_id=3)  # re-admit
+    assert idx.shingle_table().where("doc_id = 10").count() == 1
+    # --- scenario b: a retry that compacts FIRST (q256's cadence)
+    # must purge the in-flight leftovers, not fold them to history
+    idx.compact(in_flight_epoch=3)
+    assert idx.shingle_table().where("doc_id = 10").count() == 0
+    assert idx.probe_frames(bands_df, shingles_df,
+                            exclude_epoch=3).count() == 0
+    idx.append_frames(bands_df, shingles_df, epoch_id=3)
+    assert idx.shingle_table().where("doc_id = 10").count() == 1
+    # committed epochs (< in-flight) FOLD rather than drop
+    idx.compact(in_flight_epoch=4)
+    assert idx.shingle_table().where("doc_id = 10").count() == 1
+    eps = {r._epoch for r in idx.shingle_table()
+           .select("_epoch").distinct().collect()}
+    assert eps == {-1}
+
+
+def test_retract_every_doc_keeps_index_probeable(spark, tmp_path):
+    """Review r9 finding 6: retracting EVERY indexed doc empties the
+    assets — the explicit read schemas must keep them probeable
+    (empty gate result, not an inference AnalysisException), and a
+    later append revives the index."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    idx.build(docs)
+    idx.retract([1, 2])
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    assert idx.probe(probe).count() == 0          # empty, not a crash
+    assert idx.band_table().count() == 0
+    idx.append_frames(*idx.signature_frames(docs.where("doc_id = 1")))
+    assert {r.old_id for r in idx.probe(probe).collect()} == {1}
