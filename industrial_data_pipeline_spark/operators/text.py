@@ -1306,3 +1306,92 @@ def bleu(pairs: DataFrame, id_col: str = "doc_id",
                      round_dp).alias("bp"),
              F.round(score, round_dp).alias("bleu")]
     return out.select(*cols)
+
+
+def chrf(pairs: DataFrame, id_col: str = "doc_id",
+         cand_col: str = "candidate", ref_col: str = "reference",
+         max_n: int = 6, beta: float = 2.0,
+         round_dp: int = 6) -> DataFrame:
+    """chrF (Popović 2015): character n-gram F-score — the
+    tokenization-free eval metric that complements BLEU (q258) and
+    ROUGE (q251/q255); robust to morphology and whitespace choices
+    because it scores CHARACTERS of the whitespace-stripped lowered
+    text. Per order n ∈ 1..``max_n``: clipped multiset overlap of
+    character n-grams (the rouge_n/bleu discipline); chrP/chrR are
+    the MEANS of the per-order precisions/recalls, and
+    chrF = (1+β²)·P·R / (β²·P + R) with β = 2 (recall-weighted).
+
+    Defined semantics (engine-replayable, documented where
+    implementations vary): an order whose candidate (resp.
+    reference) has ZERO n-grams contributes precision (resp. recall)
+    0 to the mean — the denominator stays ``max_n``; a pair whose
+    candidate or reference is EMPTY gets NULL metrics. Integer
+    overlaps/totals throughout; the float chain (2·max_n divisions,
+    two means, one F-beta) runs once per row and rounds last.
+
+    Scale shape: per order, two (id, gram) count shuffles + an inner
+    overlap join — grams are ≤ ``max_n``-char strings, so shuffle
+    bytes ≈ the text itself per order; no windows, no UDFs, no
+    cross-doc state."""
+    def chars(col: Column) -> Column:
+        return F.regexp_replace(F.lower(col), r"\s+", "")
+
+    # named intermediates: the expr-based gram builder needs columns
+    base = pairs.select(
+        F.col(id_col), chars(F.col(cand_col)).alias("_cc"),
+        chars(F.col(ref_col)).alias("_rc"))
+
+    def side_grams(src: str, n: int) -> Column:
+        return F.when(
+            F.length(F.col(src)) >= n,
+            F.expr(f"transform(sequence(1, length({src}) - {n - 1}),"
+                   f" i -> substring({src}, i, {n}))")
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = base.select(id_col,
+                      F.length("_cc").alias("_lc"),
+                      F.length("_rc").alias("_lr"))
+    for n in range(1, max_n + 1):
+        def side(src: str, alias: str) -> DataFrame:
+            return (base.select(
+                F.col(id_col),
+                F.explode_outer(side_grams(src, n)).alias("_g"))
+                .groupBy(id_col, "_g")
+                .agg(F.count("_g").alias(alias)))
+
+        ov = (side("_cc", "_nc").join(side("_rc", "_nr"),
+                                      [id_col, "_g"])
+              .groupBy(id_col)
+              .agg(F.sum(F.least("_nc", "_nr")).alias(f"_ov{n}")))
+        tot = base.select(
+            F.col(id_col),
+            F.size(side_grams("_cc", n)).alias(f"_tc{n}"),
+            F.size(side_grams("_rc", n)).alias(f"_tr{n}"))
+        out = (out.join(tot, id_col)
+               .join(ov, id_col, "left")
+               .withColumn(f"_ov{n}",
+                           F.coalesce(f"_ov{n}", F.lit(0))))
+    # per-order P/R with the zero convention; means over max_n
+    psum = F.lit(0.0)
+    rsum = F.lit(0.0)
+    for n in range(1, max_n + 1):
+        psum = psum + F.when(
+            F.col(f"_tc{n}") > 0,
+            F.col(f"_ov{n}") / F.col(f"_tc{n}").cast("double")
+        ).otherwise(F.lit(0.0))
+        rsum = rsum + F.when(
+            F.col(f"_tr{n}") > 0,
+            F.col(f"_ov{n}") / F.col(f"_tr{n}").cast("double")
+        ).otherwise(F.lit(0.0))
+    p = psum / F.lit(float(max_n))
+    r = rsum / F.lit(float(max_n))
+    b2 = beta * beta
+    f_ = F.lit(1.0 + b2) * p * r \
+        / F.nullif(F.lit(b2) * p + r, F.lit(0.0))
+    empty = (F.col("_lc") == 0) | (F.col("_lr") == 0)
+    return out.select(
+        F.col(id_col),
+        F.round(F.when(~empty, p), round_dp).alias("chrf_p"),
+        F.round(F.when(~empty, r), round_dp).alias("chrf_r"),
+        F.round(F.when(~empty, F.coalesce(f_, F.lit(0.0))),
+                round_dp).alias("chrf"))

@@ -1445,3 +1445,95 @@ FROM scored
 REGISTRY_PIPELINE.update({
     "q258_bleu_eval": (q_bleu_eval, _oracle_bleu_eval()),
 })
+
+
+# ----------------------------- q262 chrF character-level evaluation
+
+def q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (operators/text.py::chrf) over q251's lossy-summary
+    pairs: character 1..6-gram clipped overlaps of the
+    whitespace-stripped lowered texts, per-order precision/recall
+    means, β=2 F-score — the tokenization-free eval metric
+    completing the family (BLEU q258, ROUGE-1/2 q251, ROUGE-L q255).
+    Dropping every 3rd token removes contiguous character runs, so
+    all six orders score non-trivially; the oracle replays the
+    character n-grams, clipping, the zero-order convention and the
+    F-beta chain generically in SQL."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    cand = F.array_join(
+        F.filter(toks, lambda x, i: i % 3 != 0), " ")
+    pairs = docs.select(
+        "doc_id", cand.alias("candidate"),
+        F.col("text").alias("reference"))
+    return TX.chrf(pairs)
+
+
+def _oracle_chrf_eval() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+
+    def ngrams(src: str, n: int) -> str:
+        return (f"CASE WHEN length({src}) >= {n} THEN "
+                f"list_transform(generate_series(1,"
+                f" length({src}) - {n - 1}),"
+                f" i -> substring({src}, i, {n}))"
+                f" ELSE CAST([] AS VARCHAR[]) END")
+
+    parts, pterms, rterms = [], [], []
+    for n in range(1, 7):
+        cg, rg = ngrams("cc", n), ngrams("rc", n)
+        parts.append(f"""
+c{n} AS (SELECT doc_id, g, count(*) AS n FROM
+           (SELECT doc_id, unnest({cg}) AS g FROM base)
+         GROUP BY 1, 2),
+r{n} AS (SELECT doc_id, g, count(*) AS n FROM
+           (SELECT doc_id, unnest({rg}) AS g FROM base)
+         GROUP BY 1, 2),
+o{n} AS (SELECT doc_id, sum(least(c{n}.n, r{n}.n)) AS ov
+         FROM c{n} JOIN r{n} USING (doc_id, g) GROUP BY 1),
+t{n} AS (SELECT doc_id, len({cg}) AS tc, len({rg}) AS tr
+         FROM base)""")
+        pterms.append(f"CASE WHEN t{n}.tc > 0 THEN"
+                      f" coalesce(o{n}.ov, 0) / t{n}.tc::DOUBLE"
+                      f" ELSE 0.0 END")
+        rterms.append(f"CASE WHEN t{n}.tr > 0 THEN"
+                      f" coalesce(o{n}.ov, 0) / t{n}.tr::DOUBLE"
+                      f" ELSE 0.0 END")
+    joins = "\n".join(
+        f"JOIN t{n} USING (doc_id) LEFT JOIN o{n} USING (doc_id)"
+        for n in range(1, 7))
+    psum = " + ".join(pterms)
+    rsum = " + ".join(rterms)
+    return f"""
+WITH tk AS (SELECT doc_id, {ltoks} AS rt FROM documents),
+base AS (SELECT doc_id,
+                regexp_replace(lower(array_to_string(
+                    list_transform(
+                        list_filter(generate_series(1, len(rt)),
+                                    i -> (i - 1) % 3 <> 0),
+                        i -> rt[i]), ' ')), '\\s+', '', 'g') AS cc,
+                regexp_replace(lower(array_to_string(rt, ' ')),
+                               '\\s+', '', 'g') AS rc
+         FROM tk),
+{",".join(p.lstrip() for p in parts)},
+raw AS (SELECT b.doc_id, length(b.cc) AS lc, length(b.rc) AS lr,
+               ({psum}) / 6.0 AS p, ({rsum}) / 6.0 AS r
+        FROM base b
+        {joins})
+SELECT doc_id,
+       round(CASE WHEN lc = 0 OR lr = 0 THEN NULL ELSE p END, 6)
+           AS chrf_p,
+       round(CASE WHEN lc = 0 OR lr = 0 THEN NULL ELSE r END, 6)
+           AS chrf_r,
+       round(CASE WHEN lc = 0 OR lr = 0 THEN NULL
+                  ELSE coalesce(5.0 * p * r
+                                / nullif(4.0 * p + r, 0.0), 0.0)
+             END, 6) AS chrf
+FROM raw
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q262_chrf_eval": (q_chrf_eval, _oracle_chrf_eval()),
+})

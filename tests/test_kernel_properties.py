@@ -533,3 +533,33 @@ def test_probe_video_rejects_garbage_and_hostile_sizes():
     evil = (b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"
             b"\xff\xff\xff\xffmoov")
     assert MM.probe_video(evil) in (None, ("mp4", 0, 0, 0, 0))
+
+
+def test_chrf_hand_computed(spark):
+    """chrf (q262) by hand: the 'ab' vs 'abc' case worked out on
+    paper (P = 1/3, R = 7/36, chrF2 = 7/33), whitespace invariance
+    ('a b' == 'ab'), identity on short strings (orders beyond the
+    text length contribute 0 to BOTH means), and the empty-side NULL
+    contract."""
+    from fractions import Fraction as Fr
+
+    from industrial_data_pipeline_spark.operators.text import chrf
+
+    cases = [(0, "ab", "abc"), (1, "a b", "ab"),
+             (2, "ab", "ab"), (3, "", "abc")]
+    df = spark.createDataFrame(
+        cases, "doc_id long, candidate string, reference string")
+    got = {r.doc_id: r for r in chrf(df).collect()}
+    p = Fr(1, 3)
+    r = Fr(7, 36)
+    f = (Fr(5) * p * r) / (Fr(4) * p + r)
+    assert got[0].chrf_p == round(float(p), 6)
+    assert got[0].chrf_r == round(float(r), 6)
+    assert got[0].chrf == round(float(f), 6)  # 7/33
+    # whitespace stripped: 'a b' scores exactly like 'ab'
+    assert (got[1].chrf_p, got[1].chrf_r, got[1].chrf) == \
+        (got[2].chrf_p, got[2].chrf_r, got[2].chrf)
+    # identity of a 2-char string: orders 1-2 perfect, 3-6 zero
+    assert got[2].chrf_p == round(float(Fr(1, 3)), 6)
+    assert got[2].chrf == round(float(Fr(1, 3)), 6)
+    assert got[3].chrf_p is None and got[3].chrf is None
