@@ -412,6 +412,12 @@ PICKS = [
      "(rouge_n's shape) feeding one per-row ln/exp chain — integer "
      "clipped counts throughout, floats once per doc, no windows, "
      "no UDFs, no cross-doc state."),
+    ("q262_chrf_eval",
+     "chrF: six (id, char-gram) count-shuffle + overlap-join rounds "
+     "over the whitespace-stripped text — grams are <= 6-char "
+     "strings so shuffle bytes track the text size per order; one "
+     "per-row float chain (order means + F-beta), no windows, no "
+     "UDFs."),
     ("q259_stored_ivf_recall",
      "Stored-IVF recall loop: the dump is the checkpointed result "
      "(build + append + 10 probes ran during it); the load-bearing "
