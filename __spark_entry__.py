@@ -156,15 +156,15 @@ _VERIFIED_GREEN = {
 # layout — pruning is a superset filter of the probe join, results
 # identical), q248 (prunable signature-index layout + pruned verify),
 # q252 (query-side NaN norm guard — no NaN vectors in testdata).
-# Round 9's never-checked tail is q254-q261 (stored-route hard
+# Round 9's never-checked tail is q254-q262 (stored-route hard
 # negatives, ROUGE-L, multi-gate admission stream, compacted-gate
 # equality, BLEU-4, stored-IVF recall, index retraction, video
-# metadata probe) — 8 queries in the first-run tier with the 253
-# greens re-confirming after. Round-9 behavior changes to green
+# metadata probe, chrF) — 9 queries in the first-run tier with the
+# 253 greens re-confirming after. Round-9 behavior changes to green
 # queries (prunable index layouts, epoch-partitioned exactly-once
 # writes, in-stream compaction, NaN guards, 1-token bigram fix) were
 # each re-verified values=MATCH via tools/drive_contract.py before
-# commit, plus a fresh 256/256 full sweep (CORRECTNESS_LOCAL_r09).
+# commit, plus fresh full sweeps (CORRECTNESS_LOCAL_r09: 262/262).
 _VERIFY_FIRST: set[str] = set()
 
 
