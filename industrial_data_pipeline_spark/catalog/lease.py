@@ -274,6 +274,29 @@ class LeaseLock:
             with contextlib.suppress(OSError):
                 self._replace()
 
+    def still_valid(self) -> bool:
+        """Pre-commit fencing check for the holder: True iff this
+        lock's token is still the fence's latest AND the lease file
+        still names us. A holder paused past the ttl (GC, VM freeze)
+        and overtaken sees False and must ABORT its write — the
+        actionable form of the fencing token the module docstring
+        promises. Honest limit, stated: the check and the commit are
+        two steps, so a pause BETWEEN them can still slip one write
+        through; that window is bounded by one filesystem op (vs the
+        unbounded zombie window without the check), and a commit
+        protocol that persists the token with the data (and readers
+        that take the max-token version) closes it completely."""
+        if self.lost.is_set() or self.token is None:
+            return False
+        cur = self._read()
+        if cur is None or cur.get("owner") != self.owner:
+            return False
+        try:
+            with open(self.path + ".fence") as fh:
+                return int(fh.read().strip() or 0) == self.token
+        except (FileNotFoundError, ValueError):
+            return False
+
     def release(self) -> None:
         """Stop heartbeating and delete the lease iff still ours."""
         self._stop.set()

@@ -277,3 +277,28 @@ def test_lease_file_never_observable_without_payload(tmp_path):
                  if f.endswith(".create.tmp")]
     assert leftovers == []
     lk.release()
+
+
+def test_zombie_writer_fencing_check_rejects_stale_token(tmp_path):
+    """The fencing token made actionable: holder A pauses past the
+    ttl, B legitimately takes over (token bumps), A wakes — A's
+    pre-commit still_valid() is False so A aborts instead of
+    corrupting B's writes; B's own check passes. Re-acquisition gives
+    A a fresh, again-valid token."""
+    path = str(tmp_path / "db.lease")
+    a = LeaseLock(path, ttl_s=0.5)
+    assert a.acquire() == 1
+    assert a.still_valid()
+    a._stop.set()
+    a._thread.join()          # simulate a GC/VM pause: no heartbeats
+    time.sleep(0.7)           # ttl expires
+    b = LeaseLock(path, ttl_s=0.5)
+    assert b.acquire(timeout_s=2.0) == 2
+    # A wakes up and wants to commit — the check must stop it
+    assert not a.still_valid()
+    assert b.still_valid()
+    b.release()
+    # A can re-acquire and is valid again with a fresh token
+    assert a.acquire(timeout_s=2.0) == 3
+    assert a.still_valid()
+    a.release()
