@@ -63,6 +63,14 @@ class LeaseHeldError(RuntimeError):
     """The lease is held by a live (fresh-heartbeat) foreign owner."""
 
 
+class LeaseLostError(RuntimeError):
+    """Raised by a commit path whose pre-commit
+    :meth:`LeaseLock.still_valid` check failed: the holder was paused
+    past the ttl and overtaken, so committing would overwrite the new
+    owner's work. The aborted work is left un-published (staging only)
+    and the caller re-runs recovery / retries under a fresh lease."""
+
+
 class LeaseLock:
     """A single writer lease over ``path``. Not reentrant — callers
     needing reentrancy wrap it (ParquetStore's depth counter does)."""

@@ -90,7 +90,8 @@ def compact_parquet_dir(spark: SparkSession, path: str,
                         partition_by=None,
                         max_records_per_file: int | None = None,
                         keep=None, prepare=None,
-                        schema: str | None = None) -> dict:
+                        schema: str | None = None,
+                        lock=None) -> dict:
     """Fold an append-accreted plain parquet dir (an index asset, an
     admission LEDGER, any micro-batch sink) back into a clustered
     layout: range-partition + sort by ``sort_cols``, optionally
@@ -116,7 +117,17 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     the same window store.compact_archive (q205) documents. A
     multi-process snapshot upgrade is a versioned-dir pointer file;
     the single-admitting-writer contract makes it unnecessary here.
-    Returns {files_before, files_after}."""
+
+    ``lock`` is the caller's held :class:`~..catalog.lease.LeaseLock`:
+    its ``still_valid()`` fencing check runs immediately before the
+    first rename (the commit point) — a compactor paused past the ttl
+    (GC/VM freeze) and overtaken ABORTS with
+    :class:`~..catalog.lease.LeaseLostError` instead of renaming over
+    the new owner's work, leaving the live dir untouched (staging is
+    discarded; the next holder's entry sweep heals anything else).
+    The expensive tmp write happens BEFORE the check so the window
+    between check and commit is one filesystem op, the bound
+    still_valid() documents. Returns {files_before, files_after}."""
     _recover_swap(path)
     before = _count_parquet_files(path)
     reader = spark.read.schema(schema) if schema else spark.read
@@ -138,6 +149,14 @@ def compact_parquet_dir(spark: SparkSession, path: str,
         writer = writer.partitionBy(*cols)
     tmp, old = path + "_compact_tmp", path + "_compact_old"
     writer.parquet(tmp)
+    if lock is not None and not lock.still_valid():
+        from industrial_data_pipeline_spark.catalog.lease import (
+            LeaseLostError)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise LeaseLostError(
+            f"lease over {path} was lost before the swap commit "
+            f"(overtaken past ttl) — compaction aborted, live dir "
+            f"untouched; re-acquire and retry")
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -270,8 +289,12 @@ class StoredLshIndex:
                          ) -> tuple[DataFrame, DataFrame]:
         """Sign ``df`` with the index's parameters: returns
         (bands(doc_id, band, bucket), shingles(doc_id, shingles)) in
-        the stored schema — the exact kernels of the in-plan gate."""
-        ident = F.col(self.id_col).alias("doc_id")
+        the stored schema — the exact kernels of the in-plan gate.
+        The id is cast to long at WRITE time (ADVICE r9): the
+        BANDS/SHINGLES read schemas declare ``doc_id long``, and an
+        int32 id column written as-is would fail Spark's vectorized
+        parquet reader on the type mismatch."""
+        ident = F.col(self.id_col).cast("long").alias("doc_id")
         shingles_df = df.select(
             ident, word_shingles(F.col(self.text_col), self.k)
             .alias("shingles"))
@@ -492,7 +515,7 @@ class StoredLshIndex:
                                     max_records_per_file=
                                     self.max_records_per_file,
                                     keep=keep, prepare=fold,
-                                    schema=schema)
+                                    schema=schema, lock=lock)
             return {"files_before": before,
                     "files_after": self.file_count()}
         finally:
@@ -524,14 +547,16 @@ class StoredLshIndex:
                                 partition_by=("_epoch", "band"),
                                 max_records_per_file=
                                 self.max_records_per_file,
-                                keep=keep, schema=self.BANDS_SCHEMA)
+                                keep=keep, schema=self.BANDS_SCHEMA,
+                                lock=lock)
             compact_parquet_dir(self.spark, self._shingles_path,
                                 ("doc_id",),
                                 partition_by="_epoch",
                                 max_records_per_file=
                                 self.max_records_per_file,
                                 keep=keep,
-                                schema=self.SHINGLES_SCHEMA)
+                                schema=self.SHINGLES_SCHEMA,
+                                lock=lock)
             return {"files_before": before,
                     "files_after": self.file_count()}
         finally:

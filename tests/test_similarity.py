@@ -297,3 +297,188 @@ def test_ann_hard_negatives_planted_equals_bruteforce(spark, tmp_path):
     # must reproduce brute force exactly on this planted overlap
     assert got == want
     assert {n for _, n, _ in got} <= {0, 1, 2, 10}  # stratum 0 rows
+
+
+# ------------------- StoredIvfIndex lifecycle (round 10, r9 ADVICE)
+
+
+def test_ivf_retried_epoch_excluded_and_dropped(spark, tmp_path):
+    """ADVICE r9 item 1 — the StoredLshIndex exactly-once discipline
+    mirrored on the IVF asset: (a) a retried epoch's probe must
+    EXCLUDE the crashed attempt's own _epoch=N vectors (they would
+    enter the candidate cells as duplicates); (b) an in-stream
+    compact(in_flight_epoch=N) DROPS the leftovers instead of folding
+    them into history where the retry's dynamic overwrite could never
+    replace them; (c) committed epochs (< in-flight) fold normally."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 3), 0.1 * i]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(100 + i, [1.0, float(i % 3), 5.0]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    idx = S.StoredIvfIndex(spark, str(tmp_path / "ivf"), n_cells=2)
+    idx.build(emb)
+    idx.append(batch, epoch_id=3)        # crashed attempt of epoch 3
+    qv = [1.0, 1.0, 1.0]
+    # (a) excluded probe sees only history; unexcluded sees the hazard
+    excl = {r.vec_id for r in
+            idx.probe(qv, k=20, nprobe=2, exclude_epoch=3).collect()}
+    assert excl == set(range(10))
+    full = {r.vec_id for r in idx.probe(qv, k=20, nprobe=2).collect()}
+    assert {100, 101, 102, 103} <= full
+    # retry replaces its own partition: no duplicate vectors
+    idx.append(batch, epoch_id=3)
+    scan = idx.cell_scan([0, 1])
+    assert scan.where("vec_id >= 100").count() == 4
+    # (b) a retry that compacts FIRST purges the in-flight leftovers
+    idx.compact(in_flight_epoch=3)
+    assert idx.cell_scan([0, 1]).where("vec_id >= 100").count() == 0
+    idx.append(batch, epoch_id=3)        # the retry re-appends
+    assert idx.cell_scan([0, 1]).where("vec_id >= 100").count() == 4
+    # (c) committed epochs fold into history
+    idx.compact(in_flight_epoch=4)
+    scan = idx.cell_scan([0, 1])
+    assert scan.where("vec_id >= 100").count() == 4
+    eps = {r._epoch for r in scan.select("_epoch").distinct().collect()}
+    assert eps == {-1}
+
+
+def test_ivf_retract_removes_vectors_and_stays_probeable(
+        spark, tmp_path):
+    """VERDICT r9 item 2, IVF half: retract() removes exactly the
+    requested vectors from every subsequent probe; retracting ALL
+    vectors leaves an emptied asset that still answers (empty) probes
+    thanks to the explicit read schema; a later append revives it."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 3), 0.1 * i]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    idx = S.StoredIvfIndex(spark, str(tmp_path / "ivf"), n_cells=2)
+    idx.build(emb)
+    qv = [1.0, 1.0, 1.0]
+    assert {r.vec_id for r in
+            idx.probe(qv, k=20, nprobe=2).collect()} == set(range(8))
+    idx.retract([0, 3, 5])
+    got = {r.vec_id for r in idx.probe(qv, k=20, nprobe=2).collect()}
+    assert got == {1, 2, 4, 6, 7}
+    idx.retract(list(range(8)))          # take down everything
+    assert idx.probe(qv, k=20, nprobe=2).count() == 0
+    idx.append(emb.where("vec_id < 2"))  # revive
+    assert {r.vec_id for r in
+            idx.probe(qv, k=20, nprobe=2).collect()} == {0, 1}
+
+
+def test_ivf_probe_batch_equals_per_query_loop(spark, tmp_path):
+    """VERDICT r9 item 3: probe_batch's single pruned scan returns,
+    per query, exactly the per-query probe() loop's top-k (modulo the
+    loop lacking self-exclusion — compared on a disjoint query set),
+    with ties to the lower vec_id."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 4), 0.05 * i, float((i * 7) % 5)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>")
+    idx = S.StoredIvfIndex(spark, str(tmp_path / "ivf"), n_cells=4)
+    idx.build(emb)
+    queries = spark.createDataFrame(
+        [(1000 + j, [1.0, float(j % 4), 0.5, float(j % 5)])
+         for j in range(6)],
+        "vec_id long, embedding array<double>")
+    got = sorted((r.query_id, r.rk, r.vec_id, r.cosine_sim)
+                 for r in idx.probe_batch(queries, k=5,
+                                          nprobe=2).collect())
+    want = []
+    for row in queries.collect():
+        hits = idx.probe(list(map(float, row.embedding)), k=5,
+                         nprobe=2).collect()
+        want += [(row.vec_id, rk, h.vec_id, h.cosine_sim)
+                 for rk, h in enumerate(hits, 1)]
+    assert got == sorted(want)
+
+
+# --------------- StoredSignatureIndex (round 10, VERDICT r9 item 2)
+
+
+def _sig_fixture(spark, tmp_path, n=10):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 4) + 0.5, 1.0, 0.2 * i, float((i * 3) % 7)])
+         for i in range(n)],
+        "vec_id long, embedding array<double>")
+    idx = S.StoredSignatureIndex(spark, str(tmp_path / "sig"), dim=4,
+                                 threshold=0.98)
+    idx.build(corpus)
+    return corpus, idx
+
+
+def test_stored_sig_index_equals_in_plan_gate(spark, tmp_path):
+    """Probing the persisted assets is byte-identical to the in-plan
+    ann_gate over the same corpus — the equality that lets q256 keep
+    its oracle across the refactor onto the class."""
+    corpus, idx = _sig_fixture(spark, tmp_path)
+    batch = corpus.where("vec_id < 3").select(
+        (F.col("vec_id") + 700).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5))
+        .alias("embedding"))
+    stored = {(r.new_id, r.old_id, r.cosine_sim)
+              for r in idx.probe(batch).collect()}
+    vecs = corpus.select("vec_id",
+                         F.col("embedding").alias("v"))
+    bv = batch.select("vec_id", F.col("embedding").alias("v"))
+    bsig = S.ann_signature_index(bv, 4, vec_col="v")
+    inplan = {(r.new_id, r.old_id, r.cosine_sim)
+              for r in S.ann_gate(
+                  S.ann_signature_index(vecs, 4, vec_col="v"),
+                  vecs, bv, bsig, vec_col="v",
+                  threshold=0.98).collect()}
+    assert stored == inplan and stored
+    # scaled copies collide in every table (sign invariance): all 3
+    assert {a for a, _, _ in stored} == {700, 701, 702}
+
+
+def test_stored_sig_index_lifecycle_roundtrip(spark, tmp_path):
+    """open() restores parameters; append advances the gate;
+    exactly-once epoch retries replace rather than double-append;
+    compact(in_flight_epoch) drops crashed leftovers; retract
+    restores admissibility and an emptied index stays probeable."""
+    corpus, idx = _sig_fixture(spark, tmp_path)
+    re = S.StoredSignatureIndex.open(spark, str(tmp_path / "sig"))
+    assert (re.dim, re.n_tables, re.n_planes,
+            re.threshold) == (4, 8, 6, 0.98)
+    newcomer = spark.createDataFrame(
+        [(50, [9.0, -3.0, 7.0, -1.0])],
+        "vec_id long, embedding array<double>")
+    assert re.probe(newcomer).count() == 0
+    # crashed attempt of epoch 2: admitted + appended
+    vecs = re._vec_rows(newcomer).localCheckpoint(eager=True)
+    sigs = re.signature_frame(vecs).localCheckpoint(eager=True)
+    re.append_frames(vecs, sigs, epoch_id=2)
+    dup = spark.createDataFrame(
+        [(51, [4.5, -1.5, 3.5, -0.5])],  # scaled copy of 50
+        "vec_id long, embedding array<double>")
+    # retry's probe must exclude the in-flight epoch (no self-match
+    # hazard on the gate's decisions)...
+    assert re.probe(newcomer, exclude_epoch=2).count() == 0
+    # ...while a normal later probe sees the admitted vector
+    assert {r.old_id for r in re.probe(dup).collect()} == {50}
+    # retry replaces its own partition: still exactly one row
+    re.append_frames(vecs, sigs, epoch_id=2)
+    assert re.vec_table().where("vec_id = 50").count() == 1
+    # in-stream compact during the retry drops the leftovers
+    re.compact(in_flight_epoch=2)
+    assert re.vec_table().where("vec_id = 50").count() == 0
+    re.append_frames(vecs, sigs, epoch_id=2)
+    # committed epochs fold into history; probe unchanged
+    files = re.file_count()
+    re.compact(in_flight_epoch=3)
+    assert re.file_count() <= files
+    assert {r.old_id for r in re.probe(dup).collect()} == {50}
+    eps = {r._epoch for r in re.vec_table()
+           .select("_epoch").distinct().collect()}
+    assert eps == {-1}
+    # retraction: 50's former match becomes admissible again
+    re.retract([50])
+    assert re.probe(dup).count() == 0
+    # take down everything — emptied assets stay probeable
+    re.retract([r.vec_id for r in
+                re.vec_table().select("vec_id").collect()])
+    assert re.probe(dup).count() == 0
+    re.append_frames(vecs, sigs)   # ad-hoc re-ingest revives
+    assert {r.old_id for r in re.probe(dup).collect()} == {50}
