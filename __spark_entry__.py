@@ -146,25 +146,25 @@ _VERIFIED_GREEN = {
     "q248_stored_ann_gate", "q249_quality_classifier",
     "q250_strip_html", "q251_rouge_eval", "q252_hard_negatives",
     "q253_curation_stream",
+    "q254_ann_hard_negatives", "q255_rouge_l",
+    "q256_multigate_stream", "q257_compacted_gate", "q258_bleu_eval",
+    "q259_stored_ivf_recall", "q260_retracted_gate",
+    "q261_video_metadata", "q262_chrf_eval",
 }
 
-# Round 8 closed the q242-q253 tail (CORRECTNESS_r08: 50/50 green) —
-# moved into the green tier above. Round 9's behavior changes to
-# green queries were each re-verified values=MATCH via
-# tools/drive_contract.py before commit: q249/q253 (1-token bigram
-# fix, mirrored in BOTH engines), q242/q243/q253 (prunable stored-LSH
-# layout — pruning is a superset filter of the probe join, results
-# identical), q248 (prunable signature-index layout + pruned verify),
-# q252 (query-side NaN norm guard — no NaN vectors in testdata).
-# Round 9's never-checked tail is q254-q262 (stored-route hard
-# negatives, ROUGE-L, multi-gate admission stream, compacted-gate
-# equality, BLEU-4, stored-IVF recall, index retraction, video
-# metadata probe, chrF) — 9 queries in the first-run tier with the
-# 253 greens re-confirming after. Round-9 behavior changes to green
-# queries (prunable index layouts, epoch-partitioned exactly-once
-# writes, in-stream compaction, NaN guards, 1-token bigram fix) were
-# each re-verified values=MATCH via tools/drive_contract.py before
-# commit, plus fresh full sweeps (CORRECTNESS_LOCAL_r09: 262/262).
+# Round 9 closed the q254-q262 tail (CORRECTNESS_r09: 50/50 green) —
+# moved into the green tier above. Round 10's never-checked tail is
+# q263-q266 (embedding-index retraction, IVF retraction, batch IVF
+# probe, in-stream retraction) — 4 queries in the first-run tier
+# with the 262 greens re-confirming after. Round-10 behavior changes
+# to green queries were each re-verified values=MATCH via
+# tools/drive_contract.py before commit: q256 (embedding assets
+# refactored onto StoredSignatureIndex + in-stream compaction of
+# both assets — oracle unchanged), the stored-index family
+# q205/q242/q243/q245/q248/q253/q254/q257/q259/q260 (lease fencing
+# check wired into the compaction swap; id casts at write time —
+# behavior-identical on long-id testdata), plus fresh full sweeps
+# (CORRECTNESS_LOCAL_r10).
 _VERIFY_FIRST: set[str] = set()
 
 

@@ -2593,10 +2593,17 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended to the second index). Ledger: (doc_id, quality_keep,
     n_matches, n_emb_matches, admitted); oracle replays both batches
     sequentially — classifier + both gates + both index advances —
-    in pure SQL. The stream also COMPACTS its own LSH asset before
-    batch 2 (in-stream cadence under the writer lease it already
-    holds), so the oracle equality additionally proves in-stream
-    compaction is invisible to admission decisions.
+    in pure SQL. The stream also COMPACTS BOTH index assets before
+    batch 2 (in-stream cadence under the writer leases it already
+    holds, pre-commit fencing check included), so the oracle
+    equality additionally proves in-stream compaction is invisible
+    to admission decisions on both modalities.
+
+    Round 10: the embedding assets moved onto
+    operators/similarity.py::StoredSignatureIndex (lifecycle
+    uniformity, VERDICT r9 item 2) — the UNCHANGED oracle pins that
+    the class's build/probe/append/compact reproduce the previous
+    ad-hoc writes byte-exactly.
 
     Scale shape: per batch = one classifier projection + the pruned
     stored-LSH probe + one Arrow signing matmul + the pruned stored
@@ -2613,8 +2620,6 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="idp_q256_")
     idx_root = os.path.join(root, "lsh_index")
-    sig_path = os.path.join(root, "emb_sigs")
-    vec_path = os.path.join(root, "emb_vecs")
     staging = os.path.join(root, "staging")
     ledger_dir = os.path.join(root, "ledger")
     ckpt = os.path.join(root, "ckpt")
@@ -2626,20 +2631,10 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_vecs = docs.select(
         F.col("doc_id").alias("vec_id"),
         TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM).alias("v"))
-    # epoch partition from birth (_epoch=-1 = history) so per-epoch
-    # idempotent appends share one consistent layout — the
-    # append_frames discipline applied to the embedding assets
-    (corpus_vecs.withColumn("_epoch", F.lit(-1))
-     .repartitionByRange("vec_id").sortWithinPartitions("vec_id")
-     .write.mode("overwrite").partitionBy("_epoch")
-     .parquet(vec_path))
-    (SIM.ann_signature_index(spark.read.parquet(vec_path),
-                             _DEMB_DIM, vec_col="v")
-     .withColumn("_epoch", F.lit(-1))
-     .repartitionByRange("table", "sig")
-     .sortWithinPartitions("table", "sig")
-     .write.mode("overwrite").partitionBy("_epoch", "table")
-     .parquet(sig_path))
+    sidx = SIM.StoredSignatureIndex(
+        spark, os.path.join(root, "emb_idx"), dim=_DEMB_DIM,
+        id_col="vec_id", vec_col="v", threshold=0.98)
+    sidx.build(corpus_vecs)
 
     toks = TX.tokens(F.col("text"))
     rev = F.array_join(F.reverse(toks), " ")
@@ -2677,12 +2672,14 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # in-stream compaction cadence (every batch here so the
             # 2-batch fixture exercises it; production sets N): the
             # admitting stream IS the single writer, so it holds the
-            # lease and folds its own append accretion — batch 2's
-            # probes then run against the compacted assets, and the
-            # unchanged oracle proves compaction is invisible to
-            # admission decisions (q257's claim, now inside the
-            # live stream).
+            # leases and folds its own append accretion on BOTH
+            # assets — batch 2's probes then run against the
+            # compacted layouts, and the unchanged oracle proves
+            # compaction is invisible to admission decisions
+            # (q257's claim, now inside the live stream, on both
+            # modalities).
             idx.compact(in_flight_epoch=int(epoch_id))
+            sidx.compact(in_flight_epoch=int(epoch_id))
         clf = TX.quality_classifier(batch).select(
             "doc_id",
             F.coalesce("keep", F.lit(False)).alias("quality_keep"))
@@ -2695,20 +2692,13 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("vec_id"),
             TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM)
             .alias("v")).localCheckpoint(eager=True))
-        bsig = (SIM.ann_signature_index(vecs, _DEMB_DIM, vec_col="v")
+        bsig = (sidx.signature_frame(vecs)
                 .localCheckpoint(eager=True))
         # exactly-once: a retried epoch must not probe the crashed
         # attempt's own _epoch rows on EITHER asset (self-matches
         # would flip admissions; see probe_frames' exclude_epoch)
-        not_inflight = F.col("_epoch") != F.lit(int(epoch_id))
-        stored_sig = (SIM.pruned_signature_scan(spark, sig_path,
-                                                bsig)
-                      .where(not_inflight))
-        ematch = SIM.ann_gate(stored_sig,
-                              spark.read.parquet(vec_path)
-                              .where(not_inflight), vecs,
-                              bsig, id_col="vec_id", vec_col="v",
-                              threshold=0.98)
+        ematch = sidx.probe_frames(vecs, bsig,
+                                   exclude_epoch=int(epoch_id))
         per_t = (tmatch.groupBy("new_id")
                  .agg(F.count("*").alias("n_matches"))
                  .withColumnRenamed("new_id", "_tid"))
@@ -2738,18 +2728,10 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands_df.join(F.broadcast(admitted), "doc_id"),
             shingles_df.join(F.broadcast(admitted), "doc_id"),
             epoch_id=epoch_id)
-        (vecs.join(F.broadcast(adm_vec), "vec_id")
-         .withColumn("_epoch", e).coalesce(1)
-         .sortWithinPartitions("vec_id")
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_epoch").parquet(vec_path))
-        (bsig.join(F.broadcast(adm_vec), "vec_id")
-         .withColumn("_epoch", e).coalesce(1)
-         .sortWithinPartitions("table", "sig")
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_epoch", "table").parquet(sig_path))
+        sidx.append_frames(
+            vecs.join(F.broadcast(adm_vec), "vec_id"),
+            bsig.join(F.broadcast(adm_vec), "vec_id"),
+            epoch_id=epoch_id)
         (stats.select("doc_id", "quality_keep", "n_matches",
                       "n_emb_matches",
                       (F.col("quality_keep")
@@ -3083,4 +3065,423 @@ FROM documents WHERE doc_id < 400
 
 REGISTRY_LLM.update({
     "q261_video_metadata": (q_video_metadata, ORACLE_VIDEO_METADATA),
+})
+
+
+# -- q263 EMBEDDING-index RETRACTION (takedown on the second asset,
+# -- VERDICT r9 item 2: lifecycle uniformity)
+
+def q_sig_retracted_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q260's takedown scenario on the EMBEDDING asset: a
+    StoredSignatureIndex is built over the documents' hashed-BoW
+    embeddings, doc_id 0–9 are RETRACTED
+    (StoredSignatureIndex.retract — filtered atomic rewrite of BOTH
+    the signature table and the vector store, under the writer lease
+    with the pre-commit fencing check), and a batch of token-REVERSED
+    copies probes the gate. Reversal leaves the order-invariant
+    bag-of-words embedding IDENTICAL (cosine 1.0), so reversed copies
+    of the retracted 0–9 must now pass (their former matches are
+    gone, as if never ingested) while reversed copies of the kept
+    10–19 still collide. The oracle replays the gate over
+    ``documents WHERE doc_id >= 10`` — byte-equality proves the
+    retraction removed exactly the requested vectors from both
+    assets and nothing else.
+
+    Scale shape: retraction is a filtered compaction (O(index),
+    batched/piggybacked at scale); the probe afterward is the
+    standard pruned stored probe — one signing matmul, key-pruned
+    scans, batch-sized broadcasts."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    corpus_vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM).alias("v"))
+    rev = F.array_join(F.reverse(TX.tokens(F.col("text"))), " ")
+    batch_docs = (docs.where(F.col("doc_id") < 10)
+                  .select((F.col("doc_id") + 810000).alias("doc_id"),
+                          rev.alias("text"))
+                  .unionByName(
+                      docs.where((F.col("doc_id") >= 10)
+                                 & (F.col("doc_id") < 20))
+                      .select((F.col("doc_id") + 820000)
+                              .alias("doc_id"), rev.alias("text"))))
+    batch = batch_docs.select(
+        F.col("doc_id").alias("vec_id"),
+        TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM).alias("v"))
+    root = tempfile.mkdtemp(prefix="idp_q263_")
+    try:
+        sidx = SIM.StoredSignatureIndex(
+            spark, os.path.join(root, "emb_idx"), dim=_DEMB_DIM,
+            id_col="vec_id", vec_col="v", threshold=0.98)
+        sidx.build(corpus_vecs)
+        sidx.retract(list(range(10)))
+        out = (sidx.probe(batch)
+               .select("new_id", "old_id", "cosine_sim")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_sig_retracted_gate() -> str:
+    csigs = ", ".join(f"{_sig_sql('v', t, 6, _DEMB_DIM)} AS s{t}"
+                      for t in range(8))
+    any_tab = " OR ".join(f"bs.s{t} = cs.s{t}" for t in range(8))
+    cos = _COS6.format(a="bb.v", b="cc.v")
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+bdocs AS (SELECT doc_id + 810000 AS doc_id, {_REV} AS text
+          FROM documents WHERE doc_id < 10
+          UNION ALL
+          SELECT doc_id + 820000, {_REV}
+          FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+cde AS ({_demb_sql('corpus')}),
+bde AS ({_demb_sql('bdocs')}),
+csg AS (SELECT doc_id, {csigs} FROM cde),
+bsg AS (SELECT doc_id, {csigs} FROM bde),
+cand AS (SELECT DISTINCT bs.doc_id AS new_id, cs.doc_id AS old_id
+         FROM bsg bs JOIN csg cs ON {any_tab})
+SELECT cd.new_id, cd.old_id, {cos} AS cosine_sim
+FROM cand cd
+JOIN bde bb ON bb.doc_id = cd.new_id
+JOIN cde cc ON cc.doc_id = cd.old_id
+WHERE {cos} >= 0.98
+"""
+
+
+REGISTRY_LLM.update({
+    "q263_sig_retracted_gate": (q_sig_retracted_gate,
+                                _oracle_sig_retracted_gate()),
+})
+
+
+# -- q265 BATCH probe of the stored IVF index: one pruned scan for a
+# -- whole query batch (VERDICT r9 item 3) — SAME oracle as q245/q259
+
+def q_ivf_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q259 with the driver-side union-of-10-cell-scans loop replaced
+    by StoredIvfIndex.probe_batch: the query batch routes through the
+    FROZEN centroids driver-side (|batch| × n_cells tiny dot
+    products), ONE cell_scan over the union of probed cells joins the
+    broadcast (query, cell) routing pairs, and the per-query window
+    keeps the top-10 — plan size constant in |batch|, probed
+    partitions read once even when several queries share a cell.
+    SAME ORACLE as q245/q259: byte-equality proves the batch probe
+    returns, per query, exactly what the per-query loop returned."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150)
+    batch = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
+    corpus = base.unionByName(batch).select("vec_id", v.alias("_v"))
+    qs = (corpus.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+
+    cos = SIM._dot(F.col("_v"), F.col("_qv")) \
+        / (SIM._norm(F.col("_v")) * SIM._norm(F.col("_qv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("_c"),
+                                          F.col("vec_id"))
+    exact = (corpus.join(F.broadcast(qs),
+                         F.col("vec_id") != F.col("qid"))
+             .withColumn("_c", cos)
+             .withColumn("_r", F.row_number().over(w))
+             .where(F.col("_r") <= 10)
+             .select("qid", F.col("vec_id").alias("eid")))
+
+    root = tempfile.mkdtemp(prefix="idp_q265_")
+    try:
+        idx = SIM.StoredIvfIndex(spark, root, n_cells=16)
+        idx.build(base)
+        idx.append(batch)
+        approx = (idx.probe_batch(qs, k=10, nprobe=4,
+                                  id_col="qid", vec_col="_qv")
+                  .select(F.col("query_id").alias("qid"),
+                          F.col("vec_id").alias("aid")))
+        hits = (exact.join(approx, (exact.qid == approx.qid)
+                           & (exact.eid == approx.aid))
+                .groupBy(exact.qid.alias("query_id"))
+                .agg(F.count("*").alias("n_hits")))
+        out = (qs.select(F.col("qid").alias("query_id"))
+               .join(hits, "query_id", "left")
+               .select("query_id",
+                       F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                       (F.coalesce("n_hits", F.lit(0)) / F.lit(10.0))
+                       .alias("recall_at_10"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_LLM.update({
+    # oracle intentionally shared with q245/q259: the single-scan
+    # batch probe must be indistinguishable from the per-query loop
+    "q265_ivf_batch_probe": (q_ivf_batch_probe,
+                             _oracle_ivf_maintained_recall()),
+})
+
+
+# -- q264 IVF-index RETRACTION: takedown on the third asset —
+# -- q259's scenario with vec_id 140-149 retracted after the append
+
+def _oracle_ivf_retracted_recall() -> str:
+    """q245's oracle over the POST-retraction index: seed centroids
+    come from the ORIGINAL base (frozen at build, before the
+    takedown), while the probed corpus and the exact ground truth
+    drop the retracted vec_id 140–149 — equality proves retract()
+    removed exactly the requested vectors from the stored cells and
+    nothing else."""
+    src = _oracle_ivf_maintained_recall()
+    a = "c AS (SELECT * FROM base UNION ALL SELECT * FROM batch)"
+    b = "FROM base b CROSS JOIN seed)"
+    assert a in src and src.count(b) == 1
+    return (src
+            .replace(a, "c AS (SELECT * FROM base WHERE vec_id < 140"
+                        " UNION ALL SELECT * FROM batch)")
+            .replace(b, "FROM base b CROSS JOIN seed"
+                        " WHERE b.vec_id < 140)"))
+
+
+def q_ivf_retracted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown verb on the IVF asset (VERDICT r9 item 2
+    completes lifecycle uniformity across all three stored indexes):
+    q259's build → append, then StoredIvfIndex.retract(140–149) — a
+    filtered atomic rewrite of the cell partitions under the writer
+    lease + fencing check — then the batch probe. Ground truth is
+    exact brute force over the corpus WITHOUT the retracted vectors;
+    the oracle replays the same (centroids stay frozen from the
+    original build — retraction never re-clusters), so byte-equality
+    proves the retracted vectors are gone from every probed cell and
+    every survivor is intact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150)
+    batch = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
+    kept = (base.where(F.col("vec_id") < 140).unionByName(batch)
+            .select("vec_id", v.alias("_v")))
+    qs = (kept.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+
+    cos = SIM._dot(F.col("_v"), F.col("_qv")) \
+        / (SIM._norm(F.col("_v")) * SIM._norm(F.col("_qv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("_c"),
+                                          F.col("vec_id"))
+    exact = (kept.join(F.broadcast(qs),
+                       F.col("vec_id") != F.col("qid"))
+             .withColumn("_c", cos)
+             .withColumn("_r", F.row_number().over(w))
+             .where(F.col("_r") <= 10)
+             .select("qid", F.col("vec_id").alias("eid")))
+
+    root = tempfile.mkdtemp(prefix="idp_q264_")
+    try:
+        idx = SIM.StoredIvfIndex(spark, root, n_cells=16)
+        idx.build(base)
+        idx.append(batch)
+        idx.retract(list(range(140, 150)))
+        approx = (idx.probe_batch(qs, k=10, nprobe=4,
+                                  id_col="qid", vec_col="_qv")
+                  .select(F.col("query_id").alias("qid"),
+                          F.col("vec_id").alias("aid")))
+        hits = (exact.join(approx, (exact.qid == approx.qid)
+                           & (exact.eid == approx.aid))
+                .groupBy(exact.qid.alias("query_id"))
+                .agg(F.count("*").alias("n_hits")))
+        out = (qs.select(F.col("qid").alias("query_id"))
+               .join(hits, "query_id", "left")
+               .select("query_id",
+                       F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                       (F.coalesce("n_hits", F.lit(0)) / F.lit(10.0))
+                       .alias("recall_at_10"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_LLM.update({
+    "q264_ivf_retracted_recall": (q_ivf_retracted_recall,
+                                  _oracle_ivf_retracted_recall()),
+})
+
+
+# -- q266 IN-STREAM retraction: a takedown arriving WHILE the stream
+# -- admits is applied between batches under the stream's own lease
+# -- (VERDICT r9 stretch item)
+
+_RB1_SQL = f"""
+SELECT doc_id + 830000 AS doc_id, text || ' qqq' AS text
+FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id + 840000, {_REV}
+FROM documents WHERE doc_id >= 105 AND doc_id < 110
+"""
+
+_RB2_SQL = f"""
+SELECT doc_id + 850000 AS doc_id, text || ' qqq' AS text
+FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id + 860000, text || ' qqq'
+FROM documents WHERE doc_id >= 10 AND doc_id < 15
+UNION ALL
+SELECT doc_id + 870000, {_REV}
+FROM documents WHERE doc_id >= 105 AND doc_id < 110
+"""
+
+
+def q_instream_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lifecycle verbs COMPOSE with the production loop: a
+    takedown request (doc_id 0–9) arrives while the q243-style
+    admission stream is running, and the stream applies it at the
+    next batch boundary — StoredLshIndex.retract from inside its own
+    foreachBatch body, under the writer lease it is entitled to as
+    the single admitting writer, atomic swap + pre-commit fencing
+    check. Batch 1 gates normally (mutants of 0–4 rejected; reversed
+    novels admitted + appended); the retraction lands; batch 2's
+    mutants of the RETRACTED 0–4 must now be admitted while mutants
+    of the kept 10–14 still reject, and reversed copies of batch 1's
+    admits reject only because the append survived the retraction
+    rewrite (retract preserves every non-retracted row — including
+    epoch partitions it didn't touch). The oracle replays both
+    batches with the corpus swapped to ``doc_id >= 10`` ∪ batch-1
+    admits at exactly the takedown boundary. A RETRIED epoch would
+    re-run the retract — idempotent by construction (filtering
+    already-absent ids is a no-op rewrite), so exactly-once
+    admission is preserved."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.lsh_index import \
+        StoredLshIndex
+
+    root = tempfile.mkdtemp(prefix="idp_q266_")
+    idx_root = os.path.join(root, "lsh_index")
+    staging = os.path.join(root, "staging")
+    ledger_dir = os.path.join(root, "ledger")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging)
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    idx = StoredLshIndex(spark, idx_root, num_perm=_NUM_PERM,
+                         bands=_BANDS, threshold=_THRESH)
+    idx.build(docs)
+    rev = F.array_join(F.reverse(TX.tokens(F.col("text"))), " ")
+    b1 = (docs.where(F.col("doc_id") < 5)
+          .select((F.col("doc_id") + 830000).alias("doc_id"),
+                  F.concat("text", F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 105)
+                         & (F.col("doc_id") < 110))
+              .select((F.col("doc_id") + 840000).alias("doc_id"),
+                      rev.alias("text"))))
+    b2 = (docs.where(F.col("doc_id") < 5)
+          .select((F.col("doc_id") + 850000).alias("doc_id"),
+                  F.concat("text", F.lit(" qqq")).alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 10)
+                         & (F.col("doc_id") < 15))
+              .select((F.col("doc_id") + 860000).alias("doc_id"),
+                      F.concat("text", F.lit(" qqq")).alias("text")))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 105)
+                         & (F.col("doc_id") < 110))
+              .select((F.col("doc_id") + 870000).alias("doc_id"),
+                      rev.alias("text"))))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        batch = (batch.select("doc_id", "text")
+                 .localCheckpoint(eager=True))
+        if batch.isEmpty():
+            return
+        if epoch_id >= 1:
+            # the takedown that arrived during batch 1 is applied at
+            # this batch boundary, before any probe of this epoch
+            idx.retract(list(range(10)))
+        bands_df, shingles_df = idx.signature_frames(batch)
+        bands_df = bands_df.localCheckpoint(eager=True)
+        shingles_df = shingles_df.localCheckpoint(eager=True)
+        matches = idx.probe_frames(bands_df, shingles_df,
+                                   exclude_epoch=epoch_id)
+        per_new = matches.groupBy("new_id").agg(
+            F.count("*").alias("n_matches"))
+        stats = (batch.join(per_new,
+                            batch.doc_id == per_new.new_id, "left")
+                 .select(batch.doc_id,
+                         F.coalesce("n_matches", F.lit(0))
+                         .cast("long").alias("n_matches"))
+                 .localCheckpoint(eager=True))
+        admitted = stats.where(F.col("n_matches") == 0) \
+            .select("doc_id")
+        idx.append_frames(
+            bands_df.join(F.broadcast(admitted), "doc_id"),
+            shingles_df.join(F.broadcast(admitted), "doc_id"),
+            epoch_id=epoch_id)
+        (stats.select("doc_id",
+                      (F.col("n_matches") == 0).alias("admitted"),
+                      "n_matches")
+         .withColumn("_epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_epoch").parquet(ledger_dir))
+
+    src = (spark.readStream.schema("doc_id long, text string")
+           .parquet(staging))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").start())
+    try:
+        b1.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        out = (spark.read.parquet(ledger_dir)
+               .select("doc_id", "admitted", "n_matches")
+               .localCheckpoint(eager=True))
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_INSTREAM_RETRACTION = f"""
+WITH corpus0 AS (SELECT doc_id, text FROM documents),
+b1 AS ({_RB1_SQL}),
+{_gate_ctes('g1', 'corpus0', 'b1').lstrip()},
+adm1 AS (SELECT doc_id, text FROM b1
+         WHERE doc_id NOT IN (SELECT new_id FROM g1ver)),
+corpus1 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10
+            UNION ALL SELECT * FROM adm1),
+b2 AS ({_RB2_SQL}),
+{_gate_ctes('g2', 'corpus1', 'b2').lstrip()},
+led AS (
+  SELECT b1.doc_id,
+         CAST(count(v.old_id) AS BIGINT) AS n_matches
+  FROM b1 LEFT JOIN g1ver v ON v.new_id = b1.doc_id
+  GROUP BY 1
+  UNION ALL
+  SELECT b2.doc_id, CAST(count(v.old_id) AS BIGINT)
+  FROM b2 LEFT JOIN g2ver v ON v.new_id = b2.doc_id
+  GROUP BY 1)
+SELECT doc_id, n_matches = 0 AS admitted, n_matches FROM led
+"""
+
+REGISTRY_LLM.update({
+    "q266_instream_retraction": (q_instream_retraction,
+                                 ORACLE_INSTREAM_RETRACTION),
 })
