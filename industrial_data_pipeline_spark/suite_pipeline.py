@@ -1377,10 +1377,12 @@ def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bleu(pairs)
 
 
-def _oracle_bleu_eval() -> str:
-    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
-             " '\\s+'), x -> x <> '')")
-
+def bleu_chain_sql(with_pairs: str) -> str:
+    """Generic DuckDB BLEU-4 over a caller-supplied CTE chain ending
+    in ``pairs(doc_id, ct, rt)`` (candidate / reference token lists)
+    — the replayable half of operators/text.py::bleu, reusable by
+    the q258 oracle AND the engine-parity property tests
+    (tests/test_kernel_properties.py, VERDICT r9 item 5)."""
     def ngrams(lst: str, n: int) -> str:
         if n == 1:
             return lst
@@ -1414,13 +1416,7 @@ t{n} AS (SELECT doc_id, len({cg}) AS tc FROM pairs)""")
                        for n in range(1, 5))
     lsum = " + ".join(f"ln(rp{n})" for n in range(1, 5))
     return f"""
-WITH base AS (SELECT doc_id, {ltoks} AS rt FROM documents),
-pairs AS (SELECT doc_id, rt,
-                 list_transform(
-                     list_filter(generate_series(1, len(rt)),
-                                 i -> (i - 1) % 3 <> 0),
-                     i -> rt[i]) AS ct
-          FROM base),
+WITH {with_pairs.strip().rstrip(',')},
 {",".join(p.lstrip() for p in parts)},
 raw AS (SELECT p.doc_id, len(p.ct) AS c, len(p.rt) AS r, {pr}
         FROM pairs p
@@ -1440,6 +1436,19 @@ SELECT doc_id,
                   ELSE rbp * exp(({lsum}) / 4.0) END, 6) AS bleu
 FROM scored
 """
+
+
+def _oracle_bleu_eval() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+    return bleu_chain_sql(f"""
+base AS (SELECT doc_id, {ltoks} AS rt FROM documents),
+pairs AS (SELECT doc_id, rt,
+                 list_transform(
+                     list_filter(generate_series(1, len(rt)),
+                                 i -> (i - 1) % 3 <> 0),
+                     i -> rt[i]) AS ct
+          FROM base)""")
 
 
 REGISTRY_PIPELINE.update({
@@ -1469,10 +1478,18 @@ def q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chrf(pairs)
 
 
-def _oracle_chrf_eval() -> str:
-    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
-             " '\\s+'), x -> x <> '')")
+#: the strip set pinned to the explicit class on both engines
+#: (ADVICE r9): Java ``\s`` has ``\x0B``, RE2's does not — a bare
+#: ``\s+`` diverges on a document containing a vertical tab
+CHRF_WS = "[ \\t\\n\\x0B\\f\\r]+"
 
+
+def chrf_chain_sql(with_base: str) -> str:
+    """Generic DuckDB chrF over a caller-supplied CTE chain ending in
+    ``base(doc_id, cc, rc)`` (whitespace-stripped lowered candidate /
+    reference) — the replayable half of operators/text.py::chrf,
+    reusable by the q262 oracle AND the engine-parity property tests
+    (tests/test_kernel_properties.py, VERDICT r9 item 5)."""
     def ngrams(src: str, n: int) -> str:
         return (f"CASE WHEN length({src}) >= {n} THEN "
                 f"list_transform(generate_series(1,"
@@ -1506,16 +1523,7 @@ t{n} AS (SELECT doc_id, len({cg}) AS tc, len({rg}) AS tr
     psum = " + ".join(pterms)
     rsum = " + ".join(rterms)
     return f"""
-WITH tk AS (SELECT doc_id, {ltoks} AS rt FROM documents),
-base AS (SELECT doc_id,
-                regexp_replace(lower(array_to_string(
-                    list_transform(
-                        list_filter(generate_series(1, len(rt)),
-                                    i -> (i - 1) % 3 <> 0),
-                        i -> rt[i]), ' ')), '\\s+', '', 'g') AS cc,
-                regexp_replace(lower(array_to_string(rt, ' ')),
-                               '\\s+', '', 'g') AS rc
-         FROM tk),
+WITH {with_base.strip().rstrip(',')},
 {",".join(p.lstrip() for p in parts)},
 raw AS (SELECT b.doc_id, length(b.cc) AS lc, length(b.rc) AS lr,
                ({psum}) / 6.0 AS p, ({rsum}) / 6.0 AS r
@@ -1532,6 +1540,23 @@ SELECT doc_id,
              END, 6) AS chrf
 FROM raw
 """
+
+
+def _oracle_chrf_eval() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+    return chrf_chain_sql(f"""
+tk AS (SELECT doc_id, {ltoks} AS rt FROM documents),
+base AS (SELECT doc_id,
+                regexp_replace(lower(array_to_string(
+                    list_transform(
+                        list_filter(generate_series(1, len(rt)),
+                                    i -> (i - 1) % 3 <> 0),
+                        i -> rt[i]), ' ')), '{CHRF_WS}', '', 'g')
+                    AS cc,
+                regexp_replace(lower(array_to_string(rt, ' ')),
+                               '{CHRF_WS}', '', 'g') AS rc
+         FROM tk)""")
 
 
 REGISTRY_PIPELINE.update({

@@ -563,3 +563,208 @@ def test_chrf_hand_computed(spark):
     assert got[2].chrf_p == round(float(Fr(1, 3)), 6)
     assert got[2].chrf == round(float(Fr(1, 3)), 6)
     assert got[3].chrf_p is None and got[3].chrf is None
+
+
+# ------------- BLEU / chrF vs unit-level Python reference, BOTH
+# ------------- engines (VERDICT r9 item 5: denominator hardening)
+
+_EVAL_WS = "[ \t\n\x0b\f\r]"
+
+
+def _eval_tokens(s: str) -> list:
+    import re
+    return [w for w in re.split(_EVAL_WS + "+", s.lower()) if w]
+
+
+def _bleu_reference(cand: str, ref: str) -> tuple:
+    """Unit-level reference for bleu's defined semantics: clipped
+    modified precisions p1..p4 (None when the candidate has no
+    n-grams of that order), BP = min(1, e^(1-r/c)), unsmoothed BLEU
+    (0.0 if any p_n is dead), all None for an empty candidate."""
+    import math
+    from collections import Counter
+
+    ct, rt = _eval_tokens(cand), _eval_tokens(ref)
+    c, r = len(ct), len(rt)
+    if c == 0:
+        return (None,) * 6
+
+    def grams(toks, n):
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+
+    ps = []
+    for n in range(1, 5):
+        cg, rg = Counter(grams(ct, n)), Counter(grams(rt, n))
+        tc = sum(cg.values())
+        ov = sum(min(k, rg[g]) for g, k in cg.items())
+        ps.append(ov / float(tc) if tc > 0 else None)
+    bp = 1.0 if c >= r else math.exp(1.0 - r / float(c))
+    if any(p is None or p == 0.0 for p in ps):
+        bleu = 0.0
+    else:
+        bleu = bp * math.exp(sum(math.log(p) for p in ps) / 4.0)
+    return (*ps, bp, bleu)
+
+
+def _chrf_reference(cand: str, ref: str) -> tuple:
+    """Unit-level reference for chrf's defined semantics: per-order
+    clipped char-n-gram P/R with the zero-order-contributes-0
+    convention (denominator stays 6), β=2 F-score coalesced to 0 on
+    a 0/0, NULL metrics when either stripped side is empty."""
+    import re
+    from collections import Counter
+
+    strip = lambda s: re.sub(_EVAL_WS + "+", "", s.lower())
+    cc, rc = strip(cand), strip(ref)
+    if not cc or not rc:
+        return (None, None, None)
+    psum = rsum = 0.0
+    for n in range(1, 7):
+        cg = Counter(cc[i:i + n] for i in range(len(cc) - n + 1))
+        rg = Counter(rc[i:i + n] for i in range(len(rc) - n + 1))
+        ov = sum(min(k, rg[g]) for g, k in cg.items())
+        tc, tr = sum(cg.values()), sum(rg.values())
+        psum = psum + (ov / float(tc) if tc > 0 else 0.0)
+        rsum = rsum + (ov / float(tr) if tr > 0 else 0.0)
+    p, r = psum / 6.0, rsum / 6.0
+    denom = 4.0 * p + r
+    f = (5.0 * p * r / denom) if denom != 0.0 else 0.0
+    return (p, r, f)
+
+
+_EVAL_EDGE_PAIRS = [
+    ("", ""), ("", "a"), ("a", ""),            # empty sides
+    ("a", "a"), ("a", "b"),                    # 1-char
+    (" \t\x0b\f\r\n", "ab"), ("ab", " \x0b "),  # whitespace-only
+    ("a b", "a b c d e"),                      # no 4-grams
+    ("ab ab ab", "ab"),                        # clipping
+    ("a\x0bb", "a b"),                         # pinned \x0B strip
+]
+
+
+def _run_eval_engines(spark, pairs, spark_fn, duck_sql, cols):
+    """Run (doc_id, candidate, reference) rows through the Spark
+    kernel AND the DuckDB replay chain; returns two dicts keyed by
+    doc_id with the metric tuples, for comparison against the
+    Python reference. Spark↔DuckDB must agree BYTE-exactly; the
+    reference comparison uses a tight tolerance (it does not
+    replicate HALF_UP rounding)."""
+    import duckdb
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pairs, "doc_id long, candidate string, reference string")
+    got_s = {r["doc_id"]: tuple(r[c] for c in cols)
+             for r in spark_fn(df).collect()}
+    con = duckdb.connect()
+    con.register("eval_pairs", pd.DataFrame(
+        pairs, columns=["doc_id", "candidate", "reference"]))
+    got_d = {int(r[0]): tuple(r[1:]) for r in
+             con.execute(duck_sql).fetchall()}
+    con.close()
+    return got_s, got_d
+
+
+def _assert_eval_close(got, want, ctx):
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if w is None or g is None:
+            assert g is None and w is None, (ctx, got, want)
+        else:
+            # engines round HALF_UP to 6 dp, the reference doesn't:
+            # half a unit in the 6th decimal is the exact bound
+            assert abs(g - w) <= 5.0000001e-7, (ctx, got, want)
+
+
+def _duck_bleu_sql() -> str:
+    from industrial_data_pipeline_spark.suite_pipeline import (
+        bleu_chain_sql)
+    ltoks = ("list_filter(string_split_regex(lower({c}),"
+             " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')")
+    return bleu_chain_sql(f"""
+pairs AS (SELECT doc_id, {ltoks.format(c='candidate')} AS ct,
+                 {ltoks.format(c='reference')} AS rt FROM eval_pairs)""")
+
+
+def _duck_chrf_sql() -> str:
+    from industrial_data_pipeline_spark.suite_pipeline import (
+        CHRF_WS, chrf_chain_sql)
+    return chrf_chain_sql(f"""
+base AS (SELECT doc_id,
+                regexp_replace(lower(candidate), '{CHRF_WS}', '',
+                               'g') AS cc,
+                regexp_replace(lower(reference), '{CHRF_WS}', '',
+                               'g') AS rc
+         FROM eval_pairs)""")
+
+
+def test_bleu_edge_cases_both_engines(spark):
+    """Empty / 1-char / whitespace-only / no-higher-gram candidates:
+    Spark == DuckDB byte-exactly and both == the Python reference —
+    the brevity-penalty and dead-precision conventions hold on every
+    edge in BOTH engines."""
+    from industrial_data_pipeline_spark.operators.text import bleu
+
+    pairs = [(i, c, r) for i, (c, r) in enumerate(_EVAL_EDGE_PAIRS)]
+    cols = ["p1", "p2", "p3", "p4", "bp", "bleu"]
+    got_s, got_d = _run_eval_engines(spark, pairs, bleu,
+                                     _duck_bleu_sql(), cols)
+    for i, (c, r) in enumerate(_EVAL_EDGE_PAIRS):
+        assert got_s[i] == got_d[i], (c, r, got_s[i], got_d[i])
+        _assert_eval_close(got_s[i], _bleu_reference(c, r), (c, r))
+
+
+def test_chrf_edge_cases_both_engines(spark):
+    """chrF's zero-order and empty-side conventions — including the
+    pinned [ \\t\\n\\x0B\\f\\r] strip class on a \\x0B document —
+    hold byte-exactly across engines and match the reference."""
+    from industrial_data_pipeline_spark.operators.text import chrf
+
+    pairs = [(i, c, r) for i, (c, r) in enumerate(_EVAL_EDGE_PAIRS)]
+    cols = ["chrf_p", "chrf_r", "chrf"]
+    got_s, got_d = _run_eval_engines(spark, pairs, chrf,
+                                     _duck_chrf_sql(), cols)
+    for i, (c, r) in enumerate(_EVAL_EDGE_PAIRS):
+        assert got_s[i] == got_d[i], (c, r, got_s[i], got_d[i])
+        _assert_eval_close(got_s[i], _chrf_reference(c, r), (c, r))
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet="ab \t\n\x0b\f\r", max_size=14),
+    st.text(alphabet="ab \t\n\x0b\f\r", max_size=14)),
+    min_size=1, max_size=5))
+@settings(max_examples=15, deadline=None)
+def test_chrf_property_matches_reference_both_engines(spark, texts):
+    """Property form over a tiny adversarial alphabet (two letters +
+    every pinned whitespace char): Spark == DuckDB byte-exactly and
+    both match the Python reference."""
+    from industrial_data_pipeline_spark.operators.text import chrf
+
+    pairs = [(i, c, r) for i, (c, r) in enumerate(texts)]
+    cols = ["chrf_p", "chrf_r", "chrf"]
+    got_s, got_d = _run_eval_engines(spark, pairs, chrf,
+                                     _duck_chrf_sql(), cols)
+    for i, (c, r) in enumerate(texts):
+        assert got_s[i] == got_d[i], (c, r, got_s[i], got_d[i])
+        _assert_eval_close(got_s[i], _chrf_reference(c, r), (c, r))
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet="ab \t\n", max_size=20),
+    st.text(alphabet="ab \t\n", max_size=20)),
+    min_size=1, max_size=5))
+@settings(max_examples=15, deadline=None)
+def test_bleu_property_matches_reference_both_engines(spark, texts):
+    """Property form for BLEU (alphabet excludes \\x0B: the shared
+    TOKENIZER intentionally uses each engine's \\s — the pinned
+    class is chrf's strip; see ADVICE r9)."""
+    from industrial_data_pipeline_spark.operators.text import bleu
+
+    pairs = [(i, c, r) for i, (c, r) in enumerate(texts)]
+    cols = ["p1", "p2", "p3", "p4", "bp", "bleu"]
+    got_s, got_d = _run_eval_engines(spark, pairs, bleu,
+                                     _duck_bleu_sql(), cols)
+    for i, (c, r) in enumerate(texts):
+        assert got_s[i] == got_d[i], (c, r, got_s[i], got_d[i])
+        _assert_eval_close(got_s[i], _bleu_reference(c, r), (c, r))
