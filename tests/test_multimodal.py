@@ -339,3 +339,88 @@ def test_native_decoder_pil_parity_on_baseline_jpeg():
     assert (nw, nh, nc) == (w, h, c)
     diff = np.abs(ours.astype(int) - theirs.astype(int))
     assert diff.max() <= 2  # IDCT tolerance + upsample rounding
+
+
+# ------------- video half of the native-codec seam (VERDICT r9 item 7)
+
+
+def test_video_seam_routing_with_fake():
+    """decode_video_frames routes through a registered 'mp4' decoder
+    and honors frame-index selection; without one it raises the
+    documented NotImplementedError (metadata stays codec-free)."""
+    import numpy as np
+    import pytest
+
+    from industrial_data_pipeline_spark.operators import multimodal as MM
+
+    payload = MM.mp4_encode_header(8, 6, 500, n_frames=3)
+    MM.clear_native_decoder("mp4")
+    with pytest.raises(NotImplementedError):
+        MM.decode_video_frames(payload)
+
+    def fake(b):
+        # deterministic frames keyed on the parsed header — a stand-in
+        # obeying the contract: list of uint8 [h, w, 3] in order
+        fmt, w, h, _dur, nf = MM.probe_video(b)
+        assert fmt == "mp4"
+        return [np.full((h, w, 3), i, dtype=np.uint8)
+                for i in range(nf)]
+
+    MM.register_native_decoder("mp4", fake)
+    try:
+        frames = MM.decode_video_frames(payload)
+        assert len(frames) == 3
+        assert frames[0].shape == (6, 8, 3)
+        picked = MM.decode_video_frames(payload, indices=[2, 0])
+        assert [int(f[0, 0, 0]) for f in picked] == [2, 0]
+    finally:
+        MM.clear_native_decoder("mp4")
+    with pytest.raises(NotImplementedError):
+        MM.decode_video_frames(payload)
+
+
+def test_video_seam_pyav_parity_on_real_mp4():
+    """Parity check of the box-walk metadata probe against a REAL
+    container written by PyAV/ffmpeg, plus a real frame decode
+    through the seam. Import-gated: skips where PyAV isn't installed
+    (this container) — the executable form of the video seam
+    contract, mirroring the PIL image parity test above."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    av = pytest.importorskip("av")
+    from industrial_data_pipeline_spark.operators import multimodal as MM
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=10)
+        stream.width, stream.height = 32, 24
+        stream.pix_fmt = "yuv420p"
+        rng = np.random.default_rng(7)
+        for _ in range(5):
+            img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    # our codec-free box walk agrees with what ffmpeg wrote
+    probed = MM.probe_video(payload)
+    assert probed is not None
+    fmt, w, h, dur, nf = probed
+    assert (fmt, w, h) == ("mp4", 32, 24)
+    assert nf == 5
+
+    # and the seam decodes real pixels with the declared shape
+    MM.register_native_decoder("mp4", MM.pyav_video_decoder())
+    try:
+        frames = MM.decode_video_frames(payload)
+        assert len(frames) == 5
+        assert frames[0].shape == (24, 32, 3)
+        assert frames[0].dtype == np.uint8
+    finally:
+        MM.clear_native_decoder("mp4")

@@ -413,11 +413,14 @@ PICKS = [
      "clipped counts throughout, floats once per doc, no windows, "
      "no UDFs, no cross-doc state."),
     ("q262_chrf_eval",
-     "chrF: six (id, char-gram) count-shuffle + overlap-join rounds "
-     "over the whitespace-stripped text — grams are <= 6-char "
-     "strings so shuffle bytes track the text size per order; one "
-     "per-row float chain (order means + F-beta), no windows, no "
-     "UDFs."),
+     "chrF (round-10 single-shuffle form): ONE explode emits "
+     "(id, n, gram, side) for all six orders of both sides, ONE "
+     "(id, n, gram) count shuffle, one per-order fold, one "
+     "conditional-aggregation pivot joined to the lengths — the "
+     "previous 12 per-order gram shuffles + 12 re-joins collapsed; "
+     "grams are <= 6-char strings so the one gram shuffle carries "
+     "~2x6x the text, paid once; floats once per row, no windows, "
+     "no UDFs; strip set engine-pinned to [ \\t\\n\\x0B\\f\\r]."),
     ("q259_stored_ivf_recall",
      "Stored-IVF recall loop: the dump is the checkpointed result "
      "(build + append + 10 probes ran during it); the load-bearing "
@@ -438,6 +441,35 @@ PICKS = [
      "scalar metadata columns; no shuffle, no bytes beyond headers "
      "read (mdat never touched), corrupt payloads yield NULLs "
      "in-plan rather than exceptions."),
+    ("q263_sig_retracted_gate",
+     "Embedding-index retraction: checkpointed probe result after "
+     "StoredSignatureIndex.retract removed vec 0-9's rows from BOTH "
+     "assets (filtered atomic rewrite under the lease + fencing "
+     "check); byte-equality with the gate over documents>=10 is the "
+     "proof — the probe plan is q248's pruned signature shape, "
+     "unchanged by retraction (tests/test_plans.py)."),
+    ("q264_ivf_retracted_recall",
+     "IVF retraction + batch probe: checkpointed recall audit after "
+     "StoredIvfIndex.retract(140-149) — centroids stay frozen, the "
+     "probe is q265's single pruned scan, and the shared-with-q245 "
+     "oracle over the filtered corpus proves exactly the requested "
+     "vectors vanished from the probed cells."),
+    ("q265_ivf_batch_probe",
+     "Batch IVF probe: the dump is the checkpointed result; the "
+     "live probe plan — ONE parquet scan partition-pruned to the "
+     "union of the batch's probed cells, broadcast (query, cell) "
+     "routing pairs + query vectors, per-query rank window, no "
+     "sort-merge join — is asserted in tests/test_plans.py::"
+     "test_ivf_probe_batch_single_pruned_scan; plan size is "
+     "constant in |batch| (q259's per-query scan union retired)."),
+    ("q266_instream_retraction",
+     "In-stream retraction: ledger read-back after two REAL "
+     "micro-batches with a takedown applied BETWEEN them from the "
+     "stream's own foreachBatch (retract under the writer lease it "
+     "holds as single admitting writer, idempotent under epoch "
+     "retries); per-batch plan is q243's pruned stored-gate shape, "
+     "and the oracle swaps the corpus at exactly the takedown "
+     "boundary."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —

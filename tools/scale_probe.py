@@ -694,6 +694,19 @@ def main() -> None:
         '  enter the listing), matching the 0.24 candidate fraction',
         '  q245 measured for the in-plan index. Byte-exactness across',
         '  persist→append→pruned-probe: q259 shares q245\'s oracle.',
+        '- **q265 batch IVF probe** (StoredIvfIndex.probe_batch, round',
+        '  10 — tools/ivf_batch_probe_result.json, 32k-vector stored',
+        '  index, nprobe=4/16): probe I/O ∝ DISTINCT probed cells, not',
+        '  |batch| × cells. A 3-query batch (10 distinct cells) decodes',
+        '  0.614× of the index (11/17 files — partition pruning holds',
+        '  at batch level); a 100-query batch (union covers all 16',
+        '  cells) decodes the index exactly ONCE (1.0×), while the',
+        '  per-query loop it replaces decodes 25.0× that (800,288 vs',
+        '  32,000 rows, 423 vs 17 file reads) — each probed cell read',
+        '  once no matter how many queries share it, with plan size',
+        '  constant in |batch| (one scan + broadcast routing pairs,',
+        '  tests/test_plans.py::test_ivf_probe_batch_single_pruned_scan).',
+        '  Byte-exactness: q265 shares q245/q259\'s oracle verbatim.',
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
