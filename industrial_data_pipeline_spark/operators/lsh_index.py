@@ -72,17 +72,36 @@ from industrial_data_pipeline_spark.operators.dedup import (
 MAX_PUSHDOWN_KEYS = 4096
 
 
-def _recover_swap(path: str) -> None:
+def _recover_swap(path: str, max_token: int | None = None) -> None:
     """Finish/roll back a :func:`compact_parquet_dir` swap that
     crashed mid-rename: an ``_compact_old`` whose live dir is missing
-    is renamed back (the new dir never went live); leftover staging
-    is discarded (rewrites are idempotent)."""
+    is renamed back (the new dir never went live); leftover staging —
+    ``_compact_tmp`` dirs, including token-suffixed ones from aborted
+    fenced attempts — is discarded (rewrites are idempotent).
+    ``max_token`` bounds the sweep for FENCED callers: only staging
+    whose token suffix is ≤ the caller's own fencing token is deleted
+    (a zombie that stalls into its sweep after being overtaken can
+    therefore never touch the NEWER holder's in-flight staging —
+    tokens are monotonic per acquisition); unsuffixed legacy staging
+    counts as token 0."""
+    import glob
+
     old = path + "_compact_old"
     if os.path.isdir(old) and not os.path.isdir(path):
         os.rename(old, path)
-    for leftover in (path + "_compact_tmp", old):
-        if os.path.isdir(leftover) and os.path.isdir(path):
-            shutil.rmtree(leftover, ignore_errors=True)
+    prefix = path + "_compact_tmp"
+    for leftover in ([old] + glob.glob(prefix + "*")):
+        if not (os.path.isdir(leftover) and os.path.isdir(path)):
+            continue
+        if max_token is not None and leftover.startswith(prefix):
+            suffix = leftover[len(prefix):]
+            try:
+                tok = int(suffix[1:]) if suffix else 0
+            except ValueError:
+                tok = 0
+            if tok > max_token:
+                continue  # a newer holder's staging — not ours to touch
+        shutil.rmtree(leftover, ignore_errors=True)
 
 
 def compact_parquet_dir(spark: SparkSession, path: str,
@@ -119,16 +138,27 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     the single-admitting-writer contract makes it unnecessary here.
 
     ``lock`` is the caller's held :class:`~..catalog.lease.LeaseLock`:
-    its ``still_valid()`` fencing check runs immediately before the
+    its ``still_valid()`` fencing check runs at ENTRY (before the
+    destructive recovery sweep) and again immediately before the
     first rename (the commit point) — a compactor paused past the ttl
     (GC/VM freeze) and overtaken ABORTS with
-    :class:`~..catalog.lease.LeaseLostError` instead of renaming over
-    the new owner's work, leaving the live dir untouched (staging is
-    discarded; the next holder's entry sweep heals anything else).
-    The expensive tmp write happens BEFORE the check so the window
-    between check and commit is one filesystem op, the bound
+    :class:`~..catalog.lease.LeaseLostError` instead of sweeping or
+    renaming over the new owner's work, leaving the live dir
+    untouched (its own staging is discarded; the next holder's entry
+    sweep heals anything else). Staging is token-suffixed and the
+    sweep token-bounded, so even the residual stall windows between
+    check and act can never destroy a newer holder's in-flight work.
+    The expensive tmp write happens BEFORE the commit check so the
+    window between check and commit is one filesystem op, the bound
     still_valid() documents. Returns {files_before, files_after}."""
-    _recover_swap(path)
+    if lock is not None and not lock.still_valid():
+        from industrial_data_pipeline_spark.catalog.lease import (
+            LeaseLostError)
+        raise LeaseLostError(
+            f"lease over {path} was lost before the rewrite started "
+            f"(overtaken past ttl) — nothing touched; re-acquire and "
+            f"retry")
+    _recover_swap(path, max_token=lock.token if lock else None)
     before = _count_parquet_files(path)
     reader = spark.read.schema(schema) if schema else spark.read
     df = reader.parquet(path)
@@ -147,7 +177,15 @@ def compact_parquet_dir(spark: SparkSession, path: str,
         cols = ([partition_by] if isinstance(partition_by, str)
                 else list(partition_by))
         writer = writer.partitionBy(*cols)
-    tmp, old = path + "_compact_tmp", path + "_compact_old"
+    # staging is suffixed with the holder's FENCING TOKEN (unique per
+    # acquisition), so an overtaken zombie's abort can only ever
+    # delete its OWN staging — never the new holder's in-flight tmp —
+    # and its straggler executor tasks write to a dir nobody commits
+    # (self-review r10); the entry sweep globs the suffixed leftovers
+    suffix = (f".{lock.token}"
+              if lock is not None and lock.token else "")
+    tmp = path + "_compact_tmp" + suffix
+    old = path + "_compact_old"
     writer.parquet(tmp)
     if lock is not None and not lock.still_valid():
         from industrial_data_pipeline_spark.catalog.lease import (
@@ -255,10 +293,16 @@ class StoredLshIndex:
         out at ``bands`` writers at 100 TB."""
         os.makedirs(self.root, exist_ok=True)
         with open(self._meta_path, "w") as fh:
+            # max_records_per_file persists too (self-review r10): it
+            # is the row-group-pruning granularity knob, and an
+            # open()ed maintenance job compacting without it would
+            # silently rewrite unbounded files
             json.dump({"id_col": self.id_col, "text_col": self.text_col,
                        "k": self.k, "num_perm": self.num_perm,
                        "bands": self.bands,
-                       "threshold": self.threshold}, fh)
+                       "threshold": self.threshold,
+                       "max_records_per_file":
+                           self.max_records_per_file}, fh)
         bands_df, shingles_df = self.signature_frames(corpus)
         # _epoch=-1 = "history": the epoch partition column exists
         # from birth so per-epoch idempotent appends (append_frames)

@@ -294,7 +294,21 @@ def decode_video_frames(payload: bytes,
     frames = list(_NATIVE_DECODERS["mp4"](bytes(payload)))
     if indices is None:
         return frames
-    return [frames[i] for i in indices]
+    # validate explicitly (self-review r10): a negative index would
+    # silently return the wrong frame via Python wraparound, and
+    # container metadata (probe_video's n_frames — the documented
+    # index source) can overcount the decodable frames on a
+    # truncated mdat; both must fail loudly with the count, never
+    # wrap or leak a bare IndexError out of an executor
+    out = []
+    for i in indices:
+        if not 0 <= int(i) < len(frames):
+            raise ValueError(
+                f"frame index {i} out of range: payload decoded "
+                f"{len(frames)} frames (metadata may overcount on "
+                f"truncated media)")
+        out.append(frames[int(i)])
+    return out
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:

@@ -630,7 +630,9 @@ class StoredIvfIndex:
         with open(f"{root}/_ivf_meta.json") as fh:
             meta = json.load(fh)
         idx = cls(spark, root, id_col=meta["id_col"],
-                  vec_col=meta["vec_col"], n_cells=meta["n_cells"])
+                  vec_col=meta["vec_col"], n_cells=meta["n_cells"],
+                  max_records_per_file=meta.get(
+                      "max_records_per_file"))
         idx.centroids = meta["centroids"]
         return idx
 
@@ -656,6 +658,8 @@ class StoredIvfIndex:
             json.dump({"id_col": self.id_col,
                        "vec_col": self.vec_col,
                        "n_cells": self.n_cells,
+                       "max_records_per_file":
+                           self.max_records_per_file,
                        "centroids": centroids}, fh)
         # _epoch=-1 = history; per-epoch idempotent appends share
         # one consistent partition layout (the StoredLshIndex
@@ -755,6 +759,15 @@ class StoredIvfIndex:
         the per-query rank window keeps the top ``k``. Emits
         (query_id, vec_id, cosine_sim, rk), ties to the lower vec_id.
 
+        Ranking contract, stated precisely (it is the q245/q259 LOOP
+        shape, not :meth:`probe`'s): a stored vector whose vec_id
+        equals the query's id is EXCLUDED (self-exclusion — the
+        maintained-recall convention), and ranking uses the
+        UNROUNDED cosine with vec_id tie-break (probe/cosine_topk
+        rank the 6-dp ROUNDED value, so near-ties at the k boundary
+        can differ between the two APIs). q264/q265 byte-pin this
+        contract against the q245 oracle.
+
         Scale shape: I/O = the probed cells' partitions once
         (directory-level pruning, ∝ distinct probed cells, NOT
         |batch| × cells); compute = |probed rows| × |queries sharing
@@ -799,6 +812,33 @@ class StoredIvfIndex:
             _count_parquet_files)
         return _count_parquet_files(self._data_path)
 
+    def _rewrite(self, keep, fold: bool,
+                 lease_timeout_s: float) -> dict:
+        """Shared compact/retract body (the StoredSignatureIndex
+        shape): rewrite the cell asset through the crash-recoverable
+        swap under the writer lease, with the pre-commit
+        ``still_valid()`` fencing check — one copy of the protocol,
+        so a lease/fencing fix can never drift between verbs."""
+        import os
+
+        from industrial_data_pipeline_spark.catalog.lease import (
+            LeaseLock)
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            compact_parquet_dir)
+        prepare = ((lambda df: df.withColumn("_epoch", F.lit(-1)))
+                   if fold else None)
+        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
+        lock.acquire(timeout_s=lease_timeout_s)
+        try:
+            return compact_parquet_dir(
+                self.spark, self._data_path, ("_cell", "vec_id"),
+                partition_by=("_epoch", "_cell"),
+                max_records_per_file=self.max_records_per_file,
+                keep=keep, prepare=prepare,
+                schema=self.DATA_SCHEMA, lock=lock)
+        finally:
+            lock.release()
+
     def compact(self, lease_timeout_s: float = 30.0,
                 in_flight_epoch: int | None = None) -> dict:
         """Fold per-append small files, per cell — the shared
@@ -810,27 +850,10 @@ class StoredIvfIndex:
         discipline): the current epoch's crashed-attempt leftovers
         must be DROPPED, not folded into ``_epoch=-1`` history where
         the retry's dynamic overwrite could never replace them."""
-        import os
-
-        from industrial_data_pipeline_spark.catalog.lease import (
-            LeaseLock)
-        from industrial_data_pipeline_spark.operators.lsh_index import (
-            compact_parquet_dir)
-        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
-        lock.acquire(timeout_s=lease_timeout_s)
-        try:
-            keep = (None if in_flight_epoch is None
-                    else F.col("_epoch") < int(in_flight_epoch))
-            return compact_parquet_dir(
-                self.spark, self._data_path, ("_cell", "vec_id"),
-                partition_by=("_epoch", "_cell"),
-                max_records_per_file=self.max_records_per_file,
-                keep=keep,
-                prepare=lambda df: df.withColumn("_epoch",
-                                                 F.lit(-1)),
-                schema=self.DATA_SCHEMA, lock=lock)
-        finally:
-            lock.release()
+        keep = (None if in_flight_epoch is None
+                else F.col("_epoch") < int(in_flight_epoch))
+        return self._rewrite(keep, fold=True,
+                             lease_timeout_s=lease_timeout_s)
 
     def retract(self, vec_ids: list,
                 lease_timeout_s: float = 30.0) -> dict:
@@ -843,27 +866,9 @@ class StoredIvfIndex:
         arrive in bounded lists); the rewrite is O(index) per call,
         so batch and piggyback on scheduled compaction at scale.
         Returns {files_before, files_after}."""
-        import os
-
-        from industrial_data_pipeline_spark.catalog.lease import (
-            LeaseLock)
-        from industrial_data_pipeline_spark.operators.lsh_index import (
-            compact_parquet_dir)
         ids = sorted({int(i) for i in vec_ids})
-        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
-        lock.acquire(timeout_s=lease_timeout_s)
-        try:
-            before = self.file_count()
-            compact_parquet_dir(
-                self.spark, self._data_path, ("_cell", "vec_id"),
-                partition_by=("_epoch", "_cell"),
-                max_records_per_file=self.max_records_per_file,
-                keep=~F.col("vec_id").isin(ids),
-                schema=self.DATA_SCHEMA, lock=lock)
-            return {"files_before": before,
-                    "files_after": self.file_count()}
-        finally:
-            lock.release()
+        return self._rewrite(~F.col("vec_id").isin(ids), fold=False,
+                             lease_timeout_s=lease_timeout_s)
 
 
 class StoredSignatureIndex:
@@ -965,7 +970,9 @@ class StoredSignatureIndex:
                        "vec_col": self.vec_col,
                        "n_tables": self.n_tables,
                        "n_planes": self.n_planes,
-                       "threshold": self.threshold}, fh)
+                       "threshold": self.threshold,
+                       "max_records_per_file":
+                           self.max_records_per_file}, fh)
         (self._sized(self._vec_rows(corpus)
                      .withColumn("_epoch", F.lit(-1))
                      .repartitionByRange("vec_id")
@@ -1045,6 +1052,17 @@ class StoredSignatureIndex:
         the write is EXACTLY-ONCE under micro-batch retries: dynamic
         overwrite of this epoch's partitions (the StoredLshIndex
         append_frames discipline)."""
+        # normalize at WRITE time even for pre-signed frames
+        # (self-review r10): an int32 id or float32 vector slipped in
+        # by a caller bypassing _vec_rows would otherwise break the
+        # declared long/double read schemas on the next probe
+        batch_vecs = batch_vecs.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _as_double(F.col("v")).alias("v"))
+        batch_sigs = batch_sigs.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("table").cast("int").alias("table"),
+            F.col("sig").cast("long").alias("sig"))
         e = -1 if epoch_id is None else int(epoch_id)
         vw = (batch_vecs.withColumn("_epoch", F.lit(e))
               .coalesce(1).sortWithinPartitions("vec_id")

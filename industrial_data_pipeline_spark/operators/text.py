@@ -1308,6 +1308,16 @@ def bleu(pairs: DataFrame, id_col: str = "doc_id",
     return out.select(*cols)
 
 
+#: chrF's whitespace STRIP SET, pinned to one explicit class shared
+#: by the Spark kernel, the DuckDB oracle builder
+#: (suite_pipeline.chrf_chain_sql callers) and the engine-parity
+#: tests — Java's ``\s`` includes vertical tab while RE2's does not,
+#: so the class must be a single constant, never re-typed (ADVICE r9
+#: + self-review r10). The same escape syntax parses identically in
+#: Java regex, RE2 and Python ``re``.
+CHRF_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def chrf(pairs: DataFrame, id_col: str = "doc_id",
          cand_col: str = "candidate", ref_col: str = "reference",
          max_n: int = 6, beta: float = 2.0,
@@ -1340,10 +1350,8 @@ def chrf(pairs: DataFrame, id_col: str = "doc_id",
     replacing the previous 12 per-order gram shuffles + 12 re-joins;
     grams are ≤ ``max_n``-char strings, so shuffle bytes ≈
     2·max_n × the text itself, paid once."""
-    WS = "[ \\t\\n\\x0B\\f\\r]+"
-
     def chars(col: Column) -> Column:
-        return F.regexp_replace(F.lower(col), WS, "")
+        return F.regexp_replace(F.lower(col), CHRF_WS, "")
 
     # named intermediates: the expr-based gram builder needs columns
     base = pairs.select(

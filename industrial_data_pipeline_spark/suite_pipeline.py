@@ -1478,10 +1478,11 @@ def q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chrf(pairs)
 
 
-#: the strip set pinned to the explicit class on both engines
-#: (ADVICE r9): Java ``\s`` has ``\x0B``, RE2's does not — a bare
-#: ``\s+`` diverges on a document containing a vertical tab
-CHRF_WS = "[ \\t\\n\\x0B\\f\\r]+"
+#: the strip set pinned on both engines — ONE constant, defined next
+#: to the Spark kernel it must match (self-review r10); re-exported
+#: here for the oracle builders and tests
+from industrial_data_pipeline_spark.operators.text import (  # noqa: E402,F401
+    CHRF_WS)
 
 
 def chrf_chain_sql(with_base: str) -> str:

@@ -568,12 +568,11 @@ def test_chrf_hand_computed(spark):
 # ------------- BLEU / chrF vs unit-level Python reference, BOTH
 # ------------- engines (VERDICT r9 item 5: denominator hardening)
 
-_EVAL_WS = "[ \t\n\x0b\f\r]"
-
-
 def _eval_tokens(s: str) -> list:
     import re
-    return [w for w in re.split(_EVAL_WS + "+", s.lower()) if w]
+
+    from industrial_data_pipeline_spark.operators.text import CHRF_WS
+    return [w for w in re.split(CHRF_WS, s.lower()) if w]
 
 
 def _bleu_reference(cand: str, ref: str) -> tuple:
@@ -615,7 +614,8 @@ def _chrf_reference(cand: str, ref: str) -> tuple:
     import re
     from collections import Counter
 
-    strip = lambda s: re.sub(_EVAL_WS + "+", "", s.lower())
+    from industrial_data_pipeline_spark.operators.text import CHRF_WS
+    strip = lambda s: re.sub(CHRF_WS, "", s.lower())
     cc, rc = strip(cand), strip(ref)
     if not cc or not rc:
         return (None, None, None)

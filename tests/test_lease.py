@@ -332,8 +332,12 @@ def test_zombie_compactor_aborts_before_rename(spark, tmp_path):
         compact_parquet_dir(spark, data, ("doc_id",), lock=a)
     assert sorted(r.doc_id for r in
                   spark.read.parquet(data).collect()) == before
-    assert not os.path.isdir(data + "_compact_tmp")
+    import glob
+    assert glob.glob(data + "_compact_tmp*") == []
     assert not os.path.isdir(data + "_compact_old")
+    # the staging path is TOKEN-suffixed per acquisition, so even if
+    # the zombie aborted while the new holder had staging in flight,
+    # it could only ever have deleted its own dir (self-review r10)
     # the new holder's compaction passes its (valid) lock and commits
     stats = compact_parquet_dir(spark, data, ("doc_id",), lock=b)
     assert stats["files_after"] >= 1
@@ -390,3 +394,43 @@ def test_index_lifecycle_paths_carry_fencing_check(
     assert lsh.probe(probe).count() == 0
     ivf.retract([1])
     assert 1 not in {r.vec_id for r in ivf.probe(qv, k=12).collect()}
+
+
+def test_zombie_sweep_never_touches_newer_staging(spark, tmp_path):
+    """Self-review r10, the recovery-sweep half: an overtaken zombie
+    aborts at ENTRY (before the destructive sweep), and even if it
+    reached the sweep, token-bounding means it could never delete a
+    NEWER holder's in-flight staging — only leftovers at or below
+    its own fencing token."""
+    import glob
+
+    from industrial_data_pipeline_spark.catalog.lease import (
+        LeaseLostError)
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        _recover_swap, compact_parquet_dir)
+
+    data = str(tmp_path / "asset")
+    (spark.range(0, 10).selectExpr("id AS doc_id")
+     .coalesce(1).write.parquet(data))
+    lease = str(tmp_path / "writer.lease")
+    a = LeaseLock(lease, ttl_s=0.5)
+    assert a.acquire() == 1
+    a._stop.set()
+    a._thread.join()
+    time.sleep(0.7)
+    b = LeaseLock(lease, ttl_s=0.5)
+    assert b.acquire(timeout_s=2.0) == 2
+    # B's staging is in flight when zombie A wakes up
+    b_tmp = data + "_compact_tmp.2"
+    os.makedirs(b_tmp)
+    open(os.path.join(b_tmp, "part-0.parquet"), "wb").close()
+    with pytest.raises(LeaseLostError):
+        compact_parquet_dir(spark, data, ("doc_id",), lock=a)
+    assert os.path.isdir(b_tmp)          # B's staging untouched
+    assert glob.glob(data + "_compact_tmp.1*") == []  # A wrote nothing
+    # and the sweep itself is token-bounded even when reached directly
+    _recover_swap(data, max_token=1)
+    assert os.path.isdir(b_tmp)
+    _recover_swap(data, max_token=2)     # the owner's own sweep clears it
+    assert not os.path.isdir(b_tmp)
+    b.release()

@@ -146,7 +146,14 @@ def main() -> None:
     xl_times = {}
     by_label = dict(PICKS)
     for label in XL_OPS:
-        xl_times[label] = run(REGISTRY[by_label[label]][0], xl_dir)
+        # min-of-2: the XL ops run late in a long hot JVM, where a
+        # single timing can absorb GC pauses 2-4x the real cost
+        # (q202 measured 27.6 s in-sequence vs 6.4 s standalone);
+        # the minimum is the only signal under the documented
+        # container-noise band — same discipline as BENCH_DETAIL
+        xl_times[label] = min(
+            run(REGISTRY[by_label[label]][0], xl_dir)
+            for _ in range(2))
 
     # dense events dir: same user ids, jittered ts → per-tag rows ×16
     dense_dir = tempfile.mkdtemp(prefix="idp_scale_dense_")
@@ -160,7 +167,9 @@ def main() -> None:
      .write.mode("overwrite").parquet(
          os.path.join(dense_dir, "events.parquet")))
     for label in XL_DENSE_OPS:
-        xl_times[label] = run(REGISTRY[by_label[label]][0], dense_dir)
+        xl_times[label] = min(
+            run(REGISTRY[by_label[label]][0], dense_dir)
+            for _ in range(2))
     shutil.rmtree(dense_dir, ignore_errors=True)
 
     # ---- ingest path at beyond-reference density: the full
