@@ -154,13 +154,15 @@ _VERIFIED_GREEN = {
 
 # Round 9 closed the q254-q262 tail (CORRECTNESS_r09: 50/50 green) —
 # moved into the green tier above. Round 10's never-checked tail is
-# q263-q266 (embedding-index retraction, IVF retraction, batch IVF
-# probe, in-stream retraction) — 4 queries in the first-run tier
-# with the 262 greens re-confirming after. Round-10 behavior changes
-# to green queries were each re-verified values=MATCH via
-# tools/drive_contract.py before commit: q256 (embedding assets
-# refactored onto StoredSignatureIndex + in-stream compaction of
-# both assets — oracle unchanged), the stored-index family
+# q263-q269 (embedding-index retraction, IVF retraction, batch IVF
+# probe, in-stream retraction, as-of/time-travel probes on the text
+# and embedding indexes, temperature-based domain mixing) — 7
+# queries in the first-run tier with the 262 greens re-confirming
+# after. Round-10 behavior changes to green queries were each
+# re-verified values=MATCH via tools/drive_contract.py before
+# commit: q256 (embedding assets refactored onto
+# StoredSignatureIndex + in-stream compaction of both assets —
+# oracle unchanged), the stored-index family
 # q205/q242/q243/q245/q248/q253/q254/q257/q259/q260 (lease fencing
 # check wired into the compaction swap; id casts at write time —
 # behavior-identical on long-id testdata), plus fresh full sweeps

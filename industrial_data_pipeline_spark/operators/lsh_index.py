@@ -378,7 +378,8 @@ class StoredLshIndex:
                      batch_shingles: DataFrame,
                      round_dp: int = 6,
                      prune: bool = True,
-                     exclude_epoch: int | None = None) -> DataFrame:
+                     exclude_epoch: int | None = None,
+                     as_of_epoch: int | None = None) -> DataFrame:
         """Gate a pre-signed batch against the STORED index. Returns
         (new_id, old_id, jaccard_sim), exact Jaccard ≥ threshold —
         the contract of ``incremental_minhash_lsh``, with the corpus
@@ -412,11 +413,28 @@ class StoredLshIndex:
         overwrite would never clear the stale partition. Excluding
         the in-flight epoch makes the retry's decisions identical to
         a clean run's, so its overwrite deterministically replaces
-        the crashed attempt's partitions."""
+        the crashed attempt's partitions.
+
+        ``as_of_epoch`` is TIME-TRAVEL: probe the index as it stood
+        after epoch N committed — history (``_epoch=-1``) plus every
+        epoch ≤ N, i.e. a plain ``_epoch <= N`` partition filter
+        (history sorts below every real epoch). ``as_of_epoch=-1``
+        reads the build/compacted state only. Resolution is bounded
+        by compaction: :meth:`compact` folds committed epochs into
+        history, so snapshots older than the last compact are no
+        longer addressable (the LSM/table-format trade — keeping
+        them would need per-compaction snapshot manifests, out of
+        scope by design). An audit/rollback probe therefore runs
+        against any still-unfolded epoch boundary at zero storage
+        cost: the epoch column already partitions the layout, so the
+        filter PRUNES newer partitions instead of scanning them."""
         bt, sh = self.band_table(), self.shingle_table()
         if exclude_epoch is not None:
             bt = bt.where(F.col("_epoch") != int(exclude_epoch))
             sh = sh.where(F.col("_epoch") != int(exclude_epoch))
+        if as_of_epoch is not None:
+            bt = bt.where(F.col("_epoch") <= int(as_of_epoch))
+            sh = sh.where(F.col("_epoch") <= int(as_of_epoch))
         probe = batch_bands.select(
             F.col("doc_id").alias("new_id"), "band", "bucket")
         idx = bt.select(
@@ -454,7 +472,8 @@ class StoredLshIndex:
 
     def probe(self, batch: DataFrame, round_dp: int = 6,
               prune: bool = True,
-              exclude_epoch: int | None = None) -> DataFrame:
+              exclude_epoch: int | None = None,
+              as_of_epoch: int | None = None) -> DataFrame:
         """Sign ``batch`` and gate it against the stored index. The
         signed frames are checkpointed (batch-sized) so the pruning
         collects and the probe plan share one signing pass."""
@@ -464,7 +483,8 @@ class StoredLshIndex:
             shingles_df = shingles_df.localCheckpoint(eager=True)
         return self.probe_frames(bands_df, shingles_df, round_dp,
                                  prune=prune,
-                                 exclude_epoch=exclude_epoch)
+                                 exclude_epoch=exclude_epoch,
+                                 as_of_epoch=as_of_epoch)
 
     def append_frames(self, batch_bands: DataFrame,
                       batch_shingles: DataFrame,

@@ -716,7 +716,8 @@ class StoredIvfIndex:
                    " _cell int")
 
     def cell_scan(self, cells: list[int],
-                  exclude_epoch: int | None = None) -> DataFrame:
+                  exclude_epoch: int | None = None,
+                  as_of_epoch: int | None = None) -> DataFrame:
         """Scan ONLY the given cells — `_cell` is the partition
         column, so this is directory-level pruning (files outside
         the probed cells are never listed into the plan).
@@ -724,19 +725,29 @@ class StoredIvfIndex:
         StoredLshIndex.probe_frames discipline): a retried
         foreachBatch epoch must not see the crashed attempt's own
         ``_epoch=N`` vectors — they would enter the probed cells'
-        candidate sets as duplicates and displace real top-k rows."""
+        candidate sets as duplicates and displace real top-k rows.
+        ``as_of_epoch`` is time-travel (the StoredLshIndex
+        semantics verbatim): history (-1) plus epochs ≤ N via a
+        ``_epoch <= N`` partition filter; resolution bounded by the
+        last :meth:`compact` (folded epochs are no longer
+        addressable), and the filter PRUNES newer epoch partitions
+        rather than scanning them."""
         scan = (self.spark.read.schema(self.DATA_SCHEMA)
                 .parquet(self._data_path)
                 .where(F.col("_cell").isin(cells)))
         if exclude_epoch is not None:
             scan = scan.where(F.col("_epoch") != int(exclude_epoch))
+        if as_of_epoch is not None:
+            scan = scan.where(F.col("_epoch") <= int(as_of_epoch))
         return scan
 
     def probe(self, query_vec: list[float], k: int = 10,
               nprobe: int = 4, round_dp: int = 6,
-              exclude_epoch: int | None = None) -> DataFrame:
+              exclude_epoch: int | None = None,
+              as_of_epoch: int | None = None) -> DataFrame:
         cand = self.cell_scan(self.probe_cells(query_vec, nprobe),
-                              exclude_epoch=exclude_epoch)
+                              exclude_epoch=exclude_epoch,
+                              as_of_epoch=as_of_epoch)
         return cosine_topk(cand, query_vec, k, id_col="vec_id",
                            vec_col="v", round_dp=round_dp)
 
@@ -744,7 +755,8 @@ class StoredIvfIndex:
                     nprobe: int = 4, round_dp: int = 6,
                     id_col: str | None = None,
                     vec_col: str | None = None,
-                    exclude_epoch: int | None = None) -> DataFrame:
+                    exclude_epoch: int | None = None,
+                    as_of_epoch: int | None = None) -> DataFrame:
         """Probe a query BATCH with ONE pruned scan (VERDICT r9
         item 3): the single-vector :meth:`probe` unioned over a
         production batch explodes the plan (one cell scan per query);
@@ -788,7 +800,8 @@ class StoredIvfIndex:
         route = self.spark.createDataFrame(
             routing, "query_id long, _cell int")
         cells = sorted({c for _, c in routing})
-        cand = (self.cell_scan(cells, exclude_epoch=exclude_epoch)
+        cand = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
+                               as_of_epoch=as_of_epoch)
                 .join(F.broadcast(route), "_cell")
                 .where(F.col("vec_id") != F.col("query_id"))
                 .join(F.broadcast(qdf), "query_id"))
@@ -1006,7 +1019,8 @@ class StoredSignatureIndex:
     def probe_frames(self, batch_vecs: DataFrame,
                      batch_sigs: DataFrame,
                      round_dp: int = 6, prune: bool = True,
-                     exclude_epoch: int | None = None) -> DataFrame:
+                     exclude_epoch: int | None = None,
+                     as_of_epoch: int | None = None) -> DataFrame:
         """Gate a pre-signed batch against the stored assets via
         :func:`ann_gate`: (table, sig) collisions → batch-sized
         candidates broadcast into the vector store → guarded cosine ≥
@@ -1015,7 +1029,11 @@ class StoredSignatureIndex:
         ids push into both parquet scans (supersets of the joins' own
         predicates — results byte-identical, I/O ∝ probed rows).
         ``exclude_epoch`` is the exactly-once probe half: a retried
-        epoch must not see its crashed attempt's own rows."""
+        epoch must not see its crashed attempt's own rows.
+        ``as_of_epoch`` is time-travel (StoredLshIndex semantics
+        verbatim): history (-1) plus epochs ≤ N, resolution bounded
+        by the last :meth:`compact`, newer epoch partitions PRUNED
+        out of both scans."""
         from industrial_data_pipeline_spark.operators.lsh_index import (
             isin_prune)
 
@@ -1023,6 +1041,9 @@ class StoredSignatureIndex:
         if exclude_epoch is not None:
             sig = sig.where(F.col("_epoch") != int(exclude_epoch))
             vec = vec.where(F.col("_epoch") != int(exclude_epoch))
+        if as_of_epoch is not None:
+            sig = sig.where(F.col("_epoch") <= int(as_of_epoch))
+            vec = vec.where(F.col("_epoch") <= int(as_of_epoch))
         if prune:
             keys = batch_sigs.select("table", "sig").distinct().collect()
             sig = isin_prune(sig, {"table": [r["table"] for r in keys],
@@ -1034,7 +1055,8 @@ class StoredSignatureIndex:
 
     def probe(self, batch: DataFrame, round_dp: int = 6,
               prune: bool = True,
-              exclude_epoch: int | None = None) -> DataFrame:
+              exclude_epoch: int | None = None,
+              as_of_epoch: int | None = None) -> DataFrame:
         """Normalize + sign ``batch`` (its ``id_col``/``vec_col``)
         and gate it; the signed frames are checkpointed (batch-sized)
         so the pruning collects and the probe plan share one signing
@@ -1042,7 +1064,8 @@ class StoredSignatureIndex:
         vecs = self._vec_rows(batch).localCheckpoint(eager=True)
         sigs = self.signature_frame(vecs).localCheckpoint(eager=True)
         return self.probe_frames(vecs, sigs, round_dp, prune=prune,
-                                 exclude_epoch=exclude_epoch)
+                                 exclude_epoch=exclude_epoch,
+                                 as_of_epoch=as_of_epoch)
 
     def append_frames(self, batch_vecs: DataFrame,
                       batch_sigs: DataFrame,

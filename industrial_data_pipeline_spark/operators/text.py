@@ -423,6 +423,73 @@ def shard_assignment(df: DataFrame, n_shards: int = 8,
             .withColumn("_okey", okey))
 
 
+def temperature_mix(df: DataFrame, id_col: str = "doc_id",
+                    domain_col: str = "source", alpha: float = 0.5,
+                    salt: str = "mix1",
+                    frac_scale: int = 1_000_000) -> DataFrame:
+    """Temperature-based domain mixing — the data-mixing primitive of
+    multilingual/multi-domain pretraining (weights ∝ n^alpha, the
+    GPT-3/XLM-R rebalance): every document is emitted
+    ``(max_n / n_domain)^alpha`` times, i.e. the largest domain stays
+    at 1 copy and smaller domains are UPSAMPLED toward parity, with
+    the exponent tempering how far. The q48 stratified sampler is the
+    DOWNSAMPLE half of this trade; repetition is the half it cannot
+    express (keep-probability caps at 1).
+
+    Fractional copies are realized deterministically: each doc gets
+    ``floor(c)`` copies plus one more iff
+    ``hash64(id:salt) mod frac_scale < floor(frac(c)·frac_scale)`` —
+    the portable md5 hash, so the realized mix is reproducible on any
+    engine and any run, and the expected copy count is exact to
+    1/frac_scale with no RNG state.
+
+    Engine-pinned arithmetic: with ``alpha=0.5`` the weight is
+    computed as ``sqrt(max_n/n)`` — sqrt, like +,-,*,/, is IEEE-754
+    correctly rounded, so Java (Spark) and C (DuckDB/any oracle)
+    produce BIT-IDENTICAL copy counts. General ``alpha`` uses
+    ``pow``, which libms do NOT guarantee correctly rounded — fine
+    for production mixing, but cross-engine byte-equality is only
+    contractual at 0.5 (the docstring analogue of CHRF_WS: pin the
+    definition, not the engine default).
+
+    Plan shape: one count aggregate over |domains| groups, a scalar
+    max, the per-domain copy spec broadcast back onto the corpus, and
+    a posexplode of a 1..n_copies sequence — no shuffle of the fact
+    table at all (count is partial-aggregated; the explode is
+    map-side). At 100 TB the output is written straight through
+    shard_assignment: repetition multiplies rows before the shuffle,
+    so size the shard count by the POST-mix row count."""
+    ratio = (F.col("_mx").cast("double")
+             / F.col("_n").cast("double"))
+    copies = (F.sqrt(ratio) if float(alpha) == 0.5
+              else F.pow(ratio, F.lit(float(alpha))))
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    spec = (counts
+            .crossJoin(F.broadcast(counts.agg(
+                F.max("_n").alias("_mx"))))
+            .withColumn("_c", copies)
+            .select(domain_col,
+                    F.floor(F.col("_c")).cast("long").alias("_base"),
+                    F.floor((F.col("_c") - F.floor(F.col("_c")))
+                            * F.lit(int(frac_scale)))
+                    .cast("long").alias("_fs")))
+    h = F.pmod(hash64(F.concat(F.col(id_col).cast("string"),
+                               F.lit(":" + salt))),
+               F.lit(int(frac_scale)))
+    n_copies = (F.col("_base")
+                + F.when(h < F.col("_fs"), F.lit(1))
+                .otherwise(F.lit(0))).alias("n_copies")
+    # _base >= 1 always (max_n/n >= 1 → copies >= 1): the sequence
+    # below is never empty, so no document is ever silently dropped
+    return (df.join(F.broadcast(spec), domain_col)
+            .select(id_col, domain_col, n_copies)
+            .select(id_col, domain_col, "n_copies",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        (F.col("n_copies") - 1).cast("int")))
+                    .alias("copy_idx")))
+
+
 def lm_cross_entropy(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", salt: str = "lm1",
                      train_pct: int = 80, round_dp: int = 6) -> DataFrame:

@@ -3485,3 +3485,164 @@ REGISTRY_LLM.update({
     "q266_instream_retraction": (q_instream_retraction,
                                  ORACLE_INSTREAM_RETRACTION),
 })
+
+
+# -- q267 TIME-TRAVEL probe of the stored text-LSH index: as-of an
+# -- epoch boundary (audit/rollback — the last lifecycle verb)
+
+def q_asof_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (time-travel) probe of the stored LSH index
+    (StoredLshIndex.probe ``as_of_epoch`` — the audit/rollback verb
+    completing the lifecycle set): the index is built on the corpus,
+    epoch 0 appends near-dup mutants of doc_id 20–29 and epoch 1
+    appends mutants of 30–39; the probe batch (mutants of 15–45,
+    overlapping base, epoch-0 AND epoch-1 territory) then gates
+    against the index AS IT STOOD AFTER EPOCH 0 — matches into the
+    base corpus and the epoch-0 docs appear, matches into epoch-1
+    docs MUST NOT, exactly as if the probe had run before epoch 1
+    committed. The filter is a partition predicate (``_epoch <= 0``),
+    so newer epochs are PRUNED from both scans, not read-and-dropped;
+    resolution is bounded by compaction (folded epochs stop being
+    addressable — the LSM snapshot trade, documented on the verb).
+    The oracle replays the gate over ``documents ∪ epoch-0 batch``:
+    byte-equality proves the snapshot read reconstructs that earlier
+    index state exactly."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.lsh_index import \
+        StoredLshIndex
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    e0 = (docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+          .select((F.col("doc_id") + 650000).alias("doc_id"),
+                  F.concat("text", F.lit(" zzz")).alias("text")))
+    e1 = (docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+          .select((F.col("doc_id") + 660000).alias("doc_id"),
+                  F.concat("text", F.lit(" zzz")).alias("text")))
+    probe = (docs.where((F.col("doc_id") >= 15) & (F.col("doc_id") < 45))
+             .select((F.col("doc_id") + 670000).alias("doc_id"),
+                     F.concat("text", F.lit(" zzz qqq")).alias("text")))
+    root = tempfile.mkdtemp(prefix="idp_q267_")
+    try:
+        idx = StoredLshIndex(spark, root, num_perm=_NUM_PERM,
+                             bands=_BANDS, threshold=_THRESH)
+        idx.build(docs)
+        idx.append_frames(*idx.signature_frames(e0), epoch_id=0)
+        idx.append_frames(*idx.signature_frames(e1), epoch_id=1)
+        out = (idx.probe(probe, as_of_epoch=0)
+               .select("new_id", "old_id", "jaccard_sim")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ASOF_CORPUS = """corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 650000, text || ' zzz'
+                FROM documents WHERE doc_id >= 20 AND doc_id < 30),"""
+
+_ASOF_BATCH = """batch AS (
+  SELECT doc_id + 670000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id >= 15 AND doc_id < 45),"""
+
+
+def _oracle_asof_gate() -> str:
+    """ORACLE_INCREMENTAL_LSH with its corpus swapped to
+    base ∪ epoch-0 batch and its probe batch swapped to q267's —
+    the gate machinery itself (shingles → minhash → bands →
+    exact-verify) is shared verbatim."""
+    src = ORACLE_INCREMENTAL_LSH
+    a = "WITH corpus AS (SELECT doc_id, text FROM documents),"
+    b_start = src.index("batch AS (")
+    b_end = src.index("ctk AS")
+    assert a in src and b_start < b_end
+    return (src[:b_start] + _ASOF_BATCH + "\n" + src[b_end:]) \
+        .replace(a, "WITH " + _ASOF_CORPUS)
+
+
+REGISTRY_LLM.update({
+    "q267_asof_gate": (q_asof_gate, _oracle_asof_gate()),
+})
+
+
+# -- q269 TIME-TRAVEL probe of the stored EMBEDDING index: the same
+# -- as-of verb on the second asset (uniformity across the set)
+
+def q_sig_asof_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q267's as-of verb on the EMBEDDING asset
+    (StoredSignatureIndex.probe ``as_of_epoch``): the index is built
+    over the hashed-BoW embeddings of doc_id ≥ 20, epoch 0 appends
+    docs 0–9's vectors and epoch 1 appends docs 10–19's; a batch of
+    token-REVERSED copies of docs 0–19 (reversal keeps the
+    order-invariant embedding identical — cosine 1.0) probes AS OF
+    epoch 0. Reversed 0–9 must collide (their twins were in by then),
+    reversed 10–19 must NOT (their twins are epoch-1 — pruned by the
+    snapshot predicate, exactly as if the probe ran before epoch 1
+    committed). Oracle = the gate over
+    ``documents WHERE doc_id < 10 OR doc_id >= 20``."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM).alias("v"))
+    rev = F.array_join(F.reverse(TX.tokens(F.col("text"))), " ")
+    batch = (docs.where(F.col("doc_id") < 20)
+             .select((F.col("doc_id") + 840000).alias("doc_id"),
+                     rev.alias("text"))
+             .select(F.col("doc_id").alias("vec_id"),
+                     TX.hashed_bow_embedding(F.col("text"),
+                                             _DEMB_DIM).alias("v")))
+    root = tempfile.mkdtemp(prefix="idp_q269_")
+    try:
+        sidx = SIM.StoredSignatureIndex(
+            spark, os.path.join(root, "emb_idx"), dim=_DEMB_DIM,
+            id_col="vec_id", vec_col="v", threshold=0.98)
+        sidx.build(vecs.where(F.col("vec_id") >= 20))
+        for e, lo, hi in ((0, 0, 10), (1, 10, 20)):
+            bv = sidx._vec_rows(
+                vecs.where((F.col("vec_id") >= lo)
+                           & (F.col("vec_id") < hi))) \
+                .localCheckpoint(eager=True)
+            sidx.append_frames(bv, sidx.signature_frame(bv),
+                               epoch_id=e)
+        out = (sidx.probe(batch, as_of_epoch=0)
+               .select("new_id", "old_id", "cosine_sim")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_sig_asof_gate() -> str:
+    csigs = ", ".join(f"{_sig_sql('v', t, 6, _DEMB_DIM)} AS s{t}"
+                      for t in range(8))
+    any_tab = " OR ".join(f"bs.s{t} = cs.s{t}" for t in range(8))
+    cos = _COS6.format(a="bb.v", b="cc.v")
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents
+                WHERE doc_id < 10 OR doc_id >= 20),
+bdocs AS (SELECT doc_id + 840000 AS doc_id, {_REV} AS text
+          FROM documents WHERE doc_id < 20),
+cde AS ({_demb_sql('corpus')}),
+bde AS ({_demb_sql('bdocs')}),
+csg AS (SELECT doc_id, {csigs} FROM cde),
+bsg AS (SELECT doc_id, {csigs} FROM bde),
+cand AS (SELECT DISTINCT bs.doc_id AS new_id, cs.doc_id AS old_id
+         FROM bsg bs JOIN csg cs ON {any_tab})
+SELECT cd.new_id, cd.old_id, {cos} AS cosine_sim
+FROM cand cd
+JOIN bde bb ON bb.doc_id = cd.new_id
+JOIN cde cc ON cc.doc_id = cd.old_id
+WHERE {cos} >= 0.98
+"""
+
+
+REGISTRY_LLM.update({
+    "q269_sig_asof_gate": (q_sig_asof_gate,
+                           _oracle_sig_asof_gate()),
+})

@@ -1563,3 +1563,48 @@ base AS (SELECT doc_id,
 REGISTRY_PIPELINE.update({
     "q262_chrf_eval": (q_chrf_eval, _oracle_chrf_eval()),
 })
+
+
+# --------------- q268 temperature-based domain mixing (upsampling)
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (operators/text.py::
+    temperature_mix): every document is emitted
+    ``sqrt(max_n / n_lang)`` times — the dominant language stays at
+    one copy, smaller languages are upsampled toward parity with the
+    alpha=0.5 temper of multilingual pretraining mixes. The
+    repetition half q48's rate sampler cannot express: fractional
+    copies are realized by the portable md5 hash, copy counts are
+    computed from sqrt/div only (IEEE correctly-rounded, so Spark
+    and the oracle agree BIT-for-bit — pow would not), and the fact
+    table is never shuffled (counts partial-agg, spec broadcast
+    back, map-side explode)."""
+    return TX.temperature_mix(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"),
+        id_col="doc_id", domain_col="lang", alpha=0.5)
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH n AS (SELECT lang, count(*) AS n_s FROM documents
+           GROUP BY lang),
+m AS (SELECT max(n_s) AS mx FROM n),
+c AS (SELECT lang,
+             sqrt(CAST(mx AS DOUBLE) / CAST(n_s AS DOUBLE)) AS cop
+      FROM n, m),
+d AS (SELECT lang, CAST(floor(cop) AS BIGINT) AS base,
+             CAST(floor((cop - floor(cop)) * 1000000) AS BIGINT)
+                 AS fs
+      FROM c),
+docs AS (SELECT doc_id, d.lang,
+                base + CASE WHEN {_h64("doc_id || ':mix1'")}
+                                 % 1000000 < fs
+                            THEN 1 ELSE 0 END AS n_copies
+         FROM documents JOIN d USING (lang))
+SELECT doc_id, lang, n_copies, CAST(i AS INT) AS copy_idx
+FROM docs, UNNEST(generate_series(0, n_copies - 1)) AS t(i)
+"""
+
+REGISTRY_PIPELINE.update({
+    "q268_temperature_mix": (q_temperature_mix,
+                             ORACLE_TEMPERATURE_MIX),
+})

@@ -528,3 +528,46 @@ def test_stored_index_retract_restores_admissibility(spark, tmp_path):
     idx.append_frames(*idx.signature_frames(
         docs.where("doc_id = 1")))
     assert {r.old_id for r in idx.probe(probe).collect()} == {1}
+
+
+def test_stored_lsh_index_asof_probe_time_travel(spark, tmp_path):
+    """as_of_epoch (q267): a probe as-of epoch N sees history plus
+    epochs <= N and nothing newer; as_of=-1 is the build-only
+    snapshot; and compaction COARSENS resolution (folded epochs stop
+    being separately addressable but their rows stay visible)."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    idx.build(base)
+    e0 = spark.createDataFrame(
+        [(2, "one two three four five six")],
+        "doc_id long, text string")
+    e1 = spark.createDataFrame(
+        [(3, "red orange yellow green blue indigo")],
+        "doc_id long, text string")
+    idx.append_frames(*idx.signature_frames(e0), epoch_id=0)
+    idx.append_frames(*idx.signature_frames(e1), epoch_id=1)
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "one two three four five six"),
+         (12, "red orange yellow green blue indigo")],
+        "doc_id long, text string")
+    full = {(r.new_id, r.old_id)
+            for r in idx.probe(probe).collect()}
+    assert full == {(10, 1), (11, 2), (12, 3)}
+    asof0 = {(r.new_id, r.old_id)
+             for r in idx.probe(probe, as_of_epoch=0).collect()}
+    assert asof0 == {(10, 1), (11, 2)}  # epoch-1 doc invisible
+    build_only = {(r.new_id, r.old_id)
+                  for r in idx.probe(probe, as_of_epoch=-1).collect()}
+    assert build_only == {(10, 1)}
+    # compaction folds epochs into history: rows stay visible at any
+    # as-of, but pre-compaction boundaries are no longer addressable
+    idx.compact()
+    assert {(r.new_id, r.old_id)
+            for r in idx.probe(probe, as_of_epoch=-1).collect()} \
+        == full

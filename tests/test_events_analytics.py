@@ -186,3 +186,48 @@ def test_chi_square_independence_hand_computed(spark):
     assert got[("a", 0)].expected == e_a0
     assert got[("a", 0)].chi2_term == (10 - e_a0) ** 2 / e_a0
     assert got[("b", 1)].expected == 70 * 60 / 100.0
+
+
+def test_temperature_mix_copy_law(spark):
+    """temperature_mix (q268): the dominant domain stays at exactly
+    one copy, a 4x-smaller domain gets sqrt(4)=2 copies exactly (no
+    fractional part — hash plays no role), every doc appears at
+    least once, and the realized counts are deterministic."""
+    from industrial_data_pipeline_spark.operators.text import (
+        temperature_mix)
+    rows = [(i, "big") for i in range(16)] + \
+           [(100 + i, "small") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(docs, id_col="doc_id",
+                          domain_col="source").collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    # every doc present, copy_idx dense from 0
+    assert set(per_doc) == {i for i in range(16)} | \
+        {100 + i for i in range(4)}
+    for d, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+        assert len(idxs) == (1 if d < 100 else 2)
+    again = temperature_mix(docs, id_col="doc_id",
+                            domain_col="source").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_temperature_mix_fractional_copies_expected_rate(spark):
+    """The fractional copy is hash-realized: with ratio 16/9 the
+    copy count is sqrt(16/9)=4/3 — every small-domain doc gets 1
+    copy plus a ~1/3-rate hash-gated extra; the mean realized copy
+    count over many ids lands near 4/3 and is reproducible."""
+    from industrial_data_pipeline_spark.operators.text import (
+        temperature_mix)
+    rows = [(i, "big") for i in range(1600)] + \
+           [(10_000 + i, "small") for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(docs, id_col="doc_id",
+                          domain_col="source")
+    n_small = (out.where("source = 'small'")
+               .groupBy("doc_id").count().collect())
+    assert all(r["count"] in (1, 2) for r in n_small)
+    mean = sum(r["count"] for r in n_small) / len(n_small)
+    assert abs(mean - 4 / 3) < 0.05  # hash-uniformity, not RNG

@@ -662,3 +662,32 @@ def test_ivf_probe_batch_single_pruned_scan(spark, tmp_path):
     # both small sides broadcast — no shuffle join against the scan
     assert p.count("BroadcastExchange") >= 2, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_asof_probe_prunes_newer_epochs(spark, tmp_path):
+    """q267's scale claim on the PLAN: as_of_epoch=N lands as a
+    `_epoch <= N` PartitionFilter on the stored band scan — newer
+    epoch partitions are pruned out of the file listing, composed
+    with (not replacing) the band/bucket key pruning."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+         for i in range(10)], "doc_id long, text string")
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.3)
+    idx.build(docs)
+    extra = spark.createDataFrame(
+        [(100, "nu0 nu1 nu2 nu3 nu4")], "doc_id long, text string")
+    idx.append_frames(*idx.signature_frames(extra), epoch_id=1)
+    batch = docs.where(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    idx.probe(batch, as_of_epoch=0).collect()
+    band_plan = plan(idx.last_band_scan)
+    m = re.search(r"PartitionFilters: \[(.*)\]", band_plan)
+    assert m and "_epoch" in m.group(1) and "band" in m.group(1), \
+        band_plan

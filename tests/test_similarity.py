@@ -482,3 +482,53 @@ def test_stored_sig_index_lifecycle_roundtrip(spark, tmp_path):
     assert re.probe(dup).count() == 0
     re.append_frames(vecs, sigs)   # ad-hoc re-ingest revives
     assert {r.old_id for r in re.probe(dup).collect()} == {50}
+
+
+def test_stored_sig_and_ivf_asof_probe(spark, tmp_path):
+    """as_of_epoch uniformity (q269): the time-travel predicate
+    behaves identically on the embedding signature index and the IVF
+    index — epochs newer than the snapshot are invisible, history
+    always is visible."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex, StoredSignatureIndex)
+
+    def vec(seed: int) -> list[float]:
+        return [1.0 if i == seed else 0.1 for i in range(8)]
+
+    base = spark.createDataFrame(
+        [(1, vec(0))], "vec_id long, v array<double>")
+    e0 = spark.createDataFrame(
+        [(2, vec(3))], "vec_id long, v array<double>")
+    e1 = spark.createDataFrame(
+        [(3, vec(6))], "vec_id long, v array<double>")
+
+    sidx = StoredSignatureIndex(spark, str(tmp_path / "sig"), dim=8,
+                                id_col="vec_id", vec_col="v",
+                                threshold=0.98)
+    sidx.build(base)
+    for e, b in ((0, e0), (1, e1)):
+        bv = sidx._vec_rows(b)
+        sidx.append_frames(bv, sidx.signature_frame(bv), epoch_id=e)
+    probe = spark.createDataFrame(
+        [(10, vec(0)), (11, vec(3)), (12, vec(6))],
+        "vec_id long, v array<double>")
+    full = {(r.new_id, r.old_id) for r in sidx.probe(probe).collect()}
+    assert full == {(10, 1), (11, 2), (12, 3)}
+    asof0 = {(r.new_id, r.old_id)
+             for r in sidx.probe(probe, as_of_epoch=0).collect()}
+    assert asof0 == {(10, 1), (11, 2)}
+
+    ividx = StoredIvfIndex(spark, str(tmp_path / "ivf"), n_cells=2,
+                           id_col="vec_id", vec_col="v")
+    ividx.build(base.unionByName(e0))
+    ividx.append(e1, epoch_id=1)
+    got_full = {r.vec_id for r in ividx.probe_batch(
+        spark.createDataFrame([(99, vec(6))],
+                              "vec_id long, v array<double>"),
+        k=3, nprobe=2).collect()}
+    assert 3 in got_full
+    got_asof = {r.vec_id for r in ividx.probe_batch(
+        spark.createDataFrame([(99, vec(6))],
+                              "vec_id long, v array<double>"),
+        k=3, nprobe=2, as_of_epoch=0).collect()}
+    assert 3 not in got_asof and got_asof  # epoch-1 vector pruned

@@ -470,6 +470,28 @@ PICKS = [
      "retries); per-batch plan is q243's pruned stored-gate shape, "
      "and the oracle swaps the corpus at exactly the takedown "
      "boundary."),
+    ("q267_asof_gate",
+     "Time-travel probe: as_of_epoch=0 becomes a `_epoch <= 0` "
+     "PartitionFilter on BOTH stored scans — epoch-1's partitions "
+     "are pruned out of the listing, not read-and-dropped; the rest "
+     "of the plan is the standard pruned stored-gate shape "
+     "(band/bucket IN-lists, batch-sized broadcasts). The dump is "
+     "the checkpointed probe; the pruning is asserted in "
+     "tests/test_plans.py::test_asof_probe_prunes_newer_epochs."),
+    ("q268_temperature_mix",
+     "Temperature mixing: ONE partial-agg count over |langs| "
+     "groups, a scalar max cross-joined broadcast, the copy spec "
+     "broadcast-joined back onto the corpus, and a map-side "
+     "explode of the 1..n_copies sequence — the fact table is "
+     "never shuffled, no window, no sort; output rows = the "
+     "upsampled mix, ready to feed q152's shard shuffle."),
+    ("q269_sig_asof_gate",
+     "As-of on the embedding asset: same `_epoch <= 0` partition "
+     "predicate on the signature AND vector scans, composed with "
+     "the (table, sig) key IN-lists — snapshot reads cost the same "
+     "pruned probe I/O as current reads; epoch-1's twin vectors "
+     "are invisible exactly as if the probe ran before they "
+     "committed."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
