@@ -768,3 +768,31 @@ def test_bleu_property_matches_reference_both_engines(spark, texts):
     for i, (c, r) in enumerate(texts):
         assert got_s[i] == got_d[i], (c, r, got_s[i], got_d[i])
         _assert_eval_close(got_s[i], _bleu_reference(c, r), (c, r))
+
+
+@given(st.integers(min_value=1, max_value=10**12),
+       st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_temperature_mix_copy_arithmetic_cross_engine(n, extra):
+    """q268's engine-pinned arithmetic claim, tested directly: the
+    copy-count chain sqrt(mx/n) → floor → (frac·1e6) → floor is
+    composed ONLY of IEEE-754 correctly-rounded operations, so
+    DuckDB (C libm) and Python (same libm as the JVM's
+    StrictMath-free sqrt — all correctly rounded by the standard)
+    produce bit-identical (base, frac_scaled) pairs for ANY domain
+    counts up to 1e12. This is the q268 oracle's half of the
+    bit-identity; the Spark half is pinned by the byte-exact oracle
+    match itself."""
+    import math
+
+    import duckdb
+
+    mx = n + extra  # mx >= n, as groupBy-max guarantees
+    cop = math.sqrt(float(mx) / float(n))
+    py = (math.floor(cop), math.floor((cop - math.floor(cop)) * 1e6))
+    got = duckdb.connect().execute(
+        "SELECT CAST(floor(cop) AS BIGINT),"
+        "       CAST(floor((cop - floor(cop)) * 1000000) AS BIGINT)"
+        " FROM (SELECT sqrt(CAST(? AS DOUBLE) / CAST(? AS DOUBLE))"
+        "       AS cop)", [mx, n]).fetchone()
+    assert tuple(got) == py, (mx, n, got, py)
