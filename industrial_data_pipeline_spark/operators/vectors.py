@@ -280,3 +280,120 @@ def label_centroids(df: DataFrame, label_col: str = "label",
         "label", "n_vectors",
         (F.col("_sn") / F.col("n_vectors") + F.lit(0.0))
         .alias("centroid_norm"))
+
+
+# ------------------------------------------ product quantization (PQ)
+
+def _pq_slices(df: DataFrame, dim: int, m: int,
+               id_col: str, vec_col: str) -> DataFrame:
+    """(_id, subspace, _sv double-slice, _sq quantized slice) — every
+    vector split into ``m`` contiguous subvectors in ONE posexplode
+    pass. Quantize-then-slice equals slice-then-quantize (elementwise
+    op), so both engines may slice whichever representation is
+    cheaper."""
+    assert dim % m == 0, (dim, m)
+    ds = dim // m
+    v = _as_double(F.col(vec_col))
+    slices = F.array(*[F.slice(v, j * ds + 1, ds) for j in range(m)])
+    return (df.select(F.col(id_col).alias("_id"),
+                      F.posexplode(slices).alias("subspace", "_sv"))
+            .withColumn("_sq", _quantize(F.col("_sv"))))
+
+
+def pq_train(df: DataFrame, dim: int, m: int = 4, k: int = 8,
+             iters: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Train a product-quantization codebook — the FAISS IVF-PQ
+    compression half, Spark-first: each of the ``m`` subspaces gets
+    its own ``k``-centroid Lloyd codebook, and ALL m trainings run as
+    ONE distributed job (the subspace id rides along as a grouping
+    column — m× the rows through the same three-shuffle Lloyd round,
+    never m sequential jobs). Returns (subspace, code, _cq) with _cq
+    the 1e-6-quantized centroid, broadcastable (m·k rows).
+
+    Determinism is the kmeans_lloyd discipline verbatim: init = the
+    k lowest ids' subvectors (code label = the seed id), assignment
+    by exact scaled-int argmin with ties to the lowest code, means
+    via exact DECIMAL sums — so a SQL oracle replays the codebook
+    bit-for-bit (q270).
+
+    At 100 TB: PQ codes store m small ints per vector instead of
+    dim doubles (64-dim float64 → 4 codes ≈ 128× compression); the
+    codebook is k·dim doubles TOTAL (broadcast-sized at any corpus
+    scale), and encode/ADC are map-only stages against it."""
+    slices = _pq_slices(df, dim, m, id_col, vec_col)
+    seeds = (df.select(F.col(id_col).cast("long").alias("_sid"))
+             .orderBy("_sid").limit(k))
+    cents = (slices.join(F.broadcast(seeds),
+                         slices["_id"].cast("long") == seeds["_sid"])
+             .select("subspace", F.col("_sid").alias("code"),
+                     F.col("_sq").alias("_cq"))
+             .localCheckpoint())
+    for _ in range(int(iters)):
+        assign = (slices.join(F.broadcast(cents), "subspace")
+                  .withColumn("_d2", _d2_scaled(F.col("_sq"),
+                                                F.col("_cq")))
+                  .groupBy("_id", "subspace")
+                  .agg(F.min(F.struct("_d2", "code")).alias("_m"))
+                  .select("_id", "subspace",
+                          F.col("_m.code").alias("code")))
+        means = (assign.join(slices, ["_id", "subspace"])
+                 .select("subspace", "code",
+                         F.posexplode("_sv").alias("_pos", "_x"))
+                 .groupBy("subspace", "code", "_pos")
+                 .agg((F.sum(F.col("_x").cast("decimal(28,12)"))
+                       .cast("double") / F.count("*")).alias("_mean")))
+        cents = (means.groupBy("subspace", "code")
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("_pos", "_mean"))),
+                     lambda s: s["_mean"]).alias("_c"))
+                 .select("subspace", "code",
+                         _quantize(F.col("_c")).alias("_cq"))
+                 .localCheckpoint())
+    return cents
+
+
+def pq_encode(df: DataFrame, codebook: DataFrame, dim: int,
+              m: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector against a trained codebook: per subspace,
+    the exact scaled-int argmin code (ties → lowest code). Returns
+    (_id, subspace, code) — the stored representation is m codes per
+    vector. Map-only against the broadcast codebook plus one
+    (_id, subspace)-keyed argmin aggregate."""
+    slices = _pq_slices(df, dim, m, id_col, vec_col)
+    return (slices.join(F.broadcast(codebook), "subspace")
+            .withColumn("_d2", _d2_scaled(F.col("_sq"), F.col("_cq")))
+            .groupBy("_id", "subspace")
+            .agg(F.min(F.struct("_d2", "code")).alias("_m"))
+            .select("_id", "subspace", F.col("_m.code").alias("code")))
+
+
+def pq_adc_topk(codes: DataFrame, codebook: DataFrame,
+                queries: DataFrame, dim: int, m: int = 4,
+                k_top: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    distance to every coded vector is the SUM over subspaces of
+    d2(query subvector, that subspace's centroid for the vector's
+    code) — a lookup-table add, never a touch of the original
+    vectors. The LUT is |queries|·m·k rows (broadcast-sized); the
+    scan side reads ONLY the m-int code columns. Distances are exact
+    int64 sums of scaled-int d2s, so ranking (ties → lowest id) is
+    engine-stable. Self-matches excluded (the recall-audit
+    convention). Returns (query_id, vec_id, adc_d2, rk)."""
+    from pyspark.sql import Window
+
+    qs = _pq_slices(queries, dim, m, id_col, vec_col) \
+        .select(F.col("_id").alias("query_id"), "subspace", "_sq")
+    lut = (qs.join(F.broadcast(codebook), "subspace")
+           .withColumn("_qd2", _d2_scaled(F.col("_sq"), F.col("_cq")))
+           .select("query_id", "subspace", "code", "_qd2"))
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (codes.join(F.broadcast(lut), ["subspace", "code"])
+            .where(F.col("_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("_id").alias("vec_id"))
+            .agg(F.sum("_qd2").alias("adc_d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= int(k_top)))

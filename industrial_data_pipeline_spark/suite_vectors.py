@@ -487,3 +487,183 @@ REGISTRY_VECTORS.update({
     "q217_quantized_recall": (q_quantized_recall,
                               ORACLE_QUANTIZED_RECALL),
 })
+
+
+# ------------------- q270 product-quantization (PQ) recall audit
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's compression half, audited end to end
+    (operators/vectors.py::pq_train/pq_encode/pq_adc_topk): a 4-
+    subspace, 8-code product-quantization codebook is TRAINED on the
+    embeddings (one distributed Lloyd job for all subspaces), every
+    vector is ENCODED to 4 small ints (64 float64 dims → 4 codes,
+    ~128× smaller than the raw vectors), and 10 queries rank the
+    corpus by ASYMMETRIC distance — a broadcast lookup-table add
+    over the code columns that never touches the original vectors.
+    Per query: overlap of the ADC top-10 with the exact scaled-int
+    L2 top-10, whether the true nearest neighbor survives, AND the
+    production two-stage number — ADC shortlists 50 candidates,
+    the exact distance re-ranks just those 50 (vectors touched for
+    0.1%% of the corpus), top-10 taken from the re-rank. The spread
+    between recall_at_10 and recall_rerank50 is the measured answer
+    to 'what does 128× compression cost, and how much does the
+    standard re-rank stage buy back'. Every arithmetic step
+    (codebook means, argmin encode, ADC sums, exact distances) is
+    the kmeans scaled-int / DECIMAL discipline, so the oracle
+    replays training, encoding and all three rankings bit-for-bit
+    in SQL."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cb = V.pq_train(emb, dim=64, m=4, k=8, iters=1)
+    codes = V.pq_encode(emb, cb, dim=64, m=4)
+    queries = emb.where(F.col("vec_id") < 10)
+    shortlist = V.pq_adc_topk(codes, cb, queries, dim=64, m=4,
+                              k_top=50)
+    approx = (shortlist.where(F.col("rk") <= 10)
+              .select("query_id", "vec_id"))
+
+    base = emb.select(
+        F.col("vec_id").alias("_id"),
+        V._quantize(V._as_double(F.col("embedding"))).alias("_q"))
+    qf = (base.where(F.col("_id") < 10)
+          .select(F.col("_id").alias("query_id"),
+                  F.col("_q").alias("_qq")))
+    w = Window.partitionBy("query_id").orderBy("_d", "_id")
+    exact = (base.join(F.broadcast(qf),
+                       F.col("_id") != F.col("query_id"))
+             .withColumn("_d", V._d2_scaled(F.col("_q"),
+                                            F.col("_qq")))
+             .withColumn("rk", F.row_number().over(w))
+             .where(F.col("rk") <= 10)
+             .select("query_id", F.col("_id").alias("vec_id"), "rk"))
+    hits = (exact.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    wr = Window.partitionBy("query_id").orderBy("_d", "vec_id")
+    rerank = (shortlist.select("query_id", "vec_id")
+              .join(base, F.col("vec_id") == F.col("_id"))
+              .join(F.broadcast(qf.withColumnRenamed(
+                  "query_id", "_qid")),
+                    F.col("query_id") == F.col("_qid"))
+              .withColumn("_d", V._d2_scaled(F.col("_q"),
+                                             F.col("_qq")))
+              .withColumn("rrk", F.row_number().over(wr))
+              .where(F.col("rrk") <= 10)
+              .select("query_id", "vec_id"))
+    rhits = (exact.join(rerank, ["query_id", "vec_id"])
+             .groupBy("query_id").agg(F.count("*").alias("n_rhits")))
+    top1 = (exact.where(F.col("rk") == 1)
+            .join(approx.withColumn("_in", F.lit(True)),
+                  ["query_id", "vec_id"], "left")
+            .select("query_id",
+                    F.coalesce("_in", F.lit(False))
+                    .alias("top1_survives")))
+    return (qf.select("query_id")
+            .join(hits, "query_id", "left")
+            .join(rhits, "query_id", "left")
+            .join(top1, "query_id")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) / F.lit(10.0))
+                    .alias("recall_at_10"),
+                    (F.coalesce("n_rhits", F.lit(0)) / F.lit(10.0))
+                    .alias("recall_rerank50"),
+                    "top1_survives"))
+
+
+def _oracle_pq_recall(m: int = 4, k: int = 8, ds: int = 16,
+                      nq: int = 10) -> str:
+    def d2(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')")
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v, {_QV.format(c='v')} AS qv FROM e),
+sl AS (SELECT vec_id, i AS subspace,
+              v[i*{ds}+1 : i*{ds}+{ds}] AS sv,
+              qv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+       FROM q, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+seeds AS (SELECT CAST(vec_id AS BIGINT) AS code FROM e
+          ORDER BY vec_id LIMIT {k}),
+c0 AS (SELECT subspace, seeds.code, sq AS cq
+       FROM sl JOIN seeds ON sl.vec_id = seeds.code),
+a1 AS (SELECT vec_id, subspace, code FROM (
+         SELECT sl.vec_id, sl.subspace, c0.code,
+                row_number() OVER (
+                    PARTITION BY sl.vec_id, sl.subspace
+                    ORDER BY {d2('sq', 'cq')}, c0.code) AS rn
+         FROM sl JOIN c0 USING (subspace))
+       WHERE rn = 1),
+m1 AS (SELECT subspace, code, ord,
+              CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+              / count(*) AS mean
+       FROM (SELECT a1.subspace, a1.code, unnest(sl.sv) AS val,
+                    generate_subscripts(sl.sv, 1) AS ord
+             FROM a1 JOIN sl USING (vec_id, subspace))
+       GROUP BY 1, 2, 3),
+c1 AS (SELECT subspace, code,
+              {_QV.format(c='list(mean ORDER BY ord)')} AS cq
+       FROM m1 GROUP BY subspace, code),
+enc AS (SELECT vec_id, subspace, code FROM (
+          SELECT sl.vec_id, sl.subspace, c1.code,
+                 row_number() OVER (
+                     PARTITION BY sl.vec_id, sl.subspace
+                     ORDER BY {d2('sq', 'cq')}, c1.code) AS rn
+          FROM sl JOIN c1 USING (subspace))
+        WHERE rn = 1),
+lut AS (SELECT sl.vec_id AS query_id, sl.subspace, c1.code,
+               {d2('sq', 'cq')} AS qd2
+        FROM sl JOIN c1 USING (subspace) WHERE sl.vec_id < {nq}),
+adc AS (SELECT query_id, enc.vec_id, sum(qd2) AS d
+        FROM enc JOIN lut USING (subspace, code)
+        WHERE enc.vec_id <> query_id
+        GROUP BY 1, 2),
+short AS (SELECT query_id, vec_id, rk FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, vec_id) AS rk
+            FROM adc) WHERE rk <= 50),
+atop AS (SELECT query_id, vec_id FROM short WHERE rk <= 10),
+rr AS (SELECT s.query_id, s.vec_id,
+              {d2('q.qv', 'qq.qv')} AS d
+       FROM short s
+       JOIN q ON q.vec_id = s.vec_id
+       JOIN q qq ON qq.vec_id = s.query_id),
+rtop AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d, vec_id) AS rrk
+           FROM rr) WHERE rrk <= 10),
+ex AS (SELECT qq.vec_id AS query_id, q.vec_id,
+              {d2('q.qv', 'qq.qv')} AS d
+       FROM q CROSS JOIN
+            (SELECT vec_id, qv FROM q WHERE vec_id < {nq}) qq
+       WHERE q.vec_id <> qq.vec_id),
+etop AS (SELECT query_id, vec_id, rk FROM (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d, vec_id) AS rk
+           FROM ex) WHERE rk <= 10),
+hits AS (SELECT query_id, count(*) AS n_hits
+         FROM etop JOIN atop USING (query_id, vec_id) GROUP BY 1),
+rhits AS (SELECT query_id, count(*) AS n_rhits
+          FROM etop JOIN rtop USING (query_id, vec_id) GROUP BY 1),
+t1 AS (SELECT e1.query_id, (a.vec_id IS NOT NULL) AS top1_survives
+       FROM (SELECT query_id, vec_id FROM etop WHERE rk = 1) e1
+       LEFT JOIN atop a USING (query_id, vec_id))
+SELECT qq.vec_id AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / 10.0 AS recall_at_10,
+       coalesce(rh.n_rhits, 0) / 10.0 AS recall_rerank50,
+       t1.top1_survives
+FROM (SELECT vec_id FROM e WHERE vec_id < {nq}) qq
+LEFT JOIN hits h ON h.query_id = qq.vec_id
+LEFT JOIN rhits rh ON rh.query_id = qq.vec_id
+JOIN t1 ON t1.query_id = qq.vec_id
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q270_pq_recall": (q_pq_recall, _oracle_pq_recall()),
+})

@@ -104,3 +104,58 @@ def test_lloyd_seeds_k_lowest_ids_any_id_space(spark):
     out = kmeans_assign(df, k=4, iters=2)
     assert out.count() == 40
     assert out.select("cluster").distinct().count() >= 2
+
+
+def test_pq_roundtrip_on_separated_clusters(spark):
+    """PQ on data that IS its codebook: 4 well-separated groups per
+    subspace; with one refinement iteration the codebook converges
+    to the group means, every member encodes to its group's code,
+    and ADC ranks a query's own group first — exact recall when
+    quantization error is within-group noise."""
+    from industrial_data_pipeline_spark.operators.vectors import (
+        pq_adc_topk, pq_encode, pq_train)
+
+    # 8 dims, m=2 subspaces of 4; vectors cluster by (id % 4)
+    def vec(i):
+        g = i % 4
+        bump = 0.001 * (i // 4)  # tiny within-group jitter
+        return [10.0 * g + bump if d % 4 == 0 else float(g)
+                for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, dim=8, m=2, k=4, iters=1)
+    cbr = cb.collect()
+    assert {r.subspace for r in cbr} == {0, 1}
+    assert all(len(r._cq) == 4 for r in cbr)
+    codes = pq_encode(df, cb, dim=8, m=2)
+    by_vec = {}
+    for r in codes.collect():
+        by_vec.setdefault(r._id, {})[r.subspace] = r.code
+    assert all(len(v) == 2 for v in by_vec.values())
+    # same group -> same code word in every subspace
+    for i in range(16):
+        for j in range(16):
+            if i % 4 == j % 4:
+                assert by_vec[i] == by_vec[j], (i, j, by_vec)
+    # ADC: query 0's nearest by code distance are its own group
+    top = pq_adc_topk(codes, cb,
+                      df.where("vec_id = 0"), dim=8, m=2, k_top=3)
+    got = {r.vec_id for r in top.collect()}
+    assert got == {4, 8, 12}, got
+
+
+def test_pq_train_deterministic(spark):
+    """Two trainings over the same frame produce the identical
+    quantized codebook (seeded init, scaled-int argmin, DECIMAL
+    means — no RNG anywhere)."""
+    from industrial_data_pipeline_spark.operators.vectors import (
+        pq_train)
+    rows = [(i, [float((i * 7 + d * 3) % 11) for d in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {(r.subspace, r.code): list(r._cq)
+         for r in pq_train(df, dim=8, m=2, k=4, iters=1).collect()}
+    b = {(r.subspace, r.code): list(r._cq)
+         for r in pq_train(df, dim=8, m=2, k=4, iters=1).collect()}
+    assert a == b and len(a) >= 2
