@@ -606,7 +606,8 @@ class StoredIvfIndex:
 
     def __init__(self, spark, root: str, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_cells: int = 16,
-                 max_records_per_file: int | None = None):
+                 max_records_per_file: int | None = None,
+                 pq_m: int | None = None, pq_k: int = 8):
         import os
 
         self.spark = spark
@@ -616,6 +617,15 @@ class StoredIvfIndex:
         self.n_cells = n_cells
         self.max_records_per_file = max_records_per_file
         self.centroids: list[list[float]] | None = None
+        #: PQ compression (IVF-ADC): pq_m subspaces × pq_k codes per
+        #: subspace. When set, rows carry `codes array<long>` +
+        #: `vnorm2 long` next to the vector, and probe_batch gains
+        #: mode="adc" — rank candidates from the CODE columns alone
+        #: (LUT adds, vectors untouched), exact-re-rank a shortlist.
+        self.pq_m = pq_m
+        self.pq_k = pq_k
+        self.pq_codebook: list | None = None  # [[subspace, code, cq]]
+        self.dim: int | None = None
         self._data_path = os.path.join(root, "cells")
 
     @property
@@ -632,20 +642,57 @@ class StoredIvfIndex:
         idx = cls(spark, root, id_col=meta["id_col"],
                   vec_col=meta["vec_col"], n_cells=meta["n_cells"],
                   max_records_per_file=meta.get(
-                      "max_records_per_file"))
+                      "max_records_per_file"),
+                  pq_m=meta.get("pq_m"), pq_k=meta.get("pq_k", 8))
         idx.centroids = meta["centroids"]
+        idx.pq_codebook = meta.get("pq_codebook")
+        idx.dim = meta.get("dim")
         return idx
 
     def _rows(self, assigned: DataFrame) -> DataFrame:
         # id cast at WRITE time (ADVICE r9): DATA_SCHEMA declares
         # vec_id long, so an int32 id column must widen here or the
         # vectorized parquet reader fails on the type mismatch
-        return assigned.select(
+        rows = assigned.select(
             F.col(self.id_col).cast("long").alias("vec_id"),
             _as_double(F.col(self.vec_col)).alias("v"), "_cell")
+        if self.pq_m:
+            rows = self._with_codes(rows)
+        return rows
 
-    def build(self, corpus: DataFrame,
-              refine_iters: int = 0) -> None:
+    def _codebook_df(self) -> DataFrame:
+        """The frozen PQ codebook as a broadcastable frame
+        (subspace int, code long, _cq array<long>) — m·k rows."""
+        assert self.pq_codebook is not None
+        return self.spark.createDataFrame(
+            [(int(s), int(c), [int(x) for x in cq])
+             for s, c, cq in self.pq_codebook],
+            "subspace int, code long, _cq array<long>")
+
+    def _with_codes(self, rows: DataFrame) -> DataFrame:
+        """Append `codes` (the m per-subspace argmin codes, ordered
+        by subspace) and `vnorm2` (the EXACT scaled-int squared norm
+        — ADC's cosine denominator) to (vec_id, v, ...) rows. Encode
+        runs against the FROZEN broadcast codebook — map + one
+        id-keyed argmin aggregate, the pq_encode shape."""
+        from industrial_data_pipeline_spark.operators.vectors import (
+            _quantize, pq_encode)
+
+        enc = pq_encode(rows, self._codebook_df(), dim=self.dim,
+                        m=self.pq_m, id_col="vec_id", vec_col="v")
+        codes = (enc.groupBy(F.col("_id").alias("vec_id"))
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("subspace", "code"))),
+                     lambda s: s["code"]).alias("codes")))
+        norm2 = F.aggregate(
+            F.transform(_quantize(F.col("v")), lambda x: x * x),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return (rows.join(codes, "vec_id")
+                .withColumn("vnorm2", norm2))
+
+    def build(self, corpus: DataFrame, refine_iters: int = 0,
+              pq_iters: int = 1) -> None:
         import json
         import os
 
@@ -653,6 +700,21 @@ class StoredIvfIndex:
             corpus, self.n_cells, self.id_col, self.vec_col,
             refine_iters)
         self.centroids = centroids
+        self.dim = len(centroids[0])
+        if self.pq_m:
+            # train the PQ codebook on the BUILD corpus and FREEZE
+            # it (the centroid discipline): appended batches encode
+            # against it, never retrain — retraining would silently
+            # re-mean old codes and break as-of/append equality
+            from industrial_data_pipeline_spark.operators.vectors \
+                import pq_train
+            cb = pq_train(corpus, dim=self.dim, m=self.pq_m,
+                          k=self.pq_k, iters=pq_iters,
+                          id_col=self.id_col, vec_col=self.vec_col)
+            self.pq_codebook = sorted(
+                (int(r["subspace"]), int(r["code"]),
+                 [int(x) for x in r["_cq"]])
+                for r in cb.collect())
         os.makedirs(self.root, exist_ok=True)
         with open(self._meta_path, "w") as fh:
             json.dump({"id_col": self.id_col,
@@ -660,7 +722,10 @@ class StoredIvfIndex:
                        "n_cells": self.n_cells,
                        "max_records_per_file":
                            self.max_records_per_file,
-                       "centroids": centroids}, fh)
+                       "centroids": centroids,
+                       "dim": self.dim,
+                       "pq_m": self.pq_m, "pq_k": self.pq_k,
+                       "pq_codebook": self.pq_codebook}, fh)
         # _epoch=-1 = history; per-epoch idempotent appends share
         # one consistent partition layout (the StoredLshIndex
         # exactly-once discipline)
@@ -711,9 +776,18 @@ class StoredIvfIndex:
         return order[:nprobe]
 
     #: explicit read schema (data + partition cols) — inference
-    #: would fail on an emptied asset; types match build's writes
-    DATA_SCHEMA = ("vec_id long, v array<double>, _epoch int,"
+    #: would fail on an emptied asset; types match build's writes.
+    #: With PQ enabled the rows carry the code columns too.
+    BASE_SCHEMA = ("vec_id long, v array<double>, _epoch int,"
                    " _cell int")
+
+    @property
+    def DATA_SCHEMA(self) -> str:
+        if self.pq_m:
+            return self.BASE_SCHEMA.replace(
+                " _epoch int",
+                " codes array<long>, vnorm2 long, _epoch int")
+        return self.BASE_SCHEMA
 
     def cell_scan(self, cells: list[int],
                   exclude_epoch: int | None = None,
@@ -812,6 +886,127 @@ class StoredIvfIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("_cos"), F.col("vec_id"))
         return (cand.withColumn("_cos", cos)
+                .withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= k)
+                .select("query_id", "vec_id",
+                        F.round("_cos", round_dp).alias("cosine_sim"),
+                        "rk"))
+
+    def probe_batch_adc(self, queries: DataFrame, k: int = 10,
+                        nprobe: int = 4, rerank: int = 50,
+                        round_dp: int = 6,
+                        id_col: str | None = None,
+                        vec_col: str | None = None,
+                        exclude_epoch: int | None = None,
+                        as_of_epoch: int | None = None) -> DataFrame:
+        """IVF-ADC two-stage probe (requires ``pq_m`` at build): the
+        probed cells are scanned reading ONLY the code columns
+        (vec_id, codes, vnorm2 — column pruning drops the vector,
+        the dominant bytes), candidates rank by the ASYMMETRIC
+        cosine — an exact int64 LUT add per subspace over the codes,
+        divided once by the exact int norms — and only the top
+        ``rerank`` per query are exact-re-ranked, read back through a
+        vec_id-IN-pruned scan of the same cells (row groups ∝
+        shortlist, not cells). Same output contract as
+        :meth:`probe_batch` (query_id, vec_id, cosine_sim, rk; ties
+        to the lower vec_id; self-excluded; zero-norm rows dropped).
+
+        The LUT is driver-built from the FROZEN codebook: per query,
+        m·k exact integer dot products — |batch|·m·k rows broadcast,
+        the same envelope as the routing pairs. All ranking inputs
+        are exact int64s or single correctly-rounded double ops, so
+        the two-stage result replays bit-for-bit in SQL (q271).
+
+        Scale shape: stage-1 I/O = probed cells × (m ints + 1 long)
+        per row instead of dim doubles (~dim·8/(m·9)× fewer data
+        bytes, the PQ win); stage-2 I/O ∝ |batch|·rerank rows. At a
+        memory-resident FAISS this is the IVFADC pipeline; here both
+        stages stay declarative scans so Catalyst prunes columns,
+        partitions and row groups from the one persisted asset."""
+        import math
+
+        from pyspark.sql import Window
+
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            isin_prune)
+
+        assert self.pq_m and self.pq_codebook, "build with pq_m first"
+        assert rerank >= k, (rerank, k)
+        idc = id_col or self.id_col
+        vcc = vec_col or self.vec_col
+        ds = self.dim // self.pq_m
+        rows = (queries.select(
+            F.col(idc).cast("long").alias("query_id"),
+            _as_double(F.col(vcc)).alias("_qv")).collect())
+        routing, lut, qnorm = [], [], []
+        for r in rows:
+            qid = int(r["query_id"])
+            qv = list(map(float, r["_qv"]))
+            for c in self.probe_cells(qv, nprobe):
+                routing.append((qid, c))
+            qq = [math.floor(x * 1_000_000 + 0.5) for x in qv]
+            qnorm.append((qid, sum(x * x for x in qq)))
+            for s, code, cq in self.pq_codebook:
+                sub = qq[s * ds:(s + 1) * ds]
+                lut.append((qid, s, code,
+                            sum(a * b for a, b in zip(sub, cq))))
+        route = self.spark.createDataFrame(
+            routing, "query_id long, _cell int")
+        lut_df = self.spark.createDataFrame(
+            lut, "query_id long, subspace int, code long, _qdot long")
+        qn_df = self.spark.createDataFrame(
+            qnorm, "query_id long, _qn2 long")
+        cells = sorted({c for _, c in routing})
+
+        # ---- stage 1: ADC over the code columns only
+        scan = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
+                               as_of_epoch=as_of_epoch)
+                .select("vec_id", "codes", "vnorm2", "_cell")
+                .where(F.col("vnorm2") > 0))
+        self.last_adc_scan = scan  # plan-asserted: no vector column
+        adot = (scan.join(F.broadcast(route), "_cell")
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id", "vnorm2",
+                        F.posexplode("codes").alias("subspace",
+                                                    "code"))
+                .join(F.broadcast(lut_df), ["query_id", "subspace",
+                                            "code"])
+                .groupBy("query_id", "vec_id")
+                .agg(F.sum("_qdot").alias("_adot"),
+                     F.max("vnorm2").alias("_vn2")))
+        acos = (F.col("_adot").cast("double")
+                / (F.sqrt(F.col("_qn2").cast("double"))
+                   * F.sqrt(F.col("_vn2").cast("double"))))
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("_acos"), F.col("vec_id"))
+        shortlist = (adot.join(F.broadcast(qn_df), "query_id")
+                     .where(F.col("_qn2") > 0)
+                     .withColumn("_acos", acos)
+                     .withColumn("_srk", F.row_number().over(ws))
+                     .where(F.col("_srk") <= int(rerank))
+                     .select("query_id", "vec_id")
+                     .localCheckpoint(eager=True))
+
+        # ---- stage 2: exact re-rank of the shortlist only
+        ids = [r["vec_id"] for r in
+               shortlist.select("vec_id").distinct().collect()]
+        vec = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
+                              as_of_epoch=as_of_epoch)
+               .select("vec_id", "v"))
+        vec = isin_prune(vec, {"vec_id": ids})
+        self.last_rerank_scan = vec  # plan-asserted: id IN-pushdown
+        qdf = self.spark.createDataFrame(
+            [(int(r["query_id"]), list(map(float, r["_qv"])))
+             for r in rows], "query_id long, _qv array<double>")
+        cos = F.when(_usable_norm(_norm(F.col("v")))
+                     & _usable_norm(_norm(F.col("_qv"))),
+                     _dot(F.col("v"), F.col("_qv"))
+                     / (_norm(F.col("v")) * _norm(F.col("_qv"))))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_cos"), F.col("vec_id"))
+        return (vec.join(F.broadcast(shortlist), "vec_id")
+                .join(F.broadcast(qdf), "query_id")
+                .withColumn("_cos", cos)
                 .withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= k)
                 .select("query_id", "vec_id",

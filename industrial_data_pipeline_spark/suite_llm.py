@@ -3646,3 +3646,190 @@ REGISTRY_LLM.update({
     "q269_sig_asof_gate": (q_sig_asof_gate,
                            _oracle_sig_asof_gate()),
 })
+
+
+# -- q271 stored IVF-ADC: PQ codes inside the cell asset, two-stage
+# -- probe (code-column ADC shortlist -> pruned exact re-rank)
+
+def q_ivf_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC — the FAISS-style 100 TB ANN layout, persisted: the
+    q259 stored IVF index built WITH product-quantization codes
+    (pq_m=4 × pq_k=8; the q270 kernels frozen into the asset's meta
+    next to the centroids), batch appended through the frozen
+    codebook, then a 10-query batch runs the TWO-STAGE probe
+    (StoredIvfIndex.probe_batch_adc): stage 1 scans the probed
+    cells reading ONLY vec_id+codes+vnorm2 (column pruning drops
+    the 64-double vector — the dominant bytes) and ranks by the
+    asymmetric cosine, exact int64 LUT adds over the codes; stage 2
+    exact-re-ranks just the top-50 per query through a
+    vec_id-IN-pruned scan. Emits the probe_batch contract
+    (query_id, vec_id, cosine_sim, rk). The oracle replays
+    EVERYTHING in SQL — cell routing, PQ training on the base,
+    frozen-codebook encoding of the appends, integer LUT, the
+    asymmetric-cosine shortlist and the exact re-rank — so
+    byte-equality pins the approximate path itself, not a
+    degenerate setting of it."""
+    import shutil
+    import tempfile
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"))
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v")))
+    qs = (base.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q271_")
+    try:
+        idx = SIM.StoredIvfIndex(spark, root, id_col="vec_id",
+                                 vec_col="_v", n_cells=16,
+                                 pq_m=4, pq_k=8)
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.probe_batch_adc(qs, k=10, nprobe=4, rerank=50,
+                                   id_col="qid", vec_col="_qv")
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_ivf_adc_probe(m: int = 4, k: int = 8, ds: int = 16,
+                          nq: int = 10, nprobe: int = 4,
+                          rerank: int = 50) -> str:
+    from industrial_data_pipeline_spark.suite_vectors import _QV
+
+    def d2(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')")
+
+    def idot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> p[1]*p[2]), 'sum')")
+
+    cos = _COS.format(a="c.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    cos_n = _COS.format(a="n.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM c0 WHERE vec_id < 150),
+batch AS (SELECT * FROM c0 WHERE vec_id >= 150 AND vec_id < 250),
+c AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < {nq}),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM base ORDER BY vec_id LIMIT 16),
+ab AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM base b CROSS JOIN seed)
+       WHERE rn = 1),
+an AS (SELECT vec_id, cell FROM
+         (SELECT n.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY n.vec_id
+                                    ORDER BY {cos_n} DESC, seed.cell)
+                     AS rn
+          FROM batch n CROSS JOIN seed)
+       WHERE rn = 1),
+asg AS (SELECT * FROM ab UNION ALL SELECT * FROM an),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= {nprobe}),
+p0 AS (SELECT vec_id, v, {_QV.format(c='v')} AS pqv FROM base),
+sl AS (SELECT vec_id, i AS subspace,
+              v[i*{ds}+1 : i*{ds}+{ds}] AS sv,
+              pqv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+       FROM p0, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+pseeds AS (SELECT CAST(vec_id AS BIGINT) AS code FROM base
+           ORDER BY vec_id LIMIT {k}),
+pc0 AS (SELECT subspace, pseeds.code, sq AS cq
+        FROM sl JOIN pseeds ON sl.vec_id = pseeds.code),
+pa1 AS (SELECT vec_id, subspace, code FROM (
+          SELECT sl.vec_id, sl.subspace, pc0.code,
+                 row_number() OVER (
+                     PARTITION BY sl.vec_id, sl.subspace
+                     ORDER BY {d2('sq', 'cq')}, pc0.code) AS rn
+          FROM sl JOIN pc0 USING (subspace))
+        WHERE rn = 1),
+pm1 AS (SELECT subspace, code, ord,
+               CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS mean
+        FROM (SELECT pa1.subspace, pa1.code, unnest(sl.sv) AS val,
+                     generate_subscripts(sl.sv, 1) AS ord
+              FROM pa1 JOIN sl USING (vec_id, subspace))
+        GROUP BY 1, 2, 3),
+pc1 AS (SELECT subspace, code,
+               {_QV.format(c='list(mean ORDER BY ord)')} AS cq
+        FROM pm1 GROUP BY subspace, code),
+cq2 AS (SELECT vec_id, {_QV.format(c='v')} AS pqv FROM c),
+csl AS (SELECT vec_id, i AS subspace,
+               pqv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM cq2, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+enc AS (SELECT vec_id, subspace, code FROM (
+          SELECT csl.vec_id, csl.subspace, pc1.code,
+                 row_number() OVER (
+                     PARTITION BY csl.vec_id, csl.subspace
+                     ORDER BY {d2('sq', 'cq')}, pc1.code) AS rn
+          FROM csl JOIN pc1 USING (subspace))
+        WHERE rn = 1),
+vn AS (SELECT vec_id,
+              list_aggregate(list_transform(pqv, x -> x*x), 'sum')
+                  AS vn2
+       FROM cq2),
+lut AS (SELECT csl.vec_id AS qid, csl.subspace, pc1.code,
+               {idot('sq', 'cq')} AS qdot
+        FROM csl JOIN pc1 USING (subspace)
+        WHERE csl.vec_id < {nq}),
+qn AS (SELECT vec_id AS qid, vn2 AS qn2 FROM vn
+       WHERE vec_id < {nq}),
+adot AS (SELECT p.qid, e.vec_id, sum(l.qdot) AS ad,
+                max(vn.vn2) AS vn2
+         FROM probe p
+         JOIN asg ON asg.cell = p.cell
+         JOIN enc e ON e.vec_id = asg.vec_id
+         JOIN lut l ON l.qid = p.qid AND l.subspace = e.subspace
+                       AND l.code = e.code
+         JOIN vn ON vn.vec_id = e.vec_id
+         WHERE e.vec_id <> p.qid AND vn.vn2 > 0
+         GROUP BY 1, 2),
+short AS (SELECT qid, vec_id FROM (
+            SELECT a.qid, a.vec_id,
+                   row_number() OVER (PARTITION BY a.qid ORDER BY
+                       (CAST(ad AS DOUBLE)
+                        / (sqrt(CAST(qn2 AS DOUBLE))
+                           * sqrt(CAST(vn2 AS DOUBLE)))) DESC,
+                       a.vec_id) AS srk
+            FROM adot a JOIN qn USING (qid) WHERE qn2 > 0)
+          WHERE srk <= {rerank}),
+rr AS (SELECT s.qid, s.vec_id, {cos} AS cs
+       FROM short s JOIN c ON c.vec_id = s.vec_id
+       JOIN q ON q.qid = s.qid)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM rr)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_LLM.update({
+    "q271_ivf_adc_probe": (q_ivf_adc_probe,
+                           _oracle_ivf_adc_probe()),
+})

@@ -691,3 +691,43 @@ def test_asof_probe_prunes_newer_epochs(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[(.*)\]", band_plan)
     assert m and "_epoch" in m.group(1) and "band" in m.group(1), \
         band_plan
+
+
+def test_ivf_adc_probe_plans_prune_columns_and_ids(spark, tmp_path):
+    """q271's scale claims on the PLANS: the ADC stage's scan reads
+    the code columns and NOT the vector (ReadSchema drops `v` — the
+    dominant bytes stay on disk), with the probed cells as
+    PartitionFilters; the re-rank stage's scan pushes the shortlist
+    ids (In(vec_id)) into the parquet row groups. And the two-stage
+    result ranks by exact cosine — its top-k for a clusterable query
+    equals probe_batch's."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    def vec(seed):
+        return [float((seed * 13 + d * 7) % 19) for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "ivf"), id_col="vec_id",
+                         vec_col="v", n_cells=4, pq_m=2, pq_k=4)
+    idx.build(df)
+    qs = df.where("vec_id < 3")
+    adc = idx.probe_batch_adc(qs, k=5, nprobe=2, rerank=20).collect()
+    adc_plan = plan(idx.last_adc_scan)
+    schemas = re.findall(r"ReadSchema: .*", adc_plan)
+    assert schemas and all("codes" in s for s in schemas), adc_plan
+    assert all("v:" not in s.replace("vec_id", "")
+               .replace("vnorm2", "") for s in schemas), adc_plan
+    assert re.search(r"PartitionFilters: \[.*_cell", adc_plan), \
+        adc_plan
+    rr_plan = plan(idx.last_rerank_scan)
+    assert re.search(r"PushedFilters: \[.*In\(vec_id", rr_plan), \
+        rr_plan
+    exact = idx.probe_batch(qs, k=5, nprobe=2).collect()
+    assert {(r.query_id, r.vec_id, r.rk) for r in adc} \
+        == {(r.query_id, r.vec_id, r.rk) for r in exact}

@@ -492,6 +492,23 @@ PICKS = [
      "pruned probe I/O as current reads; epoch-1's twin vectors "
      "are invisible exactly as if the probe ran before they "
      "committed."),
+    ("q270_pq_recall",
+     "Product quantization audit: all m subspace Lloyd codebooks "
+     "train as ONE distributed job (subspace is a grouping column); "
+     "encode is a broadcast-codebook argmin aggregate; ADC ranks "
+     "via a broadcast LUT join over the codes — the original "
+     "vectors are touched only by the exact ground truth and the "
+     "top-50 re-rank. Scaled-int/DECIMAL arithmetic throughout, so "
+     "the SQL oracle replays every stage bit-for-bit."),
+    ("q271_ivf_adc_probe",
+     "Stored IVF-ADC two-stage probe: stage 1's scan reads ONLY "
+     "vec_id+codes+vnorm2 (ReadSchema drops the 64-double vector — "
+     "asserted in tests/test_plans.py::"
+     "test_ivf_adc_probe_plans_prune_columns_and_ids) with the "
+     "probed cells as PartitionFilters; stage 2 re-reads vectors "
+     "for the In(vec_id)-pushed shortlist only. Column bytes "
+     "measured 0.032x of the vector column "
+     "(tools/ivf_adc_probe_result.json)."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
