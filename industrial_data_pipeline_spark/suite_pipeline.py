@@ -1608,3 +1608,90 @@ REGISTRY_PIPELINE.update({
     "q268_temperature_mix": (q_temperature_mix,
                              ORACLE_TEMPERATURE_MIX),
 })
+
+
+# ---------- q272 epoch-plan export: temperature mix -> shard shuffle
+
+def q_mixed_shard_manifest(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The training-epoch EXPORT plan end to end: the q268
+    temperature mix (rare languages upsampled, repeats materialized
+    as (doc_id, copy_idx) rows) flows straight into the q152
+    deterministic shuffle+shard — the shard key hashes
+    (doc_id, copy_idx) so a document's copies SPREAD across shards
+    (a repeated doc must not land twice in one reader's shard
+    window), the order key is a second independent hash. Emits the
+    per-shard manifest a training job checks before consuming:
+    row count, distinct docs, char volume, first/last row in
+    shuffle order. Composition is the point: mix (no fact shuffle)
+    → one groupBy shuffle for the manifest; at 100 TB the same
+    plan writes shards via repartition(shard) with the manifest as
+    the verification artifact."""
+    mixed = TX.temperature_mix(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"),
+        id_col="doc_id", domain_col="lang", alpha=0.5)
+    tag = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                   F.col("copy_idx").cast("string"))
+    d = (mixed
+         .withColumn("shard", F.pmod(
+             TX.hash64(F.concat(tag, F.lit(":epoch1"))), F.lit(8)))
+         .withColumn("_okey",
+                     TX.hash64(F.concat(tag, F.lit(":ord1"))))
+         .join(load(spark, sf_dir, "documents")
+               .select("doc_id", "n_chars"), "doc_id"))
+    key = F.struct(F.col("_okey"), F.col("doc_id"),
+                   F.col("copy_idx"))
+    return (d.groupBy("shard")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min_by("doc_id", key).alias("first_doc"),
+                 F.max_by("doc_id", key).alias("last_doc")))
+
+
+ORACLE_MIXED_SHARD_MANIFEST = f"""
+WITH n AS (SELECT lang, count(*) AS n_s FROM documents
+           GROUP BY lang),
+m AS (SELECT max(n_s) AS mx FROM n),
+c AS (SELECT lang,
+             sqrt(CAST(mx AS DOUBLE) / CAST(n_s AS DOUBLE)) AS cop
+      FROM n, m),
+d AS (SELECT lang, CAST(floor(cop) AS BIGINT) AS base,
+             CAST(floor((cop - floor(cop)) * 1000000) AS BIGINT)
+                 AS fs
+      FROM c),
+docs AS (SELECT doc_id, d.lang,
+                base + CASE WHEN {_h64("doc_id || ':mix1'")}
+                                 % 1000000 < fs
+                            THEN 1 ELSE 0 END AS n_copies
+         FROM documents JOIN d USING (lang)),
+mixed AS (SELECT doc_id, CAST(i AS INT) AS copy_idx
+          FROM docs, UNNEST(generate_series(0, n_copies - 1))
+              AS t(i)),
+k AS (SELECT doc_id, copy_idx,
+             {_h64("doc_id || ':' || copy_idx || ':epoch1'")} % 8
+                 AS shard,
+             {_h64("doc_id || ':' || copy_idx || ':ord1'")} AS okey
+      FROM mixed),
+j AS (SELECT k.*, dd.n_chars
+      FROM k JOIN documents dd USING (doc_id)),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY okey, doc_id, copy_idx)
+                 AS rn_a,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY okey DESC, doc_id DESC,
+                                         copy_idx DESC) AS rn_d
+      FROM j)
+SELECT shard, count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(CASE WHEN rn_a = 1 THEN doc_id END) AS first_doc,
+       max(CASE WHEN rn_d = 1 THEN doc_id END) AS last_doc
+FROM r GROUP BY shard
+"""
+
+REGISTRY_PIPELINE.update({
+    "q272_mixed_shard_manifest": (q_mixed_shard_manifest,
+                                  ORACLE_MIXED_SHARD_MANIFEST),
+})

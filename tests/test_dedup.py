@@ -571,3 +571,31 @@ def test_stored_lsh_index_asof_probe_time_travel(spark, tmp_path):
     assert {(r.new_id, r.old_id)
             for r in idx.probe(probe, as_of_epoch=-1).collect()} \
         == full
+
+
+def test_retraction_overrides_time_travel(spark, tmp_path):
+    """Takedown compliance: retract() rewrites EVERY epoch partition,
+    so a retracted document cannot be resurrected by an as-of probe —
+    snapshots answer 'what did the index contain', takedowns answer
+    'what are we allowed to serve', and the second wins."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        StoredLshIndex)
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    idx = StoredLshIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    idx.build(base)
+    e0 = spark.createDataFrame(
+        [(2, "one two three four five six")],
+        "doc_id long, text string")
+    idx.append_frames(*idx.signature_frames(e0), epoch_id=0)
+    probe = spark.createDataFrame(
+        [(10, "one two three four five six")],
+        "doc_id long, text string")
+    assert {r.old_id for r in
+            idx.probe(probe, as_of_epoch=0).collect()} == {2}
+    idx.retract([2])
+    # the as-of snapshot that USED to contain doc 2 must not serve it
+    assert idx.probe(probe, as_of_epoch=0).count() == 0
+    assert idx.probe(probe).count() == 0

@@ -532,3 +532,45 @@ def test_stored_sig_and_ivf_asof_probe(spark, tmp_path):
                               "vec_id long, v array<double>"),
         k=3, nprobe=2, as_of_epoch=0).collect()}
     assert 3 not in got_asof and got_asof  # epoch-1 vector pruned
+
+
+def test_pq_index_compact_and_retract_keep_codes(spark, tmp_path):
+    """The PQ columns survive the lifecycle verbs: compact folds
+    append accretion without touching codes (ADC probe byte-identical
+    across it), and retract removes exactly the requested vectors
+    from the coded rows — including under a subsequent as-of probe
+    (takedown overrides time-travel on this asset too)."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    def vec(seed):
+        return [float((seed * 13 + d * 7) % 19) for d in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(30)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "ivf"), id_col="vec_id",
+                         vec_col="v", n_cells=4, pq_m=2, pq_k=4)
+    idx.build(base)
+    extra = spark.createDataFrame(
+        [(100 + i, vec(100 + i)) for i in range(3)],
+        "vec_id long, v array<double>")
+    idx.append(extra, epoch_id=0)
+    qs = base.where("vec_id < 2")
+    before_files = idx.file_count()
+    before = sorted(map(tuple, idx.probe_batch_adc(
+        qs, k=5, nprobe=2, rerank=20).collect()))
+    stats = idx.compact()
+    assert stats["files_after"] < before_files
+    after = sorted(map(tuple, idx.probe_batch_adc(
+        qs, k=5, nprobe=2, rerank=20).collect()))
+    assert after == before
+    victim = before[0][1]  # a vec_id the probe currently returns
+    idx.retract([victim])
+    post = {r.vec_id for r in idx.probe_batch_adc(
+        qs, k=5, nprobe=2, rerank=20).collect()}
+    assert victim not in post and post
+    reopened = StoredIvfIndex.open(spark, str(tmp_path / "ivf"))
+    post2 = {r.vec_id for r in reopened.probe_batch_adc(
+        qs, k=5, nprobe=2, rerank=20, as_of_epoch=0).collect()}
+    assert victim not in post2

@@ -509,6 +509,13 @@ PICKS = [
      "for the In(vec_id)-pushed shortlist only. Column bytes "
      "measured 0.032x of the vector column "
      "(tools/ivf_adc_probe_result.json)."),
+    ("q272_mixed_shard_manifest",
+     "Epoch-plan export: the mix's broadcast copy-spec join + "
+     "map-side explode feed the manifest's ONE groupBy shuffle — "
+     "no window sort (first/last via partial-aggable "
+     "min_by/max_by), no fact-table shuffle before the shard "
+     "aggregation, shard/order keys are portable hashes of "
+     "(doc_id, copy_idx)."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
