@@ -72,35 +72,59 @@ from industrial_data_pipeline_spark.operators.dedup import (
 MAX_PUSHDOWN_KEYS = 4096
 
 
+def _swap_token_of(leftover: str, prefix: str) -> int:
+    """Fencing token encoded in a staging/old dir name; unsuffixed
+    legacy names count as token 0."""
+    suffix = leftover[len(prefix):]
+    try:
+        return int(suffix[1:]) if suffix else 0
+    except ValueError:
+        return 0
+
+
 def _recover_swap(path: str, max_token: int | None = None) -> None:
     """Finish/roll back a :func:`compact_parquet_dir` swap that
     crashed mid-rename: an ``_compact_old`` whose live dir is missing
     is renamed back (the new dir never went live); leftover staging —
-    ``_compact_tmp`` dirs, including token-suffixed ones from aborted
-    fenced attempts — is discarded (rewrites are idempotent).
-    ``max_token`` bounds the sweep for FENCED callers: only staging
-    whose token suffix is ≤ the caller's own fencing token is deleted
-    (a zombie that stalls into its sweep after being overtaken can
-    therefore never touch the NEWER holder's in-flight staging —
-    tokens are monotonic per acquisition); unsuffixed legacy staging
-    counts as token 0."""
+    ``_compact_tmp`` dirs — is discarded (rewrites are idempotent).
+
+    EVERY destructive step here is fence-bounded for FENCED callers
+    (``max_token`` = the caller's own fencing token): both the
+    rollback rename and the sweep touch only dirs whose token suffix
+    is ≤ the caller's token. Old dirs are token-suffixed exactly like
+    staging (self-review r10 — previously only staging was bounded,
+    so a zombie that stalled past its entry ``still_valid()`` check
+    straight into this function could rename a NEWER holder's
+    mid-commit ``_compact_old`` back over the live path, failing the
+    legitimate commit, or sweep that old dir out from under the
+    holder's final cleanup). Tokens are monotonic per acquisition, so
+    "token > mine" can only mean a newer holder's in-flight work —
+    never ours to touch; "token ≤ mine" is a crashed older attempt
+    (its lease is over — the caller holds it now). Unsuffixed legacy
+    names count as token 0. Paths are glob-escaped so roots with
+    metacharacters ([, ?, *) don't break the sweep or match siblings
+    (self-review r10)."""
     import glob
 
-    old = path + "_compact_old"
-    if os.path.isdir(old) and not os.path.isdir(path):
-        os.rename(old, path)
-    prefix = path + "_compact_tmp"
-    for leftover in ([old] + glob.glob(prefix + "*")):
-        if not (os.path.isdir(leftover) and os.path.isdir(path)):
-            continue
-        if max_token is not None and leftover.startswith(prefix):
-            suffix = leftover[len(prefix):]
-            try:
-                tok = int(suffix[1:]) if suffix else 0
-            except ValueError:
-                tok = 0
-            if tok > max_token:
-                continue  # a newer holder's staging — not ours to touch
+    old_prefix = path + "_compact_old"
+    tmp_prefix = path + "_compact_tmp"
+
+    def mine(dirs: list[str], prefix: str) -> list[str]:
+        return [p for p in dirs if os.path.isdir(p)
+                and (max_token is None
+                     or _swap_token_of(p, prefix) <= max_token)]
+
+    olds = mine(glob.glob(glob.escape(old_prefix) + "*"), old_prefix)
+    if not os.path.isdir(path) and olds:
+        # roll back the NEWEST crashed attempt ≤ our token (its swap
+        # never went live); older leftovers are swept below
+        newest = max(olds, key=lambda p: _swap_token_of(p, old_prefix))
+        os.rename(newest, path)
+        olds.remove(newest)
+    if not os.path.isdir(path):
+        return
+    for leftover in olds + mine(
+            glob.glob(glob.escape(tmp_prefix) + "*"), tmp_prefix):
         shutil.rmtree(leftover, ignore_errors=True)
 
 
@@ -185,7 +209,11 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     suffix = (f".{lock.token}"
               if lock is not None and lock.token else "")
     tmp = path + "_compact_tmp" + suffix
-    old = path + "_compact_old"
+    # the old dir is token-suffixed too (self-review r10): a zombie's
+    # recovery sweep/rollback is token-bounded, so it can neither
+    # rename OUR mid-commit old back over the live path nor delete it
+    # out from under the rmtree below
+    old = path + "_compact_old" + suffix
     writer.parquet(tmp)
     if lock is not None and not lock.still_valid():
         from industrial_data_pipeline_spark.catalog.lease import (
@@ -197,9 +225,45 @@ def compact_parquet_dir(spark: SparkSession, path: str,
             f"untouched; re-acquire and retry")
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    # ignore_errors: a LATER holder's entry sweep may legitimately
+    # have collected this old dir if we stalled past ttl between the
+    # renames — its contents are already live either way
+    shutil.rmtree(old, ignore_errors=True)
     return {"files_before": before,
             "files_after": _count_parquet_files(path)}
+
+
+def rewrite_under_lease(spark: SparkSession, root: str, assets,
+                        keep=None, prepare=None,
+                        lease_timeout_s: float = 30.0) -> dict:
+    """The ONE copy of the stored-index rewrite protocol
+    (self-review r10 — previously triplicated across the three index
+    classes, so a lease/fencing fix had to be applied in three places
+    and could silently miss one): acquire the index root's writer
+    lease, rewrite each asset through :func:`compact_parquet_dir`'s
+    fenced crash-recoverable swap (entry + pre-commit
+    ``still_valid()`` checks, token-bounded recovery), release.
+
+    ``assets`` is an iterable of ``(path, sort_cols, partition_by,
+    schema, max_records_per_file)``; ``keep`` (retraction predicate)
+    and ``prepare`` (e.g. epoch folding) apply to every asset.
+    Returns the summed {files_before, files_after}."""
+    from industrial_data_pipeline_spark.catalog.lease import LeaseLock
+
+    lock = LeaseLock(os.path.join(root, "_writer.lease"))
+    lock.acquire(timeout_s=lease_timeout_s)
+    try:
+        before = after = 0
+        for path, sort_cols, pby, schema, mrpf in assets:
+            stats = compact_parquet_dir(
+                spark, path, tuple(sort_cols), partition_by=pby,
+                max_records_per_file=mrpf, keep=keep,
+                prepare=prepare, schema=schema, lock=lock)
+            before += stats["files_before"]
+            after += stats["files_after"]
+        return {"files_before": before, "files_after": after}
+    finally:
+        lock.release()
 
 
 def isin_prune(scan: DataFrame, keys: dict[str, list]) -> DataFrame:
@@ -559,31 +623,23 @@ class StoredLshIndex:
         never re-run, so folding them is safe; the dropped rows are
         deterministically rewritten by this very retry.
         Returns {files_before, files_after}."""
-        from industrial_data_pipeline_spark.catalog.lease import (
-            LeaseLock)
-        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
-        lock.acquire(timeout_s=lease_timeout_s)
-        try:
-            before = self.file_count()
-            fold = lambda df: df.withColumn("_epoch", F.lit(-1))
-            keep = (None if in_flight_epoch is None
-                    else F.col("_epoch") < int(in_flight_epoch))
-            for path, sort_cols, pby, schema in (
-                (self._bands_path, ("band", "bucket"),
-                 ("_epoch", "band"), self.BANDS_SCHEMA),
-                (self._shingles_path, ("doc_id",), "_epoch",
-                 self.SHINGLES_SCHEMA),
-            ):
-                compact_parquet_dir(self.spark, path, sort_cols,
-                                    partition_by=pby,
-                                    max_records_per_file=
-                                    self.max_records_per_file,
-                                    keep=keep, prepare=fold,
-                                    schema=schema, lock=lock)
-            return {"files_before": before,
-                    "files_after": self.file_count()}
-        finally:
-            lock.release()
+        fold = lambda df: df.withColumn("_epoch", F.lit(-1))
+        keep = (None if in_flight_epoch is None
+                else F.col("_epoch") < int(in_flight_epoch))
+        return rewrite_under_lease(
+            self.spark, self.root, self._assets(), keep=keep,
+            prepare=fold, lease_timeout_s=lease_timeout_s)
+
+    def _assets(self):
+        """(path, sort_cols, partition_by, schema, mrpf) per asset —
+        the spec :func:`rewrite_under_lease` rewrites."""
+        return (
+            (self._bands_path, ("band", "bucket"),
+             ("_epoch", "band"), self.BANDS_SCHEMA,
+             self.max_records_per_file),
+            (self._shingles_path, ("doc_id",), "_epoch",
+             self.SHINGLES_SCHEMA, self.max_records_per_file),
+        )
 
     def retract(self, doc_ids: list,
                 lease_timeout_s: float = 30.0) -> dict:
@@ -598,30 +654,8 @@ class StoredLshIndex:
         the rewrite is O(index) per call, so batch retractions and
         piggyback them on the scheduled compaction at scale. Returns
         {files_before, files_after}."""
-        from industrial_data_pipeline_spark.catalog.lease import (
-            LeaseLock)
         ids = sorted(set(doc_ids))
-        keep = ~F.col("doc_id").isin(ids)
-        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
-        lock.acquire(timeout_s=lease_timeout_s)
-        try:
-            before = self.file_count()
-            compact_parquet_dir(self.spark, self._bands_path,
-                                ("band", "bucket"),
-                                partition_by=("_epoch", "band"),
-                                max_records_per_file=
-                                self.max_records_per_file,
-                                keep=keep, schema=self.BANDS_SCHEMA,
-                                lock=lock)
-            compact_parquet_dir(self.spark, self._shingles_path,
-                                ("doc_id",),
-                                partition_by="_epoch",
-                                max_records_per_file=
-                                self.max_records_per_file,
-                                keep=keep,
-                                schema=self.SHINGLES_SCHEMA,
-                                lock=lock)
-            return {"files_before": before,
-                    "files_after": self.file_count()}
-        finally:
-            lock.release()
+        return rewrite_under_lease(
+            self.spark, self.root, self._assets(),
+            keep=~F.col("doc_id").isin(ids),
+            lease_timeout_s=lease_timeout_s)

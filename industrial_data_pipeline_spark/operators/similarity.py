@@ -583,6 +583,30 @@ def ann_hard_negatives(index: DataFrame, corpus: DataFrame,
                     "rk"))
 
 
+def _rank_exact_cosine(cand: DataFrame, k: int,
+                       round_dp: int) -> DataFrame:
+    """The ONE copy of the stored-probe ranking contract
+    (self-review r10 — previously duplicated between probe_batch and
+    the ADC re-rank stage, where a tie-break fix could drift):
+    guarded UNROUNDED cosine over (query_id, vec_id, v, _qv) rows,
+    per-query window, ties to the lower vec_id, round on emit.
+    q264/q265/q271 byte-pin this ordering."""
+    from pyspark.sql import Window
+
+    cos = F.when(_usable_norm(_norm(F.col("v")))
+                 & _usable_norm(_norm(F.col("_qv"))),
+                 _dot(F.col("v"), F.col("_qv"))
+                 / (_norm(F.col("v")) * _norm(F.col("_qv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.col("vec_id"))
+    return (cand.withColumn("_cos", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "vec_id",
+                    F.round("_cos", round_dp).alias("cosine_sim"),
+                    "rk"))
+
+
 class StoredIvfIndex:
     """Persisted IVF index: the assigned table written PARTITIONED BY
     ``_cell`` (vectors as array<double>, rows id-clustered within a
@@ -879,18 +903,7 @@ class StoredIvfIndex:
                 .join(F.broadcast(route), "_cell")
                 .where(F.col("vec_id") != F.col("query_id"))
                 .join(F.broadcast(qdf), "query_id"))
-        cos = F.when(_usable_norm(_norm(F.col("v")))
-                     & _usable_norm(_norm(F.col("_qv"))),
-                     _dot(F.col("v"), F.col("_qv"))
-                     / (_norm(F.col("v")) * _norm(F.col("_qv"))))
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("_cos"), F.col("vec_id"))
-        return (cand.withColumn("_cos", cos)
-                .withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") <= k)
-                .select("query_id", "vec_id",
-                        F.round("_cos", round_dp).alias("cosine_sim"),
-                        "rk"))
+        return _rank_exact_cosine(cand, k, round_dp)
 
     def probe_batch_adc(self, queries: DataFrame, k: int = 10,
                         nprobe: int = 4, rerank: int = 50,
@@ -907,9 +920,14 @@ class StoredIvfIndex:
         divided once by the exact int norms — and only the top
         ``rerank`` per query are exact-re-ranked, read back through a
         vec_id-IN-pruned scan of the same cells (row groups ∝
-        shortlist, not cells). Same output contract as
-        :meth:`probe_batch` (query_id, vec_id, cosine_sim, rk; ties
-        to the lower vec_id; self-excluded; zero-norm rows dropped).
+        shortlist, not cells). Output shape and ranking contract
+        match :meth:`probe_batch` (query_id, vec_id, cosine_sim, rk;
+        unrounded-cosine order, ties to the lower vec_id;
+        self-excluded) with one STATED divergence (self-review r10):
+        zero-norm stored vectors are dropped here (``vnorm2 > 0`` —
+        a zero vector has no ADC rank), while probe_batch emits them
+        as NULL-cosine rows in trailing rank slots; on any corpus
+        without zero vectors the two agree row-for-row.
 
         The LUT is driver-built from the FROZEN codebook: per query,
         m·k exact integer dot products — |batch|·m·k rows broadcast,
@@ -998,20 +1016,9 @@ class StoredIvfIndex:
         qdf = self.spark.createDataFrame(
             [(int(r["query_id"]), list(map(float, r["_qv"])))
              for r in rows], "query_id long, _qv array<double>")
-        cos = F.when(_usable_norm(_norm(F.col("v")))
-                     & _usable_norm(_norm(F.col("_qv"))),
-                     _dot(F.col("v"), F.col("_qv"))
-                     / (_norm(F.col("v")) * _norm(F.col("_qv"))))
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("_cos"), F.col("vec_id"))
-        return (vec.join(F.broadcast(shortlist), "vec_id")
-                .join(F.broadcast(qdf), "query_id")
-                .withColumn("_cos", cos)
-                .withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") <= k)
-                .select("query_id", "vec_id",
-                        F.round("_cos", round_dp).alias("cosine_sim"),
-                        "rk"))
+        return _rank_exact_cosine(
+            vec.join(F.broadcast(shortlist), "vec_id")
+            .join(F.broadcast(qdf), "query_id"), k, round_dp)
 
     def file_count(self) -> int:
         """Data files currently composing the index — the quantity
@@ -1022,30 +1029,22 @@ class StoredIvfIndex:
 
     def _rewrite(self, keep, fold: bool,
                  lease_timeout_s: float) -> dict:
-        """Shared compact/retract body (the StoredSignatureIndex
-        shape): rewrite the cell asset through the crash-recoverable
-        swap under the writer lease, with the pre-commit
-        ``still_valid()`` fencing check — one copy of the protocol,
-        so a lease/fencing fix can never drift between verbs."""
-        import os
-
-        from industrial_data_pipeline_spark.catalog.lease import (
-            LeaseLock)
+        """Compact/retract body: delegate to the ONE shared copy of
+        the lease+fenced-swap protocol
+        (lsh_index.rewrite_under_lease — self-review r10 deduplicated
+        it across the three index classes, so a lease/fencing fix can
+        never drift between classes or verbs)."""
         from industrial_data_pipeline_spark.operators.lsh_index import (
-            compact_parquet_dir)
+            rewrite_under_lease)
         prepare = ((lambda df: df.withColumn("_epoch", F.lit(-1)))
                    if fold else None)
-        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
-        lock.acquire(timeout_s=lease_timeout_s)
-        try:
-            return compact_parquet_dir(
-                self.spark, self._data_path, ("_cell", "vec_id"),
-                partition_by=("_epoch", "_cell"),
-                max_records_per_file=self.max_records_per_file,
-                keep=keep, prepare=prepare,
-                schema=self.DATA_SCHEMA, lock=lock)
-        finally:
-            lock.release()
+        return rewrite_under_lease(
+            self.spark, self.root,
+            ((self._data_path, ("_cell", "vec_id"),
+              ("_epoch", "_cell"), self.DATA_SCHEMA,
+              self.max_records_per_file),),
+            keep=keep, prepare=prepare,
+            lease_timeout_s=lease_timeout_s)
 
     def compact(self, lease_timeout_s: float = 30.0,
                 in_flight_epoch: int | None = None) -> dict:
@@ -1309,37 +1308,22 @@ class StoredSignatureIndex:
 
     def _rewrite(self, keep, fold: bool,
                  lease_timeout_s: float) -> dict:
-        """Shared compact/retract body: rewrite both assets through
-        the crash-recoverable swap under the writer lease, with the
-        pre-commit fencing check."""
-        import os
-
-        from industrial_data_pipeline_spark.catalog.lease import (
-            LeaseLock)
+        """Compact/retract body: delegate both assets to the ONE
+        shared copy of the lease+fenced-swap protocol
+        (lsh_index.rewrite_under_lease — self-review r10)."""
         from industrial_data_pipeline_spark.operators.lsh_index import (
-            compact_parquet_dir)
+            rewrite_under_lease)
         prepare = ((lambda df: df.withColumn("_epoch", F.lit(-1)))
                    if fold else None)
-        lock = LeaseLock(os.path.join(self.root, "_writer.lease"))
-        lock.acquire(timeout_s=lease_timeout_s)
-        try:
-            before = self.file_count()
-            for path, sort_cols, pby, schema in (
-                (self._sigs_path, ("table", "sig"),
-                 ("_epoch", "table"), self.SIGS_SCHEMA),
-                (self._vecs_path, ("vec_id",), "_epoch",
-                 self.VECS_SCHEMA),
-            ):
-                compact_parquet_dir(self.spark, path, sort_cols,
-                                    partition_by=pby,
-                                    max_records_per_file=
-                                    self.max_records_per_file,
-                                    keep=keep, prepare=prepare,
-                                    schema=schema, lock=lock)
-            return {"files_before": before,
-                    "files_after": self.file_count()}
-        finally:
-            lock.release()
+        return rewrite_under_lease(
+            self.spark, self.root,
+            ((self._sigs_path, ("table", "sig"),
+              ("_epoch", "table"), self.SIGS_SCHEMA,
+              self.max_records_per_file),
+             (self._vecs_path, ("vec_id",), "_epoch",
+              self.VECS_SCHEMA, self.max_records_per_file)),
+            keep=keep, prepare=prepare,
+            lease_timeout_s=lease_timeout_s)
 
     def compact(self, lease_timeout_s: float = 30.0,
                 in_flight_epoch: int | None = None) -> dict:

@@ -454,11 +454,21 @@ def temperature_mix(df: DataFrame, id_col: str = "doc_id",
 
     Plan shape: one count aggregate over |domains| groups, a scalar
     max, the per-domain copy spec broadcast back onto the corpus, and
-    a posexplode of a 1..n_copies sequence — no shuffle of the fact
+    an explode of a 0..n_copies-1 sequence — no shuffle of the fact
     table at all (count is partial-aggregated; the explode is
     map-side). At 100 TB the output is written straight through
     shard_assignment: repetition multiplies rows before the shuffle,
-    so size the shard count by the POST-mix row count."""
+    so size the shard count by the POST-mix row count.
+
+    NULL domains: rows whose ``domain_col`` is NULL are dropped (the
+    spec join is an equi-join, and a SQL replay's ``JOIN ... USING``
+    drops them identically) — coalesce to a sentinel domain upstream
+    if null-domain docs must be kept."""
+    # alpha < 0 would invert the weighting (copies < 1 for the
+    # smaller domains), making _base = 0 — and sequence(0, -1) emits
+    # [0, -1], silently DUPLICATING dropped docs (self-review r10).
+    # Downsampling is q48's job; this operator only upsamples.
+    assert 0.0 <= float(alpha) <= 1.0, alpha
     ratio = (F.col("_mx").cast("double")
              / F.col("_n").cast("double"))
     copies = (F.sqrt(ratio) if float(alpha) == 0.5

@@ -320,7 +320,12 @@ def pq_train(df: DataFrame, dim: int, m: int = 4, k: int = 8,
     At 100 TB: PQ codes store m small ints per vector instead of
     dim doubles (64-dim float64 → 4 codes ≈ 128× compression); the
     codebook is k·dim doubles TOTAL (broadcast-sized at any corpus
-    scale), and encode/ADC are map-only stages against it."""
+    scale), and encode/ADC are map-only stages against it.
+
+    Contract: every vector must be exactly ``dim`` long (the
+    StoredSignatureIndex assumption) — a short vector yields short
+    or empty subspace slices whose NULL-padded distances poison the
+    argmin; validate length upstream if the source is untrusted."""
     slices = _pq_slices(df, dim, m, id_col, vec_col)
     seeds = (df.select(F.col(id_col).cast("long").alias("_sid"))
              .orderBy("_sid").limit(k))

@@ -434,3 +434,55 @@ def test_zombie_sweep_never_touches_newer_staging(spark, tmp_path):
     _recover_swap(data, max_token=2)     # the owner's own sweep clears it
     assert not os.path.isdir(b_tmp)
     b.release()
+
+
+def test_zombie_recovery_cannot_touch_newer_holders_commit(
+        spark, tmp_path):
+    """Self-review r10: the RECOVERY path is fence-bounded too — a
+    zombie that stalls past its entry still_valid() check straight
+    into _recover_swap must neither roll a NEWER holder's mid-commit
+    _compact_old back over the live path nor sweep it out from under
+    the holder's final cleanup. Old dirs are token-suffixed exactly
+    like staging; 'token > mine' is never ours to touch."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        _recover_swap)
+
+    data = str(tmp_path / "asset")
+
+    # --- scenario 1: newer holder (token 5) between its two renames:
+    # live dir missing, old.5 holds the pre-swap state
+    os.makedirs(data + "_compact_old.5")
+    open(data + "_compact_old.5/part-0.parquet", "w").write("x")
+    _recover_swap(data, max_token=3)       # zombie token 3
+    assert not os.path.isdir(data)          # did NOT roll back
+    assert os.path.isdir(data + "_compact_old.5")  # untouched
+    # the legitimate holder's own recovery (token 5) DOES roll back
+    _recover_swap(data, max_token=5)
+    assert os.path.isdir(data)
+    assert not os.path.isdir(data + "_compact_old.5")
+
+    # --- scenario 2: newer holder after its swap, before rmtree(old):
+    # live dir present, old.7 still on disk — zombie sweep must skip
+    os.makedirs(data + "_compact_old.7")
+    _recover_swap(data, max_token=3)
+    assert os.path.isdir(data + "_compact_old.7")
+    # a crashed OLDER attempt's leftovers (token <= mine) are swept
+    os.makedirs(data + "_compact_old.2")
+    _recover_swap(data, max_token=3)
+    assert not os.path.isdir(data + "_compact_old.2")
+    assert os.path.isdir(data + "_compact_old.7")
+    _recover_swap(data, max_token=9)       # the newer holder's sweep
+    assert not os.path.isdir(data + "_compact_old.7")
+
+    # --- rollback picks the NEWEST crashed attempt <= our token
+    import shutil
+    shutil.rmtree(data)
+    os.makedirs(data + "_compact_old.1")
+    open(data + "_compact_old.1/a.parquet", "w").write("1")
+    os.makedirs(data + "_compact_old.2")
+    open(data + "_compact_old.2/b.parquet", "w").write("2")
+    _recover_swap(data, max_token=4)
+    assert os.path.isdir(data)
+    assert os.path.exists(os.path.join(data, "b.parquet"))
+    assert not os.path.isdir(data + "_compact_old.1")  # swept
+    assert not os.path.isdir(data + "_compact_old.2")
