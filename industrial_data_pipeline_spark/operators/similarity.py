@@ -1020,6 +1020,56 @@ class StoredIvfIndex:
             vec.join(F.broadcast(shortlist), "vec_id")
             .join(F.broadcast(qdf), "query_id"), k, round_dp)
 
+    def quantization_drift(self, round_dp: int = 6) -> DataFrame:
+        """Codebook STALENESS audit (requires ``pq_m``): per epoch,
+        the reconstruction error of the stored codes against the
+        FROZEN codebook — count, mean and max of
+        ``||quantize(v) − centroid(code)||²`` (descaled). The
+        codebook never retrains (the centroid discipline), so when
+        the appended distribution drifts away from the build corpus
+        this number grows epoch over epoch — the retrain/rebuild
+        trigger a production IVF-PQ monitors, here an auditable
+        query instead of a judgement call.
+
+        One full pass over the asset (it is an audit, not a probe);
+        per-(vector, subspace) distances are exact scaled int64s, the
+        per-vector sum rides a DECIMAL(38,0) aggregate (a shifted
+        epoch's errors overflow int64 in the sum), ONE double cast +
+        two correctly-rounded divisions at the end — bit-identical
+        in any engine, so the q273 oracle replays it."""
+        from industrial_data_pipeline_spark.operators.vectors import (
+            _d2_scaled as _vd2, _quantize)
+
+        assert self.pq_m and self.pq_codebook, "build with pq_m first"
+        ds = self.dim // self.pq_m
+        rows = (self.spark.read.schema(self.DATA_SCHEMA)
+                .parquet(self._data_path)
+                .select("vec_id", "_epoch", "codes",
+                        _quantize(F.col("v")).alias("_q")))
+        sub = (rows.select(
+            "vec_id", "_epoch", "_q",
+            F.posexplode("codes").alias("subspace", "code"))
+            .withColumn("_sq", F.slice(
+                F.col("_q"), F.col("subspace") * ds + 1, ds)))
+        err = (sub.join(F.broadcast(self._codebook_df()),
+                        ["subspace", "code"])
+               .withColumn("_d2", _vd2(F.col("_sq"), F.col("_cq")))
+               .groupBy("vec_id", "_epoch")
+               .agg(F.sum("_d2").alias("_err")))
+        scale = float(1_000_000) ** 2
+        return (err.groupBy("_epoch")
+                .agg(F.count("*").alias("n_vecs"),
+                     F.round(F.sum(F.col("_err")
+                                   .cast("decimal(38,0)"))
+                             .cast("double") / F.count("*")
+                             / F.lit(scale), round_dp)
+                     .alias("mean_err"),
+                     F.round(F.max("_err").cast("double")
+                             / F.lit(scale), round_dp)
+                     .alias("max_err"))
+                .select(F.col("_epoch").alias("epoch"), "n_vecs",
+                        "mean_err", "max_err"))
+
     def file_count(self) -> int:
         """Data files currently composing the index — the quantity
         :meth:`compact` bounds."""

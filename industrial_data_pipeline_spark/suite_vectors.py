@@ -667,3 +667,122 @@ JOIN t1 ON t1.query_id = qq.vec_id
 REGISTRY_VECTORS.update({
     "q270_pq_recall": (q_pq_recall, _oracle_pq_recall()),
 })
+
+
+# ---------------- q273 PQ codebook STALENESS audit (drift monitor)
+
+def q_pq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain trigger a production IVF-PQ must monitor
+    (StoredIvfIndex.quantization_drift): the codebook is trained
+    once on the build corpus and FROZEN (the centroid discipline —
+    retraining would re-mean committed codes and break
+    append/as-of equality), so when ingest drifts away from the
+    build distribution the codes reconstruct their vectors worse
+    and worse. The audit reports per EPOCH the count, mean and max
+    reconstruction error ||quantize(v) − centroid(code)||²
+    (descaled): epoch 0 appends in-distribution vectors (error ≈
+    build), epoch 1 appends a SHIFTED distribution (every value
+    +2 — far outside the build range) whose error visibly jumps —
+    the auditable 'rebuild the codebook' signal. All distances are
+    exact scaled int64s; per-epoch sums ride a DECIMAL aggregate
+    with ONE double cast + two correctly-rounded divisions, so the
+    oracle replays training, encoding and the error arithmetic
+    bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"))
+    e0 = (emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+          .select("vec_id", v.alias("_v")))
+    e1 = (emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
+          .select("vec_id",
+                  F.transform(v, lambda x: x + F.lit(2.0))
+                  .alias("_v")))
+    root = tempfile.mkdtemp(prefix="idp_q273_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16,
+                             pq_m=4, pq_k=8)
+        idx.build(base)
+        idx.append(e0, epoch_id=0)
+        idx.append(e1, epoch_id=1)
+        out = idx.quantization_drift().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_pq_drift(m: int = 4, k: int = 8, ds: int = 16) -> str:
+    def d2(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')")
+
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT vec_id, v FROM c0 WHERE vec_id < 150),
+all_rows AS (
+  SELECT vec_id, v, -1 AS epoch FROM base
+  UNION ALL
+  SELECT vec_id, v, 0 FROM c0
+  WHERE vec_id >= 150 AND vec_id < 200
+  UNION ALL
+  SELECT vec_id, list_transform(v, x -> x + 2.0), 1
+  FROM c0 WHERE vec_id >= 200 AND vec_id < 250),
+p0 AS (SELECT vec_id, v, {_QV.format(c='v')} AS pqv FROM base),
+sl AS (SELECT vec_id, i AS subspace,
+              v[i*{ds}+1 : i*{ds}+{ds}] AS sv,
+              pqv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+       FROM p0, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+pseeds AS (SELECT CAST(vec_id AS BIGINT) AS code FROM base
+           ORDER BY vec_id LIMIT {k}),
+pc0 AS (SELECT subspace, pseeds.code, sq AS cq
+        FROM sl JOIN pseeds ON sl.vec_id = pseeds.code),
+pa1 AS (SELECT vec_id, subspace, code FROM (
+          SELECT sl.vec_id, sl.subspace, pc0.code,
+                 row_number() OVER (
+                     PARTITION BY sl.vec_id, sl.subspace
+                     ORDER BY {d2('sq', 'cq')}, pc0.code) AS rn
+          FROM sl JOIN pc0 USING (subspace))
+        WHERE rn = 1),
+pm1 AS (SELECT subspace, code, ord,
+               CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS mean
+        FROM (SELECT pa1.subspace, pa1.code, unnest(sl.sv) AS val,
+                     generate_subscripts(sl.sv, 1) AS ord
+              FROM pa1 JOIN sl USING (vec_id, subspace))
+        GROUP BY 1, 2, 3),
+pc1 AS (SELECT subspace, code,
+               {_QV.format(c='list(mean ORDER BY ord)')} AS cq
+        FROM pm1 GROUP BY subspace, code),
+aq AS (SELECT vec_id, epoch, {_QV.format(c='v')} AS pqv
+       FROM all_rows),
+asl AS (SELECT vec_id, epoch, i AS subspace,
+               pqv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM aq, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+perr AS (SELECT vec_id, epoch, subspace,
+                min({d2('sq', 'cq')}) AS d2min
+         FROM asl JOIN pc1 USING (subspace)
+         GROUP BY 1, 2, 3),
+verr AS (SELECT vec_id, epoch,
+                CAST(sum(d2min) AS BIGINT) AS err
+         FROM perr GROUP BY 1, 2)
+SELECT CAST(epoch AS INT) AS epoch, count(*) AS n_vecs,
+       round(CAST(CAST(sum(CAST(err AS DECIMAL(38,0)))
+                       AS BIGINT) AS DOUBLE)
+             / count(*) / 1000000000000.0, 6) AS mean_err,
+       round(CAST(max(err) AS DOUBLE) / 1000000000000.0, 6)
+           AS max_err
+FROM verr GROUP BY epoch
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q273_pq_drift_audit": (q_pq_drift_audit, _oracle_pq_drift()),
+})

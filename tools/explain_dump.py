@@ -516,6 +516,12 @@ PICKS = [
      "min_by/max_by), no fact-table shuffle before the shard "
      "aggregation, shard/order keys are portable hashes of "
      "(doc_id, copy_idx)."),
+    ("q273_pq_drift_audit",
+     "Codebook staleness audit: one pass over the stored asset "
+     "(audit, not probe), broadcast codebook join, exact scaled-int "
+     "distances, per-epoch DECIMAL error sums with one double cast "
+     "— the dump is the checkpointed 3-row report; the 280x error "
+     "jump on the shifted epoch is the retrain trigger."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
