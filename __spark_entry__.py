@@ -154,12 +154,12 @@ _VERIFIED_GREEN = {
 
 # Round 9 closed the q254-q262 tail (CORRECTNESS_r09: 50/50 green) —
 # moved into the green tier above. Round 10's never-checked tail is
-# q263-q273 (embedding-index retraction, IVF retraction, batch IVF
+# q263-q274 (embedding-index retraction, IVF retraction, batch IVF
 # probe, in-stream retraction, as-of/time-travel probes on the text
 # and embedding indexes, temperature-based domain mixing, product
 # quantization, stored IVF-ADC, mixed-shard export manifest, PQ
-# staleness audit) — 11 queries in the first-run tier with the 262
-# greens re-confirming after. Round-10 behavior changes to green queries were each
+# staleness audit, TER eval) — 12 queries in the first-run tier
+# with the 262 greens re-confirming after. Round-10 behavior changes to green queries were each
 # re-verified values=MATCH via tools/drive_contract.py before
 # commit: q256 (embedding assets refactored onto
 # StoredSignatureIndex + in-stream compaction of both assets —

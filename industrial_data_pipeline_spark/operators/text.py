@@ -1271,6 +1271,95 @@ def rouge_l(pairs: DataFrame, id_col: str = "doc_id",
                             round_dp).alias("rougeL_f1")))
 
 
+def levenshtein_token_pair(a: str, b: str) -> int:
+    """One (candidate, reference) token-Levenshtein — module-level so
+    the Arrow kernel and the property tests share ONE copy of the
+    vectorized DP (tests pin it against a textbook full-matrix DP
+    over tiny-alphabet sequences; a drifted replica could not)."""
+    import re
+
+    import numpy as np
+
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    ta = [t for t in _ws.split((a or "").lower()) if t]
+    tb = [t for t in _ws.split((b or "").lower()) if t]
+    if not ta or not tb:
+        return max(len(ta), len(tb))
+    vocab: dict[str, int] = {}
+    ai = np.fromiter((vocab.setdefault(t, len(vocab)) for t in ta),
+                     dtype=np.int64, count=len(ta))
+    bi = np.fromiter((vocab.get(t, -1) for t in tb),
+                     dtype=np.int64, count=len(tb))
+    n = len(tb)
+    idx = np.arange(n + 1, dtype=np.int64)
+    prev = idx.copy()  # row 0: distance to empty candidate
+    for x in ai:
+        cost = (bi != x).astype(np.int64)
+        # delete (prev[j]+1) / substitute (prev[j-1]+cost) halves
+        t = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        base = np.concatenate(([prev[0] + 1], t))
+        # fold the insert chain via prefix-min (see docstring)
+        prev = np.minimum.accumulate(base - idx) + idx
+    return int(prev[-1])
+
+
+def token_edit_distance(cand_col: Column, ref_col: Column) -> Column:
+    """Token-level Levenshtein distance (insert/delete/substitute,
+    unit costs) between two texts — the combinatorial core of TER
+    (translation edit rate) and the exact-verify refinement of fuzzy
+    dedup. Same tokenization discipline as :func:`lcs_token_len`
+    (lower + the Java ``\\s`` ASCII class), same reason for an Arrow
+    kernel (an O(m·n) loop-carried DP no built-in expresses), and
+    the same exact-INTEGER output so engines cannot diverge and the
+    float metric divides once per row.
+
+    The inner DP row is fully vectorized: the delete/substitute half
+    is elementwise over the previous row; the loop-carried INSERT
+    chain ``cur[j] = min(t[j], cur[j-1]+1)`` folds into a prefix-min
+    — ``cur = min.accumulate(t - j) + j`` — so Python does O(m)
+    steps of O(n) numpy ops per pair, the lcs_token_len envelope."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _lev(cand: pd.Series, ref: pd.Series) -> pd.Series:
+        return pd.Series([levenshtein_token_pair(a, b)
+                          for a, b in zip(cand, ref)])
+
+    _lev.__annotations__ = {"cand": pd.Series, "ref": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf(_lev, "long")(cand_col, ref_col)
+
+
+def ter(pairs: DataFrame, id_col: str = "doc_id",
+        cand_col: str = "candidate", ref_col: str = "reference",
+        round_dp: int = 6) -> DataFrame:
+    """TER — translation edit rate (Snover 2006, minus the shift op:
+    plain token edit distance over reference length, the widely
+    reported simplification): the generation-eval metric where LOWER
+    is better, completing the family (ROUGE-1/2/L, BLEU-4, chrF,
+    nDCG, MRR, recall). Empty references get NULL (0/0 undefined,
+    the rouge contract); an empty candidate against a non-empty
+    reference scores edits = |ref| (all deletions), TER = 1.
+
+    Engine determinism: edits and the reference token count are
+    exact integers; ONE division per row, rounded last — the oracle
+    only needs to KNOW the edit count, which q274 arranges with
+    planted closed-form families (identity = 0; subsequence-drop =
+    dropped count, since Levenshtein = |ref| − |cand| when cand is a
+    subsequence; disjoint = max(|cand|, |ref|), since distance ≥
+    max − LCS and LCS = 0). Adversarial unplanted cases (repeats,
+    transpositions, empties) are pinned against a classic
+    full-matrix DP in tests."""
+    n = F.size(tokens(F.lower(F.col(ref_col)))).cast("double")
+    ed = token_edit_distance(F.col(cand_col), F.col(ref_col))
+    return (pairs.select(F.col(id_col), ed.alias("edits"),
+                         n.alias("_n"))
+            .select(id_col, "edits",
+                    F.round(F.col("edits")
+                            / F.nullif(F.col("_n"), F.lit(0.0)),
+                            round_dp).alias("ter")))
+
+
 def hashed_bow_embedding(text_col: Column, dim: int = 16) -> Column:
     """Deterministic hashed bag-of-words document embedding
     (``array<double>``, length ``dim``): component ``d`` is the sum

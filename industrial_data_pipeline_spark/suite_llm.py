@@ -3833,3 +3833,52 @@ REGISTRY_LLM.update({
     "q271_ivf_adc_probe": (q_ivf_adc_probe,
                            _oracle_ivf_adc_probe()),
 })
+
+
+# ----------------------- q274 TER (token edit rate) eval metric
+
+def q_ter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TER over three planted pair families (operators/text.py::ter
+    — the edit-distance kernel beside q255's LCS): identity pairs
+    (doc_id < 30 — 0 edits, TER 0), pure-subsequence pairs
+    (30 ≤ doc_id < 90 — every 3rd token dropped; Levenshtein =
+    |ref| − |cand| EXACTLY when the candidate is a subsequence, all
+    deletions), and disjoint pairs (90 ≤ doc_id < 120 — three
+    never-in-corpus tokens; distance = max(|cand|, |ref|), since
+    distance ≥ max − LCS and LCS = 0). The kernel runs the GENERAL
+    O(m·n) vectorized DP — it cannot see the planting; the oracle
+    knows each family's edit count in closed form from token
+    lengths alone. Adversarial unplanted cases (repeats,
+    transpositions, shifts, empties) are pinned against a classic
+    full-matrix DP in tests/test_kernel_properties.py."""
+    docs = _load_docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    toks = TX.tokens(F.col("text"))
+    kept = F.filter(toks, lambda x, i: i % 3 != 0)
+    cand = (F.when(F.col("doc_id") < 30, F.col("text"))
+            .when(F.col("doc_id") < 90, F.array_join(kept, " "))
+            .otherwise(F.lit("zzzq274a zzzq274b zzzq274c")))
+    pairs = docs.select("doc_id", cand.alias("candidate"),
+                        F.col("text").alias("reference"))
+    return TX.ter(pairs).orderBy("doc_id")
+
+
+def _oracle_ter_eval() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(text),"
+             " '\\s+'), x -> x <> '')")
+    return f"""
+WITH base AS (SELECT doc_id, len({ltoks}) AS n
+              FROM documents WHERE doc_id < 120),
+shaped AS (SELECT doc_id, n,
+    CASE WHEN doc_id < 30 THEN 0
+         WHEN doc_id < 90 THEN (n + 2) // 3
+         ELSE greatest(n, 3) END AS edits
+    FROM base)
+SELECT doc_id, CAST(edits AS BIGINT) AS edits,
+       round(edits / nullif(CAST(n AS DOUBLE), 0.0), 6) AS ter
+FROM shaped ORDER BY doc_id
+"""
+
+
+REGISTRY_LLM.update({
+    "q274_ter_eval": (q_ter_eval, _oracle_ter_eval()),
+})

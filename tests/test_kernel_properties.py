@@ -796,3 +796,73 @@ def test_temperature_mix_copy_arithmetic_cross_engine(n, extra):
         " FROM (SELECT sqrt(CAST(? AS DOUBLE) / CAST(? AS DOUBLE))"
         "       AS cop)", [mx, n]).fetchone()
     assert tuple(got) == py, (mx, n, got, py)
+
+
+@given(st.lists(st.floats(min_value=-100.0, max_value=100.0,
+                          allow_nan=False), min_size=1, max_size=16),
+       st.lists(st.floats(min_value=-100.0, max_value=100.0,
+                          allow_nan=False), min_size=1, max_size=16))
+@settings(max_examples=150, deadline=None)
+def test_pq_scaled_int_arithmetic_cross_engine(a, b):
+    """q270/q271/q273's engine-pinned arithmetic, tested directly:
+    the quantize → squared-distance / dot chain is floor(x·1e6+0.5)
+    (one correctly-rounded multiply + add, exact floor) followed by
+    pure int64 math — Python (driver LUTs), DuckDB (oracles) and
+    the JVM (in-plan expressions, pinned transitively by the
+    byte-exact q270/q271/q273 oracle matches) must agree on every
+    input. Lengths are truncated to the shorter list the way
+    list_zip/zip_with align."""
+    import math
+
+    import duckdb
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    qa = [math.floor(x * 1_000_000 + 0.5) for x in a]
+    qb = [math.floor(x * 1_000_000 + 0.5) for x in b]
+    py_d2 = sum((x - y) * (x - y) for x, y in zip(qa, qb))
+    py_dot = sum(x * y for x, y in zip(qa, qb))
+    got = duckdb.connect().execute(
+        "SELECT list_aggregate(list_transform(list_zip(qa, qb),"
+        "         p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'),"
+        "       list_aggregate(list_transform(list_zip(qa, qb),"
+        "         p -> p[1]*p[2]), 'sum')"
+        " FROM (SELECT list_transform(?::DOUBLE[],"
+        "         x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qa,"
+        "       list_transform(?::DOUBLE[],"
+        "         x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qb)",
+        [a, b]).fetchone()
+    assert (int(got[0]), int(got[1])) == (py_d2, py_dot), (a, b)
+
+
+def _lev_classic(a: list, b: list) -> int:
+    """Textbook full-matrix Levenshtein — the independent reference
+    the vectorized prefix-min kernel is pinned against."""
+    m, n = len(a), len(b)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        d[i][0] = i
+    for j in range(n + 1):
+        d[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    return d[m][n]
+
+
+@given(st.lists(st.sampled_from("abcde"), max_size=12),
+       st.lists(st.sampled_from("abcde"), max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_token_edit_distance_matches_classic_dp(ca, cb):
+    """The q274 kernel's vectorized prefix-min DP equals the
+    textbook full-matrix Levenshtein on arbitrary token sequences
+    over a tiny alphabet (maximizing repeats, transpositions and
+    shift traps — the cases where a subsequence/hamming shortcut
+    would diverge). Tests the EXACT function the Arrow kernel calls
+    per pair (module-level, not a replica that could drift)."""
+    from industrial_data_pipeline_spark.operators.text import (
+        levenshtein_token_pair)
+
+    got = levenshtein_token_pair(" ".join(ca), " ".join(cb))
+    assert got == _lev_classic(ca, cb), (ca, cb, got)

@@ -522,6 +522,12 @@ PICKS = [
      "distances, per-epoch DECIMAL error sums with one double cast "
      "— the dump is the checkpointed 3-row report; the 280x error "
      "jump on the shifted epoch is the retrain trigger."),
+    ("q274_ter_eval",
+     "TER eval: a shuffle-free projection — one Arrow kernel pass "
+     "(vectorized Levenshtein, prefix-min insert fold) over the "
+     "pair rows plus a single JVM division per row; eval cost "
+     "linear in sum(m*n) across pairs, no cross-pair state (the "
+     "q255 LCS envelope)."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
