@@ -150,24 +150,24 @@ _VERIFIED_GREEN = {
     "q256_multigate_stream", "q257_compacted_gate", "q258_bleu_eval",
     "q259_stored_ivf_recall", "q260_retracted_gate",
     "q261_video_metadata", "q262_chrf_eval",
+    "q263_sig_retracted_gate", "q264_ivf_retracted_recall",
+    "q265_ivf_batch_probe", "q266_instream_retraction",
+    "q267_asof_gate", "q268_temperature_mix", "q269_sig_asof_gate",
+    "q270_pq_recall", "q271_ivf_adc_probe",
+    "q272_mixed_shard_manifest", "q273_pq_drift_audit",
+    "q274_ter_eval",
 }
 
-# Round 9 closed the q254-q262 tail (CORRECTNESS_r09: 50/50 green) —
-# moved into the green tier above. Round 10's never-checked tail is
-# q263-q274 (embedding-index retraction, IVF retraction, batch IVF
-# probe, in-stream retraction, as-of/time-travel probes on the text
-# and embedding indexes, temperature-based domain mixing, product
-# quantization, stored IVF-ADC, mixed-shard export manifest, PQ
-# staleness audit, TER eval) — 12 queries in the first-run tier
-# with the 262 greens re-confirming after. Round-10 behavior changes to green queries were each
-# re-verified values=MATCH via tools/drive_contract.py before
-# commit: q256 (embedding assets refactored onto
-# StoredSignatureIndex + in-stream compaction of both assets —
-# oracle unchanged), the stored-index family
-# q205/q242/q243/q245/q248/q253/q254/q257/q259/q260 (lease fencing
-# check wired into the compaction swap; id casts at write time —
-# behavior-identical on long-id testdata), plus fresh full sweeps
-# (CORRECTNESS_LOCAL_r10).
+# Round 10 closed the q263-q274 tail (CORRECTNESS_r10: 50/50 green)
+# — moved into the green tier above. Round 11's never-checked tail
+# is q275-q278 (stored IVF with RESIDUAL product quantization, the
+# residual-vs-raw recall A/B, the rebuild() retrain verb acting on
+# q273's drift signal, corpus-level multi-reference BLEU) — each
+# locally values=MATCH via tools/drive_contract.py before commit.
+# Round-11 behavior-adjacent changes to green queries (the
+# probe_batch_adc routing frame gained a _cdot column that is the
+# +0 identity on raw-mode indexes; quantization_drift selects _cell)
+# were re-verified values=MATCH: q264/q265/q270/q271/q273.
 _VERIFY_FIRST: set[str] = set()
 
 

@@ -727,17 +727,46 @@ class StoredIvfIndex:
              for s, c, cq in self.pq_codebook],
             "subspace int, code long, _cq array<long>")
 
+    def _residual_slices(self, rows: DataFrame) -> DataFrame:
+        """(_id, subspace, _sq array<long>) RESIDUAL subvectors of
+        (vec_id, v, _cell) rows: ``quantize(v) − quantize(centroid(
+        cell))`` sliced into the m subspaces — the pq_train_ints /
+        pq_encode_ints input shape. One broadcast join against the
+        n_cells quantized-centroid frame + one posexplode; exact
+        int64 end to end, so the q275/q276 oracles replay it."""
+        from industrial_data_pipeline_spark.operators.vectors import (
+            _quantize)
+
+        ds = self.dim // self.pq_m
+        res = F.zip_with(_quantize(F.col("v")), F.col("_ccq"),
+                         lambda x, y: x - y)
+        slices = F.array(*[F.slice(res, j * ds + 1, ds)
+                           for j in range(self.pq_m)])
+        return (rows.join(F.broadcast(self._cells_df()),
+                          F.col("_cell") == F.col("cell"))
+                .select(F.col("vec_id").alias("_id"),
+                        F.posexplode(slices).alias("subspace",
+                                                   "_sq")))
+
     def _with_codes(self, rows: DataFrame) -> DataFrame:
         """Append `codes` (the m per-subspace argmin codes, ordered
         by subspace) and `vnorm2` (the EXACT scaled-int squared norm
-        — ADC's cosine denominator) to (vec_id, v, ...) rows. Encode
-        runs against the FROZEN broadcast codebook — map + one
-        id-keyed argmin aggregate, the pq_encode shape."""
+        — ADC's cosine denominator) to (vec_id, v, _cell) rows.
+        Encode runs against the FROZEN broadcast codebook — map + one
+        id-keyed argmin aggregate, the pq_encode shape. With
+        ``pq_residual`` the encoded quantity is the CELL RESIDUAL
+        (:meth:`_residual_slices`); vnorm2 stays the raw vector's
+        exact norm either way (the ADC denominator is exact, only
+        the numerator is approximated)."""
         from industrial_data_pipeline_spark.operators.vectors import (
-            _quantize, pq_encode)
+            _quantize, pq_encode, pq_encode_ints)
 
-        enc = pq_encode(rows, self._codebook_df(), dim=self.dim,
-                        m=self.pq_m, id_col="vec_id", vec_col="v")
+        if self.pq_residual:
+            enc = pq_encode_ints(self._residual_slices(rows),
+                                 self._codebook_df())
+        else:
+            enc = pq_encode(rows, self._codebook_df(), dim=self.dim,
+                            m=self.pq_m, id_col="vec_id", vec_col="v")
         codes = (enc.groupBy(F.col("_id").alias("vec_id"))
                  .agg(F.transform(
                      F.sort_array(F.collect_list(
@@ -749,11 +778,30 @@ class StoredIvfIndex:
         return (rows.join(codes, "vec_id")
                 .withColumn("vnorm2", norm2))
 
-    def build(self, corpus: DataFrame, refine_iters: int = 0,
-              pq_iters: int = 1) -> None:
+    def _write_meta(self) -> None:
+        """Atomic meta (re)write: staged next to the live file,
+        cut over with one ``os.replace`` — a reader never sees a
+        torn JSON."""
         import json
         import os
 
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"id_col": self.id_col,
+                       "vec_col": self.vec_col,
+                       "n_cells": self.n_cells,
+                       "max_records_per_file":
+                           self.max_records_per_file,
+                       "centroids": self.centroids,
+                       "dim": self.dim,
+                       "pq_m": self.pq_m, "pq_k": self.pq_k,
+                       "pq_residual": self.pq_residual,
+                       "pq_codebook": self.pq_codebook}, fh)
+        os.replace(tmp, self._meta_path)
+
+    def build(self, corpus: DataFrame, refine_iters: int = 0,
+              pq_iters: int = 1) -> None:
         assigned, centroids = ivf_build(
             corpus, self.n_cells, self.id_col, self.vec_col,
             refine_iters)
@@ -763,27 +811,27 @@ class StoredIvfIndex:
             # train the PQ codebook on the BUILD corpus and FREEZE
             # it (the centroid discipline): appended batches encode
             # against it, never retrain — retraining would silently
-            # re-mean old codes and break as-of/append equality
+            # re-mean old codes and break as-of/append equality.
+            # :meth:`rebuild` is the sanctioned retrain verb.
             from industrial_data_pipeline_spark.operators.vectors \
-                import pq_train
-            cb = pq_train(corpus, dim=self.dim, m=self.pq_m,
-                          k=self.pq_k, iters=pq_iters,
-                          id_col=self.id_col, vec_col=self.vec_col)
+                import pq_train, pq_train_ints
+            if self.pq_residual:
+                rows = assigned.select(
+                    F.col(self.id_col).cast("long").alias("vec_id"),
+                    _as_double(F.col(self.vec_col)).alias("v"),
+                    "_cell")
+                cb = pq_train_ints(self._residual_slices(rows),
+                                   k=self.pq_k, iters=pq_iters)
+            else:
+                cb = pq_train(corpus, dim=self.dim, m=self.pq_m,
+                              k=self.pq_k, iters=pq_iters,
+                              id_col=self.id_col,
+                              vec_col=self.vec_col)
             self.pq_codebook = sorted(
                 (int(r["subspace"]), int(r["code"]),
                  [int(x) for x in r["_cq"]])
                 for r in cb.collect())
-        os.makedirs(self.root, exist_ok=True)
-        with open(self._meta_path, "w") as fh:
-            json.dump({"id_col": self.id_col,
-                       "vec_col": self.vec_col,
-                       "n_cells": self.n_cells,
-                       "max_records_per_file":
-                           self.max_records_per_file,
-                       "centroids": centroids,
-                       "dim": self.dim,
-                       "pq_m": self.pq_m, "pq_k": self.pq_k,
-                       "pq_codebook": self.pq_codebook}, fh)
+        self._write_meta()
         # _epoch=-1 = history; per-epoch idempotent appends share
         # one consistent partition layout (the StoredLshIndex
         # exactly-once discipline)
@@ -980,6 +1028,12 @@ class StoredIvfIndex:
         the same envelope as the routing pairs. All ranking inputs
         are exact int64s or single correctly-rounded double ops, so
         the two-stage result replays bit-for-bit in SQL (q271).
+        With ``pq_residual`` the numerator decomposes exactly as
+        ⟨q, c_cell⟩ + Σ_s⟨q_s, r̃_s⟩: the coarse term rides the
+        routing pairs (one extra int64 per (query, probed cell),
+        driver-computed), the fine term is the same LUT over the
+        RESIDUAL codebook — plan shape, I/O and output contract are
+        unchanged (q275 pins the residual path in SQL).
 
         Scale shape: stage-1 I/O = probed cells × (m ints + 1 long)
         per row instead of dim doubles (~dim·8/(m·9)× fewer data
@@ -1002,25 +1056,36 @@ class StoredIvfIndex:
         rows = (queries.select(
             F.col(idc).cast("long").alias("query_id"),
             _as_double(F.col(vcc)).alias("_qv")).collect())
+        cents_q = self.centroids_q if self.pq_residual else None
         routing, lut, qnorm = [], [], []
         for r in rows:
             qid = int(r["query_id"])
             qv = list(map(float, r["_qv"]))
-            for c in self.probe_cells(qv, nprobe):
-                routing.append((qid, c))
             qq = [math.floor(x * 1_000_000 + 0.5) for x in qv]
+            for c in self.probe_cells(qv, nprobe):
+                # residual mode: the coarse half of the numerator —
+                # ⟨query, centroid(cell)⟩ exactly, one int64 per
+                # (query, probed cell); raw mode carries 0 (adding
+                # it is the identity, so one agg expression serves
+                # both modes)
+                cdot = (sum(a * b for a, b in zip(qq, cents_q[c]))
+                        if cents_q is not None else 0)
+                routing.append((qid, c, cdot))
             qnorm.append((qid, sum(x * x for x in qq)))
+            # residual mode: the codebook holds RESIDUAL centroids,
+            # so the same ⟨query subvector, centroid⟩ table is the
+            # fine half of ⟨q, c_cell + r̃⟩ = ⟨q,c_cell⟩ + Σ_s⟨q_s,r̃_s⟩
             for s, code, cq in self.pq_codebook:
                 sub = qq[s * ds:(s + 1) * ds]
                 lut.append((qid, s, code,
                             sum(a * b for a, b in zip(sub, cq))))
         route = self.spark.createDataFrame(
-            routing, "query_id long, _cell int")
+            routing, "query_id long, _cell int, _cdot long")
         lut_df = self.spark.createDataFrame(
             lut, "query_id long, subspace int, code long, _qdot long")
         qn_df = self.spark.createDataFrame(
             qnorm, "query_id long, _qn2 long")
-        cells = sorted({c for _, c in routing})
+        cells = sorted({c for _, c, _cd in routing})
 
         # ---- stage 1: ADC over the code columns only
         scan = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
@@ -1030,13 +1095,16 @@ class StoredIvfIndex:
         self.last_adc_scan = scan  # plan-asserted: no vector column
         adot = (scan.join(F.broadcast(route), "_cell")
                 .where(F.col("vec_id") != F.col("query_id"))
-                .select("query_id", "vec_id", "vnorm2",
+                .select("query_id", "vec_id", "vnorm2", "_cdot",
                         F.posexplode("codes").alias("subspace",
                                                     "code"))
                 .join(F.broadcast(lut_df), ["query_id", "subspace",
                                             "code"])
                 .groupBy("query_id", "vec_id")
-                .agg(F.sum("_qdot").alias("_adot"),
+                # _cdot is constant within the group (a vector lives
+                # in exactly one cell): max() just carries it
+                .agg((F.sum("_qdot") + F.max("_cdot"))
+                     .alias("_adot"),
                      F.max("vnorm2").alias("_vn2")))
         acos = (F.col("_adot").cast("double")
                 / (F.sqrt(F.col("_qn2").cast("double"))
@@ -1093,8 +1161,17 @@ class StoredIvfIndex:
         ds = self.dim // self.pq_m
         rows = (self.spark.read.schema(self.DATA_SCHEMA)
                 .parquet(self._data_path)
-                .select("vec_id", "_epoch", "codes",
+                .select("vec_id", "_epoch", "_cell", "codes",
                         _quantize(F.col("v")).alias("_q")))
+        if self.pq_residual:
+            # residual codes describe q(v) − q(centroid(cell)), so
+            # reconstruction error is measured against THAT quantity
+            rows = (rows.join(F.broadcast(self._cells_df()),
+                              F.col("_cell") == F.col("cell"))
+                    .withColumn("_q", F.zip_with(
+                        F.col("_q"), F.col("_ccq"),
+                        lambda x, y: x - y))
+                    .drop("cell", "_ccq"))
         sub = (rows.select(
             "vec_id", "_epoch", "_q",
             F.posexplode("codes").alias("subspace", "code"))
@@ -1175,6 +1252,82 @@ class StoredIvfIndex:
         ids = sorted({int(i) for i in vec_ids})
         return self._rewrite(~F.col("vec_id").isin(ids), fold=False,
                              lease_timeout_s=lease_timeout_s)
+
+    def rebuild(self, refine_iters: int = 0, pq_iters: int = 1,
+                lease_timeout_s: float = 30.0) -> dict:
+        """RETRAIN the frozen state and REWRITE the asset — the verb
+        :meth:`quantization_drift`'s staleness signal triggers
+        (VERDICT r10 item 2). Centroids and (if PQ) the codebook are
+        trained FRESH on the CURRENT corpus (build's exact recipe:
+        lowest-id seeds + ``refine_iters`` Lloyd passes; residual or
+        raw codebook per ``pq_residual``), then every stored row is
+        re-routed, re-encoded and folded to ``_epoch=-1`` through
+        the ONE shared lease+fenced-swap protocol
+        (lsh_index.rewrite_under_lease) — an overtaken zombie
+        rebuilder ABORTS before the first rename with the in-memory
+        state rolled back (tests/test_lease.py), and the meta file
+        cuts over atomically AFTER the data swap.
+
+        Stated trades: (a) as-of history RESETS — epochs fold into
+        history exactly as :meth:`compact` documents, plus as-of
+        equality against pre-rebuild probes no longer holds (the
+        routing/codes themselves changed — that is the point);
+        (b) crash between the data swap and the meta replace leaves
+        NEW data under OLD meta — probes then route through stale
+        centroids (recall loss, no corruption) until the rebuild is
+        re-run, which is idempotent. Serialize with the admitting
+        writer like compact (call from the admitting process or with
+        the stream paused). O(corpus) by nature — it is a retrain.
+        Returns {files_before, files_after}."""
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            rewrite_under_lease)
+
+        corpus = (self.spark.read.schema(self.DATA_SCHEMA)
+                  .parquet(self._data_path).select("vec_id", "v"))
+        saved = (self.centroids, self.pq_codebook)
+        try:
+            _, centroids = ivf_build(corpus, self.n_cells,
+                                     "vec_id", "v", refine_iters)
+            self.centroids = centroids
+            if self.pq_m:
+                from industrial_data_pipeline_spark.operators.vectors \
+                    import pq_train, pq_train_ints
+                if self.pq_residual:
+                    routed = ivf_assign(corpus, centroids, "v")
+                    cb = pq_train_ints(
+                        self._residual_slices(
+                            routed.select("vec_id", "v", "_cell")),
+                        k=self.pq_k, iters=pq_iters)
+                else:
+                    cb = pq_train(corpus, dim=self.dim, m=self.pq_m,
+                                  k=self.pq_k, iters=pq_iters,
+                                  id_col="vec_id", vec_col="v")
+                self.pq_codebook = sorted(
+                    (int(r["subspace"]), int(r["code"]),
+                     [int(x) for x in r["_cq"]])
+                    for r in cb.collect())
+
+            def _prep(df: DataFrame) -> DataFrame:
+                rows = ivf_assign(df.select("vec_id", "v"),
+                                  self.centroids, "v")
+                if self.pq_m:
+                    rows = self._with_codes(rows)
+                return rows.withColumn("_epoch", F.lit(-1))
+
+            stats = rewrite_under_lease(
+                self.spark, self.root,
+                ((self._data_path, ("_cell", "vec_id"),
+                  ("_epoch", "_cell"), self.DATA_SCHEMA,
+                  self.max_records_per_file),),
+                keep=None, prepare=_prep,
+                lease_timeout_s=lease_timeout_s)
+        except BaseException:
+            # abort (incl. LeaseLostError): disk state untouched, so
+            # the in-memory retrained state must roll back with it
+            self.centroids, self.pq_codebook = saved
+            raise
+        self._write_meta()
+        return stats
 
 
 class StoredSignatureIndex:

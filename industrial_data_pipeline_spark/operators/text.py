@@ -1481,6 +1481,123 @@ def bleu(pairs: DataFrame, id_col: str = "doc_id",
     return out.select(*cols)
 
 
+def corpus_bleu(pairs: DataFrame, id_col: str = "doc_id",
+                cand_col: str = "candidate",
+                refs_col: str = "references",
+                max_n: int = 4, round_dp: int = 6) -> DataFrame:
+    """Corpus-level MULTI-REFERENCE BLEU-``max_n`` (Papineni 2002 as
+    WMT reports it — VERDICT r10 item 6), completing :func:`bleu`:
+
+    - **multi-reference clip**: each candidate n-gram credits at
+      most the MAX of its multiplicities across the ``refs_col``
+      array's references (sentence bleu clips against its one
+      reference);
+    - **corpus pooling**: clipped overlaps and candidate gram
+      totals SUM ACROSS THE CORPUS before the precision ratio —
+      p_n = Σov_n / Σtc_n, NOT a mean of per-sentence ratios (the
+      difference is exactly why one all-miss candidate dilutes
+      corpus BLEU instead of zeroing its row);
+    - **corpus brevity**: c = Σ|cand|, r = Σ per-candidate
+      EFFECTIVE reference length — the closest |ref| to |cand|,
+      ties to the SHORTER (the sacrebleu convention);
+      BP = min(1, e^(1−r/c));
+    - the standard unsmoothed convention: any pooled p_n = 0 ⇒
+      BLEU 0.0; an empty corpus candidate side (c = 0) ⇒ NULL
+      metrics.
+
+    Returns ONE row: (n_pairs, c_len, r_len, p1..p_max_n, bp, bleu).
+
+    Engine determinism: every pooled quantity is an exact int64 sum
+    (counts and lengths — no float accumulates across rows, so
+    partition merge order cannot flip a bit); the float chain (4
+    divisions, ln/exp, one multiply) runs ONCE on the final scalars
+    and rounds last — replayed generically in SQL (q278).
+
+    Scale shape: per n, the clip needs per-(id, gram) counts — two
+    count shuffles + an overlap join (the :func:`bleu` shape, plus
+    one max-over-references fold) — then everything collapses into
+    map-side-combinable global sums; the single-row tails join as
+    1×1 cross joins (the q268 scalar pattern). No windows except
+    the per-id effective-length argmin, expressed as min(struct) —
+    also combinable. Linear in Σ|tokens|·|references|."""
+    def grams(col: Column, n: int) -> Column:
+        toks = tokens(F.lower(col))
+        if n == 1:
+            return toks
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(toks, i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = pairs.select(F.col(id_col).alias("_id"),
+                        F.col(cand_col).alias("_cand"),
+                        F.col(refs_col).alias("_refs"))
+    clen = base.select(
+        "_id", F.size(tokens(F.lower(F.col("_cand")))).alias("_c"))
+    refs_ex = base.select(
+        "_id", F.posexplode("_refs").alias("_ri", "_rt"))
+    rlen = refs_ex.select(
+        "_id", F.size(tokens(F.lower(F.col("_rt")))).alias("_rl"))
+    # closest-|ref| effective length, ties to the shorter:
+    # lexicographic struct-min = (smallest |Δ|, then smallest len)
+    eff = (rlen.join(clen, "_id")
+           .groupBy("_id")
+           .agg(F.min(F.struct(
+               F.abs(F.col("_rl") - F.col("_c")).alias("_d"),
+               F.col("_rl").alias("_l"))).alias("_m"))
+           .select("_id", F.col("_m._l").alias("_r")))
+    out = (clen.join(eff, "_id")
+           .agg(F.count("*").alias("n_pairs"),
+                F.sum("_c").alias("_C"),
+                F.sum("_r").alias("_R")))
+    for n in range(1, max_n + 1):
+        cg = (base.select("_id",
+                          F.explode(grams(F.col("_cand"), n))
+                          .alias("_g"))
+              .groupBy("_id", "_g")
+              .agg(F.count("*").alias("_nc")))
+        rg = (refs_ex.select("_id", "_ri",
+                             F.explode(grams(F.col("_rt"), n))
+                             .alias("_g"))
+              .groupBy("_id", "_ri", "_g")
+              .agg(F.count("*").alias("_nrj"))
+              .groupBy("_id", "_g")
+              .agg(F.max("_nrj").alias("_nr")))
+        ov = (cg.join(rg, ["_id", "_g"])
+              .agg(F.coalesce(F.sum(F.least("_nc", "_nr")),
+                              F.lit(0)).alias(f"_ov{n}")))
+        tc = base.agg(
+            F.coalesce(F.sum(F.size(grams(F.col("_cand"), n))),
+                       F.lit(0)).alias(f"_tc{n}"))
+        out = out.crossJoin(ov).crossJoin(tc)
+    ps = [F.col(f"_ov{n}").cast("double")
+          / F.nullif(F.col(f"_tc{n}").cast("double"), F.lit(0.0))
+          for n in range(1, max_n + 1)]
+    bp = F.when(F.col("_C") >= F.col("_R"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0)
+              - F.col("_R") / F.col("_C").cast("double")))
+    any_dead = F.lit(False)
+    logsum = F.lit(0.0)
+    for p in ps:
+        any_dead = any_dead | p.isNull() | (p == 0.0)
+        logsum = logsum + F.log(p)
+    empty = F.col("_C") == 0
+    score = F.when(empty, F.lit(None).cast("double")) \
+        .when(any_dead, F.lit(0.0)) \
+        .otherwise(bp * F.exp(logsum / F.lit(float(max_n))))
+    cols = [F.col("n_pairs"), F.col("_C").alias("c_len"),
+            F.col("_R").alias("r_len")]
+    cols += [F.round(F.when(empty, F.lit(None).cast("double"))
+                     .otherwise(p), round_dp).alias(f"p{n}")
+             for n, p in enumerate(ps, 1)]
+    cols += [F.round(F.when(empty, F.lit(None).cast("double"))
+                     .otherwise(bp), round_dp).alias("bp"),
+             F.round(score, round_dp).alias("bleu")]
+    return out.select(*cols)
+
+
 #: chrF's whitespace STRIP SET, pinned to one explicit class shared
 #: by the Spark kernel, the DuckDB oracle builder
 #: (suite_pipeline.chrf_chain_sql callers) and the engine-parity

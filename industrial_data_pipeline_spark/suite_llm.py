@@ -3882,3 +3882,201 @@ FROM shaped ORDER BY doc_id
 REGISTRY_LLM.update({
     "q274_ter_eval": (q_ter_eval, _oracle_ter_eval()),
 })
+
+
+# -- q275 stored IVF-PQ (RESIDUAL encoding): the FAISS IVFADC layout
+# -- proper — codes describe v − centroid(cell), probe regains the
+# -- coarse part via one exact ⟨q, centroid⟩ term per (query, cell)
+
+def q_ivf_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q271's two-stage stored probe with RESIDUAL product
+    quantization (StoredIvfIndex ``pq_residual=True`` — VERDICT r10
+    item 1, the accuracy half of the 31×-cheaper code-column probe):
+    the index trains its codebook on ``quantize(v) −
+    quantize(centroid(cell))`` (operators/vectors.py::pq_train_ints,
+    exact int64 Lloyd), appended batches encode their residuals
+    against the frozen codebook, and the ADC stage ranks by
+    ⟨q, c_cell⟩ + Σ_s⟨q_s, r̃_s⟩ — the coarse term rides the
+    broadcast routing pairs (one int64 per (query, probed cell)),
+    the fine term is the same LUT machinery over the residual
+    codebook. Plan shape, I/O pruning and the output contract are
+    q271's exactly; the oracle replays cell routing, residual
+    computation, int-Lloyd training, frozen-codebook encoding of
+    the appends, the decomposed numerator, both rankings and the
+    exact re-rank — byte-equality pins the residual path itself.
+    The recall this buys over raw encoding at the same (m, k)
+    budget is measured in q276 (0.27→0.32 ADC-only, 0.65→0.85
+    after rerank-50 on these embeddings)."""
+    import shutil
+    import tempfile
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"))
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v")))
+    qs = (base.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q275_")
+    try:
+        idx = SIM.StoredIvfIndex(spark, root, id_col="vec_id",
+                                 vec_col="_v", n_cells=16,
+                                 pq_m=4, pq_k=8, pq_residual=True)
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.probe_batch_adc(qs, k=10, nprobe=4, rerank=50,
+                                   id_col="qid", vec_col="_qv")
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_ivf_residual_probe(m: int = 4, k: int = 8, ds: int = 16,
+                               nq: int = 10, nprobe: int = 4,
+                               rerank: int = 50) -> str:
+    from industrial_data_pipeline_spark.suite_vectors import _QV
+
+    def d2(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')")
+
+    def idot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> p[1]*p[2]), 'sum')")
+
+    cos = _COS.format(a="c.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    cos_n = _COS.format(a="n.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM c0 WHERE vec_id < 150),
+batch AS (SELECT * FROM c0 WHERE vec_id >= 150 AND vec_id < 250),
+c AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < {nq}),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM base ORDER BY vec_id LIMIT 16),
+scq AS (SELECT cell, {_QV.format(c='cv')} AS ccq FROM seed),
+ab AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM base b CROSS JOIN seed)
+       WHERE rn = 1),
+an AS (SELECT vec_id, cell FROM
+         (SELECT n.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY n.vec_id
+                                    ORDER BY {cos_n} DESC, seed.cell)
+                     AS rn
+          FROM batch n CROSS JOIN seed)
+       WHERE rn = 1),
+asg AS (SELECT * FROM ab UNION ALL SELECT * FROM an),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= {nprobe}),
+cq2 AS (SELECT c.vec_id, {_QV.format(c='c.v')} AS pqv, asg.cell
+        FROM c JOIN asg ON asg.vec_id = c.vec_id),
+cr AS (SELECT cq2.vec_id, cq2.cell,
+              list_transform(list_zip(cq2.pqv, scq.ccq),
+                             p -> p[1]-p[2]) AS rv
+       FROM cq2 JOIN scq USING (cell)),
+rsl AS (SELECT cr.vec_id, i AS subspace,
+               rv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM cr, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+bsl AS (SELECT rsl.* FROM rsl JOIN base USING (vec_id)),
+pseeds AS (SELECT CAST(vec_id AS BIGINT) AS code FROM base
+           ORDER BY vec_id LIMIT {k}),
+pc0 AS (SELECT subspace, pseeds.code, sq AS cq
+        FROM bsl JOIN pseeds ON bsl.vec_id = pseeds.code),
+pa1 AS (SELECT vec_id, subspace, code FROM (
+          SELECT bsl.vec_id, bsl.subspace, pc0.code,
+                 row_number() OVER (
+                     PARTITION BY bsl.vec_id, bsl.subspace
+                     ORDER BY {d2('sq', 'cq')}, pc0.code) AS rn
+          FROM bsl JOIN pc0 USING (subspace))
+        WHERE rn = 1),
+pm1 AS (SELECT subspace, code, ord,
+               CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)
+                          + 0.5) AS BIGINT) AS mean
+        FROM (SELECT pa1.subspace, pa1.code, unnest(bsl.sq) AS val,
+                     generate_subscripts(bsl.sq, 1) AS ord
+              FROM pa1 JOIN bsl USING (vec_id, subspace))
+        GROUP BY 1, 2, 3),
+pc1 AS (SELECT subspace, code, list(mean ORDER BY ord) AS cq
+        FROM pm1 GROUP BY subspace, code),
+enc AS (SELECT vec_id, subspace, code FROM (
+          SELECT rsl.vec_id, rsl.subspace, pc1.code,
+                 row_number() OVER (
+                     PARTITION BY rsl.vec_id, rsl.subspace
+                     ORDER BY {d2('sq', 'cq')}, pc1.code) AS rn
+          FROM rsl JOIN pc1 USING (subspace))
+        WHERE rn = 1),
+vn AS (SELECT vec_id,
+              list_aggregate(list_transform(pqv, x -> x*x), 'sum')
+                  AS vn2
+       FROM cq2),
+qq AS (SELECT qid, {_QV.format(c='qv')} AS qqv FROM q),
+qsl AS (SELECT qid, i AS subspace,
+               qqv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM qq, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+lut AS (SELECT qsl.qid, qsl.subspace, pc1.code,
+               {idot('qsl.sq', 'pc1.cq')} AS qdot
+        FROM qsl JOIN pc1 USING (subspace)),
+cdp AS (SELECT p.qid, p.cell, {idot('qq.qqv', 'scq.ccq')} AS cdot
+        FROM probe p JOIN qq USING (qid) JOIN scq USING (cell)),
+qn AS (SELECT qid, list_aggregate(list_transform(qqv, x -> x*x),
+                                  'sum') AS qn2
+       FROM qq),
+adot AS (SELECT p.qid, e.vec_id,
+                max(cdp.cdot) + sum(l.qdot) AS ad,
+                max(vn.vn2) AS vn2
+         FROM probe p
+         JOIN cdp ON cdp.qid = p.qid AND cdp.cell = p.cell
+         JOIN asg ON asg.cell = p.cell
+         JOIN enc e ON e.vec_id = asg.vec_id
+         JOIN lut l ON l.qid = p.qid AND l.subspace = e.subspace
+                       AND l.code = e.code
+         JOIN vn ON vn.vec_id = e.vec_id
+         WHERE e.vec_id <> p.qid AND vn.vn2 > 0
+         GROUP BY 1, 2),
+short AS (SELECT qid, vec_id FROM (
+            SELECT a.qid, a.vec_id,
+                   row_number() OVER (PARTITION BY a.qid ORDER BY
+                       (CAST(ad AS DOUBLE)
+                        / (sqrt(CAST(qn2 AS DOUBLE))
+                           * sqrt(CAST(vn2 AS DOUBLE)))) DESC,
+                       a.vec_id) AS srk
+            FROM adot a JOIN qn USING (qid) WHERE qn2 > 0)
+          WHERE srk <= {rerank}),
+rr AS (SELECT s.qid, s.vec_id, {cos} AS cs
+       FROM short s JOIN c ON c.vec_id = s.vec_id
+       JOIN q ON q.qid = s.qid)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM rr)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_LLM.update({
+    "q275_ivf_residual_probe": (q_ivf_residual_probe,
+                                _oracle_ivf_residual_probe()),
+})

@@ -1695,3 +1695,137 @@ REGISTRY_PIPELINE.update({
     "q272_mixed_shard_manifest": (q_mixed_shard_manifest,
                                   ORACLE_MIXED_SHARD_MANIFEST),
 })
+
+
+# -------- q278 corpus-level multi-reference BLEU (WMT reporting)
+
+def q_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-4 with THREE references per candidate
+    (operators/text.py::corpus_bleu — VERDICT r10 item 6, the
+    WMT-style reporting form): references = [full doc, every-3rd
+    -token-dropped, doc + two extra tokens]; candidates by family —
+    doc_id < 40 the full doc (perfect vs ref 1), 40–79 the dropped
+    variant (perfect vs ref 2 — the MULTI-reference clip is what
+    keeps these at p_n = 1), 80–119 three never-in-corpus tokens
+    (all-miss — dilutes the POOLED precisions instead of zeroing
+    its own row, the exact corpus-vs-sentence distinction). One
+    output row: pooled p1..p4 over exact corpus-summed counts,
+    corpus brevity from closest-reference effective lengths, the
+    unsmoothed geometric mean. The oracle replays clip-max, pooling,
+    effective lengths and the single float chain generically in
+    SQL."""
+    docs = _load_docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    toks = TX.tokens(F.col("text"))
+    dropped = F.array_join(
+        F.filter(toks, lambda x, i: i % 3 != 0), " ")
+    extra = F.concat(F.col("text"), F.lit(" zzq278x zzq278y"))
+    cand = (F.when(F.col("doc_id") < 40, F.col("text"))
+            .when(F.col("doc_id") < 80, dropped)
+            .otherwise(F.lit("zzzq278a zzzq278b zzzq278c")))
+    pairs = docs.select(
+        "doc_id", cand.alias("candidate"),
+        F.array(F.col("text"), dropped, extra).alias("references"))
+    return TX.corpus_bleu(pairs)
+
+
+def corpus_bleu_chain_sql(with_ctes: str) -> str:
+    """Generic DuckDB corpus-BLEU-4 over caller CTEs ending in
+    ``cpairs(doc_id, ct)`` (candidate token list) and
+    ``crefs(doc_id, ri, rt)`` (one row per reference, token list) —
+    the replayable half of operators/text.py::corpus_bleu."""
+    def ngrams(lst: str, n: int) -> str:
+        if n == 1:
+            return lst
+        return (f"CASE WHEN len({lst}) >= {n} THEN "
+                f"list_transform(generate_series(1,"
+                f" len({lst}) - {n - 1}),"
+                f" i -> array_to_string({lst}[i:i+{n - 1}], ' '))"
+                f" ELSE [] END")
+
+    parts = []
+    for n in range(1, 5):
+        cg, rg = ngrams("ct", n), ngrams("rt", n)
+        parts.append(f"""
+cb{n} AS (SELECT doc_id, g, count(*) AS n FROM
+            (SELECT doc_id, unnest({cg}) AS g FROM cpairs)
+          GROUP BY 1, 2),
+rb{n} AS (SELECT doc_id, g, max(n) AS n FROM (
+            SELECT doc_id, ri, g, count(*) AS n FROM
+              (SELECT doc_id, ri, unnest({rg}) AS g FROM crefs)
+            GROUP BY 1, 2, 3) GROUP BY 1, 2),
+ob{n} AS (SELECT CAST(coalesce(sum(least(cb{n}.n, rb{n}.n)), 0)
+                      AS BIGINT) AS ov{n}
+          FROM cb{n} JOIN rb{n} USING (doc_id, g)),
+tb{n} AS (SELECT CAST(coalesce(sum(len({cg})), 0) AS BIGINT)
+                 AS tc{n}
+          FROM cpairs)""")
+    rps = ", ".join(
+        f"ov{n} / nullif(tc{n}::DOUBLE, 0.0) AS rp{n}"
+        for n in range(1, 5))
+    crosses = " ".join(f"CROSS JOIN ob{n} CROSS JOIN tb{n}"
+                       for n in range(1, 5))
+    dead = " OR ".join(f"rp{n} IS NULL OR rp{n} = 0.0"
+                       for n in range(1, 5))
+    lsum = " + ".join(f"ln(rp{n})" for n in range(1, 5))
+    return f"""
+WITH {with_ctes.strip().rstrip(',')},
+clen AS (SELECT doc_id, len(ct) AS c FROM cpairs),
+eff AS (SELECT doc_id, rl FROM (
+          SELECT r.doc_id, len(r.rt) AS rl,
+                 row_number() OVER (PARTITION BY r.doc_id
+                                    ORDER BY abs(len(r.rt) - c.c),
+                                             len(r.rt)) AS rn
+          FROM crefs r JOIN clen c USING (doc_id)) WHERE rn = 1),
+lens AS (SELECT (SELECT count(*) FROM clen) AS n_pairs,
+                (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+                 FROM clen) AS cc,
+                (SELECT CAST(coalesce(sum(rl), 0) AS BIGINT)
+                 FROM eff) AS rr),
+{",".join(p.lstrip() for p in parts)},
+raw AS (SELECT n_pairs, cc, rr, {rps}
+        FROM lens {crosses}),
+scored AS (SELECT *, CASE WHEN cc >= rr THEN 1.0
+                          ELSE exp(1.0 - rr / cc::DOUBLE) END AS rbp
+           FROM raw)
+SELECT n_pairs, cc AS c_len, rr AS r_len,
+       round(CASE WHEN cc = 0 THEN NULL ELSE rp1 END, 6) AS p1,
+       round(CASE WHEN cc = 0 THEN NULL ELSE rp2 END, 6) AS p2,
+       round(CASE WHEN cc = 0 THEN NULL ELSE rp3 END, 6) AS p3,
+       round(CASE WHEN cc = 0 THEN NULL ELSE rp4 END, 6) AS p4,
+       round(CASE WHEN cc = 0 THEN NULL ELSE rbp END, 6) AS bp,
+       round(CASE WHEN cc = 0 THEN NULL
+                  WHEN {dead} THEN 0.0
+                  ELSE rbp * exp(({lsum}) / 4.0) END, 6) AS bleu
+FROM scored
+"""
+
+
+def _oracle_corpus_bleu() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+    return corpus_bleu_chain_sql(f"""
+b278 AS (SELECT doc_id, {ltoks} AS rt0 FROM documents
+         WHERE doc_id < 120),
+v278 AS (SELECT doc_id, rt0,
+                list_transform(
+                    list_filter(generate_series(1, len(rt0)),
+                                i -> (i - 1) % 3 <> 0),
+                    i -> rt0[i]) AS dropped,
+                list_concat(rt0, ['zzq278x', 'zzq278y']) AS extra
+         FROM b278),
+cpairs AS (SELECT doc_id,
+                  CASE WHEN doc_id < 40 THEN rt0
+                       WHEN doc_id < 80 THEN dropped
+                       ELSE ['zzzq278a', 'zzzq278b', 'zzzq278c']
+                  END AS ct
+           FROM v278),
+crefs AS (SELECT doc_id, 0 AS ri, rt0 AS rt FROM v278
+          UNION ALL
+          SELECT doc_id, 1, dropped FROM v278
+          UNION ALL
+          SELECT doc_id, 2, extra FROM v278)""")
+
+
+REGISTRY_PIPELINE.update({
+    "q278_corpus_bleu": (q_corpus_bleu, _oracle_corpus_bleu()),
+})

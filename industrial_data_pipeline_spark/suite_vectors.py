@@ -786,3 +786,516 @@ FROM verr GROUP BY epoch
 REGISTRY_VECTORS.update({
     "q273_pq_drift_audit": (q_pq_drift_audit, _oracle_pq_drift()),
 })
+
+
+# ------- q276 residual-PQ recall A/B: IVF-PQ proper vs raw encoding
+
+def q_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy half of IVF-PQ (VERDICT r10 item 1), measured as
+    a controlled A/B: the SAME corpus, the SAME trainer
+    (operators/vectors.py::pq_train_ints, 1 Lloyd pass, k lowest-id
+    seeds) and the SAME (m=4, k=8) budget encode (a) the RAW
+    quantized vectors and (b) the CELL RESIDUALS
+    ``quantize(v) − quantize(centroid(cell))`` over a 16-cell IVF
+    (seed centroids, the q259/q271 discipline) — so the only varied
+    factor is WHAT the codebook describes. Per query (vec_id < 10):
+    overlap of each ADC top-10 with the exact-cosine top-10. The
+    residual numerator regains the coarse structure exactly —
+    ⟨q, c_cell⟩ (one int per (query, cell)) + Σ_s⟨q_s, r̃_s⟩ (the
+    LUT) — which is why capacity spent on residuals buys recall:
+    raw encoding wastes the 3-bit-per-subspace budget re-describing
+    what the cell id already pins. All arithmetic is exact int64
+    sums + one double division per ranked pair (the q270/q271
+    discipline), so the oracle replays BOTH trainings, encodings
+    and all three rankings bit-for-bit. Measured on these random
+    embeddings: recall lifts 0.27→0.32 ADC-only and 0.65→0.85 after
+    rerank-50 (tools/residual_recall_ab.py) — random vectors are
+    PQ-hostile (no cluster structure), a floor not a ceiling."""
+    import math
+
+    from pyspark.sql import Window
+
+    from industrial_data_pipeline_spark.operators import (
+        similarity as S)
+
+    NQ, NC, M, K = 10, 16, 4, 8
+    dim = 64
+    ds = dim // M
+    emb = _emb(spark, sf_dir)
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      V._as_double(F.col("embedding")).alias("v"))
+    cents = [list(map(float, r["v"]))
+             for r in base.orderBy("vec_id").limit(NC).collect()]
+    cents_q = [[int(math.floor(c * 1_000_000 + 0.5)) for c in ct]
+               for ct in cents]
+    cells_df = spark.createDataFrame(
+        [(i, cq) for i, cq in enumerate(cents_q)],
+        "cell int, _ccq array<long>")
+
+    def idot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+
+    rows = (S.ivf_assign(base, cents, "v")
+            .withColumn("_q", V._quantize(F.col("v")))
+            .join(F.broadcast(cells_df),
+                  F.col("_cell") == F.col("cell"))
+            .withColumn("_rq", F.zip_with("_q", "_ccq",
+                                          lambda x, y: x - y))
+            .withColumn("_vn2", idot(F.col("_q"), F.col("_q")))
+            .drop("cell", "_ccq", "v")
+            .localCheckpoint(eager=True))
+
+    def slices_of(col: str) -> DataFrame:
+        arr = F.array(*[F.slice(F.col(col), j * ds + 1, ds)
+                        for j in range(M)])
+        return (rows.select(F.col("vec_id").alias("_id"),
+                            F.posexplode(arr).alias("subspace",
+                                                    "_sq"))
+                .localCheckpoint(eager=True))
+
+    raw_sl, res_sl = slices_of("_q"), slices_of("_rq")
+    cb_raw = V.pq_train_ints(raw_sl, k=K)
+    cb_res = V.pq_train_ints(res_sl, k=K)
+    enc_raw = V.pq_encode_ints(raw_sl, cb_raw)
+    enc_res = V.pq_encode_ints(res_sl, cb_res)
+
+    # query-side frames (the probe_batch_adc driver arithmetic,
+    # expressed in-plan: LUT over RAW query slices for BOTH arms —
+    # residualization applies to the STORED side only)
+    qsl = (raw_sl.where(F.col("_id") < NQ)
+           .select(F.col("_id").alias("query_id"), "subspace",
+                   F.col("_sq").alias("_qs")))
+    qn = (rows.where(F.col("vec_id") < NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("_vn2").alias("_qn2"), F.col("_q")))
+    cd = (qn.crossJoin(F.broadcast(cells_df))
+          .select("query_id", F.col("cell").alias("_vcell"),
+                  idot(F.col("_q"), F.col("_ccq")).alias("_cdot")))
+    cellmap = rows.select("vec_id", F.col("_cell").alias("_vcell"))
+    vn = rows.select("vec_id", "_vn2")
+
+    def lut_of(cb: DataFrame) -> DataFrame:
+        return (qsl.join(F.broadcast(cb), "subspace")
+                .select("query_id", "subspace", "code",
+                        idot(F.col("_qs"), F.col("_cq"))
+                        .alias("_qdot")))
+
+    def topk_adc(enc: DataFrame, lut: DataFrame,
+                 residual: bool) -> DataFrame:
+        s = (enc.withColumnRenamed("_id", "vec_id")
+             .join(F.broadcast(lut), ["subspace", "code"])
+             .where(F.col("vec_id") != F.col("query_id"))
+             .groupBy("query_id", "vec_id")
+             .agg(F.sum("_qdot").alias("_fine")))
+        if residual:
+            s = (s.join(cellmap, "vec_id")
+                 .join(F.broadcast(cd), ["query_id", "_vcell"])
+                 .withColumn("_num", F.col("_fine") + F.col("_cdot")))
+        else:
+            s = s.withColumn("_num", F.col("_fine"))
+        acos = (F.col("_num").cast("double")
+                / (F.sqrt(F.col("_qn2").cast("double"))
+                   * F.sqrt(F.col("_vn2").cast("double"))))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_acos"), F.col("vec_id"))
+        return (s.join(vn, "vec_id")
+                .join(F.broadcast(qn.select("query_id", "_qn2")),
+                      "query_id")
+                .where((F.col("_vn2") > 0) & (F.col("_qn2") > 0))
+                .withColumn("_acos", acos)
+                .withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= 10)
+                .select("query_id", "vec_id"))
+
+    top_raw = topk_adc(enc_raw, lut_of(cb_raw), residual=False)
+    top_res = topk_adc(enc_res, lut_of(cb_res), residual=True)
+
+    qx = qn.select("query_id", F.col("_q").alias("_qq"), "_qn2")
+    cosx = (idot(F.col("_q"), F.col("_qq")).cast("double")
+            / (F.sqrt(F.col("_qn2").cast("double"))
+               * F.sqrt(F.col("_vn2").cast("double"))))
+    wx = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.col("vec_id"))
+    exact = (rows.select("vec_id", "_q", "_vn2")
+             .crossJoin(F.broadcast(qx))
+             .where((F.col("vec_id") != F.col("query_id"))
+                    & (F.col("_vn2") > 0) & (F.col("_qn2") > 0))
+             .withColumn("_cos", cosx)
+             .withColumn("_rk", F.row_number().over(wx))
+             .where(F.col("_rk") <= 10)
+             .select("query_id", "vec_id"))
+
+    h_raw = (exact.join(top_raw, ["query_id", "vec_id"])
+             .groupBy("query_id").agg(F.count("*").alias("_nr")))
+    h_res = (exact.join(top_res, ["query_id", "vec_id"])
+             .groupBy("query_id").agg(F.count("*").alias("_ns")))
+    return (qn.select("query_id")
+            .join(h_raw, "query_id", "left")
+            .join(h_res, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("_nr", F.lit(0)).alias("n_hits_raw"),
+                    (F.coalesce("_nr", F.lit(0)).cast("double")
+                     / F.lit(10.0)).alias("recall_raw"),
+                    F.coalesce("_ns", F.lit(0)).alias("n_hits_res"),
+                    (F.coalesce("_ns", F.lit(0)).cast("double")
+                     / F.lit(10.0)).alias("recall_res")))
+
+
+def _oracle_residual_recall(m: int = 4, k: int = 8, ds: int = 16,
+                            nc: int = 16, nq: int = 10) -> str:
+    def d2(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')")
+
+    def idot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> p[1]*p[2]), 'sum')")
+
+    # float cosine for the cell ASSIGNMENT ranking (the ivf_assign
+    # kernel's arithmetic — the q271 `ab` CTE, pinned byte-exact)
+    cos_a = ("(list_dot_product(q0.v, seed.cv)"
+             " / (sqrt(list_dot_product(q0.v, q0.v))"
+             " * sqrt(list_dot_product(seed.cv, seed.cv))))")
+
+    def train(prefix: str, sl: str) -> str:
+        """pq_train_ints replay: seeds = k lowest ids' slices, one
+        exact-int Lloyd pass, centroid update floor(S/n + 0.5) on
+        the int64 sum cast once to double."""
+        return f"""
+{prefix}c0 AS (SELECT subspace, pseeds.code, sq AS cq
+        FROM {sl} JOIN pseeds ON {sl}.vec_id = pseeds.code),
+{prefix}a1 AS (SELECT vec_id, subspace, code FROM (
+          SELECT {sl}.vec_id, {sl}.subspace, {prefix}c0.code,
+                 row_number() OVER (
+                     PARTITION BY {sl}.vec_id, {sl}.subspace
+                     ORDER BY {d2('sq', 'cq')}, {prefix}c0.code)
+                     AS rn
+          FROM {sl} JOIN {prefix}c0 USING (subspace))
+        WHERE rn = 1),
+{prefix}m1 AS (SELECT subspace, code, ord,
+               CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)
+                          + 0.5) AS BIGINT) AS mean
+        FROM (SELECT a.subspace, a.code, unnest({sl}.sq) AS val,
+                     generate_subscripts({sl}.sq, 1) AS ord
+              FROM {prefix}a1 a
+              JOIN {sl} USING (vec_id, subspace))
+        GROUP BY 1, 2, 3),
+{prefix}c1 AS (SELECT subspace, code, list(mean ORDER BY ord) AS cq
+        FROM {prefix}m1 GROUP BY subspace, code),
+{prefix}enc AS (SELECT vec_id, subspace, code FROM (
+          SELECT {sl}.vec_id, {sl}.subspace, {prefix}c1.code,
+                 row_number() OVER (
+                     PARTITION BY {sl}.vec_id, {sl}.subspace
+                     ORDER BY {d2('sq', 'cq')}, {prefix}c1.code)
+                     AS rn
+          FROM {sl} JOIN {prefix}c1 USING (subspace))
+        WHERE rn = 1),
+{prefix}lut AS (SELECT s.vec_id AS qid, s.subspace, c.code,
+               {idot('s.sq', 'c.cq')} AS qdot
+        FROM qsl s JOIN {prefix}c1 c USING (subspace)
+        WHERE s.vec_id < {nq})"""
+
+    acos = ("(CAST(num AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE))"
+            " * sqrt(CAST(vn2 AS DOUBLE))))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q0 AS (SELECT vec_id, v, {_QV.format(c='v')} AS qv FROM e),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM e ORDER BY vec_id LIMIT {nc}),
+scq AS (SELECT cell, {_QV.format(c='cv')} AS ccq FROM seed),
+asg AS (SELECT vec_id, cell FROM (
+          SELECT q0.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY q0.vec_id
+                                    ORDER BY {cos_a} DESC, seed.cell)
+                     AS rn
+          FROM q0 CROSS JOIN seed)
+        WHERE rn = 1),
+r0 AS (SELECT q0.vec_id, q0.qv,
+              list_transform(list_zip(q0.qv, scq.ccq),
+                             p -> p[1]-p[2]) AS rv,
+              {idot('q0.qv', 'q0.qv')} AS vn2, asg.cell
+       FROM q0 JOIN asg USING (vec_id) JOIN scq USING (cell)),
+rsl AS (SELECT vec_id, i AS subspace,
+               qv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM r0, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+ssl AS (SELECT vec_id, i AS subspace,
+               rv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM r0, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+qsl AS (SELECT vec_id, subspace, sq FROM rsl WHERE vec_id < {nq}),
+pseeds AS (SELECT CAST(vec_id AS BIGINT) AS code FROM e
+           ORDER BY vec_id LIMIT {k}),
+{train('r', 'rsl').lstrip()},
+{train('s', 'ssl').lstrip()},
+cd AS (SELECT r0.vec_id AS qid, scq.cell,
+              {idot('r0.qv', 'scq.ccq')} AS cdot
+       FROM r0 CROSS JOIN scq WHERE r0.vec_id < {nq}),
+qn AS (SELECT vec_id AS qid, vn2 AS qn2 FROM r0
+       WHERE vec_id < {nq}),
+rsc AS (SELECT l.qid, e2.vec_id, sum(l.qdot) AS num
+        FROM renc e2 JOIN rlut l ON l.subspace = e2.subspace
+                                AND l.code = e2.code
+        WHERE e2.vec_id <> l.qid GROUP BY 1, 2),
+ssc AS (SELECT l.qid, e2.vec_id,
+               max(cd.cdot) + sum(l.qdot) AS num
+        FROM senc e2 JOIN slut l ON l.subspace = e2.subspace
+                                AND l.code = e2.code
+        JOIN r0 v2 ON v2.vec_id = e2.vec_id
+        JOIN cd ON cd.qid = l.qid AND cd.cell = v2.cell
+        WHERE e2.vec_id <> l.qid GROUP BY 1, 2),
+rtop AS (SELECT qid, vec_id FROM (
+           SELECT x.qid, x.vec_id,
+                  row_number() OVER (PARTITION BY x.qid
+                                     ORDER BY {acos} DESC, x.vec_id)
+                      AS rk
+           FROM (SELECT rsc.qid, rsc.vec_id, rsc.num, qn.qn2, r0.vn2
+                 FROM rsc JOIN qn USING (qid)
+                 JOIN r0 ON r0.vec_id = rsc.vec_id
+                 WHERE qn.qn2 > 0 AND r0.vn2 > 0) x)
+         WHERE rk <= 10),
+stop AS (SELECT qid, vec_id FROM (
+           SELECT x.qid, x.vec_id,
+                  row_number() OVER (PARTITION BY x.qid
+                                     ORDER BY {acos} DESC, x.vec_id)
+                      AS rk
+           FROM (SELECT ssc.qid, ssc.vec_id, ssc.num, qn.qn2, r0.vn2
+                 FROM ssc JOIN qn USING (qid)
+                 JOIN r0 ON r0.vec_id = ssc.vec_id
+                 WHERE qn.qn2 > 0 AND r0.vn2 > 0) x)
+         WHERE rk <= 10),
+etop AS (SELECT qid, vec_id FROM (
+           SELECT x.qid, x.vec_id,
+                  row_number() OVER (PARTITION BY x.qid
+                                     ORDER BY {acos} DESC, x.vec_id)
+                      AS rk
+           FROM (SELECT qq.vec_id AS qid, t.vec_id,
+                        {idot('t.qv', 'qq.qv')} AS num,
+                        qq.vn2 AS qn2, t.vn2
+                 FROM r0 t CROSS JOIN
+                      (SELECT vec_id, qv, vn2 FROM r0
+                       WHERE vec_id < {nq}) qq
+                 WHERE t.vec_id <> qq.vec_id
+                   AND t.vn2 > 0 AND qq.vn2 > 0) x)
+         WHERE rk <= 10),
+hr AS (SELECT qid, count(*) AS n FROM etop
+       JOIN rtop USING (qid, vec_id) GROUP BY 1),
+hs AS (SELECT qid, count(*) AS n FROM etop
+       JOIN stop USING (qid, vec_id) GROUP BY 1)
+SELECT q.qid AS query_id,
+       CAST(coalesce(hr.n, 0) AS BIGINT) AS n_hits_raw,
+       CAST(coalesce(hr.n, 0) AS DOUBLE) / 10.0 AS recall_raw,
+       CAST(coalesce(hs.n, 0) AS BIGINT) AS n_hits_res,
+       CAST(coalesce(hs.n, 0) AS DOUBLE) / 10.0 AS recall_res
+FROM qn q LEFT JOIN hr ON hr.qid = q.qid
+LEFT JOIN hs ON hs.qid = q.qid
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q276_residual_recall": (q_residual_recall,
+                             _oracle_residual_recall()),
+})
+
+
+# -------- q277 rebuild(): the retrain verb q273's drift signal fires
+
+def q_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verb that ACTS on q273's staleness signal (VERDICT r10
+    item 2 — StoredIvfIndex.rebuild): q273's exact drift scenario
+    (build on base, epoch 0 in-distribution, epoch 1 every-value+2
+    — the 280× reconstruction-error jump) is followed by
+    ``rebuild()``, which retrains centroids AND the residual
+    codebook on the CURRENT corpus, re-routes + re-encodes every
+    stored row and swaps the asset through the shared fenced-lease
+    protocol (epochs fold to history — the documented as-of reset).
+    A 10-query batch FROM THE SHIFTED distribution then runs the
+    two-stage ADC probe: the oracle replays the whole post-rebuild
+    state in SQL — retrained-from-everything codebook, residual
+    encoding of all 250 vectors, decomposed numerator, both
+    rankings — so byte-equality pins that the rewrite really
+    retrained (the frozen pre-rebuild codebook would rank the
+    shifted candidates differently). The zombie-rebuilder abort and
+    the drift-collapse assertion live in tests/test_lease.py and
+    tests/test_similarity.py."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"))
+    e0 = (emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+          .select("vec_id", v.alias("_v")))
+    e1 = (emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
+          .select("vec_id",
+                  F.transform(v, lambda x: x + F.lit(2.0))
+                  .alias("_v")))
+    qs = (e1.where(F.col("vec_id") < 210)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q277_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16,
+                             pq_m=4, pq_k=8, pq_residual=True)
+        idx.build(base)
+        idx.append(e0, epoch_id=0)
+        idx.append(e1, epoch_id=1)
+        idx.rebuild()
+        out = (idx.probe_batch_adc(qs, k=10, nprobe=4, rerank=50,
+                                   id_col="qid", vec_col="_qv")
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_ivf_rebuild_probe(m: int = 4, k: int = 8, ds: int = 16,
+                              nprobe: int = 4,
+                              rerank: int = 50) -> str:
+    """The q275 oracle machinery over the POST-REBUILD state: the
+    corpus is base ∪ epoch-0 ∪ shifted epoch-1, and centroids,
+    cell assignment AND the residual codebook all derive from that
+    full corpus (rebuild trains on everything) — seeds stay the
+    lowest ids, which the shifted appends cannot displace, so the
+    retrain shows up purely in the codebook/codes."""
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    def d2(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')")
+
+    def idot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> p[1]*p[2]), 'sum')")
+
+    cos = _COS.format(a="c.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_c = _COS.format(a="b.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM c0 WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id, list_transform(v, x -> x + 2.0)
+      FROM c0 WHERE vec_id >= 200 AND vec_id < 250),
+q AS (SELECT vec_id AS qid, v AS qv FROM c
+      WHERE vec_id >= 200 AND vec_id < 210),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM c ORDER BY vec_id LIMIT 16),
+scq AS (SELECT cell, {_QV.format(c='cv')} AS ccq FROM seed),
+asg AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_c} DESC, seed.cell)
+                     AS rn
+          FROM c b CROSS JOIN seed)
+       WHERE rn = 1),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= {nprobe}),
+cq2 AS (SELECT c.vec_id, {_QV.format(c='c.v')} AS pqv, asg.cell
+        FROM c JOIN asg ON asg.vec_id = c.vec_id),
+cr AS (SELECT cq2.vec_id, cq2.cell,
+              list_transform(list_zip(cq2.pqv, scq.ccq),
+                             p -> p[1]-p[2]) AS rv
+       FROM cq2 JOIN scq USING (cell)),
+rsl AS (SELECT cr.vec_id, i AS subspace,
+               rv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM cr, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+pseeds AS (SELECT CAST(vec_id AS BIGINT) AS code FROM c
+           ORDER BY vec_id LIMIT {k}),
+pc0 AS (SELECT subspace, pseeds.code, sq AS cq
+        FROM rsl JOIN pseeds ON rsl.vec_id = pseeds.code),
+pa1 AS (SELECT vec_id, subspace, code FROM (
+          SELECT rsl.vec_id, rsl.subspace, pc0.code,
+                 row_number() OVER (
+                     PARTITION BY rsl.vec_id, rsl.subspace
+                     ORDER BY {d2('sq', 'cq')}, pc0.code) AS rn
+          FROM rsl JOIN pc0 USING (subspace))
+        WHERE rn = 1),
+pm1 AS (SELECT subspace, code, ord,
+               CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)
+                          + 0.5) AS BIGINT) AS mean
+        FROM (SELECT pa1.subspace, pa1.code, unnest(rsl.sq) AS val,
+                     generate_subscripts(rsl.sq, 1) AS ord
+              FROM pa1 JOIN rsl USING (vec_id, subspace))
+        GROUP BY 1, 2, 3),
+pc1 AS (SELECT subspace, code, list(mean ORDER BY ord) AS cq
+        FROM pm1 GROUP BY subspace, code),
+enc AS (SELECT vec_id, subspace, code FROM (
+          SELECT rsl.vec_id, rsl.subspace, pc1.code,
+                 row_number() OVER (
+                     PARTITION BY rsl.vec_id, rsl.subspace
+                     ORDER BY {d2('sq', 'cq')}, pc1.code) AS rn
+          FROM rsl JOIN pc1 USING (subspace))
+        WHERE rn = 1),
+vn AS (SELECT vec_id,
+              list_aggregate(list_transform(pqv, x -> x*x), 'sum')
+                  AS vn2
+       FROM cq2),
+qq AS (SELECT qid, {_QV.format(c='qv')} AS qqv FROM q),
+qsl AS (SELECT qid, i AS subspace,
+               qqv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM qq, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+lut AS (SELECT qsl.qid, qsl.subspace, pc1.code,
+               {idot('qsl.sq', 'pc1.cq')} AS qdot
+        FROM qsl JOIN pc1 USING (subspace)),
+cdp AS (SELECT p.qid, p.cell, {idot('qq.qqv', 'scq.ccq')} AS cdot
+        FROM probe p JOIN qq USING (qid) JOIN scq USING (cell)),
+qn AS (SELECT qid, list_aggregate(list_transform(qqv, x -> x*x),
+                                  'sum') AS qn2
+       FROM qq),
+adot AS (SELECT p.qid, e.vec_id,
+                max(cdp.cdot) + sum(l.qdot) AS ad,
+                max(vn.vn2) AS vn2
+         FROM probe p
+         JOIN cdp ON cdp.qid = p.qid AND cdp.cell = p.cell
+         JOIN asg ON asg.cell = p.cell
+         JOIN enc e ON e.vec_id = asg.vec_id
+         JOIN lut l ON l.qid = p.qid AND l.subspace = e.subspace
+                       AND l.code = e.code
+         JOIN vn ON vn.vec_id = e.vec_id
+         WHERE e.vec_id <> p.qid AND vn.vn2 > 0
+         GROUP BY 1, 2),
+short AS (SELECT qid, vec_id FROM (
+            SELECT a.qid, a.vec_id,
+                   row_number() OVER (PARTITION BY a.qid ORDER BY
+                       (CAST(ad AS DOUBLE)
+                        / (sqrt(CAST(qn2 AS DOUBLE))
+                           * sqrt(CAST(vn2 AS DOUBLE)))) DESC,
+                       a.vec_id) AS srk
+            FROM adot a JOIN qn USING (qid) WHERE qn2 > 0)
+          WHERE srk <= {rerank}),
+rr AS (SELECT s.qid, s.vec_id, {cos} AS cs
+       FROM short s JOIN c ON c.vec_id = s.vec_id
+       JOIN q ON q.qid = s.qid)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM rr)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q277_ivf_rebuild_probe": (q_ivf_rebuild_probe,
+                               _oracle_ivf_rebuild_probe()),
+})

@@ -866,3 +866,54 @@ def test_token_edit_distance_matches_classic_dp(ca, cb):
 
     got = levenshtein_token_pair(" ".join(ca), " ".join(cb))
     assert got == _lev_classic(ca, cb), (ca, cb, got)
+
+
+def test_corpus_bleu_hand_computed(spark):
+    """corpus_bleu (q278) hand cases pinning its three defining
+    behaviors against sentence bleu:
+
+    1. multi-reference CLIP: a candidate matching its SECOND
+       reference perfectly scores p_n = 1 (single-ref clipping
+       against ref 1 would not);
+    2. corpus POOLING: one all-miss candidate dilutes the pooled
+       precisions instead of zeroing everything (mean-of-sentence
+       -BLEU would average in a hard 0 the same way; the pooled p1
+       here is computable by hand as Σov/Σtc);
+    3. effective length: the CLOSEST |ref| to |cand| feeds r, ties
+       to the SHORTER."""
+    import math
+
+    from industrial_data_pipeline_spark.operators.text import (
+        corpus_bleu)
+
+    # doc 0: cand == ref B (4 tokens); refs A (6), B (4)
+    # doc 1: all-miss cand (4 tokens); refs (4), (4)
+    df = spark.createDataFrame(
+        [(0, "w x y z", ["a b c d e f", "w x y z"]),
+         (1, "q1 q2 q3 q4", ["a b c d", "e f g h"])],
+        "doc_id long, candidate string, references array<string>")
+    row = corpus_bleu(df).collect()[0]
+    assert row.n_pairs == 2
+    # pooled p1 = (4 + 0) / (4 + 4); p4 = (1 + 0) / (1 + 1)
+    assert row.p1 == 0.5 and row.p4 == 0.5
+    # doc 0: |cand|=4, closest ref len = 4; doc 1: both refs len 4
+    assert row.c_len == 8 and row.r_len == 8 and row.bp == 1.0
+    # bleu = bp * exp(mean ln p_n); p2 = 3/6, p3 = 2/4
+    assert row.bleu == round(math.exp(sum(math.log(0.5)
+                                          for _ in range(4)) / 4), 6)
+
+    # tie-to-shorter: |cand|=2, refs len 1 and 3 (both |Δ|=1) -> r=1
+    df2 = spark.createDataFrame(
+        [(0, "a b", ["a", "a b c"])],
+        "doc_id long, candidate string, references array<string>")
+    r2 = corpus_bleu(df2).collect()[0]
+    assert r2.r_len == 1 and r2.bp == 1.0
+    # dead higher-n grams (no 4-gram possible) -> bleu 0, p1 intact
+    assert r2.bleu == 0.0 and r2.p1 == 1.0
+
+    # empty candidate corpus -> NULL metrics
+    df3 = spark.createDataFrame(
+        [(0, "   ", ["a b"])],
+        "doc_id long, candidate string, references array<string>")
+    r3 = corpus_bleu(df3).collect()[0]
+    assert r3.c_len == 0 and r3.bleu is None and r3.p1 is None

@@ -486,3 +486,51 @@ def test_zombie_recovery_cannot_touch_newer_holders_commit(
     assert os.path.exists(os.path.join(data, "b.parquet"))
     assert not os.path.isdir(data + "_compact_old.1")  # swept
     assert not os.path.isdir(data + "_compact_old.2")
+
+
+def test_zombie_rebuilder_aborts_and_rolls_back_state(
+        spark, tmp_path, monkeypatch):
+    """rebuild() through the same fenced protocol (VERDICT r10
+    item 2): with the lease fencing check forced False the rebuild
+    aborts with LeaseLostError BEFORE any rename — the asset answers
+    probes unchanged AND the handle's in-memory retrained
+    centroids/codebook roll back to the on-disk state (a zombie that
+    kept the retrained state would probe with centroids the asset
+    was never rewritten under — silent wrong-cell routing)."""
+    from industrial_data_pipeline_spark.catalog.lease import (
+        LeaseLostError)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11) for d in range(4)])
+         for i in range(16)],
+        "vec_id long, embedding array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "ivf"), n_cells=2,
+                         pq_m=2, pq_k=4, pq_residual=True)
+    idx.build(emb)
+    shifted = spark.createDataFrame(
+        [(100 + i, [float((i * 7 + d * 3) % 11) + 30.0
+                    for d in range(4)]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    idx.append(shifted, epoch_id=0)
+    cents0 = [list(c) for c in idx.centroids]
+    cb0 = [[s, c, list(cq)] for s, c, cq in idx.pq_codebook]
+    qs = emb.where("vec_id < 2")
+    before = sorted(map(tuple, idx.probe_batch_adc(
+        qs, k=4, nprobe=2, rerank=30).collect()))
+
+    monkeypatch.setattr(LeaseLock, "still_valid", lambda self: False)
+    with pytest.raises(LeaseLostError):
+        idx.rebuild()
+    monkeypatch.undo()
+    # disk untouched, in-memory retrain rolled back with it
+    assert [list(c) for c in idx.centroids] == cents0
+    assert [[s, c, list(cq)] for s, c, cq in idx.pq_codebook] == cb0
+    assert sorted(map(tuple, idx.probe_batch_adc(
+        qs, k=4, nprobe=2, rerank=30).collect())) == before
+    # lease released despite the abort: a real rebuild succeeds now
+    stats = idx.rebuild()
+    assert stats["files_after"] >= 1
+    assert {r.epoch for r in
+            idx.quantization_drift().collect()} == {-1}

@@ -574,3 +574,80 @@ def test_pq_index_compact_and_retract_keep_codes(spark, tmp_path):
     post2 = {r.vec_id for r in reopened.probe_batch_adc(
         qs, k=5, nprobe=2, rerank=20, as_of_epoch=0).collect()}
     assert victim not in post2
+
+
+def _seq_vec(seed, dim=8, shift=0.0):
+    return [float((seed * 13 + d * 7) % 19) + shift
+            for d in range(dim)]
+
+
+def test_residual_adc_full_rerank_equals_exact(spark, tmp_path):
+    """Residual-PQ two-stage probe with rerank >= corpus must equal
+    the exact probe_batch row-for-row (stage 2 re-ranks EVERYTHING
+    the stage-1 shortlist admits, and with rerank = |corpus| the
+    shortlist is every probed-cell row): the decomposed numerator
+    ⟨q,c_cell⟩ + Σ⟨q_s,r̃_s⟩ may approximate, but the CANDIDATE SET
+    and the exact re-rank may not — this pins the plumbing (cell
+    routing, residual encode, cdot join) independent of recall."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(40)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "rivf"),
+                         id_col="vec_id", vec_col="v", n_cells=4,
+                         pq_m=2, pq_k=4, pq_residual=True)
+    idx.build(base)
+    qs = base.where("vec_id < 3")
+    exact = sorted(map(tuple, idx.probe_batch(
+        qs, k=5, nprobe=4).collect()))
+    adc = sorted(map(tuple, idx.probe_batch_adc(
+        qs, k=5, nprobe=4, rerank=40).collect()))
+    assert adc == exact
+
+
+def test_residual_index_lifecycle_and_drift(spark, tmp_path):
+    """Residual index end-to-end: append a SHIFTED epoch (the q273
+    drift scenario) — quantization_drift (measured against the
+    residual reconstruction) jumps on that epoch; rebuild() retrains
+    centroids + codebook on the full corpus, folds epochs to history
+    and the drift audit collapses to ONE epoch whose mean error sits
+    far below the pre-rebuild shifted epoch's; probes keep working
+    and a reopened handle sees the retrained meta."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(30)],
+        "vec_id long, v array<double>")
+    shifted = spark.createDataFrame(
+        [(100 + i, _seq_vec(100 + i, shift=40.0)) for i in range(10)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "rivf"),
+                         id_col="vec_id", vec_col="v", n_cells=4,
+                         pq_m=2, pq_k=4, pq_residual=True)
+    idx.build(base)
+    idx.append(shifted, epoch_id=0)
+    pre = {r.epoch: r.mean_err
+           for r in idx.quantization_drift().collect()}
+    assert pre[0] > pre[-1] * 5, pre  # the drift signal fires
+    old_cb = list(idx.pq_codebook)
+    idx.rebuild()
+    assert idx.pq_codebook != old_cb  # actually retrained
+    post = {r.epoch: r.mean_err
+            for r in idx.quantization_drift().collect()}
+    assert set(post) == {-1}          # epochs folded
+    assert post[-1] < pre[0] / 2      # retrain absorbed the shift
+    qs = shifted.where("vec_id < 103")
+    rows = idx.probe_batch_adc(qs, k=5, nprobe=4,
+                               rerank=40).collect()
+    assert {r.query_id for r in rows} == {100, 101, 102}
+    reopened = StoredIvfIndex.open(spark, str(tmp_path / "rivf"))
+    assert reopened.pq_residual is True
+    # JSON round-trips tuples as lists; compare values
+    assert [[s, c, list(cq)] for s, c, cq in reopened.pq_codebook] \
+        == [[s, c, list(cq)] for s, c, cq in idx.pq_codebook]
+    rows2 = reopened.probe_batch_adc(qs, k=5, nprobe=4,
+                                     rerank=40).collect()
+    assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))

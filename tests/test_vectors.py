@@ -159,3 +159,43 @@ def test_pq_train_deterministic(spark):
     b = {(r.subspace, r.code): list(r._cq)
          for r in pq_train(df, dim=8, m=2, k=4, iters=1).collect()}
     assert a == b and len(a) >= 2
+
+
+def test_pq_train_ints_matches_reference_means(spark):
+    """pq_train_ints on a hand-computable input: 4 one-dim-subspace
+    'vectors' whose residual slices cluster into the k=2 seeds —
+    after one Lloyd pass each centroid must be floor(mean + 0.5) of
+    its members, computed exactly, and encode must argmin with ties
+    to the lowest code."""
+    from industrial_data_pipeline_spark.operators.vectors import (
+        pq_encode_ints, pq_train_ints)
+
+    # _id 0 seeds code 0 at 0; _id 1 seeds code 1 at 100;
+    # members: {0, 10} -> code 0, {100, 104} -> code 1
+    slices = spark.createDataFrame(
+        [(0, 0, [0]), (1, 0, [100]), (2, 0, [10]), (3, 0, [104])],
+        "_id long, subspace int, _sq array<long>")
+    cb = {(r["subspace"], r["code"]): list(r["_cq"])
+          for r in pq_train_ints(slices, k=2, iters=1).collect()}
+    assert cb == {(0, 0): [5], (0, 1): [102]}  # floor(mean+0.5)
+    enc = {r["_id"]: r["code"]
+           for r in pq_encode_ints(
+               slices, pq_train_ints(slices, k=2, iters=1)).collect()}
+    assert enc == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+def test_pq_train_ints_negative_means_round_half_up(spark):
+    """Signed residuals: floor(S/n + 0.5) is round-half-UP toward
+    +inf on negatives too (floor(-2.5 + 0.5) = -2), matching the
+    oracle's floor(CAST(sum AS DOUBLE)/count + 0.5) — integer
+    division semantics (which differ between engines on negatives)
+    are never involved."""
+    from industrial_data_pipeline_spark.operators.vectors import (
+        pq_train_ints)
+
+    # one seed (k=1): all rows form one cluster; mean = -2.5
+    slices = spark.createDataFrame(
+        [(0, 0, [-1]), (1, 0, [-4]), (2, 0, [-2]), (3, 0, [-3])],
+        "_id long, subspace int, _sq array<long>")
+    cb = pq_train_ints(slices, k=1, iters=1).collect()
+    assert [list(r["_cq"]) for r in cb] == [[-2]]
