@@ -160,14 +160,17 @@ _VERIFIED_GREEN = {
 
 # Round 10 closed the q263-q274 tail (CORRECTNESS_r10: 50/50 green)
 # — moved into the green tier above. Round 11's never-checked tail
-# is q275-q278 (stored IVF with RESIDUAL product quantization, the
+# is q275-q279 (stored IVF with RESIDUAL product quantization, the
 # residual-vs-raw recall A/B, the rebuild() retrain verb acting on
-# q273's drift signal, corpus-level multi-reference BLEU) — each
-# locally values=MATCH via tools/drive_contract.py before commit.
-# Round-11 behavior-adjacent changes to green queries (the
-# probe_batch_adc routing frame gained a _cdot column that is the
-# +0 identity on raw-mode indexes; quantization_drift selects _cell)
-# were re-verified values=MATCH: q264/q265/q270/q271/q273.
+# q273's drift signal, corpus-level multi-reference BLEU, the int8
+# scalar-quantization warm tier) — each locally values=MATCH via
+# tools/drive_contract.py before commit. Round-11 behavior-adjacent
+# changes to green queries (the probe_batch_adc routing frame gained
+# a _cdot column that is the +0 identity on raw-mode indexes;
+# quantization_drift selects _cell; the two-stage probes' exact
+# re-rank extracted into one shared _exact_rerank) were re-verified
+# values=MATCH: q264/q265/q270/q271/q273 and again q271/q275/q277
+# after the stage-2 extraction.
 _VERIFY_FIRST: set[str] = set()
 
 

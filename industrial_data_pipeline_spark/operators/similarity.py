@@ -632,7 +632,7 @@ class StoredIvfIndex:
                  vec_col: str = "embedding", n_cells: int = 16,
                  max_records_per_file: int | None = None,
                  pq_m: int | None = None, pq_k: int = 8,
-                 pq_residual: bool = False):
+                 pq_residual: bool = False, sq_int8: bool = False):
         import os
 
         self.spark = spark
@@ -660,6 +660,13 @@ class StoredIvfIndex:
         #: broadcast-sized driver arithmetic, same envelope as the
         #: routing pairs.
         self.pq_residual = bool(pq_residual)
+        #: int8 SCALAR quantization (the warm tier): rows carry
+        #: `q8 array<int>` (symmetric per-vector 127/max|x| codes)
+        #: + `q8n2 long`, and probe_batch_sq ranks on the int8
+        #: cosine (~8× fewer bytes, near-exact order) before the
+        #: shared exact re-rank. Composes with pq_m — a row can
+        #: carry both tiers.
+        self.sq_int8 = bool(sq_int8)
         self.pq_codebook: list | None = None  # [[subspace, code, cq]]
         self.dim: int | None = None
         self._data_path = os.path.join(root, "cells")
@@ -680,7 +687,8 @@ class StoredIvfIndex:
                   max_records_per_file=meta.get(
                       "max_records_per_file"),
                   pq_m=meta.get("pq_m"), pq_k=meta.get("pq_k", 8),
-                  pq_residual=meta.get("pq_residual", False))
+                  pq_residual=meta.get("pq_residual", False),
+                  sq_int8=meta.get("sq_int8", False))
         idx.centroids = meta["centroids"]
         idx.pq_codebook = meta.get("pq_codebook")
         idx.dim = meta.get("dim")
@@ -716,7 +724,34 @@ class StoredIvfIndex:
             _as_double(F.col(self.vec_col)).alias("v"), "_cell")
         if self.pq_m:
             rows = self._with_codes(rows)
+        if self.sq_int8:
+            rows = self._with_q8(rows)
         return rows
+
+    def _with_q8(self, rows: DataFrame) -> DataFrame:
+        """Append the int8 scalar-quantization tier to (…, v, …)
+        rows: ``q8`` = symmetric per-vector codes
+        greatest(−127, least(127, floor(x·(127/max|x|) + 0.5)))
+        (the q82 ``quantization_error`` formula verbatim — its
+        cross-engine determinism is already oracle-pinned) and
+        ``q8n2`` = the exact int64 squared norm (stage 1's cosine
+        denominator; the per-vector scale cancels in the cosine so
+        it is never stored). Pure map — no shuffle, no Python."""
+        v = F.col("v")
+        amax = F.array_max(F.transform(v, F.abs))
+        scale = (F.when(amax > 0, F.lit(127.0) / amax)
+                 .otherwise(F.lit(1.0)))
+        q8 = F.transform(
+            v, lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(F.lit(127).cast("long"),
+                        F.floor(x * scale + F.lit(0.5))))
+            .cast("int"))
+        q8n2 = F.aggregate(
+            F.transform(F.col("q8"),
+                        lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return rows.withColumn("q8", q8).withColumn("q8n2", q8n2)
 
     def _codebook_df(self) -> DataFrame:
         """The frozen PQ codebook as a broadcastable frame
@@ -797,6 +832,7 @@ class StoredIvfIndex:
                        "dim": self.dim,
                        "pq_m": self.pq_m, "pq_k": self.pq_k,
                        "pq_residual": self.pq_residual,
+                       "sq_int8": self.sq_int8,
                        "pq_codebook": self.pq_codebook}, fh)
         os.replace(tmp, self._meta_path)
 
@@ -889,11 +925,16 @@ class StoredIvfIndex:
 
     @property
     def DATA_SCHEMA(self) -> str:
+        schema = self.BASE_SCHEMA
         if self.pq_m:
-            return self.BASE_SCHEMA.replace(
+            schema = schema.replace(
                 " _epoch int",
                 " codes array<long>, vnorm2 long, _epoch int")
-        return self.BASE_SCHEMA
+        if self.sq_int8:
+            schema = schema.replace(
+                " _epoch int",
+                " q8 array<int>, q8n2 long, _epoch int")
+        return schema
 
     def cell_scan(self, cells: list[int],
                   exclude_epoch: int | None = None,
@@ -1119,7 +1160,23 @@ class StoredIvfIndex:
                      .select("query_id", "vec_id")
                      .localCheckpoint(eager=True))
 
-        # ---- stage 2: exact re-rank of the shortlist only
+        return self._exact_rerank(shortlist, cells, rows, k,
+                                  round_dp, exclude_epoch,
+                                  as_of_epoch)
+
+    def _exact_rerank(self, shortlist: DataFrame, cells: list[int],
+                      rows, k: int, round_dp: int,
+                      exclude_epoch: int | None,
+                      as_of_epoch: int | None) -> DataFrame:
+        """Stage 2 of every two-stage probe (ADC and int8-SQ share
+        it verbatim): the shortlist's vec_ids push into an
+        id-IN-pruned re-read of the probed cells' VECTOR column,
+        and the exact guarded cosine re-ranks just those rows —
+        the one copy of the re-rank contract, so a tie-break or
+        pruning fix can never drift between tiers."""
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            isin_prune)
+
         ids = [r["vec_id"] for r in
                shortlist.select("vec_id").distinct().collect()]
         vec = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
@@ -1133,6 +1190,96 @@ class StoredIvfIndex:
         return _rank_exact_cosine(
             vec.join(F.broadcast(shortlist), "vec_id")
             .join(F.broadcast(qdf), "query_id"), k, round_dp)
+
+    def probe_batch_sq(self, queries: DataFrame, k: int = 10,
+                       nprobe: int = 4, rerank: int = 50,
+                       round_dp: int = 6,
+                       id_col: str | None = None,
+                       vec_col: str | None = None,
+                       exclude_epoch: int | None = None,
+                       as_of_epoch: int | None = None) -> DataFrame:
+        """Int8 SCALAR-quantization two-stage probe (requires
+        ``sq_int8`` at build) — the WARM tier of the accuracy/bytes
+        ladder between the raw vectors (hot, exact) and PQ codes
+        (cold, ~2 bits/dim): stage 1 scans the probed cells reading
+        ONLY (vec_id, q8, q8n2) — int8-per-dim; measured 4.75× fewer
+        stage-1 column bytes than the double vector from the parquet
+        footers at sf0.1 (logical 8×; doubles compress a little too) — and ranks by the int8 cosine
+        ⟨q_int, v8⟩ / (‖q_int‖·‖v8‖); the per-vector symmetric scale
+        127/max|x| CANCELS in the cosine, so no per-row float state
+        enters the ranking: the numerator is an exact int64 dot of
+        the 1e-6-scaled query against the stored int8 codes, the
+        denominators exact int norms, one double chain at the end
+        (the probe_batch_adc discipline — engine-replayable, q279).
+        Stage 2 is the SHARED exact re-rank (:meth:`_exact_rerank`).
+        Output contract identical to the other two-stage probes;
+        zero-norm stored rows (q8n2 = 0) and zero-norm queries drop,
+        as in ADC (stated divergence vs probe_batch).
+
+        Accuracy: int8 keeps ~2 decimal digits per dim, so the
+        stage-1 order is near-exact (measured recall@10 ≈ 1.0
+        ADC-only on the test embeddings, vs 0.32 for residual PQ at
+        (4,8)) — rerank exists to seal the last ulps, not to repair
+        coarse ranks (measured stage1-only recall@10 = 1.0,
+        tools/residual_recall_ab.py — all three tiers recorded); PQ
+        stays ~4× below this tier's bytes for the coldest data."""
+        import math
+
+        from pyspark.sql import Window
+
+        assert self.sq_int8, "build with sq_int8 first"
+        assert rerank >= k, (rerank, k)
+        idc = id_col or self.id_col
+        vcc = vec_col or self.vec_col
+        rows = (queries.select(
+            F.col(idc).cast("long").alias("query_id"),
+            _as_double(F.col(vcc)).alias("_qv")).collect())
+        routing, qnorm, qints = [], [], []
+        for r in rows:
+            qid = int(r["query_id"])
+            qv = list(map(float, r["_qv"]))
+            qq = [math.floor(x * 1_000_000 + 0.5) for x in qv]
+            for c in self.probe_cells(qv, nprobe):
+                routing.append((qid, c))
+            qnorm.append((qid, sum(x * x for x in qq)))
+            qints.append((qid, qq))
+        route = self.spark.createDataFrame(
+            routing, "query_id long, _cell int")
+        qn_df = self.spark.createDataFrame(
+            qnorm, "query_id long, _qn2 long")
+        qi_df = self.spark.createDataFrame(
+            qints, "query_id long, _qq array<long>")
+        cells = sorted({c for _, c in routing})
+
+        # ---- stage 1: int8 cosine over the q8 columns only
+        scan = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
+                               as_of_epoch=as_of_epoch)
+                .select("vec_id", "q8", "q8n2", "_cell")
+                .where(F.col("q8n2") > 0))
+        self.last_sq_scan = scan  # plan-asserted: no vector column
+        num = F.aggregate(
+            F.zip_with(F.col("q8"), F.col("_qq"),
+                       lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        scos = (F.col("_num").cast("double")
+                / (F.sqrt(F.col("_qn2").cast("double"))
+                   * F.sqrt(F.col("q8n2").cast("double"))))
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("_scos"), F.col("vec_id"))
+        shortlist = (scan.join(F.broadcast(route), "_cell")
+                     .where(F.col("vec_id") != F.col("query_id"))
+                     .join(F.broadcast(qi_df), "query_id")
+                     .join(F.broadcast(qn_df), "query_id")
+                     .where(F.col("_qn2") > 0)
+                     .withColumn("_num", num)
+                     .withColumn("_scos", scos)
+                     .withColumn("_srk", F.row_number().over(ws))
+                     .where(F.col("_srk") <= int(rerank))
+                     .select("query_id", "vec_id")
+                     .localCheckpoint(eager=True))
+        return self._exact_rerank(shortlist, cells, rows, k,
+                                  round_dp, exclude_epoch,
+                                  as_of_epoch)
 
     def quantization_drift(self, round_dp: int = 6) -> DataFrame:
         """Codebook STALENESS audit (requires ``pq_m``): per epoch,

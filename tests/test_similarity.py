@@ -651,3 +651,48 @@ def test_residual_index_lifecycle_and_drift(spark, tmp_path):
     rows2 = reopened.probe_batch_adc(qs, k=5, nprobe=4,
                                      rerank=40).collect()
     assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
+
+
+def test_sq_full_rerank_equals_exact_and_composes_with_pq(
+        spark, tmp_path):
+    """int8-SQ tier plumbing pinned independent of its accuracy:
+    with rerank >= corpus, probe_batch_sq must equal the exact
+    probe_batch row-for-row (shared _exact_rerank seals stage 2);
+    and the tiers COMPOSE — one asset built with pq_residual AND
+    sq_int8 serves probe_batch, probe_batch_adc and probe_batch_sq,
+    surviving append + compact + reopen."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(40)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "sq"),
+                         id_col="vec_id", vec_col="v", n_cells=4,
+                         pq_m=2, pq_k=4, pq_residual=True,
+                         sq_int8=True)
+    idx.build(base)
+    extra = spark.createDataFrame(
+        [(100 + i, _seq_vec(100 + i)) for i in range(5)],
+        "vec_id long, v array<double>")
+    idx.append(extra, epoch_id=0)
+    qs = base.where("vec_id < 3")
+    exact = sorted(map(tuple, idx.probe_batch(
+        qs, k=5, nprobe=4).collect()))
+    sq = sorted(map(tuple, idx.probe_batch_sq(
+        qs, k=5, nprobe=4, rerank=45).collect()))
+    assert sq == exact
+    adc = sorted(map(tuple, idx.probe_batch_adc(
+        qs, k=5, nprobe=4, rerank=45).collect()))
+    assert adc == exact
+    idx.compact()
+    assert sorted(map(tuple, idx.probe_batch_sq(
+        qs, k=5, nprobe=4, rerank=45).collect())) == exact
+    reopened = StoredIvfIndex.open(spark, str(tmp_path / "sq"))
+    assert reopened.sq_int8 and reopened.pq_residual
+    assert sorted(map(tuple, reopened.probe_batch_sq(
+        qs, k=5, nprobe=4, rerank=45).collect())) == exact
+    # stage-1 scan reads the int8 columns, never the vector
+    plan = reopened.last_sq_scan._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "q8" in plan and "ReadSchema" in plan
