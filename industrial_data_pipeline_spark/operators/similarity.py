@@ -632,7 +632,8 @@ class StoredIvfIndex:
                  vec_col: str = "embedding", n_cells: int = 16,
                  max_records_per_file: int | None = None,
                  pq_m: int | None = None, pq_k: int = 8,
-                 pq_residual: bool = False, sq_int8: bool = False):
+                 pq_residual: bool = False, sq_int8: bool = False,
+                 extra_schema: str | None = None):
         import os
 
         self.spark = spark
@@ -667,9 +668,23 @@ class StoredIvfIndex:
         #: shared exact re-rank. Composes with pq_m — a row can
         #: carry both tiers.
         self.sq_int8 = bool(sq_int8)
+        #: metadata columns carried INTO the asset (DDL fragment,
+        #: e.g. "label int, source string") — the filtered-ANN
+        #: probe's pushdown side: probe_batch(filter_col=...) keeps
+        #: only candidates whose column equals the query row's value
+        #: (PRE-filter, the q151 contract — full k per query short
+        #: of the stratum being smaller than k).
+        self.extra_schema = extra_schema
         self.pq_codebook: list | None = None  # [[subspace, code, cq]]
         self.dim: int | None = None
         self._data_path = os.path.join(root, "cells")
+
+    @property
+    def extra_cols(self) -> list[str]:
+        if not self.extra_schema:
+            return []
+        return [part.strip().split()[0]
+                for part in self.extra_schema.split(",")]
 
     @property
     def _meta_path(self) -> str:
@@ -688,7 +703,8 @@ class StoredIvfIndex:
                       "max_records_per_file"),
                   pq_m=meta.get("pq_m"), pq_k=meta.get("pq_k", 8),
                   pq_residual=meta.get("pq_residual", False),
-                  sq_int8=meta.get("sq_int8", False))
+                  sq_int8=meta.get("sq_int8", False),
+                  extra_schema=meta.get("extra_schema"))
         idx.centroids = meta["centroids"]
         idx.pq_codebook = meta.get("pq_codebook")
         idx.dim = meta.get("dim")
@@ -721,7 +737,8 @@ class StoredIvfIndex:
         # vectorized parquet reader fails on the type mismatch
         rows = assigned.select(
             F.col(self.id_col).cast("long").alias("vec_id"),
-            _as_double(F.col(self.vec_col)).alias("v"), "_cell")
+            _as_double(F.col(self.vec_col)).alias("v"), "_cell",
+            *self.extra_cols)
         if self.pq_m:
             rows = self._with_codes(rows)
         if self.sq_int8:
@@ -833,6 +850,7 @@ class StoredIvfIndex:
                        "pq_m": self.pq_m, "pq_k": self.pq_k,
                        "pq_residual": self.pq_residual,
                        "sq_int8": self.sq_int8,
+                       "extra_schema": self.extra_schema,
                        "pq_codebook": self.pq_codebook}, fh)
         os.replace(tmp, self._meta_path)
 
@@ -934,6 +952,10 @@ class StoredIvfIndex:
             schema = schema.replace(
                 " _epoch int",
                 " q8 array<int>, q8n2 long, _epoch int")
+        if self.extra_schema:
+            schema = schema.replace(
+                " _epoch int",
+                f" {self.extra_schema}, _epoch int")
         return schema
 
     def cell_scan(self, cells: list[int],
@@ -977,7 +999,9 @@ class StoredIvfIndex:
                     id_col: str | None = None,
                     vec_col: str | None = None,
                     exclude_epoch: int | None = None,
-                    as_of_epoch: int | None = None) -> DataFrame:
+                    as_of_epoch: int | None = None,
+                    filter_col: str | None = None,
+                    query_filter_col: str | None = None) -> DataFrame:
         """Probe a query BATCH with ONE pruned scan (VERDICT r9
         item 3): the single-vector :meth:`probe` unioned over a
         production batch explodes the plan (one cell scan per query);
@@ -1005,19 +1029,42 @@ class StoredIvfIndex:
         (directory-level pruning, ∝ distinct probed cells, NOT
         |batch| × cells); compute = |probed rows| × |queries sharing
         each cell| guarded cosines; the only shuffle is the per-query
-        window on query_id."""
+        window on query_id.
+
+        ``filter_col`` turns this into metadata-FILTERED ANN over
+        the persisted asset (the q151 contract on the stored index):
+        the named asset column (must be in ``extra_schema``) is
+        compared against each query row's own value (read from
+        ``query_filter_col``, default the same name) and candidates
+        failing it drop BEFORE ranking — a pre-filter, so every
+        query still gets k neighbors short of its stratum being
+        smaller than k. The predicate evaluates on the pruned cell
+        scan (cheap JVM compare; at scale, low-cardinality filter
+        columns additionally dictionary-skip parquet pages)."""
         from pyspark.sql import Window
 
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
-        rows = (queries.select(
-            F.col(idc).cast("long").alias("query_id"),
-            _as_double(F.col(vcc)).alias("_qv")).collect())
+        sel = [F.col(idc).cast("long").alias("query_id"),
+               _as_double(F.col(vcc)).alias("_qv")]
+        if filter_col:
+            assert filter_col in self.extra_cols, (
+                filter_col, self.extra_cols)
+            qfc = query_filter_col or filter_col
+            ftype = queries.schema[qfc].dataType.simpleString()
+            sel.append(F.col(qfc).alias("_qf"))
+        rows = queries.select(*sel).collect()
         routing = [(int(r["query_id"]), c) for r in rows
                    for c in self.probe_cells(list(r["_qv"]), nprobe)]
-        qdf = self.spark.createDataFrame(
-            [(int(r["query_id"]), list(r["_qv"])) for r in rows],
-            "query_id long, _qv array<double>")
+        if filter_col:
+            qdf = self.spark.createDataFrame(
+                [(int(r["query_id"]), list(r["_qv"]), r["_qf"])
+                 for r in rows],
+                f"query_id long, _qv array<double>, _qf {ftype}")
+        else:
+            qdf = self.spark.createDataFrame(
+                [(int(r["query_id"]), list(r["_qv"])) for r in rows],
+                "query_id long, _qv array<double>")
         route = self.spark.createDataFrame(
             routing, "query_id long, _cell int")
         cells = sorted({c for _, c in routing})
@@ -1026,6 +1073,8 @@ class StoredIvfIndex:
                 .join(F.broadcast(route), "_cell")
                 .where(F.col("vec_id") != F.col("query_id"))
                 .join(F.broadcast(qdf), "query_id"))
+        if filter_col:
+            cand = cand.where(F.col(filter_col) == F.col("_qf"))
         return _rank_exact_cosine(cand, k, round_dp)
 
     def probe_batch_adc(self, queries: DataFrame, k: int = 10,
@@ -1455,10 +1504,13 @@ class StoredIvfIndex:
                     for r in cb.collect())
 
             def _prep(df: DataFrame) -> DataFrame:
-                rows = ivf_assign(df.select("vec_id", "v"),
-                                  self.centroids, "v")
+                rows = ivf_assign(
+                    df.select("vec_id", "v", *self.extra_cols),
+                    self.centroids, "v")
                 if self.pq_m:
                     rows = self._with_codes(rows)
+                if self.sq_int8:
+                    rows = self._with_q8(rows)
                 return rows.withColumn("_epoch", F.lit(-1))
 
             stats = rewrite_under_lease(

@@ -4229,3 +4229,114 @@ WHERE rk <= 10
 REGISTRY_LLM.update({
     "q279_ivf_sq_probe": (q_ivf_sq_probe, _oracle_ivf_sq_probe()),
 })
+
+
+# -- q280 metadata-FILTERED ANN over the persisted IVF index (the
+# -- RAG retrieval shape q151 expresses in-plan, now on the asset)
+
+def q_filtered_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered batch probe of the stored IVF index
+    (StoredIvfIndex ``extra_schema`` + probe_batch ``filter_col`` —
+    the q151 pre-filter contract on the PERSISTED asset): the index
+    carries each vector's ``label`` as a metadata column; every
+    query keeps only candidates sharing ITS OWN label — filtered
+    BEFORE ranking, so each query still gets its full top-k short
+    of the stratum being smaller than k (a post-filter would return
+    holes). Build on base, epoch-0 append, 10 labeled queries; the
+    oracle replays routing, the label equality and the unrounded-
+    cosine ranking — byte-equality pins that the filter composes
+    with cell pruning, the append epoch and the ranking contract.
+    At scale the predicate evaluates on the pruned cell scan
+    (JVM compare; low-cardinality labels also dictionary-skip
+    parquet pages)."""
+    import shutil
+    import tempfile
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"), "label")
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v"), "label"))
+    qs = (base.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"), "label")
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q280_")
+    try:
+        idx = SIM.StoredIvfIndex(spark, root, id_col="vec_id",
+                                 vec_col="_v", n_cells=16,
+                                 extra_schema="label int")
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.probe_batch(qs, k=10, nprobe=4, id_col="qid",
+                               vec_col="_qv", filter_col="label")
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_filtered_ivf_probe(nq: int = 10, nprobe: int = 4) -> str:
+    cos = _COS.format(a="cc.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    cos_n = _COS.format(a="n.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings),
+base AS (SELECT * FROM c0 WHERE vec_id < 150),
+batch AS (SELECT * FROM c0 WHERE vec_id >= 150 AND vec_id < 250),
+c AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM base
+      WHERE vec_id < {nq}),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM base ORDER BY vec_id LIMIT 16),
+ab AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM base b CROSS JOIN seed)
+       WHERE rn = 1),
+an AS (SELECT vec_id, cell FROM
+         (SELECT n.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY n.vec_id
+                                    ORDER BY {cos_n} DESC, seed.cell)
+                     AS rn
+          FROM batch n CROSS JOIN seed)
+       WHERE rn = 1),
+asg AS (SELECT * FROM ab UNION ALL SELECT * FROM an),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= {nprobe}),
+cand AS (SELECT p.qid, cc.vec_id, {cos} AS cs
+         FROM probe p
+         JOIN asg ON asg.cell = p.cell
+         JOIN c cc ON cc.vec_id = asg.vec_id
+         JOIN q ON q.qid = p.qid
+         WHERE cc.vec_id <> p.qid AND cc.label = q.qlabel)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM cand)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_LLM.update({
+    "q280_filtered_ivf_probe": (q_filtered_ivf_probe,
+                                _oracle_filtered_ivf_probe()),
+})

@@ -696,3 +696,53 @@ def test_sq_full_rerank_equals_exact_and_composes_with_pq(
     plan = reopened.last_sq_scan._jdf.queryExecution() \
         .executedPlan().toString()
     assert "q8" in plan and "ReadSchema" in plan
+
+
+def test_filtered_probe_and_rebuild_carry_extras(spark, tmp_path):
+    """extra_schema metadata columns: the filtered probe_batch is a
+    PRE-filter (every neighbor shares its query's label; full k
+    when the stratum allows), the filter composes with append, and
+    rebuild() re-routes WITHOUT dropping the extra or tier columns
+    (a rebuild that lost `label`/`q8` would break the next filtered
+    or SQ probe's declared read schema)."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i), i % 3) for i in range(36)],
+        "vec_id long, v array<double>, label int")
+    idx = StoredIvfIndex(spark, str(tmp_path / "fivf"),
+                         id_col="vec_id", vec_col="v", n_cells=4,
+                         sq_int8=True, extra_schema="label int")
+    idx.build(base)
+    extra = spark.createDataFrame(
+        [(100 + i, _seq_vec(100 + i), i % 3) for i in range(6)],
+        "vec_id long, v array<double>, label int")
+    idx.append(extra, epoch_id=0)
+    qs = base.where("vec_id < 3")
+    out = idx.probe_batch(qs, k=5, nprobe=4,
+                          filter_col="label").collect()
+    qlabel = {r.vec_id: r.label for r in qs.collect()}
+    vlabel = {r.vec_id: r.label
+              for r in base.unionByName(extra).collect()}
+    by_q = {}
+    for r in out:
+        assert vlabel[r.vec_id] == qlabel[r.query_id]  # pre-filter
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        stratum = sum(1 for v, l in vlabel.items()
+                      if l == qlabel[qid] and v != qid)
+        assert len(rs) == min(5, stratum)
+    before = sorted(map(tuple, out))
+    idx.rebuild()
+    after = sorted(map(tuple, idx.probe_batch(
+        qs, k=5, nprobe=4, filter_col="label").collect()))
+    # same corpus, refine_iters=0 -> same seeds/routing: identical
+    assert after == before
+    # SQ tier survived the rebuild rewrite
+    sq = sorted(map(tuple, idx.probe_batch_sq(
+        qs, k=5, nprobe=4, rerank=42).collect()))
+    exact = sorted(map(tuple, idx.probe_batch(
+        qs, k=5, nprobe=4).collect()))
+    assert sq == exact
