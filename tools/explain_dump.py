@@ -507,8 +507,9 @@ PICKS = [
      "test_ivf_adc_probe_plans_prune_columns_and_ids) with the "
      "probed cells as PartitionFilters; stage 2 re-reads vectors "
      "for the In(vec_id)-pushed shortlist only. Column bytes "
-     "measured 0.032x of the vector column "
-     "(tools/ivf_adc_probe_result.json)."),
+     "measured 0.081x of the vector column at the regenerated "
+     "64-cell/256-row-file layout (0.032x at the r10 16-cell "
+     "layout; tools/ivf_adc_probe_result.json)."),
     ("q272_mixed_shard_manifest",
      "Epoch-plan export: the mix's broadcast copy-spec join + "
      "map-side explode feed the manifest's ONE groupBy shuffle — "
@@ -528,6 +529,33 @@ PICKS = [
      "pair rows plus a single JVM division per row; eval cost "
      "linear in sum(m*n) across pairs, no cross-pair state (the "
      "q255 LCS envelope)."),
+    ("q275_ivf_residual_probe",
+     "Stored RESIDUAL IVF-PQ probe (round 11): SAME plan shape as "
+     "q271 — stage 1 reads only the code columns with the probed "
+     "cells as PartitionFilters, stage 2 re-reads vectors for the "
+     "In(vec_id) shortlist — the residual numerator's coarse term "
+     "rides the broadcast routing pairs as one extra int64 column "
+     "(_cdot), so IVF-PQ-proper accuracy costs nothing at probe "
+     "time."),
+    ("q278_corpus_bleu",
+     "Corpus multi-reference BLEU: per n the clip's count shuffles "
+     "+ one max-over-references fold, then map-side-combinable "
+     "global int64 sums; the single-row tails compose as 1x1 cross "
+     "joins (the q268 scalar pattern) and the only float math is "
+     "one final chain on scalars — no window over data, no "
+     "fact-table re-shuffle across n."),
+    ("q279_ivf_sq_probe",
+     "int8 SQ tier probe: stage 1's ReadSchema carries "
+     "vec_id+q8+q8n2 only (the vector column dropped — measured "
+     "4.75x fewer column bytes); ranking inputs are exact int64 "
+     "dots/norms (the per-vector scale cancels in the cosine); "
+     "stage 2 is the shared In(vec_id)-pushed exact re-rank."),
+    ("q280_filtered_ivf_probe",
+     "Filtered stored-ANN probe: the label equality evaluates on "
+     "the ALREADY cell-pruned scan right after the broadcast "
+     "routing/query joins — a pre-filter (full k per query short "
+     "of the stratum) adding zero shuffles and zero extra passes; "
+     "the only shuffle remains the per-query rank window."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
