@@ -1045,6 +1045,33 @@ class StoredIvfIndex:
 
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
+        rows, qf_df = self._collect_queries(
+            queries, idc, vcc, filter_col, query_filter_col)
+        routing = [(int(r["query_id"]), c) for r in rows
+                   for c in self.probe_cells(list(r["_qv"]), nprobe)]
+        qdf = self.spark.createDataFrame(
+            [(int(r["query_id"]), list(r["_qv"])) for r in rows],
+            "query_id long, _qv array<double>")
+        route = self.spark.createDataFrame(
+            routing, "query_id long, _cell int")
+        cells = sorted({c for _, c in routing})
+        cand = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
+                               as_of_epoch=as_of_epoch)
+                .join(F.broadcast(route), "_cell")
+                .where(F.col("vec_id") != F.col("query_id"))
+                .join(F.broadcast(qdf), "query_id"))
+        cand = self._apply_filter(cand, qf_df, filter_col)
+        return _rank_exact_cosine(cand, k, round_dp)
+
+    def _collect_queries(self, queries: DataFrame, idc: str,
+                         vcc: str, filter_col: str | None,
+                         query_filter_col: str | None):
+        """Driver-side query collection shared by the batch probes:
+        (rows, qf_df) where ``rows`` carry query_id/_qv (plus _qf
+        when filtering) and ``qf_df`` is the broadcastable
+        (query_id, _qf) filter frame — None without ``filter_col``.
+        The filter column's type is taken from the QUERY frame's
+        schema so int/string/... labels all work unchanged."""
         sel = [F.col(idc).cast("long").alias("query_id"),
                _as_double(F.col(vcc)).alias("_qv")]
         if filter_col:
@@ -1054,28 +1081,25 @@ class StoredIvfIndex:
             ftype = queries.schema[qfc].dataType.simpleString()
             sel.append(F.col(qfc).alias("_qf"))
         rows = queries.select(*sel).collect()
-        routing = [(int(r["query_id"]), c) for r in rows
-                   for c in self.probe_cells(list(r["_qv"]), nprobe)]
+        qf_df = None
         if filter_col:
-            qdf = self.spark.createDataFrame(
-                [(int(r["query_id"]), list(r["_qv"]), r["_qf"])
-                 for r in rows],
-                f"query_id long, _qv array<double>, _qf {ftype}")
-        else:
-            qdf = self.spark.createDataFrame(
-                [(int(r["query_id"]), list(r["_qv"])) for r in rows],
-                "query_id long, _qv array<double>")
-        route = self.spark.createDataFrame(
-            routing, "query_id long, _cell int")
-        cells = sorted({c for _, c in routing})
-        cand = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
-                               as_of_epoch=as_of_epoch)
-                .join(F.broadcast(route), "_cell")
-                .where(F.col("vec_id") != F.col("query_id"))
-                .join(F.broadcast(qdf), "query_id"))
-        if filter_col:
-            cand = cand.where(F.col(filter_col) == F.col("_qf"))
-        return _rank_exact_cosine(cand, k, round_dp)
+            qf_df = self.spark.createDataFrame(
+                [(int(r["query_id"]), r["_qf"]) for r in rows],
+                f"query_id long, _qf {ftype}")
+        return rows, qf_df
+
+    @staticmethod
+    def _apply_filter(cand: DataFrame, qf_df: DataFrame | None,
+                      filter_col: str | None) -> DataFrame:
+        """Metadata pre-filter, shared by all three batch probes:
+        candidates keep only rows whose asset ``filter_col`` equals
+        their query's ``_qf`` — applied BEFORE any ranking/shortlist
+        so every downstream stage sees the filtered stratum (the
+        q151 contract: full k short of the stratum)."""
+        if qf_df is None:
+            return cand
+        return (cand.join(F.broadcast(qf_df), "query_id")
+                .where(F.col(filter_col) == F.col("_qf")))
 
     def probe_batch_adc(self, queries: DataFrame, k: int = 10,
                         nprobe: int = 4, rerank: int = 50,
@@ -1083,7 +1107,9 @@ class StoredIvfIndex:
                         id_col: str | None = None,
                         vec_col: str | None = None,
                         exclude_epoch: int | None = None,
-                        as_of_epoch: int | None = None) -> DataFrame:
+                        as_of_epoch: int | None = None,
+                        filter_col: str | None = None,
+                        query_filter_col: str | None = None) -> DataFrame:
         """IVF-ADC two-stage probe (requires ``pq_m`` at build): the
         probed cells are scanned reading ONLY the code columns
         (vec_id, codes, vnorm2 — column pruning drops the vector,
@@ -1143,9 +1169,8 @@ class StoredIvfIndex:
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
         ds = self.dim // self.pq_m
-        rows = (queries.select(
-            F.col(idc).cast("long").alias("query_id"),
-            _as_double(F.col(vcc)).alias("_qv")).collect())
+        rows, qf_df = self._collect_queries(
+            queries, idc, vcc, filter_col, query_filter_col)
         cents_q = self.centroids_q if self.pq_residual else None
         routing, lut, qnorm = [], [], []
         for r in rows:
@@ -1180,11 +1205,14 @@ class StoredIvfIndex:
         # ---- stage 1: ADC over the code columns only
         scan = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
                                as_of_epoch=as_of_epoch)
-                .select("vec_id", "codes", "vnorm2", "_cell")
+                .select("vec_id", "codes", "vnorm2", "_cell",
+                        *([filter_col] if filter_col else []))
                 .where(F.col("vnorm2") > 0))
         self.last_adc_scan = scan  # plan-asserted: no vector column
-        adot = (scan.join(F.broadcast(route), "_cell")
-                .where(F.col("vec_id") != F.col("query_id"))
+        adot = (self._apply_filter(
+                    scan.join(F.broadcast(route), "_cell")
+                    .where(F.col("vec_id") != F.col("query_id")),
+                    qf_df, filter_col)
                 .select("query_id", "vec_id", "vnorm2", "_cdot",
                         F.posexplode("codes").alias("subspace",
                                                     "code"))
@@ -1246,7 +1274,9 @@ class StoredIvfIndex:
                        id_col: str | None = None,
                        vec_col: str | None = None,
                        exclude_epoch: int | None = None,
-                       as_of_epoch: int | None = None) -> DataFrame:
+                       as_of_epoch: int | None = None,
+                       filter_col: str | None = None,
+                       query_filter_col: str | None = None) -> DataFrame:
         """Int8 SCALAR-quantization two-stage probe (requires
         ``sq_int8`` at build) — the WARM tier of the accuracy/bytes
         ladder between the raw vectors (hot, exact) and PQ codes
@@ -1280,9 +1310,8 @@ class StoredIvfIndex:
         assert rerank >= k, (rerank, k)
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
-        rows = (queries.select(
-            F.col(idc).cast("long").alias("query_id"),
-            _as_double(F.col(vcc)).alias("_qv")).collect())
+        rows, qf_df = self._collect_queries(
+            queries, idc, vcc, filter_col, query_filter_col)
         routing, qnorm, qints = [], [], []
         for r in rows:
             qid = int(r["query_id"])
@@ -1303,7 +1332,8 @@ class StoredIvfIndex:
         # ---- stage 1: int8 cosine over the q8 columns only
         scan = (self.cell_scan(cells, exclude_epoch=exclude_epoch,
                                as_of_epoch=as_of_epoch)
-                .select("vec_id", "q8", "q8n2", "_cell")
+                .select("vec_id", "q8", "q8n2", "_cell",
+                        *([filter_col] if filter_col else []))
                 .where(F.col("q8n2") > 0))
         self.last_sq_scan = scan  # plan-asserted: no vector column
         num = F.aggregate(
@@ -1315,8 +1345,10 @@ class StoredIvfIndex:
                    * F.sqrt(F.col("q8n2").cast("double"))))
         ws = Window.partitionBy("query_id").orderBy(
             F.desc("_scos"), F.col("vec_id"))
-        shortlist = (scan.join(F.broadcast(route), "_cell")
-                     .where(F.col("vec_id") != F.col("query_id"))
+        shortlist = (self._apply_filter(
+                         scan.join(F.broadcast(route), "_cell")
+                         .where(F.col("vec_id") != F.col("query_id")),
+                         qf_df, filter_col)
                      .join(F.broadcast(qi_df), "query_id")
                      .join(F.broadcast(qn_df), "query_id")
                      .where(F.col("_qn2") > 0)

@@ -4340,3 +4340,153 @@ REGISTRY_LLM.update({
     "q280_filtered_ivf_probe": (q_filtered_ivf_probe,
                                 _oracle_filtered_ivf_probe()),
 })
+
+
+# -- q281 filtered int8-SQ probe: the metadata pre-filter composed
+# -- with the warm-tier two-stage ranking (filter x tier matrix)
+
+def q_filtered_sq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q280's metadata pre-filter composed with q279's int8-SQ
+    two-stage probe (probe_batch_sq ``filter_col`` — the shared
+    ``_apply_filter`` stage, so the filter lands BEFORE the stage-1
+    shortlist window: the rerank budget is spent entirely inside
+    the query's label stratum, not on candidates the filter would
+    discard post-hoc — the difference between pre- and post-filter
+    ANN at equal rerank). Same build/append scenario as q279 with
+    labels carried as asset metadata; oracle replays routing, label
+    equality, the int8-cosine shortlist and the exact re-rank."""
+    import shutil
+    import tempfile
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"), "label")
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v"), "label"))
+    qs = (base.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"), "label")
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q281_")
+    try:
+        idx = SIM.StoredIvfIndex(spark, root, id_col="vec_id",
+                                 vec_col="_v", n_cells=16,
+                                 sq_int8=True,
+                                 extra_schema="label int")
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.probe_batch_sq(qs, k=10, nprobe=4, rerank=50,
+                                  id_col="qid", vec_col="_qv",
+                                  filter_col="label")
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_filtered_sq_probe(nq: int = 10, nprobe: int = 4,
+                              rerank: int = 50) -> str:
+    from industrial_data_pipeline_spark.suite_vectors import _QV
+
+    def idot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> p[1]*p[2]), 'sum')")
+
+    cos = _COS.format(a="c.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    cos_n = _COS.format(a="n.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings),
+base AS (SELECT * FROM c0 WHERE vec_id < 150),
+batch AS (SELECT * FROM c0 WHERE vec_id >= 150 AND vec_id < 250),
+c AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM base
+      WHERE vec_id < {nq}),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM base ORDER BY vec_id LIMIT 16),
+ab AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM base b CROSS JOIN seed)
+       WHERE rn = 1),
+an AS (SELECT vec_id, cell FROM
+         (SELECT n.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY n.vec_id
+                                    ORDER BY {cos_n} DESC, seed.cell)
+                     AS rn
+          FROM batch n CROSS JOIN seed)
+       WHERE rn = 1),
+asg AS (SELECT * FROM ab UNION ALL SELECT * FROM an),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= {nprobe}),
+v8 AS (SELECT vec_id,
+              list_transform(v, x -> CAST(greatest(-127.0,
+                  least(127.0, floor(x * scale + 0.5))) AS BIGINT))
+                  AS q8
+       FROM (SELECT vec_id, v,
+                    CASE WHEN amax > 0 THEN 127.0 / amax
+                         ELSE 1.0 END AS scale
+             FROM (SELECT vec_id, v,
+                          list_aggregate(list_transform(v,
+                              x -> abs(x)), 'max') AS amax
+                   FROM c))),
+vn8 AS (SELECT vec_id, q8,
+               list_aggregate(list_transform(q8, x -> x*x), 'sum')
+                   AS q8n2
+        FROM v8),
+qq AS (SELECT qid, {_QV.format(c='qv')} AS qqv FROM q),
+qn AS (SELECT qid, list_aggregate(list_transform(qqv, x -> x*x),
+                                  'sum') AS qn2
+       FROM qq),
+sdot AS (SELECT p.qid, w.vec_id,
+                {idot('qq.qqv', 'w.q8')} AS num, w.q8n2
+         FROM probe p
+         JOIN asg ON asg.cell = p.cell
+         JOIN vn8 w ON w.vec_id = asg.vec_id
+         JOIN c cv ON cv.vec_id = w.vec_id
+         JOIN q ON q.qid = p.qid
+         JOIN qq ON qq.qid = p.qid
+         WHERE w.vec_id <> p.qid AND w.q8n2 > 0
+           AND cv.label = q.qlabel),
+short AS (SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id,
+                   row_number() OVER (PARTITION BY s.qid ORDER BY
+                       (CAST(num AS DOUBLE)
+                        / (sqrt(CAST(qn2 AS DOUBLE))
+                           * sqrt(CAST(q8n2 AS DOUBLE)))) DESC,
+                       s.vec_id) AS srk
+            FROM sdot s JOIN qn USING (qid) WHERE qn2 > 0)
+          WHERE srk <= {rerank}),
+rr AS (SELECT s.qid, s.vec_id, {cos} AS cs
+       FROM short s JOIN c ON c.vec_id = s.vec_id
+       JOIN q ON q.qid = s.qid)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM rr)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_LLM.update({
+    "q281_filtered_sq_probe": (q_filtered_sq_probe,
+                               _oracle_filtered_sq_probe()),
+})

@@ -746,3 +746,38 @@ def test_filtered_probe_and_rebuild_carry_extras(spark, tmp_path):
     exact = sorted(map(tuple, idx.probe_batch(
         qs, k=5, nprobe=4).collect()))
     assert sq == exact
+
+
+def test_filtered_two_stage_probes_equal_filtered_exact(
+        spark, tmp_path):
+    """The filter x tier matrix closes: with rerank >= corpus, the
+    filtered ADC and filtered SQ two-stage probes must equal the
+    filtered exact probe row-for-row — the shared _apply_filter
+    lands BEFORE each stage-1 shortlist, so the rerank budget is
+    spent inside the stratum (a post-filter at equal rerank could
+    return fewer than k)."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i), i % 2) for i in range(40)],
+        "vec_id long, v array<double>, label int")
+    idx = StoredIvfIndex(spark, str(tmp_path / "fm"),
+                         id_col="vec_id", vec_col="v", n_cells=4,
+                         pq_m=2, pq_k=4, pq_residual=True,
+                         sq_int8=True, extra_schema="label int")
+    idx.build(base)
+    qs = base.where("vec_id < 3")
+    exact = sorted(map(tuple, idx.probe_batch(
+        qs, k=5, nprobe=4, filter_col="label").collect()))
+    adc = sorted(map(tuple, idx.probe_batch_adc(
+        qs, k=5, nprobe=4, rerank=40,
+        filter_col="label").collect()))
+    sq = sorted(map(tuple, idx.probe_batch_sq(
+        qs, k=5, nprobe=4, rerank=40,
+        filter_col="label").collect()))
+    assert adc == exact and sq == exact
+    # every neighbor shares its query's label
+    lab = {r.vec_id: r.label for r in base.collect()}
+    for qid_, vid, _cs, _rk in exact:
+        assert lab[vid] == lab[qid_]
