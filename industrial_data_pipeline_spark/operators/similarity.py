@@ -681,10 +681,25 @@ class StoredIvfIndex:
 
     @property
     def extra_cols(self) -> list[str]:
+        """Column names of ``extra_schema`` — split on TOP-LEVEL
+        commas only (review r11: a naive split broke on any type
+        containing one, e.g. ``decimal(10,2)``, ``map<string,int>``,
+        ``struct<...>``, which DATA_SCHEMA accepts verbatim)."""
         if not self.extra_schema:
             return []
-        return [part.strip().split()[0]
-                for part in self.extra_schema.split(",")]
+        parts, depth, cur = [], 0, []
+        for ch in self.extra_schema:
+            if ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return [p.strip().split()[0] for p in parts if p.strip()]
 
     @property
     def _meta_path(self) -> str:
@@ -1160,9 +1175,6 @@ class StoredIvfIndex:
         import math
 
         from pyspark.sql import Window
-
-        from industrial_data_pipeline_spark.operators.lsh_index import (
-            isin_prune)
 
         assert self.pq_m and self.pq_codebook, "build with pq_m first"
         assert rerank >= k, (rerank, k)

@@ -40,16 +40,26 @@ def tokens(col: Column | str) -> Column:
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 # module-level (ADVICE r10): levenshtein_token_pair runs once per row
-# pair inside its pandas-UDF loop, so per-call `import re/numpy` +
+# pair inside its pandas-UDF loop, so per-call `import re` +
 # re.compile was avoidable per-row overhead. One shared compiled copy
 # of EXACTLY tokens()'s split class — Java \s, i.e. ASCII
 # [ \t\n\x0b\f\r], NOT Python str.split(), whose Unicode whitespace
 # would make the Python kernels' token counts exceed the JVM's.
+# numpy stays a LAZY module global (review r11): the expression-only
+# operators — the module's advertised no-Python surface — must import
+# without it; the DP kernels bind it once on first call.
 import re as _re  # noqa: E402
 
-import numpy as _np  # noqa: E402
-
 _WS_ASCII = _re.compile(r"[ \t\n\x0b\f\r]+")
+_np = None  # bound by _numpy() on first kernel call
+
+
+def _numpy():
+    global _np
+    if _np is None:
+        import numpy
+        _np = numpy
+    return _np
 
 # tiny stopword lexicons for the lang-id heuristic (public common words)
 LANG_LEXICONS: dict[str, list[str]] = {
@@ -1125,6 +1135,25 @@ def strip_html(df: DataFrame, id_col: str = "doc_id",
         F.md5(s4).alias("clean_md5"))
 
 
+def _token_ngrams(col: Column, n: int) -> Column:
+    """THE n-gram builder shared by ROUGE-N, sentence BLEU and
+    corpus BLEU (review r11 — previously triplicated function-local,
+    where a tokenization or guard fix could drift one metric's gram
+    definition from the others'): space-joined n-grams over
+    ``tokens(lower(col))``; candidates shorter than ``n`` yield an
+    EMPTY array (not NULL — a NULL would vanish from explode-based
+    counts but also from size() totals inconsistently)."""
+    toks = tokens(F.lower(col))
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def rouge_n(pairs: DataFrame, id_col: str = "doc_id",
             cand_col: str = "candidate", ref_col: str = "reference",
             round_dp: int = 6) -> DataFrame:
@@ -1143,16 +1172,7 @@ def rouge_n(pairs: DataFrame, id_col: str = "doc_id",
     per n, an inner join on (id, gram) — overlap rows only — and a
     per-id sum; no windows, no UDFs, no cross-doc state: eval cost
     is linear in Σ|tokens| however many docs are scored."""
-    def grams(col: Column, n: int) -> Column:
-        toks = tokens(F.lower(col))
-        if n == 1:
-            return toks
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(toks, i + 1, n)))
-        ).otherwise(F.array().cast("array<string>"))
+    grams = _token_ngrams
 
     out = pairs.select(id_col)
     for n in (1, 2):
@@ -1283,11 +1303,12 @@ def levenshtein_token_pair(a: str, b: str) -> int:
     the Arrow kernel and the property tests share ONE copy of the
     vectorized DP (tests pin it against a textbook full-matrix DP
     over tiny-alphabet sequences; a drifted replica could not).
-    Imports and the compiled whitespace class live at module level
-    (``_np``/``_WS_ASCII``) — this function runs once per ROW PAIR
-    inside the Arrow kernel's loop, so per-call import/compile was
-    measurable overhead (ADVICE r10)."""
-    np = _np
+    The compiled whitespace class lives at module level
+    (``_WS_ASCII``) and numpy binds once via the lazy ``_numpy()``
+    global — this function runs once per ROW PAIR inside the Arrow
+    kernel's loop, so per-call import/compile was measurable
+    overhead (ADVICE r10)."""
+    np = _numpy()
     ta = [t for t in _WS_ASCII.split((a or "").lower()) if t]
     tb = [t for t in _WS_ASCII.split((b or "").lower()) if t]
     if not ta or not tb:
@@ -1420,16 +1441,7 @@ def bleu(pairs: DataFrame, id_col: str = "doc_id",
     Scale shape: per n, two (id, gram) count shuffles + an inner
     overlap join (rouge_n's shape ×4); no windows, no UDFs, no
     cross-doc state — linear in Σ|tokens|."""
-    def grams(col: Column, n: int) -> Column:
-        toks = tokens(F.lower(col))
-        if n == 1:
-            return toks
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(toks, i + 1, n)))
-        ).otherwise(F.array().cast("array<string>"))
+    grams = _token_ngrams
 
     lens = pairs.select(
         F.col(id_col),
@@ -1503,7 +1515,12 @@ def corpus_bleu(pairs: DataFrame, id_col: str = "doc_id",
       BP = min(1, e^(1−r/c));
     - the standard unsmoothed convention: any pooled p_n = 0 ⇒
       BLEU 0.0; an empty corpus candidate side (c = 0) ⇒ NULL
-      metrics.
+      metrics;
+    - a pair with NO usable reference (empty ``refs_col`` array,
+      or only NULL entries) is EXCLUDED from the corpus entirely —
+      n_pairs, lengths, overlaps AND candidate-gram totals (review
+      r11: an unscoreable candidate must not deflate the pooled
+      precisions its references can never credit).
 
     Returns ONE row: (n_pairs, c_len, r_len, p1..p_max_n, bp, bleu).
 
@@ -1520,20 +1537,19 @@ def corpus_bleu(pairs: DataFrame, id_col: str = "doc_id",
     1×1 cross joins (the q268 scalar pattern). No windows except
     the per-id effective-length argmin, expressed as min(struct) —
     also combinable. Linear in Σ|tokens|·|references|."""
-    def grams(col: Column, n: int) -> Column:
-        toks = tokens(F.lower(col))
-        if n == 1:
-            return toks
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(toks, i + 1, n)))
-        ).otherwise(F.array().cast("array<string>"))
+    grams = _token_ngrams
 
-    base = pairs.select(F.col(id_col).alias("_id"),
-                        F.col(cand_col).alias("_cand"),
-                        F.col(refs_col).alias("_refs"))
+    # drop NULL references, then EXCLUDE pairs left with none — so
+    # every sum below (lengths, overlaps, gram totals) ranges over
+    # exactly the scoreable pairs (review r11; the clen↔eff inner
+    # join previously dropped such pairs from the lengths while
+    # their grams still inflated tc_n)
+    base = (pairs.select(F.col(id_col).alias("_id"),
+                         F.col(cand_col).alias("_cand"),
+                         F.filter(F.col(refs_col),
+                                  lambda r: r.isNotNull())
+                         .alias("_refs"))
+            .where(F.size("_refs") > 0))
     clen = base.select(
         "_id", F.size(tokens(F.lower(F.col("_cand")))).alias("_c"))
     refs_ex = base.select(

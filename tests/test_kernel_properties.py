@@ -917,3 +917,30 @@ def test_corpus_bleu_hand_computed(spark):
         "doc_id long, candidate string, references array<string>")
     r3 = corpus_bleu(df3).collect()[0]
     assert r3.c_len == 0 and r3.bleu is None and r3.p1 is None
+
+
+def test_corpus_bleu_unscoreable_pairs_excluded(spark):
+    """Review r11: a pair with an empty (or all-NULL) references
+    array is excluded from EVERYTHING — n_pairs, lengths, and the
+    pooled gram totals — not just from the length sums (the old
+    inner clen-join silently kept its candidate grams in tc_n,
+    deflating the pooled precisions its references could never
+    credit)."""
+    from industrial_data_pipeline_spark.operators.text import (
+        corpus_bleu)
+
+    df = spark.createDataFrame(
+        [(0, "w x y z", ["a b c d e f", "w x y z"]),
+         (1, "q1 q2 q3 q4", [])],
+        "doc_id long, candidate string, references array<string>")
+    row = corpus_bleu(df).collect()[0]
+    # identical to scoring doc 0 alone: perfect multi-ref match
+    assert row.n_pairs == 1 and row.c_len == 4 and row.r_len == 4
+    assert row.p1 == 1.0 and row.p4 == 1.0 and row.bleu == 1.0
+
+    df2 = spark.createDataFrame(
+        [(0, "w x", [None, "w x"])],
+        "doc_id long, candidate string, references array<string>")
+    r2 = corpus_bleu(df2).collect()[0]
+    # NULL entries drop; the remaining real reference scores
+    assert r2.n_pairs == 1 and r2.p1 == 1.0 and r2.r_len == 2

@@ -781,3 +781,18 @@ def test_filtered_two_stage_probes_equal_filtered_exact(
     lab = {r.vec_id: r.label for r in base.collect()}
     for qid_, vid, _cs, _rk in exact:
         assert lab[vid] == lab[qid_]
+
+
+def test_extra_schema_parses_parameterized_types(spark, tmp_path):
+    """Review r11: extra_cols must split the DDL fragment on
+    TOP-LEVEL commas only — decimal(p,s)/map<k,v>/struct types are
+    legal in extra_schema (DATA_SCHEMA embeds it verbatim)."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    idx = StoredIvfIndex(
+        spark, str(tmp_path / "x"),
+        extra_schema=("price decimal(10,2), tags map<string,int>, "
+                      "label int"))
+    assert idx.extra_cols == ["price", "tags", "label"]
+    assert "decimal(10,2)" in idx.DATA_SCHEMA

@@ -114,9 +114,9 @@ def main() -> None:
         rerank100_scan = idx.last_rerank_scan
         # mid-size arm (ADVICE r10): 10 queries x rerank=40 = <=400
         # shortlist ids, well under MAX_PUSHDOWN_KEYS, and 10x4
-        # probes cover < all 16 cells — BOTH prunings engaged at a
-        # realistic batch, so the headline measurement demonstrates
-        # the mechanism, not just the 1q corner
+        # probes cover well under the 64 cells — BOTH prunings
+        # engaged at a realistic batch, so the headline measurement
+        # demonstrates the mechanism, not just the 1q corner
         adc10 = scan_metrics_of(spark, run_adc(batch10, rerank=40))
         rerank10_scan = idx.last_rerank_scan
         rerank10 = scan_metrics_of(
