@@ -4490,3 +4490,124 @@ REGISTRY_LLM.update({
     "q281_filtered_sq_probe": (q_filtered_sq_probe,
                                _oracle_filtered_sq_probe()),
 })
+
+
+# -- q282 IN-STREAM IVF lifecycle: per-epoch exactly-once appends
+# -- with a mid-stream rebuild() from the admitting process
+
+def q_instream_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF asset's lifecycle verbs compose with a vector
+    INGESTION stream (the q266 pattern on the third index class):
+    vectors arrive as micro-batches, each appended EXACTLY-ONCE
+    into its ``_epoch`` partition from foreachBatch; between two
+    batches the admitting process calls :meth:`rebuild` — legal
+    exactly there, where it serializes with its own appends. The
+    build seeds are vec_ids 16–31 (base = 16 ≤ id < 150); batch 1
+    delivers ids 0–15, so after the rebuild the retrained seed set
+    BECOMES ids 0–15 — centroids visibly move, every stored row
+    re-routes, epochs fold; batch 2 (ids 150–199) then routes
+    through the RETRAINED centroids. The final batch probe's
+    byte-equality against an oracle whose cells derive from the
+    lowest-16 ids of the post-batch-1 corpus proves the retrain
+    actually cut over mid-stream (the pre-rebuild seeds 16–31
+    would route — and rank — differently)."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = (emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 150))
+            .select("vec_id", v.alias("_v")))
+    b1 = emb.where(F.col("vec_id") < 16).select("vec_id", v.alias("_v"))
+    b2 = (emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+          .select("vec_id", v.alias("_v")))
+    qs = (emb.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"), v.alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q282_")
+    staging = os.path.join(root, "staging")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging)
+    idx = SIM.StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                             id_col="vec_id", vec_col="_v",
+                             n_cells=16)
+    idx.build(base)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        idx.append(batch_df.orderBy("vec_id"), epoch_id=epoch_id)
+
+    src = (spark.readStream
+           .schema("vec_id long, _v array<double>")
+           .parquet(staging))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").start())
+    try:
+        b1.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        # the retrain verb, from the admitting process between
+        # batches — exactly where it serializes with the appends
+        idx.rebuild()
+        b2.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        out = (idx.probe_batch(qs, k=10, nprobe=4, id_col="qid",
+                               vec_col="_qv")
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_instream_ivf_rebuild(nq: int = 10,
+                                 nprobe: int = 4) -> str:
+    cos = _COS.format(a="cc.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM c0 WHERE vec_id < 200),
+rbcorp AS (SELECT vec_id, v FROM c0 WHERE vec_id < 150),
+q AS (SELECT vec_id AS qid, v AS qv FROM c0 WHERE vec_id < {nq}),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM rbcorp ORDER BY vec_id LIMIT 16),
+asg AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM c b CROSS JOIN seed)
+       WHERE rn = 1),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= {nprobe}),
+cand AS (SELECT p.qid, cc.vec_id, {cos} AS cs
+         FROM probe p
+         JOIN asg ON asg.cell = p.cell
+         JOIN c cc ON cc.vec_id = asg.vec_id
+         JOIN q ON q.qid = p.qid
+         WHERE cc.vec_id <> p.qid)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM cand)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_LLM.update({
+    "q282_instream_ivf_rebuild": (q_instream_ivf_rebuild,
+                                  _oracle_instream_ivf_rebuild()),
+})

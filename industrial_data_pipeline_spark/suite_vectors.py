@@ -1299,3 +1299,136 @@ REGISTRY_VECTORS.update({
     "q277_ivf_rebuild_probe": (q_ivf_rebuild_probe,
                                _oracle_ivf_rebuild_probe()),
 })
+
+
+# ------ q283 staleness audit on the RESIDUAL index (q273's monitor
+# ------ measuring what residual codes actually reconstruct)
+
+def q_residual_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q273's staleness audit on a RESIDUAL-coded index
+    (StoredIvfIndex.quantization_drift with ``pq_residual`` — the
+    branch that measures reconstruction error against
+    ``quantize(v) − quantize(centroid(cell))``, the quantity the
+    codes actually describe): build on base, epoch 0 appends
+    in-distribution, epoch 1 appends the every-value+2 shift. The
+    shifted epoch's error jumps for a subtler reason than q273's:
+    the shift moves vectors' RESIDUALS (their cells' frozen
+    centroids stay put), so the residual codebook — trained on
+    base residuals — mis-describes them; the audit sees it without
+    ever touching raw reconstruction. Oracle replays cell routing,
+    residual computation, int-domain training and the per-epoch
+    error sums bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"))
+    e0 = (emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+          .select("vec_id", v.alias("_v")))
+    e1 = (emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
+          .select("vec_id",
+                  F.transform(v, lambda x: x + F.lit(2.0))
+                  .alias("_v")))
+    root = tempfile.mkdtemp(prefix="idp_q283_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16,
+                             pq_m=4, pq_k=8, pq_residual=True)
+        idx.build(base)
+        idx.append(e0, epoch_id=0)
+        idx.append(e1, epoch_id=1)
+        out = idx.quantization_drift().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_residual_drift(m: int = 4, k: int = 8,
+                           ds: int = 16) -> str:
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    def d2(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')")
+
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT vec_id, v FROM c0 WHERE vec_id < 150),
+all_rows AS (
+  SELECT vec_id, v, -1 AS epoch FROM base
+  UNION ALL
+  SELECT vec_id, v, 0 FROM c0
+  WHERE vec_id >= 150 AND vec_id < 200
+  UNION ALL
+  SELECT vec_id, list_transform(v, x -> x + 2.0), 1
+  FROM c0 WHERE vec_id >= 200 AND vec_id < 250),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM base ORDER BY vec_id LIMIT 16),
+scq AS (SELECT cell, {_QV.format(c='cv')} AS ccq FROM seed),
+asg AS (SELECT vec_id, epoch, cell FROM
+         (SELECT b.vec_id, b.epoch, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM all_rows b CROSS JOIN seed)
+       WHERE rn = 1),
+cr AS (SELECT a.vec_id, a.epoch,
+              list_transform(list_zip({_QV.format(c='r.v')},
+                                      scq.ccq),
+                             p -> p[1]-p[2]) AS rv
+       FROM asg a JOIN all_rows r
+         ON r.vec_id = a.vec_id AND r.epoch = a.epoch
+       JOIN scq ON scq.cell = a.cell),
+rsl AS (SELECT vec_id, epoch, i AS subspace,
+               rv[i*{ds}+1 : i*{ds}+{ds}] AS sq
+        FROM cr, UNNEST(generate_series(0, {m - 1})) AS t(i)),
+bsl AS (SELECT vec_id, subspace, sq FROM rsl WHERE epoch = -1),
+pseeds AS (SELECT CAST(vec_id AS BIGINT) AS code FROM base
+           ORDER BY vec_id LIMIT {k}),
+pc0 AS (SELECT subspace, pseeds.code, sq AS cq
+        FROM bsl JOIN pseeds ON bsl.vec_id = pseeds.code),
+pa1 AS (SELECT vec_id, subspace, code FROM (
+          SELECT bsl.vec_id, bsl.subspace, pc0.code,
+                 row_number() OVER (
+                     PARTITION BY bsl.vec_id, bsl.subspace
+                     ORDER BY {d2('sq', 'cq')}, pc0.code) AS rn
+          FROM bsl JOIN pc0 USING (subspace))
+        WHERE rn = 1),
+pm1 AS (SELECT subspace, code, ord,
+               CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)
+                          + 0.5) AS BIGINT) AS mean
+        FROM (SELECT pa1.subspace, pa1.code, unnest(bsl.sq) AS val,
+                     generate_subscripts(bsl.sq, 1) AS ord
+              FROM pa1 JOIN bsl USING (vec_id, subspace))
+        GROUP BY 1, 2, 3),
+pc1 AS (SELECT subspace, code, list(mean ORDER BY ord) AS cq
+        FROM pm1 GROUP BY subspace, code),
+perr AS (SELECT vec_id, epoch, subspace,
+                min({d2('sq', 'cq')}) AS d2min
+         FROM rsl JOIN pc1 USING (subspace)
+         GROUP BY 1, 2, 3),
+verr AS (SELECT vec_id, epoch,
+                CAST(sum(d2min) AS BIGINT) AS err
+         FROM perr GROUP BY 1, 2)
+SELECT CAST(epoch AS INT) AS epoch, count(*) AS n_vecs,
+       round(CAST(CAST(sum(CAST(err AS DECIMAL(38,0)))
+                       AS BIGINT) AS DOUBLE)
+             / count(*) / 1000000000000.0, 6) AS mean_err,
+       round(CAST(max(err) AS DOUBLE) / 1000000000000.0, 6)
+           AS max_err
+FROM verr GROUP BY epoch
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q283_residual_drift_audit": (q_residual_drift_audit,
+                                  _oracle_residual_drift()),
+})
