@@ -1056,8 +1056,6 @@ class StoredIvfIndex:
         smaller than k. The predicate evaluates on the pruned cell
         scan (cheap JVM compare; at scale, low-cardinality filter
         columns additionally dictionary-skip parquet pages)."""
-        from pyspark.sql import Window
-
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
         rows, qf_df = self._collect_queries(

@@ -944,3 +944,99 @@ def test_corpus_bleu_unscoreable_pairs_excluded(spark):
     r2 = corpus_bleu(df2).collect()[0]
     # NULL entries drop; the remaining real reference scores
     assert r2.n_pairs == 1 and r2.p1 == 1.0 and r2.r_len == 2
+
+
+def test_corpus_bleu_matches_python_reference(spark):
+    """corpus_bleu vs an INDEPENDENT straightforward Python
+    implementation over deterministic pseudo-random small corpora
+    (tiny alphabet -> heavy n-gram collisions, empty/short
+    candidates, multi-reference clipping and length ties all
+    exercised). The reference is written from the Papineni
+    definitions, not from the operator's code — a shared bug would
+    have to be independently re-invented to pass."""
+    import math
+    import random
+    from collections import Counter
+
+    from industrial_data_pipeline_spark.operators.text import (
+        corpus_bleu)
+
+    rng = random.Random(278)
+    alphabet = ["a", "b", "c"]
+
+    def sentence():
+        return " ".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 8)))
+
+    def ref_bleu(pairs):
+        def grams(toks, n):
+            return Counter(tuple(toks[i:i + n])
+                           for i in range(len(toks) - n + 1))
+        usable = []
+        for _id, cand, refs in pairs:
+            refs = [r for r in refs if r is not None]
+            if refs:
+                usable.append((cand.lower().split(),
+                               [r.lower().split() for r in refs]))
+        if not usable:
+            return None
+        C = sum(len(c) for c, _ in usable)
+        R = 0
+        for c, refs in usable:
+            R += min(((abs(len(r) - len(c)), len(r))
+                      for r in refs))[1]
+        ps = []
+        for n in range(1, 5):
+            ov = tc = 0
+            for c, refs in usable:
+                cg = grams(c, n)
+                tc += sum(cg.values())
+                mx = Counter()
+                for r in refs:
+                    rg = grams(r, n)
+                    for g, k in rg.items():
+                        mx[g] = max(mx[g], k)
+                ov += sum(min(k, mx[g]) for g, k in cg.items())
+            ps.append(ov / tc if tc else None)
+        if C == 0:
+            return dict(n_pairs=len(usable), c=C, R=R,
+                        ps=[None] * 4, bp=None, bleu=None)
+        bp = 1.0 if C >= R else math.exp(1.0 - R / C)
+        if any(p is None or p == 0.0 for p in ps):
+            bleu = 0.0
+        else:
+            bleu = bp * math.exp(sum(math.log(p) for p in ps) / 4)
+        return dict(n_pairs=len(usable), c=C, R=R, ps=ps, bp=bp,
+                    bleu=bleu)
+
+    for trial in range(6):
+        pairs = []
+        for i in range(rng.randint(2, 8)):
+            nrefs = rng.randint(0, 3)
+            refs = [sentence() for _ in range(nrefs)]
+            if nrefs and rng.random() < 0.3:
+                refs[0] = None
+            pairs.append((i, sentence(), refs))
+        want = ref_bleu(pairs)
+        df = spark.createDataFrame(
+            pairs,
+            "doc_id long, candidate string, references array<string>")
+        got_rows = corpus_bleu(df).collect()
+        if want is None:
+            # no scoreable pairs at all: one all-zero/NULL row
+            assert got_rows[0].n_pairs == 0
+            continue
+        got = got_rows[0]
+        assert got.n_pairs == want["n_pairs"], (trial, pairs)
+        assert got.c_len == want["c"] and got.r_len == want["R"]
+        for n, p in enumerate(want["ps"], 1):
+            gp = getattr(got, f"p{n}")
+            if p is None or want["c"] == 0:
+                pass  # operator NULLs p_n only when c == 0
+            else:
+                assert gp == round(p, 6), (trial, n, gp, p)
+        if want["c"] == 0:
+            assert got.bleu is None
+        else:
+            assert got.bp == round(want["bp"], 6)
+            assert got.bleu == round(want["bleu"], 6), (trial, pairs)
