@@ -160,13 +160,14 @@ _VERIFIED_GREEN = {
 
 # Round 10 closed the q263-q274 tail (CORRECTNESS_r10: 50/50 green)
 # — moved into the green tier above. Round 11's never-checked tail
-# is q275-q283 (stored IVF with RESIDUAL product quantization, the
+# is q275-q284 (stored IVF with RESIDUAL product quantization, the
 # residual-vs-raw recall A/B, the rebuild() retrain verb acting on
 # q273's drift signal, corpus-level multi-reference BLEU, the int8
 # scalar-quantization warm tier, metadata-filtered ANN over the
 # stored asset — exact and SQ-two-stage forms, the in-stream IVF
-# lifecycle with mid-stream rebuild, and the residual-index
-# staleness audit) — each locally values=MATCH via
+# lifecycle with mid-stream rebuild, the residual-index
+# staleness audit, and the probe-coverage/nprobe-tuning audit) —
+# each locally values=MATCH via
 # tools/drive_contract.py before commit. Round-11 behavior-adjacent
 # changes to green queries (the probe_batch_adc routing frame gained
 # a _cdot column that is the +0 identity on raw-mode indexes;

@@ -1372,6 +1372,81 @@ class StoredIvfIndex:
                                   round_dp, exclude_epoch,
                                   as_of_epoch)
 
+    def probe_coverage(self, queries: DataFrame, nprobe: int = 4,
+                       id_col: str | None = None,
+                       vec_col: str | None = None,
+                       round_dp: int = 6) -> DataFrame:
+        """``nprobe`` TUNING audit — the operational question behind
+        every IVF deployment ("is nprobe big enough, and what does
+        it cost?") as an oracle-checkable query. Per query: how many
+        distinct cells it probes, how many stored rows live in them
+        (exactly the I/O the probe will pay — coverage = that count
+        over the corpus), and whether the TRUE exact-cosine nearest
+        neighbor's cell is among them (``top1_in_probe`` — the
+        recall@1 indicator; when false, no rerank can recover the
+        miss and nprobe must grow). Emits (query_id, n_probed_cells,
+        covered_rows, total_rows, coverage, top1_in_probe).
+
+        Cost shape: the coverage half reads NO vectors — per-cell
+        row counts come from a count aggregate over the partition
+        column (map-side combinable; at scale the counts can come
+        straight from partition metadata); the top-1 half is one
+        exact pass (it is an audit computing ground truth, run on
+        the tuning cadence, not a probe). All counts exact int64,
+        one division, one rank — engine-replayable (q284)."""
+        from pyspark.sql import Window
+
+        idc = id_col or self.id_col
+        vcc = vec_col or self.vec_col
+        rows, _ = self._collect_queries(queries, idc, vcc,
+                                        None, None)
+        routing = [(int(r["query_id"]), c) for r in rows
+                   for c in self.probe_cells(list(r["_qv"]), nprobe)]
+        route = self.spark.createDataFrame(
+            routing, "query_id long, _cell int")
+        qdf = self.spark.createDataFrame(
+            [(int(r["query_id"]), list(r["_qv"])) for r in rows],
+            "query_id long, _qv array<double>")
+        scan = (self.spark.read.schema(self.DATA_SCHEMA)
+                .parquet(self._data_path))
+        counts = scan.groupBy("_cell").agg(
+            F.count("*").alias("_n"))
+        cov = (F.broadcast(route).join(counts, "_cell")
+               .groupBy("query_id")
+               .agg(F.count("*").alias("n_probed_cells"),
+                    F.sum("_n").alias("covered_rows")))
+        total = scan.agg(F.count("*").alias("total_rows"))
+        cos = F.when(_usable_norm(_norm(F.col("v")))
+                     & _usable_norm(_norm(F.col("_qv"))),
+                     _dot(F.col("v"), F.col("_qv"))
+                     / (_norm(F.col("v")) * _norm(F.col("_qv"))))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_cos"), F.col("vec_id"))
+        top1 = (scan.select("vec_id", "v", "_cell")
+                .join(F.broadcast(qdf), F.col("vec_id")
+                      != F.col("query_id"))
+                .withColumn("_cos", cos)
+                .withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .select("query_id", F.col("_cell").alias("_t1cell")))
+        hit = (top1.join(F.broadcast(route.distinct()),
+                         (top1["query_id"] == route["query_id"])
+                         & (F.col("_t1cell") == F.col("_cell")),
+                         "left_semi")
+               .withColumn("top1_in_probe", F.lit(True)))
+        return (cov.crossJoin(F.broadcast(total))
+                .join(hit.select(F.col("query_id"),
+                                 "top1_in_probe"),
+                      "query_id", "left")
+                .select("query_id", "n_probed_cells",
+                        "covered_rows", "total_rows",
+                        F.round(F.col("covered_rows").cast("double")
+                                / F.col("total_rows")
+                                .cast("double"),
+                                round_dp).alias("coverage"),
+                        F.coalesce("top1_in_probe", F.lit(False))
+                        .alias("top1_in_probe")))
+
     def quantization_drift(self, round_dp: int = 6) -> DataFrame:
         """Codebook STALENESS audit (requires ``pq_m``): per epoch,
         the reconstruction error of the stored codes against the

@@ -1432,3 +1432,106 @@ REGISTRY_VECTORS.update({
     "q283_residual_drift_audit": (q_residual_drift_audit,
                                   _oracle_residual_drift()),
 })
+
+
+# ------- q284 probe-coverage audit: the nprobe tuning question
+
+def q_probe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StoredIvfIndex.probe_coverage — "is nprobe big enough and
+    what does it cost" as a hash-checked query: per query, the
+    distinct probed cells, the stored rows inside them (EXACTLY the
+    probe's I/O — coverage is that count over the corpus; the
+    operator computes it from per-cell counts without reading a
+    single vector), and whether the true exact-cosine top-1 lives
+    in a probed cell (when false no rerank can recover the miss —
+    grow nprobe). Build on base + one appended epoch so the counts
+    span the lifecycle. The oracle replays routing, the per-cell
+    counts, the exact top-1 and the membership test."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"))
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v")))
+    qs = (base.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q284_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16)
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.probe_coverage(qs, nprobe=4, id_col="qid",
+                                  vec_col="_qv")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_probe_coverage(nq: int = 10, nprobe: int = 4) -> str:
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    cos = _COS.format(a="cc.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM c0 WHERE vec_id < 250),
+q AS (SELECT vec_id AS qid, v AS qv FROM c0 WHERE vec_id < {nq}),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM c0 WHERE vec_id < 150 ORDER BY vec_id LIMIT 16),
+asg AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM c b CROSS JOIN seed)
+       WHERE rn = 1),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= {nprobe}),
+counts AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
+cov AS (SELECT p.qid, count(*) AS n_probed_cells,
+               CAST(sum(counts.n) AS BIGINT) AS covered_rows
+        FROM probe p JOIN counts USING (cell) GROUP BY 1),
+tot AS (SELECT count(*) AS total_rows FROM c),
+t1 AS (SELECT qid, vec_id FROM (
+         SELECT q.qid, cc.vec_id,
+                row_number() OVER (PARTITION BY q.qid
+                                   ORDER BY {cos} DESC, cc.vec_id)
+                    AS rk
+         FROM c cc CROSS JOIN q WHERE cc.vec_id <> q.qid)
+       WHERE rk = 1),
+hit AS (SELECT t1.qid, TRUE AS top1_in_probe
+        FROM t1 JOIN asg ON asg.vec_id = t1.vec_id
+        JOIN probe p ON p.qid = t1.qid AND p.cell = asg.cell)
+SELECT cov.qid AS query_id, cov.n_probed_cells, cov.covered_rows,
+       tot.total_rows,
+       round(CAST(cov.covered_rows AS DOUBLE)
+             / CAST(tot.total_rows AS DOUBLE), 6) AS coverage,
+       coalesce(hit.top1_in_probe, FALSE) AS top1_in_probe
+FROM cov CROSS JOIN tot
+LEFT JOIN hit ON hit.qid = cov.qid
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q284_probe_coverage": (q_probe_coverage,
+                            _oracle_probe_coverage()),
+})

@@ -796,3 +796,42 @@ def test_extra_schema_parses_parameterized_types(spark, tmp_path):
                       "label int"))
     assert idx.extra_cols == ["price", "tags", "label"]
     assert "decimal(10,2)" in idx.DATA_SCHEMA
+
+
+def test_probe_coverage_consistent_with_probe(spark, tmp_path):
+    """probe_coverage's claims are consistent with what the probe
+    actually does: covered_rows equals the candidate rows the
+    batch probe scans for that query (+1 when the query's own
+    stored twin sits in a probed cell — the probe self-excludes),
+    and whenever top1_in_probe is True the probe's rank-1 equals
+    the exact corpus-wide top-1."""
+    from pyspark.sql import Window, functions as FF
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex, _rank_exact_cosine)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(40)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "cov"),
+                         id_col="vec_id", vec_col="v", n_cells=4)
+    idx.build(base)
+    qs = base.where("vec_id < 4")
+    cov = {r.query_id: r for r in
+           idx.probe_coverage(qs, nprobe=2).collect()}
+    assert set(cov) == {0, 1, 2, 3}
+    total = base.count()
+    for r in cov.values():
+        assert r.total_rows == total
+        assert r.n_probed_cells == 2
+        assert 0 < r.covered_rows <= total
+    # exact corpus-wide top-1 per query
+    exact1 = {r.query_id: r.vec_id for r in
+              idx.probe_batch(qs, k=1, nprobe=4).collect()
+              if r.rk == 1}
+    probe1 = {r.query_id: r.vec_id for r in
+              idx.probe_batch(qs, k=1, nprobe=2).collect()
+              if r.rk == 1}
+    for qid, r in cov.items():
+        if r.top1_in_probe:
+            assert probe1[qid] == exact1[qid], qid
