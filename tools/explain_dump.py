@@ -556,6 +556,26 @@ PICKS = [
      "routing/query joins — a pre-filter (full k per query short "
      "of the stratum) adding zero shuffles and zero extra passes; "
      "the only shuffle remains the per-query rank window."),
+    ("q282_instream_ivf_rebuild",
+     "In-stream IVF lifecycle: per-epoch exactly-once appends from "
+     "foreachBatch + rebuild() between batches from the admitting "
+     "process; the dumped plan is the POST-REBUILD batch probe — "
+     "one pruned cell scan + broadcast routing pairs over the "
+     "retrained-and-folded asset, indistinguishable in shape from "
+     "a never-rebuilt index (the cutover cost stays in the "
+     "maintenance verb, not the probe)."),
+    ("q283_residual_drift_audit",
+     "Residual staleness audit: one column-pruned pass + ONE extra "
+     "broadcast join vs q273 (the n_cells quantized-centroid frame "
+     "to form residuals); per-epoch DECIMAL error sums with one "
+     "double cast — same audit envelope, measuring the quantity "
+     "residual codes actually describe."),
+    ("q284_probe_coverage",
+     "Probe-coverage audit: the coverage half reads NO vectors — "
+     "per-cell counts off the partition column (map-side "
+     "combinable) joined to broadcast routing pairs; the top-1 "
+     "half is the one exact ground-truth pass the audit exists to "
+     "pay; single-row total cross-joins in (the scalar pattern)."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
