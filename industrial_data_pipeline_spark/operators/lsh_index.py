@@ -134,7 +134,7 @@ def compact_parquet_dir(spark: SparkSession, path: str,
                         max_records_per_file: int | None = None,
                         keep=None, prepare=None,
                         schema: str | None = None,
-                        lock=None) -> dict:
+                        lock=None, stamp=None) -> dict:
     """Fold an append-accreted plain parquet dir (an index asset, an
     admission LEDGER, any micro-batch sink) back into a clustered
     layout: range-partition + sort by ``sort_cols``, optionally
@@ -215,6 +215,15 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     # out from under the rmtree below
     old = path + "_compact_old" + suffix
     writer.parquet(tmp)
+    # ``stamp(tmp_dir)`` drops sidecar metadata (underscore-prefixed,
+    # so parquet readers ignore it) into the STAGED dir — it swaps
+    # atomically with the data, which is the point: a routing
+    # fingerprint stamped here can never describe a different data
+    # generation than the files next to it (VERDICT r11 item 4).
+    # Runs BEFORE the commit fencing check so the check-to-rename
+    # window stays one filesystem op, as documented above.
+    if stamp is not None:
+        stamp(tmp)
     if lock is not None and not lock.still_valid():
         from industrial_data_pipeline_spark.catalog.lease import (
             LeaseLostError)
@@ -235,7 +244,8 @@ def compact_parquet_dir(spark: SparkSession, path: str,
 
 def rewrite_under_lease(spark: SparkSession, root: str, assets,
                         keep=None, prepare=None,
-                        lease_timeout_s: float = 30.0) -> dict:
+                        lease_timeout_s: float = 30.0,
+                        stamp=None) -> dict:
     """The ONE copy of the stored-index rewrite protocol
     (self-review r10 — previously triplicated across the three index
     classes, so a lease/fencing fix had to be applied in three places
@@ -245,8 +255,10 @@ def rewrite_under_lease(spark: SparkSession, root: str, assets,
     ``still_valid()`` checks, token-bounded recovery), release.
 
     ``assets`` is an iterable of ``(path, sort_cols, partition_by,
-    schema, max_records_per_file)``; ``keep`` (retraction predicate)
-    and ``prepare`` (e.g. epoch folding) apply to every asset.
+    schema, max_records_per_file)``; ``keep`` (retraction predicate),
+    ``prepare`` (e.g. epoch folding) and ``stamp`` (sidecar metadata
+    written into each staged dir so it swaps atomically with the
+    data — the IVF routing fingerprint) apply to every asset.
     Returns the summed {files_before, files_after}."""
     from industrial_data_pipeline_spark.catalog.lease import LeaseLock
 
@@ -258,7 +270,8 @@ def rewrite_under_lease(spark: SparkSession, root: str, assets,
             stats = compact_parquet_dir(
                 spark, path, tuple(sort_cols), partition_by=pby,
                 max_records_per_file=mrpf, keep=keep,
-                prepare=prepare, schema=schema, lock=lock)
+                prepare=prepare, schema=schema, lock=lock,
+                stamp=stamp)
             before += stats["files_before"]
             after += stats["files_after"]
         return {"files_before": before, "files_after": after}

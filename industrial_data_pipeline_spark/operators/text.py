@@ -1564,10 +1564,15 @@ def corpus_bleu(pairs: DataFrame, id_col: str = "doc_id",
                F.abs(F.col("_rl") - F.col("_c")).alias("_d"),
                F.col("_rl").alias("_l"))).alias("_m"))
            .select("_id", F.col("_m._l").alias("_r")))
+    # coalesce the pooled length sums: on a corpus with NO scoreable
+    # pair, sum over zero rows is NULL and the `empty` (_C == 0)
+    # guard would never fire — the any_dead branch would then emit
+    # bleu = 0.0 with NULL lengths while the oracle's
+    # coalesce(sum(c), 0) chain returns NULL metrics (ADVICE r11)
     out = (clen.join(eff, "_id")
            .agg(F.count("*").alias("n_pairs"),
-                F.sum("_c").alias("_C"),
-                F.sum("_r").alias("_R")))
+                F.coalesce(F.sum("_c"), F.lit(0)).alias("_C"),
+                F.coalesce(F.sum("_r"), F.lit(0)).alias("_R")))
     for n in range(1, max_n + 1):
         cg = (base.select("_id",
                           F.explode(grams(F.col("_cand"), n))

@@ -1507,9 +1507,13 @@ probe AS (SELECT qid, cell FROM
              FROM seed CROSS JOIN q)
           WHERE pr <= {nprobe}),
 counts AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
+-- LEFT join (ADVICE r11, mirrors the operator): a probed-but-empty
+-- cell still counts in n_probed_cells, and an all-empty probe set
+-- still emits a row with covered_rows 0
 cov AS (SELECT p.qid, count(*) AS n_probed_cells,
-               CAST(sum(counts.n) AS BIGINT) AS covered_rows
-        FROM probe p JOIN counts USING (cell) GROUP BY 1),
+               CAST(coalesce(sum(counts.n), 0) AS BIGINT)
+                   AS covered_rows
+        FROM probe p LEFT JOIN counts USING (cell) GROUP BY 1),
 tot AS (SELECT count(*) AS total_rows FROM c),
 t1 AS (SELECT qid, vec_id FROM (
          SELECT q.qid, cc.vec_id,

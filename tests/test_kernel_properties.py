@@ -945,6 +945,17 @@ def test_corpus_bleu_unscoreable_pairs_excluded(spark):
     # NULL entries drop; the remaining real reference scores
     assert r2.n_pairs == 1 and r2.p1 == 1.0 and r2.r_len == 2
 
+    # EVERY pair unscoreable: the pooled sums coalesce to 0 so the
+    # empty-corpus (_C == 0) guard fires — NULL metrics, zero
+    # lengths, NOT the any_dead bleu = 0.0 branch (ADVICE r11: sum
+    # over zero rows is NULL, which used to skip the guard)
+    df3 = spark.createDataFrame(
+        [(0, "w x", []), (1, "y z", [None])],
+        "doc_id long, candidate string, references array<string>")
+    r3 = corpus_bleu(df3).collect()[0]
+    assert r3.n_pairs == 0 and r3.c_len == 0 and r3.r_len == 0
+    assert r3.bleu is None and r3.p1 is None and r3.bp is None
+
 
 def test_corpus_bleu_matches_python_reference(spark):
     """corpus_bleu vs an INDEPENDENT straightforward Python
@@ -1023,8 +1034,13 @@ def test_corpus_bleu_matches_python_reference(spark):
             "doc_id long, candidate string, references array<string>")
         got_rows = corpus_bleu(df).collect()
         if want is None:
-            # no scoreable pairs at all: one all-zero/NULL row
+            # no scoreable pairs at all: one row with n_pairs 0,
+            # ZERO lengths (coalesced pooled sums — ADVICE r11) and
+            # NULL metrics, matching the oracle's coalesce chain
             assert got_rows[0].n_pairs == 0
+            assert got_rows[0].c_len == 0 and got_rows[0].r_len == 0
+            assert got_rows[0].bleu is None
+            assert got_rows[0].p1 is None and got_rows[0].bp is None
             continue
         got = got_rows[0]
         assert got.n_pairs == want["n_pairs"], (trial, pairs)

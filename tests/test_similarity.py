@@ -835,3 +835,234 @@ def test_probe_coverage_consistent_with_probe(spark, tmp_path):
     for qid, r in cov.items():
         if r.top1_in_probe:
             assert probe1[qid] == exact1[qid], qid
+
+
+def test_min_results_guarantees_k_filtered(spark, tmp_path):
+    """VERDICT r11 item 1 — guaranteed-k filtered ANN. A rare
+    stratum (label 1: three rows) and a tight nprobe make the plain
+    pre-filter under-deliver; min_results=k must return
+    min(k, |stratum| − self) rows for EVERY query, on all three
+    tiers (exact / ADC / int8-SQ), via both escalation paths:
+    brute-force-the-stratum (default threshold — small strata) and
+    prefix widening (threshold 0)."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    n, k = 60, 5
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i), 1 if i % 20 == 0 else 0)
+         for i in range(n)],
+        "vec_id long, v array<double>, label int")
+    idx = StoredIvfIndex(spark, str(tmp_path / "gk"),
+                         id_col="vec_id", vec_col="v", n_cells=6,
+                         pq_m=2, pq_k=4, sq_int8=True,
+                         extra_schema="label int")
+    idx.build(base)
+    strata = {0: n - 3, 1: 3}
+    # queries 0 (rare label 1) and 1, 2 (common label 0)
+    qs = base.where("vec_id < 3")
+
+    def counts(df):
+        out = {}
+        for r in df.collect():
+            out[r.query_id] = out.get(r.query_id, 0) + 1
+        return out
+
+    lab = {0: 1, 1: 0, 2: 0}
+    # each query's own stored row is in its stratum and the probe
+    # self-excludes, so deliverable capacity is |stratum| − 1
+    want = {q: min(k, strata[lab[q]] - 1) for q in lab}
+
+    # guaranteed: exact tier, brute path (default threshold)
+    gk = idx.probe_batch(qs, k=k, nprobe=1, filter_col="label",
+                         min_results=k)
+    assert counts(gk) == want
+    # every neighbor shares its query's label
+    blab = {r.vec_id: r.label for r in base.collect()}
+    for r in gk.collect():
+        assert blab[r.vec_id] == lab[r.query_id]
+    # brute path == exact top-k over the stratum (all cells probed)
+    full = idx.probe_batch(qs, k=k, nprobe=6, filter_col="label")
+    assert sorted(map(tuple, gk.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+    # guaranteed: prefix-escalation path (threshold 0 disables the
+    # brute shortcut) still delivers full counts
+    esc = idx.probe_batch(qs, k=k, nprobe=1, filter_col="label",
+                          min_results=k, brute_force_threshold=0)
+    assert counts(esc) == want
+
+    # ADC and SQ tiers: same guarantee, same rows as the exact tier
+    # on the brute path with rerank ≥ stratum
+    adc = idx.probe_batch_adc(qs, k=k, nprobe=1, rerank=60,
+                              filter_col="label", min_results=k)
+    sq = idx.probe_batch_sq(qs, k=k, nprobe=1, rerank=60,
+                            filter_col="label", min_results=k)
+    assert sorted(map(tuple, adc.collect())) == \
+        sorted(map(tuple, gk.collect()))
+    assert sorted(map(tuple, sq.collect())) == \
+        sorted(map(tuple, gk.collect()))
+
+    # and WITHOUT min_results the rare stratum really does
+    # under-deliver at nprobe=1 (the gap this feature closes) —
+    # otherwise the test proves nothing
+    plain = counts(idx.probe_batch(qs, k=k, nprobe=1,
+                                   filter_col="label"))
+    assert any(plain.get(q, 0) < want[q] for q in want), plain
+
+
+def test_adc_cross_epoch_duplicate_id(spark, tmp_path):
+    """ADVICE r11: exactly-once dedup is per-epoch, so the same
+    vec_id appended in a LATER epoch with a different vector is a
+    legitimate second stored row (possibly in a different cell).
+    probe_batch surfaces it as two candidate rows; probe_batch_adc
+    used to groupBy (query_id, vec_id) and blend the two rows' code
+    explosions into one garbage numerator. The group key is now the
+    stored row (vec_id, _cell, _epoch) and the shortlist dedups, so
+    ADC must agree with the exact probe row-for-row."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(24)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "dup"),
+                         id_col="vec_id", vec_col="v", n_cells=4,
+                         pq_m=2, pq_k=4)
+    idx.build(base)
+    # re-append id 5 with a very different vector
+    dup = base.where("vec_id = 20").selectExpr(
+        "CAST(5 AS LONG) AS vec_id", "transform(v, x -> -x) AS v")
+    idx.append(dup, epoch_id=0)
+    qs = base.where("vec_id < 2")
+    exact = sorted(map(tuple, idx.probe_batch(
+        qs, k=30, nprobe=4).collect()))
+    adc = sorted(map(tuple, idx.probe_batch_adc(
+        qs, k=30, nprobe=4, rerank=60).collect()))
+    assert adc == exact
+    # and the duplicate id really is TWO candidate rows per query
+    per_q: dict = {}
+    for qid, vid, _cs, _rk in exact:
+        per_q.setdefault(qid, []).append(vid)
+    for qid, vids in per_q.items():
+        assert vids.count(5) == 2, (qid, vids)
+
+
+def test_rebuild_crash_window_detected(spark, tmp_path, monkeypatch):
+    """VERDICT r11 item 4 / ADVICE r11: a rebuild that dies between
+    its data swap and its meta replace leaves NEW data (re-routed,
+    re-encoded against the retrained codebook) under OLD meta — for
+    a PQ index that mis-ranks ADC shortlists, not just recall. The
+    routing fingerprint stamped into the staged dir INSIDE the swap
+    makes the state detectable: a fresh open() raises
+    RoutingMismatchError instead of serving corrupt probes, and
+    re-running rebuild() (idempotent) is the repair."""
+    import pytest
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        RoutingMismatchError, StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(40)],
+        "vec_id long, v array<double>")
+    root = str(tmp_path / "fsck")
+    idx = StoredIvfIndex(spark, root, id_col="vec_id", vec_col="v",
+                         n_cells=4, pq_m=2, pq_k=4,
+                         pq_residual=True)
+    idx.build(base)
+    healthy = StoredIvfIndex.open(spark, root).verify()
+    assert healthy["ok"] and healthy["stamped"]
+
+    # drift the corpus so the retrained codebook differs, then
+    # crash the rebuild at exactly the window: after the fenced
+    # data swap, before the meta replace
+    idx.append(base.selectExpr(
+        "vec_id + 100 AS vec_id",
+        "transform(v, x -> x * 3.0 + 1.0) AS v"), epoch_id=0)
+
+    def _boom(self):
+        raise OSError("simulated crash before meta replace")
+
+    monkeypatch.setattr(StoredIvfIndex, "_write_meta", _boom)
+    with pytest.raises(OSError):
+        idx.rebuild()
+    monkeypatch.undo()
+
+    # the crashed process itself still holds the retrained state in
+    # memory — ITS probes stay consistent with the swapped data
+    assert idx.verify()["ok"]
+    # but a fresh open() reads OLD meta over NEW data: detected
+    with pytest.raises(RoutingMismatchError):
+        StoredIvfIndex.open(spark, root)
+    # repair recipe from the error: reopen unverified, rebuild again
+    repaired = StoredIvfIndex.open(spark, root, verify_routing=False)
+    repaired.rebuild()
+    assert StoredIvfIndex.open(spark, root).verify()["ok"]
+
+
+def test_fingerprint_survives_compact_and_retract(spark, tmp_path):
+    """compact/retract rewrite the data dir through the same fenced
+    swap — the stamp hook must re-stamp the (unchanged) routing
+    fingerprint into the staged dir or every compaction would strand
+    the asset unverifiable."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(30)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "fp"),
+                         id_col="vec_id", vec_col="v", n_cells=4)
+    idx.build(base)
+    fp = idx.stored_fingerprint()
+    assert fp == idx.routing_fingerprint()
+    idx.append(base.selectExpr("vec_id + 50 AS vec_id", "v"),
+               epoch_id=0)
+    idx.compact()
+    assert idx.stored_fingerprint() == fp and idx.verify()["ok"]
+    idx.retract([3, 7])
+    assert idx.stored_fingerprint() == fp and idx.verify()["ok"]
+
+
+def test_probe_coverage_counts_empty_probed_cells(spark, tmp_path):
+    """ADVICE r11: probed-but-EMPTY cells still count in
+    n_probed_cells (the docstring's 'how many distinct cells it
+    probes'), and a query whose probed cells are ALL empty still
+    emits a row with covered_rows 0 instead of vanishing — the old
+    inner join to the per-cell counts dropped both.
+
+    Construction: duplicate seed vectors tie-route every row to the
+    LOWER duplicate cell (argmax ties → lowest index), so cells 1
+    and 3 are born empty; the all-empty case additionally empties
+    cell 0 the way a retraction would (removing its partition
+    directory)."""
+    import shutil
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    base = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, b)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "emp"),
+                         id_col="vec_id", vec_col="v", n_cells=4)
+    idx.build(base)
+    qs = spark.createDataFrame([(100, a)],
+                               "vec_id long, v array<double>")
+    # query a: centroid cosines (1, 1, 0, 0), ties → cells [0, 1];
+    # cell 1 is empty (its rows tie-routed to cell 0)
+    row = idx.probe_coverage(qs, nprobe=2).collect()[0]
+    assert row.n_probed_cells == 2, row
+    assert row.covered_rows == 2 and row.total_rows == 4
+    assert row.coverage == 0.5 and row.top1_in_probe
+
+    # empty cell 0 too (retraction-shaped): BOTH probed cells empty
+    # -> the query must still emit a row, covered_rows 0
+    shutil.rmtree(tmp_path / "emp" / "cells" / "_epoch=-1"
+                  / "_cell=0")
+    row = idx.probe_coverage(qs, nprobe=2).collect()[0]
+    assert row.n_probed_cells == 2, row
+    assert row.covered_rows == 0 and row.total_rows == 2
+    assert row.coverage == 0.0 and not row.top1_in_probe
