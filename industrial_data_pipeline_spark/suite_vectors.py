@@ -1539,3 +1539,209 @@ REGISTRY_VECTORS.update({
     "q284_probe_coverage": (q_probe_coverage,
                             _oracle_probe_coverage()),
 })
+
+
+# ------- q285 guaranteed-k filtered ANN, brute-the-stratum path
+# ------- (VERDICT r11 item 1: the rare-stratum RAG contract gap)
+
+def q_guaranteed_k_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``probe_batch(min_results=k)`` on a RARE stratum: the index
+    carries a derived rare label (vec_id % 17 = 3 → ~15 of 250
+    rows); at nprobe=1 the plain pre-filter would under-deliver
+    (the probed cell rarely holds 10 stratum rows), and the
+    escalation's candidate-mass counts (driver-side, no vectors
+    read) see stratum_total ≤ brute_force_threshold — so the
+    routing becomes exactly the cells CONTAINING the stratum and
+    the result is the EXACT top-k over the stratum (the q151
+    contract), full k per query. The oracle needs no routing CTEs
+    at all: label equality + self-exclusion + the unrounded-cosine
+    rank — byte-equality proves the brute path delivers exact
+    stratum retrieval through the partition-pruned asset."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rl = F.when(F.col("vec_id") % 17 == 3, F.lit(1)) \
+        .otherwise(F.lit(0)).cast("int")
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"), rl.alias("rl"))
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v"), rl.alias("rl")))
+    qs = (base.where((F.col("rl") == 1) & (F.col("vec_id") < 60))
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"), "rl")
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q285_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16,
+                             extra_schema="rl int")
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.probe_batch(qs, k=10, nprobe=1, id_col="qid",
+                               vec_col="_qv", filter_col="rl",
+                               min_results=10)
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_guaranteed_k_probe() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    cos = _COS.format(a="cc.v", b="q.qv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   CASE WHEN vec_id % 17 = 3 THEN 1 ELSE 0 END AS rl
+            FROM embeddings),
+c AS (SELECT * FROM c0 WHERE vec_id < 250),
+q AS (SELECT vec_id AS qid, v AS qv FROM c0
+      WHERE vec_id < 60 AND rl = 1),
+cand AS (SELECT q.qid, cc.vec_id, {cos} AS cs
+         FROM c cc CROSS JOIN q
+         WHERE cc.vec_id <> q.qid AND cc.rl = 1)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM cand)
+WHERE rk <= 10
+"""
+
+
+# ------- q286 guaranteed-k filtered ANN, prefix-ESCALATION path
+# ------- (cumulative candidate-mass widening, SQL-replayed)
+
+def q_escalated_prefix_probe(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The OTHER escalation path: ``brute_force_threshold=0``
+    disables the small-stratum shortcut, so every query walks its
+    full centroid-cosine cell ranking and takes the shortest prefix
+    that is ≥ nprobe cells AND holds cumulative stratum mass ≥
+    min_results + 1 (the +1 absorbs a possible stored self-row),
+    zero-mass prefix cells dropped from the routing (no candidate
+    can live there — results identical, I/O strictly less). The
+    oracle replays the whole contract: per-cell stratum counts, the
+    per-query cell ranking, a cumulative-sum window for the prefix
+    length, then the exact cosine rank over stratum rows inside the
+    prefix — byte-equality pins that escalation widens by EXACTLY
+    the contract's cells, not 'until it happened to work'."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rl = F.when(F.col("vec_id") % 17 == 3, F.lit(1)) \
+        .otherwise(F.lit(0)).cast("int")
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"), rl.alias("rl"))
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v"), rl.alias("rl")))
+    qs = (base.where((F.col("rl") == 0) & (F.col("vec_id") < 6))
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"), "rl")
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q286_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16,
+                             extra_schema="rl int")
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.probe_batch(qs, k=10, nprobe=2, id_col="qid",
+                               vec_col="_qv", filter_col="rl",
+                               min_results=10,
+                               brute_force_threshold=0)
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_escalated_prefix_probe(nq: int = 6, nprobe: int = 2,
+                                   need: int = 11) -> str:
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    cos = _COS.format(a="cc.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   CASE WHEN vec_id % 17 = 3 THEN 1 ELSE 0 END AS rl
+            FROM embeddings),
+base AS (SELECT * FROM c0 WHERE vec_id < 150),
+c AS (SELECT * FROM c0 WHERE vec_id < 250),
+q AS (SELECT vec_id AS qid, v AS qv FROM base
+      WHERE vec_id < {nq} AND rl = 0),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM base ORDER BY vec_id LIMIT 16),
+asg AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM c b CROSS JOIN seed)
+       WHERE rn = 1),
+mass AS (SELECT asg.cell, count(*) AS n
+         FROM asg JOIN c ON c.vec_id = asg.vec_id
+         WHERE c.rl = 0 GROUP BY asg.cell),
+ranked AS (SELECT q.qid, seed.cell,
+                  row_number() OVER (PARTITION BY q.qid
+                                     ORDER BY {ccos} DESC,
+                                              seed.cell) AS pr
+           FROM seed CROSS JOIN q),
+cum AS (SELECT r.qid, r.cell, r.pr,
+               sum(coalesce(m.n, 0)) OVER (PARTITION BY r.qid
+                                           ORDER BY r.pr) AS cm
+        FROM ranked r LEFT JOIN mass m ON m.cell = r.cell),
+pl AS (SELECT qid,
+              coalesce(min(pr) FILTER (WHERE pr >= {nprobe}
+                                       AND cm >= {need}), 16) AS L
+       FROM cum GROUP BY qid),
+probe AS (SELECT cum.qid, cum.cell
+          FROM cum JOIN pl ON pl.qid = cum.qid
+          WHERE cum.pr <= pl.L),
+cand AS (SELECT p.qid, cc.vec_id, {cos} AS cs
+         FROM probe p
+         JOIN asg ON asg.cell = p.cell
+         JOIN c cc ON cc.vec_id = asg.vec_id
+         JOIN q ON q.qid = p.qid
+         WHERE cc.vec_id <> p.qid AND cc.rl = 0)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM cand)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q285_guaranteed_k_probe": (q_guaranteed_k_probe,
+                                _oracle_guaranteed_k_probe()),
+    "q286_escalated_prefix_probe": (q_escalated_prefix_probe,
+                                    _oracle_escalated_prefix_probe()),
+})

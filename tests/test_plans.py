@@ -664,6 +664,72 @@ def test_ivf_probe_batch_single_pruned_scan(spark, tmp_path):
     assert "SortMergeJoin" not in p, p
 
 
+def test_escalated_probe_reads_only_escalation_cells(spark, tmp_path):
+    """q285/q286's scale claim on the PLAN (VERDICT r11 item 1): a
+    min_results-escalated filtered probe still issues ONE scan of
+    the data asset, partition-pruned to EXACTLY the escalation
+    contract's cells — the brute path lists only cells CONTAINING
+    the stratum, and the prefix path lists only the widened prefix's
+    non-empty cells (more than nprobe, fewer than all). The
+    candidate-mass counting pass happens driver-side before the plan
+    exists, so it never appears in the probe's own plan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0],
+          1 if i % 21 == 0 else 0) for i in range(64)],
+        "vec_id long, embedding array<double>, label int")
+    idx = StoredIvfIndex(spark, str(tmp_path / "esc"), n_cells=8,
+                         extra_schema="label int")
+    idx.build(corpus)
+    rows, _ = idx._collect_queries(
+        corpus.where(F.col("label") == 1), "vec_id", "embedding",
+        "label", None)
+
+    # brute path: stratum (4 rows) ≤ threshold → only its cells
+    esc = idx._escalation_cells(rows, nprobe=1, min_results=3,
+                                brute_force_threshold=4096,
+                                filter_col="label",
+                                exclude_epoch=None, as_of_epoch=None)
+    brute_cells = {c for cs in esc.values() for c in cs}
+    out = idx.probe_batch(corpus.where(F.col("label") == 1), k=3,
+                          nprobe=1, filter_col="label",
+                          min_results=3)
+    p = plan(out)
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE)
+    assert len(scans) == 1, p
+    m = re.search(r"PartitionFilters: \[.*_cell.*\]", p)
+    assert m, p
+    inlist = re.search(r"_cell#?\d* IN \(([^)]*)\)", m.group(0))
+    assert inlist, m.group(0)
+    listed = set(map(int, re.findall(r"\d+", inlist.group(1))))
+    assert listed == brute_cells, (listed, brute_cells)
+    # every query got its full guarantee: stratum − self = 3 rows
+    got = {}
+    for r in out.collect():
+        got[r.query_id] = got.get(r.query_id, 0) + 1
+    assert got == {r["query_id"]: 3 for r in rows}, got
+
+    # prefix path: threshold 0 forces escalation on a common label;
+    # the prefix is wider than nprobe but narrower than the ring
+    rows0, _ = idx._collect_queries(
+        corpus.where(F.col("vec_id") < 2), "vec_id", "embedding",
+        "label", None)
+    esc0 = idx._escalation_cells(rows0, nprobe=1, min_results=10,
+                                 brute_force_threshold=0,
+                                 filter_col="label",
+                                 exclude_epoch=None,
+                                 as_of_epoch=None)
+    for qid, cs in esc0.items():
+        assert len(cs) > 1, (qid, cs)          # widened past nprobe
+        assert len(cs) < idx.n_cells, (qid, cs)  # but not the ring
+
+
 def test_asof_probe_prunes_newer_epochs(spark, tmp_path):
     """q267's scale claim on the PLAN: as_of_epoch=N lands as a
     `_epoch <= N` PartitionFilter on the stored band scan — newer
