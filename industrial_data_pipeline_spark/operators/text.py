@@ -1619,6 +1619,176 @@ def corpus_bleu(pairs: DataFrame, id_col: str = "doc_id",
     return out.select(*cols)
 
 
+def corpus_chrf(pairs: DataFrame, id_col: str = "doc_id",
+                cand_col: str = "candidate",
+                refs_col: str = "references",
+                max_n: int = 6, beta: float = 2.0,
+                round_dp: int = 6) -> DataFrame:
+    """Corpus-level MULTI-REFERENCE chrF (VERDICT r11 item 3),
+    completing :func:`chrf` the way :func:`corpus_bleu` completed
+    :func:`bleu` — WMT reports chrF pooled over the corpus, not a
+    mean of sentence scores:
+
+    - **multi-reference clip**: each candidate character n-gram
+      credits at most the MAX of its multiplicities across the
+      ``refs_col`` array (the corpus_bleu max-clip discipline);
+      the recall denominator is the same MAX-MULTISET's size — the
+      union-of-references multiset the clip already defines, so
+      precision and recall read off one consistent reference side
+      (documented choice; implementations vary here);
+    - **corpus pooling**: clipped overlaps, candidate totals and
+      max-multiset totals SUM ACROSS THE CORPUS before the per-order
+      ratios — chrP/chrR are means over orders of POOLED ratios, a
+      zero-gram order contributing 0 with the denominator staying
+      ``max_n`` (the :func:`chrf` convention, applied corpus-wide);
+    - chrF = (1+β²)·P·R / (β²·P + R), β = 2, 0 when both sides die;
+    - a pair with NO usable reference (empty array or only NULLs)
+      is EXCLUDED from every pooled quantity (the corpus_bleu
+      exclusion rule); a corpus with NO scoreable pair emits
+      n_pairs 0, zero char totals and NULL metrics (the pooled sums
+      are coalesced to 0 so the empty guard actually fires —
+      the ADVICE r11 corpus_bleu lesson, applied from birth).
+
+    Returns ONE row: (n_pairs, c_chars, r_chars, chrf_p, chrf_r,
+    chrf) — c_chars/r_chars are the pooled order-1 totals (exact
+    char counts of the stripped candidate / max-multiset sides).
+
+    Engine determinism: every pooled quantity is an exact int64 sum;
+    the float chain (2·max_n divisions, two means, one F-beta) runs
+    ONCE on the final scalars and rounds last — generically
+    SQL-replayable (q287).
+
+    Scale shape: per order, two (id, gram) count shuffles + the
+    max-over-references fold + an overlap join, all collapsing into
+    map-side-combinable global sums; single-row tails join as 1×1
+    cross joins. Linear in Σ chars·|references|·max_n."""
+    def strip(col: Column) -> Column:
+        return F.regexp_replace(F.lower(col), CHRF_WS, "")
+
+    def grams(src: str, n: int) -> Column:
+        return F.when(
+            F.length(F.col(src)) >= n,
+            F.expr(f"transform(sequence(1, length({src}) - {n - 1}),"
+                   f" i -> substring({src}, i, {n}))")
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = (pairs.select(F.col(id_col).alias("_id"),
+                         strip(F.col(cand_col)).alias("_cc"),
+                         F.filter(F.col(refs_col),
+                                  lambda r: r.isNotNull())
+                         .alias("_refs"))
+            .where(F.size("_refs") > 0))
+    refs_ex = (base.select(
+        "_id", F.posexplode("_refs").alias("_ri", "_rt"))
+        .select("_id", "_ri", strip(F.col("_rt")).alias("_rc")))
+    out = base.agg(F.count("*").alias("n_pairs"))
+    for n in range(1, max_n + 1):
+        cg = (base.select("_id", F.explode(grams("_cc", n))
+                          .alias("_g"))
+              .groupBy("_id", "_g").agg(F.count("*").alias("_nc")))
+        rg = (refs_ex.select("_id", "_ri",
+                             F.explode(grams("_rc", n)).alias("_g"))
+              .groupBy("_id", "_ri", "_g")
+              .agg(F.count("*").alias("_nrj"))
+              .groupBy("_id", "_g")
+              .agg(F.max("_nrj").alias("_nr")))
+        ov = (cg.join(rg, ["_id", "_g"])
+              .agg(F.coalesce(F.sum(F.least("_nc", "_nr")),
+                              F.lit(0)).alias(f"_ov{n}")))
+        tc = base.agg(F.coalesce(
+            F.sum(F.size(grams("_cc", n))), F.lit(0))
+            .alias(f"_tc{n}"))
+        tr = rg.agg(F.coalesce(F.sum("_nr"), F.lit(0))
+                    .alias(f"_tr{n}"))
+        out = out.crossJoin(ov).crossJoin(tc).crossJoin(tr)
+    psum, rsum = F.lit(0.0), F.lit(0.0)
+    for n in range(1, max_n + 1):
+        psum = psum + F.when(
+            F.col(f"_tc{n}") > 0,
+            F.col(f"_ov{n}") / F.col(f"_tc{n}").cast("double")
+        ).otherwise(F.lit(0.0))
+        rsum = rsum + F.when(
+            F.col(f"_tr{n}") > 0,
+            F.col(f"_ov{n}") / F.col(f"_tr{n}").cast("double")
+        ).otherwise(F.lit(0.0))
+    p = psum / F.lit(float(max_n))
+    r = rsum / F.lit(float(max_n))
+    b2 = beta * beta
+    f_ = F.coalesce(F.lit(1.0 + b2) * p * r
+                    / F.nullif(F.lit(b2) * p + r, F.lit(0.0)),
+                    F.lit(0.0))
+    empty = F.col("n_pairs") == 0
+    return out.select(
+        "n_pairs",
+        F.col("_tc1").alias("c_chars"),
+        F.col("_tr1").alias("r_chars"),
+        F.round(F.when(empty, F.lit(None).cast("double"))
+                .otherwise(p), round_dp).alias("chrf_p"),
+        F.round(F.when(empty, F.lit(None).cast("double"))
+                .otherwise(r), round_dp).alias("chrf_r"),
+        F.round(F.when(empty, F.lit(None).cast("double"))
+                .otherwise(f_), round_dp).alias("chrf"))
+
+
+def corpus_ter(pairs: DataFrame, id_col: str = "doc_id",
+               cand_col: str = "candidate",
+               refs_col: str = "references",
+               round_dp: int = 6) -> DataFrame:
+    """Corpus-level MULTI-REFERENCE TER (VERDICT r11 item 3),
+    completing :func:`ter` the way :func:`corpus_bleu` completed
+    :func:`bleu` — tercom pools edit counts over the corpus:
+
+    - **best reference**: per pair, the reference minimizing the
+      token edit distance is chosen; ties go to the SHORTER
+      reference (one lexicographic struct-min on exact ints — the
+      corpus_bleu effective-length discipline);
+    - **corpus pooling**: TER = Σ edits / Σ chosen-reference
+      lengths — both exact int64 sums, ONE division at the end
+      (NOT a mean of per-pair rates: a long segment weighs more,
+      which is the point of corpus TER);
+    - a pair with NO usable reference is EXCLUDED from n_pairs and
+      both sums (the corpus_bleu rule); Σ ref-length = 0 (empty
+      corpus, or every chosen reference empty) ⇒ NULL ter (0/0),
+      with the pooled sums coalesced so the output row always
+      exists.
+
+    Returns ONE row: (n_pairs, edits, ref_len, ter).
+
+    The kernel is the general O(m·n) Arrow-vectorized DP
+    (:func:`token_edit_distance`) — it cannot see any planting; the
+    q288 oracle knows its planted families' edit counts in closed
+    form (the q274 pattern), and unplanted adversarial cases pin
+    against a classic full-matrix DP in tests."""
+    base = (pairs.select(F.col(id_col).alias("_id"),
+                         F.col(cand_col).alias("_cand"),
+                         F.filter(F.col(refs_col),
+                                  lambda r: r.isNotNull())
+                         .alias("_refs"))
+            .where(F.size("_refs") > 0))
+    per_ref = (base.select(
+        "_id", "_cand", F.posexplode("_refs").alias("_ri", "_rt"))
+        .select("_id",
+                token_edit_distance(F.col("_cand"), F.col("_rt"))
+                .alias("_e"),
+                F.size(tokens(F.lower(F.col("_rt")))).alias("_rl")))
+    best = (per_ref.groupBy("_id")
+            .agg(F.min(F.struct(F.col("_e").alias("e"),
+                                F.col("_rl").alias("l")))
+                 .alias("_m"))
+            .select("_id", F.col("_m.e").alias("_e"),
+                    F.col("_m.l").alias("_rl")))
+    return (best.agg(F.count("*").alias("n_pairs"),
+                     F.coalesce(F.sum("_e"), F.lit(0))
+                     .alias("edits"),
+                     F.coalesce(F.sum("_rl"), F.lit(0))
+                     .alias("ref_len"))
+            .select("n_pairs", "edits", "ref_len",
+                    F.round(F.col("edits")
+                            / F.nullif(F.col("ref_len")
+                                       .cast("double"), F.lit(0.0)),
+                            round_dp).alias("ter")))
+
+
 #: chrF's whitespace STRIP SET, pinned to one explicit class shared
 #: by the Spark kernel, the DuckDB oracle builder
 #: (suite_pipeline.chrf_chain_sql callers) and the engine-parity

@@ -1829,3 +1829,179 @@ crefs AS (SELECT doc_id, 0 AS ri, rt0 AS rt FROM v278
 REGISTRY_PIPELINE.update({
     "q278_corpus_bleu": (q_corpus_bleu, _oracle_corpus_bleu()),
 })
+
+
+# ------ q287 corpus-level multi-reference chrF (WMT reporting form)
+
+def q_corpus_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chrF with THREE references per candidate
+    (operators/text.py::corpus_chrf — VERDICT r11 item 3,
+    completing the q262 sentence metric the way q278 completed
+    BLEU): the q278 scenario verbatim — references = [full doc,
+    every-3rd-token-dropped, doc + two extra tokens]; candidates by
+    family (full / dropped / three never-in-corpus tokens). The
+    max-clip across references keeps the first two families'
+    overlaps whole while the all-miss family dilutes the POOLED
+    per-order ratios instead of zeroing its own row — the
+    corpus-vs-sentence distinction, now on character n-grams. The
+    oracle replays char grams, clip-max, corpus pooling, the
+    zero-order convention and the F-beta chain generically in
+    SQL."""
+    docs = _load_docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    toks = TX.tokens(F.col("text"))
+    dropped = F.array_join(
+        F.filter(toks, lambda x, i: i % 3 != 0), " ")
+    extra = F.concat(F.col("text"), F.lit(" zzq287x zzq287y"))
+    cand = (F.when(F.col("doc_id") < 40, F.col("text"))
+            .when(F.col("doc_id") < 80, dropped)
+            .otherwise(F.lit("zzzq287a zzzq287b zzzq287c")))
+    pairs = docs.select(
+        "doc_id", cand.alias("candidate"),
+        F.array(F.col("text"), dropped, extra).alias("references"))
+    return TX.corpus_chrf(pairs)
+
+
+def corpus_chrf_chain_sql(with_ctes: str) -> str:
+    """Generic DuckDB corpus-chrF (β=2, orders 1..6) over caller
+    CTEs ending in ``cbase(doc_id, cc)`` (stripped lowered
+    candidate chars) and ``crefs(doc_id, ri, rc)`` (one row per
+    reference, stripped chars) — the replayable half of
+    operators/text.py::corpus_chrf."""
+    def ngrams(src: str, n: int) -> str:
+        return (f"CASE WHEN length({src}) >= {n} THEN "
+                f"list_transform(generate_series(1,"
+                f" length({src}) - {n - 1}),"
+                f" i -> substring({src}, i, {n}))"
+                f" ELSE CAST([] AS VARCHAR[]) END")
+
+    parts, pterms, rterms = [], [], []
+    for n in range(1, 7):
+        cg, rg = ngrams("cc", n), ngrams("rc", n)
+        parts.append(f"""
+kc{n} AS (SELECT doc_id, g, count(*) AS n FROM
+            (SELECT doc_id, unnest({cg}) AS g FROM cbase)
+          GROUP BY 1, 2),
+kr{n} AS (SELECT doc_id, g, max(n) AS n FROM (
+            SELECT doc_id, ri, g, count(*) AS n FROM
+              (SELECT doc_id, ri, unnest({rg}) AS g FROM crefs)
+            GROUP BY 1, 2, 3) GROUP BY 1, 2),
+ko{n} AS (SELECT CAST(coalesce(sum(least(kc{n}.n, kr{n}.n)), 0)
+                      AS BIGINT) AS ov{n}
+          FROM kc{n} JOIN kr{n} USING (doc_id, g)),
+kt{n} AS (SELECT CAST(coalesce(sum(len({cg})), 0) AS BIGINT)
+                 AS tc{n}
+          FROM cbase),
+ku{n} AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tr{n}
+          FROM kr{n})""")
+        pterms.append(f"CASE WHEN tc{n} > 0 THEN"
+                      f" ov{n} / tc{n}::DOUBLE ELSE 0.0 END")
+        rterms.append(f"CASE WHEN tr{n} > 0 THEN"
+                      f" ov{n} / tr{n}::DOUBLE ELSE 0.0 END")
+    crosses = " ".join(f"CROSS JOIN ko{n} CROSS JOIN kt{n}"
+                       f" CROSS JOIN ku{n}" for n in range(1, 7))
+    psum = " + ".join(pterms)
+    rsum = " + ".join(rterms)
+    return f"""
+WITH {with_ctes.strip().rstrip(',')},
+np AS (SELECT count(*) AS n_pairs FROM cbase),
+{",".join(p.lstrip() for p in parts)},
+raw AS (SELECT n_pairs, tc1 AS c_chars, tr1 AS r_chars,
+               ({psum}) / 6.0 AS p, ({rsum}) / 6.0 AS r
+        FROM np {crosses})
+SELECT n_pairs, c_chars, r_chars,
+       round(CASE WHEN n_pairs = 0 THEN NULL ELSE p END, 6)
+           AS chrf_p,
+       round(CASE WHEN n_pairs = 0 THEN NULL ELSE r END, 6)
+           AS chrf_r,
+       round(CASE WHEN n_pairs = 0 THEN NULL
+                  ELSE coalesce(5.0 * p * r
+                                / nullif(4.0 * p + r, 0.0), 0.0)
+             END, 6) AS chrf
+FROM raw
+"""
+
+
+def _oracle_corpus_chrf() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(lower(text)),"
+             " '\\s+'), x -> x <> '')")
+
+    def strip(expr: str) -> str:
+        return (f"regexp_replace(lower({expr}), '{CHRF_WS}',"
+                f" '', 'g')")
+
+    return corpus_chrf_chain_sql(f"""
+b287 AS (SELECT doc_id, text, {ltoks} AS rt0 FROM documents
+         WHERE doc_id < 120),
+v287 AS (SELECT doc_id, text, rt0,
+                array_to_string(list_transform(
+                    list_filter(generate_series(1, len(rt0)),
+                                i -> (i - 1) % 3 <> 0),
+                    i -> rt0[i]), ' ') AS dropped_s,
+                text || ' zzq287x zzq287y' AS extra_s
+         FROM b287),
+cbase AS (SELECT doc_id,
+                 CASE WHEN doc_id < 40 THEN {strip('text')}
+                      WHEN doc_id < 80 THEN {strip('dropped_s')}
+                      ELSE 'zzzq287azzzq287bzzzq287c' END AS cc
+          FROM v287),
+crefs AS (SELECT doc_id, 0 AS ri, {strip('text')} AS rc FROM v287
+          UNION ALL
+          SELECT doc_id, 1, {strip('dropped_s')} FROM v287
+          UNION ALL
+          SELECT doc_id, 2, {strip('extra_s')} FROM v287)""")
+
+
+# ---- q288 corpus-level multi-reference TER (pooled edit counts)
+
+def q_corpus_ter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TER with THREE references per candidate
+    (operators/text.py::corpus_ter — VERDICT r11 item 3, completing
+    q274 the way q278 completed BLEU): per pair the BEST reference
+    (min edits, ties to the shorter) is chosen, then edit counts
+    and chosen-reference lengths pool corpus-wide into ONE ratio.
+    Planted families make every choice closed-form (the q274
+    discipline — the general DP kernel cannot see the planting):
+    identity candidates pick the full doc at 0 edits; dropped
+    candidates pick the dropped reference at 0 edits; disjoint
+    candidates cost max(|ref|, 3) against EVERY reference, so the
+    struct-min lands on the shortest (the dropped one) — the oracle
+    knows all three from token lengths alone."""
+    docs = _load_docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    toks = TX.tokens(F.col("text"))
+    dropped = F.array_join(
+        F.filter(toks, lambda x, i: i % 3 != 0), " ")
+    extra = F.concat(F.col("text"), F.lit(" zzq288x zzq288y"))
+    cand = (F.when(F.col("doc_id") < 30, F.col("text"))
+            .when(F.col("doc_id") < 90, dropped)
+            .otherwise(F.lit("zzzq288a zzzq288b zzzq288c")))
+    pairs = docs.select(
+        "doc_id", cand.alias("candidate"),
+        F.array(F.col("text"), dropped, extra).alias("references"))
+    return TX.corpus_ter(pairs)
+
+
+def _oracle_corpus_ter() -> str:
+    ltoks = ("list_filter(string_split_regex(trim(text),"
+             " '\\s+'), x -> x <> '')")
+    return f"""
+WITH base AS (SELECT doc_id, len({ltoks}) AS n
+              FROM documents WHERE doc_id < 120),
+per AS (SELECT doc_id,
+    CASE WHEN doc_id < 90 THEN 0
+         ELSE greatest(n - (n + 2) // 3, 3) END AS e,
+    CASE WHEN doc_id < 30 THEN n
+         ELSE n - (n + 2) // 3 END AS rl
+    FROM base)
+SELECT count(*) AS n_pairs,
+       CAST(coalesce(sum(e), 0) AS BIGINT) AS edits,
+       CAST(coalesce(sum(rl), 0) AS BIGINT) AS ref_len,
+       round(sum(e) / nullif(CAST(sum(rl) AS DOUBLE), 0.0), 6)
+           AS ter
+FROM per
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q287_corpus_chrf": (q_corpus_chrf, _oracle_corpus_chrf()),
+    "q288_corpus_ter": (q_corpus_ter, _oracle_corpus_ter()),
+})

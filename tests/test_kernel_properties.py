@@ -1056,3 +1056,216 @@ def test_corpus_bleu_matches_python_reference(spark):
         else:
             assert got.bp == round(want["bp"], 6)
             assert got.bleu == round(want["bleu"], 6), (trial, pairs)
+
+
+def test_corpus_chrf_hand_computed(spark):
+    """corpus_chrf (q287) hand cases pinning its defining behaviors:
+    multi-reference MAX-CLIP (a candidate matching its second
+    reference keeps full credit), corpus POOLING (one all-miss pair
+    dilutes instead of zeroing), the unscoreable-pair exclusion, and
+    the coalesced empty-corpus guard (NULL metrics, zero chars)."""
+    from industrial_data_pipeline_spark.operators.text import (
+        corpus_chrf)
+
+    # doc 0 matches ref B exactly; doc 1 all-miss single-char corpus
+    df = spark.createDataFrame(
+        [(0, "ab", ["xyxy", "ab"]),
+         (1, "q", ["z", "z"])],
+        "doc_id long, candidate string, references array<string>")
+    row = corpus_chrf(df, max_n=2).collect()[0]
+    assert row.n_pairs == 2 and row.c_chars == 3
+    # order-1: cand grams a,b,q; max-multiset doc0 = {x:2,y:2,a,b},
+    # doc1 = {z:1}; ov1 = 2 (a, b). pooled p1 = 2/3
+    # order-2: cand grams 'ab' (doc1 has none); ov2 = 1; tc2 = 1
+    # chrf_p = (2/3 + 1/1) / 2
+    assert row.chrf_p == round((2 / 3 + 1.0) / 2, 6)
+
+    # unscoreable pairs excluded from every pooled quantity
+    df2 = spark.createDataFrame(
+        [(0, "ab", ["ab"]), (1, "zzzz", []), (2, "yy", [None])],
+        "doc_id long, candidate string, references array<string>")
+    r2 = corpus_chrf(df2, max_n=2).collect()[0]
+    assert r2.n_pairs == 1 and r2.c_chars == 2 and r2.chrf == 1.0
+
+    # ALL pairs unscoreable: coalesced sums -> the empty guard fires
+    df3 = spark.createDataFrame(
+        [(0, "ab", []), (1, "cd", [None])],
+        "doc_id long, candidate string, references array<string>")
+    r3 = corpus_chrf(df3).collect()[0]
+    assert r3.n_pairs == 0 and r3.c_chars == 0 and r3.r_chars == 0
+    assert r3.chrf is None and r3.chrf_p is None and r3.chrf_r is None
+
+
+def _r6(x: float) -> float:
+    """Round-HALF-UP to 6 dp — what Spark's F.round and DuckDB's
+    round() both do; Python's round() is banker's (half-even) and
+    diverges exactly on decimal ties like 0.1953125."""
+    import math
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+def test_corpus_chrf_matches_python_reference(spark):
+    """corpus_chrf vs an INDEPENDENT Python implementation written
+    from the documented semantics (max-clip across references,
+    max-multiset recall denominator, pooled per-order ratios with
+    the zero convention, β=2 F-score) over deterministic
+    pseudo-random tiny-alphabet corpora — heavy gram collisions,
+    empty candidates/references, 0-3 references per pair."""
+    import random
+    import re
+    from collections import Counter
+
+    from industrial_data_pipeline_spark.operators.text import (
+        corpus_chrf)
+
+    ws = re.compile("[ \t\n\x0B\f\r]+")
+    rng = random.Random(287)
+    alphabet = "aab"
+
+    def sentence():
+        return " ".join("".join(rng.choice(alphabet)
+                                for _ in range(rng.randint(1, 3)))
+                        for _ in range(rng.randint(0, 5)))
+
+    def ref_chrf(pairs, max_n=6):
+        def strip(s):
+            return ws.sub("", s.lower())
+
+        def grams(s, n):
+            return Counter(s[i:i + n]
+                           for i in range(len(s) - n + 1))
+
+        usable = []
+        for _id, cand, refs in pairs:
+            refs = [r for r in refs if r is not None]
+            if refs:
+                usable.append((strip(cand),
+                               [strip(r) for r in refs]))
+        if not usable:
+            return None
+        ov = [0] * (max_n + 1)
+        tc = [0] * (max_n + 1)
+        tr = [0] * (max_n + 1)
+        for cc, rcs in usable:
+            for n in range(1, max_n + 1):
+                cg = grams(cc, n)
+                tc[n] += sum(cg.values())
+                mx = Counter()
+                for rc in rcs:
+                    for g, k in grams(rc, n).items():
+                        mx[g] = max(mx[g], k)
+                tr[n] += sum(mx.values())
+                ov[n] += sum(min(k, mx[g])
+                             for g, k in cg.items())
+        p = r_ = 0.0
+        for n in range(1, max_n + 1):
+            p = p + (ov[n] / tc[n] if tc[n] else 0.0)
+            r_ = r_ + (ov[n] / tr[n] if tr[n] else 0.0)
+        p, r_ = p / float(max_n), r_ / float(max_n)
+        den = 4.0 * p + r_
+        f = (5.0 * p * r_) / den if den != 0.0 else 0.0
+        return dict(n=len(usable), c=tc[1], r=tr[1],
+                    p=p, rr=r_, f=f)
+
+    for trial in range(6):
+        pairs = []
+        for i in range(rng.randint(2, 8)):
+            nrefs = rng.randint(0, 3)
+            refs = [sentence() for _ in range(nrefs)]
+            if nrefs and rng.random() < 0.3:
+                refs[0] = None
+            pairs.append((i, sentence(), refs))
+        want = ref_chrf(pairs)
+        got = corpus_chrf(spark.createDataFrame(
+            pairs,
+            "doc_id long, candidate string,"
+            " references array<string>")).collect()[0]
+        if want is None:
+            assert got.n_pairs == 0 and got.chrf is None
+            continue
+        assert got.n_pairs == want["n"], (trial, pairs)
+        assert got.c_chars == want["c"] and got.r_chars == want["r"]
+        assert got.chrf_p == _r6(want["p"]), (trial, pairs)
+        assert got.chrf_r == _r6(want["rr"]), (trial, pairs)
+        assert got.chrf == _r6(want["f"]), (trial, pairs)
+
+
+def test_corpus_ter_hand_and_python_reference(spark):
+    """corpus_ter (q288): hand cases for best-reference selection
+    (min edits, ties to the SHORTER reference), pooling (one ratio
+    over summed ints, not a mean of rates), exclusion and the empty
+    guard; then randomized corpora against an independent
+    best-reference pooling built on the classic full-matrix DP."""
+    import random
+    import re
+
+    from industrial_data_pipeline_spark.operators.text import (
+        corpus_ter)
+
+    ws = re.compile("[ \t\n\x0B\f\r]+")
+
+    def toks(s):
+        return [t for t in ws.split(s.lower().strip()) if t]
+
+    # doc 0: best ref is the SECOND (0 edits); doc 1: both refs at
+    # 1 edit -> tie to the shorter (rl 2, not 4)
+    df = spark.createDataFrame(
+        [(0, "a b c", ["x y", "a b c"]),
+         (1, "p q", ["p q r s", "p z"])],
+        "doc_id long, candidate string, references array<string>")
+    row = corpus_ter(df).collect()[0]
+    assert (row.n_pairs, row.edits, row.ref_len) == (2, 1, 5)
+    assert row.ter == round(1 / 5, 6)
+
+    # exclusion + empty guard
+    e = corpus_ter(spark.createDataFrame(
+        [(0, "a", []), (1, "b", [None])],
+        "doc_id long, candidate string, references array<string>"))
+    r0 = e.collect()[0]
+    assert (r0.n_pairs, r0.edits, r0.ref_len) == (0, 0, 0)
+    assert r0.ter is None
+
+    rng = random.Random(288)
+    alphabet = ["a", "b", "c"]
+
+    def sentence():
+        return " ".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 6)))
+
+    def ref_ter(pairs):
+        E = R = n = 0
+        for _id, cand, refs in pairs:
+            refs = [r for r in refs if r is not None]
+            if not refs:
+                continue
+            n += 1
+            best = min((_lev_classic(toks(cand), toks(r)),
+                        len(toks(r))) for r in refs)
+            E, R = E + best[0], R + best[1]
+        if n == 0:
+            return None
+        return dict(n=n, e=E, r=R,
+                    t=(E / float(R) if R else None))
+
+    for trial in range(6):
+        pairs = []
+        for i in range(rng.randint(2, 8)):
+            nrefs = rng.randint(0, 3)
+            refs = [sentence() for _ in range(nrefs)]
+            if nrefs and rng.random() < 0.3:
+                refs[0] = None
+            pairs.append((i, sentence(), refs))
+        want = ref_ter(pairs)
+        got = corpus_ter(spark.createDataFrame(
+            pairs,
+            "doc_id long, candidate string,"
+            " references array<string>")).collect()[0]
+        if want is None:
+            assert got.n_pairs == 0 and got.ter is None
+            continue
+        assert (got.n_pairs, got.edits, got.ref_len) == \
+            (want["n"], want["e"], want["r"]), (trial, pairs)
+        if want["t"] is None:
+            assert got.ter is None
+        else:
+            assert got.ter == _r6(want["t"]), (trial, pairs)
