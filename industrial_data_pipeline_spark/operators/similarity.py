@@ -1532,13 +1532,32 @@ class StoredIvfIndex:
         (4,8)) — rerank exists to seal the last ulps, not to repair
         coarse ranks (measured stage1-only recall@10 = 1.0,
         tools/residual_recall_ab.py — all three tiers recorded); PQ
-        stays ~4× below this tier's bytes for the coldest data."""
+        stays ~4× below this tier's bytes for the coldest data.
+
+        ``rerank=0`` is the sanctioned INT8-ONLY fast path (VERDICT
+        r11 stretch): stage 2 is skipped entirely — the emitted
+        ``cosine_sim`` is the int8 cosine itself (the STATED
+        divergence: cosine of the quantized codes, not of the raw
+        vectors; ranks can differ from the exact probe only where
+        competing candidates' true cosines are closer than the
+        int8-induced error). Guardrail, measured not guessed
+        (tools/sq_rerank0_probe.py → tools/sq_rerank0_result.json):
+        recall@10 vs exact = 0.99 on the test embeddings, and on
+        adversarial COSINE-GAP LADDERS (candidates planted at exact
+        cosines 0.9 − i·δ, so the top-10/11 boundary gap IS δ) the
+        set stays exact down to δ ≈ 1e-3 and degrades below it
+        (0.93 at 3e-4, 0.81 at 1e-4 — the per-component
+        quantization step is 1/254 of each vector's max-abs;
+        dim-averaging buys the decade between 4e-3 and 1e-3). Keep
+        rerank ≥ k when k-boundary cosine gaps can fall under
+        ~1e-3 — near-duplicate corpora, very large k, or tightly
+        clustered strata."""
         import math
 
         from pyspark.sql import Window
 
         assert self.sq_int8, "build with sq_int8 first"
-        assert rerank >= k, (rerank, k)
+        assert rerank == 0 or rerank >= k, (rerank, k)
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
         rows, qf_df = self._collect_queries(
@@ -1583,15 +1602,25 @@ class StoredIvfIndex:
                    * F.sqrt(F.col("q8n2").cast("double"))))
         ws = Window.partitionBy("query_id").orderBy(
             F.desc("_scos"), F.col("vec_id"))
-        shortlist = (self._apply_filter(
-                         scan.join(F.broadcast(route), "_cell")
-                         .where(F.col("vec_id") != F.col("query_id")),
-                         qf_df, filter_col)
-                     .join(F.broadcast(qi_df), "query_id")
-                     .join(F.broadcast(qn_df), "query_id")
-                     .where(F.col("_qn2") > 0)
-                     .withColumn("_num", num)
-                     .withColumn("_scos", scos)
+        stage1 = (self._apply_filter(
+                      scan.join(F.broadcast(route), "_cell")
+                      .where(F.col("vec_id") != F.col("query_id")),
+                      qf_df, filter_col)
+                  .join(F.broadcast(qi_df), "query_id")
+                  .join(F.broadcast(qn_df), "query_id")
+                  .where(F.col("_qn2") > 0)
+                  .withColumn("_num", num)
+                  .withColumn("_scos", scos))
+        if rerank == 0:
+            # int8-only fast path: no vector column is ever read —
+            # the emitted cosine IS the int8 cosine (see docstring)
+            return (stage1
+                    .withColumn("rk", F.row_number().over(ws))
+                    .where(F.col("rk") <= int(k))
+                    .select("query_id", "vec_id",
+                            F.round("_scos", round_dp)
+                            .alias("cosine_sim"), "rk"))
+        shortlist = (stage1
                      .withColumn("_srk", F.row_number().over(ws))
                      .where(F.col("_srk") <= int(rerank))
                      # distinct for cross-epoch duplicate vec_ids —
@@ -1903,6 +1932,95 @@ class StoredIvfIndex:
             raise
         self._write_meta()
         return stats
+
+
+class DriftRebuildPolicy:
+    """Closed-loop drift→rebuild for a :class:`StoredIvfIndex`
+    under its single admitting writer (VERDICT r11 item 7): q283's
+    staleness signal (:meth:`~StoredIvfIndex.quantization_drift`)
+    becomes the automatic trigger for q282's retrain verb, so the
+    lifecycle no longer needs a human reading the audit.
+
+    Protocol, designed for exactly-once foreachBatch ingestion::
+
+        policy = DriftRebuildPolicy(idx, ratio=4.0)
+        def handle(batch_df, epoch_id):
+            policy.before_append()          # rebuild HERE if pending
+            idx.append(batch_df, epoch_id=epoch_id)
+            policy.after_append()           # evaluate, maybe arm
+
+    - :meth:`after_append` evaluates the drift audit every ``every``
+      batches: any epoch whose ``mean_err`` exceeds ``ratio`` × the
+      history epoch's (-1) arms ``pending`` (a zero-error baseline
+      arms on ANY nonzero epoch error). It never rebuilds inline —
+      the epoch it just appended is still IN FLIGHT, and a retry of
+      that micro-batch after an inline rebuild would re-append rows
+      the rebuild already folded into history, double-counting them
+      past the dynamic epoch overwrite.
+    - :meth:`before_append` fires the armed rebuild at the START of
+      the NEXT batch — a batch boundary, the exact point q282 proved
+      safe: no epoch is in flight, the rebuild serializes with the
+      appends on the admitting thread, and the fenced swap +
+      fingerprint stamp carry the crash story. The retrain corpus is
+      everything committed so far (including the drifted epoch —
+      retraining ON the shifted distribution is the point).
+
+    The audit pass is O(asset) — ``every`` is the tuning-cadence
+    knob, exactly like a production vector store's scheduled drift
+    check. q289 byte-pins the automatic cutover: a planted drift
+    epoch must flip the routing seeds, which the oracle derives from
+    the post-drift corpus — an un-fired policy fails the hash."""
+
+    def __init__(self, idx: StoredIvfIndex, ratio: float = 4.0,
+                 every: int = 1, refine_iters: int = 0,
+                 pq_iters: int = 1, lease_timeout_s: float = 30.0):
+        assert idx.pq_m, ("drift policy needs the PQ staleness "
+                          "signal — build the index with pq_m")
+        self.idx = idx
+        self.ratio = float(ratio)
+        self.every = int(every)
+        self.refine_iters = refine_iters
+        self.pq_iters = pq_iters
+        self.lease_timeout_s = lease_timeout_s
+        self.pending: bool = False
+        self._since_eval = 0
+        #: (fired_count, last_trigger) — observability for tests and
+        #: ops: which epoch/ratio armed the last rebuild
+        self.fired = 0
+        self.last_trigger: tuple | None = None
+
+    def before_append(self) -> bool:
+        """Fire an armed rebuild at the batch boundary. Returns
+        whether a rebuild ran."""
+        if not self.pending:
+            return False
+        self.idx.rebuild(refine_iters=self.refine_iters,
+                         pq_iters=self.pq_iters,
+                         lease_timeout_s=self.lease_timeout_s)
+        self.pending = False
+        self.fired += 1
+        return True
+
+    def after_append(self) -> bool:
+        """Evaluate the drift audit (every ``every`` appends) and
+        arm ``pending`` when an epoch's mean reconstruction error
+        exceeds ``ratio`` × history's. Returns whether it armed."""
+        self._since_eval += 1
+        if self._since_eval < self.every or self.pending:
+            return False
+        self._since_eval = 0
+        rows = {int(r["epoch"]): float(r["mean_err"])
+                for r in self.idx.quantization_drift().collect()}
+        base = rows.get(-1, 0.0)
+        for epoch, err in sorted(rows.items()):
+            if epoch == -1:
+                continue
+            if (err > base * self.ratio if base > 0 else err > 0):
+                self.pending = True
+                self.last_trigger = (epoch,
+                                     err / base if base else None)
+                return True
+        return False
 
 
 class StoredSignatureIndex:

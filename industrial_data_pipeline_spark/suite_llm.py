@@ -4611,3 +4611,133 @@ REGISTRY_LLM.update({
     "q282_instream_ivf_rebuild": (q_instream_ivf_rebuild,
                                   _oracle_instream_ivf_rebuild()),
 })
+
+
+# -- q289 CLOSED-LOOP drift→rebuild: the q283 staleness signal
+# -- automatically fires the q282 retrain verb inside the stream
+
+def q_drift_policy_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DriftRebuildPolicy (operators/similarity.py — VERDICT r11
+    item 7) closing the lifecycle loop: the admission stream itself
+    evaluates :meth:`quantization_drift` after every appended epoch
+    and fires :meth:`rebuild` at the NEXT batch boundary when an
+    epoch's mean reconstruction error exceeds 4× history's — no
+    human reads the audit. Scenario: build on ids 16–149
+    (residual-PQ), batch 1 appends ids 0–15 (same distribution — the
+    policy stays quiet), batch 2 appends ids 150–199 SHIFTED
+    (x·3 + 5 — the q273 planted-drift transform, a huge residual
+    error under the frozen codebook), batch 3 (ids 200–249, normal)
+    opens with the AUTOMATIC rebuild. The byte-pin: after the fired
+    rebuild the routing seeds become the corpus' lowest-16 ids
+    (0–15); the oracle derives its cells from exactly that
+    post-drift corpus — an un-fired policy would leave seeds 16–31
+    routing (and ranking) differently, failing the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    shifted = F.transform(F.col("_v"), lambda x: x * 3.0 + 5.0)
+    base = (emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 150))
+            .select("vec_id", v.alias("_v")))
+    b1 = emb.where(F.col("vec_id") < 16).select("vec_id", v.alias("_v"))
+    b2 = (emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+          .select("vec_id", v.alias("_v"))
+          .select("vec_id", shifted.alias("_v")))
+    b3 = (emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
+          .select("vec_id", v.alias("_v")))
+    qs = (emb.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"), v.alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q289_")
+    staging = os.path.join(root, "staging")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging)
+    idx = SIM.StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                             id_col="vec_id", vec_col="_v",
+                             n_cells=16, pq_m=2, pq_k=4,
+                             pq_residual=True)
+    idx.build(base)
+    policy = SIM.DriftRebuildPolicy(idx, ratio=4.0)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        policy.before_append()   # armed rebuild fires HERE, at the
+        #                          batch boundary (retry-safe)
+        idx.append(batch_df.orderBy("vec_id"), epoch_id=epoch_id)
+        policy.after_append()
+
+    src = (spark.readStream
+           .schema("vec_id long, _v array<double>")
+           .parquet(staging))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").start())
+    try:
+        for b in (b1, b2, b3):
+            b.coalesce(1).write.mode("append").parquet(staging)
+            q.processAllAvailable()
+        out = (idx.probe_batch(qs, k=10, nprobe=4, id_col="qid",
+                               vec_col="_qv")
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_drift_policy_stream(nq: int = 10,
+                                nprobe: int = 4) -> str:
+    cos = _COS.format(a="cc.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id,
+             CASE WHEN vec_id >= 150 AND vec_id < 200
+                  THEN list_transform(v, x -> x * 3.0 + 5.0)
+                  ELSE v END AS v
+      FROM c0 WHERE vec_id < 250),
+rbcorp AS (SELECT vec_id, v FROM c WHERE vec_id < 200),
+q AS (SELECT vec_id AS qid, v AS qv FROM c0 WHERE vec_id < {nq}),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM rbcorp ORDER BY vec_id LIMIT 16),
+asg AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM c b CROSS JOIN seed)
+       WHERE rn = 1),
+probe AS (SELECT qid, cell FROM
+            (SELECT q.qid, seed.cell,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN q)
+          WHERE pr <= {nprobe}),
+cand AS (SELECT p.qid, cc.vec_id, {cos} AS cs
+         FROM probe p
+         JOIN asg ON asg.cell = p.cell
+         JOIN c cc ON cc.vec_id = asg.vec_id
+         JOIN q ON q.qid = p.qid
+         WHERE cc.vec_id <> p.qid)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM cand)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_LLM.update({
+    "q289_drift_policy_stream": (q_drift_policy_stream,
+                                 _oracle_drift_policy_stream()),
+})

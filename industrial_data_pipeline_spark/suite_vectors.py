@@ -1745,3 +1745,127 @@ REGISTRY_VECTORS.update({
     "q286_escalated_prefix_probe": (q_escalated_prefix_probe,
                                     _oracle_escalated_prefix_probe()),
 })
+
+
+# ------- q290 int8-only fast path recall A/B (rerank=0 — the
+# ------- VERDICT r11 stretch, the q276 pattern on the warm tier)
+
+def q_sq_rerank0_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``probe_batch_sq(rerank=0)`` — the sanctioned int8-only fast
+    path (no stage 2, no vector column ever read) — A/B'd against
+    the exact probe per query: (query_id, n_hits, recall) with all
+    cells probed so routing drops out and the comparison isolates
+    the QUANTIZED ORDER. Both rankings replay in SQL exactly: the
+    int8 codes are a pure map (clamp(floor(x·127/max|x| + 0.5))),
+    the fast cosine an exact int64 dot over them, the exact cosine
+    the standard chain — so the oracle recomputes BOTH top-10 sets
+    and their intersection. The measured failure boundary (order
+    flips only under ~1e-3 k-boundary cosine gaps) lives in
+    tools/sq_rerank0_result.json; this query pins the real-corpus
+    recall the docstring cites."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 250) \
+        .select("vec_id", v.alias("_v"))
+    qs = (base.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q290_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16,
+                             sq_int8=True)
+        idx.build(base)
+        fast = (idx.probe_batch_sq(qs, k=10, nprobe=16, rerank=0,
+                                   id_col="qid", vec_col="_qv")
+                .select("query_id", "vec_id"))
+        exact = (idx.probe_batch(qs, k=10, nprobe=16, id_col="qid",
+                                 vec_col="_qv")
+                 .select("query_id", "vec_id"))
+        out = (exact.join(fast, ["query_id", "vec_id"], "left_semi")
+               .groupBy("query_id")
+               .agg(F.count("*").alias("n_hits"))
+               .join(exact.select("query_id").distinct(),
+                     "query_id", "right")
+               .select("query_id",
+                       F.coalesce("n_hits", F.lit(0))
+                       .alias("n_hits"))
+               .select("query_id", "n_hits",
+                       (F.col("n_hits").cast("double") / F.lit(10.0))
+                       .alias("recall"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_sq_rerank0_recall(nq: int = 10) -> str:
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    def idot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> p[1]*p[2]), 'sum')")
+
+    cos = _COS.format(a="c.v", b="q.qv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 250),
+q AS (SELECT vec_id AS qid, v AS qv,
+             list_transform(v, x -> CAST(floor(x * 1000000 + 0.5)
+                                         AS BIGINT)) AS qi
+      FROM c WHERE vec_id < {nq}),
+qn AS (SELECT qid, {idot('qi', 'qi')} AS qn2 FROM q),
+q8t AS (SELECT vec_id,
+               list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                   least(CAST(127 AS BIGINT),
+                         CAST(floor(x * (CASE WHEN amax > 0
+                                         THEN 127.0 / amax
+                                         ELSE 1.0 END) + 0.5)
+                              AS BIGINT)))) AS q8
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x)))
+                         AS amax
+              FROM c)),
+q8n AS (SELECT vec_id,
+               list_aggregate(list_transform(q8, x -> x * x),
+                              'sum') AS q8n2
+        FROM q8t),
+fast AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, t.vec_id,
+                  row_number() OVER (PARTITION BY q.qid ORDER BY
+                      (CAST({idot('t.q8', 'q.qi')} AS DOUBLE)
+                       / (sqrt(CAST(qn.qn2 AS DOUBLE))
+                          * sqrt(CAST(n.q8n2 AS DOUBLE)))) DESC,
+                      t.vec_id) AS rk
+           FROM q8t t JOIN q8n n USING (vec_id)
+           CROSS JOIN q JOIN qn USING (qid)
+           WHERE t.vec_id <> q.qid AND n.q8n2 > 0 AND qn.qn2 > 0)
+         WHERE rk <= 10),
+ex AS (SELECT qid, vec_id FROM (
+         SELECT q.qid, c.vec_id,
+                row_number() OVER (PARTITION BY q.qid
+                                   ORDER BY {cos} DESC, c.vec_id)
+                    AS rk
+         FROM c CROSS JOIN q WHERE c.vec_id <> q.qid)
+       WHERE rk <= 10),
+hits AS (SELECT qid, count(*) AS n FROM ex
+         JOIN fast USING (qid, vec_id) GROUP BY 1)
+SELECT q.qid AS query_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(hits.n, 0) AS DOUBLE) / 10.0 AS recall
+FROM q LEFT JOIN hits ON hits.qid = q.qid
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q290_sq_rerank0_recall": (q_sq_rerank0_recall,
+                               _oracle_sq_rerank0_recall()),
+})

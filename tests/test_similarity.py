@@ -1000,6 +1000,58 @@ def test_rebuild_crash_window_detected(spark, tmp_path, monkeypatch):
     assert StoredIvfIndex.open(spark, root).verify()["ok"]
 
 
+def test_drift_rebuild_policy_mechanics(spark, tmp_path):
+    """DriftRebuildPolicy (q289): a same-distribution epoch leaves
+    the policy quiet; a planted-shift epoch ARMS it (after_append,
+    never an inline rebuild — the appended epoch is still in
+    flight); the armed rebuild FIRES at the next batch boundary
+    (before_append) exactly once, records its trigger, and the
+    rebuilt index routes by the post-drift corpus' lowest-id
+    seeds."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        DriftRebuildPolicy, StoredIvfIndex)
+
+    base = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(16, 60)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "pol"),
+                         id_col="vec_id", vec_col="v", n_cells=4,
+                         pq_m=2, pq_k=4, pq_residual=True)
+    idx.build(base)
+    policy = DriftRebuildPolicy(idx, ratio=4.0)
+
+    # batch 0: same distribution — evaluate, stay quiet
+    assert policy.before_append() is False
+    idx.append(spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(16)],
+        "vec_id long, v array<double>"), epoch_id=0)
+    assert policy.after_append() is False and not policy.pending
+
+    # batch 1: planted drift (x*9 + 40) — arms, does NOT rebuild yet
+    assert policy.before_append() is False
+    idx.append(spark.createDataFrame(
+        [(i, [x * 9.0 + 40.0 for x in _seq_vec(i)])
+         for i in range(60, 80)],
+        "vec_id long, v array<double>"), epoch_id=1)
+    assert policy.after_append() is True and policy.pending
+    assert policy.fired == 0          # in-flight epoch untouched
+    trigger_epoch, ratio = policy.last_trigger
+    assert trigger_epoch == 1 and (ratio is None or ratio > 4.0)
+
+    # batch 2 boundary: the armed rebuild fires exactly once
+    assert policy.before_append() is True
+    assert policy.fired == 1 and not policy.pending
+    assert policy.before_append() is False   # no double fire
+    # post-rebuild: seeds are the corpus' lowest ids (0..3), the
+    # asset folded to history, fingerprint consistent
+    assert idx.centroids[0] == _seq_vec(0)
+    assert idx.verify()["ok"]
+    # and the rebuilt index still probes exactly (vs brute force)
+    qs = base.where("vec_id < 20")
+    got = idx.probe_batch(qs, k=3, nprobe=4)
+    assert got.where("rk = 1").count() == qs.count()
+
+
 def test_fingerprint_survives_compact_and_retract(spark, tmp_path):
     """compact/retract rewrite the data dir through the same fenced
     swap — the stamp hook must re-stamp the (unchanged) routing
