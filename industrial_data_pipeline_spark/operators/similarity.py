@@ -1714,6 +1714,95 @@ class StoredIvfIndex:
                         F.coalesce("top1_in_probe", F.lit(False))
                         .alias("top1_in_probe")))
 
+    def cell_balance(self, round_dp: int = 6) -> DataFrame:
+        """Cell-BALANCE audit — the other IVF tuning signal next to
+        :meth:`probe_coverage`'s nprobe question: a skewed cell (one
+        partition holding a large fraction of the corpus) makes
+        every probe that touches it pay near-full-scan I/O and makes
+        its task the straggler of every probe stage; the fix is more
+        cells, refine_iters, or :meth:`rebuild` after drift. Emits
+        ONE row: (n_cells_total, n_cells_empty, total_rows,
+        max_cell_rows, imbalance) where imbalance =
+        max_cell_rows · n_cells / total_rows — 1.0 is perfectly
+        uniform, n_cells means one cell holds everything (the
+        FAISS-style imbalance factor).
+
+        Cost shape: per-cell counts off the partition column only
+        (map-side combinable, no vector bytes — at scale these come
+        straight from partition metadata); EMPTY cells are counted
+        by a broadcast join against the full 0..n_cells-1 range
+        (probed-but-empty cells are invisible to a data-only
+        groupBy — the q284 ADVICE lesson applied here from birth).
+        All counts exact int64; ONE float division, rounded last —
+        engine-replayable (q291)."""
+        counts = (self.spark.read.schema(self.DATA_SCHEMA)
+                  .parquet(self._data_path)
+                  .groupBy("_cell").agg(F.count("*").alias("_n")))
+        cells = self.spark.range(self.n_cells).select(
+            F.col("id").cast("int").alias("_cell"))
+        per = (cells.join(counts, "_cell", "left")
+               .select("_cell", F.coalesce("_n", F.lit(0))
+                       .alias("_n")))
+        return (per.agg(
+            F.count("*").alias("n_cells_total"),
+            F.sum(F.when(F.col("_n") == 0, 1).otherwise(0))
+            .alias("n_cells_empty"),
+            F.sum("_n").alias("total_rows"),
+            F.max("_n").alias("max_cell_rows"))
+            .select("n_cells_total", "n_cells_empty", "total_rows",
+                    "max_cell_rows",
+                    F.round((F.col("max_cell_rows")
+                             * F.col("n_cells_total")).cast("double")
+                            / F.nullif(F.col("total_rows")
+                                       .cast("double"), F.lit(0.0)),
+                            round_dp).alias("imbalance")))
+
+    def recall_curve(self, queries: DataFrame, k: int = 10,
+                     nprobes: tuple = (1, 2, 4, 8),
+                     id_col: str | None = None,
+                     vec_col: str | None = None,
+                     round_dp: int = 6) -> DataFrame:
+        """Recall-vs-nprobe TUNING CURVE — the question every IVF
+        deployment answers empirically ("what nprobe buys recall
+        X?") as one oracle-checkable query: for each ``nprobe`` in
+        ``nprobes``, the batch probe's top-k is compared against the
+        exact all-cells top-k and the hit counts pool over the query
+        batch. Emits one row per nprobe: (nprobe, n_hits, n_truth,
+        recall) — recall = Σhits / Σtruth-rows, exact ints with one
+        division (n_truth < |batch|·k when strata/corpus run short).
+
+        Cost shape: the exact baseline is ONE all-cells batch probe
+        (it is an audit, run on the tuning cadence); each curve
+        point is a standard pruned batch probe, so the whole curve
+        costs Σ_nprobe (probed cells' I/O) + one full pass — no
+        per-query loops, no extra shuffles beyond each probe's rank
+        window (q292)."""
+        truth = (self.probe_batch(queries, k=k,
+                                  nprobe=self.n_cells,
+                                  id_col=id_col, vec_col=vec_col)
+                 .select("query_id", "vec_id")
+                 .localCheckpoint(eager=True))
+        out = None
+        for np_ in nprobes:
+            probed = (self.probe_batch(queries, k=k, nprobe=int(np_),
+                                       id_col=id_col,
+                                       vec_col=vec_col)
+                      .select("query_id", "vec_id"))
+            row = (truth.join(probed, ["query_id", "vec_id"],
+                              "left_semi")
+                   .agg(F.count("*").alias("n_hits"))
+                   .crossJoin(truth.agg(F.count("*")
+                                        .alias("n_truth")))
+                   .select(F.lit(int(np_)).alias("nprobe"),
+                           "n_hits", "n_truth",
+                           F.round(F.col("n_hits").cast("double")
+                                   / F.nullif(F.col("n_truth")
+                                              .cast("double"),
+                                              F.lit(0.0)),
+                                   round_dp).alias("recall")))
+            out = row if out is None else out.unionAll(row)
+        return out
+
     def quantization_drift(self, round_dp: int = 6) -> DataFrame:
         """Codebook STALENESS audit (requires ``pq_m``): per epoch,
         the reconstruction error of the stored codes against the

@@ -1869,3 +1869,190 @@ REGISTRY_VECTORS.update({
     "q290_sq_rerank0_recall": (q_sq_rerank0_recall,
                                _oracle_sq_rerank0_recall()),
 })
+
+
+# ------- q291 cell-balance audit: the OTHER IVF tuning signal
+# ------- (skewed cells = straggler probes) next to q284's nprobe
+
+def q_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StoredIvfIndex.cell_balance over a built+appended asset: one
+    row of exact counts — total/empty cells, total/max-cell rows —
+    plus the FAISS-style imbalance factor max·n_cells/total (1.0
+    uniform; n_cells means one hot cell holds everything, and every
+    probe touching it pays near-full-scan I/O with a straggler
+    task). Empty cells are counted against the full 0..n_cells-1
+    range (a data-only groupBy cannot see them — the q284 ADVICE
+    lesson applied from birth). The oracle replays routing, the
+    per-cell counts, the empty-cell join and the one float
+    division."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"))
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v")))
+    root = tempfile.mkdtemp(prefix="idp_q291_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16)
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = idx.cell_balance().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_cell_balance() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM c0 WHERE vec_id < 250),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM c0 WHERE vec_id < 150 ORDER BY vec_id LIMIT 16),
+asg AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM c b CROSS JOIN seed)
+       WHERE rn = 1),
+counts AS (SELECT cell, count(*) AS n FROM asg GROUP BY 1),
+cells AS (SELECT CAST(unnest(generate_series(0, 15)) AS INT)
+              AS cell),
+per AS (SELECT cells.cell, coalesce(counts.n, 0) AS n
+        FROM cells LEFT JOIN counts USING (cell))
+SELECT CAST(count(*) AS BIGINT) AS n_cells_total,
+       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cells_empty,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(max(n) AS BIGINT) AS max_cell_rows,
+       round(CAST(max(n) * count(*) AS DOUBLE)
+             / nullif(CAST(sum(n) AS DOUBLE), 0.0), 6) AS imbalance
+FROM per
+"""
+
+
+# ------- q292 recall-vs-nprobe tuning curve (the question q284's
+# ------- coverage audit informs, answered as measured recall)
+
+def q_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StoredIvfIndex.recall_curve: per nprobe ∈ (1, 2, 4, 8) the
+    pruned batch probe's top-10 against the exact all-cells top-10,
+    hit counts pooled over the query batch — the empirical
+    'what nprobe buys recall X' curve a production IVF tunes by,
+    here hash-checked end-to-end. The oracle replays the exact
+    ground truth once and each curve point's routing + rank,
+    per-nprobe rows unioned."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"))
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v")))
+    qs = (base.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q292_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16)
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.recall_curve(qs, k=10, nprobes=(1, 2, 4, 8),
+                                id_col="qid", vec_col="_qv")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_recall_curve(nq: int = 10,
+                         nprobes: tuple = (1, 2, 4, 8)) -> str:
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    cos = _COS.format(a="cc.v", b="q.qv")
+    ccos = _COS.format(a="seed.cv", b="q.qv")
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    arms = []
+    for np_ in nprobes:
+        arms.append(f"""
+SELECT {np_} AS nprobe,
+       CAST((SELECT count(*) FROM truth t
+             JOIN cand{np_} p USING (qid, vec_id)) AS BIGINT)
+           AS n_hits,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       round(CAST((SELECT count(*) FROM truth t
+                   JOIN cand{np_} p USING (qid, vec_id)) AS DOUBLE)
+             / nullif(CAST((SELECT count(*) FROM truth) AS DOUBLE),
+                      0.0), 6) AS recall""")
+    cands = []
+    for np_ in nprobes:
+        cands.append(f"""
+probe{np_} AS (SELECT qid, cell FROM ranked WHERE pr <= {np_}),
+cand{np_} AS (SELECT qid, vec_id FROM (
+         SELECT p.qid, cc.vec_id,
+                row_number() OVER (PARTITION BY p.qid
+                                   ORDER BY {cos} DESC, cc.vec_id)
+                    AS rk
+         FROM probe{np_} p
+         JOIN asg ON asg.cell = p.cell
+         JOIN c cc ON cc.vec_id = asg.vec_id
+         JOIN q ON q.qid = p.qid
+         WHERE cc.vec_id <> p.qid)
+       WHERE rk <= 10)""")
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM c0 WHERE vec_id < 250),
+q AS (SELECT vec_id AS qid, v AS qv FROM c0 WHERE vec_id < {nq}),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cell, v AS cv
+         FROM c0 WHERE vec_id < 150 ORDER BY vec_id LIMIT 16),
+asg AS (SELECT vec_id, cell FROM
+         (SELECT b.vec_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {cos_b} DESC, seed.cell)
+                     AS rn
+          FROM c b CROSS JOIN seed)
+       WHERE rn = 1),
+ranked AS (SELECT q.qid, seed.cell,
+                  row_number() OVER (PARTITION BY q.qid
+                                     ORDER BY {ccos} DESC,
+                                              seed.cell) AS pr
+           FROM seed CROSS JOIN q),
+truth AS (SELECT qid, vec_id FROM (
+         SELECT q.qid, cc.vec_id,
+                row_number() OVER (PARTITION BY q.qid
+                                   ORDER BY {cos} DESC, cc.vec_id)
+                    AS rk
+         FROM c cc CROSS JOIN q WHERE cc.vec_id <> q.qid)
+       WHERE rk <= 10),
+{",".join(x.lstrip() for x in cands)}
+{" UNION ALL ".join(arms)}
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q291_cell_balance": (q_cell_balance, _oracle_cell_balance()),
+    "q292_recall_curve": (q_recall_curve, _oracle_recall_curve()),
+})

@@ -1000,6 +1000,45 @@ def test_rebuild_crash_window_detected(spark, tmp_path, monkeypatch):
     assert StoredIvfIndex.open(spark, root).verify()["ok"]
 
 
+def test_cell_balance_and_recall_curve(spark, tmp_path):
+    """cell_balance (q291): counts empty cells against the full
+    0..n_cells-1 range and computes the FAISS imbalance factor
+    exactly; recall_curve (q292): recall is 1.0 by construction
+    when nprobe = n_cells and non-decreasing in nprobe."""
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    base = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, b)],
+        "vec_id long, v array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "bal"),
+                         id_col="vec_id", vec_col="v", n_cells=4)
+    idx.build(base)
+    # duplicate seeds tie-route to the lower cell: 0 and 2 hold 2
+    # rows each, 1 and 3 are empty
+    r = idx.cell_balance().collect()[0]
+    assert (r.n_cells_total, r.n_cells_empty) == (4, 2)
+    assert (r.total_rows, r.max_cell_rows) == (4, 2)
+    assert r.imbalance == 2.0
+
+    big = spark.createDataFrame(
+        [(i, _seq_vec(i)) for i in range(40)],
+        "vec_id long, v array<double>")
+    idx2 = StoredIvfIndex(spark, str(tmp_path / "rc"),
+                          id_col="vec_id", vec_col="v", n_cells=4)
+    idx2.build(big)
+    qs = big.where("vec_id < 4")
+    curve = {r.nprobe: r for r in
+             idx2.recall_curve(qs, k=5, nprobes=(1, 2, 4))
+             .collect()}
+    assert curve[4].recall == 1.0          # all cells = exact
+    assert curve[4].n_truth == 4 * 5
+    assert (curve[1].recall <= curve[2].recall
+            <= curve[4].recall)
+
+
 def test_drift_rebuild_policy_mechanics(spark, tmp_path):
     """DriftRebuildPolicy (q289): a same-distribution epoch leaves
     the policy quiet; a planted-shift epoch ARMS it (after_append,
