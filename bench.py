@@ -1,6 +1,9 @@
 """Benchmark harness: run the suite's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON
-line {"metric", "value", "unit", "queries", "sf"}.
+line {"metric", "value", "suite_minima", "unit", "queries", "sf"} —
+"value" is THIS run's total (co-tenancy-window-dependent),
+"suite_minima" the sum of per-query all-run minima after folding
+this run in (the stable cross-round signal; compare rounds on it).
 
 Each query is timed end-to-end (plan + execute) with a noop sink so
 every output column is computed but nothing is shipped to the driver.
@@ -88,11 +91,18 @@ def main() -> None:
     # only round-over-round signal under container noise) — FOLD this
     # run in, never overwrite (round-6 lesson; tools/merge_bench.py).
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # sum-of-minima travels WITH the run total (VERDICT r11 item 5):
+    # the run total is a co-tenancy-window artifact — twice now a
+    # degraded window became the round headline while the stable
+    # minima signal lived only in a triage note. None when the fold
+    # was skipped (first run / SF mismatch / corrupt detail file).
+    minima_total = None
     try:
         from tools.merge_bench import merge, write_drift_report
         with open(detail_path) as fh:
             minima = json.load(fh)
         folded, rep = merge(minima, detail)
+        minima_total = round(sum(folded["queries"].values()), 4)
         with open(detail_path, "w") as fh:
             json.dump(folded, fh, indent=1, sort_keys=False)
             fh.write("\n")
@@ -109,6 +119,7 @@ def main() -> None:
     except FileNotFoundError:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
+        minima_total = total  # first run IS the minima
     except SystemExit as exc:
         # sf mismatch: a local run at another SF must not pollute the
         # sf0.1 minima — keep them untouched
@@ -128,6 +139,10 @@ def main() -> None:
         "metric": "suite_total",
         "value": total,
         "unit": "sec",
+        # the stable cross-round signal: sum of per-query all-run
+        # minima after folding this run in — read THIS, not value,
+        # when comparing rounds (value is window-dependent)
+        "suite_minima": minima_total,
         "queries": rollup,
         "sf": sf,
         "n_queries": len(timings),

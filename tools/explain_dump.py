@@ -576,6 +576,49 @@ PICKS = [
      "combinable) joined to broadcast routing pairs; the top-1 "
      "half is the one exact ground-truth pass the audit exists to "
      "pay; single-row total cross-joins in (the scalar pattern)."),
+    ("q285_guaranteed_k_probe",
+     "Guaranteed-k filtered ANN, brute-the-stratum path: the "
+     "candidate-mass counting pass runs driver-side BEFORE this "
+     "plan exists (a column-pruned (_cell, label) count), so the "
+     "probe itself is still ONE scan — partition-pruned to exactly "
+     "the cells CONTAINING the rare stratum (asserted in "
+     "tests/test_plans.py::"
+     "test_escalated_probe_reads_only_escalation_cells), label "
+     "pre-filter on the pruned scan, per-query rank window."),
+    ("q286_escalated_prefix_probe",
+     "Guaranteed-k filtered ANN, prefix-escalation path: routing "
+     "widens past nprobe by the cumulative-mass prefix rule "
+     "(driver-side, no vectors read) and drops zero-mass prefix "
+     "cells — the plan is the same single pruned scan with a wider "
+     "cell IN-list; the escalation contract itself is byte-pinned "
+     "by the q286 oracle's cumulative-sum window replay."),
+    ("q287_corpus_chrf",
+     "Corpus multi-reference chrF: per order, (id, gram) count "
+     "shuffles + a max-over-references fold collapsing into "
+     "map-side-combinable global int64 sums; single-row tails "
+     "compose as 1x1 cross joins (the q278 scalar pattern); ONE "
+     "float chain on the final scalars — no window over data, no "
+     "fact re-shuffle across orders."),
+    ("q288_corpus_ter",
+     "Corpus multi-reference TER: one Arrow Levenshtein pass over "
+     "the exploded (pair, reference) rows, a per-pair struct-min "
+     "aggregate (best reference — min edits, ties shorter), then "
+     "ONE global int64 sum pair and a single division; no window, "
+     "no cross-pair state, cost linear in sum(m*n) across "
+     "pair-reference combinations."),
+    ("q289_drift_policy_stream",
+     "Closed-loop drift→rebuild: the dumped plan is the final probe "
+     "after the POLICY-fired mid-stream rebuild — the same pruned "
+     "cell scan + broadcast routing shape as any probe; the policy "
+     "cost (one O(asset) drift audit per batch here, per N batches "
+     "in production) and the retry-safe batch-boundary placement "
+     "live in the maintenance path, invisible to probes by design."),
+    ("q290_sq_rerank0_recall",
+     "int8-only fast path A/B: the rerank=0 side never reads the "
+     "vector column (stage-1 ReadSchema is vec_id+q8+q8n2 — the "
+     "only I/O the fast path pays); the exact side is the standard "
+     "probe; the A/B joins two batch-probe outputs and aggregates "
+     "per query — dimension-sized, no extra corpus pass."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
@@ -585,6 +628,55 @@ PICK_CONF = {
     "q125_bucketed_join_revenue": {
         "spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().rstrip()
+
+
+class _CheckpointSpy:
+    """Capture the plan of every DataFrame at the moment it
+    localCheckpoints (VERDICT r11 item 2): checkpointed suite
+    queries otherwise dump only `Scan ExistingRDD` — the constituent
+    stage plans (the pruned cell scans, code-column ReadSchemas,
+    shortlist windows the prose talks about) live BEFORE the
+    checkpoint barrier. The spy explains each frame, then delegates
+    to the real localCheckpoint; per pick the LAST few captures are
+    the result-side stages (early captures are usually tiny query
+    frames)."""
+
+    def __init__(self):
+        self.plans: list[str] = []
+        self._orig = None
+        self._cls = None
+
+    def __enter__(self):
+        # patch the CLASSIC DataFrame (Spark 4 splits classic /
+        # connect; suite queries run classic here)
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # older layouts
+            from pyspark.sql.dataframe import DataFrame
+        self._cls = DataFrame
+        self._orig = DataFrame.localCheckpoint
+        spy = self
+
+        def wrapped(df, *a, **kw):
+            try:
+                spy.plans.append(_formatted_plan(df))
+            except Exception:  # noqa: BLE001 — never break the run
+                pass
+            return spy._orig(df, *a, **kw)
+
+        DataFrame.localCheckpoint = wrapped
+        return self
+
+    def __exit__(self, *exc):
+        self._cls.localCheckpoint = self._orig
+        return False
 
 
 def main() -> None:
@@ -610,15 +702,30 @@ def main() -> None:
         for k, v in overrides.items():
             spark.conf.set(k, v)
         try:
-            df = fn(spark, SF)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
+            with _CheckpointSpy() as spy:
+                df = fn(spark, SF)
+                plan = _formatted_plan(df)
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
-        plan = buf.getvalue().rstrip()
         out += [f"## {name}", "", why, "", "```", plan, "```", ""]
+        # a checkpointed result dumps as `Scan ExistingRDD` — show
+        # the real constituent stage plans captured at each
+        # localCheckpoint instead (last 3 = the result-side stages;
+        # streams checkpoint per batch, so the tail is the final
+        # batch's shape)
+        if "ExistingRDD" in plan and spy.plans:
+            shown = spy.plans[-3:]
+            skipped = len(spy.plans) - len(shown)
+            note = (f"Constituent stage plans captured at "
+                    f"localCheckpoint (last {len(shown)}"
+                    + (f" of {len(spy.plans)}" if skipped else "")
+                    + "):")
+            out += [note, ""]
+            for i, p in enumerate(shown, 1):
+                out += [f"### {name} — stage checkpoint "
+                        f"{skipped + i}/{len(spy.plans)}", "",
+                        "```", p, "```", ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "EXPLAINS.md"), "w") as f:
         f.write("\n".join(out))
