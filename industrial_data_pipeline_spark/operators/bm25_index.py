@@ -1,0 +1,326 @@
+"""Persisted BM25 (Okapi) lexical index — the STORED-asset
+counterpart of :func:`~.text.bm25_topk`, completing the stored
+retrieval family (text MinHash-LSH bands, embedding signatures, IVF
+cells) with the sparse leg every production hybrid-RAG retriever
+ships. q233 computes BM25 in-plan per run (the whole corpus
+re-tokenizes on every probe); this persists the posting lists once
+and probes them pruned, the q242/q248/q259 promotion applied to
+lexical retrieval.
+
+Layout under ``root/``::
+
+    _bm25_meta.json    {id_col, text_col, n_buckets, k1, b,
+                        max_records_per_file}
+    postings/_epoch=<e>/_tb=<b>/   (parquet) term string,
+                        doc_id long, tf long, dl long —
+                        files (term, doc_id)-sorted
+    doclen/_epoch=<e>/ (parquet) doc_id long, dl long —
+                        doc_id-sorted
+
+Pruning: probe terms are driver-known strings, so their bucket ids
+compute DRIVER-SIDE through the same md5-based portable hash the
+write path uses — the postings scan lists only the probed buckets'
+partition directories (file-level pruning, the IVF-cell discipline
+on a hashed key) and pushes the term IN-list into row groups of the
+term-sorted files. ``dl`` is DENORMALIZED into the posting rows
+(the classic impact-postings trade: ~8 bytes/posting buys scoring
+that never joins the doclen asset); doclen exists for the (N,
+avgdl) scalar aggregate — one map-side-combinable pass over 2-long
+rows — and for retraction symmetry.
+
+Lifecycle contract shared with the other three index classes:
+``append(epoch_id=N)`` is exactly-once under micro-batch retries
+(dynamic overwrite of the epoch's partitions), ``probe`` takes
+``exclude_epoch`` (in-flight retry hygiene) and ``as_of_epoch``
+(time-travel via the ``_epoch <= N`` partition filter), and
+``compact``/``retract`` rewrite BOTH assets through the ONE shared
+:func:`~.lsh_index.rewrite_under_lease` fenced-swap protocol.
+
+Stats semantics, stated: N, avgdl and per-term df are computed over
+the SCANNED corpus at probe time (all epochs the filters admit) —
+append moves them exactly as re-running q233 over the grown corpus
+would, so a stored probe is byte-identical to
+:func:`~.text.bm25_topk` over the same documents (q293 pins it by
+reusing q233's oracle SQL shape). A doc_id re-appended in a second
+epoch double-counts in N/df, the per-epoch-dedup contract every
+asset here shares.
+
+Reference parity note: the reference's only text search is a
+full-scan LIKE (database.py lookup path); this is its corpus-scale
+ranked counterpart with a persisted index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from industrial_data_pipeline_spark.operators.lsh_index import (
+    _count_parquet_files, rewrite_under_lease)
+from industrial_data_pipeline_spark.operators.text import (
+    hash64, tokens)
+
+
+def py_hash64(s: str) -> int:
+    """Driver-side twin of :func:`~.text.hash64` (portable 60-bit
+    md5 prefix) — MUST stay bit-identical to the Spark expression
+    (``conv(substring(md5(c), 1, 15), 16, 10)``) or probe-side
+    bucket pruning would silently look in the wrong partitions
+    (results would NOT be wrong — the term IN-list still filters —
+    they would be EMPTY, which is worse than slow). Pinned against
+    the Spark expression in tests."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+class StoredBm25Index:
+    """See module docstring."""
+
+    POSTINGS_SCHEMA = ("term string, doc_id long, tf long, dl long,"
+                       " _epoch int, _tb int")
+    DOCLEN_SCHEMA = "doc_id long, dl long, _epoch int"
+
+    def __init__(self, spark: SparkSession, root: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 16, k1: float = 1.2,
+                 b: float = 0.75,
+                 max_records_per_file: int | None = None):
+        self.spark = spark
+        self.root = root
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_buckets = int(n_buckets)
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.max_records_per_file = max_records_per_file
+        self._postings_path = os.path.join(root, "postings")
+        self._doclen_path = os.path.join(root, "doclen")
+        #: observability: the pruned postings scan of the LAST probe
+        #: (BEFORE joins consume it) — tests assert its
+        #: PartitionFilters/PushedFilters carry the bucket + term
+        #: pruning this class exists for
+        self.last_postings_scan: DataFrame | None = None
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_bm25_meta.json")
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"id_col": self.id_col,
+                       "text_col": self.text_col,
+                       "n_buckets": self.n_buckets,
+                       "k1": self.k1, "b": self.b,
+                       "max_records_per_file":
+                           self.max_records_per_file}, fh)
+        os.replace(tmp, self._meta_path)
+
+    @classmethod
+    def open(cls, spark: SparkSession,
+             root: str) -> "StoredBm25Index":
+        with open(f"{root}/_bm25_meta.json") as fh:
+            meta = json.load(fh)
+        return cls(spark, root, id_col=meta["id_col"],
+                   text_col=meta["text_col"],
+                   n_buckets=meta["n_buckets"], k1=meta["k1"],
+                   b=meta["b"],
+                   max_records_per_file=meta.get(
+                       "max_records_per_file"))
+
+    # ---------------------------------------------------- lifecycle
+
+    def _frames(self, corpus: DataFrame) -> tuple:
+        """(postings, doclen) of a document batch — postings carry
+        the denormalized dl; the term bucket is the portable hash
+        mod n_buckets (pmod unnecessary: hash64 is a non-negative
+        60-bit value)."""
+        toks = tokens(F.lower(F.col(self.text_col)))
+        docs = corpus.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            toks.alias("_toks"))
+        doclen = docs.select("doc_id",
+                             F.size("_toks").alias("dl"))
+        postings = (docs
+                    .select("doc_id", F.size("_toks").alias("dl"),
+                            F.explode("_toks").alias("term"))
+                    .groupBy("term", "doc_id", "dl")
+                    .agg(F.count("*").alias("tf"))
+                    .withColumn("_tb",
+                                (hash64(F.col("term"))
+                                 % F.lit(self.n_buckets))
+                                .cast("int")))
+        return postings, doclen
+
+    def _write(self, postings: DataFrame, doclen: DataFrame,
+               epoch: int, overwrite_all: bool) -> None:
+        pw = (postings.withColumn("_epoch", F.lit(epoch))
+              .repartitionByRange("_tb", "term", "doc_id")
+              .sortWithinPartitions("_tb", "term", "doc_id")
+              .write.partitionBy("_epoch", "_tb"))
+        dw = (doclen.withColumn("_epoch", F.lit(epoch))
+              .repartitionByRange("doc_id")
+              .sortWithinPartitions("doc_id")
+              .write.partitionBy("_epoch"))
+        if self.max_records_per_file:
+            pw = pw.option("maxRecordsPerFile",
+                           self.max_records_per_file)
+            dw = dw.option("maxRecordsPerFile",
+                           self.max_records_per_file)
+        if overwrite_all:
+            pw.mode("overwrite").parquet(self._postings_path)
+            dw.mode("overwrite").parquet(self._doclen_path)
+        else:
+            # exactly-once: dynamically overwrite ONLY this epoch's
+            # partitions, so a retried micro-batch replaces instead
+            # of double-appending (the StoredLshIndex discipline)
+            for w, path in ((pw, self._postings_path),
+                            (dw, self._doclen_path)):
+                (w.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .parquet(path))
+
+    def build(self, corpus: DataFrame) -> None:
+        self._write_meta()
+        postings, doclen = self._frames(corpus)
+        self._write(postings, doclen, epoch=-1, overwrite_all=True)
+
+    def append(self, batch: DataFrame,
+               epoch_id: int | None = None) -> None:
+        postings, doclen = self._frames(batch)
+        if epoch_id is None:
+            pw = postings.withColumn("_epoch", F.lit(-1)) \
+                .coalesce(1).sortWithinPartitions("_tb", "term",
+                                                  "doc_id") \
+                .write.partitionBy("_epoch", "_tb").mode("append")
+            dw = doclen.withColumn("_epoch", F.lit(-1)) \
+                .coalesce(1).sortWithinPartitions("doc_id") \
+                .write.partitionBy("_epoch").mode("append")
+            pw.parquet(self._postings_path)
+            dw.parquet(self._doclen_path)
+        else:
+            self._write(postings, doclen, epoch=int(epoch_id),
+                        overwrite_all=False)
+
+    # -------------------------------------------------------- probe
+
+    def _scan(self, path: str, schema: str,
+              exclude_epoch: int | None,
+              as_of_epoch: int | None) -> DataFrame:
+        scan = self.spark.read.schema(schema).parquet(path)
+        if exclude_epoch is not None:
+            scan = scan.where(F.col("_epoch") != int(exclude_epoch))
+        if as_of_epoch is not None:
+            scan = scan.where(F.col("_epoch") <= int(as_of_epoch))
+        return scan
+
+    def probe(self, queries: dict[int, str], k: int = 10,
+              round_dp: int = 6,
+              exclude_epoch: int | None = None,
+              as_of_epoch: int | None = None) -> DataFrame:
+        """BM25 top-``k`` per query over the persisted postings —
+        byte-identical to :func:`~.text.bm25_topk` over the same
+        corpus (q293): identical idf/saturation formula, identical
+        round-before-sum determinism discipline, identical
+        (query_id, doc_id, bm25, rank) contract with doc_id
+        tie-break.
+
+        Scale shape: the postings scan lists ONLY the probed terms'
+        bucket directories (driver-computed portable-hash buckets —
+        file-level pruning ∝ distinct probe buckets, not index
+        size) and pushes the term IN-list into the term-sorted row
+        groups; df comes from the same pruned scan; (N, avgdl) is
+        one combinable aggregate over the 2-long doclen rows; the
+        only shuffles are the per-(query, doc) score sum and the
+        per-query rank window."""
+        from pyspark.sql import Window
+
+        qterms = sorted({(qid, t)
+                         for qid, qs in queries.items()
+                         for t in qs.lower().split()})
+        if not qterms:
+            raise ValueError("queries must contain at least one "
+                             "non-whitespace term")
+        vocab = sorted({t for _, t in qterms})
+        buckets = sorted({py_hash64(t) % self.n_buckets
+                          for t in vocab})
+        post = (self._scan(self._postings_path,
+                           self.POSTINGS_SCHEMA,
+                           exclude_epoch, as_of_epoch)
+                .where(F.col("_tb").isin(buckets))
+                .where(F.col("term").isin(vocab)))
+        self.last_postings_scan = post
+        dfreq = post.groupBy("term").agg(F.count("*").alias("_df"))
+        stats = (self._scan(self._doclen_path, self.DOCLEN_SCHEMA,
+                            exclude_epoch, as_of_epoch)
+                 .agg(F.count("*").alias("_n_docs"),
+                      F.avg("dl").alias("_avgdl")))
+        qdf = self.spark.createDataFrame(
+            qterms, "query_id long, term string")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5)))
+        contrib = F.round(
+            idf * (F.col("tf") * F.lit(self.k1 + 1.0))
+            / (F.col("tf")
+               + F.lit(self.k1)
+               * (F.lit(1.0 - self.b)
+                  + F.lit(self.b) * F.col("dl")
+                  / F.col("_avgdl"))),
+            round_dp)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("bm25"), F.col("doc_id"))
+        return (post
+                .join(F.broadcast(qdf), "term")
+                .join(F.broadcast(dfreq), "term")
+                .crossJoin(F.broadcast(stats))
+                .groupBy("query_id", "doc_id")
+                .agg(F.round(F.sum(contrib), round_dp)
+                     .alias("bm25"))
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+
+    # -------------------------------------------------- maintenance
+
+    def file_count(self) -> int:
+        return (_count_parquet_files(self._postings_path)
+                + _count_parquet_files(self._doclen_path))
+
+    def _rewrite(self, keep, fold: bool,
+                 lease_timeout_s: float) -> dict:
+        prepare = ((lambda df: df.withColumn("_epoch", F.lit(-1)))
+                   if fold else None)
+        return rewrite_under_lease(
+            self.spark, self.root,
+            ((self._postings_path, ("_tb", "term", "doc_id"),
+              ("_epoch", "_tb"), self.POSTINGS_SCHEMA,
+              self.max_records_per_file),
+             (self._doclen_path, ("doc_id",), ("_epoch",),
+              self.DOCLEN_SCHEMA, self.max_records_per_file)),
+            keep=keep, prepare=prepare,
+            lease_timeout_s=lease_timeout_s)
+
+    def compact(self, lease_timeout_s: float = 30.0,
+                in_flight_epoch: int | None = None) -> dict:
+        """Fold per-append small files on both assets — the shared
+        crash-recoverable fenced swap; ``in_flight_epoch`` drops the
+        current epoch's crashed-attempt leftovers instead of folding
+        them into history (the StoredLshIndex.compact discipline)."""
+        keep = (None if in_flight_epoch is None
+                else F.col("_epoch") < int(in_flight_epoch))
+        return self._rewrite(keep, fold=True,
+                             lease_timeout_s=lease_timeout_s)
+
+    def retract(self, doc_ids: list,
+                lease_timeout_s: float = 30.0) -> dict:
+        """Takedown: remove documents from BOTH assets atomically —
+        their postings stop scoring and they leave N/avgdl/df
+        exactly as if never ingested (df shrinks with the postings
+        scan; the stats shrink with doclen)."""
+        ids = sorted({int(i) for i in doc_ids})
+        return self._rewrite(~F.col("doc_id").isin(ids),
+                             fold=False,
+                             lease_timeout_s=lease_timeout_s)

@@ -990,6 +990,298 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q293 PERSISTED BM25 index: q233 promoted to a stored asset with
+# -- the full lifecycle (the q242/q248/q259 pattern on lexical
+# -- retrieval — the sparse leg of hybrid RAG, probed pruned)
+
+def q_stored_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StoredBm25Index (operators/bm25_index.py): build on doc_id <
+    100, append 100–149 as an exactly-once epoch, probe q233's
+    queries — the posting lists persist once (term-bucket
+    partitioned, term-sorted files; dl denormalized into postings so
+    scoring never joins doclen), and the probe scans ONLY the probed
+    terms' bucket directories with the term IN-list pushed into row
+    groups. Stats (N, avgdl, df) read the scanned corpus, so the
+    stored probe is byte-identical to bm25_topk over the same 150
+    documents — the oracle is exactly q233's SQL with the corpus
+    bound moved, which is the point: persistence changed the I/O
+    shape, not one scored bit."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="idp_q293_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B)
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where((F.col("doc_id") >= 100)
+                              & (F.col("doc_id") < 150)),
+                   epoch_id=0)
+        out = (idx.probe(BM25_QUERIES, k=BM25_K)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_stored_bm25_probe() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    qterms = sorted({(qid, t)
+                     for qid, qs in BM25_QUERIES.items()
+                     for t in qs.lower().split()})
+    vals = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')"
+                     for qid, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, t in qterms}))
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS tk
+              FROM (SELECT doc_id, lower(text) AS text
+                    FROM documents WHERE doc_id < 150)),
+q(query_id, t) AS (SELECT * FROM (VALUES {vals})),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM docs),
+posting AS (SELECT doc_id, dl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS t
+                  FROM docs)
+            WHERE t IN ({vocab})
+            GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, count(*) AS df FROM posting GROUP BY 1),
+scored AS (SELECT q.query_id, p.doc_id,
+                  round(sum(round(
+                      ln(1.0 + ((s.n_docs - d.df)::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5))
+                      * (p.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                      / (p.tf + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * p.dl / s.avgdl)), 6)), 6) AS bm25
+           FROM posting p
+           JOIN q ON q.t = p.t
+           JOIN dfreq d ON d.t = p.t
+           CROSS JOIN stats s
+           GROUP BY 1, 2)
+SELECT query_id, doc_id, bm25, rank FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+         AS rank
+     FROM scored)
+WHERE rank <= {BM25_K}
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q293_stored_bm25_probe": (q_stored_bm25_probe,
+                               _oracle_stored_bm25_probe()),
+})
+
+
+# -- q294 HYBRID stored retrieval: the q167 RRF fusion over the TWO
+# -- persisted assets (BM25 postings + IVF over hashed-BoW
+# -- embeddings) — production hybrid RAG, both legs probed PRUNED
+
+#: query ids offset past every doc_id so probe_batch's
+#: self-exclusion (vec_id != query_id) is inert — a query must be
+#: able to retrieve a doc whose id equals its raw key
+_HYB_QOFF = 1000
+
+
+def q_hybrid_stored_retrieval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (q167's Σ 1/(60+rank), fixed-order
+    two-term double sum) of q293's stored-BM25 leg and a stored-IVF
+    dense leg over hashed-BoW document embeddings — the full hybrid
+    retriever every production RAG stack ships, with BOTH legs
+    reading persisted, pruned assets: the lexical probe lists only
+    the probed terms' bucket directories, the dense probe only the
+    probed cells' partitions. Same corpus (doc_id < 150), same
+    build<100 / epoch-0-append split on both assets, so the fusion
+    also pins that two independently-appended indexes stay
+    consistent. The oracle replays both legs (q233's scoring SQL;
+    hashed-BoW + seed routing + exact cosine rank) and the fusion's
+    coalesced two-term sum."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from pyspark.sql import Window
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id", "text")
+            .where(F.col("doc_id") < 150))
+    emb = docs.select(
+        "doc_id",
+        TX.hashed_bow_embedding(F.col("text"), 16).alias("_v"))
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qdf = (spark.createDataFrame(sorted(queries.items()),
+                                 "qid long, qtext string")
+           .select("qid",
+                   TX.hashed_bow_embedding(F.col("qtext"), 16)
+                   .alias("_qv"))
+           .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q294_")
+    try:
+        bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
+                               n_buckets=16, k1=_BM25_K1, b=_BM25_B)
+        bidx.build(docs.where(F.col("doc_id") < 100))
+        bidx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                              id_col="doc_id", vec_col="_v",
+                              n_cells=8)
+        vidx.build(emb.where(F.col("doc_id") < 100))
+        vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
+
+        lex = (bidx.probe(queries, k=BM25_K)
+               .select("query_id", "doc_id",
+                       F.col("rank").alias("rl")))
+        den = (vidx.probe_batch(qdf, k=BM25_K, nprobe=4,
+                                id_col="qid", vec_col="_qv")
+               .select("query_id",
+                       F.col("vec_id").alias("doc_id"),
+                       F.col("rk").alias("rf")))
+        u = (lex.join(den, ["query_id", "doc_id"], "full")
+             .select("query_id", "doc_id",
+                     (F.coalesce(1.0 / (F.lit(_RRF60) + F.col("rl")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(_RRF60)
+                                          + F.col("rf")),
+                                   F.lit(0.0))).alias("_score"),
+                     F.col("rl").isNotNull().alias("in_lexical"),
+                     F.col("rf").isNotNull().alias("in_dense")))
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("_score"), F.col("doc_id"))
+        out = (u.withColumn("rrf_rank", F.row_number().over(wr))
+               .where(F.col("rrf_rank") <= 10)
+               .select("query_id",
+                       F.col("doc_id").alias("cand_id"), "rrf_rank",
+                       (F.col("_score") + F.lit(0.0))
+                       .alias("rrf_score"),
+                       "in_lexical", "in_dense")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_RRF60 = 60
+
+
+def _oracle_hybrid_stored_retrieval() -> str:
+    from industrial_data_pipeline_spark.suite_llm import (
+        _COS, _demb_sql)
+
+    k1, b = _BM25_K1, _BM25_B
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qterms = sorted({(qid, t) for qid, qs in queries.items()
+                     for t in qs.lower().split()})
+    vals = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')"
+                     for qid, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, t in qterms}))
+    qvals = ", ".join(f"(CAST({qid} AS BIGINT), '{qs}')"
+                      for qid, qs in sorted(queries.items()))
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    ccos = _COS.format(a="seed.cv", b="qe.v")
+    cos = _COS.format(a="cc.v", b="qe.v")
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents
+              WHERE doc_id < 150),
+tdocs AS (SELECT doc_id, {_TOKS} AS tk
+          FROM (SELECT doc_id, lower(text) AS text FROM docs)),
+q(query_id, t) AS (SELECT * FROM (VALUES {vals})),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl
+          FROM tdocs),
+posting AS (SELECT doc_id, dl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS t
+                  FROM tdocs)
+            WHERE t IN ({vocab})
+            GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, count(*) AS df FROM posting GROUP BY 1),
+scored AS (SELECT q.query_id, p.doc_id,
+                  round(sum(round(
+                      ln(1.0 + ((s.n_docs - d.df)::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5))
+                      * (p.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                      / (p.tf + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * p.dl / s.avgdl)), 6)), 6) AS bm25
+           FROM posting p
+           JOIN q ON q.t = p.t
+           JOIN dfreq d ON d.t = p.t
+           CROSS JOIN stats s
+           GROUP BY 1, 2),
+lexleg AS (SELECT query_id AS qid, doc_id, rl FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+         AS rl
+     FROM scored)
+  WHERE rl <= {BM25_K}),
+de AS ({_demb_sql('docs')}),
+qt(qid, text) AS (SELECT * FROM (VALUES {qvals})),
+qdocs AS (SELECT qid AS doc_id, text FROM qt),
+qe AS (SELECT doc_id AS qid, v FROM ({_demb_sql('qdocs')})),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+                     AS INT) AS cell, v AS cv
+         FROM de WHERE doc_id < 100 ORDER BY doc_id LIMIT 8),
+asg AS (SELECT doc_id, cell FROM
+         (SELECT b.doc_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.doc_id
+                                    ORDER BY {cos_b} DESC,
+                                             seed.cell) AS rn
+          FROM de b CROSS JOIN seed)
+       WHERE rn = 1),
+probe AS (SELECT qid, cell FROM
+            (SELECT qe.qid, seed.cell,
+                    row_number() OVER (PARTITION BY qe.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN qe)
+          WHERE pr <= 4),
+denseleg AS (SELECT qid, doc_id, rf FROM
+    (SELECT p.qid, cc.doc_id,
+            CAST(row_number() OVER (PARTITION BY p.qid
+                                    ORDER BY {cos} DESC,
+                                             cc.doc_id) AS INT)
+                AS rf
+     FROM probe p
+     JOIN asg ON asg.cell = p.cell
+     JOIN de cc ON cc.doc_id = asg.doc_id
+     JOIN qe ON qe.qid = p.qid
+     WHERE cc.doc_id <> p.qid)
+  WHERE rf <= {BM25_K}),
+fused AS (SELECT coalesce(l.qid, d.qid) AS qid,
+                 coalesce(l.doc_id, d.doc_id) AS doc_id,
+                 coalesce(1.0 / ({_RRF60} + l.rl), 0.0)
+                 + coalesce(1.0 / ({_RRF60} + d.rf), 0.0) AS score,
+                 l.rl IS NOT NULL AS in_lexical,
+                 d.rf IS NOT NULL AS in_dense
+          FROM lexleg l
+          FULL JOIN denseleg d
+            ON d.qid = l.qid AND d.doc_id = l.doc_id)
+SELECT qid AS query_id, doc_id AS cand_id, rrf_rank,
+       score + 0.0 AS rrf_score, in_lexical, in_dense
+FROM (SELECT *, CAST(row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT)
+          AS rrf_rank
+      FROM fused)
+WHERE rrf_rank <= 10
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q294_hybrid_stored_retrieval": (q_hybrid_stored_retrieval,
+                                     _oracle_hybrid_stored_retrieval()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are
