@@ -619,6 +619,31 @@ PICKS = [
      "only I/O the fast path pays); the exact side is the standard "
      "probe; the A/B joins two batch-probe outputs and aggregates "
      "per query — dimension-sized, no extra corpus pass."),
+    ("q291_cell_balance",
+     "Cell-balance audit: per-cell counts off the partition column "
+     "only (map-side combinable, no vector bytes), LEFT-joined "
+     "against the broadcast full cell range so empty cells count; "
+     "one global aggregate row, one float division."),
+    ("q292_recall_curve",
+     "Recall-vs-nprobe curve: one exact all-cells baseline probe + "
+     "one pruned probe per curve point, each the standard "
+     "single-scan batch-probe shape; hits fold via LeftSemi joins "
+     "into per-nprobe scalar rows — no per-query loops."),
+    ("q293_stored_bm25_probe",
+     "Persisted BM25 probe: the postings scan carries the probed "
+     "terms' BUCKET list as PartitionFilters (file-level pruning on "
+     "the portable-hash bucket key) and In(term) in PushedFilters "
+     "(row-group pruning in term-sorted files); dl rides the "
+     "posting rows so scoring never joins doclen — doclen serves "
+     "one 2-column (N, avgdl) aggregate; query terms/df/stats all "
+     "broadcast; the only shuffles are the per-(query, doc) score "
+     "sum and the per-query rank window."),
+    ("q294_hybrid_stored_retrieval",
+     "Hybrid stored retrieval: BOTH legs are pruned stored-asset "
+     "probes (bucket+term-pruned postings; cell-pruned IVF over "
+     "hashed-BoW embeddings); the RRF fusion is a full-outer join "
+     "of two k-sized rank lists + one fixed-order two-term double "
+     "sum — candidate-sized, nothing corpus-sized after the legs."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
