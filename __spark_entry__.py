@@ -156,25 +156,31 @@ _VERIFIED_GREEN = {
     "q270_pq_recall", "q271_ivf_adc_probe",
     "q272_mixed_shard_manifest", "q273_pq_drift_audit",
     "q274_ter_eval",
+    "q275_ivf_residual_probe", "q276_residual_recall",
+    "q277_ivf_rebuild_probe", "q278_corpus_bleu",
+    "q279_ivf_sq_probe", "q280_filtered_ivf_probe",
+    "q281_filtered_sq_probe", "q282_instream_ivf_rebuild",
+    "q283_residual_drift_audit", "q284_probe_coverage",
 }
 
-# Round 10 closed the q263-q274 tail (CORRECTNESS_r10: 50/50 green)
-# — moved into the green tier above. Round 11's never-checked tail
-# is q275-q284 (stored IVF with RESIDUAL product quantization, the
-# residual-vs-raw recall A/B, the rebuild() retrain verb acting on
-# q273's drift signal, corpus-level multi-reference BLEU, the int8
-# scalar-quantization warm tier, metadata-filtered ANN over the
-# stored asset — exact and SQ-two-stage forms, the in-stream IVF
-# lifecycle with mid-stream rebuild, the residual-index
-# staleness audit, and the probe-coverage/nprobe-tuning audit) —
-# each locally values=MATCH via
-# tools/drive_contract.py before commit. Round-11 behavior-adjacent
-# changes to green queries (the probe_batch_adc routing frame gained
-# a _cdot column that is the +0 identity on raw-mode indexes;
-# quantization_drift selects _cell; the two-stage probes' exact
-# re-rank extracted into one shared _exact_rerank) were re-verified
-# values=MATCH: q264/q265/q270/q271/q273 and again q271/q275/q277
-# after the stage-2 extraction.
+# Round 11 closed the q275-q284 tail (CORRECTNESS_r11: 50/50 green)
+# — moved into the green tier above. Round 12's never-checked tail
+# is q285-q294 (guaranteed-k filtered ANN: brute-the-stratum q285 +
+# prefix-escalation q286; corpus-level multi-reference chrF q287 and
+# TER q288; the closed-loop drift→rebuild policy stream q289; the
+# int8-only rerank=0 fast-path recall A/B q290; the cell-balance
+# audit q291 and recall-vs-nprobe curve q292; the persisted BM25
+# index q293 and hybrid stored retrieval q294) — each locally
+# values=MATCH via tools/drive_contract.py before commit. Round-12
+# behavior-adjacent changes to green queries, each re-verified
+# values=MATCH after the change: the ADVICE fixes (corpus_bleu
+# coalesced pooled sums → q278; probe_coverage LEFT-joined counts +
+# oracle → q284; probe_batch_adc stored-row group key + shortlist
+# distinct → q271/q275/q280; probe_batch_sq stage restructure for
+# rerank=0 → q279/q281), the routing-fingerprint stamp riding every
+# fenced swap (→ q236/q240/q257/q276/q277/q281/q282/q283), and
+# cell_scan's cells=None extension (→ q271/q275/q279/q280/q284).
+# Full local re-sweep: CORRECTNESS_LOCAL_r12.json.
 _VERIFY_FIRST: set[str] = set()
 
 
