@@ -1277,10 +1277,17 @@ class StoredIvfIndex:
         window over the centroid ranking (q285's oracle)."""
         vals = sorted({r["_qf"] for r in rows},
                       key=lambda v: (v is None, str(v)))
-        cnt = (self.cell_scan(None, exclude_epoch=exclude_epoch,
-                              as_of_epoch=as_of_epoch)
-               .where(F.col(filter_col).isin(
-                   [v for v in vals if v is not None]))
+        mass_scan = (self.cell_scan(None,
+                                    exclude_epoch=exclude_epoch,
+                                    as_of_epoch=as_of_epoch)
+                     .select("_cell", filter_col)
+                     .where(F.col(filter_col).isin(
+                         [v for v in vals if v is not None])))
+        # observability: tests assert this scan's ReadSchema carries
+        # ONLY the filter column (never the vector — the whole point
+        # of counting mass instead of reading candidates)
+        self.last_mass_scan = mass_scan
+        cnt = (mass_scan
                .groupBy("_cell", filter_col)
                .agg(F.count("*").alias("_n"))
                .collect())

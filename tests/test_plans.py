@@ -709,6 +709,12 @@ def test_escalated_probe_reads_only_escalation_cells(spark, tmp_path):
     assert inlist, m.group(0)
     listed = set(map(int, re.findall(r"\d+", inlist.group(1))))
     assert listed == brute_cells, (listed, brute_cells)
+    # the candidate-mass counting pass reads ONLY the filter column
+    # (+ partition cols) — never the vector bytes
+    mass_plan = plan(idx.last_mass_scan)
+    rs = re.search(r"ReadSchema: ([^\n]*)", mass_plan)
+    assert rs and "label" in rs.group(1), mass_plan
+    assert "v:array" not in rs.group(1), rs.group(1)
     # every query got its full guarantee: stratum − self = 3 rows
     got = {}
     for r in out.collect():
