@@ -165,12 +165,13 @@ _VERIFIED_GREEN = {
 
 # Round 11 closed the q275-q284 tail (CORRECTNESS_r11: 50/50 green)
 # — moved into the green tier above. Round 12's never-checked tail
-# is q285-q294 (guaranteed-k filtered ANN: brute-the-stratum q285 +
+# is q285-q296 (guaranteed-k filtered ANN: brute-the-stratum q285 +
 # prefix-escalation q286; corpus-level multi-reference chrF q287 and
 # TER q288; the closed-loop drift→rebuild policy stream q289; the
 # int8-only rerank=0 fast-path recall A/B q290; the cell-balance
 # audit q291 and recall-vs-nprobe curve q292; the persisted BM25
-# index q293 and hybrid stored retrieval q294) — each locally
+# index q293 and hybrid stored retrieval q294; BM25 as-of
+# time-travel q295; guaranteed-k on the ADC tier q296) — each locally
 # values=MATCH via tools/drive_contract.py before commit. Round-12
 # behavior-adjacent changes to green queries, each re-verified
 # values=MATCH after the change: the ADVICE fixes (corpus_bleu

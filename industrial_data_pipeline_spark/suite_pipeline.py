@@ -1282,6 +1282,53 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q295 as-of TIME-TRAVEL on the BM25 asset (the q267/q269
+# -- snapshot contract on the fourth index class)
+
+def q_bm25_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q293's build<100 + epoch-0-append scenario probed with
+    ``as_of_epoch=-1`` — the snapshot BEFORE the append: the
+    ``_epoch <= -1`` partition filter prunes epoch 0 out of BOTH
+    asset listings (postings AND doclen), so N, avgdl, df and every
+    posting come from exactly the pre-append corpus — the oracle is
+    q233's scoring SQL over doc_id < 100, proving time-travel moves
+    the STATISTICS with the snapshot, not just the candidate rows
+    (a BM25-specific subtlety the vector assets don't have)."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="idp_q295_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B)
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where((F.col("doc_id") >= 100)
+                              & (F.col("doc_id") < 150)),
+                   epoch_id=0)
+        out = (idx.probe(BM25_QUERIES, k=BM25_K, as_of_epoch=-1)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_bm25_asof_probe() -> str:
+    # q233's scoring chain over the PRE-APPEND corpus: the as-of
+    # probe must reproduce it exactly, statistics included
+    return _oracle_stored_bm25_probe().replace(
+        "WHERE doc_id < 150", "WHERE doc_id < 100")
+
+
+REGISTRY_PIPELINE.update({
+    "q295_bm25_asof_probe": (q_bm25_asof_probe,
+                             _oracle_bm25_asof_probe()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are

@@ -2056,3 +2056,66 @@ REGISTRY_VECTORS.update({
     "q291_cell_balance": (q_cell_balance, _oracle_cell_balance()),
     "q292_recall_curve": (q_recall_curve, _oracle_recall_curve()),
 })
+
+
+# ------- q296 guaranteed-k on the ADC tier: min_results composed
+# ------- with the two-stage code-column probe (q285's contract,
+# ------- q271's I/O shape)
+
+def q_guaranteed_k_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q285's rare-stratum scenario probed through
+    ``probe_batch_adc(min_results=k)``: the escalation guarantees ≥
+    min_results stratum rows enter the STAGE-1 ADC ranking, and with
+    ``rerank`` ≥ the stratum size the exact re-rank covers the whole
+    stratum — so the two-stage code-column probe must return exactly
+    the stratum's exact top-k (q285's oracle VERBATIM: brute path,
+    no routing CTEs). Pins that the guarantee composes with the
+    tiered probes, not just the exact one: the stage-1 shortlist
+    window can never starve a rare stratum the escalation routed
+    in."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rl = F.when(F.col("vec_id") % 17 == 3, F.lit(1)) \
+        .otherwise(F.lit(0)).cast("int")
+    base = emb.where(F.col("vec_id") < 150) \
+        .select("vec_id", v.alias("_v"), rl.alias("rl"))
+    batch = (emb.where((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 250))
+             .select("vec_id", v.alias("_v"), rl.alias("rl")))
+    qs = (base.where((F.col("rl") == 1) & (F.col("vec_id") < 60))
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"), "rl")
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q296_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16,
+                             pq_m=2, pq_k=4, pq_residual=True,
+                             extra_schema="rl int")
+        idx.build(base)
+        idx.append(batch, epoch_id=0)
+        out = (idx.probe_batch_adc(qs, k=10, nprobe=1, rerank=40,
+                                   id_col="qid", vec_col="_qv",
+                                   filter_col="rl", min_results=10)
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_VECTORS.update({
+    # oracle: exact top-k over the stratum — q285's, verbatim (the
+    # ADC tier must land on the same bytes)
+    "q296_guaranteed_k_adc": (q_guaranteed_k_adc,
+                              _oracle_guaranteed_k_probe()),
+})
