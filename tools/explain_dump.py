@@ -644,6 +644,19 @@ PICKS = [
      "hashed-BoW embeddings); the RRF fusion is a full-outer join "
      "of two k-sized rank lists + one fixed-order two-term double "
      "sum — candidate-sized, nothing corpus-sized after the legs."),
+    ("q295_bm25_asof_probe",
+     "BM25 as-of: the `_epoch <= -1` predicate prunes the appended "
+     "epoch's partitions out of BOTH asset listings (postings AND "
+     "doclen), composed with the bucket/term pruning — snapshot "
+     "statistics (N, avgdl, df) cost the same pruned I/O as "
+     "current-state reads."),
+    ("q296_guaranteed_k_adc",
+     "Guaranteed-k on the ADC tier: the escalated routing feeds the "
+     "SAME code-column stage-1 scan as q271 (vec_id+codes+vnorm2 "
+     "ReadSchema, stratum cells as PartitionFilters) — the "
+     "guarantee changes which cells are listed, never the two-stage "
+     "I/O shape; rerank ≥ stratum makes the exact re-rank cover the "
+     "whole stratum."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
