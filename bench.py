@@ -117,9 +117,17 @@ def main() -> None:
                                      key=lambda kv: -kv[1])),
                   file=sys.stderr)
     except FileNotFoundError:
+        # ADVICE r12: mark a from-scratch detail file explicitly —
+        # this run's window-dependent total is NOT a stable minima
+        # baseline yet, and a deleted/missing detail file mid-history
+        # must be distinguishable from a genuine first run. Same
+        # sort_keys convention as the merge path so the two writers
+        # can't be told apart by key order.
+        detail["first_run"] = True
         with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-        minima_total = total  # first run IS the minima
+            json.dump(detail, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        minima_total = total  # first run IS the (provisional) minima
     except SystemExit as exc:
         # sf mismatch: a local run at another SF must not pollute the
         # sf0.1 minima — keep them untouched
