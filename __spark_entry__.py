@@ -161,27 +161,25 @@ _VERIFIED_GREEN = {
     "q279_ivf_sq_probe", "q280_filtered_ivf_probe",
     "q281_filtered_sq_probe", "q282_instream_ivf_rebuild",
     "q283_residual_drift_audit", "q284_probe_coverage",
+    "q285_guaranteed_k_probe", "q286_escalated_prefix_probe",
+    "q287_corpus_chrf", "q288_corpus_ter", "q289_drift_policy_stream",
+    "q290_sq_rerank0_recall", "q291_cell_balance",
+    "q292_recall_curve", "q293_stored_bm25_probe",
+    "q294_hybrid_stored_retrieval", "q295_bm25_asof_probe",
+    "q296_guaranteed_k_adc",
 }
 
-# Round 11 closed the q275-q284 tail (CORRECTNESS_r11: 50/50 green)
-# — moved into the green tier above. Round 12's never-checked tail
-# is q285-q296 (guaranteed-k filtered ANN: brute-the-stratum q285 +
-# prefix-escalation q286; corpus-level multi-reference chrF q287 and
-# TER q288; the closed-loop drift→rebuild policy stream q289; the
-# int8-only rerank=0 fast-path recall A/B q290; the cell-balance
-# audit q291 and recall-vs-nprobe curve q292; the persisted BM25
-# index q293 and hybrid stored retrieval q294; BM25 as-of
-# time-travel q295; guaranteed-k on the ADC tier q296) — each locally
-# values=MATCH via tools/drive_contract.py before commit. Round-12
+# Round 12 closed the q285-q296 tail (CORRECTNESS_r12: 50/50 green)
+# — moved into the green tier above. Round 13's never-checked tail
+# starts at q297 (analyzer-composed BM25 q297; probe_frames q300;
+# plus this round's later registrations) — each locally values=MATCH
+# via tools/drive_contract.py before commit. Round-13
 # behavior-adjacent changes to green queries, each re-verified
-# values=MATCH after the change: the ADVICE fixes (corpus_bleu
-# coalesced pooled sums → q278; probe_coverage LEFT-joined counts +
-# oracle → q284; probe_batch_adc stored-row group key + shortlist
-# distinct → q271/q275/q280; probe_batch_sq stage restructure for
-# rerank=0 → q279/q281), the routing-fingerprint stamp riding every
-# fenced swap (→ q236/q240/q257/q276/q277/q281/q282/q283), and
-# cell_scan's cells=None extension (→ q271/q275/q279/q280/q284).
-# Full local re-sweep: CORRECTNESS_LOCAL_r12.json.
+# values=MATCH after the change: the StoredBm25Index probe refactor
+# (shared _score tail, cross-epoch posting re-aggregation per ADVICE
+# r12, analyzer-twin query tokenization) and bm25_topk's analyzer
+# parameter (default None = legacy byte-identical) → q233/q293/
+# q294/q295 re-verified together with q297/q300.
 _VERIFY_FIRST: set[str] = set()
 
 

@@ -40,10 +40,24 @@ Stats semantics, stated: N, avgdl and per-term df are computed over
 the SCANNED corpus at probe time (all epochs the filters admit) —
 append moves them exactly as re-running q233 over the grown corpus
 would, so a stored probe is byte-identical to
-:func:`~.text.bm25_topk` over the same documents (q293 pins it by
-reusing q233's oracle SQL shape). A doc_id re-appended in a second
-epoch double-counts in N/df, the per-epoch-dedup contract every
-asset here shares.
+:func:`~.text.bm25_topk` over the CONCATENATION of the scanned
+epochs' batches (q293 pins it by reusing q233's oracle SQL shape).
+That parity holds even for a doc_id re-appended in a later epoch
+(ADVICE r12): the probe re-aggregates postings by (term, doc_id,
+dl) summing tf across epochs BEFORE df and saturation, exactly as
+bm25_topk's (_id, _t, _dl) grouping merges the duplicated rows —
+tf merges when dl is equal, stays split when the re-appended text
+changed dl, and N/avgdl count the doc once per appended row on
+both sides. (De-duplicating the doc itself remains the ingest
+pipeline's job, the per-epoch-dedup contract every asset shares.)
+
+Tokenization: pass an :class:`~.analyzer.Analyzer` to compose the
+normalize→extract→stopword→stem pipeline into build, probe AND the
+driver-side query tokenization (one shared function, VERDICT r12
+item 1); ``analyzer=None`` keeps the legacy lower()+whitespace
+tokenizer byte-for-byte. The choice persists in the index meta so
+``open()`` can never probe with a different tokenization than the
+build wrote.
 
 Reference parity note: the reference's only text search is a
 full-scan LIKE (database.py lookup path); this is its corpus-scale
@@ -58,6 +72,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from industrial_data_pipeline_spark.operators.analyzer import Analyzer
 from industrial_data_pipeline_spark.operators.lsh_index import (
     _count_parquet_files, rewrite_under_lease)
 from industrial_data_pipeline_spark.operators.text import (
@@ -86,7 +101,8 @@ class StoredBm25Index:
                  id_col: str = "doc_id", text_col: str = "text",
                  n_buckets: int = 16, k1: float = 1.2,
                  b: float = 0.75,
-                 max_records_per_file: int | None = None):
+                 max_records_per_file: int | None = None,
+                 analyzer: Analyzer | None = None):
         self.spark = spark
         self.root = root
         self.id_col = id_col
@@ -95,6 +111,7 @@ class StoredBm25Index:
         self.k1 = float(k1)
         self.b = float(b)
         self.max_records_per_file = max_records_per_file
+        self.analyzer = analyzer
         self._postings_path = os.path.join(root, "postings")
         self._doclen_path = os.path.join(root, "doclen")
         #: observability: the pruned postings scan of the LAST probe
@@ -116,7 +133,10 @@ class StoredBm25Index:
                        "n_buckets": self.n_buckets,
                        "k1": self.k1, "b": self.b,
                        "max_records_per_file":
-                           self.max_records_per_file}, fh)
+                           self.max_records_per_file,
+                       "analyzer":
+                           (self.analyzer.to_meta()
+                            if self.analyzer else None)}, fh)
         os.replace(tmp, self._meta_path)
 
     @classmethod
@@ -129,16 +149,34 @@ class StoredBm25Index:
                    n_buckets=meta["n_buckets"], k1=meta["k1"],
                    b=meta["b"],
                    max_records_per_file=meta.get(
-                       "max_records_per_file"))
+                       "max_records_per_file"),
+                   analyzer=Analyzer.from_meta(
+                       meta.get("analyzer")))
 
     # ---------------------------------------------------- lifecycle
+
+    def _tokenize(self, col) -> "F.Column":
+        """The ONE tokenization expression — build and probe_frames
+        MUST share it (a probe analyzed differently from the build
+        silently retrieves nothing)."""
+        if self.analyzer is not None:
+            return self.analyzer.spark(col)
+        return tokens(F.lower(F.col(col) if isinstance(col, str)
+                              else col))
+
+    def _tokenize_py(self, s: str) -> list[str]:
+        """Driver-side twin of :meth:`_tokenize` for probe query
+        strings (the py_hash64 discipline, applied to terms)."""
+        if self.analyzer is not None:
+            return self.analyzer.py(s)
+        return s.lower().split()
 
     def _frames(self, corpus: DataFrame) -> tuple:
         """(postings, doclen) of a document batch — postings carry
         the denormalized dl; the term bucket is the portable hash
         mod n_buckets (pmod unnecessary: hash64 is a non-negative
         60-bit value)."""
-        toks = tokens(F.lower(F.col(self.text_col)))
+        toks = self._tokenize(self.text_col)
         docs = corpus.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
             toks.alias("_toks"))
@@ -222,11 +260,14 @@ class StoredBm25Index:
               exclude_epoch: int | None = None,
               as_of_epoch: int | None = None) -> DataFrame:
         """BM25 top-``k`` per query over the persisted postings —
-        byte-identical to :func:`~.text.bm25_topk` over the same
-        corpus (q293): identical idf/saturation formula, identical
+        byte-identical to :func:`~.text.bm25_topk` (with the same
+        ``analyzer``) over the concatenation of the scanned epochs'
+        batches (q293): identical idf/saturation formula, identical
         round-before-sum determinism discipline, identical
         (query_id, doc_id, bm25, rank) contract with doc_id
-        tie-break.
+        tie-break. Query strings tokenize through the index's OWN
+        analyzer twin — the build-time tokenization persisted in
+        meta, never a caller-supplied one.
 
         Scale shape: the postings scan lists ONLY the probed terms'
         bucket directories (driver-computed portable-hash buckets —
@@ -234,17 +275,63 @@ class StoredBm25Index:
         size) and pushes the term IN-list into the term-sorted row
         groups; df comes from the same pruned scan; (N, avgdl) is
         one combinable aggregate over the 2-long doclen rows; the
-        only shuffles are the per-(query, doc) score sum and the
-        per-query rank window."""
-        from pyspark.sql import Window
-
+        only shuffles are the cross-epoch posting re-aggregation +
+        per-(query, doc) score sum (candidate-sized, ∝ probed
+        terms' postings) and the per-query rank window."""
         qterms = sorted({(qid, t)
                          for qid, qs in queries.items()
-                         for t in qs.lower().split()})
+                         for t in self._tokenize_py(qs)})
         if not qterms:
             raise ValueError("queries must contain at least one "
-                             "non-whitespace term")
+                             "analyzable term")
         vocab = sorted({t for _, t in qterms})
+        qdf = self.spark.createDataFrame(
+            qterms, "query_id long, term string")
+        return self._score(F.broadcast(qdf), vocab, k, round_dp,
+                           exclude_epoch, as_of_epoch)
+
+    def probe_frames(self, queries: DataFrame, k: int = 10,
+                     round_dp: int = 6,
+                     exclude_epoch: int | None = None,
+                     as_of_epoch: int | None = None,
+                     id_col: str = "query_id",
+                     text_col: str = "query_text") -> DataFrame:
+        """:meth:`probe` for a DataFrame of queries — the
+        ``probe_batch`` symmetry the IVF side already has (VERDICT
+        r12 item 5: a 100k-query eval batch shouldn't live in a
+        driver dict). Query text tokenizes IN-PLAN through the same
+        :meth:`_tokenize` expression the build wrote (and
+        :meth:`probe`'s driver twin replays), so the three paths
+        can never diverge; the driver collects only the DISTINCT
+        analyzed terms (bounded like the ANN probe keys — needed to
+        compute the bucket list and push the term IN-list), never
+        the query rows. Output is byte-identical to :meth:`probe`
+        over the dict form of the same queries (q300 shares q293's
+        oracle verbatim)."""
+        qpairs = (queries
+                  .select(F.col(id_col).cast("long")
+                          .alias("query_id"),
+                          F.explode(self._tokenize(text_col))
+                          .alias("term"))
+                  .distinct()
+                  .localCheckpoint(eager=True))
+        vocab = sorted({r["term"] for r in
+                        qpairs.select("term").distinct().collect()})
+        if not vocab:
+            raise ValueError("queries must contain at least one "
+                             "analyzable term")
+        return self._score(F.broadcast(qpairs), vocab, k, round_dp,
+                           exclude_epoch, as_of_epoch)
+
+    def _score(self, qdf: DataFrame, vocab: list[str], k: int,
+               round_dp: int, exclude_epoch: int | None,
+               as_of_epoch: int | None) -> DataFrame:
+        """Shared scoring tail of both probe forms: pruned postings
+        scan → cross-epoch re-aggregation → df/stats → saturated
+        contribution sum → per-query rank. ``qdf`` is the
+        (query_id, term) pair frame, already broadcast-marked."""
+        from pyspark.sql import Window
+
         buckets = sorted({py_hash64(t) % self.n_buckets
                           for t in vocab})
         post = (self._scan(self._postings_path,
@@ -253,13 +340,21 @@ class StoredBm25Index:
                 .where(F.col("_tb").isin(buckets))
                 .where(F.col("term").isin(vocab)))
         self.last_postings_scan = post
+        # ADVICE r12: a doc_id re-appended in a later epoch keeps
+        # per-epoch posting rows on disk — re-aggregate by (term,
+        # doc_id, dl) summing tf BEFORE df and saturation so the
+        # score matches bm25_topk's (_id, _t, _dl) grouping over the
+        # concatenated corpus (tf merges before saturating when dl
+        # is equal; a changed-dl re-append stays split on both
+        # sides). Candidate-sized shuffle: only the probed terms'
+        # postings reach it.
+        post = (post.groupBy("term", "doc_id", "dl")
+                .agg(F.sum("tf").alias("tf")))
         dfreq = post.groupBy("term").agg(F.count("*").alias("_df"))
         stats = (self._scan(self._doclen_path, self.DOCLEN_SCHEMA,
                             exclude_epoch, as_of_epoch)
                  .agg(F.count("*").alias("_n_docs"),
                       F.avg("dl").alias("_avgdl")))
-        qdf = self.spark.createDataFrame(
-            qterms, "query_id long, term string")
         idf = F.log(F.lit(1.0)
                     + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
                     / (F.col("_df") + F.lit(0.5)))
@@ -274,7 +369,7 @@ class StoredBm25Index:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("bm25"), F.col("doc_id"))
         return (post
-                .join(F.broadcast(qdf), "term")
+                .join(qdf, "term")
                 .join(F.broadcast(dfreq), "term")
                 .crossJoin(F.broadcast(stats))
                 .groupBy("query_id", "doc_id")

@@ -791,7 +791,7 @@ def trigram_like_search(df: DataFrame, pattern: str,
 def bm25_topk(df: DataFrame, queries: dict[int, str], k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               id_col: str = "doc_id", text_col: str = "text",
-              round_dp: int = 6) -> DataFrame:
+              round_dp: int = 6, analyzer=None) -> DataFrame:
     """BM25 (Okapi) top-``k`` retrieval — the lexical ranking function
     behind decontamination sweeps, eval-set mining and the sparse leg
     of hybrid RAG retrieval (complements q167's TF-IDF/RRF fusion
@@ -802,7 +802,12 @@ def bm25_topk(df: DataFrame, queries: dict[int, str], k: int = 10,
 
     ``queries`` maps query_id → free-text query string (tokenized the
     same way as documents). Returns (query_id, doc_id, bm25, rank),
-    rank 1..k per query, ties broken by doc_id.
+    rank 1..k per query, ties broken by doc_id. ``analyzer`` (an
+    :class:`~.analyzer.Analyzer`) swaps the default lower()+
+    whitespace tokenization for the shared normalize→extract→
+    stopword→stem pipeline on BOTH documents (Spark twin) and query
+    strings (driver twin) — VERDICT r12 item 1; None keeps the
+    legacy tokenizer byte-for-byte.
 
     Scale shape: the posting explode is FILTERED to the union of
     query terms immediately (the probe touches |query terms| posting
@@ -820,12 +825,14 @@ def bm25_topk(df: DataFrame, queries: dict[int, str], k: int = 10,
     """
     qterms = sorted({(qid, t)
                      for qid, qs in queries.items()
-                     for t in qs.lower().split()})
+                     for t in (analyzer.py(qs) if analyzer
+                               else qs.lower().split())})
     if not qterms:
         raise ValueError("queries must contain at least one "
-                         "non-whitespace term")
+                         "analyzable term")
     vocab = sorted({t for _, t in qterms})
-    toks = tokens(F.lower(F.col(text_col)))
+    toks = (analyzer.spark(F.col(text_col)) if analyzer
+            else tokens(F.lower(F.col(text_col))))
     docs = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
     # scalar stats ride a broadcast 1-row crossJoin (lazy; no job at
     # construction time). dl counts ALL tokens, not just query terms.

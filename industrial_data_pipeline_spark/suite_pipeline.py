@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from industrial_data_pipeline_spark.operators import dedup as D
 from industrial_data_pipeline_spark.operators import text as TX
+from industrial_data_pipeline_spark.operators.analyzer import Analyzer
 from industrial_data_pipeline_spark.suite_common import load
 from industrial_data_pipeline_spark.suite_llm import _h64, _load_docs
 
@@ -1326,6 +1327,177 @@ def _oracle_bm25_asof_probe() -> str:
 REGISTRY_PIPELINE.update({
     "q295_bm25_asof_probe": (q_bm25_asof_probe,
                              _oracle_bm25_asof_probe()),
+})
+
+
+# -- q297 ANALYZER-composed lexical retrieval (VERDICT r12 item 1):
+# -- ONE normalize→extract→stopword→stem pipeline shared by the index
+# -- build, the probe's driver-side query tokenization, AND this
+# -- oracle — over a corpus noisy enough that the raw whitespace
+# -- index retrieves nothing (the punctuation/unicode mismatch every
+# -- real web-corpus BM25 user hits on their first query)
+
+#: the analyzer under test: stopwords + light plural stemming on top
+#: of the zero-width/control normalization and ASCII word extraction
+_Q297_AZ = Analyzer(stopwords=("the", "a"), stem_s=True)
+#: punctuated, cased, apostrophed queries — raw lower().split() terms
+#: ("merge!", "customer's") match no posting of ANY tokenizer; the
+#: analyzer maps them onto the corpus vocabulary ("rows"→"row" only
+#: exists via stemming; "spark" only via zero-width stripping)
+_Q297_QUERIES = {0: "Merge! SPARK?",
+                 1: "the rows — a batch.",
+                 2: "Customer's order; streams"}
+
+
+def _noisy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id < 150) decorated into web-grade noise,
+    deterministically in BOTH engines: «-wrapped, every word
+    boundary comma-punctuated, and a zero-width space injected
+    inside every 'spark' — whitespace tokens are '«merge,' /
+    'sp​ark,», never 'merge'/'spark'."""
+    return (_load_docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .where(F.col("doc_id") < 150)
+            .select("doc_id",
+                    F.concat(F.lit("«"),
+                             F.regexp_replace(
+                                 F.regexp_replace("text", " ", ", "),
+                                 "spark", "sp​ark"),
+                             F.lit(".»")).alias("text")))
+
+
+#: DuckDB twin of :func:`_noisy_docs`'s text expression
+_NOISY_SQL = ("'«' || replace(replace(text, ' ', ', '), 'spark',"
+              " 'sp' || chr(8203) || 'ark') || '.»'")
+
+
+def q_analyzer_bm25_probe(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """StoredBm25Index with an Analyzer (operators/analyzer.py):
+    q293's build<100 + epoch-0-append lifecycle over the noisy
+    corpus, probed with punctuated/cased query strings — build,
+    probe and oracle all tokenize through the ONE shared analyzer
+    (its Spark / driver-Python / DuckDB twins are pinned
+    bit-identical in tests/test_analyzer.py), and the analyzer
+    choice persists in the index meta so open() can never probe a
+    different tokenization than the build wrote. The raw-index-
+    retrieves-nothing contrast is pinned in
+    tests/test_bm25_index.py::test_analyzer_index_finds_what_raw_misses."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _noisy_docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="idp_q297_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B,
+                              analyzer=_Q297_AZ)
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        out = (idx.probe(_Q297_QUERIES, k=BM25_K)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_analyzer_bm25_probe() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    qterms = sorted({(qid, t)
+                     for qid, qs in _Q297_QUERIES.items()
+                     for t in _Q297_AZ.py(qs)})
+    vals = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')"
+                     for qid, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, t in qterms}))
+    tk = _Q297_AZ.sql("text")
+    return f"""
+WITH docs AS (SELECT doc_id, {tk} AS tk
+              FROM (SELECT doc_id, {_NOISY_SQL} AS text
+                    FROM documents WHERE doc_id < 150)),
+q(query_id, t) AS (SELECT * FROM (VALUES {vals})),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM docs),
+posting AS (SELECT doc_id, dl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS t
+                  FROM docs)
+            WHERE t IN ({vocab})
+            GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, count(*) AS df FROM posting GROUP BY 1),
+scored AS (SELECT q.query_id, p.doc_id,
+                  round(sum(round(
+                      ln(1.0 + ((s.n_docs - d.df)::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5))
+                      * (p.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                      / (p.tf + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * p.dl / s.avgdl)), 6)), 6) AS bm25
+           FROM posting p
+           JOIN q ON q.t = p.t
+           JOIN dfreq d ON d.t = p.t
+           CROSS JOIN stats s
+           GROUP BY 1, 2)
+SELECT query_id, doc_id, bm25, rank FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+         AS rank
+     FROM scored)
+WHERE rank <= {BM25_K}
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q297_analyzer_bm25_probe": (q_analyzer_bm25_probe,
+                                 _oracle_analyzer_bm25_probe()),
+})
+
+
+# -- q300 probe_frames: the DataFrame-of-queries probe form (VERDICT
+# -- r12 item 5 — a 100k-query eval batch shouldn't live in a driver
+# -- dict); shares q293's oracle VERBATIM on the dict→DataFrame
+# -- translation of the same queries
+
+def q_stored_bm25_probe_frames(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """StoredBm25Index.probe_frames (operators/bm25_index.py):
+    q293's exact build<100 + epoch-0-append scenario, probed via a
+    DataFrame of (query_id, query_text) rows — query text tokenizes
+    IN-PLAN through the index's build-time tokenizer, the driver
+    collects only the distinct analyzed terms (to compute the bucket
+    list and term IN-list — bounded like the ANN probe keys), and
+    the result is byte-identical to q293's dict-form probe, which is
+    why this query's oracle IS q293's oracle string, unchanged."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        sorted(BM25_QUERIES.items()),
+        "query_id long, query_text string")
+    root = tempfile.mkdtemp(prefix="idp_q300_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B)
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where((F.col("doc_id") >= 100)
+                              & (F.col("doc_id") < 150)),
+                   epoch_id=0)
+        out = (idx.probe_frames(qdf, k=BM25_K)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_PIPELINE.update({
+    "q300_bm25_probe_frames": (q_stored_bm25_probe_frames,
+                               _oracle_stored_bm25_probe()),
 })
 
 

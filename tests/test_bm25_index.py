@@ -110,3 +110,117 @@ def test_stored_bm25_probe_plan_prunes(spark, tmp_path):
     for b_ in want:
         assert str(b_) in m.group(0), (want, m.group(0))
     assert re.search(r"PushedFilters: \[.*[Ii]n\(term", p), p
+
+
+def test_analyzer_index_finds_what_raw_misses(spark, tmp_path):
+    """VERDICT r12 item 1, the acceptance shape: over a punctuated /
+    zero-width-noisy corpus, the analyzer-composed index retrieves
+    documents the raw whitespace index misses entirely; the stored
+    probe stays byte-identical to bm25_topk with the SAME analyzer;
+    and open() restores the analyzer from meta (a probe can never
+    tokenize differently than the build wrote)."""
+    from industrial_data_pipeline_spark.operators.analyzer import (
+        Analyzer)
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.text import (
+        bm25_topk)
+
+    # «word, word.» punctuation on every boundary + a zero-width
+    # space inside every "spark" — raw whitespace tokens are
+    # "«merge," / "sp<zw>ark.»", never "merge"/"spark"
+    noisy = _docs(spark).select(
+        "doc_id",
+        F.concat(F.lit("«"),
+                 F.regexp_replace(F.regexp_replace(
+                     "text", " ", ", "), "spark", "sp​ark"),
+                 F.lit(".»")).alias("text"))
+    az = Analyzer(stopwords=("the", "a"), stem_s=True)
+    q = {0: "Merge! SPARK?", 1: "the rows — a batch."}
+
+    idx = StoredBm25Index(spark, str(tmp_path / "az"), n_buckets=8,
+                          analyzer=az)
+    idx.build(noisy.where("doc_id < 30"))
+    idx.append(noisy.where("doc_id >= 30"), epoch_id=0)
+    got = sorted(map(tuple, idx.probe(q, k=5).collect()))
+    want = sorted(map(tuple,
+                      bm25_topk(noisy, q, k=5, analyzer=az)
+                      .collect()))
+    assert got == want and len(got) == 10
+
+    raw = StoredBm25Index(spark, str(tmp_path / "raw"), n_buckets=8)
+    raw.build(noisy)
+    # the raw index has no "merge"/"spark"/"batch" terms at all
+    assert raw.probe(q, k=5).where(
+        F.col("query_id").isin(0, 1)).count() == 0
+
+    reopened = StoredBm25Index.open(spark, str(tmp_path / "az"))
+    assert reopened.analyzer == az
+    assert sorted(map(tuple,
+                      reopened.probe(q, k=5).collect())) == got
+
+
+def test_reappended_doc_tf_merges_before_saturation(spark, tmp_path):
+    """ADVICE r12: a doc_id re-appended in a later epoch must score
+    exactly as bm25_topk over the concatenated corpus — tf summed
+    across epochs BEFORE saturation (equal dl), not two
+    independently-saturated contributions."""
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.text import (
+        bm25_topk)
+
+    docs = _docs(spark, n=20)
+    dup = docs.where("doc_id < 4")  # same text, same dl
+    idx = StoredBm25Index(spark, str(tmp_path / "re"), n_buckets=8)
+    idx.build(docs)
+    idx.append(dup, epoch_id=0)
+    got = sorted(map(tuple, idx.probe(Q, k=8).collect()))
+    want = sorted(map(tuple,
+                      bm25_topk(docs.unionAll(dup), Q, k=8)
+                      .collect()))
+    assert got == want
+    # changed-dl re-append stays split on both sides too
+    dup2 = dup.select("doc_id",
+                      F.concat("text", F.lit(" extra tail words"))
+                      .alias("text"))
+    idx.append(dup2, epoch_id=1)
+    got2 = sorted(map(tuple, idx.probe(Q, k=8).collect()))
+    want2 = sorted(map(tuple,
+                       bm25_topk(docs.unionAll(dup).unionAll(dup2),
+                                 Q, k=8).collect()))
+    assert got2 == want2
+
+
+def test_probe_frames_matches_probe(spark, tmp_path):
+    """probe_frames (VERDICT r12 item 5) must be byte-identical to
+    probe over the dict form of the same queries — legacy AND
+    analyzer tokenization — and its postings scan must keep the
+    bucket PartitionFilters (the pruning the driver-side distinct
+    term collection exists to compute)."""
+    import re
+
+    from industrial_data_pipeline_spark.operators.analyzer import (
+        Analyzer)
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _docs(spark)
+    for name, az in (("legacy", None),
+                     ("an", Analyzer(stopwords=("the",),
+                                     stem_s=True))):
+        idx = StoredBm25Index(spark, str(tmp_path / name),
+                              n_buckets=16, analyzer=az)
+        idx.build(docs)
+        want = sorted(map(tuple, idx.probe(Q, k=5).collect()))
+        qdf = spark.createDataFrame(
+            sorted(Q.items()), "query_id long, query_text string")
+        got = sorted(map(tuple,
+                         idx.probe_frames(qdf, k=5).collect()))
+        assert got == want, name
+        p = _plan(idx.last_postings_scan)
+        assert re.search(r"PartitionFilters: \[.*_tb.*\]", p), p
+
+    with __import__("pytest").raises(ValueError):
+        idx.probe_frames(spark.createDataFrame(
+            [(9, "«—»")], "query_id long, query_text string"))
