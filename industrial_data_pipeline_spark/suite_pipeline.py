@@ -1330,6 +1330,122 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q298 SNAPSHOT-CONSISTENT hybrid as-of probe (VERDICT r12
+# -- item 2): q294's RRF fusion with BOTH stored legs probed at ONE
+# -- logical snapshot (as_of_epoch=0) after a later epoch 1 landed on
+# -- each — the reproducible-eval path a RAG stack needs when
+# -- re-running yesterday's retrieval — plus a retraction on both
+# -- assets, pinning that retraction OVERRIDES time travel through
+# -- the fusion (a taken-down document cannot be resurrected by
+# -- probing the past)
+
+def q_hybrid_asof_retrieval(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """q294's hybrid retriever probed snapshot-consistently: both
+    assets build on doc_id<100, append [100,150) as epoch 0 and
+    [150,200) as epoch 1, then retract doc_ids {50, 105} from BOTH;
+    both legs probe with ``as_of_epoch=0`` — the ``_epoch <= 0``
+    partition filter prunes epoch 1 from postings, doclen AND cell
+    scans, while the retraction's fenced rewrite removed {50, 105}
+    from every epoch, so the fused result is exactly q294's replay
+    over (doc_id < 150) minus the retracted ids: statistics, df,
+    cell contents and the RRF fusion all move with the snapshot,
+    and time travel cannot resurrect a takedown. Retracted ids are
+    chosen outside the centroid seeds (doc_id 0–7): retraction
+    removes VECTORS, never retrains centroids, and the oracle's
+    seed replay must keep matching the stored routing."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from pyspark.sql import Window
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id", "text")
+            .where(F.col("doc_id") < 200))
+    emb = docs.select(
+        "doc_id",
+        TX.hashed_bow_embedding(F.col("text"), 16).alias("_v"))
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qdf = (spark.createDataFrame(sorted(queries.items()),
+                                 "qid long, qtext string")
+           .select("qid",
+                   TX.hashed_bow_embedding(F.col("qtext"), 16)
+                   .alias("_qv"))
+           .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q298_")
+    try:
+        bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
+                               n_buckets=16, k1=_BM25_K1, b=_BM25_B)
+        bidx.build(docs.where(F.col("doc_id") < 100))
+        bidx.append(docs.where((F.col("doc_id") >= 100)
+                               & (F.col("doc_id") < 150)),
+                    epoch_id=0)
+        bidx.append(docs.where(F.col("doc_id") >= 150), epoch_id=1)
+        vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                              id_col="doc_id", vec_col="_v",
+                              n_cells=8)
+        vidx.build(emb.where(F.col("doc_id") < 100))
+        vidx.append(emb.where((F.col("doc_id") >= 100)
+                              & (F.col("doc_id") < 150)),
+                    epoch_id=0)
+        vidx.append(emb.where(F.col("doc_id") >= 150), epoch_id=1)
+        bidx.retract([50, 105])
+        vidx.retract([50, 105])
+
+        lex = (bidx.probe(queries, k=BM25_K, as_of_epoch=0)
+               .select("query_id", "doc_id",
+                       F.col("rank").alias("rl")))
+        den = (vidx.probe_batch(qdf, k=BM25_K, nprobe=4,
+                                id_col="qid", vec_col="_qv",
+                                as_of_epoch=0)
+               .select("query_id",
+                       F.col("vec_id").alias("doc_id"),
+                       F.col("rk").alias("rf")))
+        u = (lex.join(den, ["query_id", "doc_id"], "full")
+             .select("query_id", "doc_id",
+                     (F.coalesce(1.0 / (F.lit(_RRF60) + F.col("rl")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(_RRF60)
+                                          + F.col("rf")),
+                                   F.lit(0.0))).alias("_score"),
+                     F.col("rl").isNotNull().alias("in_lexical"),
+                     F.col("rf").isNotNull().alias("in_dense")))
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("_score"), F.col("doc_id"))
+        out = (u.withColumn("rrf_rank", F.row_number().over(wr))
+               .where(F.col("rrf_rank") <= 10)
+               .select("query_id",
+                       F.col("doc_id").alias("cand_id"), "rrf_rank",
+                       (F.col("_score") + F.lit(0.0))
+                       .alias("rrf_score"),
+                       "in_lexical", "in_dense")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_hybrid_asof_retrieval() -> str:
+    # q294's replay over the snapshot corpus: epoch 1 pruned by the
+    # as-of filter, the retracted ids gone from every epoch. The
+    # seed CTE (centroid routing) is untouched — {50, 105} are not
+    # among the doc_id 0–7 seeds, and retraction never retrains.
+    return _oracle_hybrid_stored_retrieval().replace(
+        "WHERE doc_id < 150",
+        "WHERE doc_id < 150 AND doc_id NOT IN (50, 105)")
+
+
+REGISTRY_PIPELINE.update({
+    "q298_hybrid_asof_retrieval": (q_hybrid_asof_retrieval,
+                                   _oracle_hybrid_asof_retrieval()),
+})
+
+
 # -- q297 ANALYZER-composed lexical retrieval (VERDICT r12 item 1):
 # -- ONE normalize→extract→stopword→stem pipeline shared by the index
 # -- build, the probe's driver-side query tokenization, AND this
