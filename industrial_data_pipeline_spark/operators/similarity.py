@@ -1160,21 +1160,24 @@ class StoredIvfIndex:
         scan (cheap JVM compare; at scale, low-cardinality filter
         columns additionally dictionary-skip parquet pages).
 
-        ``min_results`` (requires ``filter_col``) upgrades the
-        pre-filter to GUARANTEED-k filtered ANN (VERDICT r11
-        item 1): when a query's ``nprobe`` cells hold fewer than
-        ``min_results`` stratum rows, its routing escalates per
-        :meth:`_escalation_cells` — prefix-widen the cell ranking on
+        ``min_results`` upgrades the probe to GUARANTEED-k ANN
+        (VERDICT r11 item 1; r12 item 4 lifted the filter_col
+        requirement): when a query's ``nprobe`` cells hold fewer
+        than ``min_results`` stratum rows — the stratum being the
+        ``filter_col`` value's rows, or the WHOLE index when
+        unfiltered — its routing escalates per
+        :meth:`_escalation_cells`: prefix-widen the cell ranking on
         driver-side candidate-mass counts (no vectors read), or
         probe the whole stratum when it is ≤
         ``brute_force_threshold`` rows — so every query returns
-        min(k, |its stratum| − self) rows, never silently fewer."""
+        min(k, |its stratum| − self) rows, never silently fewer
+        (unfiltered, the corner is probed cells emptied by
+        retraction on a skewed index)."""
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
         rows, qf_df = self._collect_queries(
             queries, idc, vcc, filter_col, query_filter_col)
         if min_results is not None:
-            assert filter_col, "min_results requires filter_col"
             esc = self._escalation_cells(
                 rows, nprobe, min_results, brute_force_threshold,
                 filter_col, exclude_epoch, as_of_epoch)
@@ -1210,8 +1213,9 @@ class StoredIvfIndex:
         sel = [F.col(idc).cast("long").alias("query_id"),
                _as_double(F.col(vcc)).alias("_qv")]
         if filter_col:
-            assert filter_col in self.extra_cols, (
-                filter_col, self.extra_cols)
+            if filter_col not in self.extra_cols:
+                raise ValueError(f"filter_col {filter_col!r} not among "
+                                 f"stored extra_cols {self.extra_cols}")
             qfc = query_filter_col or filter_col
             ftype = queries.schema[qfc].dataType.simpleString()
             sel.append(F.col(qfc).alias("_qf"))
@@ -1238,7 +1242,7 @@ class StoredIvfIndex:
 
     def _escalation_cells(self, rows, nprobe: int, min_results: int,
                           brute_force_threshold: int,
-                          filter_col: str,
+                          filter_col: str | None,
                           exclude_epoch: int | None,
                           as_of_epoch: int | None) -> dict:
         """Guaranteed-k routing for FILTERED probes (VERDICT r11
@@ -1274,28 +1278,48 @@ class StoredIvfIndex:
 
         Deterministic given (index, batch, parameters), so the whole
         contract replays in SQL: per-cell counts + a cumulative-sum
-        window over the centroid ranking (q285's oracle)."""
-        vals = sorted({r["_qf"] for r in rows},
-                      key=lambda v: (v is None, str(v)))
-        mass_scan = (self.cell_scan(None,
-                                    exclude_epoch=exclude_epoch,
-                                    as_of_epoch=as_of_epoch)
-                     .select("_cell", filter_col)
-                     .where(F.col(filter_col).isin(
-                         [v for v in vals if v is not None])))
+        window over the centroid ranking (q285's oracle).
+
+        ``filter_col=None`` (VERDICT r12 item 4) runs the SAME
+        contract on per-cell TOTAL mass — one constant stratum.
+        This closes the UNFILTERED under-delivery corner: on a
+        skewed index whose probed cells were emptied by retractions,
+        a plain ``nprobe`` probe silently returns < k even though
+        the corpus has plenty; here the routing widens (or
+        brute-forces a small index) until cumulative mass covers
+        ``min_results``. The mass scan degenerates to the partition
+        column alone — it reads NO data columns at all (row counts
+        come from parquet footers)."""
+        vals = (sorted({r["_qf"] for r in rows},
+                       key=lambda v: (v is None, str(v)))
+                if filter_col else [None])
+        mass_scan = self.cell_scan(None,
+                                   exclude_epoch=exclude_epoch,
+                                   as_of_epoch=as_of_epoch)
+        if filter_col:
+            mass_scan = (mass_scan
+                         .select("_cell", filter_col)
+                         .where(F.col(filter_col).isin(
+                             [v for v in vals if v is not None])))
+        else:
+            mass_scan = mass_scan.select("_cell")
         # observability: tests assert this scan's ReadSchema carries
-        # ONLY the filter column (never the vector — the whole point
-        # of counting mass instead of reading candidates)
+        # ONLY the filter column — or nothing at all when unfiltered
+        # (never the vector — the whole point of counting mass
+        # instead of reading candidates)
         self.last_mass_scan = mass_scan
+        grp = ["_cell"] + ([filter_col] if filter_col else [])
         cnt = (mass_scan
-               .groupBy("_cell", filter_col)
+               .groupBy(*grp)
                .agg(F.count("*").alias("_n"))
                .collect())
-        mass = {(r[filter_col], int(r["_cell"])): int(r["_n"])
+        mass = {((r[filter_col] if filter_col else None),
+                 int(r["_cell"])): int(r["_n"])
                 for r in cnt}
         out = {}
         for r in rows:
-            qid, f = int(r["query_id"]), r["_qf"]
+            qid = int(r["query_id"])
+            f = r["_qf"] if filter_col else None
             ring = self.probe_cells(list(r["_qv"]), self.n_cells)
             total = sum(mass.get((f, c), 0) for c in ring)
             if total <= int(brute_force_threshold):
@@ -1374,8 +1398,10 @@ class StoredIvfIndex:
 
         from pyspark.sql import Window
 
-        assert self.pq_m and self.pq_codebook, "build with pq_m first"
-        assert rerank >= k, (rerank, k)
+        if not (self.pq_m and self.pq_codebook):
+            raise ValueError("probe_batch_adc requires a pq_m build")
+        if rerank < k:
+            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
         ds = self.dim // self.pq_m
@@ -1384,7 +1410,6 @@ class StoredIvfIndex:
         cents_q = self.centroids_q if self.pq_residual else None
         esc = None
         if min_results is not None:
-            assert filter_col, "min_results requires filter_col"
             # guaranteed-k stage-1 candidates (see probe_batch):
             # ≥ min_results stratum rows enter the ADC ranking, so
             # the shortlist — and hence the exact re-rank — can
@@ -1563,15 +1588,16 @@ class StoredIvfIndex:
 
         from pyspark.sql import Window
 
-        assert self.sq_int8, "build with sq_int8 first"
-        assert rerank == 0 or rerank >= k, (rerank, k)
+        if not self.sq_int8:
+            raise ValueError("probe_batch_sq requires an sq_int8 build")
+        if rerank != 0 and rerank < k:
+            raise ValueError(f"rerank ({rerank}) must be 0 or >= k ({k})")
         idc = id_col or self.id_col
         vcc = vec_col or self.vec_col
         rows, qf_df = self._collect_queries(
             queries, idc, vcc, filter_col, query_filter_col)
         esc = None
         if min_results is not None:
-            assert filter_col, "min_results requires filter_col"
             esc = self._escalation_cells(
                 rows, nprobe, min_results, brute_force_threshold,
                 filter_col, exclude_epoch, as_of_epoch)

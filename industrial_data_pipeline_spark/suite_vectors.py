@@ -1747,6 +1747,88 @@ REGISTRY_VECTORS.update({
 })
 
 
+# ------- q299 UNFILTERED guaranteed-k (VERDICT r12 item 4: the
+# ------- same escalation contract with no filter column — the
+# ------- under-delivery corner is probed cells EMPTIED by
+# ------- retraction on a skewed index)
+
+def q_unfiltered_guaranteed_k(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """``probe_batch(min_results=k)`` with NO ``filter_col``: build
+    on 250 vectors, then retract every id except ``vec_id % 9 = 2``
+    (28 survivors) — most of the 16 cells are now EMPTY, so a plain
+    ``nprobe=1`` probe whose top cell was emptied silently returns
+    fewer than k (often zero). With ``min_results=10`` the
+    escalation counts per-cell TOTAL mass from the partition column
+    alone (the mass scan reads NO data columns — row counts come
+    from parquet footers), sees total 28 ≤ brute_force_threshold,
+    and probes exactly the non-empty cells: the result is the EXACT
+    top-k over the surviving corpus, full k per query. The oracle
+    needs no routing CTEs: survivors + self-exclusion + the
+    unrounded-cosine rank. The plain-probe under-delivery contrast
+    and the no-data-columns mass-scan plan are pinned in
+    tests/test_similarity.py / tests/test_plans.py."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.suite_llm import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.where(F.col("vec_id") < 250) \
+        .select("vec_id", v.alias("_v"))
+    qs = (base.where((F.col("vec_id") % 9 == 2)
+                     & (F.col("vec_id") < 30))
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("_v").alias("_qv"))
+          .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q299_")
+    try:
+        idx = StoredIvfIndex(spark, root, id_col="vec_id",
+                             vec_col="_v", n_cells=16)
+        idx.build(base)
+        idx.retract([i for i in range(250) if i % 9 != 2])
+        out = (idx.probe_batch(qs, k=10, nprobe=1, id_col="qid",
+                               vec_col="_qv", min_results=10)
+               .select("query_id", "vec_id",
+                       (F.col("cosine_sim") + F.lit(0.0))
+                       .alias("cosine_sim"), "rk")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_unfiltered_guaranteed_k() -> str:
+    from industrial_data_pipeline_spark.suite_llm import _COS
+
+    cos = _COS.format(a="cc.v", b="q.qv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 250 AND vec_id % 9 = 2),
+q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 30),
+cand AS (SELECT q.qid, cc.vec_id, {cos} AS cs
+         FROM c cc CROSS JOIN q
+         WHERE cc.vec_id <> q.qid)
+SELECT qid AS query_id, vec_id,
+       round(cs, 6) + 0.0 AS cosine_sim, rk
+FROM (SELECT qid, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cs DESC, vec_id)
+                  AS INT) AS rk
+      FROM cand)
+WHERE rk <= 10
+"""
+
+
+REGISTRY_VECTORS.update({
+    "q299_unfiltered_guaranteed_k": (q_unfiltered_guaranteed_k,
+                                     _oracle_unfiltered_guaranteed_k()),
+})
+
+
 # ------- q290 int8-only fast path recall A/B (rerank=0 — the
 # ------- VERDICT r11 stretch, the q276 pattern on the warm tier)
 

@@ -803,3 +803,61 @@ def test_ivf_adc_probe_plans_prune_columns_and_ids(spark, tmp_path):
     exact = idx.probe_batch(qs, k=5, nprobe=2).collect()
     assert {(r.query_id, r.vec_id, r.rk) for r in adc} \
         == {(r.query_id, r.vec_id, r.rk) for r in exact}
+
+
+def test_unfiltered_guaranteed_k_after_retraction(spark, tmp_path):
+    """q299's contract (VERDICT r12 item 4): with NO filter column,
+    min_results escalates on per-cell TOTAL mass. Constructed
+    corner: 64 one-hot vectors in 8 directions → cell i%8; retract
+    everything except direction 2 — cells 0,1,3..7 are now EMPTY,
+    so a plain nprobe=1 probe aimed at direction 5 returns ZERO
+    rows; with min_results=5 the routing brute-forces the surviving
+    cells and returns the exact top-k, and the mass scan reads NO
+    data columns at all (counts come from the partition listing +
+    parquet footers)."""
+    import re
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    def onehot(d, jig=0.0):
+        v = [0.0] * 8
+        v[d] = 1.0
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, onehot(i % 8)) for i in range(64)],
+        "vec_id long, embedding array<double>")
+    idx = StoredIvfIndex(spark, str(tmp_path / "ugk"), n_cells=8)
+    idx.build(corpus)
+    idx.retract([i for i in range(64) if i % 8 != 2])
+
+    queries = spark.createDataFrame(
+        [(1000, onehot(5))], "vec_id long, embedding array<double>")
+    # plain probe: the probed cell was emptied by retraction →
+    # silent under-delivery (zero rows)
+    assert idx.probe_batch(queries, k=5, nprobe=1).count() == 0
+    # guaranteed-k: full k, exact top-k over the 8 survivors
+    out = idx.probe_batch(queries, k=5, nprobe=1, min_results=5)
+    got = [(r.query_id, r.vec_id, r.rk) for r in
+           sorted(out.collect(), key=lambda r: r.rk)]
+    # survivors are orthogonal to the query (cos 0) → vec_id order
+    assert got == [(1000, 2 + 8 * j, j + 1) for j in range(5)], got
+    # plan: ONE scan, pruned to exactly the surviving cell
+    p = plan(out)
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE)
+    assert len(scans) == 1, p
+    m = re.search(r"PartitionFilters: \[.*_cell.*\]", p)
+    assert m, p
+    cf = re.search(r"_cell#?\d*\)? (?:IN \(([^)]*)\)|= (\d+))",
+                   m.group(0))
+    assert cf, m.group(0)
+    listed = set(map(int, re.findall(
+        r"\d+", cf.group(1) or cf.group(2))))
+    assert listed == {2}, m.group(0)
+    # the mass scan reads no data columns — ReadSchema is empty
+    mass_plan = plan(idx.last_mass_scan)
+    rs = re.search(r"ReadSchema: ([^\n]*)", mass_plan)
+    assert rs and rs.group(1).strip() == "struct<>", mass_plan
