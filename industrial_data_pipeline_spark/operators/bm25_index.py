@@ -12,7 +12,10 @@ Layout under ``root/``::
     _bm25_meta.json    {id_col, text_col, n_buckets, k1, b,
                         max_records_per_file}
     postings/_epoch=<e>/_tb=<b>/   (parquet) term string,
-                        doc_id long, tf long, dl long —
+                        doc_id long, tf long, dl long,
+                        pos array<int> (0-based token positions,
+                        sorted — read ONLY by phrase_probe; BM25
+                        probes column-prune it away) —
                         files (term, doc_id)-sorted
     doclen/_epoch=<e>/ (parquet) doc_id long, dl long —
                         doc_id-sorted
@@ -94,7 +97,7 @@ class StoredBm25Index:
     """See module docstring."""
 
     POSTINGS_SCHEMA = ("term string, doc_id long, tf long, dl long,"
-                       " _epoch int, _tb int")
+                       " pos array<int>, _epoch int, _tb int")
     DOCLEN_SCHEMA = "doc_id long, dl long, _epoch int"
 
     def __init__(self, spark: SparkSession, root: str,
@@ -184,9 +187,19 @@ class StoredBm25Index:
                              F.size("_toks").alias("dl"))
         postings = (docs
                     .select("doc_id", F.size("_toks").alias("dl"),
-                            F.explode("_toks").alias("term"))
+                            F.posexplode("_toks")
+                            .alias("_p", "term"))
                     .groupBy("term", "doc_id", "dl")
-                    .agg(F.count("*").alias("tf"))
+                    .agg(F.count("*").alias("tf"),
+                         # POSITIONAL postings (VERDICT r12 stretch):
+                         # 0-based token positions, sort_array
+                         # canonicalizes collect_list's partition
+                         # order so the stored bytes are
+                         # deterministic. BM25 probes never read
+                         # this column (column pruning drops it at
+                         # the scan) — only phrase_probe pays for it.
+                         F.sort_array(F.collect_list(
+                             F.col("_p").cast("int"))).alias("pos"))
                     .withColumn("_tb",
                                 (hash64(F.col("term"))
                                  % F.lit(self.n_buckets))
@@ -322,6 +335,75 @@ class StoredBm25Index:
                              "analyzable term")
         return self._score(F.broadcast(qpairs), vocab, k, round_dp,
                            exclude_epoch, as_of_epoch)
+
+    def phrase_probe(self, queries: dict[int, str], k: int = 10,
+                     exclude_epoch: int | None = None,
+                     as_of_epoch: int | None = None) -> DataFrame:
+        """EXACT-PHRASE retrieval over the positional postings
+        (VERDICT r12 stretch — the lexical feature a RAG user hits
+        right after analyzers): a document matches when the phrase's
+        tokens appear at CONSECUTIVE positions, in order. Returns
+        (query_id, doc_id, n_occ, rank) — n_occ the number of
+        phrase occurrences, rank 1.. by (n_occ desc, doc_id),
+        matches only (n_occ ≥ 1), capped at ``k``.
+
+        Mechanics (the classic anchor trick, fully relational so the
+        oracle replays it in SQL): phrase token i at doc position p
+        votes for anchor a = p − i; an anchor with ALL phrase
+        indices voting (count distinct i = phrase length — distinct,
+        so a repeated token like 'a b a' can't double-vote one slot)
+        is one occurrence starting at a. The scan is the SAME
+        bucket-partition + term-IN-list pruned postings scan as
+        :meth:`probe` — positions ride the already-pruned rows, the
+        one extra column only phrase probes ever read. Positions
+        from multiple epochs of a re-appended doc_id are
+        distinct-merged per (doc_id) before anchoring (the stored
+        corpus is a set of (doc, position, term) facts; exact dedup
+        of re-appends stays the ingest pipeline's job)."""
+        from pyspark.sql import Window
+
+        qterms = [(qid, i, t)
+                  for qid, qs in sorted(queries.items())
+                  for i, t in enumerate(self._tokenize_py(qs))]
+        if not qterms:
+            raise ValueError("queries must contain at least one "
+                             "analyzable term")
+        vocab = sorted({t for _, _, t in qterms})
+        buckets = sorted({py_hash64(t) % self.n_buckets
+                          for t in vocab})
+        post = (self._scan(self._postings_path,
+                           self.POSTINGS_SCHEMA,
+                           exclude_epoch, as_of_epoch)
+                .where(F.col("_tb").isin(buckets))
+                .where(F.col("term").isin(vocab)))
+        self.last_postings_scan = post
+        merged = (post.groupBy("term", "doc_id")
+                  .agg(F.array_distinct(F.sort_array(F.flatten(
+                      F.collect_list("pos")))).alias("_pos")))
+        qdf = self.spark.createDataFrame(
+            qterms, "query_id long, _idx int, term string")
+        mdf = self.spark.createDataFrame(
+            [(qid, len({i for q2, i, _ in qterms if q2 == qid}))
+             for qid in sorted({q2 for q2, _, _ in qterms})],
+            "query_id long, _m long")
+        anchors = (merged
+                   .join(F.broadcast(qdf), "term")
+                   .select("query_id", "doc_id", "_idx",
+                           F.explode("_pos").alias("_p"))
+                   .select("query_id", "doc_id",
+                           (F.col("_p") - F.col("_idx")).alias("_a"),
+                           "_idx")
+                   .groupBy("query_id", "doc_id", "_a")
+                   .agg(F.count_distinct("_idx").alias("_nn")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("n_occ"), F.col("doc_id"))
+        return (anchors
+                .join(F.broadcast(mdf), "query_id")
+                .where(F.col("_nn") == F.col("_m"))
+                .groupBy("query_id", "doc_id")
+                .agg(F.count("*").alias("n_occ"))
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
 
     def _score(self, qdf: DataFrame, vocab: list[str], k: int,
                round_dp: int, exclude_epoch: int | None,

@@ -20,6 +20,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from industrial_data_pipeline_spark.suite_common import events_stream
 
+#: observability (VERDICT r12 item 7): the EXECUTED micro-batch
+#: physical plan of each memory-sink run, keyed by sink table name —
+#: captured right after awaitTermination from the terminated query's
+#: last execution (StreamingQuery.explain's own source), because a
+#: batch read-back of the sink can never show the stream-stream join
+#: / watermark operators the run actually executed.
+#: tools/explain_dump.py folds these into EXPLAINS.md.
+LAST_STREAM_PLANS: dict[str, str] = {}
+
+
+def _capture_stream_plan(q, table_name: str) -> None:
+    """Best-effort plan capture — never fails the flow (the plan is
+    evidence, not behavior)."""
+    try:
+        LAST_STREAM_PLANS[table_name] = q._jsq.explainInternal(False)
+    except Exception:  # noqa: BLE001
+        pass
+
 
 def hourly_event_counts_stream(
         spark: SparkSession, sf_dir: str,
@@ -42,6 +60,7 @@ def hourly_event_counts_stream(
     q = (agg.writeStream.format("memory").queryName(table_name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+    _capture_stream_plan(q, table_name)
     return spark.table(table_name)
 
 
@@ -155,6 +174,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     q = (sessions.writeStream.format("memory").queryName(table_name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
+    _capture_stream_plan(q, table_name)
     return spark.table(table_name)
 
 
@@ -185,6 +205,7 @@ def enriched_counts_stream(
     q = (agg.writeStream.format("memory").queryName(table_name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+    _capture_stream_plan(q, table_name)
     return spark.table(table_name)
 
 
@@ -223,6 +244,7 @@ def session_window_stream(
     q = (agg.writeStream.format("memory").queryName(table_name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+    _capture_stream_plan(q, table_name)
     return spark.table(table_name)
 
 
@@ -263,6 +285,7 @@ def stream_stream_attribution(
     q = (out.writeStream.format("memory").queryName(table_name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
+    _capture_stream_plan(q, table_name)
     return spark.table(table_name)
 
 
@@ -323,6 +346,7 @@ def watermark_drop_accounting(
         q = (agg.writeStream.format("memory").queryName(table_name)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
+        _capture_stream_plan(q, table_name)
         # eager checkpoint so the result survives the staging cleanup
         return spark.table(table_name).localCheckpoint(eager=True)
     finally:

@@ -1617,6 +1617,91 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q301 PHRASE probe on the positional BM25 asset (VERDICT r12
+# -- stretch): exact-adjacency retrieval via the anchor trick, fully
+# -- relational so the oracle replays it — probe still bucket-pruned
+
+#: phrases chosen to exercise the corners: a plain bigram, a
+#: REPEATED-token bigram (one term voting two phrase slots — the
+#: distinct-index guard), and a trigram
+_Q301_PHRASES = {0: "merge batch",
+                 1: "table table",
+                 2: "the line sort"}
+
+
+def q_bm25_phrase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StoredBm25Index.phrase_probe (operators/bm25_index.py): the
+    postings carry 0-based token positions (the classic positional-
+    postings trade — BM25 probes column-prune them away; only phrase
+    probes read them), and exact-phrase matching is the anchor
+    trick: phrase token i at position p votes for anchor p − i; an
+    anchor with all |phrase| distinct indices voting is one
+    occurrence. Same build<100 + epoch-0-append lifecycle and the
+    SAME bucket + term-IN pruned scan as q293 — adjacency costs one
+    extra pruned column, never a rescan. The oracle replays
+    positions (UNNEST over range), anchors and the distinct-index
+    vote in SQL."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="idp_q301_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B)
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where((F.col("doc_id") >= 100)
+                              & (F.col("doc_id") < 150)),
+                   epoch_id=0)
+        out = (idx.phrase_probe(_Q301_PHRASES, k=BM25_K)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_bm25_phrase_probe() -> str:
+    qterms = [(qid, i, t)
+              for qid, qs in sorted(_Q301_PHRASES.items())
+              for i, t in enumerate(qs.lower().split())]
+    vals = ", ".join(f"(CAST({qid} AS BIGINT), {i}, '{t}')"
+                     for qid, i, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, _, t in qterms}))
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS tk
+              FROM (SELECT doc_id, lower(text) AS text
+                    FROM documents WHERE doc_id < 150)),
+tok AS (SELECT doc_id, r.i - 1 AS p, tk[r.i] AS t
+        FROM docs, UNNEST(range(1, len(tk) + 1)) AS r(i)),
+q(query_id, idx, t) AS (SELECT * FROM (VALUES {vals})),
+m AS (SELECT query_id, count(*) AS m FROM q GROUP BY 1),
+anch AS (SELECT q.query_id, tok.doc_id, tok.p - q.idx AS a,
+                count(DISTINCT q.idx) AS nn
+         FROM tok JOIN q ON q.t = tok.t
+         WHERE tok.t IN ({vocab})
+         GROUP BY 1, 2, 3),
+occ AS (SELECT a.query_id, a.doc_id, count(*) AS n_occ
+        FROM anch a JOIN m ON m.query_id = a.query_id
+        WHERE a.nn = m.m GROUP BY 1, 2)
+SELECT query_id, doc_id, n_occ, rank FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY n_occ DESC, doc_id) AS INT)
+         AS rank
+     FROM occ)
+WHERE rank <= {BM25_K}
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q301_bm25_phrase_probe": (q_bm25_phrase_probe,
+                               _oracle_bm25_phrase_probe()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are

@@ -224,3 +224,42 @@ def test_probe_frames_matches_probe(spark, tmp_path):
     with __import__("pytest").raises(ValueError):
         idx.probe_frames(spark.createDataFrame(
             [(9, "«—»")], "query_id long, query_text string"))
+
+
+def test_phrase_probe_semantics(spark, tmp_path):
+    """Positional postings + the anchor trick (q301): exact
+    adjacency in order, repeated-token phrases can't double-vote one
+    slot, occurrences count per starting anchor, re-appended epochs
+    distinct-merge positions, and the scan stays bucket-pruned."""
+    import re
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"),        # "a b" twice; "b a" once
+         (2, "a a a"),            # "a a" twice (overlapping)
+         (3, "b c a"),            # "a b" never (wrong order)
+         (4, "x a y b")],         # "a b" never (not adjacent)
+        "doc_id long, text string")
+    idx = StoredBm25Index(spark, str(tmp_path / "ph"), n_buckets=8)
+    idx.build(docs)
+
+    def got(q, **kw):
+        return sorted((r.query_id, r.doc_id, r.n_occ, r.rank)
+                      for r in idx.phrase_probe(q, **kw).collect())
+
+    assert got({0: "a b"}) == [(0, 1, 2, 1)]
+    assert got({0: "a a"}) == [(0, 2, 2, 1)]
+    assert got({0: "b a"}) == [(0, 1, 1, 1)]
+    assert got({0: "a b c"}) == [(0, 1, 1, 1)]
+    assert got({0: "c x"}) == []
+    # pruning: the phrase scan lists only the probed terms' buckets
+    p = _plan(idx.last_postings_scan)
+    assert re.search(r"PartitionFilters: \[.*_tb.*\]", p), p
+    # re-appending the same doc in a later epoch must not double
+    # occurrences (positions distinct-merge per doc)
+    idx.append(docs.where("doc_id = 1"), epoch_id=0)
+    assert got({0: "a b"}) == [(0, 1, 2, 1)]
+    # as-of still sees the phrase; ranking caps at k
+    assert got({0: "a b"}, as_of_epoch=-1) == [(0, 1, 2, 1)]

@@ -733,12 +733,16 @@ def main() -> None:
         "them.",
         "",
     ]
+    from industrial_data_pipeline_spark.streaming.queries import (
+        LAST_STREAM_PLANS)
+
     for name, why in PICKS:
         fn, _ = REGISTRY[name]
         overrides = PICK_CONF.get(name, {})
         saved = {k: spark.conf.get(k) for k in overrides}
         for k, v in overrides.items():
             spark.conf.set(k, v)
+        stream_keys_before = set(LAST_STREAM_PLANS)
         try:
             with _CheckpointSpy() as spy:
                 df = fn(spark, SF)
@@ -747,6 +751,16 @@ def main() -> None:
             for k, v in saved.items():
                 spark.conf.set(k, v)
         out += [f"## {name}", "", why, "", "```", plan, "```", ""]
+        # memory-sink streaming flows dump only the batch read-back of
+        # the sink — append the EXECUTED micro-batch plan captured at
+        # awaitTermination (VERDICT r12 item 7: the stream-stream join
+        # / watermark operators live there, nowhere else)
+        for key in sorted(set(LAST_STREAM_PLANS)
+                          - stream_keys_before):
+            out += [f"### {name} — executed micro-batch plan "
+                    f"(last batch, sink `{key}`)", "",
+                    "```", LAST_STREAM_PLANS[key].rstrip(), "```",
+                    ""]
         # a checkpointed result dumps as `Scan ExistingRDD` — show
         # the real constituent stage plans captured at each
         # localCheckpoint instead (last 3 = the result-side stages;
