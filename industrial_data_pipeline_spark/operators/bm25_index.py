@@ -355,7 +355,10 @@ class StoredBm25Index:
         is one occurrence starting at a. The scan is the SAME
         bucket-partition + term-IN-list pruned postings scan as
         :meth:`probe` — positions ride the already-pruned rows, the
-        one extra column only phrase probes ever read. Positions
+        one extra column only phrase probes ever read (measured at
+        a 16× corpus: pos = 0.298 of postings bytes on disk, BM25
+        probes decode 0 of it — tools/positions_overhead_result.json
+        + the ReadSchema plan assert). Positions
         from multiple epochs of a re-appended doc_id are
         distinct-merged per (doc_id) before anchoring (the stored
         corpus is a set of (doc, position, term) facts; exact dedup

@@ -110,6 +110,11 @@ def test_stored_bm25_probe_plan_prunes(spark, tmp_path):
     for b_ in want:
         assert str(b_) in m.group(0), (want, m.group(0))
     assert re.search(r"PushedFilters: \[.*[Ii]n\(term", p), p
+    # the positional column is phrase-probe-only: the BM25 scoring
+    # plan must column-prune it out of the parquet read entirely
+    full = _plan(out)
+    schemas = re.findall(r"ReadSchema: [^\n]*", full)
+    assert schemas and all("pos:" not in s for s in schemas), schemas
 
 
 def test_analyzer_index_finds_what_raw_misses(spark, tmp_path):
