@@ -171,15 +171,20 @@ _VERIFIED_GREEN = {
 
 # Round 12 closed the q285-q296 tail (CORRECTNESS_r12: 50/50 green)
 # — moved into the green tier above. Round 13's never-checked tail
-# starts at q297 (analyzer-composed BM25 q297; probe_frames q300;
-# plus this round's later registrations) — each locally values=MATCH
+# is q297-q301 (analyzer-composed BM25 q297; snapshot-consistent
+# hybrid as-of q298; unfiltered guaranteed-k q299; BM25 probe_frames
+# q300; positional phrase probe q301) — each locally values=MATCH
 # via tools/drive_contract.py before commit. Round-13
 # behavior-adjacent changes to green queries, each re-verified
 # values=MATCH after the change: the StoredBm25Index probe refactor
 # (shared _score tail, cross-epoch posting re-aggregation per ADVICE
-# r12, analyzer-twin query tokenization) and bm25_topk's analyzer
-# parameter (default None = legacy byte-identical) → q233/q293/
-# q294/q295 re-verified together with q297/q300.
+# r12, analyzer-twin query tokenization, positional postings schema)
+# and bm25_topk's analyzer parameter → q233/q293/q294/q295 (+q300);
+# the corpus-metric one-explode fold → q278/q287/q288; the
+# min_results unfiltered lift + ValueError contracts →
+# q285/q286/q296/q280/q281; the streaming plan-capture hook →
+# q62/q66/q157/q158/q168. Full local re-sweep:
+# CORRECTNESS_LOCAL_r13.json.
 _VERIFY_FIRST: set[str] = set()
 
 
