@@ -171,9 +171,10 @@ _VERIFIED_GREEN = {
 
 # Round 12 closed the q285-q296 tail (CORRECTNESS_r12: 50/50 green)
 # — moved into the green tier above. Round 13's never-checked tail
-# is q297-q301 (analyzer-composed BM25 q297; snapshot-consistent
+# is q297-q302 (analyzer-composed BM25 q297; snapshot-consistent
 # hybrid as-of q298; unfiltered guaranteed-k q299; BM25 probe_frames
-# q300; positional phrase probe q301) — each locally values=MATCH
+# q300; positional phrase probe q301; metadata-filtered BM25 with
+# per-stratum statistics q302) — each locally values=MATCH
 # via tools/drive_contract.py before commit. Round-13
 # behavior-adjacent changes to green queries, each re-verified
 # values=MATCH after the change: the StoredBm25Index probe refactor

@@ -96,6 +96,11 @@ def py_hash64(s: str) -> int:
 class StoredBm25Index:
     """See module docstring."""
 
+    #: base schemas; doc-level metadata columns (``extra_schema``)
+    #: are DENORMALIZED into both assets — the dl trade again: a few
+    #: dictionary-encoded bytes per posting buy a filtered probe
+    #: whose label equality pushes into the parquet scan with no
+    #: join (the StoredIvfIndex extra_schema discipline)
     POSTINGS_SCHEMA = ("term string, doc_id long, tf long, dl long,"
                        " pos array<int>, _epoch int, _tb int")
     DOCLEN_SCHEMA = "doc_id long, dl long, _epoch int"
@@ -105,7 +110,8 @@ class StoredBm25Index:
                  n_buckets: int = 16, k1: float = 1.2,
                  b: float = 0.75,
                  max_records_per_file: int | None = None,
-                 analyzer: Analyzer | None = None):
+                 analyzer: Analyzer | None = None,
+                 extra_schema: str | None = None):
         self.spark = spark
         self.root = root
         self.id_col = id_col
@@ -115,6 +121,7 @@ class StoredBm25Index:
         self.b = float(b)
         self.max_records_per_file = max_records_per_file
         self.analyzer = analyzer
+        self.extra_schema = extra_schema
         self._postings_path = os.path.join(root, "postings")
         self._doclen_path = os.path.join(root, "doclen")
         #: observability: the pruned postings scan of the LAST probe
@@ -122,6 +129,48 @@ class StoredBm25Index:
         #: PartitionFilters/PushedFilters carry the bucket + term
         #: pruning this class exists for
         self.last_postings_scan: DataFrame | None = None
+
+    def _extra_entries(self) -> list[str]:
+        """``extra_schema`` split into "name type" entries (top-level
+        comma split — the StoredIvfIndex.extra_cols rule, safe for
+        nested types)."""
+        if not self.extra_schema:
+            return []
+        out, depth, cur = [], 0, []
+        for ch in self.extra_schema:
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            cur.append(ch)
+        out.append("".join(cur))
+        return [c.strip() for c in out if c.strip()]
+
+    @property
+    def extra_cols(self) -> list[str]:
+        return [e.split()[0] for e in self._extra_entries()]
+
+    def _extra_type(self, col: str) -> str:
+        for e in self._extra_entries():
+            name, typ = e.split(None, 1)
+            if name == col:
+                return typ
+        raise ValueError(f"filter_col {col!r} not among stored "
+                         f"extra_schema columns {self.extra_cols}")
+
+    def _schemas(self) -> tuple[str, str]:
+        """(postings, doclen) read schemas with the extra columns
+        spliced in before the partition columns."""
+        extra = f", {self.extra_schema}" if self.extra_schema else ""
+        p = self.POSTINGS_SCHEMA.replace(
+            ", _epoch int", f"{extra}, _epoch int")
+        d = self.DOCLEN_SCHEMA.replace(
+            ", _epoch int", f"{extra}, _epoch int")
+        return p, d
 
     @property
     def _meta_path(self) -> str:
@@ -139,7 +188,8 @@ class StoredBm25Index:
                            self.max_records_per_file,
                        "analyzer":
                            (self.analyzer.to_meta()
-                            if self.analyzer else None)}, fh)
+                            if self.analyzer else None),
+                       "extra_schema": self.extra_schema}, fh)
         os.replace(tmp, self._meta_path)
 
     @classmethod
@@ -154,7 +204,8 @@ class StoredBm25Index:
                    max_records_per_file=meta.get(
                        "max_records_per_file"),
                    analyzer=Analyzer.from_meta(
-                       meta.get("analyzer")))
+                       meta.get("analyzer")),
+                   extra_schema=meta.get("extra_schema"))
 
     # ---------------------------------------------------- lifecycle
 
@@ -180,16 +231,18 @@ class StoredBm25Index:
         mod n_buckets (pmod unnecessary: hash64 is a non-negative
         60-bit value)."""
         toks = self._tokenize(self.text_col)
+        extra = self.extra_cols
         docs = corpus.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
-            toks.alias("_toks"))
+            toks.alias("_toks"), *extra)
         doclen = docs.select("doc_id",
-                             F.size("_toks").alias("dl"))
+                             F.size("_toks").alias("dl"), *extra)
         postings = (docs
                     .select("doc_id", F.size("_toks").alias("dl"),
+                            *extra,
                             F.posexplode("_toks")
                             .alias("_p", "term"))
-                    .groupBy("term", "doc_id", "dl")
+                    .groupBy("term", "doc_id", "dl", *extra)
                     .agg(F.count("*").alias("tf"),
                          # POSITIONAL postings (VERDICT r12 stretch):
                          # 0-based token positions, sort_array
@@ -271,7 +324,9 @@ class StoredBm25Index:
     def probe(self, queries: dict[int, str], k: int = 10,
               round_dp: int = 6,
               exclude_epoch: int | None = None,
-              as_of_epoch: int | None = None) -> DataFrame:
+              as_of_epoch: int | None = None,
+              filter_col: str | None = None,
+              query_filters: dict | None = None) -> DataFrame:
         """BM25 top-``k`` per query over the persisted postings —
         byte-identical to :func:`~.text.bm25_topk` (with the same
         ``analyzer``) over the concatenation of the scanned epochs'
@@ -290,7 +345,26 @@ class StoredBm25Index:
         one combinable aggregate over the 2-long doclen rows; the
         only shuffles are the cross-epoch posting re-aggregation +
         per-(query, doc) score sum (candidate-sized, ∝ probed
-        terms' postings) and the per-query rank window."""
+        terms' postings) and the per-query rank window.
+
+        ``filter_col`` + ``query_filters`` (query_id → label) run the
+        probe METADATA-FILTERED with PER-STRATUM statistics — BM25
+        within the tenant's/language's own corpus (the q151/q280
+        pre-filter contract on the lexical asset): the label equality
+        pushes into BOTH pruned scans (the extra column is
+        denormalized into postings like dl, so no join materializes
+        non-stratum candidates), and N/avgdl/df are computed per
+        label over exactly the stratum a query retrieves from —
+        scoring as if each stratum were its own index, without
+        storing one index per stratum."""
+        filters = {}
+        if filter_col is not None:
+            self._extra_type(filter_col)  # validates
+            if query_filters is None or \
+                    set(query_filters) != set(queries):
+                raise ValueError("query_filters must map every "
+                                 "query_id to its label")
+            filters = query_filters
         qterms = sorted({(qid, t)
                          for qid, qs in queries.items()
                          for t in self._tokenize_py(qs)})
@@ -298,17 +372,28 @@ class StoredBm25Index:
             raise ValueError("queries must contain at least one "
                              "analyzable term")
         vocab = sorted({t for _, t in qterms})
-        qdf = self.spark.createDataFrame(
-            qterms, "query_id long, term string")
+        if filter_col is None:
+            qdf = self.spark.createDataFrame(
+                qterms, "query_id long, term string")
+            labels = None
+        else:
+            qdf = self.spark.createDataFrame(
+                [(qid, t, filters[qid]) for qid, t in qterms],
+                f"query_id long, term string,"
+                f" _qf {self._extra_type(filter_col)}")
+            labels = sorted({v for v in filters.values()})
         return self._score(F.broadcast(qdf), vocab, k, round_dp,
-                           exclude_epoch, as_of_epoch)
+                           exclude_epoch, as_of_epoch,
+                           filter_col=filter_col, labels=labels)
 
     def probe_frames(self, queries: DataFrame, k: int = 10,
                      round_dp: int = 6,
                      exclude_epoch: int | None = None,
                      as_of_epoch: int | None = None,
                      id_col: str = "query_id",
-                     text_col: str = "query_text") -> DataFrame:
+                     text_col: str = "query_text",
+                     filter_col: str | None = None,
+                     query_filter_col: str | None = None) -> DataFrame:
         """:meth:`probe` for a DataFrame of queries — the
         ``probe_batch`` symmetry the IVF side already has (VERDICT
         r12 item 5: a 100k-query eval batch shouldn't live in a
@@ -316,16 +401,22 @@ class StoredBm25Index:
         :meth:`_tokenize` expression the build wrote (and
         :meth:`probe`'s driver twin replays), so the three paths
         can never diverge; the driver collects only the DISTINCT
-        analyzed terms (bounded like the ANN probe keys — needed to
-        compute the bucket list and push the term IN-list), never
-        the query rows. Output is byte-identical to :meth:`probe`
-        over the dict form of the same queries (q300 shares q293's
-        oracle verbatim)."""
-        qpairs = (queries
-                  .select(F.col(id_col).cast("long")
-                          .alias("query_id"),
-                          F.explode(self._tokenize(text_col))
-                          .alias("term"))
+        analyzed terms and (when filtering) labels (bounded like the
+        ANN probe keys — needed to compute the bucket list and push
+        the term/label IN-lists), never the query rows. Output is
+        byte-identical to :meth:`probe` over the dict form of the
+        same queries (q300 shares q293's oracle verbatim).
+        ``filter_col`` + ``query_filter_col`` (a label column on the
+        QUERY frame; defaults to ``filter_col``) run the
+        per-stratum-statistics filtered probe — :meth:`probe`'s
+        contract with the labels riding the query frame."""
+        sel = [F.col(id_col).cast("long").alias("query_id"),
+               F.explode(self._tokenize(text_col)).alias("term")]
+        if filter_col is not None:
+            self._extra_type(filter_col)  # validates
+            qfc = query_filter_col or filter_col
+            sel.append(F.col(qfc).alias("_qf"))
+        qpairs = (queries.select(*sel)
                   .distinct()
                   .localCheckpoint(eager=True))
         vocab = sorted({r["term"] for r in
@@ -333,8 +424,13 @@ class StoredBm25Index:
         if not vocab:
             raise ValueError("queries must contain at least one "
                              "analyzable term")
+        labels = None
+        if filter_col is not None:
+            labels = sorted({r["_qf"] for r in qpairs.select("_qf")
+                             .distinct().collect()})
         return self._score(F.broadcast(qpairs), vocab, k, round_dp,
-                           exclude_epoch, as_of_epoch)
+                           exclude_epoch, as_of_epoch,
+                           filter_col=filter_col, labels=labels)
 
     def phrase_probe(self, queries: dict[int, str], k: int = 10,
                      exclude_epoch: int | None = None,
@@ -375,7 +471,7 @@ class StoredBm25Index:
         buckets = sorted({py_hash64(t) % self.n_buckets
                           for t in vocab})
         post = (self._scan(self._postings_path,
-                           self.POSTINGS_SCHEMA,
+                           self._schemas()[0],
                            exclude_epoch, as_of_epoch)
                 .where(F.col("_tb").isin(buckets))
                 .where(F.col("term").isin(vocab)))
@@ -410,20 +506,29 @@ class StoredBm25Index:
 
     def _score(self, qdf: DataFrame, vocab: list[str], k: int,
                round_dp: int, exclude_epoch: int | None,
-               as_of_epoch: int | None) -> DataFrame:
+               as_of_epoch: int | None,
+               filter_col: str | None = None,
+               labels: list | None = None) -> DataFrame:
         """Shared scoring tail of both probe forms: pruned postings
         scan → cross-epoch re-aggregation → df/stats → saturated
         contribution sum → per-query rank. ``qdf`` is the
-        (query_id, term) pair frame, already broadcast-marked."""
+        (query_id, term[, _qf]) pair frame, already broadcast-marked.
+        With ``filter_col``: the batch's label IN-list pushes into
+        BOTH scans (the denormalized column — no join materializes
+        non-stratum rows), df counts per (term, label), and (N,
+        avgdl) aggregate per label (|labels| rows, broadcast), so
+        every query scores against exactly its stratum's statistics."""
         from pyspark.sql import Window
 
+        pschema, dschema = self._schemas()
         buckets = sorted({py_hash64(t) % self.n_buckets
                           for t in vocab})
-        post = (self._scan(self._postings_path,
-                           self.POSTINGS_SCHEMA,
+        post = (self._scan(self._postings_path, pschema,
                            exclude_epoch, as_of_epoch)
                 .where(F.col("_tb").isin(buckets))
                 .where(F.col("term").isin(vocab)))
+        if filter_col:
+            post = post.where(F.col(filter_col).isin(labels))
         self.last_postings_scan = post
         # ADVICE r12: a doc_id re-appended in a later epoch keeps
         # per-epoch posting rows on disk — re-aggregate by (term,
@@ -433,13 +538,21 @@ class StoredBm25Index:
         # is equal; a changed-dl re-append stays split on both
         # sides). Candidate-sized shuffle: only the probed terms'
         # postings reach it.
-        post = (post.groupBy("term", "doc_id", "dl")
+        strat = [filter_col] if filter_col else []
+        post = (post.groupBy("term", "doc_id", "dl", *strat)
                 .agg(F.sum("tf").alias("tf")))
-        dfreq = post.groupBy("term").agg(F.count("*").alias("_df"))
-        stats = (self._scan(self._doclen_path, self.DOCLEN_SCHEMA,
-                            exclude_epoch, as_of_epoch)
-                 .agg(F.count("*").alias("_n_docs"),
-                      F.avg("dl").alias("_avgdl")))
+        dfreq = (post.groupBy("term", *strat)
+                 .agg(F.count("*").alias("_df")))
+        dscan = self._scan(self._doclen_path, dschema,
+                           exclude_epoch, as_of_epoch)
+        if filter_col:
+            stats = (dscan.where(F.col(filter_col).isin(labels))
+                     .groupBy(filter_col)
+                     .agg(F.count("*").alias("_n_docs"),
+                          F.avg("dl").alias("_avgdl")))
+        else:
+            stats = dscan.agg(F.count("*").alias("_n_docs"),
+                              F.avg("dl").alias("_avgdl"))
         idf = F.log(F.lit(1.0)
                     + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
                     / (F.col("_df") + F.lit(0.5)))
@@ -453,10 +566,16 @@ class StoredBm25Index:
             round_dp)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("bm25"), F.col("doc_id"))
-        return (post
-                .join(qdf, "term")
-                .join(F.broadcast(dfreq), "term")
-                .crossJoin(F.broadcast(stats))
+        out = post.join(qdf, "term")
+        if filter_col:
+            # per-query stratum equality (the broadcast join above
+            # already narrowed to the batch's labels; this pins each
+            # query to ITS label)
+            out = out.where(F.col(filter_col) == F.col("_qf"))
+        out = out.join(F.broadcast(dfreq), ["term", *strat])
+        out = (out.join(F.broadcast(stats), strat) if filter_col
+               else out.crossJoin(F.broadcast(stats)))
+        return (out
                 .groupBy("query_id", "doc_id")
                 .agg(F.round(F.sum(contrib), round_dp)
                      .alias("bm25"))
@@ -473,13 +592,17 @@ class StoredBm25Index:
                  lease_timeout_s: float) -> dict:
         prepare = ((lambda df: df.withColumn("_epoch", F.lit(-1)))
                    if fold else None)
+        # the EXTENDED schemas: a rewrite reading the base schema on
+        # an extra_schema index would silently drop the metadata
+        # columns from the swapped-in files
+        pschema, dschema = self._schemas()
         return rewrite_under_lease(
             self.spark, self.root,
             ((self._postings_path, ("_tb", "term", "doc_id"),
-              ("_epoch", "_tb"), self.POSTINGS_SCHEMA,
+              ("_epoch", "_tb"), pschema,
               self.max_records_per_file),
              (self._doclen_path, ("doc_id",), ("_epoch",),
-              self.DOCLEN_SCHEMA, self.max_records_per_file)),
+              dschema, self.max_records_per_file)),
             keep=keep, prepare=prepare,
             lease_timeout_s=lease_timeout_s)
 

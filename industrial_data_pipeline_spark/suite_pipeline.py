@@ -1702,6 +1702,111 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q302 METADATA-FILTERED BM25 with per-stratum statistics: the
+# -- q151/q280 pre-filter contract on the LEXICAL asset — BM25 within
+# -- the tenant's/language's own corpus, label pushed into both scans
+
+#: per-query stratum labels (doc_id % 3 — every query retrieves from
+#: a different third of the corpus, with that third's OWN N/avgdl/df)
+_Q302_FILTERS = {0: 0, 1: 1, 2: 2}
+
+
+def q_filtered_bm25_probe(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """StoredBm25Index.probe(filter_col=, query_filters=)
+    (operators/bm25_index.py): the label column is DENORMALIZED into
+    both assets at build (the dl trade again — dictionary-encoded
+    bytes buy a filter that pushes into the parquet scan, no join
+    materializes non-stratum candidates), and the statistics are
+    PER-STRATUM: N/avgdl aggregate per label over doclen, df counts
+    per (term, label) — each query scores as if its stratum were its
+    own index, without storing one index per stratum. Same build<100
+    + epoch-0-append lifecycle; the oracle replays the per-label
+    stats chain. Per-stratum == sub-corpus-index parity is pinned in
+    tests/test_bm25_index.py::test_filtered_probe_per_stratum_stats
+    (including through retract + compact, which must carry the
+    metadata column)."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = (_load_docs(spark, sf_dir)
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", "text",
+                    (F.col("doc_id") % 3).cast("int").alias("lbl")))
+    root = tempfile.mkdtemp(prefix="idp_q302_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B,
+                              extra_schema="lbl int")
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        out = (idx.probe(BM25_QUERIES, k=BM25_K, filter_col="lbl",
+                         query_filters=_Q302_FILTERS)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_filtered_bm25_probe() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    qterms = sorted({(qid, t)
+                     for qid, qs in BM25_QUERIES.items()
+                     for t in qs.lower().split()})
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}',"
+        f" CAST({_Q302_FILTERS[qid]} AS INT))"
+        for qid, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, t in qterms}))
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS tk,
+                     CAST(doc_id % 3 AS INT) AS lbl
+              FROM (SELECT doc_id, lower(text) AS text
+                    FROM documents WHERE doc_id < 150)),
+q(query_id, t, lbl) AS (SELECT * FROM (VALUES {vals})),
+stats AS (SELECT lbl, count(*) AS n_docs, avg(len(tk)) AS avgdl
+          FROM docs GROUP BY 1),
+posting AS (SELECT doc_id, dl, lbl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(tk) AS dl, lbl,
+                         unnest(tk) AS t
+                  FROM docs)
+            WHERE t IN ({vocab})
+            GROUP BY 1, 2, 3, 4),
+dfreq AS (SELECT t, lbl, count(*) AS df FROM posting
+          GROUP BY 1, 2),
+scored AS (SELECT q.query_id, p.doc_id,
+                  round(sum(round(
+                      ln(1.0 + ((s.n_docs - d.df)::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5))
+                      * (p.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                      / (p.tf + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * p.dl / s.avgdl)), 6)), 6) AS bm25
+           FROM posting p
+           JOIN q ON q.t = p.t AND q.lbl = p.lbl
+           JOIN dfreq d ON d.t = p.t AND d.lbl = p.lbl
+           JOIN stats s ON s.lbl = q.lbl
+           GROUP BY 1, 2)
+SELECT query_id, doc_id, bm25, rank FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+         AS rank
+     FROM scored)
+WHERE rank <= {BM25_K}
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q302_filtered_bm25_probe": (q_filtered_bm25_probe,
+                                 _oracle_filtered_bm25_probe()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are

@@ -268,3 +268,68 @@ def test_phrase_probe_semantics(spark, tmp_path):
     assert got({0: "a b"}) == [(0, 1, 2, 1)]
     # as-of still sees the phrase; ranking caps at k
     assert got({0: "a b"}, as_of_epoch=-1) == [(0, 1, 2, 1)]
+
+
+def test_filtered_probe_per_stratum_stats(spark, tmp_path):
+    """Metadata-filtered BM25 (q302): a filtered probe must score as
+    if the query's stratum were ITS OWN index — per-label N/avgdl/df
+    — so for every label it equals bm25_topk over exactly that
+    stratum's sub-corpus; the label rides both assets denormalized
+    (compact/retract must preserve it), and probe_frames carries the
+    labels on the query frame."""
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.text import (
+        bm25_topk)
+
+    docs = _docs(spark).select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("int")
+        .alias("lbl"))
+    idx = StoredBm25Index(spark, str(tmp_path / "fl"), n_buckets=8,
+                          extra_schema="lbl int")
+    idx.build(docs.where("doc_id < 30"))
+    idx.append(docs.where("doc_id >= 30"), epoch_id=0)
+
+    q = {0: "spark merge", 1: "alpha batch", 2: "spark batch"}
+    qf = {0: 0, 1: 1, 2: 2}
+    got = sorted(map(tuple, idx.probe(q, k=5, filter_col="lbl",
+                                      query_filters=qf).collect()))
+    want = []
+    for qid, lbl in qf.items():
+        want += [tuple(r) for r in bm25_topk(
+            docs.where(F.col("lbl") == lbl), {qid: q[qid]},
+            k=5).collect()]
+    assert got == sorted(want) and len(got) == 15
+
+    # probe_frames symmetry: labels ride the query frame
+    qdf = spark.createDataFrame(
+        [(qid, q[qid], qf[qid]) for qid in sorted(q)],
+        "query_id long, query_text string, lbl int")
+    got2 = sorted(map(tuple, idx.probe_frames(
+        qdf, k=5, filter_col="lbl").collect()))
+    assert got2 == got
+
+    # the rewrite path must carry the metadata column: retract +
+    # compact, then the filtered probe still works and matches the
+    # shrunk strata
+    idx.retract([0, 1, 2])
+    idx.compact()
+    got3 = sorted(map(tuple, idx.probe(q, k=5, filter_col="lbl",
+                                       query_filters=qf).collect()))
+    want3 = []
+    for qid, lbl in qf.items():
+        want3 += [tuple(r) for r in bm25_topk(
+            docs.where((F.col("lbl") == lbl) & (F.col("doc_id") >= 3)),
+            {qid: q[qid]}, k=5).collect()]
+    assert got3 == sorted(want3)
+
+    # unfiltered probe on the same index unchanged by extra_schema
+    plain = sorted(map(tuple, idx.probe(Q, k=5).collect()))
+    wplain = sorted(map(tuple, bm25_topk(
+        _docs(spark).where("doc_id >= 3"), Q, k=5).collect()))
+    assert plain == wplain
+
+    with __import__("pytest").raises(ValueError):
+        idx.probe(q, k=5, filter_col="nope", query_filters=qf)
+    with __import__("pytest").raises(ValueError):
+        idx.probe(q, k=5, filter_col="lbl", query_filters={0: 0})
