@@ -174,7 +174,8 @@ _VERIFIED_GREEN = {
 # is q297-q302 (analyzer-composed BM25 q297; snapshot-consistent
 # hybrid as-of q298; unfiltered guaranteed-k q299; BM25 probe_frames
 # q300; positional phrase probe q301; metadata-filtered BM25 with
-# per-stratum statistics q302) — each locally values=MATCH
+# per-stratum statistics q302; tenant-scoped hybrid retrieval
+# q303) — each locally values=MATCH
 # via tools/drive_contract.py before commit. Round-13
 # behavior-adjacent changes to green queries, each re-verified
 # values=MATCH after the change: the StoredBm25Index probe refactor

@@ -1807,6 +1807,220 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q303 TENANT-SCOPED hybrid retrieval: q294's RRF fusion with BOTH
+# -- stored legs metadata-FILTERED to each query's stratum — the
+# -- multi-tenant RAG shape (every production store serves per-tenant
+# -- retrieval over one shared asset)
+
+def q_tenant_hybrid_retrieval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The multi-tenant capstone: ONE shared BM25 asset and ONE
+    shared IVF asset (both carrying ``lbl`` as denormalized
+    metadata), probed per-tenant — the lexical leg with q302's
+    per-stratum statistics (BM25 within the tenant's own corpus),
+    the dense leg with q280's candidate pre-filter (centroids stay
+    label-blind; the label equality evaluates on the pruned cell
+    scan) — then q294's RRF fusion. One index pair serves every
+    tenant; no per-tenant index copies, no post-filter holes. The
+    oracle replays both filtered legs (per-label stats chain +
+    label-equality routing replay) and the coalesced fusion."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from pyspark.sql import Window
+
+    docs = (_load_docs(spark, sf_dir)
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", "text",
+                    (F.col("doc_id") % 3).cast("int").alias("lbl")))
+    emb = docs.select(
+        "doc_id",
+        TX.hashed_bow_embedding(F.col("text"), 16).alias("_v"),
+        "lbl")
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qfilters = {qid + _HYB_QOFF: lbl
+                for qid, lbl in _Q302_FILTERS.items()}
+    qdf = (spark.createDataFrame(
+        [(qid, qs, qfilters[qid])
+         for qid, qs in sorted(queries.items())],
+        "qid long, qtext string, lbl int")
+        .select("qid",
+                TX.hashed_bow_embedding(F.col("qtext"), 16)
+                .alias("_qv"), "lbl")
+        .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q303_")
+    try:
+        bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
+                               n_buckets=16, k1=_BM25_K1, b=_BM25_B,
+                               extra_schema="lbl int")
+        bidx.build(docs.where(F.col("doc_id") < 100))
+        bidx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                              id_col="doc_id", vec_col="_v",
+                              n_cells=8, extra_schema="lbl int")
+        vidx.build(emb.where(F.col("doc_id") < 100))
+        vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
+
+        lex = (bidx.probe(queries, k=BM25_K, filter_col="lbl",
+                          query_filters=qfilters)
+               .select("query_id", "doc_id",
+                       F.col("rank").alias("rl")))
+        den = (vidx.probe_batch(qdf, k=BM25_K, nprobe=4,
+                                id_col="qid", vec_col="_qv",
+                                filter_col="lbl")
+               .select("query_id",
+                       F.col("vec_id").alias("doc_id"),
+                       F.col("rk").alias("rf")))
+        u = (lex.join(den, ["query_id", "doc_id"], "full")
+             .select("query_id", "doc_id",
+                     (F.coalesce(1.0 / (F.lit(_RRF60) + F.col("rl")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(_RRF60)
+                                          + F.col("rf")),
+                                   F.lit(0.0))).alias("_score"),
+                     F.col("rl").isNotNull().alias("in_lexical"),
+                     F.col("rf").isNotNull().alias("in_dense")))
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("_score"), F.col("doc_id"))
+        out = (u.withColumn("rrf_rank", F.row_number().over(wr))
+               .where(F.col("rrf_rank") <= 10)
+               .select("query_id",
+                       F.col("doc_id").alias("cand_id"), "rrf_rank",
+                       (F.col("_score") + F.lit(0.0))
+                       .alias("rrf_score"),
+                       "in_lexical", "in_dense")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_tenant_hybrid_retrieval() -> str:
+    from industrial_data_pipeline_spark.suite_llm import (
+        _COS, _demb_sql)
+
+    k1, b = _BM25_K1, _BM25_B
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qfilters = {qid + _HYB_QOFF: lbl
+                for qid, lbl in _Q302_FILTERS.items()}
+    qterms = sorted({(qid, t) for qid, qs in queries.items()
+                     for t in qs.lower().split()})
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}',"
+        f" CAST({qfilters[qid]} AS INT))"
+        for qid, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, t in qterms}))
+    qvals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{qs}',"
+        f" CAST({qfilters[qid]} AS INT))"
+        for qid, qs in sorted(queries.items()))
+    cos_b = _COS.format(a="b.v", b="seed.cv")
+    ccos = _COS.format(a="seed.cv", b="qe.v")
+    cos = _COS.format(a="cc.v", b="qe.v")
+    return f"""
+WITH docs AS (SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS lbl
+              FROM documents WHERE doc_id < 150),
+tdocs AS (SELECT doc_id, {_TOKS} AS tk, lbl
+          FROM (SELECT doc_id, lower(text) AS text, lbl FROM docs)),
+q(query_id, t, lbl) AS (SELECT * FROM (VALUES {vals})),
+stats AS (SELECT lbl, count(*) AS n_docs, avg(len(tk)) AS avgdl
+          FROM tdocs GROUP BY 1),
+posting AS (SELECT doc_id, dl, lbl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(tk) AS dl, lbl,
+                         unnest(tk) AS t
+                  FROM tdocs)
+            WHERE t IN ({vocab})
+            GROUP BY 1, 2, 3, 4),
+dfreq AS (SELECT t, lbl, count(*) AS df FROM posting GROUP BY 1, 2),
+scored AS (SELECT q.query_id, p.doc_id,
+                  round(sum(round(
+                      ln(1.0 + ((s.n_docs - d.df)::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5))
+                      * (p.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                      / (p.tf + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * p.dl / s.avgdl)), 6)), 6) AS bm25
+           FROM posting p
+           JOIN q ON q.t = p.t AND q.lbl = p.lbl
+           JOIN dfreq d ON d.t = p.t AND d.lbl = p.lbl
+           JOIN stats s ON s.lbl = q.lbl
+           GROUP BY 1, 2),
+lexleg AS (SELECT query_id AS qid, doc_id, rl FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+         AS rl
+     FROM scored)
+  WHERE rl <= {BM25_K}),
+de AS ({_demb_sql('docs')}),
+qt(qid, text, qlbl) AS (SELECT * FROM (VALUES {qvals})),
+qdocs AS (SELECT qid AS doc_id, text FROM qt),
+qe AS (SELECT e.doc_id AS qid, e.v, qt.qlbl
+       FROM ({_demb_sql('qdocs')}) e
+       JOIN qt ON qt.qid = e.doc_id),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+                     AS INT) AS cell, v AS cv
+         FROM de WHERE doc_id < 100 ORDER BY doc_id LIMIT 8),
+asg AS (SELECT doc_id, cell FROM
+         (SELECT b.doc_id, seed.cell,
+                 row_number() OVER (PARTITION BY b.doc_id
+                                    ORDER BY {cos_b} DESC,
+                                             seed.cell) AS rn
+          FROM de b CROSS JOIN seed)
+       WHERE rn = 1),
+probe AS (SELECT qid, cell FROM
+            (SELECT qe.qid, seed.cell,
+                    row_number() OVER (PARTITION BY qe.qid
+                                       ORDER BY {ccos} DESC,
+                                                seed.cell) AS pr
+             FROM seed CROSS JOIN qe)
+          WHERE pr <= 4),
+denseleg AS (SELECT qid, doc_id, rf FROM
+    (SELECT p.qid, cc.doc_id,
+            CAST(row_number() OVER (PARTITION BY p.qid
+                                    ORDER BY {cos} DESC,
+                                             cc.doc_id) AS INT)
+                AS rf
+     FROM probe p
+     JOIN asg ON asg.cell = p.cell
+     JOIN de cc ON cc.doc_id = asg.doc_id
+     JOIN docs dd ON dd.doc_id = cc.doc_id
+     JOIN qe ON qe.qid = p.qid
+     WHERE cc.doc_id <> p.qid AND dd.lbl = qe.qlbl)
+  WHERE rf <= {BM25_K}),
+fused AS (SELECT coalesce(l.qid, d.qid) AS qid,
+                 coalesce(l.doc_id, d.doc_id) AS doc_id,
+                 coalesce(1.0 / ({_RRF60} + l.rl), 0.0)
+                 + coalesce(1.0 / ({_RRF60} + d.rf), 0.0) AS score,
+                 l.rl IS NOT NULL AS in_lexical,
+                 d.rf IS NOT NULL AS in_dense
+          FROM lexleg l
+          FULL JOIN denseleg d
+            ON d.qid = l.qid AND d.doc_id = l.doc_id)
+SELECT qid AS query_id, doc_id AS cand_id, rrf_rank,
+       score + 0.0 AS rrf_score, in_lexical, in_dense
+FROM (SELECT *, CAST(row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT)
+          AS rrf_rank
+      FROM fused)
+WHERE rrf_rank <= 10
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q303_tenant_hybrid_retrieval": (q_tenant_hybrid_retrieval,
+                                     _oracle_tenant_hybrid_retrieval()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are

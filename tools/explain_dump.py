@@ -657,6 +657,44 @@ PICKS = [
      "guarantee changes which cells are listed, never the two-stage "
      "I/O shape; rerank ≥ stratum makes the exact re-rank cover the "
      "whole stratum."),
+    ("q297_analyzer_bm25_probe",
+     "Analyzer-composed BM25: the analyzed token expression "
+     "(zero-width/control strip + regexp_extract_all word runs + "
+     "lowercase/stopword/stem transforms) is a pure projection "
+     "chain folded into the build's corpus pass; the probe plan is "
+     "q293's shape unchanged — bucket PartitionFilters + In(term) "
+     "pushdown — because queries analyze DRIVER-side through the "
+     "bit-identical Python twin before any plan exists."),
+    ("q299_unfiltered_guaranteed_k",
+     "Unfiltered guaranteed-k: the probe scan lists exactly the "
+     "escalation's surviving cells as PartitionFilters (the "
+     "retraction-emptied cells are dropped); the mass-count "
+     "decision pass happens driver-side BEFORE this plan exists, "
+     "on a scan whose ReadSchema is struct<> — counts come from "
+     "partition listing + parquet footers, no data columns "
+     "(tests/test_plans.py pins both)."),
+    ("q301_bm25_phrase_probe",
+     "Positional phrase probe: SAME bucket+term-pruned postings "
+     "scan as q293, now reading the pos column (the one consumer "
+     "of it — BM25 probes column-prune it away, measured 0.298 of "
+     "postings bytes); anchors are a projection (pos − idx), "
+     "occurrences one (query, doc, anchor) count + one (query, "
+     "doc) fold — candidate-sized shuffles, no positional join "
+     "explosion."),
+    ("q302_filtered_bm25_probe",
+     "Metadata-filtered BM25: the label IN-list appears in the "
+     "postings scan's PushedFilters NEXT TO In(term) — the "
+     "denormalized metadata column filters at the scan, so no join "
+     "materializes non-stratum candidates; stats become a per-label "
+     "groupBy over doclen (|labels| rows, broadcast) and df counts "
+     "per (term, label) — per-stratum statistics at the same "
+     "pruned-I/O shape as the unfiltered probe."),
+    ("q303_tenant_hybrid_retrieval",
+     "Tenant-scoped hybrid: both legs keep their pruned shapes with "
+     "the label composed in — postings scan with In(term) AND the "
+     "label IN-list pushed, cell scan with the label equality on "
+     "the pruned partitions; the RRF fusion stays candidate-sized. "
+     "One shared index pair serves every tenant."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
