@@ -166,27 +166,20 @@ _VERIFIED_GREEN = {
     "q290_sq_rerank0_recall", "q291_cell_balance",
     "q292_recall_curve", "q293_stored_bm25_probe",
     "q294_hybrid_stored_retrieval", "q295_bm25_asof_probe",
-    "q296_guaranteed_k_adc",
+    "q296_guaranteed_k_adc", "q297_analyzer_bm25_probe",
+    "q298_hybrid_asof_retrieval", "q299_unfiltered_guaranteed_k",
+    "q300_bm25_probe_frames", "q301_bm25_phrase_probe",
+    "q302_filtered_bm25_probe", "q303_tenant_hybrid_retrieval",
 }
 
-# Round 12 closed the q285-q296 tail (CORRECTNESS_r12: 50/50 green)
-# — moved into the green tier above. Round 13's never-checked tail
-# is q297-q302 (analyzer-composed BM25 q297; snapshot-consistent
-# hybrid as-of q298; unfiltered guaranteed-k q299; BM25 probe_frames
-# q300; positional phrase probe q301; metadata-filtered BM25 with
-# per-stratum statistics q302; tenant-scoped hybrid retrieval
-# q303) — each locally values=MATCH
-# via tools/drive_contract.py before commit. Round-13
+# Round 13 closed the q297-q303 tail (CORRECTNESS_r13: 50/50 green)
+# — moved into the green tier above. Round 14's never-checked tail
+# starts at q304 (tenant + as-of hybrid through the first-class
+# HybridRetriever operator) — each locally values=MATCH via
+# tools/drive_contract.py before commit. Round-14
 # behavior-adjacent changes to green queries, each re-verified
-# values=MATCH after the change: the StoredBm25Index probe refactor
-# (shared _score tail, cross-epoch posting re-aggregation per ADVICE
-# r12, analyzer-twin query tokenization, positional postings schema)
-# and bm25_topk's analyzer parameter → q233/q293/q294/q295 (+q300);
-# the corpus-metric one-explode fold → q278/q287/q288; the
-# min_results unfiltered lift + ValueError contracts →
-# q285/q286/q296/q280/q281; the streaming plan-capture hook →
-# q62/q66/q157/q158/q168. Full local re-sweep:
-# CORRECTNESS_LOCAL_r13.json.
+# values=MATCH after the change: the RRF-fusion extraction into
+# operators/retrieval.py → q294/q298/q303.
 _VERIFY_FIRST: set[str] = set()
 
 

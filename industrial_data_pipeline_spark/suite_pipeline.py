@@ -1109,9 +1109,10 @@ def q_hybrid_stored_retrieval(spark: SparkSession,
 
     from industrial_data_pipeline_spark.operators.bm25_index import (
         StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.retrieval import (
+        HybridRetriever)
     from industrial_data_pipeline_spark.operators.similarity import (
         StoredIvfIndex)
-    from pyspark.sql import Window
 
     docs = (_load_docs(spark, sf_dir).select("doc_id", "text")
             .where(F.col("doc_id") < 150))
@@ -1138,32 +1139,9 @@ def q_hybrid_stored_retrieval(spark: SparkSession,
         vidx.build(emb.where(F.col("doc_id") < 100))
         vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
 
-        lex = (bidx.probe(queries, k=BM25_K)
-               .select("query_id", "doc_id",
-                       F.col("rank").alias("rl")))
-        den = (vidx.probe_batch(qdf, k=BM25_K, nprobe=4,
-                                id_col="qid", vec_col="_qv")
-               .select("query_id",
-                       F.col("vec_id").alias("doc_id"),
-                       F.col("rk").alias("rf")))
-        u = (lex.join(den, ["query_id", "doc_id"], "full")
-             .select("query_id", "doc_id",
-                     (F.coalesce(1.0 / (F.lit(_RRF60) + F.col("rl")),
-                                 F.lit(0.0))
-                      + F.coalesce(1.0 / (F.lit(_RRF60)
-                                          + F.col("rf")),
-                                   F.lit(0.0))).alias("_score"),
-                     F.col("rl").isNotNull().alias("in_lexical"),
-                     F.col("rf").isNotNull().alias("in_dense")))
-        wr = Window.partitionBy("query_id").orderBy(
-            F.desc("_score"), F.col("doc_id"))
-        out = (u.withColumn("rrf_rank", F.row_number().over(wr))
-               .where(F.col("rrf_rank") <= 10)
-               .select("query_id",
-                       F.col("doc_id").alias("cand_id"), "rrf_rank",
-                       (F.col("_score") + F.lit(0.0))
-                       .alias("rrf_score"),
-                       "in_lexical", "in_dense")
+        hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
+        out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
+                            nprobe=4, id_col="qid", vec_col="_qv")
                .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1360,9 +1338,10 @@ def q_hybrid_asof_retrieval(spark: SparkSession,
 
     from industrial_data_pipeline_spark.operators.bm25_index import (
         StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.retrieval import (
+        HybridRetriever)
     from industrial_data_pipeline_spark.operators.similarity import (
         StoredIvfIndex)
-    from pyspark.sql import Window
 
     docs = (_load_docs(spark, sf_dir).select("doc_id", "text")
             .where(F.col("doc_id") < 200))
@@ -1397,33 +1376,10 @@ def q_hybrid_asof_retrieval(spark: SparkSession,
         bidx.retract([50, 105])
         vidx.retract([50, 105])
 
-        lex = (bidx.probe(queries, k=BM25_K, as_of_epoch=0)
-               .select("query_id", "doc_id",
-                       F.col("rank").alias("rl")))
-        den = (vidx.probe_batch(qdf, k=BM25_K, nprobe=4,
-                                id_col="qid", vec_col="_qv",
-                                as_of_epoch=0)
-               .select("query_id",
-                       F.col("vec_id").alias("doc_id"),
-                       F.col("rk").alias("rf")))
-        u = (lex.join(den, ["query_id", "doc_id"], "full")
-             .select("query_id", "doc_id",
-                     (F.coalesce(1.0 / (F.lit(_RRF60) + F.col("rl")),
-                                 F.lit(0.0))
-                      + F.coalesce(1.0 / (F.lit(_RRF60)
-                                          + F.col("rf")),
-                                   F.lit(0.0))).alias("_score"),
-                     F.col("rl").isNotNull().alias("in_lexical"),
-                     F.col("rf").isNotNull().alias("in_dense")))
-        wr = Window.partitionBy("query_id").orderBy(
-            F.desc("_score"), F.col("doc_id"))
-        out = (u.withColumn("rrf_rank", F.row_number().over(wr))
-               .where(F.col("rrf_rank") <= 10)
-               .select("query_id",
-                       F.col("doc_id").alias("cand_id"), "rrf_rank",
-                       (F.col("_score") + F.lit(0.0))
-                       .alias("rrf_score"),
-                       "in_lexical", "in_dense")
+        hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
+        out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
+                            nprobe=4, id_col="qid", vec_col="_qv",
+                            as_of_epoch=0)
                .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1830,9 +1786,10 @@ def q_tenant_hybrid_retrieval(spark: SparkSession,
 
     from industrial_data_pipeline_spark.operators.bm25_index import (
         StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.retrieval import (
+        HybridRetriever)
     from industrial_data_pipeline_spark.operators.similarity import (
         StoredIvfIndex)
-    from pyspark.sql import Window
 
     docs = (_load_docs(spark, sf_dir)
             .where(F.col("doc_id") < 150)
@@ -1867,34 +1824,11 @@ def q_tenant_hybrid_retrieval(spark: SparkSession,
         vidx.build(emb.where(F.col("doc_id") < 100))
         vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
 
-        lex = (bidx.probe(queries, k=BM25_K, filter_col="lbl",
-                          query_filters=qfilters)
-               .select("query_id", "doc_id",
-                       F.col("rank").alias("rl")))
-        den = (vidx.probe_batch(qdf, k=BM25_K, nprobe=4,
-                                id_col="qid", vec_col="_qv",
-                                filter_col="lbl")
-               .select("query_id",
-                       F.col("vec_id").alias("doc_id"),
-                       F.col("rk").alias("rf")))
-        u = (lex.join(den, ["query_id", "doc_id"], "full")
-             .select("query_id", "doc_id",
-                     (F.coalesce(1.0 / (F.lit(_RRF60) + F.col("rl")),
-                                 F.lit(0.0))
-                      + F.coalesce(1.0 / (F.lit(_RRF60)
-                                          + F.col("rf")),
-                                   F.lit(0.0))).alias("_score"),
-                     F.col("rl").isNotNull().alias("in_lexical"),
-                     F.col("rf").isNotNull().alias("in_dense")))
-        wr = Window.partitionBy("query_id").orderBy(
-            F.desc("_score"), F.col("doc_id"))
-        out = (u.withColumn("rrf_rank", F.row_number().over(wr))
-               .where(F.col("rrf_rank") <= 10)
-               .select("query_id",
-                       F.col("doc_id").alias("cand_id"), "rrf_rank",
-                       (F.col("_score") + F.lit(0.0))
-                       .alias("rrf_score"),
-                       "in_lexical", "in_dense")
+        hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
+        out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
+                            nprobe=4, id_col="qid", vec_col="_qv",
+                            filter_col="lbl",
+                            query_filters=qfilters)
                .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2018,6 +1952,108 @@ WHERE rrf_rank <= 10
 REGISTRY_PIPELINE.update({
     "q303_tenant_hybrid_retrieval": (q_tenant_hybrid_retrieval,
                                      _oracle_tenant_hybrid_retrieval()),
+})
+
+
+# -- q304 TENANT + AS-OF hybrid through the FIRST-CLASS operator:
+# -- the composition no prior query exercised (VERDICT r13 item 1's
+# -- done-gate) — per-tenant scoping AND snapshot pinning AND a
+# -- takedown retraction, all through HybridRetriever, both legs
+
+def q_tenant_asof_hybrid(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """q303's multi-tenant shape composed with q298's snapshot
+    pinning, registered THROUGH ``operators/retrieval.py``'s
+    :class:`HybridRetriever` (the round-14 first-class fusion
+    operator — q294/q298/q303 were re-registered through it
+    byte-identically; this query exercises the composition none of
+    them had): ONE shared BM25 asset + ONE shared IVF asset, both
+    labeled, both appended a second epoch AFTER the probed snapshot,
+    both hit by a takedown retraction — then probed per-tenant at
+    ``as_of_epoch=0``. Pins that (a) tenant scoping and snapshot
+    pinning pass through ONE operator call to both legs, (b) epoch 1
+    is invisible to the pinned probe on both legs, and (c) the
+    retraction overrides time travel THROUGH the tenant-scoped
+    fusion (takedowns must win even inside a pinned snapshot — the
+    q298 legal contract, now per-tenant). The oracle replays q303's
+    filtered two-leg chain over the snapshot-minus-retraction
+    corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.retrieval import (
+        HybridRetriever)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    docs = (_load_docs(spark, sf_dir)
+            .where(F.col("doc_id") < 200)
+            .select("doc_id", "text",
+                    (F.col("doc_id") % 3).cast("int").alias("lbl")))
+    emb = docs.select(
+        "doc_id",
+        TX.hashed_bow_embedding(F.col("text"), 16).alias("_v"),
+        "lbl")
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qfilters = {qid + _HYB_QOFF: lbl
+                for qid, lbl in _Q302_FILTERS.items()}
+    qdf = (spark.createDataFrame(sorted(queries.items()),
+                                 "qid long, qtext string")
+           .select("qid",
+                   TX.hashed_bow_embedding(F.col("qtext"), 16)
+                   .alias("_qv"))
+           .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q304_")
+    try:
+        bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
+                               n_buckets=16, k1=_BM25_K1, b=_BM25_B,
+                               extra_schema="lbl int")
+        bidx.build(docs.where(F.col("doc_id") < 100))
+        bidx.append(docs.where((F.col("doc_id") >= 100)
+                               & (F.col("doc_id") < 150)),
+                    epoch_id=0)
+        bidx.append(docs.where(F.col("doc_id") >= 150), epoch_id=1)
+        vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                              id_col="doc_id", vec_col="_v",
+                              n_cells=8, extra_schema="lbl int")
+        vidx.build(emb.where(F.col("doc_id") < 100))
+        vidx.append(emb.where((F.col("doc_id") >= 100)
+                              & (F.col("doc_id") < 150)),
+                    epoch_id=0)
+        vidx.append(emb.where(F.col("doc_id") >= 150), epoch_id=1)
+        bidx.retract([50, 105])
+        vidx.retract([50, 105])
+
+        hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
+        out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
+                            nprobe=4, id_col="qid", vec_col="_qv",
+                            filter_col="lbl",
+                            query_filters=qfilters,
+                            as_of_epoch=0)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_tenant_asof_hybrid() -> str:
+    # q303's filtered replay over the snapshot corpus: epoch 1
+    # pruned by the as-of pin, the retracted ids gone from every
+    # epoch (takedowns override time travel). The seed CTE is
+    # untouched — {50, 105} are not among the doc_id 0–7 seeds, and
+    # retraction never retrains centroids.
+    return _oracle_tenant_hybrid_retrieval().replace(
+        "WHERE doc_id < 150",
+        "WHERE doc_id < 150 AND doc_id NOT IN (50, 105)")
+
+
+REGISTRY_PIPELINE.update({
+    "q304_tenant_asof_hybrid": (q_tenant_asof_hybrid,
+                                _oracle_tenant_asof_hybrid()),
 })
 
 
