@@ -105,13 +105,24 @@ class StoredBm25Index:
                        " pos array<int>, _epoch int, _tb int")
     DOCLEN_SCHEMA = "doc_id long, dl long, _epoch int"
 
+    #: storage schema generation this code WRITES: 2 = positional
+    #: postings (the ``pos`` column). Version 1 (pre-positions
+    #: indexes, whose meta has no ``schema_version`` key) still
+    #: opens and BM25-probes fine — but :meth:`phrase_probe` REFUSES
+    #: it (ADVICE r13: the missing pos column reads as NULL,
+    #: collect_list skips NULLs, and every doc yields an empty
+    #: position array — a silent all-miss indistinguishable from a
+    #: genuine no-match).
+    SCHEMA_VERSION = 2
+
     def __init__(self, spark: SparkSession, root: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  n_buckets: int = 16, k1: float = 1.2,
                  b: float = 0.75,
                  max_records_per_file: int | None = None,
                  analyzer: Analyzer | None = None,
-                 extra_schema: str | None = None):
+                 extra_schema: str | None = None,
+                 schema_version: int | None = None):
         self.spark = spark
         self.root = root
         self.id_col = id_col
@@ -122,6 +133,9 @@ class StoredBm25Index:
         self.max_records_per_file = max_records_per_file
         self.analyzer = analyzer
         self.extra_schema = extra_schema
+        self.schema_version = (self.SCHEMA_VERSION
+                               if schema_version is None
+                               else int(schema_version))
         self._postings_path = os.path.join(root, "postings")
         self._doclen_path = os.path.join(root, "doclen")
         #: observability: the pruned postings scan of the LAST probe
@@ -189,7 +203,8 @@ class StoredBm25Index:
                        "analyzer":
                            (self.analyzer.to_meta()
                             if self.analyzer else None),
-                       "extra_schema": self.extra_schema}, fh)
+                       "extra_schema": self.extra_schema,
+                       "schema_version": self.schema_version}, fh)
         os.replace(tmp, self._meta_path)
 
     @classmethod
@@ -205,7 +220,10 @@ class StoredBm25Index:
                        "max_records_per_file"),
                    analyzer=Analyzer.from_meta(
                        meta.get("analyzer")),
-                   extra_schema=meta.get("extra_schema"))
+                   extra_schema=meta.get("extra_schema"),
+                   # absent key = a pre-positions (v1) index: BM25
+                   # probes unaffected, phrase probes refused
+                   schema_version=meta.get("schema_version", 1))
 
     # ---------------------------------------------------- lifecycle
 
@@ -434,7 +452,9 @@ class StoredBm25Index:
 
     def phrase_probe(self, queries: dict[int, str], k: int = 10,
                      exclude_epoch: int | None = None,
-                     as_of_epoch: int | None = None) -> DataFrame:
+                     as_of_epoch: int | None = None,
+                     filter_col: str | None = None,
+                     query_filters: dict | None = None) -> DataFrame:
         """EXACT-PHRASE retrieval over the positional postings
         (VERDICT r12 stretch — the lexical feature a RAG user hits
         right after analyzers): a document matches when the phrase's
@@ -458,9 +478,23 @@ class StoredBm25Index:
         from multiple epochs of a re-appended doc_id are
         distinct-merged per (doc_id) before anchoring (the stored
         corpus is a set of (doc, position, term) facts; exact dedup
-        of re-appends stays the ingest pipeline's job)."""
-        from pyspark.sql import Window
+        of re-appends stays the ingest pipeline's job).
 
+        ``filter_col`` + ``query_filters`` (query_id → label) run
+        the probe TENANT-SCOPED — :meth:`probe`'s pre-filter
+        contract on the phrase path (VERDICT r13 item 2): the
+        batch's label IN-list pushes into the pruned postings scan
+        next to the term IN-list, and each query anchors only
+        within its own stratum's documents. (Phrase matching has no
+        corpus statistics, so per-stratum scoping IS the whole
+        per-stratum semantics here.)
+
+        Refuses a schema-version-1 (pre-positions) index with a
+        ValueError rather than silently returning zero matches
+        (ADVICE r13: the absent pos column would read as all-NULL
+        and every anchor vote would vanish)."""
+        filters, labels = self._phrase_filters(
+            filter_col, query_filters, set(queries))
         qterms = [(qid, i, t)
                   for qid, qs in sorted(queries.items())
                   for i, t in enumerate(self._tokenize_py(qs))]
@@ -468,6 +502,109 @@ class StoredBm25Index:
             raise ValueError("queries must contain at least one "
                              "analyzable term")
         vocab = sorted({t for _, _, t in qterms})
+        if filter_col is None:
+            qdf = self.spark.createDataFrame(
+                qterms, "query_id long, _idx int, term string")
+        else:
+            qdf = self.spark.createDataFrame(
+                [(qid, i, t, filters[qid]) for qid, i, t in qterms],
+                f"query_id long, _idx int, term string,"
+                f" _qf {self._extra_type(filter_col)}")
+        mdf = self.spark.createDataFrame(
+            [(qid, len({i for q2, i, _ in qterms if q2 == qid}))
+             for qid in sorted({q2 for q2, _, _ in qterms})],
+            "query_id long, _m long")
+        return self._phrase_rank(qdf, mdf, vocab, k, exclude_epoch,
+                                 as_of_epoch, filter_col, labels)
+
+    def phrase_probe_frames(self, queries: DataFrame, k: int = 10,
+                            exclude_epoch: int | None = None,
+                            as_of_epoch: int | None = None,
+                            id_col: str = "query_id",
+                            text_col: str = "query_text",
+                            filter_col: str | None = None,
+                            query_filter_col: str | None = None,
+                            ) -> DataFrame:
+        """:meth:`phrase_probe` for a DataFrame of queries — the
+        :meth:`probe_frames` symmetry on the phrase path (VERDICT
+        r13 item 2): phrase text tokenizes IN-PLAN through the same
+        :meth:`_tokenize` expression the build wrote, positions
+        exploding per (query, term, index) via ``posexplode`` so the
+        token INDEX — the anchor offset — comes from the plan, not a
+        driver loop. The driver collects only the DISTINCT analyzed
+        terms and (when filtering) labels (the bounded ANN-probe-keys
+        envelope — needed for the bucket list and the pushed
+        IN-lists), never the query rows; the per-query phrase length
+        ``_m`` is an in-plan count-distinct over the exploded pairs.
+        Output is byte-identical to :meth:`phrase_probe` over the
+        dict form of the same queries. ``filter_col`` +
+        ``query_filter_col`` (label column on the QUERY frame;
+        defaults to ``filter_col``) scope per-tenant exactly as in
+        :meth:`phrase_probe`."""
+        self._require_positions()
+        sel = [F.col(id_col).cast("long").alias("query_id"),
+               F.posexplode(self._tokenize(text_col))
+               .alias("_idx", "term")]
+        if filter_col is not None:
+            self._extra_type(filter_col)  # validates
+            qfc = query_filter_col or filter_col
+            sel.append(F.col(qfc).alias("_qf"))
+        qpairs = (queries.select(*sel)
+                  .withColumn("_idx", F.col("_idx").cast("int"))
+                  .localCheckpoint(eager=True))
+        vocab = sorted({r["term"] for r in
+                        qpairs.select("term").distinct().collect()})
+        if not vocab:
+            raise ValueError("queries must contain at least one "
+                             "analyzable term")
+        labels = None
+        if filter_col is not None:
+            labels = sorted({r["_qf"] for r in qpairs.select("_qf")
+                             .distinct().collect()})
+        mdf = (qpairs.groupBy("query_id")
+               .agg(F.count_distinct("_idx").alias("_m")))
+        return self._phrase_rank(qpairs, mdf, vocab, k,
+                                 exclude_epoch, as_of_epoch,
+                                 filter_col, labels)
+
+    def _require_positions(self) -> None:
+        if self.schema_version < 2:
+            raise ValueError(
+                f"phrase probes need positional postings (schema "
+                f"version >= 2); this index was persisted at "
+                f"version {self.schema_version} — rebuild it with "
+                f"the current writer to store positions")
+
+    def _phrase_filters(self, filter_col: str | None,
+                        query_filters: dict | None,
+                        qids: set) -> tuple[dict, list | None]:
+        """Validate the dict-form tenant-scoping args (the
+        :meth:`probe` contract) and refuse pre-positions indexes."""
+        self._require_positions()
+        if filter_col is None:
+            return {}, None
+        self._extra_type(filter_col)  # validates
+        if query_filters is None or set(query_filters) != qids:
+            raise ValueError("query_filters must map every "
+                             "query_id to its label")
+        return query_filters, sorted(set(query_filters.values()))
+
+    def _phrase_rank(self, qdf: DataFrame, mdf: DataFrame,
+                     vocab: list[str], k: int,
+                     exclude_epoch: int | None,
+                     as_of_epoch: int | None,
+                     filter_col: str | None,
+                     labels: list | None) -> DataFrame:
+        """Shared anchor-trick tail of both phrase forms. ``qdf`` is
+        the (query_id, _idx, term[, _qf]) token frame, ``mdf`` the
+        per-query distinct-index count (phrase length) — both
+        broadcast (query-batch-sized). Positions from multiple
+        epochs distinct-merge per (term, doc_id[, label]) before
+        anchoring; with ``filter_col`` the label IN-list pushes into
+        the pruned scan and each query anchors only in its own
+        stratum."""
+        from pyspark.sql import Window
+
         buckets = sorted({py_hash64(t) % self.n_buckets
                           for t in vocab})
         post = (self._scan(self._postings_path,
@@ -475,18 +612,21 @@ class StoredBm25Index:
                            exclude_epoch, as_of_epoch)
                 .where(F.col("_tb").isin(buckets))
                 .where(F.col("term").isin(vocab)))
+        if filter_col:
+            post = post.where(F.col(filter_col).isin(labels))
         self.last_postings_scan = post
-        merged = (post.groupBy("term", "doc_id")
+        strat = [filter_col] if filter_col else []
+        merged = (post.groupBy("term", "doc_id", *strat)
                   .agg(F.array_distinct(F.sort_array(F.flatten(
                       F.collect_list("pos")))).alias("_pos")))
-        qdf = self.spark.createDataFrame(
-            qterms, "query_id long, _idx int, term string")
-        mdf = self.spark.createDataFrame(
-            [(qid, len({i for q2, i, _ in qterms if q2 == qid}))
-             for qid in sorted({q2 for q2, _, _ in qterms})],
-            "query_id long, _m long")
-        anchors = (merged
-                   .join(F.broadcast(qdf), "term")
+        anchors = merged.join(F.broadcast(qdf), "term")
+        if filter_col:
+            # per-query stratum equality (the IN-list above already
+            # narrowed to the batch's labels; this pins each query
+            # to ITS label)
+            anchors = anchors.where(
+                F.col(filter_col) == F.col("_qf"))
+        anchors = (anchors
                    .select("query_id", "doc_id", "_idx",
                            F.explode("_pos").alias("_p"))
                    .select("query_id", "doc_id",

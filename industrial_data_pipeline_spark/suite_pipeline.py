@@ -2057,6 +2057,101 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q305 TENANT-SCOPED PHRASE search, DataFrame-of-queries form:
+# -- q301's positional anchor trick composed with q302's pre-filter
+# -- contract, phrases tokenized IN-PLAN (VERDICT r13 item 2)
+
+#: per-query stratum labels for the phrase batch (q302's shape)
+_Q305_FILTERS = {0: 0, 1: 1, 2: 2}
+
+
+def q_tenant_phrase_probe(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """StoredBm25Index.phrase_probe_frames(filter_col=) — phrase
+    search at parity with the BM25 probe contract (VERDICT r13
+    item 2): the phrase batch is a DATAFRAME (query_id, query_text,
+    lbl), tokenized in-plan through the index's own build-time
+    expression with ``posexplode`` supplying the anchor offsets, and
+    the probe is TENANT-SCOPED — the label IN-list pushes into the
+    pruned postings scan next to the term IN-list and each query
+    anchors only within its own stratum's documents. Same labeled
+    build<100 + epoch-0-append lifecycle as q302. The oracle replays
+    the anchor trick per label stratum (position unnest → anchor =
+    p − idx → distinct-index vote, with the q.lbl = tok.lbl
+    stratum equality in the anchor join). Dict-vs-frames byte-parity
+    and the pre-positions-index refusal are pinned in
+    tests/test_bm25_index.py."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = (_load_docs(spark, sf_dir)
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", "text",
+                    (F.col("doc_id") % 3).cast("int").alias("lbl")))
+    qdf = spark.createDataFrame(
+        [(qid, qs, _Q305_FILTERS[qid])
+         for qid, qs in sorted(_Q301_PHRASES.items())],
+        "query_id long, query_text string, lbl int")
+    root = tempfile.mkdtemp(prefix="idp_q305_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B,
+                              extra_schema="lbl int")
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        out = (idx.phrase_probe_frames(qdf, k=BM25_K,
+                                       filter_col="lbl")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_tenant_phrase_probe() -> str:
+    qterms = [(qid, i, t)
+              for qid, qs in sorted(_Q301_PHRASES.items())
+              for i, t in enumerate(qs.lower().split())]
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), {i}, '{t}',"
+        f" CAST({_Q305_FILTERS[qid]} AS INT))"
+        for qid, i, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, _, t in qterms}))
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS tk, lbl
+              FROM (SELECT doc_id, lower(text) AS text,
+                           CAST(doc_id % 3 AS INT) AS lbl
+                    FROM documents WHERE doc_id < 150)),
+tok AS (SELECT doc_id, lbl, r.i - 1 AS p, tk[r.i] AS t
+        FROM docs, UNNEST(range(1, len(tk) + 1)) AS r(i)),
+q(query_id, idx, t, lbl) AS (SELECT * FROM (VALUES {vals})),
+m AS (SELECT query_id, count(*) AS m FROM q GROUP BY 1),
+anch AS (SELECT q.query_id, tok.doc_id, tok.p - q.idx AS a,
+                count(DISTINCT q.idx) AS nn
+         FROM tok JOIN q ON q.t = tok.t AND q.lbl = tok.lbl
+         WHERE tok.t IN ({vocab})
+         GROUP BY 1, 2, 3),
+occ AS (SELECT a.query_id, a.doc_id, count(*) AS n_occ
+        FROM anch a JOIN m ON m.query_id = a.query_id
+        WHERE a.nn = m.m GROUP BY 1, 2)
+SELECT query_id, doc_id, n_occ, rank FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY n_occ DESC, doc_id) AS INT)
+         AS rank
+     FROM occ)
+WHERE rank <= {BM25_K}
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q305_tenant_phrase_probe": (q_tenant_phrase_probe,
+                                 _oracle_tenant_phrase_probe()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are

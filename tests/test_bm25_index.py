@@ -333,3 +333,109 @@ def test_filtered_probe_per_stratum_stats(spark, tmp_path):
         idx.probe(q, k=5, filter_col="nope", query_filters=qf)
     with __import__("pytest").raises(ValueError):
         idx.probe(q, k=5, filter_col="lbl", query_filters={0: 0})
+
+
+def test_phrase_probe_tenant_scoping_and_frames_parity(
+        spark, tmp_path):
+    """Phrase parity with the BM25 probe contract (VERDICT r13
+    item 2): (a) filter_col scopes the anchor join to each query's
+    own stratum, (b) phrase_probe_frames is byte-identical to the
+    dict form — unfiltered AND filtered, legacy AND analyzer
+    tokenization — and (c) the filtered scan pushes the label
+    IN-list next to the term IN-list."""
+    import re
+
+    import pytest
+
+    from industrial_data_pipeline_spark.operators.analyzer import (
+        Analyzer)
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", 0), (2, "a b c", 1),    # "a b" in BOTH strata
+         (3, "a b a b", 0), (4, "b a", 1)],
+        "doc_id long, text string, lbl int")
+    idx = StoredBm25Index(spark, str(tmp_path / "tp"), n_buckets=8,
+                          extra_schema="lbl int")
+    idx.build(docs.where("doc_id < 3"))
+    idx.append(docs.where("doc_id >= 3"), epoch_id=0)
+
+    q = {0: "a b", 1: "a b"}
+    qf = {0: 0, 1: 1}
+    got = sorted((r.query_id, r.doc_id, r.n_occ, r.rank)
+                 for r in idx.phrase_probe(
+                     q, filter_col="lbl",
+                     query_filters=qf).collect())
+    # query 0 sees only stratum 0 (docs 1, 3); query 1 only doc 2
+    assert got == [(0, 1, 1, 2), (0, 3, 2, 1), (1, 2, 1, 1)]
+    p = _plan(idx.last_postings_scan)
+    assert re.search(r"PushedFilters: \[.*In\(term", p), p
+    assert re.search(r"PushedFilters: \[.*In\(lbl", p), p
+
+    # frames twin, filtered: labels ride the query frame
+    qdf = spark.createDataFrame(
+        [(qid, q[qid], qf[qid]) for qid in sorted(q)],
+        "query_id long, query_text string, lbl int")
+    got2 = sorted((r.query_id, r.doc_id, r.n_occ, r.rank)
+                  for r in idx.phrase_probe_frames(
+                      qdf, filter_col="lbl").collect())
+    assert got2 == got
+
+    # frames twin, unfiltered + analyzer tokenization
+    adocs = _docs(spark)
+    for name, az in (("legacy", None),
+                     ("an", Analyzer(stopwords=("the",),
+                                     stem_s=True))):
+        aidx = StoredBm25Index(spark, str(tmp_path / f"fp{name}"),
+                               n_buckets=8, analyzer=az)
+        aidx.build(adocs)
+        ph = {0: "spark merge", 1: "batch row1"}
+        want = sorted(map(tuple,
+                          aidx.phrase_probe(ph, k=5).collect()))
+        pdf = spark.createDataFrame(
+            sorted(ph.items()), "query_id long, query_text string")
+        assert sorted(map(tuple, aidx.phrase_probe_frames(
+            pdf, k=5).collect())) == want, name
+
+    # error contracts: incomplete filters dict; no analyzable term
+    with pytest.raises(ValueError, match="query_filters"):
+        idx.phrase_probe(q, filter_col="lbl", query_filters={0: 0})
+    with pytest.raises(ValueError, match="analyzable"):
+        idx.phrase_probe_frames(spark.createDataFrame(
+            [(9, "   ", 0)],
+            "query_id long, query_text string, lbl int"),
+            filter_col="lbl")
+
+
+def test_phrase_probe_refuses_pre_positions_index(spark, tmp_path):
+    """ADVICE r13: an index persisted before the positional-postings
+    schema must FAIL LOUDLY on a phrase probe (the missing pos
+    column would read all-NULL → every anchor vote vanishes → a
+    silent all-miss). meta without a schema_version key opens as
+    version 1; BM25 probes still work, phrase probes raise."""
+    import json
+
+    import pytest
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _docs(spark, n=10)
+    idx = StoredBm25Index(spark, str(tmp_path / "v1"), n_buckets=4)
+    idx.build(docs)
+    meta_path = idx._meta_path
+    meta = json.load(open(meta_path))
+    assert meta["schema_version"] == 2
+    del meta["schema_version"]  # simulate a pre-positions index
+    json.dump(meta, open(meta_path, "w"))
+
+    old = StoredBm25Index.open(spark, str(tmp_path / "v1"))
+    assert old.schema_version == 1
+    assert old.probe(Q, k=3).count() > 0  # BM25 path unaffected
+    with pytest.raises(ValueError, match="positional"):
+        old.phrase_probe({0: "spark merge"})
+    with pytest.raises(ValueError, match="positional"):
+        old.phrase_probe_frames(spark.createDataFrame(
+            [(0, "spark merge")],
+            "query_id long, query_text string"))
