@@ -2152,6 +2152,139 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q306 UNICODE analyzer retrieval (VERDICT r13 item 3): a
+# -- multilingual corpus where the ASCII analyzer extracts ZERO terms
+# -- from every query — CJK/Cyrillic/Greek/Turkish text stops being
+# -- invisible to lexical retrieval
+
+#: the analyzer under test: Unicode letter/digit extraction with the
+#: two documented lowercase folds (final sigma, U+0307), stopwords
+#: still composing after extraction+folds
+_Q306_AZ = Analyzer(unicode_words=True, stopwords=("the", "a"))
+#: punctuated, MIXED-CASE multilingual queries. Through the ASCII
+#: analyzer every one of these yields ZERO analyzable terms (probe
+#: raises — pinned in tests/test_bm25_index.py); through the unicode
+#: analyzer they hit the corpus vocabulary, exercising both folds:
+#: ΣΥΓΧΩΝΕΥΣΙΣ lowers with a contextual final ς in Spark/Python but
+#: a plain σ in DuckDB (fold equalizes), İŞLEM full-lowers with a
+#: combining dot in Spark/Python but a bare i in DuckDB (fold strips)
+_Q306_QUERIES = {0: "Спарк? ΣΥΓΧΩΝΕΥΣΙΣ!",
+                 1: "«バッチ処理»…",
+                 2: "işlem; спарк"}
+
+
+def _multi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id < 150) rewritten into a multilingual
+    corpus, deterministically in BOTH engines: four high-frequency
+    English words become Cyrillic / Greek (trailing Σ — the
+    final-sigma fold) / CJK / Turkish-dotted-İ words."""
+    text = F.col("text")
+    for src, dst in _MULTI_MAP:
+        text = F.regexp_replace(text, src, dst)
+    return (_load_docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", text.alias("text")))
+
+
+#: literal replacement table (no pattern overlaps; suffixes like
+#: "batches" → "バッチ処理es" keep mixed-script single tokens, which
+#: both engines extract identically)
+_MULTI_MAP = [("spark", "Спарк"), ("merge", "ΣΥΓΧΩΝΕΥΣΙΣ"),
+              ("batch", "バッチ処理"), ("stream", "İŞLEM")]
+
+#: DuckDB twin of :func:`_multi_docs`'s text expression
+_MULTI_SQL = "text"
+for _src, _dst in _MULTI_MAP:
+    _MULTI_SQL = f"replace({_MULTI_SQL}, '{_src}', '{_dst}')"
+
+
+def q_unicode_analyzer_probe(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """StoredBm25Index with Analyzer(unicode_words=True)
+    (operators/analyzer.py — VERDICT r13 item 3): q293's build<100
+    + epoch-0-append lifecycle over the multilingual corpus, probed
+    with punctuated mixed-case multilingual query strings. Build,
+    probe and oracle tokenize through the ONE unicode analyzer —
+    its Spark / driver-Python / DuckDB twins pinned bit-identical
+    on the CJK/Cyrillic/Greek/diacritic matrix in
+    tests/test_analyzer.py, including the two documented lowercase
+    folds where the engines' Unicode case mappings genuinely differ
+    (final sigma; U+0130's combining dot). The
+    ASCII-analyzer-retrieves-nothing contrast is pinned in
+    tests/test_bm25_index.py::test_unicode_index_finds_what_ascii_drops."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _multi_docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="idp_q306_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B,
+                              analyzer=_Q306_AZ)
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        out = (idx.probe(_Q306_QUERIES, k=BM25_K)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_unicode_analyzer_probe() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    qterms = sorted({(qid, t)
+                     for qid, qs in _Q306_QUERIES.items()
+                     for t in _Q306_AZ.py(qs)})
+    vals = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')"
+                     for qid, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, t in qterms}))
+    tk = _Q306_AZ.sql("text")
+    return f"""
+WITH docs AS (SELECT doc_id, {tk} AS tk
+              FROM (SELECT doc_id, {_MULTI_SQL} AS text
+                    FROM documents WHERE doc_id < 150)),
+q(query_id, t) AS (SELECT * FROM (VALUES {vals})),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM docs),
+posting AS (SELECT doc_id, dl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS t
+                  FROM docs)
+            WHERE t IN ({vocab})
+            GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, count(*) AS df FROM posting GROUP BY 1),
+scored AS (SELECT q.query_id, p.doc_id,
+                  round(sum(round(
+                      ln(1.0 + ((s.n_docs - d.df)::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5))
+                      * (p.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                      / (p.tf + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * p.dl / s.avgdl)), 6)), 6) AS bm25
+           FROM posting p
+           JOIN q ON q.t = p.t
+           JOIN dfreq d ON d.t = p.t
+           CROSS JOIN stats s
+           GROUP BY 1, 2)
+SELECT query_id, doc_id, bm25, rank FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+         AS rank
+     FROM scored)
+WHERE rank <= {BM25_K}
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q306_unicode_analyzer_probe": (q_unicode_analyzer_probe,
+                                    _oracle_unicode_analyzer_probe()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are

@@ -439,3 +439,48 @@ def test_phrase_probe_refuses_pre_positions_index(spark, tmp_path):
         old.phrase_probe_frames(spark.createDataFrame(
             [(0, "spark merge")],
             "query_id long, query_text string"))
+
+
+def test_unicode_index_finds_what_ascii_drops(spark, tmp_path):
+    """Analyzer(unicode_words=True) on the index (q306): over a
+    multilingual corpus the ASCII analyzer extracts ZERO terms from
+    every non-Latin query (probe refuses: nothing analyzable — the
+    silent-invisibility failure made loud), while the unicode
+    analyzer retrieves, with the fold-sensitive forms (trailing-Σ
+    Greek, dotted-İ Turkish) matching across case variants."""
+    import pytest
+
+    from industrial_data_pipeline_spark.operators.analyzer import (
+        Analyzer)
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = spark.createDataFrame(
+        [(1, "Спарк ΣΥΓΧΩΝΕΥΣΙΣ データ"),
+         (2, "спарк слияние"),
+         (3, "İŞLEM işlem data")],
+        "doc_id long, text string")
+    q = {0: "СПАРК!", 1: "συγχωνευσισ", 2: "İşlem"}
+
+    uni = StoredBm25Index(spark, str(tmp_path / "uni"), n_buckets=8,
+                          analyzer=Analyzer(unicode_words=True))
+    uni.build(docs)
+    got = {(r.query_id, r.doc_id)
+           for r in uni.probe(q, k=5).collect()}
+    # Cyrillic query matches both case variants; the Greek query
+    # (typed with plain σ...σ) matches the corpus's Σ...Σ via the
+    # final-sigma fold; İşlem matches İŞLEM via the U+0307 fold
+    assert {(0, 1), (0, 2), (1, 1), (2, 3)} <= got
+
+    asc = StoredBm25Index(spark, str(tmp_path / "asc"), n_buckets=8,
+                          analyzer=Analyzer())
+    asc.build(docs)
+    # the ASCII analyzer MANGLES Turkish into fragments: both
+    # "İşlem" and "İŞLEM"/"işlem" shed the run "lem", so the only
+    # ASCII retrieval is a fragment-to-fragment accident — the
+    # Cyrillic/Greek/CJK queries contribute nothing at all
+    assert {(r.query_id, r.doc_id)
+            for r in asc.probe(q, k=5).collect()} == {(2, 3)}
+    with pytest.raises(ValueError, match="analyzable"):
+        # pure non-Latin queries: every term analyzer-dropped
+        asc.probe({0: "СПАРК!", 1: "συγχωνευσισ"}, k=5)
