@@ -331,7 +331,16 @@ class StoredBm25Index:
 
     def _scan(self, path: str, schema: str,
               exclude_epoch: int | None,
-              as_of_epoch: int | None) -> DataFrame:
+              as_of_epoch) -> DataFrame:
+        """Every disk read funnels through here, so ``as_of_epoch``
+        may also be a :class:`~..catalog.snapshot.Snapshot` — it
+        resolves (and VALIDATES: covered asset, epochs unmoved)
+        against this index's root at plan-build time (VERDICT r13
+        item 4)."""
+        from industrial_data_pipeline_spark.catalog.snapshot import (
+            resolve_as_of)
+
+        as_of_epoch = resolve_as_of(as_of_epoch, self.root)
         scan = self.spark.read.schema(schema).parquet(path)
         if exclude_epoch is not None:
             scan = scan.where(F.col("_epoch") != int(exclude_epoch))

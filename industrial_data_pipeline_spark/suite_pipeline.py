@@ -2285,6 +2285,96 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q307 SNAPSHOT-MANIFEST hybrid retrieval (VERDICT r13 item 4):
+# -- q298's two-asset snapshot consistency held by CONVENTION (the
+# -- caller passing the same int twice); here ONE published manifest
+# -- id pins BOTH assets, validated per asset at probe time
+
+def q_snapshot_hybrid_retrieval(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """catalog/snapshot.py's SnapshotStore + q298's flow: both
+    stored assets build + append epoch 0, then ONE
+    ``publish(\"eval-...\")`` records each asset's epoch layout under
+    one id; epoch 1 lands on both AFTER the publish, a takedown
+    retraction hits both, and the probe passes the SNAPSHOT — not
+    two raw ints — through HybridRetriever to both legs, each
+    resolving (and validating: covered asset, epoch partitions
+    unmoved) against its own root. Results are exactly q298's:
+    epoch 1 invisible, retractions winning through time travel
+    (retraction never moves epoch partitions, so the manifest stays
+    valid — the designed takedown semantics). The
+    compacted-away-epoch loud failure, the uncovered-asset refusal
+    and the immutable-id contract are pinned in
+    tests/test_snapshot.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.catalog.snapshot import (
+        SnapshotStore)
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.retrieval import (
+        HybridRetriever)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    docs = (_load_docs(spark, sf_dir).select("doc_id", "text")
+            .where(F.col("doc_id") < 200))
+    emb = docs.select(
+        "doc_id",
+        TX.hashed_bow_embedding(F.col("text"), 16).alias("_v"))
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qdf = (spark.createDataFrame(sorted(queries.items()),
+                                 "qid long, qtext string")
+           .select("qid",
+                   TX.hashed_bow_embedding(F.col("qtext"), 16)
+                   .alias("_qv"))
+           .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q307_")
+    try:
+        bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
+                               n_buckets=16, k1=_BM25_K1, b=_BM25_B)
+        bidx.build(docs.where(F.col("doc_id") < 100))
+        bidx.append(docs.where((F.col("doc_id") >= 100)
+                               & (F.col("doc_id") < 150)),
+                    epoch_id=0)
+        vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                              id_col="doc_id", vec_col="_v",
+                              n_cells=8)
+        vidx.build(emb.where(F.col("doc_id") < 100))
+        vidx.append(emb.where((F.col("doc_id") >= 100)
+                              & (F.col("doc_id") < 150)),
+                    epoch_id=0)
+        snap = SnapshotStore(os.path.join(root, "snapshots")).publish(
+            "eval-pin", [bidx.root, vidx.root])
+        # the store moves on AFTER the publish: a second epoch on
+        # both assets, then a takedown on both
+        bidx.append(docs.where(F.col("doc_id") >= 150), epoch_id=1)
+        vidx.append(emb.where(F.col("doc_id") >= 150), epoch_id=1)
+        bidx.retract([50, 105])
+        vidx.retract([50, 105])
+
+        hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
+        out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
+                            nprobe=4, id_col="qid", vec_col="_qv",
+                            as_of_epoch=snap)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_PIPELINE.update({
+    # one manifest id == q298's two correctly-paired ints, so the
+    # oracle IS q298's replay (same corpus, same pins, same fusion)
+    "q307_snapshot_hybrid_retrieval": (
+        q_snapshot_hybrid_retrieval,
+        _oracle_hybrid_asof_retrieval()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are
