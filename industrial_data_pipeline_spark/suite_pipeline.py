@@ -2375,6 +2375,258 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q308 TENANT capstone on the COMPRESSED tier (VERDICT r13
+# -- item 5): rare-tenant hybrid retrieval where the dense leg rides
+# -- the int8-SQ two-stage probe with per-tenant guaranteed-k — the
+# -- at-scale variant of q303 (q303's dense leg read raw vectors)
+
+#: rare-tenant labeling: two 5-doc strata (3 and 4) injected into
+#: the common 0/1/2 split — the stratum size every escalation corner
+#: lives in (guaranteed-k exists for exactly these tenants)
+_Q308_RARE = {3: 5, 4: 11}  # lbl -> doc_id % 31 residue
+#: per-query tenant: every query targets a RARE stratum, so with
+#: min_results = |stratum| the routing deterministically covers the
+#: whole stratum (either the probed cell already holds all of it, or
+#: the brute escalation probes exactly the stratum's cells) — the
+#: oracle replays candidates = whole stratum with NO routing CTEs,
+#: then the REAL two-stage chain (rerank 3 < stratum 5: stage 1 is
+#: genuinely selective)
+_Q308_FILTERS = {0: 3, 1: 4, 2: 3}
+_Q308_LEG_K = 3
+_Q308_STRATUM = 5
+
+
+def _q308_lbl() -> "F.Column":
+    return (F.when(F.col("doc_id") % 31 == _Q308_RARE[3], F.lit(3))
+            .when(F.col("doc_id") % 31 == _Q308_RARE[4], F.lit(4))
+            .otherwise((F.col("doc_id") % 3).cast("int"))
+            .cast("int"))
+
+
+_Q308_LBL_SQL = (f"CAST(CASE WHEN doc_id % 31 = {_Q308_RARE[3]} "
+                 f"THEN 3 WHEN doc_id % 31 = {_Q308_RARE[4]} "
+                 f"THEN 4 ELSE doc_id % 3 END AS INT)")
+
+
+def q_tenant_sq_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-tenant capstone ON THE COMPRESSED TIER (VERDICT
+    r13 item 5): ONE shared BM25 asset + ONE shared int8-SQ IVF
+    asset serving RARE tenants (5-doc strata), fused through
+    :class:`~.operators.retrieval.HybridRetriever` with
+    ``dense_tier=\"sq\"`` — the dense leg's stage 1 reads ONLY the
+    int8 code columns of the probed cells (no vector bytes —
+    plan-asserted in tests/test_retrieval.py), ranks the stratum by
+    the exact-int int8 cosine, and only the ``rerank=3`` shortlist
+    is exact-re-ranked; ``min_results=5`` (the stratum size) makes
+    per-tenant guaranteed-k bite: nprobe=1 cannot cover a scattered
+    5-doc stratum, so the escalation's brute path probes exactly the
+    stratum's cells (q285's contract) and stage 1 sees the WHOLE
+    stratum — deterministically, which is what lets the oracle skip
+    routing CTEs and still replay the genuine two-stage rank chain
+    per stratum (int8 shortlist of 3 from 5, then exact re-rank).
+    The lexical leg is q302's per-stratum-statistics BM25. One
+    retrieve() call passes tenant filter + guarantee to both legs."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.retrieval import (
+        HybridRetriever)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    docs = (_load_docs(spark, sf_dir)
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", "text", _q308_lbl().alias("lbl")))
+    emb = docs.select(
+        "doc_id",
+        TX.hashed_bow_embedding(F.col("text"), 16).alias("_v"),
+        "lbl")
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qfilters = {qid + _HYB_QOFF: lbl
+                for qid, lbl in _Q308_FILTERS.items()}
+    qdf = (spark.createDataFrame(sorted(queries.items()),
+                                 "qid long, qtext string")
+           .select("qid",
+                   TX.hashed_bow_embedding(F.col("qtext"), 16)
+                   .alias("_qv"))
+           .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q308_")
+    try:
+        bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
+                               n_buckets=16, k1=_BM25_K1, b=_BM25_B,
+                               extra_schema="lbl int")
+        bidx.build(docs.where(F.col("doc_id") < 100))
+        bidx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                              id_col="doc_id", vec_col="_v",
+                              n_cells=8, sq_int8=True,
+                              extra_schema="lbl int")
+        vidx.build(emb.where(F.col("doc_id") < 100))
+        vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
+
+        hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
+        out = (hyb.retrieve(queries, qdf, k=10,
+                            leg_k=_Q308_LEG_K, nprobe=1,
+                            id_col="qid", vec_col="_qv",
+                            filter_col="lbl",
+                            query_filters=qfilters,
+                            min_results=_Q308_STRATUM,
+                            dense_tier="sq",
+                            rerank=_Q308_LEG_K)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_tenant_sq_hybrid() -> str:
+    from industrial_data_pipeline_spark.suite_llm import (
+        _COS, _demb_sql)
+    from industrial_data_pipeline_spark.suite_vectors import _QV
+
+    def idot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+                f" p -> p[1]*p[2]), 'sum')")
+
+    k1, b = _BM25_K1, _BM25_B
+    lk = _Q308_LEG_K
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qfilters = {qid + _HYB_QOFF: lbl
+                for qid, lbl in _Q308_FILTERS.items()}
+    qterms = sorted({(qid, t) for qid, qs in queries.items()
+                     for t in qs.lower().split()})
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}',"
+        f" CAST({qfilters[qid]} AS INT))"
+        for qid, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, t in qterms}))
+    qvals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{qs}',"
+        f" CAST({qfilters[qid]} AS INT))"
+        for qid, qs in sorted(queries.items()))
+    cos = _COS.format(a="cc.v", b="qe.v")
+    return f"""
+WITH docs AS (SELECT doc_id, text, {_Q308_LBL_SQL} AS lbl
+              FROM documents WHERE doc_id < 150),
+tdocs AS (SELECT doc_id, {_TOKS} AS tk, lbl
+          FROM (SELECT doc_id, lower(text) AS text, lbl FROM docs)),
+q(query_id, t, lbl) AS (SELECT * FROM (VALUES {vals})),
+stats AS (SELECT lbl, count(*) AS n_docs, avg(len(tk)) AS avgdl
+          FROM tdocs GROUP BY 1),
+posting AS (SELECT doc_id, dl, lbl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(tk) AS dl, lbl,
+                         unnest(tk) AS t
+                  FROM tdocs)
+            WHERE t IN ({vocab})
+            GROUP BY 1, 2, 3, 4),
+dfreq AS (SELECT t, lbl, count(*) AS df FROM posting GROUP BY 1, 2),
+scored AS (SELECT q.query_id, p.doc_id,
+                  round(sum(round(
+                      ln(1.0 + ((s.n_docs - d.df)::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5))
+                      * (p.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                      / (p.tf + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * p.dl / s.avgdl)), 6)), 6) AS bm25
+           FROM posting p
+           JOIN q ON q.t = p.t AND q.lbl = p.lbl
+           JOIN dfreq d ON d.t = p.t AND d.lbl = p.lbl
+           JOIN stats s ON s.lbl = q.lbl
+           GROUP BY 1, 2),
+lexleg AS (SELECT query_id AS qid, doc_id, rl FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+         AS rl
+     FROM scored)
+  WHERE rl <= {lk}),
+de AS ({_demb_sql('docs')}),
+qt(qid, text, qlbl) AS (SELECT * FROM (VALUES {qvals})),
+qdocs AS (SELECT qid AS doc_id, text FROM qt),
+qe AS (SELECT e.doc_id AS qid, e.v, qt.qlbl
+       FROM ({_demb_sql('qdocs')}) e
+       JOIN qt ON qt.qid = e.doc_id),
+-- stage 0 (routing): min_results = |stratum| makes the candidate
+-- set the WHOLE tenant stratum deterministically (brute escalation
+-- or a cell already holding all of it) — no routing CTEs needed
+v8 AS (SELECT doc_id,
+              list_transform(v, x -> CAST(greatest(-127.0,
+                  least(127.0, floor(x * scale + 0.5))) AS BIGINT))
+                  AS q8
+       FROM (SELECT doc_id, v,
+                    CASE WHEN amax > 0 THEN 127.0 / amax
+                         ELSE 1.0 END AS scale
+             FROM (SELECT doc_id, v,
+                          list_aggregate(list_transform(v,
+                              x -> abs(x)), 'max') AS amax
+                   FROM de))),
+vn8 AS (SELECT doc_id, q8,
+               list_aggregate(list_transform(q8, x -> x*x), 'sum')
+                   AS q8n2
+        FROM v8),
+qq AS (SELECT qid, {_QV.format(c='v')} AS qqv FROM qe),
+qn AS (SELECT qid, list_aggregate(list_transform(qqv, x -> x*x),
+                                  'sum') AS qn2
+       FROM qq),
+-- stage 1: int8 cosine over the whole stratum, shortlist {lk} of 5
+sdot AS (SELECT qe.qid, w.doc_id,
+                {idot('qq.qqv', 'w.q8')} AS num, w.q8n2
+         FROM qe
+         JOIN docs dd ON dd.lbl = qe.qlbl
+         JOIN vn8 w ON w.doc_id = dd.doc_id
+         JOIN qq ON qq.qid = qe.qid
+         WHERE w.doc_id <> qe.qid AND w.q8n2 > 0),
+short AS (SELECT qid, doc_id FROM (
+            SELECT s.qid, s.doc_id,
+                   row_number() OVER (PARTITION BY s.qid ORDER BY
+                       (CAST(num AS DOUBLE)
+                        / (sqrt(CAST(qn2 AS DOUBLE))
+                           * sqrt(CAST(q8n2 AS DOUBLE)))) DESC,
+                       s.doc_id) AS srk
+            FROM sdot s JOIN qn USING (qid) WHERE qn2 > 0)
+          WHERE srk <= {lk}),
+-- stage 2: exact re-rank of the shortlist
+denseleg AS (SELECT qid, doc_id, rf FROM
+    (SELECT s.qid, s.doc_id,
+            CAST(row_number() OVER (PARTITION BY s.qid
+                                    ORDER BY {cos} DESC,
+                                             s.doc_id) AS INT)
+                AS rf
+     FROM short s
+     JOIN de cc ON cc.doc_id = s.doc_id
+     JOIN qe ON qe.qid = s.qid)
+  WHERE rf <= {lk}),
+fused AS (SELECT coalesce(l.qid, d.qid) AS qid,
+                 coalesce(l.doc_id, d.doc_id) AS doc_id,
+                 coalesce(1.0 / ({_RRF60} + l.rl), 0.0)
+                 + coalesce(1.0 / ({_RRF60} + d.rf), 0.0) AS score,
+                 l.rl IS NOT NULL AS in_lexical,
+                 d.rf IS NOT NULL AS in_dense
+          FROM lexleg l
+          FULL JOIN denseleg d
+            ON d.qid = l.qid AND d.doc_id = l.doc_id)
+SELECT qid AS query_id, doc_id AS cand_id, rrf_rank,
+       score + 0.0 AS rrf_score, in_lexical, in_dense
+FROM (SELECT *, CAST(row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT)
+          AS rrf_rank
+      FROM fused)
+WHERE rrf_rank <= 10
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q308_tenant_sq_hybrid": (q_tenant_sq_hybrid,
+                              _oracle_tenant_sq_hybrid()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are

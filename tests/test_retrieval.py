@@ -175,3 +175,84 @@ def test_retriever_error_contracts(spark, tmp_path):
     with pytest.raises(ValueError, match="query_filters"):
         hyb.retrieve(QUERIES, qv, filter_col="lbl",
                      id_col="qid", vec_col="_qv")
+
+
+def test_retriever_sq_tier_plans_and_guarantee(spark, tmp_path):
+    """The q308 capstone's plan claims: through ONE retrieve() call
+    with dense_tier='sq' + filter + min_results, the dense stage-1
+    scan reads ONLY the int8 code columns (no vector bytes) of the
+    probed cells (PartitionFilters), and the guarantee delivers the
+    whole rare stratum — matching the direct probe_batch_sq
+    composition row-for-row."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+    from industrial_data_pipeline_spark.operators.text import (
+        hashed_bow_embedding)
+
+    docs = _corpus(spark).withColumn(
+        "lbl", F.when(F.col("doc_id") % 13 == 2, 9)
+        .otherwise(F.col("doc_id") % 2).cast("int"))
+    emb = docs.select(
+        "doc_id", hashed_bow_embedding(F.col("text"), 8).alias("_v"),
+        "lbl")
+    bidx = StoredBm25Index(spark, str(tmp_path / "b"), n_buckets=4,
+                           extra_schema="lbl int")
+    bidx.build(docs)
+    vidx = StoredIvfIndex(spark, str(tmp_path / "v"),
+                          id_col="doc_id", vec_col="_v", n_cells=4,
+                          sq_int8=True, extra_schema="lbl int")
+    vidx.build(emb)
+    rare = sorted(r.doc_id for r in
+                  docs.where("lbl = 9").collect())
+    assert 3 <= len(rare) <= 6
+    qf = {1000: 9, 1001: 9}
+    qv = _qvecs(spark, QUERIES)
+
+    hyb = HybridRetriever(bidx, vidx)
+    got = hyb.retrieve(QUERIES, qv, k=10, leg_k=3, nprobe=1,
+                       id_col="qid", vec_col="_qv",
+                       filter_col="lbl", query_filters=qf,
+                       min_results=len(rare), dense_tier="sq",
+                       rerank=3).collect()
+    # stage-1 scan: int8 codes only, cell-partition pruned
+    from tests.test_retrieval import _plan_str
+    p = _plan_str(vidx.last_sq_scan)
+    schemas = re.findall(r"ReadSchema: .*", p)
+    assert schemas and all("q8" in s for s in schemas), p
+    assert all("v:" not in s.replace("vec_id", "")
+               for s in schemas), p
+    assert re.search(r"PartitionFilters: \[.*_cell", p), p
+
+    # parity with the hand-composed legs
+    lex = (bidx.probe(QUERIES, k=3, filter_col="lbl",
+                      query_filters=qf)
+           .select("query_id", F.col("doc_id").alias("cand_id"),
+                   "rank"))
+    qvf = qv.withColumn("_qf", F.lit(9).cast("int"))
+    den = (vidx.probe_batch_sq(qvf, k=3, nprobe=1, rerank=3,
+                               id_col="qid", vec_col="_qv",
+                               filter_col="lbl",
+                               query_filter_col="_qf",
+                               min_results=len(rare))
+           .select("query_id", F.col("vec_id").alias("cand_id"),
+                   F.col("rk").alias("rank")))
+    want = rrf_fuse(lex, den, k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # every dense candidate is in the rare stratum
+    dense_ids = {r.cand_id for r in got if r.in_dense}
+    assert dense_ids and dense_ids <= set(rare)
+
+
+def _plan_str(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
