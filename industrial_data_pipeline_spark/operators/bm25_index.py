@@ -436,7 +436,20 @@ class StoredBm25Index:
         ``filter_col`` + ``query_filter_col`` (a label column on the
         QUERY frame; defaults to ``filter_col``) run the
         per-stratum-statistics filtered probe — :meth:`probe`'s
-        contract with the labels riding the query frame."""
+        contract with the labels riding the query frame.
+
+        Scale envelope, stated (ADVICE r13): the broadcast pair
+        frame is |queries| × |terms-per-query| rows of (long,
+        short-string[, label]) — a 100k-query eval batch at ~5
+        analyzed terms/query is ~500k pairs, single-digit MB and
+        comfortably broadcastable; far beyond that, the right move
+        is batching the eval frame, not a shuffle join (the scoring
+        join NEEDS the pair side small — it fans candidate postings
+        by query). The degenerate corner is VOCABULARY, not count:
+        a batch whose distinct analyzed terms cover most buckets
+        degrades the IN-list toward a full postings scan — correct
+        (a probe touching every bucket IS a scan), and the
+        ``last_postings_scan`` hook makes it observable."""
         sel = [F.col(id_col).cast("long").alias("query_id"),
                F.explode(self._tokenize(text_col)).alias("term")]
         if filter_col is not None:

@@ -1254,7 +1254,9 @@ class StoredIvfIndex:
                           filter_col: str | None,
                           exclude_epoch: int | None,
                           as_of_epoch: int | None) -> dict:
-        """Guaranteed-k routing for FILTERED probes (VERDICT r11
+        """Guaranteed-k routing — filtered probes AND, since the
+        r12 item-4 lift, unfiltered ones (``filter_col=None`` treats
+        the whole index as the stratum) (VERDICT r11
         item 1 — the contract gap a production RAG user hits weekly):
         a rare stratum (tenant/language/license) may simply not have
         ``min_results`` rows inside the ``nprobe`` nearest cells even

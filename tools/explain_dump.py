@@ -695,6 +695,67 @@ PICKS = [
      "label IN-list pushed, cell scan with the label equality on "
      "the pruned partitions; the RRF fusion stays candidate-sized. "
      "One shared index pair serves every tenant."),
+    ("q298_hybrid_asof_retrieval",
+     "Snapshot-consistent hybrid as-of (the round-13 headline scale "
+     "claim): BOTH legs' scans carry the `_epoch <= 0` pin as "
+     "PartitionFilters NEXT TO their own pruning — the postings "
+     "scan stacks it on the bucket filter + In(term) pushdown, the "
+     "cell scan on the probed-cell partitions — so epoch 1's "
+     "partitions on both assets are pruned at FILE-LISTING time: "
+     "yesterday's probe costs exactly yesterday's pruned I/O, and "
+     "the retraction rewrite already removed the taken-down rows "
+     "from every epoch it touched."),
+    ("q300_bm25_probe_frames",
+     "DataFrame-of-queries BM25 probe: the query frame tokenizes "
+     "IN-PLAN through the same projection chain the build wrote "
+     "(regexp extract + transforms — no UDF), and the exploded "
+     "(query_id, term) pair frame BROADCASTS into the scoring "
+     "join; the postings scan is q293's shape — bucket "
+     "PartitionFilters + In(term) built from the driver-collected "
+     "DISTINCT analyzed terms (bounded by query vocabulary, never "
+     "by query count)."),
+    ("q304_tenant_asof_hybrid",
+     "Tenant + as-of through the FIRST-CLASS HybridRetriever "
+     "(round 14): q303's label pushdown AND q298's `_epoch <= 0` "
+     "pin compose on BOTH legs' scans from one retrieve() call — "
+     "postings: bucket PartitionFilters stacked with the epoch pin, "
+     "In(term) + In(lbl) side by side in PushedFilters; cells: "
+     "probed partitions ∩ epoch pin with the label equality on the "
+     "pruned rows. The fusion (operators/retrieval.py) adds one "
+     "candidate-sized full join + per-query rank window."),
+    ("q305_tenant_phrase_probe",
+     "Tenant-scoped phrase probe, frames form (round 14): phrase "
+     "text tokenizes in-plan with posexplode supplying the anchor "
+     "offsets; the postings scan keeps q301's bucket + In(term) "
+     "pruning with the label IN-list pushed beside it, reads the "
+     "pos column (phrase probes are its only consumer), and the "
+     "anchor vote is a (query, doc, anchor) count + (query, doc) "
+     "fold — candidate-sized shuffles, per-stratum by the scan "
+     "filter + per-query label equality."),
+    ("q306_unicode_analyzer_probe",
+     "Unicode analyzer probe (round 14): the [\\p{L}\\p{N}]+ "
+     "extraction + lowercase-fold transforms are a pure projection "
+     "chain in the build's corpus pass (no UDF — regexp + "
+     "higher-order transforms); the probe plan is q293's shape "
+     "unchanged (bucket PartitionFilters + In(term)) because "
+     "queries analyze driver-side through the bit-identical Python "
+     "twin; multilingual terms hash into the same bucket scheme."),
+    ("q307_snapshot_hybrid_retrieval",
+     "Snapshot-manifest hybrid (round 14): the plans are q298's — "
+     "the manifest resolves to each asset's epoch pin DRIVER-side "
+     "(a filesystem walk validating the epoch layout) before any "
+     "plan exists, so both legs' scans show the same "
+     "`_epoch <= 0` PartitionFilters; one published id replaces "
+     "two caller-paired ints at zero plan cost."),
+    ("q308_tenant_sq_hybrid",
+     "Tenant capstone on the compressed tier (round 14): the dense "
+     "leg's stage-1 scan reads ONLY (vec_id, q8, q8n2, lbl) — the "
+     "vector column never enters ReadSchema — over the "
+     "escalation's stratum cells as PartitionFilters; stage 2 "
+     "exact-reranks the 3-row shortlist through a vec_id-IN-pruned "
+     "read; the lexical leg is q302's per-stratum shape; the "
+     "guarantee (min_results = stratum size) decides routing "
+     "driver-side from footer counts before the plan exists."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
@@ -780,7 +841,10 @@ def main() -> None:
         saved = {k: spark.conf.get(k) for k in overrides}
         for k, v in overrides.items():
             spark.conf.set(k, v)
-        stream_keys_before = set(LAST_STREAM_PLANS)
+        # ADVICE r13: snapshot key→plan (not just the key set) so a
+        # pick that RE-RUNS a streaming flow whose sink name was
+        # already captured still dumps its refreshed executed plan
+        stream_before = dict(LAST_STREAM_PLANS)
         try:
             with _CheckpointSpy() as spy:
                 df = fn(spark, SF)
@@ -793,8 +857,8 @@ def main() -> None:
         # the sink — append the EXECUTED micro-batch plan captured at
         # awaitTermination (VERDICT r12 item 7: the stream-stream join
         # / watermark operators live there, nowhere else)
-        for key in sorted(set(LAST_STREAM_PLANS)
-                          - stream_keys_before):
+        for key in sorted(k for k, v in LAST_STREAM_PLANS.items()
+                          if stream_before.get(k) != v):
             out += [f"### {name} — executed micro-batch plan "
                     f"(last batch, sink `{key}`)", "",
                     "```", LAST_STREAM_PLANS[key].rstrip(), "```",
