@@ -589,6 +589,71 @@ class StoredBm25Index:
                                  exclude_epoch, as_of_epoch,
                                  filter_col, labels)
 
+    def overlap_probe_frames(self, docs: DataFrame,
+                             min_overlap: float = 0.9,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             exclude_epoch: int | None = None,
+                             as_of_epoch=None) -> DataFrame:
+        """Term-overlap NOVELTY gate over the persisted postings
+        (VERDICT r13 stretch — the lexical fourth gate of the
+        multi-gate admission stream): for each candidate document,
+        find every indexed document sharing ≥ ``min_overlap`` of
+        the candidate's DISTINCT analyzed terms. Returns
+        (new_id, old_id, n_shared, n_terms) pairs at/above the
+        threshold — a non-empty row set means "not novel". Term
+        sets are ORDER-INVARIANT, so this gate catches the
+        reordered near-copies the positional trigram-shingle LSH
+        gate is blind to (the lexical analogue of the q256
+        embedding gate's value-add), and it rides the SAME pruned
+        scan as every probe: bucket PartitionFilters + term IN-list
+        from the batch's vocabulary (the probe_frames envelope —
+        driver collects only distinct analyzed terms; a batch
+        covering most buckets degrades toward a scan, the correct
+        degenerate). The overlap test is one double multiply +
+        compare (``n_shared >= min_overlap * n_terms``) on exact
+        integer counts — engine-replayable.
+
+        ``exclude_epoch`` is the exactly-once half (the
+        StoredLshIndex.probe_frames discipline): a retried
+        foreachBatch epoch must not match the crashed attempt's own
+        appended postings. Candidates with zero analyzable terms
+        yield no pairs (vacuously novel — the classifier gate, not
+        this one, judges empty docs)."""
+        toks = (docs.select(
+            F.col(id_col).cast("long").alias("new_id"),
+            F.explode(F.array_distinct(self._tokenize(text_col)))
+            .alias("term"))
+            .localCheckpoint(eager=True))
+        vocab = sorted({r["term"] for r in
+                        toks.select("term").distinct().collect()})
+        if not vocab:
+            return self.spark.createDataFrame(
+                [], "new_id long, old_id long, n_shared long,"
+                    " n_terms long")
+        nt = toks.groupBy("new_id").agg(F.count("*").alias("_nt"))
+        pschema, _ = self._schemas()
+        buckets = sorted({py_hash64(t) % self.n_buckets
+                          for t in vocab})
+        post = (self._scan(self._postings_path, pschema,
+                           exclude_epoch, as_of_epoch)
+                .where(F.col("_tb").isin(buckets))
+                .where(F.col("term").isin(vocab)))
+        self.last_postings_scan = post
+        old = (post.select("term", F.col("doc_id").alias("old_id"))
+               .distinct())
+        # toks is distinct per (new_id, term) and old per (term,
+        # old_id), so the join emits unique triples — count(*) IS
+        # the shared-distinct-term count
+        shared = (old.join(F.broadcast(toks), "term")
+                  .groupBy("new_id", "old_id")
+                  .agg(F.count("*").alias("n_shared")))
+        return (shared.join(F.broadcast(nt), "new_id")
+                .where(F.col("n_shared")
+                       >= F.lit(float(min_overlap)) * F.col("_nt"))
+                .select("new_id", "old_id", "n_shared",
+                        F.col("_nt").alias("n_terms")))
+
     def _require_positions(self) -> None:
         if self.schema_version < 2:
             raise ValueError(

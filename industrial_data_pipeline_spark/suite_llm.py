@@ -2805,6 +2805,230 @@ REGISTRY_LLM.update({
 })
 
 
+# -- q309 STREAMING LEXICAL GATE (VERDICT r13 stretch): the
+# -- BM25-asset term-overlap novelty gate as the lexical stage of
+# -- the q256 admission family, appending admitted docs' postings to
+# -- the stored BM25 asset IN-STREAM (the q266 lifecycle pattern on
+# -- the lexical asset)
+
+_Q309_SUF7 = ("array_to_string(list_transform({toks},"
+              " t -> t || 'q7'), ' ')".format(toks=_TOKS))
+_Q309_SUF8 = ("array_to_string(list_transform({toks},"
+              " t -> t || 'q8'), ' ')".format(toks=_TOKS))
+_Q309_REVSUF7 = ("array_to_string(list_reverse(list_transform("
+                 "{toks}, t -> t || 'q7')), ' ')".format(toks=_TOKS))
+
+_Q309_B1 = f"""
+SELECT doc_id + 810000 AS doc_id, {_Q309_SUF7} AS text
+FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id + 820000, {_REV}
+FROM documents WHERE doc_id >= 100 AND doc_id < 105
+"""
+
+_Q309_B2 = f"""
+SELECT doc_id + 830000 AS doc_id, {_Q309_REVSUF7} AS text
+FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id + 840000, {_Q309_SUF8}
+FROM documents WHERE doc_id >= 110 AND doc_id < 115
+"""
+
+
+def _q309_overlap_ctes(p: str, corpus_cte: str,
+                       batch_cte: str) -> str:
+    """CTE chain (prefix ``p``) replaying the term-overlap novelty
+    gate of ``batch_cte`` against ``corpus_cte`` — the DuckDB twin
+    of StoredBm25Index.overlap_probe_frames: distinct lowercased
+    whitespace tokens per side, pair survives when the intersection
+    covers ≥ 0.9 of the candidate's term set (exact integer counts,
+    one double multiply in the compare — both engines evaluate the
+    identical expression). Ends with ``{p}ver`` (new_id, old_id)."""
+    return f"""
+{p}bt AS (SELECT doc_id, list_distinct(tk) AS ts
+          FROM (SELECT doc_id, {_TOKS} AS tk
+                FROM (SELECT doc_id, lower(text) AS text
+                      FROM {batch_cte}))),
+{p}ct AS (SELECT doc_id, list_distinct(tk) AS ts
+          FROM (SELECT doc_id, {_TOKS} AS tk
+                FROM (SELECT doc_id, lower(text) AS text
+                      FROM {corpus_cte}))),
+{p}ver AS (SELECT b.doc_id AS new_id, c.doc_id AS old_id
+           FROM {p}bt b JOIN {p}ct c
+             ON len(list_intersect(b.ts, c.ts)) >= 0.9 * len(b.ts)
+           WHERE len(b.ts) > 0)"""
+
+
+def q_lexical_gate_stream(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The LEXICAL novelty gate running live in the admission
+    stream: each micro-batch passes (1) the quality classifier and
+    (2) StoredBm25Index.overlap_probe_frames against the persisted
+    postings — order-invariant distinct-term overlap ≥ 0.9 means
+    not novel — and admitted docs' postings APPEND TO THE SAME
+    STORED BM25 ASSET in-stream (exactly-once per-epoch dynamic
+    overwrite; probe excludes the in-flight epoch so a retried
+    batch can never match its own crashed attempt), with the
+    in-stream compaction cadence folding the asset before batch 2
+    under the writer lease (the q266 lifecycle-verbs-inside-the-
+    loop pattern, now on the lexical asset). The fixture pins the
+    gate's value-add and the append's effect: batch 1 carries
+    token-REVERSED corpus copies (novel to a positional
+    trigram-shingle gate, overlap 1.0 here — rejected) plus
+    suffix-q7 novel docs; batch 2 carries token-reversed copies of
+    batch 1's suffixed docs — rejected exactly when batch 1's
+    append really advanced the postings (a batch-1 quality-reject's
+    terms are absent, so its reversal sails through the lexical
+    gate: rejects don't poison the asset). Ledger (doc_id,
+    quality_keep, n_lex_matches, admitted); the oracle replays both
+    batches sequentially — classifier + overlap gate + the
+    admitted-docs corpus advance — in pure SQL. Probe byte-parity
+    of the streamed asset with a one-shot batch rebuild, and
+    replayed-epoch idempotence, are pinned in
+    tests/test_bm25_index.py::test_lexical_gate_stream_semantics.
+
+    Scale shape: per batch = one classifier projection + ONE
+    bucket/term-pruned postings scan (the probe_frames envelope)
+    + candidate-sized overlap pairs + a batch-sized append.
+    Steady-state cost is O(|batch| + matched postings) —
+    corpus-independent I/O through the pruned scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    root = tempfile.mkdtemp(prefix="idp_q309_")
+    staging = os.path.join(root, "staging")
+    ledger_dir = os.path.join(root, "ledger")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging)
+    docs = (_load_docs(spark, sf_dir).select("doc_id", "text")
+            .where(F.col("doc_id") < 150))
+    idx = StoredBm25Index(spark, os.path.join(root, "bm25"),
+                          n_buckets=16)
+    idx.build(docs)
+
+    toks = TX.tokens(F.col("text"))
+    suf7_t = F.transform(toks, lambda t: F.concat(t, F.lit("q7")))
+    suf7 = F.array_join(suf7_t, " ")
+    suf8 = F.array_join(
+        F.transform(toks, lambda t: F.concat(t, F.lit("q8"))), " ")
+    rev = F.array_join(F.reverse(toks), " ")
+    revsuf7 = F.array_join(F.reverse(suf7_t), " ")
+    b1 = (docs.where(F.col("doc_id") < 5)
+          .select((F.col("doc_id") + 810000).alias("doc_id"),
+                  suf7.alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 100)
+                         & (F.col("doc_id") < 105))
+              .select((F.col("doc_id") + 820000).alias("doc_id"),
+                      rev.alias("text"))))
+    b2 = (docs.where(F.col("doc_id") < 5)
+          .select((F.col("doc_id") + 830000).alias("doc_id"),
+                  revsuf7.alias("text"))
+          .unionByName(
+              docs.where((F.col("doc_id") >= 110)
+                         & (F.col("doc_id") < 115))
+              .select((F.col("doc_id") + 840000).alias("doc_id"),
+                      suf8.alias("text"))))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        batch = (batch.select("doc_id", "text")
+                 .localCheckpoint(eager=True))
+        if batch.isEmpty():
+            return
+        if epoch_id >= 1:
+            # in-stream compaction under the writer lease the
+            # admitting stream already holds (q256's cadence, on
+            # the lexical asset); in_flight_epoch drops a crashed
+            # attempt's leftovers instead of folding them
+            idx.compact(in_flight_epoch=int(epoch_id))
+        clf = TX.quality_classifier(batch).select(
+            "doc_id",
+            F.coalesce("keep", F.lit(False)).alias("quality_keep"))
+        pairs = idx.overlap_probe_frames(
+            batch, min_overlap=0.9, exclude_epoch=int(epoch_id))
+        per = (pairs.groupBy("new_id")
+               .agg(F.count("*").alias("_nl")))
+        stats = (batch.join(clf, "doc_id")
+                 .join(per, F.col("doc_id") == F.col("new_id"),
+                       "left")
+                 .select("doc_id", "text", "quality_keep",
+                         F.coalesce("_nl", F.lit(0)).cast("long")
+                         .alias("n_lex_matches"))
+                 .localCheckpoint(eager=True))
+        admitted = (stats.where(F.col("quality_keep")
+                                & (F.col("n_lex_matches") == 0))
+                    .select("doc_id", "text"))
+        # exactly-once: the append lands in this epoch's partitions
+        # via dynamic overwrite — a replayed epoch REPLACES
+        idx.append(admitted, epoch_id=int(epoch_id))
+        (stats.select("doc_id", "quality_keep", "n_lex_matches",
+                      (F.col("quality_keep")
+                       & (F.col("n_lex_matches") == 0))
+                      .alias("admitted"))
+         .withColumn("_epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_epoch").parquet(ledger_dir))
+
+    src = (spark.readStream.schema("doc_id long, text string")
+           .parquet(staging))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").start())
+    try:
+        b1.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        out = (spark.read.parquet(ledger_dir)
+               .select("doc_id", "quality_keep", "n_lex_matches",
+                       "admitted")
+               .localCheckpoint(eager=True))
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_LEXICAL_GATE_STREAM = f"""
+WITH corpus0 AS (SELECT doc_id, text FROM documents
+                 WHERE doc_id < 150),
+b1 AS ({_Q309_B1}),
+{_clf_ctes('k1', 'b1').lstrip()},
+{_q309_overlap_ctes('l1', 'corpus0', 'b1').lstrip()},
+adm1 AS (SELECT b1.doc_id, b1.text
+         FROM b1 JOIN k1keep USING (doc_id)
+         WHERE keep
+           AND doc_id NOT IN (SELECT new_id FROM l1ver)),
+corpus1 AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM adm1),
+b2 AS ({_Q309_B2}),
+{_clf_ctes('k2', 'b2').lstrip()},
+{_q309_overlap_ctes('l2', 'corpus1', 'b2').lstrip()},
+led AS (
+  SELECT b1.doc_id, k.keep AS quality_keep,
+         (SELECT count(*) FROM l1ver v
+          WHERE v.new_id = b1.doc_id) AS n_lex_matches
+  FROM b1 JOIN k1keep k USING (doc_id)
+  UNION ALL
+  SELECT b2.doc_id, k.keep,
+         (SELECT count(*) FROM l2ver v WHERE v.new_id = b2.doc_id)
+  FROM b2 JOIN k2keep k USING (doc_id))
+SELECT doc_id, quality_keep,
+       CAST(n_lex_matches AS BIGINT) AS n_lex_matches,
+       quality_keep AND n_lex_matches = 0 AS admitted
+FROM led
+"""
+
+REGISTRY_LLM.update({
+    "q309_lexical_gate_stream": (q_lexical_gate_stream,
+                                 ORACLE_LEXICAL_GATE_STREAM),
+})
+
+
 # ------ q257 stored-index COMPACTION equality (append -> compact ->
 # ------ probe, byte-identical to the in-plan gate's oracle)
 

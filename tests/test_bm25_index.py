@@ -484,3 +484,69 @@ def test_unicode_index_finds_what_ascii_drops(spark, tmp_path):
     with pytest.raises(ValueError, match="analyzable"):
         # pure non-Latin queries: every term analyzer-dropped
         asc.probe({0: "СПАРК!", 1: "συγχωνευσισ"}, k=5)
+
+
+def test_lexical_gate_stream_semantics(spark, tmp_path):
+    """q309's pinned claims: (a) overlap_probe_frames is the
+    order-invariant novelty gate (a reversed copy matches, a
+    suffixed doc doesn't) riding the pruned scan, (b) a REPLAYED
+    epoch is exactly-once — re-running the same admission batch
+    leaves the asset byte-identical (exclude_epoch keeps the
+    crashed attempt invisible to its own retry), and (c) after the
+    stream, the streamed asset probes byte-identically to a
+    one-shot batch rebuild over corpus + admits."""
+    from pyspark.sql import functions as F
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    corpus = _docs(spark, n=20)
+    idx = StoredBm25Index(spark, str(tmp_path / "lg"), n_buckets=8)
+    idx.build(corpus)
+
+    toks = F.split(F.col("text"), " ")
+    rev = F.array_join(F.reverse(toks), " ")
+    suf = F.array_join(
+        F.transform(toks, lambda t: F.concat(t, F.lit("q7"))), " ")
+    batch = (corpus.where("doc_id < 2")
+             .select((F.col("doc_id") + 900).alias("doc_id"),
+                     rev.alias("text"))
+             .unionByName(
+                 corpus.where("doc_id < 2")
+                 .select((F.col("doc_id") + 910).alias("doc_id"),
+                         suf.alias("text"))))
+
+    def admit(epoch):
+        pairs = idx.overlap_probe_frames(batch, min_overlap=0.9,
+                                         exclude_epoch=epoch)
+        matched = {r.new_id for r in pairs.collect()}
+        # reversed copies match (order-invariant), suffixed don't
+        assert matched == {900, 901}
+        admitted = batch.where(~F.col("doc_id").isin(900, 901))
+        idx.append(admitted, epoch_id=epoch)
+
+    admit(0)
+    after_once = sorted(map(tuple, idx.probe(Q, k=8).collect()))
+    import re
+    p = _plan(idx.last_postings_scan)
+    assert re.search(r"PartitionFilters: \[.*_tb.*\]", p), p
+
+    # replayed epoch (crashed-attempt retry): same decisions —
+    # the probe can't see the attempt's own appended postings —
+    # and the dynamic overwrite REPLACES, never double-appends
+    admit(0)
+    assert sorted(map(tuple, idx.probe(Q, k=8).collect())) \
+        == after_once
+
+    # probe byte-parity with a one-shot batch rebuild
+    rebuilt = StoredBm25Index(spark, str(tmp_path / "rb"),
+                              n_buckets=8)
+    rebuilt.build(corpus.unionByName(
+        batch.where(~F.col("doc_id").isin(900, 901))))
+    assert sorted(map(tuple, rebuilt.probe(Q, k=8).collect())) \
+        == after_once
+
+    # compaction (the in-stream cadence) stays invisible to probes
+    idx.compact()
+    assert sorted(map(tuple, idx.probe(Q, k=8).collect())) \
+        == after_once
