@@ -174,12 +174,18 @@ _VERIFIED_GREEN = {
 
 # Round 13 closed the q297-q303 tail (CORRECTNESS_r13: 50/50 green)
 # — moved into the green tier above. Round 14's never-checked tail
-# starts at q304 (tenant + as-of hybrid through the first-class
-# HybridRetriever operator) — each locally values=MATCH via
-# tools/drive_contract.py before commit. Round-14
+# is q304-q309 (tenant+as-of hybrid through the first-class
+# HybridRetriever q304; tenant-scoped phrase frames q305; unicode
+# analyzer q306; cross-asset snapshot manifest q307; compressed-tier
+# tenant capstone q308; streaming lexical gate q309) — each locally
+# values=MATCH via tools/drive_contract.py before commit. Round-14
 # behavior-adjacent changes to green queries, each re-verified
 # values=MATCH after the change: the RRF-fusion extraction into
-# operators/retrieval.py → q294/q298/q303.
+# operators/retrieval.py → q294/q298/q303; the phrase-probe shared
+# tail + schema_version meta → q293/q300/q301/q302; the analyzer
+# unicode_words field + meta key → q297; the snapshot resolve hook
+# in both scan funnels → q259/q280/q285/q295/q296. Full local
+# re-sweep: CORRECTNESS_LOCAL_r14.json.
 _VERIFY_FIRST: set[str] = set()
 
 

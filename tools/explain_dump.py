@@ -756,6 +756,16 @@ PICKS = [
      "read; the lexical leg is q302's per-stratum shape; the "
      "guarantee (min_results = stratum size) decides routing "
      "driver-side from footer counts before the plan exists."),
+    ("q309_lexical_gate_stream",
+     "Streaming lexical gate (round 14): per micro-batch, ONE "
+     "bucket/term-pruned postings scan feeds the order-invariant "
+     "term-overlap novelty gate (exact integer counts; "
+     "exclude_epoch keeps a retried batch blind to its own crashed "
+     "attempt), and admitted docs' postings append to the SAME "
+     "stored asset with per-epoch dynamic overwrite; the in-stream "
+     "compaction folds the asset between batches under the writer "
+     "lease. Checkpointed stages show the pruned scan + the "
+     "batch-sized gate joins."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
