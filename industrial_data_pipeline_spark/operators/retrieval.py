@@ -179,3 +179,54 @@ class HybridRetriever:
                        F.col("vec_id").alias("cand_id"),
                        F.col("rk").alias("rank")))
         return rrf_fuse(lex, den, k=k, rrf_k=self.rrf_k)
+
+    def retrieve_frames(self, queries: DataFrame, k: int = 10,
+                        leg_k: int = 10, nprobe: int = 4,
+                        id_col: str = "query_id",
+                        text_col: str = "query_text",
+                        vec_col: str = "query_vec",
+                        filter_col: str | None = None,
+                        query_filter_col: str | None = None,
+                        as_of_epoch: int | None = None,
+                        min_results: int | None = None,
+                        dense_tier: str = "exact",
+                        rerank: int = 50,
+                        brute_force_threshold: int = 4096,
+                        ) -> DataFrame:
+        """:meth:`retrieve` for ONE DataFrame of queries carrying
+        id + text + vector (+ optional label column) — the q300
+        probe_frames lesson applied to the hybrid operator: a 100k
+        eval batch shouldn't live in a driver dict, and the two
+        legs shouldn't need two differently-shaped inputs. The
+        lexical leg rides ``bm25.probe_frames`` (text tokenizes
+        IN-PLAN through the index's persisted analyzer), the dense
+        leg the chosen probe tier; ``filter_col`` +
+        ``query_filter_col`` (label column on the query frame,
+        default the filter column's name) scope both legs;
+        ``as_of_epoch`` (int or Snapshot) pins both. Output is
+        byte-identical to :meth:`retrieve` over the dict form of
+        the same queries."""
+        if dense_tier not in self._DENSE:
+            raise ValueError(f"dense_tier must be one of "
+                             f"{sorted(self._DENSE)}, "
+                             f"got {dense_tier!r}")
+        lex = (self.bm25.probe_frames(
+            queries, k=leg_k, id_col=id_col, text_col=text_col,
+            as_of_epoch=as_of_epoch, filter_col=filter_col,
+            query_filter_col=query_filter_col)
+            .select("query_id",
+                    F.col("doc_id").alias("cand_id"), "rank"))
+        method, takes_rerank = self._DENSE[dense_tier]
+        kwargs = dict(k=leg_k, nprobe=nprobe, id_col=id_col,
+                      vec_col=vec_col, as_of_epoch=as_of_epoch,
+                      filter_col=filter_col,
+                      query_filter_col=query_filter_col,
+                      min_results=min_results,
+                      brute_force_threshold=brute_force_threshold)
+        if takes_rerank:
+            kwargs["rerank"] = rerank
+        den = (getattr(self.ivf, method)(queries, **kwargs)
+               .select("query_id",
+                       F.col("vec_id").alias("cand_id"),
+                       F.col("rk").alias("rank")))
+        return rrf_fuse(lex, den, k=k, rrf_k=self.rrf_k)

@@ -2627,6 +2627,85 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q310 HYBRID retrieval, DataFrame-of-queries form: the q300
+# -- probe_frames lesson applied to the first-class operator — ONE
+# -- query frame (id, text, vector, label) drives both legs
+
+def q_tenant_hybrid_frames(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """HybridRetriever.retrieve_frames (operators/retrieval.py):
+    q303's tenant-scoped hybrid driven by ONE DataFrame of queries
+    carrying id + text + vector + label — no driver dict anywhere
+    (a 100k-query eval batch stays a frame): the lexical leg rides
+    probe_frames (text tokenizes IN-PLAN through the index's
+    persisted analyzer), the dense leg probe_batch, the label
+    column scopes both. Shares q303's oracle VERBATIM — the frames
+    form must land on the same bytes as the dict form (the q300
+    twin discipline, now on the fused operator)."""
+    import os
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+    from industrial_data_pipeline_spark.operators.retrieval import (
+        HybridRetriever)
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    docs = (_load_docs(spark, sf_dir)
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", "text",
+                    (F.col("doc_id") % 3).cast("int").alias("lbl")))
+    emb = docs.select(
+        "doc_id",
+        TX.hashed_bow_embedding(F.col("text"), 16).alias("_v"),
+        "lbl")
+    queries = {qid + _HYB_QOFF: qs
+               for qid, qs in BM25_QUERIES.items()}
+    qfilters = {qid + _HYB_QOFF: lbl
+                for qid, lbl in _Q302_FILTERS.items()}
+    qdf = (spark.createDataFrame(
+        [(qid, qs, qfilters[qid])
+         for qid, qs in sorted(queries.items())],
+        "qid long, qtext string, lbl int")
+        .select("qid", "qtext",
+                TX.hashed_bow_embedding(F.col("qtext"), 16)
+                .alias("_qv"), "lbl")
+        .localCheckpoint(eager=True))
+    root = tempfile.mkdtemp(prefix="idp_q310_")
+    try:
+        bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
+                               n_buckets=16, k1=_BM25_K1, b=_BM25_B,
+                               extra_schema="lbl int")
+        bidx.build(docs.where(F.col("doc_id") < 100))
+        bidx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
+                              id_col="doc_id", vec_col="_v",
+                              n_cells=8, extra_schema="lbl int")
+        vidx.build(emb.where(F.col("doc_id") < 100))
+        vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
+
+        hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
+        out = (hyb.retrieve_frames(qdf, k=10, leg_k=BM25_K,
+                                   nprobe=4, id_col="qid",
+                                   text_col="qtext",
+                                   vec_col="_qv",
+                                   filter_col="lbl",
+                                   query_filter_col="lbl")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+REGISTRY_PIPELINE.update({
+    # the frames form must produce q303's bytes — oracle verbatim
+    "q310_tenant_hybrid_frames": (q_tenant_hybrid_frames,
+                                  _oracle_tenant_hybrid_retrieval()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are

@@ -256,3 +256,47 @@ def _plan_str(df) -> str:
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def test_retrieve_frames_matches_dict_form(spark, tmp_path):
+    """retrieve_frames must land on retrieve()'s exact bytes over
+    the same queries (the q300 twin discipline on the fused
+    operator) — unfiltered AND tenant-filtered — and reject a bad
+    dense tier."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = _corpus(spark)
+    bidx, vidx, _ = _build_pair(spark, tmp_path, docs, labeled=True)
+    qf = {1000: 0, 1001: 1}
+    from industrial_data_pipeline_spark.operators.text import (
+        hashed_bow_embedding)
+    qdf = (spark.createDataFrame(
+        [(qid, QUERIES[qid], qf[qid]) for qid in sorted(QUERIES)],
+        "qid long, qtext string, lbl int")
+        .select("qid", "qtext",
+                hashed_bow_embedding(F.col("qtext"), 8)
+                .alias("_qv"), "lbl"))
+    hyb = HybridRetriever(bidx, vidx)
+
+    plain = sorted(map(tuple, hyb.retrieve(
+        QUERIES, qdf, k=5, leg_k=8, nprobe=2,
+        id_col="qid", vec_col="_qv").collect()))
+    plain_f = sorted(map(tuple, hyb.retrieve_frames(
+        qdf, k=5, leg_k=8, nprobe=2, id_col="qid",
+        text_col="qtext", vec_col="_qv").collect()))
+    assert plain_f == plain
+
+    filt = sorted(map(tuple, hyb.retrieve(
+        QUERIES, qdf, k=5, leg_k=8, nprobe=2,
+        id_col="qid", vec_col="_qv", filter_col="lbl",
+        query_filters=qf).collect()))
+    filt_f = sorted(map(tuple, hyb.retrieve_frames(
+        qdf, k=5, leg_k=8, nprobe=2, id_col="qid",
+        text_col="qtext", vec_col="_qv", filter_col="lbl",
+        query_filter_col="lbl").collect()))
+    assert filt_f == filt
+
+    with pytest.raises(ValueError, match="dense_tier"):
+        hyb.retrieve_frames(qdf, dense_tier="pq", id_col="qid",
+                            text_col="qtext", vec_col="_qv")
