@@ -174,11 +174,11 @@ _VERIFIED_GREEN = {
 
 # Round 13 closed the q297-q303 tail (CORRECTNESS_r13: 50/50 green)
 # — moved into the green tier above. Round 14's never-checked tail
-# is q304-q310 (tenant+as-of hybrid through the first-class
+# is q304-q311 (tenant+as-of hybrid through the first-class
 # HybridRetriever q304; tenant-scoped phrase frames q305; unicode
 # analyzer q306; cross-asset snapshot manifest q307; compressed-tier
 # tenant capstone q308; streaming lexical gate q309; frames-form
-# tenant hybrid q310) — each locally
+# tenant hybrid q310; multilingual tenant phrase q311) — each locally
 # values=MATCH via tools/drive_contract.py before commit. Round-14
 # behavior-adjacent changes to green queries, each re-verified
 # values=MATCH after the change: the RRF-fusion extraction into

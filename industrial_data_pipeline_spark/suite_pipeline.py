@@ -2706,6 +2706,129 @@ REGISTRY_PIPELINE.update({
 })
 
 
+# -- q311 MULTILINGUAL TENANT PHRASE search: the full round-14
+# -- composition — unicode analyzer × positional postings × tenant
+# -- scoping × DataFrame-of-phrases, in ONE probe
+
+#: q306's map extended so every q301 phrase word goes non-Latin
+#: (Greek Τραπέζι has no trailing sigma — the fold is a no-op on
+#: it; Линия/СОРТИРОВКА exercise Cyrillic case folding)
+_Q311_MAP = _MULTI_MAP + [("table", "Τραπέζι"),
+                          ("line", "Линия"),
+                          ("sort", "СОРТИРОВКА")]
+#: unicode analyzer WITHOUT stopwords: positions are indices into
+#: the analyzed token array, so the phrase fixture keeps every word
+_Q311_AZ = Analyzer(unicode_words=True)
+#: the q301 phrases, spoken multilingually and MIXED-CASE — the
+#: probe must fold them onto the corpus's forms
+_Q311_PHRASES = {0: "ΣΥΓΧΩΝΕΥΣΙΣ バッチ処理",
+                 1: "τραπέζι Τραπέζι",
+                 2: "the линия СОРТИРОВКА"}
+_Q311_FILTERS = {0: 0, 1: 1, 2: 2}
+
+
+def _q311_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.col("text")
+    for src, dst in _Q311_MAP:
+        text = F.regexp_replace(text, src, dst)
+    return (_load_docs(spark, sf_dir)
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", text.alias("text"),
+                    (F.col("doc_id") % 3).cast("int").alias("lbl")))
+
+
+_Q311_SQL = "text"
+for _src, _dst in _Q311_MAP:
+    _Q311_SQL = f"replace({_Q311_SQL}, '{_src}', '{_dst}')"
+
+
+def q_multilingual_phrase_probe(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Every round-14 lexical capability composed in one probe:
+    a MULTILINGUAL corpus (Cyrillic/Greek/CJK replacements the
+    ASCII analyzer would shed) indexed under
+    Analyzer(unicode_words=True) with POSITIONAL postings and
+    tenant labels, probed by a DATAFRAME of mixed-case multilingual
+    PHRASES with per-tenant scoping — phrase_probe_frames tokenizes
+    the phrases in-plan through the same unicode analyzer the build
+    wrote (posexplode anchor offsets over the folded tokens), the
+    label IN-list pushes into the pruned postings scan, and the
+    anchor trick runs per stratum. Exercises both lowercase folds
+    positionally: the query's τραπέζι/ΣΥΓΧΩΝΕΥΣΙΣ forms must land
+    on the corpus's Τραπέζι/ΣΥΓΧΩΝΕΥΣΙΣ tokens or the phrase
+    silently misses. The oracle replays the analyzer twin +
+    per-stratum anchor vote in SQL."""
+    import shutil
+    import tempfile
+
+    from industrial_data_pipeline_spark.operators.bm25_index import (
+        StoredBm25Index)
+
+    docs = _q311_docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, qs, _Q311_FILTERS[qid])
+         for qid, qs in sorted(_Q311_PHRASES.items())],
+        "query_id long, query_text string, lbl int")
+    root = tempfile.mkdtemp(prefix="idp_q311_")
+    try:
+        idx = StoredBm25Index(spark, root, n_buckets=16,
+                              k1=_BM25_K1, b=_BM25_B,
+                              analyzer=_Q311_AZ,
+                              extra_schema="lbl int")
+        idx.build(docs.where(F.col("doc_id") < 100))
+        idx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
+        out = (idx.phrase_probe_frames(qdf, k=BM25_K,
+                                       filter_col="lbl")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_multilingual_phrase_probe() -> str:
+    qterms = [(qid, i, t)
+              for qid, qs in sorted(_Q311_PHRASES.items())
+              for i, t in enumerate(_Q311_AZ.py(qs))]
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), {i}, '{t}',"
+        f" CAST({_Q311_FILTERS[qid]} AS INT))"
+        for qid, i, t in qterms)
+    vocab = ", ".join(f"'{t}'"
+                      for t in sorted({t for _, _, t in qterms}))
+    tk = _Q311_AZ.sql("text")
+    return f"""
+WITH docs AS (SELECT doc_id, {tk} AS tk,
+                     CAST(doc_id % 3 AS INT) AS lbl
+              FROM (SELECT doc_id, {_Q311_SQL} AS text
+                    FROM documents WHERE doc_id < 150)),
+tok AS (SELECT doc_id, lbl, r.i - 1 AS p, tk[r.i] AS t
+        FROM docs, UNNEST(range(1, len(tk) + 1)) AS r(i)),
+q(query_id, idx, t, lbl) AS (SELECT * FROM (VALUES {vals})),
+m AS (SELECT query_id, count(*) AS m FROM q GROUP BY 1),
+anch AS (SELECT q.query_id, tok.doc_id, tok.p - q.idx AS a,
+                count(DISTINCT q.idx) AS nn
+         FROM tok JOIN q ON q.t = tok.t AND q.lbl = tok.lbl
+         WHERE tok.t IN ({vocab})
+         GROUP BY 1, 2, 3),
+occ AS (SELECT a.query_id, a.doc_id, count(*) AS n_occ
+        FROM anch a JOIN m ON m.query_id = a.query_id
+        WHERE a.nn = m.m GROUP BY 1, 2)
+SELECT query_id, doc_id, n_occ, rank FROM
+    (SELECT *, CAST(row_number() OVER
+         (PARTITION BY query_id ORDER BY n_occ DESC, doc_id) AS INT)
+         AS rank
+     FROM occ)
+WHERE rank <= {BM25_K}
+"""
+
+
+REGISTRY_PIPELINE.update({
+    "q311_multilingual_phrase_probe": (
+        q_multilingual_phrase_probe,
+        _oracle_multilingual_phrase_probe()),
+})
+
+
 # ------------------------------- q235 BPE-apply corpus tokenization
 
 #: Fixed learned-merge table (priority order). Rules' outputs are
