@@ -766,6 +766,20 @@ PICKS = [
      "compaction folds the asset between batches under the writer "
      "lease. Checkpointed stages show the pruned scan + the "
      "batch-sized gate joins."),
+    ("q310_tenant_hybrid_frames",
+     "Frames form of the fused operator: ONE query frame drives "
+     "both legs — the lexical leg's tokenization is an in-plan "
+     "projection (no driver dict anywhere), the pair frame "
+     "broadcasts into the scoring join, and the label pushdown + "
+     "pruning shapes are q303's unchanged (byte-identical output, "
+     "same oracle)."),
+    ("q311_multilingual_phrase_probe",
+     "Multilingual tenant phrase probe: the unicode analyzer's "
+     "extraction+fold transforms tokenize the phrase frame "
+     "in-plan; the postings scan stacks bucket PartitionFilters "
+     "with In(term) over NON-LATIN terms and the label IN-list; "
+     "positions decode only on the pruned stratum rows and the "
+     "anchor vote stays candidate-sized."),
 ]
 
 #: conf overrides applied while dumping a pick (restored after) —
