@@ -2842,8 +2842,13 @@ def _q309_overlap_ctes(p: str, corpus_cte: str,
     of StoredBm25Index.overlap_probe_frames: distinct lowercased
     whitespace tokens per side, pair survives when the intersection
     covers ≥ 0.9 of the candidate's term set (exact integer counts,
-    one double multiply in the compare — both engines evaluate the
-    identical expression). Ends with ``{p}ver`` (new_id, old_id)."""
+    one double multiply in the compare — the 0.9 is CAST to DOUBLE
+    because DuckDB parses the bare literal as DECIMAL(2,1) while
+    Spark's F.lit(0.9) is a double; the cast makes both engines
+    evaluate the same IEEE expression by construction rather than
+    by the checked-but-incidental fact that ``fl(0.9)·n`` never
+    straddles an integer against the exact rational for any
+    realistic term count). Ends with ``{p}ver`` (new_id, old_id)."""
     return f"""
 {p}bt AS (SELECT doc_id, list_distinct(tk) AS ts
           FROM (SELECT doc_id, {_TOKS} AS tk
@@ -2855,7 +2860,8 @@ def _q309_overlap_ctes(p: str, corpus_cte: str,
                       FROM {corpus_cte}))),
 {p}ver AS (SELECT b.doc_id AS new_id, c.doc_id AS old_id
            FROM {p}bt b JOIN {p}ct c
-             ON len(list_intersect(b.ts, c.ts)) >= 0.9 * len(b.ts)
+             ON len(list_intersect(b.ts, c.ts))
+                >= CAST(0.9 AS DOUBLE) * len(b.ts)
            WHERE len(b.ts) > 0)"""
 
 
