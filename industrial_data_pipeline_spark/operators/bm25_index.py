@@ -247,12 +247,27 @@ class StoredBm25Index:
         """(postings, doclen) of a document batch — postings carry
         the denormalized dl; the term bucket is the portable hash
         mod n_buckets (pmod unnecessary: hash64 is a non-negative
-        60-bit value)."""
+        60-bit value).
+
+        The tokenized frame is MATERIALIZED (eager localCheckpoint)
+        before the two asset writes derive from it (optimization r14,
+        guide §1.2/§2.4): un-materialized, the tokenization ran THREE
+        times per build — once inside the postings write's groupBy
+        map stage, and twice for the doclen write (the
+        repartitionByRange boundary-sampling job executes the full
+        child plan, and doclen has no shuffle below the range
+        exchange to reuse) — and twice more per append. One pass is
+        fundamental; the checkpoint costs one batch/corpus-sized
+        local-disk materialization, the same magnitude as the shuffle
+        the write performs anyway, and every downstream job (both
+        writes AND their sampling passes) re-reads local blocks
+        instead of re-tokenizing. Measured: q304's bm25
+        build+2-append lifecycle 6.9 s → see OPTIMIZATION_r14.md."""
         toks = self._tokenize(self.text_col)
         extra = self.extra_cols
         docs = corpus.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
-            toks.alias("_toks"), *extra)
+            toks.alias("_toks"), *extra).localCheckpoint(eager=True)
         doclen = docs.select("doc_id",
                              F.size("_toks").alias("dl"), *extra)
         postings = (docs

@@ -380,7 +380,28 @@ class StoredLshIndex:
                        "threshold": self.threshold,
                        "max_records_per_file":
                            self.max_records_per_file}, fh)
-        bands_df, shingles_df = self.signature_frames(corpus)
+        # materialize the shingle sets ONCE and derive the band table
+        # from the materialized rows (optimization r14, guide §1.2):
+        # un-materialized, the corpus shingled THREE times per build —
+        # once in the bands write's minhash-aggregate map stage and
+        # twice for the shingles write (the repartitionByRange
+        # boundary-sampling job executes the full child plan, and the
+        # shingles frame has no shuffle below the range exchange to
+        # reuse). One shingling pass is fundamental; the checkpoint
+        # is the same magnitude as the shingles asset being written.
+        ident = F.col(self.id_col).cast("long").alias("doc_id")
+        shingles_df = (corpus.select(
+            ident, word_shingles(F.col(self.text_col), self.k)
+            .alias("shingles"))
+            .localCheckpoint(eager=True))
+        sigs = minhash_signatures(shingles_df, "doc_id", "shingles",
+                                  self.num_perm)
+        bands_df = (sigs.select(
+            "doc_id",
+            F.explode(lsh_bands(F.col("_sig"), self.num_perm,
+                                self.bands)).alias("_b"))
+            .select("doc_id", F.col("_b.band").alias("band"),
+                    F.col("_b.bucket").alias("bucket")))
         # _epoch=-1 = "history": the epoch partition column exists
         # from birth so per-epoch idempotent appends (append_frames)
         # share one consistent partition layout with the build
@@ -586,10 +607,19 @@ class StoredLshIndex:
         :meth:`compact` folding history into ``_epoch=-1`` cannot
         collide with a replay."""
         e = -1 if epoch_id is None else int(epoch_id)
-        bw = (batch_bands.withColumn("_epoch", F.lit(e))
+        # materialize both frames before the single-task writes
+        # (optimization r14): a caller passing un-checkpointed
+        # signature_frames output would otherwise re-evaluate the
+        # whole minhash tree inside each write task (serially, under
+        # coalesce(1)); micro-batch-sized by the append contract
+        batch_bands = (batch_bands.withColumn("_epoch", F.lit(e))
+                       .localCheckpoint(eager=True))
+        batch_shingles = (batch_shingles.withColumn("_epoch", F.lit(e))
+                          .localCheckpoint(eager=True))
+        bw = (batch_bands
               .coalesce(1).sortWithinPartitions("band", "bucket")
               .write.partitionBy("_epoch", "band"))
-        sw = (batch_shingles.withColumn("_epoch", F.lit(e))
+        sw = (batch_shingles
               .coalesce(1).sortWithinPartitions("doc_id")
               .write.partitionBy("_epoch"))
         if epoch_id is None:

@@ -972,6 +972,15 @@ class StoredIvfIndex:
         assigned, centroids = ivf_build(
             corpus, self.n_cells, self.id_col, self.vec_col,
             refine_iters)
+        # materialize the routed rows ONCE (optimization r14, guide
+        # §2.4/§4): `assigned` carries the Arrow-matmul cell UDF, and
+        # un-materialized it re-ran per consumer — the PQ residual
+        # slices, the row/code branches of _rows, the write's
+        # range-boundary sampling job AND the write itself (worst
+        # measured: the sampling + write pair alone = 2 extra full
+        # UDF passes). One corpus-sized local materialization, every
+        # consumer reads blocks.
+        assigned = assigned.localCheckpoint(eager=True)
         self.centroids = centroids
         self.dim = len(centroids[0])
         if self.pq_m:
@@ -1001,9 +1010,13 @@ class StoredIvfIndex:
         self._write_meta()
         # _epoch=-1 = history; per-epoch idempotent appends share
         # one consistent partition layout (the StoredLshIndex
-        # exactly-once discipline)
-        w = (self._rows(assigned).withColumn("_epoch", F.lit(-1))
-             .repartitionByRange("_cell", "vec_id")
+        # exactly-once discipline). The stored rows materialize once
+        # too: with PQ/SQ enabled _rows adds the code-encoding UDFs,
+        # which the range-sampling job would otherwise evaluate a
+        # second time over the whole corpus.
+        rows = (self._rows(assigned).withColumn("_epoch", F.lit(-1))
+                .localCheckpoint(eager=True))
+        w = (rows.repartitionByRange("_cell", "vec_id")
              .sortWithinPartitions("_cell", "vec_id")
              .write.mode("overwrite").partitionBy("_epoch", "_cell"))
         if self.max_records_per_file:
@@ -1022,8 +1035,16 @@ class StoredIvfIndex:
         vectors would duplicate top-k candidates)."""
         routed = ivf_assign(batch, self.centroids, self.vec_col)
         e = -1 if epoch_id is None else int(epoch_id)
-        w = (self._rows(routed).withColumn("_epoch", F.lit(e))
-             .coalesce(1).sortWithinPartitions("_cell", "vec_id")
+        # materialize the batch rows BEFORE the single-task write
+        # (optimization r14, guide §4): a pandas_udf evaluated under
+        # coalesce(1) runs serially inside the one write task, paying
+        # a fixed ~140 ms Python-runner setup per PARENT partition —
+        # measured 4.0–4.7 s per 50-row append at 32 parents, vs
+        # 0.14 s with the rows materialized first. The checkpoint is
+        # micro-batch-sized by the append contract.
+        rows = (self._rows(routed).withColumn("_epoch", F.lit(e))
+                .localCheckpoint(eager=True))
+        w = (rows.coalesce(1).sortWithinPartitions("_cell", "vec_id")
              .write.partitionBy("_epoch", "_cell"))
         if epoch_id is None:
             w.mode("append").parquet(self._data_path)
@@ -2044,7 +2065,14 @@ class StoredIvfIndex:
                     rows = self._with_codes(rows)
                 if self.sq_int8:
                     rows = self._with_q8(rows)
-                return rows.withColumn("_epoch", F.lit(-1))
+                # materialize the re-encoded rows once: the rewrite's
+                # range-sampling job would otherwise run the routing
+                # + code UDF chain a second full-corpus time
+                # (optimization r14; a rebuild is O(corpus) by nature
+                # — the checkpoint trades one local materialization
+                # for a whole duplicate encode pass)
+                return (rows.withColumn("_epoch", F.lit(-1))
+                        .localCheckpoint(eager=True))
 
             stats = rewrite_under_lease(
                 self.spark, self.root,
@@ -2258,19 +2286,28 @@ class StoredSignatureIndex:
                        "threshold": self.threshold,
                        "max_records_per_file":
                            self.max_records_per_file}, fh)
-        (self._sized(self._vec_rows(corpus)
-                     .withColumn("_epoch", F.lit(-1))
-                     .repartitionByRange("vec_id")
+        # materialize the normalized vectors once (optimization r14):
+        # un-materialized, the possibly-expensive upstream embedding
+        # expression ran twice for this write alone (the range
+        # exchange's boundary-sampling job has no shuffle below it
+        # to reuse, so it executes the full child plan)
+        vecs = (self._vec_rows(corpus)
+                .withColumn("_epoch", F.lit(-1))
+                .localCheckpoint(eager=True))
+        (self._sized(vecs.repartitionByRange("vec_id")
                      .sortWithinPartitions("vec_id")
                      .write.mode("overwrite").partitionBy("_epoch"))
          .parquet(self._vecs_path))
         # sign from the WRITTEN vector table: the signing matmul runs
         # on stored doubles (exact round-trip), never re-evaluating a
-        # possibly-expensive upstream embedding expression
-        sigs = self.signature_frame(
+        # possibly-expensive upstream embedding expression; the signed
+        # frame materializes too — the signing matmul is a pandas_udf
+        # the sampling job would otherwise run a second corpus pass of
+        sigs = (self.signature_frame(
             self.vec_table().select("vec_id", "v"))
-        (self._sized(sigs.withColumn("_epoch", F.lit(-1))
-                     .repartitionByRange("table", "sig")
+            .withColumn("_epoch", F.lit(-1))
+            .localCheckpoint(eager=True))
+        (self._sized(sigs.repartitionByRange("table", "sig")
                      .sortWithinPartitions("table", "sig")
                      .write.mode("overwrite")
                      .partitionBy("_epoch", "table"))
@@ -2351,13 +2388,20 @@ class StoredSignatureIndex:
         # (self-review r10): an int32 id or float32 vector slipped in
         # by a caller bypassing _vec_rows would otherwise break the
         # declared long/double read schemas on the next probe
+        # ... and materialized (optimization r14): the caller's frame
+        # may carry the signing pandas_udf, whose serial evaluation
+        # under the coalesce(1) write task pays a fixed ~140 ms
+        # Python-runner setup per parent partition (micro-batch-sized
+        # checkpoint by the append contract)
         batch_vecs = batch_vecs.select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            _as_double(F.col("v")).alias("v"))
+            _as_double(F.col("v")).alias("v")) \
+            .localCheckpoint(eager=True)
         batch_sigs = batch_sigs.select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.col("table").cast("int").alias("table"),
-            F.col("sig").cast("long").alias("sig"))
+            F.col("sig").cast("long").alias("sig")) \
+            .localCheckpoint(eager=True)
         e = -1 if epoch_id is None else int(epoch_id)
         vw = (batch_vecs.withColumn("_epoch", F.lit(e))
               .coalesce(1).sortWithinPartitions("vec_id")
