@@ -969,17 +969,28 @@ class StoredIvfIndex:
 
     def build(self, corpus: DataFrame, refine_iters: int = 0,
               pq_iters: int = 1) -> None:
+        # materialize the PROJECTED corpus first (optimization r14):
+        # the caller's vector column is often an expensive expression
+        # (hashed-BoW = dim·|tokens| md5s per doc) or its own Python
+        # UDF, and un-materialized it re-evaluated once for the
+        # kmeans seed collect and again for every downstream pass —
+        # and a UDF vector column CHAINED under the cell-assign UDF
+        # is evaluated twice *inside* the one ArrowEvalPython node
+        # (Spark nests the call: `_cell(_vec(id))` next to `_vec(id)`
+        # — plan-verified). After this checkpoint the vector is a
+        # plain attribute everywhere below.
+        corpus = (corpus.select(self.id_col, self.vec_col,
+                                *self.extra_cols)
+                  .localCheckpoint(eager=True))
         assigned, centroids = ivf_build(
             corpus, self.n_cells, self.id_col, self.vec_col,
             refine_iters)
-        # materialize the routed rows ONCE (optimization r14, guide
-        # §2.4/§4): `assigned` carries the Arrow-matmul cell UDF, and
-        # un-materialized it re-ran per consumer — the PQ residual
-        # slices, the row/code branches of _rows, the write's
-        # range-boundary sampling job AND the write itself (worst
-        # measured: the sampling + write pair alone = 2 extra full
-        # UDF passes). One corpus-sized local materialization, every
-        # consumer reads blocks.
+        # ... and the routed rows ONCE (guide §2.4/§4): `assigned`
+        # carries the Arrow-matmul cell UDF, and un-materialized it
+        # re-ran per consumer — the PQ residual slices, the row/code
+        # branches of _rows, the write's range-boundary sampling job
+        # AND the write itself (worst measured: the sampling + write
+        # pair alone = 2 extra full UDF passes).
         assigned = assigned.localCheckpoint(eager=True)
         self.centroids = centroids
         self.dim = len(centroids[0])

@@ -1157,3 +1157,57 @@ def test_probe_coverage_counts_empty_probed_cells(spark, tmp_path):
     assert row.n_probed_cells == 2, row
     assert row.covered_rows == 0 and row.total_rows == 2
     assert row.coverage == 0.0 and not row.top1_in_probe
+
+
+def test_build_evaluates_caller_expression_boundedly(spark, tmp_path):
+    """Optimization r14 pin: StoredIvfIndex.build materializes the
+    routed rows ONCE, so the caller's (possibly expensive) vector
+    expression is evaluated a BOUNDED number of times per row — the
+    kmeans seed collect plus the one checkpoint pass (= 2), never the
+    pre-r14 3+ (range-boundary sampling and the write each re-ran the
+    full plan). Counted via a side-effect file written by a pandas
+    UDF feeding the vector column."""
+    import glob
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from industrial_data_pipeline_spark.operators.similarity import (
+        StoredIvfIndex)
+
+    marker_dir = str(tmp_path / "evals")
+    os.makedirs(marker_dir)
+
+    def _vec(ids):
+        import os as _os
+        import uuid
+        with open(os.path.join(marker_dir,
+                               f"{uuid.uuid4().hex}.cnt"), "w") as fh:
+            fh.write(str(len(ids)))
+        return pd.Series([[float(i % 5), 1.0, 0.0, float(i % 3)]
+                          for i in ids])
+
+    _vec.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    u = pandas_udf(_vec, "array<double>")
+    base = (spark.range(40).toDF("vec_id")
+            .repartition(4)
+            .select("vec_id", u(F.col("vec_id")).alias("v"))
+            )
+    idx = StoredIvfIndex(spark, str(tmp_path / "idx"),
+                         id_col="vec_id", vec_col="v", n_cells=4)
+    idx.build(base)
+    rows_evaluated = 0
+    for path in glob.glob(os.path.join(marker_dir, "*.cnt")):
+        with open(path) as fh:
+            rows_evaluated += int(fh.read())
+    # 40 rows: one pass for the seed collect + one for the routed-row
+    # checkpoint = at most 2 evaluations/row (sampling + write would
+    # push this to 3-4x)
+    assert rows_evaluated <= 2 * 40, rows_evaluated
+    # and the built asset still probes correctly end to end
+    qs = spark.createDataFrame([(100, [1.0, 1.0, 0.0, 1.0])],
+                               "vec_id long, v array<double>")
+    out = idx.probe_batch(qs, k=3, nprobe=4).collect()
+    assert len(out) == 3
