@@ -307,18 +307,28 @@ class StoredBm25Index:
                            self.max_records_per_file)
             dw = dw.option("maxRecordsPerFile",
                            self.max_records_per_file)
+        # the two assets are independent targets — overlap their
+        # write jobs (optimization r14, guide §2.6; both read the
+        # one materialized tokenized frame)
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            run_writes_concurrently)
+
         if overwrite_all:
-            pw.mode("overwrite").parquet(self._postings_path)
-            dw.mode("overwrite").parquet(self._doclen_path)
+            run_writes_concurrently(
+                lambda: pw.mode("overwrite")
+                .parquet(self._postings_path),
+                lambda: dw.mode("overwrite").parquet(self._doclen_path))
         else:
             # exactly-once: dynamically overwrite ONLY this epoch's
             # partitions, so a retried micro-batch replaces instead
             # of double-appending (the StoredLshIndex discipline)
-            for w, path in ((pw, self._postings_path),
-                            (dw, self._doclen_path)):
-                (w.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .parquet(path))
+            run_writes_concurrently(
+                *[lambda w=w, path=path:
+                  (w.mode("overwrite")
+                   .option("partitionOverwriteMode", "dynamic")
+                   .parquet(path))
+                  for w, path in ((pw, self._postings_path),
+                                  (dw, self._doclen_path))])
 
     def build(self, corpus: DataFrame) -> None:
         self._write_meta()
@@ -329,6 +339,8 @@ class StoredBm25Index:
                epoch_id: int | None = None) -> None:
         postings, doclen = self._frames(batch)
         if epoch_id is None:
+            from industrial_data_pipeline_spark.operators.lsh_index \
+                import run_writes_concurrently
             pw = postings.withColumn("_epoch", F.lit(-1)) \
                 .coalesce(1).sortWithinPartitions("_tb", "term",
                                                   "doc_id") \
@@ -336,8 +348,9 @@ class StoredBm25Index:
             dw = doclen.withColumn("_epoch", F.lit(-1)) \
                 .coalesce(1).sortWithinPartitions("doc_id") \
                 .write.partitionBy("_epoch").mode("append")
-            pw.parquet(self._postings_path)
-            dw.parquet(self._doclen_path)
+            run_writes_concurrently(
+                lambda: pw.parquet(self._postings_path),
+                lambda: dw.parquet(self._doclen_path))
         else:
             self._write(postings, doclen, epoch=int(epoch_id),
                         overwrite_all=False)

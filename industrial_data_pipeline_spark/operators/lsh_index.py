@@ -262,21 +262,55 @@ def rewrite_under_lease(spark: SparkSession, root: str, assets,
     Returns the summed {files_before, files_after}."""
     from industrial_data_pipeline_spark.catalog.lease import LeaseLock
 
+    from concurrent.futures import ThreadPoolExecutor
+
     lock = LeaseLock(os.path.join(root, "_writer.lease"))
     lock.acquire(timeout_s=lease_timeout_s)
     try:
-        before = after = 0
-        for path, sort_cols, pby, schema, mrpf in assets:
-            stats = compact_parquet_dir(
+        # the assets are DIFFERENT directories rewritten under the ONE
+        # held lease — their read→stage→swap pipelines share no state
+        # beyond read-only lock.still_valid()/token checks, so they
+        # overlap from a driver thread pool (optimization r14, guide
+        # §2.6). Crash-window semantics are unchanged: recovery was
+        # always per-asset (a crash between the two rewrites already
+        # left one asset swapped and one not; the entry sweep heals
+        # each independently).
+        def one(asset):
+            path, sort_cols, pby, schema, mrpf = asset
+            return compact_parquet_dir(
                 spark, path, tuple(sort_cols), partition_by=pby,
                 max_records_per_file=mrpf, keep=keep,
                 prepare=prepare, schema=schema, lock=lock,
                 stamp=stamp)
-            before += stats["files_before"]
-            after += stats["files_after"]
-        return {"files_before": before, "files_after": after}
+
+        assets = list(assets)
+        with ThreadPoolExecutor(max_workers=len(assets)) as pool:
+            stats = [f.result()
+                     for f in [pool.submit(one, a) for a in assets]]
+        return {"files_before": sum(s["files_before"] for s in stats),
+                "files_after": sum(s["files_after"] for s in stats)}
     finally:
         lock.release()
+
+
+def run_writes_concurrently(*thunks) -> None:
+    """Run INDEPENDENT asset writes from a small driver thread pool
+    (optimization r14, guide §2.6): the paired asset writes of one
+    lifecycle call (postings‖doclen, bands‖shingles, vecs‖sigs)
+    target different directories and share no ordering constraint —
+    submitted concurrently, the second job's tasks back-fill the
+    executors the first job's tail frees, and the pair costs
+    ~max(w1, w2) instead of w1 + w2. Caller contract: thunks must
+    write DIFFERENT paths (writes within one asset stay ordered by
+    construction — they never go through this), and must not mutate
+    session-level SQL conf (the dynamic-overwrite writers here use
+    per-writer .option(), which is thread-safe). Exceptions from
+    either write propagate; the pool's exit joins both."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
 
 
 def isin_prune(scan: DataFrame, keys: dict[str, list]) -> DataFrame:
@@ -404,18 +438,23 @@ class StoredLshIndex:
                     F.col("_b.bucket").alias("bucket")))
         # _epoch=-1 = "history": the epoch partition column exists
         # from birth so per-epoch idempotent appends (append_frames)
-        # share one consistent partition layout with the build
-        (self._sized(bands_df.withColumn("_epoch", F.lit(-1))
-                     .repartitionByRange("band", "bucket")
-                     .sortWithinPartitions("band", "bucket")
-                     .write.mode("overwrite")
-                     .partitionBy("_epoch", "band"))
-         .parquet(self._bands_path))
-        (self._sized(shingles_df.withColumn("_epoch", F.lit(-1))
-                     .repartitionByRange("doc_id")
-                     .sortWithinPartitions("doc_id")
-                     .write.mode("overwrite").partitionBy("_epoch"))
-         .parquet(self._shingles_path))
+        # share one consistent partition layout with the build.
+        # Both writes read the one materialized shingle frame and
+        # target different dirs — overlapped (guide §2.6).
+        run_writes_concurrently(
+            lambda: (self._sized(
+                bands_df.withColumn("_epoch", F.lit(-1))
+                .repartitionByRange("band", "bucket")
+                .sortWithinPartitions("band", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("_epoch", "band"))
+                .parquet(self._bands_path)),
+            lambda: (self._sized(
+                shingles_df.withColumn("_epoch", F.lit(-1))
+                .repartitionByRange("doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite").partitionBy("_epoch"))
+                .parquet(self._shingles_path)))
 
     def _sized(self, writer):
         """Apply the max_records_per_file pruning-granularity bound
@@ -623,15 +662,17 @@ class StoredLshIndex:
               .coalesce(1).sortWithinPartitions("doc_id")
               .write.partitionBy("_epoch"))
         if epoch_id is None:
-            bw.mode("append").parquet(self._bands_path)
-            sw.mode("append").parquet(self._shingles_path)
+            run_writes_concurrently(
+                lambda: bw.mode("append").parquet(self._bands_path),
+                lambda: sw.mode("append").parquet(self._shingles_path))
         else:
-            (bw.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .parquet(self._bands_path))
-            (sw.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .parquet(self._shingles_path))
+            run_writes_concurrently(
+                lambda: (bw.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .parquet(self._bands_path)),
+                lambda: (sw.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .parquet(self._shingles_path)))
 
     # --------------------------------------------------- maintenance
 

@@ -2420,16 +2420,21 @@ class StoredSignatureIndex:
         sw = (batch_sigs.withColumn("_epoch", F.lit(e))
               .coalesce(1).sortWithinPartitions("table", "sig")
               .write.partitionBy("_epoch", "table"))
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            run_writes_concurrently)
+
         if epoch_id is None:
-            vw.mode("append").parquet(self._vecs_path)
-            sw.mode("append").parquet(self._sigs_path)
+            run_writes_concurrently(
+                lambda: vw.mode("append").parquet(self._vecs_path),
+                lambda: sw.mode("append").parquet(self._sigs_path))
         else:
-            (vw.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .parquet(self._vecs_path))
-            (sw.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .parquet(self._sigs_path))
+            run_writes_concurrently(
+                lambda: (vw.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .parquet(self._vecs_path)),
+                lambda: (sw.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .parquet(self._sigs_path)))
 
     # --------------------------------------------------- maintenance
 
