@@ -133,3 +133,20 @@ def element_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long").alias("element_id"),
         F.col("n_name").alias("name"),
     )
+
+
+def run_chains(*chains) -> None:
+    """Run independent driver-side call chains concurrently
+    (optimization r14, guide §2.6) — the two-asset lifecycle flows
+    (build→append→retract on a BM25 asset ‖ the same on an IVF
+    asset) share no state beyond the SparkSession, so submitting
+    them from a small thread pool lets each chain's job tails
+    back-fill the other's freed executors. Results are unaffected:
+    the chains target disjoint asset directories and the probes run
+    only after both complete. Exceptions from either chain
+    propagate to the caller."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+        for f in [pool.submit(c) for c in chains]:
+            f.result()

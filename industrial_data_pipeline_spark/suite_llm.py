@@ -22,6 +22,7 @@ from industrial_data_pipeline_spark.operators import dedup as D
 from industrial_data_pipeline_spark.operators import multimodal as MM
 from industrial_data_pipeline_spark.operators import similarity as SIM
 from industrial_data_pipeline_spark.operators import text as TX
+from industrial_data_pipeline_spark.suite_common import run_chains
 
 # ---------------------------------------------------- portable SQL bits
 
@@ -2627,14 +2628,16 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_docs(spark, sf_dir).select("doc_id", "text")
     idx = StoredLshIndex(spark, idx_root, num_perm=_NUM_PERM,
                          bands=_BANDS, threshold=_THRESH)
-    idx.build(docs)
     corpus_vecs = docs.select(
         F.col("doc_id").alias("vec_id"),
         TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM).alias("v"))
     sidx = SIM.StoredSignatureIndex(
         spark, os.path.join(root, "emb_idx"), dim=_DEMB_DIM,
         id_col="vec_id", vec_col="v", threshold=0.98)
-    sidx.build(corpus_vecs)
+    # the two gate assets build from the same corpus into disjoint
+    # roots — concurrent (optimization r14, guide §2.6)
+    run_chains(lambda: idx.build(docs),
+               lambda: sidx.build(corpus_vecs))
 
     toks = TX.tokens(F.col("text"))
     rev = F.array_join(F.reverse(toks), " ")
@@ -2678,8 +2681,9 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # compaction is invisible to admission decisions
             # (q257's claim, now inside the live stream, on both
             # modalities).
-            idx.compact(in_flight_epoch=int(epoch_id))
-            sidx.compact(in_flight_epoch=int(epoch_id))
+            run_chains(
+                lambda: idx.compact(in_flight_epoch=int(epoch_id)),
+                lambda: sidx.compact(in_flight_epoch=int(epoch_id)))
         clf = TX.quality_classifier(batch).select(
             "doc_id",
             F.coalesce("keep", F.lit(False)).alias("quality_keep"))

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from industrial_data_pipeline_spark.operators import dedup as D
 from industrial_data_pipeline_spark.operators import text as TX
 from industrial_data_pipeline_spark.operators.analyzer import Analyzer
-from industrial_data_pipeline_spark.suite_common import load
+from industrial_data_pipeline_spark.suite_common import load, run_chains
 from industrial_data_pipeline_spark.suite_llm import _h64, _load_docs
 
 _TOKS = ("list_filter(string_split_regex(trim(text), '\\s+'),"
@@ -1131,13 +1131,18 @@ def q_hybrid_stored_retrieval(spark: SparkSession,
     try:
         bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
                                n_buckets=16, k1=_BM25_K1, b=_BM25_B)
-        bidx.build(docs.where(F.col("doc_id") < 100))
-        bidx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
         vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
                               id_col="doc_id", vec_col="_v",
                               n_cells=8)
-        vidx.build(emb.where(F.col("doc_id") < 100))
-        vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
+        # independent per-asset chains, run concurrently
+        # (optimization r14 -- the q298 pattern)
+        run_chains(
+            lambda: (bidx.build(docs.where(F.col("doc_id") < 100)),
+                     bidx.append(docs.where(F.col("doc_id") >= 100),
+                                 epoch_id=0)),
+            lambda: (vidx.build(emb.where(F.col("doc_id") < 100)),
+                     vidx.append(emb.where(F.col("doc_id") >= 100),
+                                 epoch_id=0)))
 
         hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
         out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
@@ -1360,21 +1365,32 @@ def q_hybrid_asof_retrieval(spark: SparkSession,
     try:
         bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
                                n_buckets=16, k1=_BM25_K1, b=_BM25_B)
-        bidx.build(docs.where(F.col("doc_id") < 100))
-        bidx.append(docs.where((F.col("doc_id") >= 100)
-                               & (F.col("doc_id") < 150)),
-                    epoch_id=0)
-        bidx.append(docs.where(F.col("doc_id") >= 150), epoch_id=1)
         vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
                               id_col="doc_id", vec_col="_v",
                               n_cells=8)
-        vidx.build(emb.where(F.col("doc_id") < 100))
-        vidx.append(emb.where((F.col("doc_id") >= 100)
-                              & (F.col("doc_id") < 150)),
-                    epoch_id=0)
-        vidx.append(emb.where(F.col("doc_id") >= 150), epoch_id=1)
-        bidx.retract([50, 105])
-        vidx.retract([50, 105])
+
+        # the two assets' lifecycle chains are independent until the
+        # probe — run them concurrently (optimization r14, guide
+        # §2.6; disjoint directories, identical final state)
+        def _lex_chain() -> None:
+            bidx.build(docs.where(F.col("doc_id") < 100))
+            bidx.append(docs.where((F.col("doc_id") >= 100)
+                                   & (F.col("doc_id") < 150)),
+                        epoch_id=0)
+            bidx.append(docs.where(F.col("doc_id") >= 150),
+                        epoch_id=1)
+            bidx.retract([50, 105])
+
+        def _dense_chain() -> None:
+            vidx.build(emb.where(F.col("doc_id") < 100))
+            vidx.append(emb.where((F.col("doc_id") >= 100)
+                                  & (F.col("doc_id") < 150)),
+                        epoch_id=0)
+            vidx.append(emb.where(F.col("doc_id") >= 150),
+                        epoch_id=1)
+            vidx.retract([50, 105])
+
+        run_chains(_lex_chain, _dense_chain)
 
         hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
         out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
@@ -1816,13 +1832,18 @@ def q_tenant_hybrid_retrieval(spark: SparkSession,
         bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
                                n_buckets=16, k1=_BM25_K1, b=_BM25_B,
                                extra_schema="lbl int")
-        bidx.build(docs.where(F.col("doc_id") < 100))
-        bidx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
         vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
                               id_col="doc_id", vec_col="_v",
                               n_cells=8, extra_schema="lbl int")
-        vidx.build(emb.where(F.col("doc_id") < 100))
-        vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
+        # independent per-asset chains, run concurrently
+        # (optimization r14 -- the q298 pattern)
+        run_chains(
+            lambda: (bidx.build(docs.where(F.col("doc_id") < 100)),
+                     bidx.append(docs.where(F.col("doc_id") >= 100),
+                                 epoch_id=0)),
+            lambda: (vidx.build(emb.where(F.col("doc_id") < 100)),
+                     vidx.append(emb.where(F.col("doc_id") >= 100),
+                                 epoch_id=0)))
 
         hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
         out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
@@ -2012,21 +2033,31 @@ def q_tenant_asof_hybrid(spark: SparkSession,
         bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
                                n_buckets=16, k1=_BM25_K1, b=_BM25_B,
                                extra_schema="lbl int")
-        bidx.build(docs.where(F.col("doc_id") < 100))
-        bidx.append(docs.where((F.col("doc_id") >= 100)
-                               & (F.col("doc_id") < 150)),
-                    epoch_id=0)
-        bidx.append(docs.where(F.col("doc_id") >= 150), epoch_id=1)
         vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
                               id_col="doc_id", vec_col="_v",
                               n_cells=8, extra_schema="lbl int")
-        vidx.build(emb.where(F.col("doc_id") < 100))
-        vidx.append(emb.where((F.col("doc_id") >= 100)
-                              & (F.col("doc_id") < 150)),
-                    epoch_id=0)
-        vidx.append(emb.where(F.col("doc_id") >= 150), epoch_id=1)
-        bidx.retract([50, 105])
-        vidx.retract([50, 105])
+
+        # independent per-asset chains, run concurrently
+        # (optimization r14 — the q298 pattern)
+        def _lex_chain() -> None:
+            bidx.build(docs.where(F.col("doc_id") < 100))
+            bidx.append(docs.where((F.col("doc_id") >= 100)
+                                   & (F.col("doc_id") < 150)),
+                        epoch_id=0)
+            bidx.append(docs.where(F.col("doc_id") >= 150),
+                        epoch_id=1)
+            bidx.retract([50, 105])
+
+        def _dense_chain() -> None:
+            vidx.build(emb.where(F.col("doc_id") < 100))
+            vidx.append(emb.where((F.col("doc_id") >= 100)
+                                  & (F.col("doc_id") < 150)),
+                        epoch_id=0)
+            vidx.append(emb.where(F.col("doc_id") >= 150),
+                        epoch_id=1)
+            vidx.retract([50, 105])
+
+        run_chains(_lex_chain, _dense_chain)
 
         hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
         out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
@@ -2336,25 +2367,33 @@ def q_snapshot_hybrid_retrieval(spark: SparkSession,
     try:
         bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
                                n_buckets=16, k1=_BM25_K1, b=_BM25_B)
-        bidx.build(docs.where(F.col("doc_id") < 100))
-        bidx.append(docs.where((F.col("doc_id") >= 100)
-                               & (F.col("doc_id") < 150)),
-                    epoch_id=0)
         vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
                               id_col="doc_id", vec_col="_v",
                               n_cells=8)
-        vidx.build(emb.where(F.col("doc_id") < 100))
-        vidx.append(emb.where((F.col("doc_id") >= 100)
-                              & (F.col("doc_id") < 150)),
-                    epoch_id=0)
+        # the publish is the cross-asset barrier: both chains run
+        # concurrently up to it (optimization r14 — the q298
+        # pattern, phased), the manifest pins the quiesced state,
+        # then both post-snapshot chains run concurrently again
+        run_chains(
+            lambda: (bidx.build(docs.where(F.col("doc_id") < 100)),
+                     bidx.append(docs.where((F.col("doc_id") >= 100)
+                                            & (F.col("doc_id") < 150)),
+                                 epoch_id=0)),
+            lambda: (vidx.build(emb.where(F.col("doc_id") < 100)),
+                     vidx.append(emb.where((F.col("doc_id") >= 100)
+                                           & (F.col("doc_id") < 150)),
+                                 epoch_id=0)))
         snap = SnapshotStore(os.path.join(root, "snapshots")).publish(
             "eval-pin", [bidx.root, vidx.root])
         # the store moves on AFTER the publish: a second epoch on
         # both assets, then a takedown on both
-        bidx.append(docs.where(F.col("doc_id") >= 150), epoch_id=1)
-        vidx.append(emb.where(F.col("doc_id") >= 150), epoch_id=1)
-        bidx.retract([50, 105])
-        vidx.retract([50, 105])
+        run_chains(
+            lambda: (bidx.append(docs.where(F.col("doc_id") >= 150),
+                                 epoch_id=1),
+                     bidx.retract([50, 105])),
+            lambda: (vidx.append(emb.where(F.col("doc_id") >= 150),
+                                 epoch_id=1),
+                     vidx.retract([50, 105])))
 
         hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
         out = (hyb.retrieve(queries, qdf, k=10, leg_k=BM25_K,
@@ -2459,14 +2498,19 @@ def q_tenant_sq_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
                                n_buckets=16, k1=_BM25_K1, b=_BM25_B,
                                extra_schema="lbl int")
-        bidx.build(docs.where(F.col("doc_id") < 100))
-        bidx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
         vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
                               id_col="doc_id", vec_col="_v",
                               n_cells=8, sq_int8=True,
                               extra_schema="lbl int")
-        vidx.build(emb.where(F.col("doc_id") < 100))
-        vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
+        # independent per-asset chains, run concurrently
+        # (optimization r14 -- the q298 pattern)
+        run_chains(
+            lambda: (bidx.build(docs.where(F.col("doc_id") < 100)),
+                     bidx.append(docs.where(F.col("doc_id") >= 100),
+                                 epoch_id=0)),
+            lambda: (vidx.build(emb.where(F.col("doc_id") < 100)),
+                     vidx.append(emb.where(F.col("doc_id") >= 100),
+                                 epoch_id=0)))
 
         hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
         out = (hyb.retrieve(queries, qdf, k=10,
@@ -2678,13 +2722,18 @@ def q_tenant_hybrid_frames(spark: SparkSession,
         bidx = StoredBm25Index(spark, os.path.join(root, "bm25"),
                                n_buckets=16, k1=_BM25_K1, b=_BM25_B,
                                extra_schema="lbl int")
-        bidx.build(docs.where(F.col("doc_id") < 100))
-        bidx.append(docs.where(F.col("doc_id") >= 100), epoch_id=0)
         vidx = StoredIvfIndex(spark, os.path.join(root, "ivf"),
                               id_col="doc_id", vec_col="_v",
                               n_cells=8, extra_schema="lbl int")
-        vidx.build(emb.where(F.col("doc_id") < 100))
-        vidx.append(emb.where(F.col("doc_id") >= 100), epoch_id=0)
+        # independent per-asset chains, run concurrently
+        # (optimization r14 -- the q298 pattern)
+        run_chains(
+            lambda: (bidx.build(docs.where(F.col("doc_id") < 100)),
+                     bidx.append(docs.where(F.col("doc_id") >= 100),
+                                 epoch_id=0)),
+            lambda: (vidx.build(emb.where(F.col("doc_id") < 100)),
+                     vidx.append(emb.where(F.col("doc_id") >= 100),
+                                 epoch_id=0)))
 
         hyb = HybridRetriever(bidx, vidx, rrf_k=_RRF60)
         out = (hyb.retrieve_frames(qdf, k=10, leg_k=BM25_K,
