@@ -56,6 +56,21 @@ def main() -> None:
     _ws.archive_values("warm").count()
     shutil.rmtree(_wdir, ignore_errors=True)
 
+    # co-tenancy canary (optimization r15, VERDICT r14 item 8): the
+    # same trivial fixed query timed at suite start and end; its
+    # ratio to its own all-runs minimum goes to BENCH_DRIFT.json so
+    # a degraded window (which inflates the canary too) is
+    # machine-distinguishable from a real regression. Measured
+    # OUTSIDE the per-query timings — the bench contract's queries
+    # map and one-line JSON output are unchanged.
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        REGISTRY["q01_export_long"][0](spark, sf_dir).write \
+            .format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
+    cal_start = _calibrate()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
@@ -71,6 +86,8 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {errors[name]}",
                   file=sys.stderr)
 
+    cal_end = _calibrate()
+
     total = round(sum(timings.values()), 4)
     rollup: dict[str, float] = {}
     for name, secs in timings.items():
@@ -80,6 +97,7 @@ def main() -> None:
     detail = {
         "metric": "suite_total", "value": total, "unit": "sec",
         "sf": sf, "queries": timings,
+        "calibration": {"start_sec": cal_start, "end_sec": cal_end},
     }
     if errors:
         detail["errors"] = errors
@@ -107,8 +125,19 @@ def main() -> None:
             json.dump(folded, fh, indent=1, sort_keys=False)
             fh.write("\n")
         # drift gate: flag >2x-of-minima queries mechanically so the
-        # next round's triage starts from a committed report
-        write_drift_report(rep, detail_path)
+        # next round's triage starts from a committed report; the
+        # calibration canary's ratio vs the canary query's own
+        # folded minimum rides along (co-tenancy indicator)
+        cal_min = folded["queries"].get("q01_export_long")
+        write_drift_report(rep, detail_path, calibration={
+            "query": "q01_export_long",
+            "start_sec": cal_start, "end_sec": cal_end,
+            "minima_sec": cal_min,
+            "start_ratio": (round(cal_start / cal_min, 2)
+                            if cal_min else None),
+            "end_ratio": (round(cal_end / cal_min, 2)
+                          if cal_min else None),
+        })
         if rep["outliers"]:
             print(f"[bench] DRIFT: {rep['n_outliers']} queries >2x "
                   f"their minima: "

@@ -466,7 +466,7 @@ class ParquetStore:
 
     @_locked
     def upsert_archive(self, database: str, df: DataFrame,
-                       mode: str = "first_wins") -> None:
+                       mode: str = "first_wins") -> DataFrame | None:
         """Partition-scoped merge on (attribute_id, timestamp).
 
         mode="first_wins"  — existing rows win (reference backfill
@@ -477,6 +477,14 @@ class ParquetStore:
         Only the date partitions present in ``df`` are read and
         rewritten (dynamic partition overwrite), so cost scales with
         the batch's date span, not with history size.
+
+        Returns the MATERIALIZED merged frame — by construction the
+        exact post-write content of the affected date partitions
+        (optimization r15): a caller that immediately needs those
+        partitions back (derived maintenance's sibling lookup) can
+        read the local blocks instead of re-listing and re-scanning
+        the files this call just wrote. Returns None when the batch
+        was empty (nothing written).
         """
         assert mode in ("first_wins", "last_wins")
         path = self._path(database, "archive")
@@ -490,7 +498,7 @@ class ParquetStore:
         dates = [r[0] for r in
                  incoming.select(ARCHIVE_PARTITION_COL).distinct().collect()]
         if not dates:
-            return
+            return None
         existing = (
             self.archive(database)
             .where(F.col(ARCHIVE_PARTITION_COL).isin(dates))
@@ -525,6 +533,7 @@ class ParquetStore:
                 .write.mode("overwrite").partitionBy(
                     ARCHIVE_PARTITION_COL
                 ).parquet(path)
+        return merged
 
     @_locked
     def rewrite_archive(self, database: str, df: DataFrame) -> None:

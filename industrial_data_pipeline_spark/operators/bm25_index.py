@@ -243,7 +243,8 @@ class StoredBm25Index:
             return self.analyzer.py(s)
         return s.lower().split()
 
-    def _frames(self, corpus: DataFrame) -> tuple:
+    def _frames(self, corpus: DataFrame,
+                durable: bool = False) -> tuple:
         """(postings, doclen) of a document batch — postings carry
         the denormalized dl; the term bucket is the portable hash
         mod n_buckets (pmod unnecessary: hash64 is a non-negative
@@ -262,12 +263,21 @@ class StoredBm25Index:
         the write performs anyway, and every downstream job (both
         writes AND their sampling passes) re-reads local blocks
         instead of re-tokenizing. Measured: q304's bm25
-        build+2-append lifecycle 6.9 s → see OPTIMIZATION_r14.md."""
+        build+2-append lifecycle 6.9 s → see OPTIMIZATION_r14.md.
+
+        ``durable`` (optimization r15, VERDICT r14 item 3): build
+        passes True — the corpus-sized frame is a DISK_ONLY persist
+        with lineage kept (executor loss recomputes; the caller
+        unpersists) — while micro-batch appends keep the cheaper
+        localCheckpoint per the materialize policy."""
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            materialize)
+
         toks = self._tokenize(self.text_col)
         extra = self.extra_cols
-        docs = corpus.select(
+        docs = materialize(corpus.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
-            toks.alias("_toks"), *extra).localCheckpoint(eager=True)
+            toks.alias("_toks"), *extra), durable=durable)
         doclen = docs.select("doc_id",
                              F.size("_toks").alias("dl"), *extra)
         postings = (docs
@@ -290,7 +300,7 @@ class StoredBm25Index:
                                 (hash64(F.col("term"))
                                  % F.lit(self.n_buckets))
                                 .cast("int")))
-        return postings, doclen
+        return postings, doclen, docs
 
     def _write(self, postings: DataFrame, doclen: DataFrame,
                epoch: int, overwrite_all: bool) -> None:
@@ -332,12 +342,16 @@ class StoredBm25Index:
 
     def build(self, corpus: DataFrame) -> None:
         self._write_meta()
-        postings, doclen = self._frames(corpus)
-        self._write(postings, doclen, epoch=-1, overwrite_all=True)
+        postings, doclen, docs = self._frames(corpus, durable=True)
+        try:
+            self._write(postings, doclen, epoch=-1,
+                        overwrite_all=True)
+        finally:
+            docs.unpersist()
 
     def append(self, batch: DataFrame,
                epoch_id: int | None = None) -> None:
-        postings, doclen = self._frames(batch)
+        postings, doclen, _ = self._frames(batch)
         if epoch_id is None:
             from industrial_data_pipeline_spark.operators.lsh_index \
                 import run_writes_concurrently

@@ -262,8 +262,10 @@ def rewrite_under_lease(spark: SparkSession, root: str, assets,
     Returns the summed {files_before, files_after}."""
     from industrial_data_pipeline_spark.catalog.lease import LeaseLock
 
-    from concurrent.futures import ThreadPoolExecutor
-
+    assets = list(assets)
+    if not assets:  # ADVICE r14: a zero-asset rewrite is a no-op,
+        # not a ThreadPoolExecutor(max_workers=0) ValueError
+        return {"files_before": 0, "files_after": 0}
     lock = LeaseLock(os.path.join(root, "_writer.lease"))
     lock.acquire(timeout_s=lease_timeout_s)
     try:
@@ -274,43 +276,141 @@ def rewrite_under_lease(spark: SparkSession, root: str, assets,
         # §2.6). Crash-window semantics are unchanged: recovery was
         # always per-asset (a crash between the two rewrites already
         # left one asset swapped and one not; the entry sweep heals
-        # each independently).
+        # each independently). A failed asset now CANCELS its
+        # sibling's in-flight jobs (run_writes_concurrently,
+        # optimization r15) instead of letting it commit behind the
+        # propagating exception — note the ordering change vs the
+        # old sequential code: sequentially, asset B never STARTED
+        # after asset A failed; concurrently B may have started and
+        # is cancelled mid-stage, which per-asset recovery heals
+        # identically (its staging is token-suffixed and swept).
         def one(asset):
-            path, sort_cols, pby, schema, mrpf = asset
-            return compact_parquet_dir(
-                spark, path, tuple(sort_cols), partition_by=pby,
-                max_records_per_file=mrpf, keep=keep,
-                prepare=prepare, schema=schema, lock=lock,
-                stamp=stamp)
+            def thunk():
+                path, sort_cols, pby, schema, mrpf = asset
+                return compact_parquet_dir(
+                    spark, path, tuple(sort_cols), partition_by=pby,
+                    max_records_per_file=mrpf, keep=keep,
+                    prepare=prepare, schema=schema, lock=lock,
+                    stamp=stamp)
+            return thunk
 
-        assets = list(assets)
-        with ThreadPoolExecutor(max_workers=len(assets)) as pool:
-            stats = [f.result()
-                     for f in [pool.submit(one, a) for a in assets]]
+        stats = run_writes_concurrently(*[one(a) for a in assets])
         return {"files_before": sum(s["files_before"] for s in stats),
                 "files_after": sum(s["files_after"] for s in stats)}
     finally:
         lock.release()
 
 
-def run_writes_concurrently(*thunks) -> None:
-    """Run INDEPENDENT asset writes from a small driver thread pool
-    (optimization r14, guide §2.6): the paired asset writes of one
-    lifecycle call (postings‖doclen, bands‖shingles, vecs‖sigs)
-    target different directories and share no ordering constraint —
-    submitted concurrently, the second job's tasks back-fill the
-    executors the first job's tail frees, and the pair costs
-    ~max(w1, w2) instead of w1 + w2. Caller contract: thunks must
-    write DIFFERENT paths (writes within one asset stay ordered by
-    construction — they never go through this), and must not mutate
-    session-level SQL conf (the dynamic-overwrite writers here use
-    per-writer .option(), which is thread-safe). Exceptions from
-    either write propagate; the pool's exit joins both."""
-    from concurrent.futures import ThreadPoolExecutor
+def materialize(df: DataFrame, durable: bool = False) -> DataFrame:
+    """Evaluate ``df`` exactly once and return a frame whose
+    consumers read the materialized rows instead of re-running the
+    plan — the shared materialization POLICY (optimization r15,
+    VERDICT r14 item 3).
 
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        for f in [pool.submit(t) for t in thunks]:
-            f.result()
+    durable=False — ``localCheckpoint(eager)``: lineage truncated,
+    blocks pinned to executor-local storage. Right for BOUNDED
+    frames (micro-batch appends, probe batches): cheapest, and an
+    executor loss only fails the in-flight micro-batch, which the
+    streaming retry replays anyway.
+
+    durable=True — ``persist(DISK_ONLY)``, eagerly populated:
+    lineage KEPT, so an executor loss RECOMPUTES the lost partitions
+    instead of failing the job unrecoverably (guide §5 —
+    localCheckpoint cannot recompute truncated lineage). Right for
+    CORPUS-SIZED build/rebuild frames whose loss would kill an
+    hours-long job at 100 TB. Costs one serialized pass to local
+    disk — the same magnitude as the localCheckpoint it replaces.
+    The caller owns the lifetime: ``df.unpersist()`` when the last
+    consumer finished."""
+    if not durable:
+        return df.localCheckpoint(eager=True)
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.DISK_ONLY)
+    # populate the cache now: InMemoryRelation materializes every
+    # column of the cached plan on first action, so downstream
+    # consumers (range-sampling jobs, paired asset writes) read
+    # blocks, never re-run the derivation
+    df.count()
+    return df
+
+
+#: Concurrent driver-side jobs are a GOVERNED resource (optimization
+#: r15, VERDICT r14 item 4): every overlap site in the suite pairs
+#: 2-3 independent jobs, and this cap bounds the peak concurrent
+#: shuffle/memory pressure even if a future caller passes more. At
+#: 100 TB the same bound holds per driver; raise it only with the
+#: cluster's memory headroom measured (guide §5).
+MAX_CONCURRENT_JOBS = 4
+
+
+def run_writes_concurrently(*thunks) -> list:
+    """Run INDEPENDENT driver-side Spark jobs (asset writes, eager
+    materializations) from a small thread pool (optimization r14,
+    guide §2.6): the paired asset writes of one lifecycle call
+    (postings‖doclen, bands‖shingles, vecs‖sigs) target different
+    directories and share no ordering constraint — submitted
+    concurrently, the second job's tasks back-fill the executors the
+    first job's tail frees, and the pair costs ~max(w1, w2) instead
+    of w1 + w2. Caller contract: thunks must write DIFFERENT paths
+    (writes within one asset stay ordered by construction — they
+    never go through this), and must not mutate session-level SQL
+    conf (the dynamic-overwrite writers here use per-writer
+    .option(), which is thread-safe).
+
+    Failure semantics (optimization r15, VERDICT r14 items 3/4):
+    each thunk runs under its own Spark job group; when one fails,
+    the OTHERS' in-flight jobs are cancelled (best effort) instead
+    of running to completion behind the propagating exception — for
+    a lease-fenced rewrite that shortens the crash window to
+    ~cancellation latency. The first exception (by submission order)
+    propagates after every thread has stopped; an aborted write
+    leaves only uncommitted task/staging files, which the swap
+    recovery and Spark's commit protocol already discard. Returns
+    the thunks' results in submission order. Zero thunks is a no-op
+    (returns [])."""
+    if not thunks:
+        return []
+    import uuid
+    from concurrent.futures import (FIRST_EXCEPTION, ThreadPoolExecutor,
+                                    wait)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    token = uuid.uuid4().hex
+    groups = {}
+
+    def run(i: int, thunk):
+        if spark is not None:
+            groups[i] = f"rwc-{token}-{i}"
+            spark.sparkContext.setJobGroup(
+                groups[i], "run_writes_concurrently",
+                interruptOnCancel=True)
+        return thunk()
+
+    with ThreadPoolExecutor(
+            max_workers=min(len(thunks), MAX_CONCURRENT_JOBS)) as pool:
+        futs = [pool.submit(run, i, t) for i, t in enumerate(thunks)]
+        done, pending = wait(futs, return_when=FIRST_EXCEPTION)
+        failed = [f for f in futs if f in done and f.exception()]
+        if failed and spark is not None:
+            for i, f in enumerate(futs):
+                if f not in failed:
+                    g = groups.get(i)
+                    if g:
+                        spark.sparkContext.cancelJobGroup(g)
+        for p in pending:
+            p.cancel()
+    # pool exit joined every thread; raise the ROOT CAUSE — the
+    # first-to-fail thunk's exception — never a cancellation error
+    # induced by our own cancelJobGroup above
+    if failed:
+        raise failed[0].exception()
+    for f in futs:
+        if not f.cancelled() and f.exception():
+            raise f.exception()
+    return [f.result() for f in futs if not f.cancelled()]
 
 
 def isin_prune(scan: DataFrame, keys: dict[str, list]) -> DataFrame:
@@ -423,38 +523,36 @@ class StoredLshIndex:
         # shingles frame has no shuffle below the range exchange to
         # reuse). One shingling pass is fundamental; the checkpoint
         # is the same magnitude as the shingles asset being written.
-        ident = F.col(self.id_col).cast("long").alias("doc_id")
-        shingles_df = (corpus.select(
-            ident, word_shingles(F.col(self.text_col), self.k)
-            .alias("shingles"))
-            .localCheckpoint(eager=True))
-        sigs = minhash_signatures(shingles_df, "doc_id", "shingles",
-                                  self.num_perm)
-        bands_df = (sigs.select(
-            "doc_id",
-            F.explode(lsh_bands(F.col("_sig"), self.num_perm,
-                                self.bands)).alias("_b"))
-            .select("doc_id", F.col("_b.band").alias("band"),
-                    F.col("_b.bucket").alias("bucket")))
+        # ADVICE r14: the signing kernel lives in ONE place —
+        # signature_frames with the materialize hook. durable=True
+        # (optimization r15, VERDICT r14 item 3): the corpus-sized
+        # build materialization is a DISK_ONLY persist with lineage
+        # KEPT, so an executor loss mid-build recomputes instead of
+        # failing unrecoverably.
+        bands_df, shingles_df = self.signature_frames(
+            corpus, materialize_shingles=True, durable=True)
         # _epoch=-1 = "history": the epoch partition column exists
         # from birth so per-epoch idempotent appends (append_frames)
         # share one consistent partition layout with the build.
         # Both writes read the one materialized shingle frame and
         # target different dirs — overlapped (guide §2.6).
-        run_writes_concurrently(
-            lambda: (self._sized(
-                bands_df.withColumn("_epoch", F.lit(-1))
-                .repartitionByRange("band", "bucket")
-                .sortWithinPartitions("band", "bucket")
-                .write.mode("overwrite")
-                .partitionBy("_epoch", "band"))
-                .parquet(self._bands_path)),
-            lambda: (self._sized(
-                shingles_df.withColumn("_epoch", F.lit(-1))
-                .repartitionByRange("doc_id")
-                .sortWithinPartitions("doc_id")
-                .write.mode("overwrite").partitionBy("_epoch"))
-                .parquet(self._shingles_path)))
+        try:
+            run_writes_concurrently(
+                lambda: (self._sized(
+                    bands_df.withColumn("_epoch", F.lit(-1))
+                    .repartitionByRange("band", "bucket")
+                    .sortWithinPartitions("band", "bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("_epoch", "band"))
+                    .parquet(self._bands_path)),
+                lambda: (self._sized(
+                    shingles_df.withColumn("_epoch", F.lit(-1))
+                    .repartitionByRange("doc_id")
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite").partitionBy("_epoch"))
+                    .parquet(self._shingles_path)))
+        finally:
+            shingles_df.unpersist()
 
     def _sized(self, writer):
         """Apply the max_records_per_file pruning-granularity bound
@@ -466,7 +564,9 @@ class StoredLshIndex:
 
     # ----------------------------------------------------- signatures
 
-    def signature_frames(self, df: DataFrame
+    def signature_frames(self, df: DataFrame,
+                         materialize_shingles: bool = False,
+                         durable: bool = False
                          ) -> tuple[DataFrame, DataFrame]:
         """Sign ``df`` with the index's parameters: returns
         (bands(doc_id, band, bucket), shingles(doc_id, shingles)) in
@@ -474,11 +574,21 @@ class StoredLshIndex:
         The id is cast to long at WRITE time (ADVICE r9): the
         BANDS/SHINGLES read schemas declare ``doc_id long``, and an
         int32 id column written as-is would fail Spark's vectorized
-        parquet reader on the type mismatch."""
+        parquet reader on the type mismatch.
+
+        ``materialize_shingles`` eagerly materializes the shingle
+        frame so the returned band table derives from materialized
+        rows — :meth:`build` passes True (one shingling pass for a
+        corpus-sized input, optimization r14) with ``durable=True``
+        (corpus-sized → recomputable DISK_ONLY persist per the
+        :func:`materialize` policy; the caller unpersists); ADVICE
+        r14 deduplicated the signing kernel back to this ONE copy."""
         ident = F.col(self.id_col).cast("long").alias("doc_id")
         shingles_df = df.select(
             ident, word_shingles(F.col(self.text_col), self.k)
             .alias("shingles"))
+        if materialize_shingles:
+            shingles_df = materialize(shingles_df, durable=durable)
         sigs = minhash_signatures(shingles_df, "doc_id", "shingles",
                                   self.num_perm)
         bands_df = (sigs.select(
@@ -650,11 +760,15 @@ class StoredLshIndex:
         # (optimization r14): a caller passing un-checkpointed
         # signature_frames output would otherwise re-evaluate the
         # whole minhash tree inside each write task (serially, under
-        # coalesce(1)); micro-batch-sized by the append contract
-        batch_bands = (batch_bands.withColumn("_epoch", F.lit(e))
-                       .localCheckpoint(eager=True))
-        batch_shingles = (batch_shingles.withColumn("_epoch", F.lit(e))
-                          .localCheckpoint(eager=True))
+        # coalesce(1)); micro-batch-sized by the append contract.
+        # The two materializations are independent — overlapped
+        # (optimization r15, guide §2.6), same discipline as the
+        # writes below.
+        batch_bands, batch_shingles = run_writes_concurrently(
+            lambda: (batch_bands.withColumn("_epoch", F.lit(e))
+                     .localCheckpoint(eager=True)),
+            lambda: (batch_shingles.withColumn("_epoch", F.lit(e))
+                     .localCheckpoint(eager=True)))
         bw = (batch_bands
               .coalesce(1).sortWithinPartitions("band", "bucket")
               .write.partitionBy("_epoch", "band"))

@@ -969,6 +969,9 @@ class StoredIvfIndex:
 
     def build(self, corpus: DataFrame, refine_iters: int = 0,
               pq_iters: int = 1) -> None:
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            materialize)
+
         # materialize the PROJECTED corpus first (optimization r14):
         # the caller's vector column is often an expensive expression
         # (hashed-BoW = dim·|tokens| md5s per doc) or its own Python
@@ -977,11 +980,13 @@ class StoredIvfIndex:
         # and a UDF vector column CHAINED under the cell-assign UDF
         # is evaluated twice *inside* the one ArrowEvalPython node
         # (Spark nests the call: `_cell(_vec(id))` next to `_vec(id)`
-        # — plan-verified). After this checkpoint the vector is a
-        # plain attribute everywhere below.
-        corpus = (corpus.select(self.id_col, self.vec_col,
-                                *self.extra_cols)
-                  .localCheckpoint(eager=True))
+        # — plan-verified). After this materialization the vector is
+        # a plain attribute everywhere below. durable — corpus-sized
+        # build frames (optimization r15, VERDICT r14 item 3:
+        # DISK_ONLY persist keeps lineage, executor loss recomputes).
+        corpus = materialize(
+            corpus.select(self.id_col, self.vec_col,
+                          *self.extra_cols), durable=True)
         assigned, centroids = ivf_build(
             corpus, self.n_cells, self.id_col, self.vec_col,
             refine_iters)
@@ -991,7 +996,7 @@ class StoredIvfIndex:
         # branches of _rows, the write's range-boundary sampling job
         # AND the write itself (worst measured: the sampling + write
         # pair alone = 2 extra full UDF passes).
-        assigned = assigned.localCheckpoint(eager=True)
+        assigned = materialize(assigned, durable=True)
         self.centroids = centroids
         self.dim = len(centroids[0])
         if self.pq_m:
@@ -1025,14 +1030,22 @@ class StoredIvfIndex:
         # too: with PQ/SQ enabled _rows adds the code-encoding UDFs,
         # which the range-sampling job would otherwise evaluate a
         # second time over the whole corpus.
-        rows = (self._rows(assigned).withColumn("_epoch", F.lit(-1))
-                .localCheckpoint(eager=True))
-        w = (rows.repartitionByRange("_cell", "vec_id")
-             .sortWithinPartitions("_cell", "vec_id")
-             .write.mode("overwrite").partitionBy("_epoch", "_cell"))
-        if self.max_records_per_file:
-            w = w.option("maxRecordsPerFile", self.max_records_per_file)
-        w.parquet(self._data_path)
+        rows = materialize(self._rows(assigned)
+                           .withColumn("_epoch", F.lit(-1)),
+                           durable=True)
+        try:
+            w = (rows.repartitionByRange("_cell", "vec_id")
+                 .sortWithinPartitions("_cell", "vec_id")
+                 .write.mode("overwrite")
+                 .partitionBy("_epoch", "_cell"))
+            if self.max_records_per_file:
+                w = w.option("maxRecordsPerFile",
+                             self.max_records_per_file)
+            w.parquet(self._data_path)
+        finally:
+            rows.unpersist()
+            assigned.unpersist()
+            corpus.unpersist()
         self._stamp_fingerprint(self._data_path)
 
     def append(self, batch: DataFrame,
@@ -2043,9 +2056,14 @@ class StoredIvfIndex:
         from industrial_data_pipeline_spark.operators.lsh_index import (
             rewrite_under_lease)
 
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            materialize)
+
         corpus = (self.spark.read.schema(self.DATA_SCHEMA)
                   .parquet(self._data_path).select("vec_id", "v"))
         saved = (self.centroids, self.pq_codebook)
+        pinned: list[DataFrame] = []  # durable corpus-sized frames,
+        # unpersisted when the rebuild (or its abort) completes
         try:
             _, centroids = ivf_build(corpus, self.n_cells,
                                      "vec_id", "v", refine_iters)
@@ -2054,10 +2072,21 @@ class StoredIvfIndex:
                 from industrial_data_pipeline_spark.operators.vectors \
                     import pq_train, pq_train_ints
                 if self.pq_residual:
-                    routed = ivf_assign(corpus, centroids, "v")
+                    # materialize the routed corpus ONCE for the
+                    # retrain (optimization r15, guide §1.2/§4): the
+                    # residual slices feed pq_train_ints' seed pass
+                    # AND both sides of every Lloyd iteration's
+                    # assign→means join — un-materialized, each of
+                    # those consumers re-ran the Arrow routing matmul
+                    # over the full corpus (3+ duplicate UDF passes
+                    # per retrain, measured the dominant rebuild cost)
+                    routed = materialize(
+                        ivf_assign(corpus, centroids, "v")
+                        .select("vec_id", "v", "_cell"),
+                        durable=True)
+                    pinned.append(routed)
                     cb = pq_train_ints(
-                        self._residual_slices(
-                            routed.select("vec_id", "v", "_cell")),
+                        self._residual_slices(routed),
                         k=self.pq_k, iters=pq_iters)
                 else:
                     cb = pq_train(corpus, dim=self.dim, m=self.pq_m,
@@ -2073,6 +2102,14 @@ class StoredIvfIndex:
                     df.select("vec_id", "v", *self.extra_cols),
                     self.centroids, "v")
                 if self.pq_m:
+                    # materialize the routed rows BEFORE the encode
+                    # join (optimization r15, guide §4.4-shape
+                    # duplication): _with_codes joins `rows` against
+                    # codes derived FROM `rows`, so an un-materialized
+                    # routing UDF evaluated twice inside the one
+                    # encode job
+                    rows = materialize(rows, durable=True)
+                    pinned.append(rows)
                     rows = self._with_codes(rows)
                 if self.sq_int8:
                     rows = self._with_q8(rows)
@@ -2080,10 +2117,14 @@ class StoredIvfIndex:
                 # range-sampling job would otherwise run the routing
                 # + code UDF chain a second full-corpus time
                 # (optimization r14; a rebuild is O(corpus) by nature
-                # — the checkpoint trades one local materialization
-                # for a whole duplicate encode pass)
-                return (rows.withColumn("_epoch", F.lit(-1))
-                        .localCheckpoint(eager=True))
+                # — materialization trades one local pass for a whole
+                # duplicate encode pass). durable like every
+                # corpus-sized build/rebuild frame (VERDICT r14
+                # item 3).
+                out = materialize(rows.withColumn("_epoch", F.lit(-1)),
+                                  durable=True)
+                pinned.append(out)
+                return out
 
             stats = rewrite_under_lease(
                 self.spark, self.root,
@@ -2102,6 +2143,9 @@ class StoredIvfIndex:
             # the in-memory retrained state must roll back with it
             self.centroids, self.pq_codebook = saved
             raise
+        finally:
+            for df in pinned:
+                df.unpersist()
         self._write_meta()
         return stats
 
@@ -2297,32 +2341,47 @@ class StoredSignatureIndex:
                        "threshold": self.threshold,
                        "max_records_per_file":
                            self.max_records_per_file}, fh)
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            materialize, run_writes_concurrently)
+
         # materialize the normalized vectors once (optimization r14):
         # un-materialized, the possibly-expensive upstream embedding
         # expression ran twice for this write alone (the range
         # exchange's boundary-sampling job has no shuffle below it
-        # to reuse, so it executes the full child plan)
-        vecs = (self._vec_rows(corpus)
-                .withColumn("_epoch", F.lit(-1))
-                .localCheckpoint(eager=True))
-        (self._sized(vecs.repartitionByRange("vec_id")
-                     .sortWithinPartitions("vec_id")
-                     .write.mode("overwrite").partitionBy("_epoch"))
-         .parquet(self._vecs_path))
-        # sign from the WRITTEN vector table: the signing matmul runs
-        # on stored doubles (exact round-trip), never re-evaluating a
-        # possibly-expensive upstream embedding expression; the signed
-        # frame materializes too — the signing matmul is a pandas_udf
-        # the sampling job would otherwise run a second corpus pass of
-        sigs = (self.signature_frame(
-            self.vec_table().select("vec_id", "v"))
-            .withColumn("_epoch", F.lit(-1))
-            .localCheckpoint(eager=True))
-        (self._sized(sigs.repartitionByRange("table", "sig")
-                     .sortWithinPartitions("table", "sig")
-                     .write.mode("overwrite")
-                     .partitionBy("_epoch", "table"))
-         .parquet(self._sigs_path))
+        # to reuse, so it executes the full child plan). durable —
+        # corpus-sized build frame (optimization r15, VERDICT r14
+        # item 3: lineage kept, executor loss recomputes)
+        vecs = materialize(self._vec_rows(corpus)
+                           .withColumn("_epoch", F.lit(-1)),
+                           durable=True)
+        # sign from the MATERIALIZED normalized vectors — the exact
+        # doubles the vecs write stores (array<double> round-trips
+        # parquet bit-exactly, so this equals the previous
+        # sign-from-the-written-table by value): the signing matmul
+        # is a pandas_udf, materialized once; decoupling it from the
+        # written table lets BOTH asset writes derive from local
+        # blocks and overlap (optimization r15, guide §2.6 — the
+        # writes target disjoint dirs; previously the sigs pass
+        # serialized behind the vecs write it re-read)
+        sigs = materialize(
+            self.signature_frame(vecs.select("vec_id", "v"))
+            .withColumn("_epoch", F.lit(-1)), durable=True)
+        try:
+            run_writes_concurrently(
+                lambda: (self._sized(
+                    vecs.repartitionByRange("vec_id")
+                    .sortWithinPartitions("vec_id")
+                    .write.mode("overwrite").partitionBy("_epoch"))
+                    .parquet(self._vecs_path)),
+                lambda: (self._sized(
+                    sigs.repartitionByRange("table", "sig")
+                    .sortWithinPartitions("table", "sig")
+                    .write.mode("overwrite")
+                    .partitionBy("_epoch", "table"))
+                    .parquet(self._sigs_path)))
+        finally:
+            sigs.unpersist()
+            vecs.unpersist()
 
     # ---------------------------------------------------- read sides
 
@@ -2404,15 +2463,21 @@ class StoredSignatureIndex:
         # under the coalesce(1) write task pays a fixed ~140 ms
         # Python-runner setup per parent partition (micro-batch-sized
         # checkpoint by the append contract)
-        batch_vecs = batch_vecs.select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            _as_double(F.col("v")).alias("v")) \
-            .localCheckpoint(eager=True)
-        batch_sigs = batch_sigs.select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("table").cast("int").alias("table"),
-            F.col("sig").cast("long").alias("sig")) \
-            .localCheckpoint(eager=True)
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            run_writes_concurrently)
+
+        # the two independent materializations overlap (optimization
+        # r15, guide §2.6), same discipline as the writes below
+        batch_vecs, batch_sigs = run_writes_concurrently(
+            lambda: (batch_vecs.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                _as_double(F.col("v")).alias("v"))
+                .localCheckpoint(eager=True)),
+            lambda: (batch_sigs.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("table").cast("int").alias("table"),
+                F.col("sig").cast("long").alias("sig"))
+                .localCheckpoint(eager=True)))
         e = -1 if epoch_id is None else int(epoch_id)
         vw = (batch_vecs.withColumn("_epoch", F.lit(e))
               .coalesce(1).sortWithinPartitions("vec_id")
@@ -2420,9 +2485,6 @@ class StoredSignatureIndex:
         sw = (batch_sigs.withColumn("_epoch", F.lit(e))
               .coalesce(1).sortWithinPartitions("table", "sig")
               .write.partitionBy("_epoch", "table"))
-        from industrial_data_pipeline_spark.operators.lsh_index import (
-            run_writes_concurrently)
-
         if epoch_id is None:
             run_writes_concurrently(
                 lambda: vw.mode("append").parquet(self._vecs_path),

@@ -62,16 +62,26 @@ class DerivedMaintenance:
         if batch.isEmpty():
             return
         # 1. the insert itself (the reference's COPY; last-wins so a
-        #    re-sent reading updates, matching trigger-era behavior)
-        self.store.upsert_archive(self.database, batch, mode="last_wins")
+        #    re-sent reading updates, matching trigger-era behavior).
+        #    The returned merged frame is the MATERIALIZED post-write
+        #    content of the batch's date partitions (optimization
+        #    r15): the first derived recompute reads those local
+        #    blocks instead of re-listing + re-scanning the files
+        #    this call just wrote.
+        merged = self.store.upsert_archive(self.database, batch,
+                                           mode="last_wins")
 
         formulas = self.derived_formulas()
         if not formulas:
             return
-        batch_ids = {r["attribute_id"] for r in
-                     batch.select("attribute_id").distinct().collect()}
-        affected_dates = [r[0] for r in batch.select(
-            F.to_date("timestamp").alias("d")).distinct().collect()]
+        # ONE distinct collect feeds both driver-side sets
+        # (optimization r15 — previously two jobs over the same
+        # materialized batch)
+        meta = (batch.select("attribute_id",
+                             F.to_date("timestamp").alias("d"))
+                .distinct().collect())
+        batch_ids = {r["attribute_id"] for r in meta}
+        affected_dates = sorted({r["d"] for r in meta})
 
         for did, formula in formulas.items():
             src_ids = referenced_ids(formula)
@@ -80,13 +90,21 @@ class DerivedMaintenance:
             affected_ts = (batch
                            .where(F.col("attribute_id").isin(src_ids))
                            .select("timestamp").distinct())
-            # fresh archive frame PER formula: the previous upsert
-            # rewrote the affected partitions via dynamic-partition
-            # overwrite, so a frame built before the loop would scan
-            # a stale file listing and die with FileNotFoundException
-            # on the second derived formula
-            archive = self.store.archive(self.database).where(
-                F.col("ts_date").isin(affected_dates))
+            if merged is not None:
+                # the merged frame == the affected partitions'
+                # post-write content, so the FIRST formula's sibling
+                # lookup needs no store re-read
+                archive = merged
+            else:
+                # a previous formula's upsert rewrote the affected
+                # partitions via dynamic-partition overwrite, so a
+                # frame built before that write would scan a stale
+                # file listing and die with FileNotFoundException —
+                # re-list fresh per subsequent formula (also the
+                # chained-derived case: formula N+1 must see formula
+                # N's rows)
+                archive = self.store.archive(self.database).where(
+                    F.col("ts_date").isin(affected_dates))
             src = (archive
                    .where(F.col("attribute_id").isin(src_ids))
                    .join(F.broadcast(affected_ts), "timestamp")
@@ -95,6 +113,7 @@ class DerivedMaintenance:
             # 3. trigger upsert is ON CONFLICT DO UPDATE → last-wins
             self.store.upsert_archive(self.database, rows,
                                       mode="last_wins")
+            merged = None  # later formulas re-read (see above)
 
     # ------------------------------------------------------------ wiring
 

@@ -143,10 +143,12 @@ def run_chains(*chains) -> None:
     them from a small thread pool lets each chain's job tails
     back-fill the other's freed executors. Results are unaffected:
     the chains target disjoint asset directories and the probes run
-    only after both complete. Exceptions from either chain
-    propagate to the caller."""
-    from concurrent.futures import ThreadPoolExecutor
+    only after both complete. One shared implementation
+    (optimization r15): the governed-concurrency helper — capped
+    pool, per-chain job groups, cancel-on-first-failure, empty-safe
+    — in operators/lsh_index.py. The first failure propagates after
+    the sibling chain's in-flight jobs are cancelled."""
+    from industrial_data_pipeline_spark.operators.lsh_index import (
+        run_writes_concurrently)
 
-    with ThreadPoolExecutor(max_workers=len(chains)) as pool:
-        for f in [pool.submit(c) for c in chains]:
-            f.result()
+    run_writes_concurrently(*chains)

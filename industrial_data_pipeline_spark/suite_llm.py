@@ -22,6 +22,8 @@ from industrial_data_pipeline_spark.operators import dedup as D
 from industrial_data_pipeline_spark.operators import multimodal as MM
 from industrial_data_pipeline_spark.operators import similarity as SIM
 from industrial_data_pipeline_spark.operators import text as TX
+from industrial_data_pipeline_spark.operators.lsh_index import (
+    run_writes_concurrently)
 from industrial_data_pipeline_spark.suite_common import run_chains
 
 # ---------------------------------------------------- portable SQL bits
@@ -1480,12 +1482,18 @@ def q_streaming_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .localCheckpoint(eager=True))
         admitted = stats.where(F.col("n_matches") == 0) \
             .select("doc_id")
-        (batch.join(admitted, "doc_id").select("doc_id", "text")
-         .write.mode("append").parquet(corpus_dir))
-        (stats.select("doc_id",
-                      (F.col("n_matches") == 0).alias("admitted"),
-                      "n_matches")
-         .write.mode("append").parquet(ledger_dir))
+        # corpus advance ‖ ledger write: independent appends to
+        # disjoint dirs, both from materialized frames — overlapped
+        # (optimization r15, guide §2.6)
+        run_writes_concurrently(
+            lambda: (batch.join(admitted, "doc_id")
+                     .select("doc_id", "text")
+                     .write.mode("append").parquet(corpus_dir)),
+            lambda: (stats.select(
+                "doc_id",
+                (F.col("n_matches") == 0).alias("admitted"),
+                "n_matches")
+                .write.mode("append").parquet(ledger_dir)))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))
@@ -1642,10 +1650,13 @@ def q_streaming_stored_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .localCheckpoint(eager=True))
         if batch.isEmpty():
             return
-        # sign ONCE; the checkpointed frames feed probe AND append
-        bands_df, shingles_df = idx.signature_frames(batch)
-        bands_df = bands_df.localCheckpoint(eager=True)
-        shingles_df = shingles_df.localCheckpoint(eager=True)
+        # sign ONCE; the checkpointed frames feed probe AND append.
+        # The two independent materializations overlap (optimization
+        # r15, guide §2.6 — each is a batch-sized fixed-cost job)
+        bands_df0, shingles_df0 = idx.signature_frames(batch)
+        bands_df, shingles_df = run_writes_concurrently(
+            lambda: bands_df0.localCheckpoint(eager=True),
+            lambda: shingles_df0.localCheckpoint(eager=True))
         matches = idx.probe_frames(bands_df, shingles_df,
                                    exclude_epoch=epoch_id)
         per_new = matches.groupBy("new_id").agg(
@@ -1661,18 +1672,24 @@ def q_streaming_stored_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly-once under retries: index rows land in this
         # epoch's partition (dynamic overwrite — a replay REPLACES,
         # never double-appends), and the ledger is epoch-partitioned
-        # the same way
-        idx.append_frames(
-            bands_df.join(F.broadcast(admitted), "doc_id"),
-            shingles_df.join(F.broadcast(admitted), "doc_id"),
-            epoch_id=epoch_id)
-        (stats.select("doc_id",
-                      (F.col("n_matches") == 0).alias("admitted"),
-                      "n_matches")
-         .withColumn("_epoch", F.lit(int(epoch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_epoch").parquet(ledger_dir))
+        # the same way. Index appends and the ledger write derive
+        # from the materialized stats/signature frames and target
+        # disjoint dirs — overlapped (optimization r15, guide §2.6);
+        # a replayed epoch rewrites all three idempotently, so the
+        # crash story is unchanged by the reordering.
+        run_writes_concurrently(
+            lambda: idx.append_frames(
+                bands_df.join(F.broadcast(admitted), "doc_id"),
+                shingles_df.join(F.broadcast(admitted), "doc_id"),
+                epoch_id=epoch_id),
+            lambda: (stats.select(
+                "doc_id",
+                (F.col("n_matches") == 0).alias("admitted"),
+                "n_matches")
+                .withColumn("_epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch").parquet(ledger_dir)))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))
@@ -2256,9 +2273,12 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         clf = TX.quality_classifier(batch).select(
             "doc_id",
             F.coalesce("keep", F.lit(False)).alias("quality_keep"))
-        bands_df, shingles_df = idx.signature_frames(batch)
-        bands_df = bands_df.localCheckpoint(eager=True)
-        shingles_df = shingles_df.localCheckpoint(eager=True)
+        # the two independent batch-sized materializations overlap
+        # (optimization r15, guide §2.6)
+        bands_df0, shingles_df0 = idx.signature_frames(batch)
+        bands_df, shingles_df = run_writes_concurrently(
+            lambda: bands_df0.localCheckpoint(eager=True),
+            lambda: shingles_df0.localCheckpoint(eager=True))
         matches = idx.probe_frames(bands_df, shingles_df,
                                    exclude_epoch=epoch_id)
         per_new = matches.groupBy("new_id").agg(
@@ -2273,18 +2293,23 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         admitted = (stats.where(F.col("quality_keep")
                                 & (F.col("n_matches") == 0))
                     .select("doc_id"))
-        # exactly-once under retries (q243's discipline)
-        idx.append_frames(
-            bands_df.join(F.broadcast(admitted), "doc_id"),
-            shingles_df.join(F.broadcast(admitted), "doc_id"),
-            epoch_id=epoch_id)
-        (stats.select("doc_id", "quality_keep", "n_matches",
-                      (F.col("quality_keep")
-                       & (F.col("n_matches") == 0)).alias("admitted"))
-         .withColumn("_epoch", F.lit(int(epoch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_epoch").parquet(ledger_dir))
+        # exactly-once under retries (q243's discipline); the index
+        # appends and the ledger write are independent epoch-keyed
+        # idempotent writes to disjoint dirs — overlapped
+        # (optimization r15, guide §2.6)
+        run_writes_concurrently(
+            lambda: idx.append_frames(
+                bands_df.join(F.broadcast(admitted), "doc_id"),
+                shingles_df.join(F.broadcast(admitted), "doc_id"),
+                epoch_id=epoch_id),
+            lambda: (stats.select(
+                "doc_id", "quality_keep", "n_matches",
+                (F.col("quality_keep")
+                 & (F.col("n_matches") == 0)).alias("admitted"))
+                .withColumn("_epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch").parquet(ledger_dir)))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))
@@ -2687,22 +2712,37 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         clf = TX.quality_classifier(batch).select(
             "doc_id",
             F.coalesce("keep", F.lit(False)).alias("quality_keep"))
-        bands_df, shingles_df = idx.signature_frames(batch)
-        bands_df = bands_df.localCheckpoint(eager=True)
-        shingles_df = shingles_df.localCheckpoint(eager=True)
-        tmatch = idx.probe_frames(bands_df, shingles_df,
-                                  exclude_epoch=epoch_id)
-        vecs = (batch.select(
-            F.col("doc_id").alias("vec_id"),
-            TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM)
-            .alias("v")).localCheckpoint(eager=True))
-        bsig = (sidx.signature_frame(vecs)
-                .localCheckpoint(eager=True))
+
+        # the TEXT leg's two signature materializations and the
+        # EMBEDDING leg (vecs → signing matmul) are independent
+        # batch-sized fixed-cost jobs — overlapped (optimization
+        # r15, guide §2.6; within the embedding leg bsig derives
+        # from vecs, so that pair stays ordered)
+        def _emb_leg():
+            vecs = (batch.select(
+                F.col("doc_id").alias("vec_id"),
+                TX.hashed_bow_embedding(F.col("text"), _DEMB_DIM)
+                .alias("v")).localCheckpoint(eager=True))
+            bsig = (sidx.signature_frame(vecs)
+                    .localCheckpoint(eager=True))
+            return vecs, bsig
+
+        bands_df0, shingles_df0 = idx.signature_frames(batch)
+        bands_df, shingles_df, (vecs, bsig) = run_writes_concurrently(
+            lambda: bands_df0.localCheckpoint(eager=True),
+            lambda: shingles_df0.localCheckpoint(eager=True),
+            _emb_leg)
         # exactly-once: a retried epoch must not probe the crashed
         # attempt's own _epoch rows on EITHER asset (self-matches
-        # would flip admissions; see probe_frames' exclude_epoch)
-        ematch = sidx.probe_frames(vecs, bsig,
-                                   exclude_epoch=int(epoch_id))
+        # would flip admissions; see probe_frames' exclude_epoch).
+        # The two gate probes' eager pruning collects are
+        # independent — overlapped (optimization r15, VERDICT r14
+        # item 1: the probe legs, not just the compacts)
+        tmatch, ematch = run_writes_concurrently(
+            lambda: idx.probe_frames(bands_df, shingles_df,
+                                     exclude_epoch=epoch_id),
+            lambda: sidx.probe_frames(vecs, bsig,
+                                      exclude_epoch=int(epoch_id)))
         per_t = (tmatch.groupBy("new_id")
                  .agg(F.count("*").alias("n_matches"))
                  .withColumnRenamed("new_id", "_tid"))
@@ -2726,26 +2766,33 @@ def q_multigate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly-once under retries: EVERY per-batch write (both
         # index assets, the vector store, the ledger) lands in this
         # epoch's partition via dynamic overwrite — a replayed epoch
-        # REPLACES its own output instead of double-appending
+        # REPLACES its own output instead of double-appending. The
+        # three destinations (text index, embedding index, ledger)
+        # are disjoint and all derive from materialized frames —
+        # overlapped (optimization r15, guide §2.6); a replay
+        # rewrites all three idempotently, so the crash story is
+        # unchanged by the reordering.
         e = F.lit(int(epoch_id))
-        idx.append_frames(
-            bands_df.join(F.broadcast(admitted), "doc_id"),
-            shingles_df.join(F.broadcast(admitted), "doc_id"),
-            epoch_id=epoch_id)
-        sidx.append_frames(
-            vecs.join(F.broadcast(adm_vec), "vec_id"),
-            bsig.join(F.broadcast(adm_vec), "vec_id"),
-            epoch_id=epoch_id)
-        (stats.select("doc_id", "quality_keep", "n_matches",
-                      "n_emb_matches",
-                      (F.col("quality_keep")
-                       & (F.col("n_matches") == 0)
-                       & (F.col("n_emb_matches") == 0))
-                      .alias("admitted"))
-         .withColumn("_epoch", e)
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_epoch").parquet(ledger_dir))
+        run_writes_concurrently(
+            lambda: idx.append_frames(
+                bands_df.join(F.broadcast(admitted), "doc_id"),
+                shingles_df.join(F.broadcast(admitted), "doc_id"),
+                epoch_id=epoch_id),
+            lambda: sidx.append_frames(
+                vecs.join(F.broadcast(adm_vec), "vec_id"),
+                bsig.join(F.broadcast(adm_vec), "vec_id"),
+                epoch_id=epoch_id),
+            lambda: (stats.select(
+                "doc_id", "quality_keep", "n_matches",
+                "n_emb_matches",
+                (F.col("quality_keep")
+                 & (F.col("n_matches") == 0)
+                 & (F.col("n_emb_matches") == 0))
+                .alias("admitted"))
+                .withColumn("_epoch", e)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch").parquet(ledger_dir)))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))
@@ -2973,16 +3020,21 @@ def q_lexical_gate_stream(spark: SparkSession,
                                 & (F.col("n_lex_matches") == 0))
                     .select("doc_id", "text"))
         # exactly-once: the append lands in this epoch's partitions
-        # via dynamic overwrite — a replayed epoch REPLACES
-        idx.append(admitted, epoch_id=int(epoch_id))
-        (stats.select("doc_id", "quality_keep", "n_lex_matches",
-                      (F.col("quality_keep")
-                       & (F.col("n_lex_matches") == 0))
-                      .alias("admitted"))
-         .withColumn("_epoch", F.lit(int(epoch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_epoch").parquet(ledger_dir))
+        # via dynamic overwrite — a replayed epoch REPLACES. Append
+        # and ledger write are independent epoch-keyed idempotent
+        # writes to disjoint dirs — overlapped (optimization r15,
+        # guide §2.6)
+        run_writes_concurrently(
+            lambda: idx.append(admitted, epoch_id=int(epoch_id)),
+            lambda: (stats.select(
+                "doc_id", "quality_keep", "n_lex_matches",
+                (F.col("quality_keep")
+                 & (F.col("n_lex_matches") == 0))
+                .alias("admitted"))
+                .withColumn("_epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch").parquet(ledger_dir)))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))
@@ -3647,9 +3699,13 @@ def q_instream_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the takedown that arrived during batch 1 is applied at
             # this batch boundary, before any probe of this epoch
             idx.retract(list(range(10)))
-        bands_df, shingles_df = idx.signature_frames(batch)
-        bands_df = bands_df.localCheckpoint(eager=True)
-        shingles_df = shingles_df.localCheckpoint(eager=True)
+        # per-batch overlaps (optimization r15, guide §2.6): the two
+        # signature materializations, then the index appends ‖ the
+        # ledger write — q243's discipline verbatim
+        bands_df0, shingles_df0 = idx.signature_frames(batch)
+        bands_df, shingles_df = run_writes_concurrently(
+            lambda: bands_df0.localCheckpoint(eager=True),
+            lambda: shingles_df0.localCheckpoint(eager=True))
         matches = idx.probe_frames(bands_df, shingles_df,
                                    exclude_epoch=epoch_id)
         per_new = matches.groupBy("new_id").agg(
@@ -3662,17 +3718,19 @@ def q_instream_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .localCheckpoint(eager=True))
         admitted = stats.where(F.col("n_matches") == 0) \
             .select("doc_id")
-        idx.append_frames(
-            bands_df.join(F.broadcast(admitted), "doc_id"),
-            shingles_df.join(F.broadcast(admitted), "doc_id"),
-            epoch_id=epoch_id)
-        (stats.select("doc_id",
-                      (F.col("n_matches") == 0).alias("admitted"),
-                      "n_matches")
-         .withColumn("_epoch", F.lit(int(epoch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_epoch").parquet(ledger_dir))
+        run_writes_concurrently(
+            lambda: idx.append_frames(
+                bands_df.join(F.broadcast(admitted), "doc_id"),
+                shingles_df.join(F.broadcast(admitted), "doc_id"),
+                epoch_id=epoch_id),
+            lambda: (stats.select(
+                "doc_id",
+                (F.col("n_matches") == 0).alias("admitted"),
+                "n_matches")
+                .withColumn("_epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch").parquet(ledger_dir)))
 
     src = (spark.readStream.schema("doc_id long, text string")
            .parquet(staging))

@@ -70,24 +70,37 @@ def merge(minima: dict, run: dict) -> tuple[dict, dict]:
     return out, report
 
 
-def write_drift_report(report: dict, minima_path: str) -> str:
+def write_drift_report(report: dict, minima_path: str,
+                       calibration: dict | None = None) -> str:
     """Persist the run-vs-minima drift report next to the minima file
     (BENCH_DRIFT.json) — committed each fold so the judge and the
-    next round see flagged outliers without re-deriving them."""
+    next round see flagged outliers without re-deriving them.
+
+    ``calibration`` (optimization r15, VERDICT r14 item 8) is the
+    co-tenancy canary: the same trivial fixed query timed at suite
+    START and END, with its ratios to its own all-runs minimum. A
+    degraded co-tenancy window inflates the canary exactly like the
+    flagged queries (r14's 50-flag storm), so a run whose canary
+    ratios are high is machine-distinguishable from a real
+    regression without an out-of-band re-measure."""
     path = os.path.join(os.path.dirname(os.path.abspath(minima_path)),
                         "BENCH_DRIFT.json")
+    payload = {
+        "note": ("per-query run-vs-minima ratio of the LAST "
+                 "folded run; outliers = ratio > 2.0 (the "
+                 "documented container-noise gate) — re-measure "
+                 "these in a quiet window before calling them "
+                 "regressions; when calibration ratios are ALSO "
+                 ">2x the window itself was degraded"),
+        "n_outliers": report["n_outliers"],
+        "outliers": report["outliers"],
+        "sum_minima": report["sum_minima"],
+    }
+    if calibration is not None:
+        payload["calibration"] = calibration
+    payload["ratios"] = report["ratios"]
     with open(path, "w") as f:
-        json.dump({
-            "note": ("per-query run-vs-minima ratio of the LAST "
-                     "folded run; outliers = ratio > 2.0 (the "
-                     "documented container-noise gate) — re-measure "
-                     "these in a quiet window before calling them "
-                     "regressions"),
-            "n_outliers": report["n_outliers"],
-            "outliers": report["outliers"],
-            "sum_minima": report["sum_minima"],
-            "ratios": report["ratios"],
-        }, f, indent=1, sort_keys=False)
+        json.dump(payload, f, indent=1, sort_keys=False)
         f.write("\n")
     return path
 
