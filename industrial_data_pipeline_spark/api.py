@@ -342,11 +342,17 @@ class Pipeline:
         # (dimension-sized): old paths feed both the derived snapshot
         # and the id remap; new paths feed the remap AND the derived
         # restore — recomputing the iterative closure for each use
-        # tripled this method's job count
-        old_elem_paths = hierarchy_paths(old_elem).select(
-            "element_id", "path").localCheckpoint(eager=True)
-        elem_paths = hierarchy_paths(new_elem).select(
-            "element_id", "path").localCheckpoint(eager=True)
+        # tripled this method's job count. The two closures read
+        # independent inputs (stored old dims vs the parsed tree
+        # cache) — overlapped (optimization r15, guide §2.6)
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            run_writes_concurrently)
+
+        old_elem_paths, elem_paths = run_writes_concurrently(
+            lambda: hierarchy_paths(old_elem).select(
+                "element_id", "path").localCheckpoint(eager=True),
+            lambda: hierarchy_paths(new_elem).select(
+                "element_id", "path").localCheckpoint(eager=True))
         old_paths = self._attr_paths_from(old_elem_paths, old_attr)
         new_paths = self._attr_paths_from(elem_paths, new_attr)
         # collapse duplicate paths to ONE id (lowest — the reference
@@ -425,6 +431,8 @@ class Pipeline:
         # final_attr still reads the OLD dims; materialize it (it is
         # dimension-sized) before any directory swap, and rewrite the
         # archive (which also reads the old dims) before the dims.
+        # (The two dim overwrites stay sequential: they serialize on
+        # the store's per-database writer lock by design.)
         final_attr = final_attr.localCheckpoint(eager=True)
         self.store.rewrite_archive(database, cleaned)
         self.store.overwrite_dim(database, "element", new_elem)

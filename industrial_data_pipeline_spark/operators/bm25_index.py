@@ -501,15 +501,17 @@ class StoredBm25Index:
         qpairs = (queries.select(*sel)
                   .distinct()
                   .localCheckpoint(eager=True))
-        vocab = sorted({r["term"] for r in
-                        qpairs.select("term").distinct().collect()})
+        # ONE driver collect feeds both the term vocabulary and the
+        # label set (optimization r15 — previously two jobs over the
+        # same materialized batch-sized frame)
+        _qrows = qpairs.collect()
+        vocab = sorted({r["term"] for r in _qrows})
         if not vocab:
             raise ValueError("queries must contain at least one "
                              "analyzable term")
         labels = None
         if filter_col is not None:
-            labels = sorted({r["_qf"] for r in qpairs.select("_qf")
-                             .distinct().collect()})
+            labels = sorted({r["_qf"] for r in _qrows})
         return self._score(F.broadcast(qpairs), vocab, k, round_dp,
                            exclude_epoch, as_of_epoch,
                            filter_col=filter_col, labels=labels)
@@ -616,15 +618,17 @@ class StoredBm25Index:
         qpairs = (queries.select(*sel)
                   .withColumn("_idx", F.col("_idx").cast("int"))
                   .localCheckpoint(eager=True))
-        vocab = sorted({r["term"] for r in
-                        qpairs.select("term").distinct().collect()})
+        # ONE driver collect feeds both the term vocabulary and the
+        # label set (optimization r15 — previously two jobs over the
+        # same materialized batch-sized frame)
+        _qrows = qpairs.collect()
+        vocab = sorted({r["term"] for r in _qrows})
         if not vocab:
             raise ValueError("queries must contain at least one "
                              "analyzable term")
         labels = None
         if filter_col is not None:
-            labels = sorted({r["_qf"] for r in qpairs.select("_qf")
-                             .distinct().collect()})
+            labels = sorted({r["_qf"] for r in _qrows})
         mdf = (qpairs.groupBy("query_id")
                .agg(F.count_distinct("_idx").alias("_m")))
         return self._phrase_rank(qpairs, mdf, vocab, k,

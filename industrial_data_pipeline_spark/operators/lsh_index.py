@@ -723,11 +723,15 @@ class StoredLshIndex:
               as_of_epoch: int | None = None) -> DataFrame:
         """Sign ``batch`` and gate it against the stored index. The
         signed frames are checkpointed (batch-sized) so the pruning
-        collects and the probe plan share one signing pass."""
+        collects and the probe plan share one signing pass; the two
+        independent materializations overlap (optimization r15,
+        guide §2.6)."""
         bands_df, shingles_df = self.signature_frames(batch)
         if prune:
-            bands_df = bands_df.localCheckpoint(eager=True)
-            shingles_df = shingles_df.localCheckpoint(eager=True)
+            b0, s0 = bands_df, shingles_df
+            bands_df, shingles_df = run_writes_concurrently(
+                lambda: b0.localCheckpoint(eager=True),
+                lambda: s0.localCheckpoint(eager=True))
         return self.probe_frames(bands_df, shingles_df, round_dp,
                                  prune=prune,
                                  exclude_epoch=exclude_epoch,

@@ -143,12 +143,6 @@ class HybridRetriever:
             raise ValueError(f"dense_tier must be one of "
                              f"{sorted(self._DENSE)}, "
                              f"got {dense_tier!r}")
-        lex = (self.bm25.probe(queries, k=leg_k,
-                               as_of_epoch=as_of_epoch,
-                               filter_col=filter_col,
-                               query_filters=query_filters)
-               .select("query_id",
-                       F.col("doc_id").alias("cand_id"), "rank"))
         qv = query_vecs
         query_filter_col = None
         if filter_col is not None:
@@ -174,10 +168,26 @@ class HybridRetriever:
                       brute_force_threshold=brute_force_threshold)
         if takes_rerank:
             kwargs["rerank"] = rerank
-        den = (getattr(self.ivf, method)(qv, **kwargs)
-               .select("query_id",
-                       F.col("vec_id").alias("cand_id"),
-                       F.col("rk").alias("rank")))
+        # the two legs' probe CONSTRUCTION is eager work (query-term
+        # and routing collects, pruning-key collects, escalation
+        # decisions) against two independent assets — overlapped
+        # (optimization r15, guide §2.6); the returned frames stay
+        # lazy and fuse below as before
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            run_writes_concurrently)
+
+        lex, den = run_writes_concurrently(
+            lambda: (self.bm25.probe(queries, k=leg_k,
+                                     as_of_epoch=as_of_epoch,
+                                     filter_col=filter_col,
+                                     query_filters=query_filters)
+                     .select("query_id",
+                             F.col("doc_id").alias("cand_id"),
+                             "rank")),
+            lambda: (getattr(self.ivf, method)(qv, **kwargs)
+                     .select("query_id",
+                             F.col("vec_id").alias("cand_id"),
+                             F.col("rk").alias("rank"))))
         return rrf_fuse(lex, den, k=k, rrf_k=self.rrf_k)
 
     def retrieve_frames(self, queries: DataFrame, k: int = 10,
@@ -210,12 +220,6 @@ class HybridRetriever:
             raise ValueError(f"dense_tier must be one of "
                              f"{sorted(self._DENSE)}, "
                              f"got {dense_tier!r}")
-        lex = (self.bm25.probe_frames(
-            queries, k=leg_k, id_col=id_col, text_col=text_col,
-            as_of_epoch=as_of_epoch, filter_col=filter_col,
-            query_filter_col=query_filter_col)
-            .select("query_id",
-                    F.col("doc_id").alias("cand_id"), "rank"))
         method, takes_rerank = self._DENSE[dense_tier]
         kwargs = dict(k=leg_k, nprobe=nprobe, id_col=id_col,
                       vec_col=vec_col, as_of_epoch=as_of_epoch,
@@ -225,8 +229,21 @@ class HybridRetriever:
                       brute_force_threshold=brute_force_threshold)
         if takes_rerank:
             kwargs["rerank"] = rerank
-        den = (getattr(self.ivf, method)(queries, **kwargs)
-               .select("query_id",
-                       F.col("vec_id").alias("cand_id"),
-                       F.col("rk").alias("rank")))
+        # overlap the two legs' eager probe construction against
+        # their independent assets (optimization r15, guide §2.6 —
+        # same as :meth:`retrieve`)
+        from industrial_data_pipeline_spark.operators.lsh_index import (
+            run_writes_concurrently)
+
+        lex, den = run_writes_concurrently(
+            lambda: (self.bm25.probe_frames(
+                queries, k=leg_k, id_col=id_col, text_col=text_col,
+                as_of_epoch=as_of_epoch, filter_col=filter_col,
+                query_filter_col=query_filter_col)
+                .select("query_id",
+                        F.col("doc_id").alias("cand_id"), "rank")),
+            lambda: (getattr(self.ivf, method)(queries, **kwargs)
+                     .select("query_id",
+                             F.col("vec_id").alias("cand_id"),
+                             F.col("rk").alias("rank"))))
         return rrf_fuse(lex, den, k=k, rrf_k=self.rrf_k)
